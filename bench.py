@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). A small warmup query amortizes JVM/codegen startup out of the
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from snapshot_sender_spark.queries import all_queries  # noqa: E402
+from snapshot_sender_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_3way",
+    "join_range_theta",
+    "join_asof_last_click",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sort_topk_global",
+    "json_funcs",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_stats",
+    "stream_tumbling_counts",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    # warmup: touch the big tables + JIT the scan/agg path
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+    registry["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings = {}
+    for name in HEADLINE:
+        qd = registry[name]
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

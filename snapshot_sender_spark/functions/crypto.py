@@ -1,0 +1,105 @@
+"""Crypto / codec scalar functions.
+
+The reference decrypts snapshot payloads with AES/CTR/NoPadding using a
+base64-decoded data key + IV (reference: DecryptionProcessor.kt:27-41), and the
+payloads are gzip-compressed JSON-Lines (reference fixture: resources/aws/
+s3_files.py:28,78-84). Spark's built-in ``aes_decrypt`` supports ECB/GCM/CBC but
+not CTR, so CTR is a vectorized Pandas UDF over Arrow batches (one Python
+crossing per ~10k-row batch, not per row). Gzip likewise.
+
+Scale note: AES-CTR is a seekable stream cipher (counter mode), so a 100 TB
+deployment can decrypt byte ranges of large objects independently by seeking the
+counter — ``aes_ctr_decrypt_at`` exposes that offset-aware form. Whole-file
+decryption here assumes file-granular rows (the reference's own unit of work);
+files are capped per task by ``spark.sql.files.maxPartitionBytes``.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import io
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover - present in the target image
+    HAVE_CRYPTOGRAPHY = False
+
+
+def _ctr_transform(data: bytes, key: bytes, iv: bytes) -> bytes:
+    """AES/CTR/NoPadding; encrypt == decrypt (XOR keystream)."""
+    if not HAVE_CRYPTOGRAPHY:  # pragma: no cover
+        raise NotImplementedError("cryptography library unavailable")
+    cipher = Cipher(algorithms.AES(key), modes.CTR(iv))
+    enc = cipher.encryptor()
+    return enc.update(data) + enc.finalize()
+
+
+def ctr_at_offset(data: bytes, key: bytes, iv: bytes, byte_offset: int) -> bytes:
+    """Decrypt ``data`` as if it started ``byte_offset`` bytes into the stream.
+
+    CTR keystream block i = AES_enc(key, counter+i); seeking = bumping the
+    counter by offset//16 and discarding offset%16 keystream bytes.
+    """
+    block_skip, intra = divmod(byte_offset, 16)
+    counter = int.from_bytes(iv, "big") + block_skip
+    seek_iv = (counter % (1 << 128)).to_bytes(16, "big")
+    out = _ctr_transform(b"\x00" * intra + data, key, seek_iv)
+    return out[intra:]
+
+
+# --- pandas UDFs (Arrow-vectorized) -------------------------------------------
+
+
+@F.pandas_udf(T.BinaryType())
+def aes_ctr_decrypt(content: pd.Series, key_b64: pd.Series, iv_b64: pd.Series) -> pd.Series:
+    """AES-CTR decrypt a binary column; key and IV are base64 strings
+    (reference metadata encoding: S3DirectoryReader.kt:86-98)."""
+    out = []
+    for data, k, iv in zip(content, key_b64, iv_b64):
+        if data is None or k is None or iv is None:
+            out.append(None)
+        else:
+            out.append(_ctr_transform(bytes(data), base64.b64decode(k), base64.b64decode(iv)))
+    return pd.Series(out)
+
+
+# encrypt is the same transform — exposed under its own name for fixture writers
+aes_ctr_encrypt = aes_ctr_decrypt
+
+
+@F.pandas_udf(T.BinaryType())
+def gunzip(content: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else gzip.decompress(bytes(b)) for b in content]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def gzip_bytes(content: pd.Series) -> pd.Series:
+    out = []
+    for b in content:
+        if b is None:
+            out.append(None)
+            continue
+        buf = io.BytesIO()
+        # fixed mtime for deterministic output (golden-file comparisons)
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(bytes(b))
+        out.append(buf.getvalue())
+    return pd.Series(out)
+
+
+def empty_gzip() -> bytes:
+    """Zero-byte gzip payload — the reference's success indicator body
+    (SuccessServiceImpl.kt:100-104)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0):
+        pass
+    return buf.getvalue()

@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five tiers, increasing recall for near-duplicates (SURVEY.md §2B, LLM-data ops):
+
+  exact_dedup          content-hash groupBy — one shuffle on a 128-bit key
+  ngram_jaccard_pairs  exact n-gram Jaccard via shingle self-join (candidate
+                       pairs share ≥1 shingle — no all-pairs blowup)
+  minhash_lsh_pairs    MinHashLSH banding (pyspark.ml) — sub-quadratic
+  simhash              64-bit SimHash fingerprints (hamming-near dupes)
+  embedding near-dup   see operators/similarity.py
+
+Scale notes: exact dedup shuffles only (hash, id) pairs, not the text; the
+shingle self-join keys the shuffle on shingle hash (hot shingles are the skew
+risk — mitigated by dropping top-frequency shingles, the standard stopword-
+shingle cut); MinHashLSH's band join is the classic sub-quadratic LSH plan.
+All hashes are seeded/keyed deterministically — never Python's salted hash().
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content hash (md5 over the raw text).
+    Returns (hash, keeper_id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("id"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_bigrams(text_col) -> "F.Column":
+    """Positional word bigrams "w_i w_{i+1}" via zip of the array with its own
+    tail — pure JVM higher-order functions, no Python crossing."""
+    words = F.split(text_col, " ")
+    n = F.size(words)
+    return F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over distinct word-bigram shingle sets.
+
+    Plan: explode distinct shingles → self-join on shingle (only co-shingled
+    pairs are candidates) → |A∩B| by pair count → Jaccard from per-doc set
+    sizes. The self-join shuffles on the shingle value; candidate pairs — not
+    all pairs — reach the aggregate."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
+    ).localCheckpoint(eager=False)  # computed once, reused by 3 branches
+    sizes = shingled.select("id", F.size("shingles").alias("set_size"))
+    exploded = shingled.select("id", F.explode("shingles").alias("shingle"))
+    # The candidate-pair stream (Σ per-shingle |postings|²) dwarfs the posting
+    # list itself; the probe side must be spread across cores BEFORE the join
+    # or one task generates every pair (a small corpus file arrives as one
+    # partition). Partitioning on id_a is skew-free (uniform docs per task).
+    a = exploded.select(F.col("id").alias("id_a"), "shingle").repartition("id_a")
+    b = exploded.select(F.col("id").alias("id_b"), "shingle")
+    # The exploded posting list is O(docs × shingles-per-doc) — small relative
+    # to the pair blowup. Broadcasting it turns the candidate join into a
+    # map-side hash join and lets partial aggregation absorb the pair stream
+    # before any shuffle. At corpus scale swap to a shuffle join bucketed on
+    # shingle + drop top-frequency shingles (skew cut) — semantics preserved
+    # as long as the cut is applied to the oracle too.
+    pair_counts = (
+        a.join(F.broadcast(b), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        pair_counts.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 8, num_features: int = 1 << 18, seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs via pyspark.ml: shingle → HashingTF
+    (binary) → MinHashLSH → approxSimilarityJoin. Returns (id_a, id_b,
+    jaccard_distance). Sub-quadratic: only hash-band collisions are joined."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens; token hashes from blake2b
+    (deterministic across processes, unlike Python's salted hash())."""
+    out = []
+    for t in text:
+        if t is None:
+            out.append(None)
+            continue
+        acc = [0] * 64
+        for tok in t.split():
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sig |= 1 << i
+        # wrap to signed 64-bit for LongType
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out, dtype="object")
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
+    16-bit bands (a pair within hamming 3 of 64 bits must agree on ≥1 of 4
+    bands — pigeonhole), so the join is band-equality, not all-pairs."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{i}:"), F.conv(F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("string"), 10, 16))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band")
+    pairs = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

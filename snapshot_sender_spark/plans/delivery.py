@@ -1,0 +1,256 @@
+"""The flagship pipeline: decrypt → validate → route → deliver → book-keep.
+
+Reference physical plan (JobConfiguration.kt:41-64):
+    reader → finishedFilter → dataKeyLookup → decrypt → httpWriter(+markers,+counts)
+
+Spark-first re-expression (one declarative DataFrame plan, §3.1 of SURVEY.md):
+    binaryFile ⋈ broadcast(metadata)                      -- source
+      → left_anti(finished markers)                       -- idempotent restart
+      → filename grammar validate (rejects routed out)    -- regexp predicate
+      → topic derivation + blocked-topic predicate        -- projection + isin
+      → ⋈ broadcast(distinct-key plaintext lookup)        -- one DKS call per
+                                                             distinct key, ≡ the
+                                                             reference's memo cache
+                                                             HttpKeyService.kt:48-50
+      → AES-CTR decrypt (Arrow-vectorized pandas UDF)     -- CPU-only stage
+      → deliver: per-file .json.gz + .finished markers    -- foreachPartition sink
+      → parse: gunzip → explode lines → from_json          -- record-level view
+
+Everything before the decrypt UDF is JVM-side; the cheap filters run before the
+expensive decrypt exactly like the reference orders its processors
+(JobConfiguration.kt:61-64) — but here it's a property of the declared plan, so
+Catalyst keeps it true under composition.
+
+Scale: content bytes never shuffle (all joins broadcast the small side); decrypt
+parallelism = file-partition parallelism (`spark.sql.files.maxPartitionBytes`);
+markers make the sink idempotent under task retry (at-least-once ≡ reference
+chunk retry, JobConfiguration.kt:46-50).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import crypto, text
+from ..sources import fixtures as fx
+from ..sources.listing import read_encrypted_files, read_finished_markers
+
+# Payload record schema (FIXTURES.md §A1; producer shape s3_files.py:40-75)
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StructType([T.StructField("citizenId", T.StringType())])),
+        T.StructField("type", T.StringType()),
+        T.StructField("contractId", T.StringType()),
+        T.StructField(
+            "addressNumber",
+            T.StructType(
+                [T.StructField("type", T.StringType()), T.StructField("cryptoId", T.StringType())]
+            ),
+        ),
+        T.StructField("addressLine2", T.StringType()),
+        T.StructField(
+            "townCity",
+            T.StructType(
+                [T.StructField("type", T.StringType()), T.StructField("cryptoId", T.StringType())]
+            ),
+        ),
+        T.StructField("postcode", T.StringType()),
+        T.StructField("processId", T.StringType()),
+        T.StructField(
+            "effectiveDate",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("date", T.IntegerType()),
+                    T.StructField("knownDate", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "paymentEffectiveDate",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("date", T.IntegerType()),
+                    T.StructField("knownDate", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField("createdDateTime", T.StructType([T.StructField("$date", T.StringType())])),
+        T.StructField(
+            "_lastModifiedDateTime", T.StructType([T.StructField("$date", T.StringType())])
+        ),
+        T.StructField("_version", T.IntegerType()),
+    ]
+)
+
+
+@dataclass
+class RunConfig:
+    """Run-scoped properties (reference: PropertyUtility.kt:5-11, application.properties)."""
+
+    correlation_id: str
+    topic_name: str
+    export_date: str = "2026-08-13"
+    snapshot_type: str = "full"
+    blocked_topics: str = ""
+    reprocess_files: bool = False
+
+
+@dataclass
+class DeliveryResult:
+    delivered: DataFrame  # one row per delivered file (the manifest)
+    rejected: DataFrame  # filename-grammar rejects (HttpWriter.kt:121-127)
+    blocked: DataFrame  # blocked-topic rows (FilterBlockedTopicsUtils.kt:24)
+    counters: dict = field(default_factory=dict)
+
+
+def key_lookup_local(ciphertext_pairs: list[tuple[str, str]]) -> list[tuple[str, str, str]]:
+    """Local stand-in for the DKS decrypt endpoint: one call per distinct
+    (keyId, cipherText) pair — the reference achieves the same via its memo
+    cache (HttpKeyService.kt:48-50,73,101). Returns (keyId, cipherText,
+    plaintext_b64) triples."""
+    return [(kid, ct, fx.decrypt_data_key(ct)) for kid, ct in ciphertext_pairs]
+
+
+def build_decrypted(
+    spark: SparkSession,
+    input_dir: str,
+    status_dir: str,
+    cfg: RunConfig,
+    key_lookup: Callable[[list[tuple[str, str]]], list[tuple[str, str, str]]] = key_lookup_local,
+) -> DeliveryResult:
+    """Declare the plan up to (and including) payload decryption."""
+    files = read_encrypted_files(spark, input_dir)
+
+    # 1. idempotent-restart filter (FinishedFilterProcessor.kt:17-27)
+    if not cfg.reprocess_files:
+        finished = read_finished_markers(spark, status_dir)
+        files = files.join(F.broadcast(finished), "fileName", "left_anti")
+
+    # 2. filename grammar split: valid → pipeline, invalid → rejects sink.
+    #    The reference validates the *decrypted* name — DecryptionProcessor.kt:40
+    #    strips .enc before HttpWriter.kt:121-127 parses it — so validate the
+    #    enc-stripped form here; markers keep the original key (S3Utils.kt:25-32).
+    files = files.withColumn("decryptedFileName", text.strip_enc_suffix(F.col("fileName")))
+    files = files.withColumn(
+        "fileNameValid", text.filename_is_valid(F.col("decryptedFileName"))
+    )
+    rejected = files.filter(~F.col("fileNameValid")).select("path", "fileName")
+    valid = files.filter(F.col("fileNameValid")).drop("fileNameValid")
+
+    # 3. database/collection/topic projection (TextParsingUtility.kt:7-11, HttpWriter.kt:47-49)
+    valid = (
+        valid.withColumn("database", text.extract_database(F.col("decryptedFileName")))
+        .withColumn("collection", text.extract_collection(F.col("decryptedFileName")))
+        .withColumn(
+            "topic",
+            text.derive_topic(F.col("decryptedFileName"), F.col("database"), F.col("collection")),
+        )
+    )
+
+    # 4. blocked-topic routing (FilterBlockedTopicsUtils.kt:15-30)
+    blocked_list = text.parse_blocked_topics(cfg.blocked_topics)
+    blocked = valid.filter(~text.topic_not_blocked(F.col("topic"), blocked_list)).select(
+        "path", "fileName", "topic"
+    )
+    valid = valid.filter(text.topic_not_blocked(F.col("topic"), blocked_list))
+
+    # 5. data-key resolution: distinct keys → external lookup → broadcast join.
+    #    distinct() is tiny (a handful of keys per run); collecting it to the
+    #    driver IS the operator — one network call per distinct key.
+    pairs = [
+        (r["dataKeyEncryptionKeyId"], r["cipherText"])
+        for r in valid.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
+    ]
+    resolved = key_lookup(pairs)
+    keys_df = spark.createDataFrame(
+        resolved or [("", "", "")],
+        "dataKeyEncryptionKeyId string, cipherText string, plaintextKey string",
+    )
+    if not resolved:
+        keys_df = keys_df.limit(0)
+    valid = valid.join(F.broadcast(keys_df), ["dataKeyEncryptionKeyId", "cipherText"], "inner")
+
+    # 6. AES-CTR decrypt (vectorized) + rename (DecryptionProcessor.kt:26-41)
+    decrypted = valid.withColumn(
+        "decrypted", crypto.aes_ctr_decrypt(F.col("content"), F.col("plaintextKey"), F.col("iv"))
+    ).withColumn("outputFileName", text.rename_output(F.col("decryptedFileName")))
+    return DeliveryResult(delivered=decrypted, rejected=rejected, blocked=blocked)
+
+
+def deliver(result: DeliveryResult, output_dir: str, status_dir: str) -> DataFrame:
+    """Materialize the sink: write each file's still-gzipped decrypted bytes to
+    ``output_dir/<name .txt.gz→.json.gz>`` and a ``<original>.finished`` marker
+    (HttpWriter.kt:58,95-96; S3StatusFileWriter.kt:19-52). Runs distributed via
+    foreachPartition — at-least-once, idempotent by marker anti-join on restart.
+
+    Returns the manifest DataFrame (fileName, outputFileName, topic, database,
+    collection, byte counts) — the counts the reference keeps in DynamoDB are
+    *derived* from this manifest by aggregation (deterministic), instead of
+    incremental counter updates (DynamoDBExportStatusService.kt:38-44)."""
+    os.makedirs(output_dir, exist_ok=True)
+    os.makedirs(status_dir, exist_ok=True)
+
+    to_write = result.delivered.select(
+        "fileName", "outputFileName", "topic", "database", "collection", "decrypted"
+    )
+
+    def write_partition(rows):
+        for row in rows:
+            out_path = os.path.join(output_dir, row["outputFileName"])
+            tmp = out_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(row["decrypted"]))
+            os.replace(tmp, out_path)  # atomic → idempotent under retry
+            marker = os.path.join(status_dir, row["fileName"] + ".finished")
+            with open(marker, "w") as fh:
+                fh.write(f"Finished {row['fileName']}")
+
+    to_write.foreachPartition(write_partition)
+
+    return result.delivered.select(
+        "fileName",
+        "outputFileName",
+        "topic",
+        "database",
+        "collection",
+        F.length("decrypted").alias("payload_bytes"),
+    )
+
+
+def parse_records(decrypted: DataFrame) -> DataFrame:
+    """Record-level view: gunzip → split lines → explode → from_json.
+
+    The reference never parses the payload (it forwards opaque bytes,
+    HttpWriter.kt:75); this is the generalized engine surface the payload shape
+    implies (SURVEY.md §1.2)."""
+    lines = (
+        decrypted.select(
+            "fileName",
+            "topic",
+            crypto.gunzip(F.col("decrypted")).alias("payload"),
+        )
+        .select(
+            "fileName",
+            "topic",
+            F.explode(
+                F.filter(
+                    F.split(F.col("payload").cast("string"), "\n"),
+                    lambda x: F.length(F.trim(x)) > 0,
+                )
+            ).alias("line"),
+        )
+    )
+    return lines.select(
+        "fileName",
+        "topic",
+        F.from_json(F.col("line"), RECORD_SCHEMA).alias("record"),
+        F.col("line"),
+    )

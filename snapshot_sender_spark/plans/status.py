@@ -1,0 +1,143 @@
+"""Control-plane semantics: export-status table, collection status decision,
+run-completion aggregate, success indicators, monitoring payload.
+
+Reference: DynamoDB table UCExportToCrownStatus (environment.sh:37-52) driven by
+DynamoDBExportStatusService.kt; completion branches in
+JobCompletionNotificationListener.kt:31-58; success indicator
+SuccessServiceImpl.kt:39-104; SNS payload SnsServiceImpl.kt:41-51.
+
+Re-expression: the status table is a plain keyed DataFrame (parquet-backed
+upsert via anti-join + union — the CDC/SCD pattern); FilesSent is *derived* by
+aggregating the delivery manifest instead of incremented per file, which makes
+it deterministic under retries (the reference's increment-then-marker ordering
+at HttpWriter.kt:95-96 can double-count on crash — SURVEY.md §7 risk 3).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATUS_SCHEMA = (
+    "CorrelationId string, CollectionName string, CollectionStatus string, "
+    "FilesExported int, FilesSent int"
+)
+
+# status sets (DynamoDBExportStatusService.kt:185-186)
+SUCCESSFUL_STATUSES = ["Sent", "Received", "Success", "Table_Unavailable", "Blocked_Topic"]
+FAILED_STATUSES = ["Export_Failed"]
+
+
+def load_status(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], STATUS_SCHEMA)
+
+
+def upsert_status(spark: SparkSession, path: str, updates: DataFrame) -> None:
+    """MERGE-style upsert on (CorrelationId, CollectionName): anti-join existing
+    against updates, union, rewrite. (Delta MERGE INTO is the cluster-scale
+    version; parquet rewrite is the dependency-free local form.)"""
+    existing = load_status(spark, path)
+    keys = ["CorrelationId", "CollectionName"]
+    merged = existing.join(updates.select(*keys), keys, "left_anti").unionByName(updates)
+    merged_rows = merged.collect()  # control-plane table: O(collections), tiny
+    spark.createDataFrame(merged_rows, STATUS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def sent_counts(manifest: DataFrame, correlation_id: str) -> DataFrame:
+    """FilesSent per collection, derived from the delivery manifest
+    (≡ DynamoDBExportStatusService.kt:38-44's increment, but as an aggregate)."""
+    return manifest.groupBy("topic").agg(F.count("*").alias("FilesSent")).select(
+        F.lit(correlation_id).alias("CorrelationId"),
+        F.col("topic").alias("CollectionName"),
+        F.col("FilesSent").cast("int"),
+    )
+
+
+def collection_status(status: DataFrame) -> DataFrame:
+    """The reference's collection-status decision
+    (DynamoDBExportStatusService.kt:113-141):
+      Exported ∧ exported==sent ∧ sent>0 → Sent
+      exported==0                        → Received  (NO_FILES_EXPORTED, :125-127,:154)
+      else                               → unchanged (IN_PROGRESS)."""
+    return status.withColumn(
+        "CollectionStatus",
+        F.when(
+            (F.col("CollectionStatus") == "Exported")
+            & (F.col("FilesExported") == F.col("FilesSent"))
+            & (F.col("FilesSent") > 0),
+            F.lit("Sent"),
+        )
+        .when(F.col("FilesExported") == 0, F.lit("Received"))
+        .otherwise(F.col("CollectionStatus")),
+    )
+
+
+def completion_status(status: DataFrame) -> DataFrame:
+    """Run-completion ALL/ANY aggregate (DynamoDBExportStatusService.kt:79-102):
+    all successful → COMPLETED_SUCCESSFULLY; any Export_Failed →
+    COMPLETED_UNSUCCESSFULLY; else NOT_COMPLETED."""
+    agg = status.groupBy("CorrelationId").agg(
+        F.bool_and(F.col("CollectionStatus").isin(SUCCESSFUL_STATUSES)).alias("all_ok"),
+        F.bool_or(F.col("CollectionStatus").isin(FAILED_STATUSES)).alias("any_failed"),
+    )
+    return agg.select(
+        "CorrelationId",
+        F.when(F.col("all_ok"), "COMPLETED_SUCCESSFULLY")
+        .when(F.col("any_failed"), "COMPLETED_UNSUCCESSFULLY")
+        .otherwise("NOT_COMPLETED")
+        .alias("completion_status"),
+    )
+
+
+def write_success_indicator(output_dir: str, topic: str) -> str:
+    """Zero-byte gzip `_<database>_<collection>_successful.gz`
+    (SuccessServiceImpl.kt:95-104; topic parse :97-98 strips optional db. prefix)."""
+    parts = topic.split(".")
+    if parts[0] == "db" and len(parts) >= 3:
+        database, collection = parts[1], ".".join(parts[2:])
+    else:
+        database, collection = parts[0], ".".join(parts[1:])
+    name = f"_{database}_{collection}_successful.gz"
+    path = os.path.join(output_dir, name)
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0):
+        pass
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+    return path
+
+
+def monitoring_message(
+    correlation_id: str,
+    export_date: str,
+    snapshot_type: str,
+    status: str,
+    severity: str = "Critical",
+    notification_type: str = "Information",
+) -> str:
+    """SNS monitoring JSON payload (SnsServiceImpl.kt:41-51); skipped upstream
+    when export_date == 'NIFI_HEARTBEAT' (JobCompletionNotificationListener.kt:60-75)."""
+    title = f"Crown delivery {status.replace('_', ' ').lower().capitalize()}"
+    return json.dumps(
+        {
+            "severity": severity,
+            "notification_type": notification_type,
+            "slack_username": "Crown Export Poller",
+            "title_text": title,
+            "custom_elements": [
+                {"key": "Export date", "value": export_date},
+                {"key": "Correlation Id", "value": correlation_id},
+                {"key": "Snapshot type", "value": snapshot_type},
+            ],
+        }
+    )

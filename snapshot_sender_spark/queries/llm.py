@@ -1,0 +1,355 @@
+"""LLM-training-data pipeline operators as declared queries (BASELINE.json
+north star): dedup family, similarity search, text analysis, multimodal
+plumbing. Exact/deterministic variants carry a DuckDB oracle; approximate ones
+(MinHash LSH, SimHash, ANN) are rows-only by nature.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import dedup, multimodal, similarity
+from ..tables import load
+from . import query
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# =============================================================================
+# Deduplication
+# =============================================================================
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    category="llm-dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a 128-bit content hash; text never shuffles."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+    ),
+    pair_counts AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) AS jaccard
+    FROM pair_counts
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.3
+    """,
+    category="llm-dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs (shingle self-join plan —
+    operators/dedup.py:ngram_jaccard_pairs)."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None, category="llm-dedup")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding (approximate → rows-only check). Sub-quadratic
+    candidate generation; the scale path for corpus-level near-dedup."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", jaccard_threshold=0.3
+    ).select("id_a", "id_b", "jaccard_dist")
+
+
+@query("dedup_simhash", oracle=None, category="llm-dedup")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with banded blocking (approximate fingerprint →
+    rows-only check)."""
+    return dedup.simhash_dedup(load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6)
+
+
+# =============================================================================
+# Similarity search
+# =============================================================================
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * {similarity.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {similarity.QUANT}) AS BIGINT) * q.qv[i]))
+                  AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                    i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {similarity.QUANT}) AS BIGINT)
+                       * CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {similarity.QUANT}) AS BIGINT))) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    category="llm-similarity",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k vs the vec_id=0 embedding. Integer-
+    quantized dot product → bit-identical across engines (operators/
+    similarity.py docstring)."""
+    q = _query_vector(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10)
+
+
+@query("sim_ann_lsh", oracle=None, category="llm-similarity")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH ANN with exact re-rank (approximate → rows-only)."""
+    q = _query_vector(spark, sf_dir, 0)
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.lsh_ann_topk(emb, "embedding", "vec_id", q, k=10)
+
+
+@query(
+    "sim_label_centroid_dist",
+    oracle=f"""
+    WITH quant AS (
+      SELECT label, vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(qv[1]) AS BIGINT) AS sum_dim1,
+           CAST(SUM(qv[2]) AS BIGINT) AS sum_dim2,
+           CAST(MIN(qv[1]) AS BIGINT) AS min_dim1,
+           CAST(MAX(qv[1]) AS BIGINT) AS max_dim1
+    FROM quant GROUP BY label
+    """,
+    category="llm-similarity",
+)
+def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label aggregate over vector components (the reduce step of an IVF
+    coarse-quantizer build), on the exact integer grid."""
+    e = load(spark, sf_dir, "embeddings")
+    q1 = F.floor(F.element_at("embedding", 1).cast("double") * 1000).cast("long")
+    q2 = F.floor(F.element_at("embedding", 2).cast("double") * 1000).cast("long")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(q1).cast("long").alias("sum_dim1"),
+        F.sum(q2).cast("long").alias("sum_dim2"),
+        F.min(q1).cast("long").alias("min_dim1"),
+        F.max(q1).cast("long").alias("max_dim1"),
+    )
+
+
+# =============================================================================
+# Text analysis
+# =============================================================================
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, lang,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len,
+           len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    category="llm-text",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature columns (length / word / stopword ratios)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / F.size(words)
+        ).alias("avg_word_len"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(words)).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE sw_ratio >= 0.05) AS n_pred_en
+    FROM (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS sw_ratio
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    category="llm-text",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic, scored against the labeled lang
+    column."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ratio = F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast("double") / F.size(words)
+    return (
+        d.select("lang", ratio.alias("sw_ratio"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("sw_ratio") >= 0.05, 1)).alias("n_pred_en"),
+        )
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpeish_tokens
+    FROM documents
+    """,
+    category="llm-text",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letters / digits / single punctuation)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+        ).alias("bpeish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint_md5",
+    oracle="""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    )
+    GROUP BY fp
+    """,
+    category="llm-text",
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lower+trim → md5) — the deterministic
+    document-identity key for corpus bookkeeping."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _rolling_hash(text: pd.Series) -> pd.Series:
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def h(s):
+        if s is None:
+            return None
+        acc = 0
+        for ch in s.encode():
+            acc = (acc * BASE + ch) % MOD
+        return acc
+
+    return text.map(h)
+
+
+@query("text_fingerprint_rolling", oracle=None, category="llm-text")
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style, mod 2^61-1) via
+    Arrow-vectorized pandas UDF — the shift-resistant variant that SQL can't
+    express; rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", _rolling_hash(F.col("text")).alias("fingerprint"))
+
+
+# =============================================================================
+# Multimodal plumbing
+# =============================================================================
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256_hex
+    FROM documents
+    """,
+    category="llm-multimodal",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature plumbing: documents.text treated as opaque bytes
+    (the image/audio decode itself is stubbed — operators/multimodal.py — but
+    the byte-level path is real and oracle-checked)."""
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(bin_col).cast("long").alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("sha256_hex"),
+    )
+
+
+@query("multimodal_frame_sample", oracle=None, category="llm-multimodal")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame-sampling plumbing over binary content (rows-only;
+    decode is the documented stub)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
+    )
+    return multimodal.frame_sample(d, every_n_bytes=64, max_frames=4)

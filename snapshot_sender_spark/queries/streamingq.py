@@ -1,0 +1,128 @@
+"""Streaming queries (SURVEY.md §2B "Streaming"), driven to completion with
+Trigger.AvailableNow so the oracle can check the final state.
+
+Tumbling/sliding run as real readStream plans in complete mode; the session
+window runs the same operator in batch (identical semantics, deterministic
+output — streaming-mode session windows with watermarks are exercised in
+tests/test_streaming.py where expected emissions are controlled)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import windows as sw
+from ..tables import load
+from . import query
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h windows per event_type via readStream → window() →
+    complete-mode memory sink."""
+    events = sw.read_events_stream(spark, sf_dir)
+    return sw.run_to_memory(sw.tumbling_counts(events, "6 hours"), "complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT window_start, COUNT(*) AS n FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL (o.off) HOUR AS window_start, ts
+      FROM events, (SELECT UNNEST([0, 1]) AS off) o
+      WHERE ts < time_bucket(INTERVAL '1 hour', ts) - INTERVAL (o.off) HOUR + INTERVAL '2 hours'
+    )
+    GROUP BY window_start
+    """,
+    category="streaming",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows every 1h (each event lands in two windows)."""
+    events = sw.read_events_stream(spark, sf_dir)
+    return sw.run_to_memory(sw.sliding_counts(events, "2 hours", "1 hour"), "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    category="streaming",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user — session_window() operator
+    (streaming semantics tested with watermarks in tests/test_streaming.py)."""
+    return sw.session_counts(load(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+    category="streaming",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates over a doubled stream (every event arrives
+    twice; exactly-once survives) — idempotent-delivery semantics, the
+    streaming analog of the reference's .finished anti-join
+    (FinishedFilterProcessor.kt:17-27)."""
+    return sw.streaming_dedup_counts(spark, sf_dir)
+
+
+@query("stream_stateful_running_max", oracle=None, category="streaming")
+def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    max value + event count, emitted per micro-batch (rows-only check)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = sw.read_events_stream(spark, sf_dir)
+
+    def running_max(key, pdfs, state: GroupState):
+        mx, cnt = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                cnt += len(pdf)
+        state.update((mx, cnt))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [cnt]})
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        running_max,
+        outputStructType="user_id long, max_value double, n_events long",
+        stateStructType="max_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return sw.run_to_memory(out, "update")

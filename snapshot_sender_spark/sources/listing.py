@@ -1,0 +1,73 @@
+"""Snapshot-file source: binary objects + per-object encryption metadata.
+
+The reference's source is a paginated S3 ListObjectsV2 + per-object GET that
+reads the encryption triple (iv, dataKeyEncryptionKeyId, cipherText) from S3
+*user metadata* (S3DirectoryReader.kt:31-98). Spark's ``binaryFile`` source
+gives us the bytes but not user metadata, so the source here is a composition:
+
+    binaryFile scan (distributed, lazy bytes)  ⋈  metadata DataFrame (tiny)
+
+Locally the metadata DataFrame comes from the fixture's ``metadata.sidecar.jsonl``
+sidecar; against S3 it would come from a driver-side boto3 paginated listing
+(one LIST per 1000 keys — the reference does exactly one listing per run too,
+S3DirectoryReader.kt:51-80) materialized with ``spark.createDataFrame``. The
+metadata side is O(number of files), small relative to content, so the join is
+a broadcast hash join — no shuffle of the multi-TB content side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENCRYPTION_META_SCHEMA = T.StructType(
+    [
+        T.StructField("fileName", T.StringType(), False),
+        T.StructField("iv", T.StringType(), False),
+        T.StructField("dataKeyEncryptionKeyId", T.StringType(), False),
+        T.StructField("cipherText", T.StringType(), False),
+    ]
+)
+
+
+def read_encrypted_files(spark: SparkSession, input_dir: str) -> DataFrame:
+    """One row per encrypted object: (path, fileName, content, iv,
+    dataKeyEncryptionKeyId, cipherText) — the EncryptedStream analog
+    (DomainClasses.kt:10-32)."""
+    objects = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.enc")
+        .load(input_dir)
+        .select(
+            F.col("path"),
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
+            F.col("length"),
+            F.col("content"),
+        )
+    )
+    meta = spark.read.schema(ENCRYPTION_META_SCHEMA).json(
+        os.path.join(input_dir, "metadata.sidecar.jsonl")
+    )
+    # metadata side is tiny (one short row per object) → broadcast
+    return objects.join(F.broadcast(meta), "fileName", "inner")
+
+
+def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:
+    """DataFrame of fileNames that already have a `.finished` marker
+    (the reference's FinishedFilterProcessor.kt:17-27 existence probe,
+    re-expressed as data for a left_anti join)."""
+    try:
+        markers = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.finished")
+            .load(status_dir)
+            .select(F.element_at(F.split(F.col("path"), "/"), -1).alias("marker"))
+        )
+    except Exception:  # empty/missing dir
+        return spark.createDataFrame([], "fileName string")
+    return markers.select(
+        F.regexp_replace(F.col("marker"), r"\.finished$", "").alias("fileName")
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming surface: file-replayed event streams with windowed
+aggregations, watermarks, streaming dedup, and custom state.
+
+Motivation (SURVEY.md §2B "Streaming"): the reference's run-long incremental
+counters (DynamoDBExportStatusService.kt:38-44) and periodic metric emission
+(PushGatewayServiceImpl.kt:22-26) are a streaming aggregation; here it's the
+general surface: tumbling/sliding/session windows + watermark late-data policy.
+
+Test hermeticity: streams replay the driver's events.parquet through the file
+source with Trigger.AvailableNow and a memory sink — synchronous and
+deterministic. At scale the same plans read Kafka; nothing in the plan changes
+except the source format.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file-stream source wants a directory; expose the single parquet file
+    through a stable symlink dir (per sf_dir, reused across calls)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nanos→micros conversion as in tables.load (the conf is set there)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the materialized result as a batch DataFrame."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
+    """Tumbling-window aggregate (exact decimal sums — see queries/__init__)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based). Works identically as a batch
+    aggregation — the session assignment is the operator; streaming adds the
+    watermark-driven state cleanup."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: the input is the event stream unioned with
+    itself (every event twice); exact-once output proves the dedup state."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = s1.union(s2).dropDuplicates(["event_id"])
+    out = run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def late_data_drop(events: DataFrame, watermark: str = "1 hour", width: str = "6 hours") -> DataFrame:
+    """Watermarked tumbling aggregate in append mode: only windows the
+    watermark has passed are emitted — the late-data drop policy surface."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )

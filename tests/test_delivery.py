@@ -1,0 +1,175 @@
+"""End-to-end delivery pipeline test mirroring the reference's seven golden
+integration assertions (SnapshotSenderIntegrationTest.kt:39-136, SURVEY.md §5.2)
+on locally generated encrypted fixtures."""
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.plans import delivery, status
+from snapshot_sender_spark.sources import fixtures as fx
+
+N_FILES = 6
+RECORDS = 40
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("snapshots")
+    return fx.generate(str(root), n_files=N_FILES, records_per_file=RECORDS, seed=7)
+
+
+@pytest.fixture(scope="module")
+def run(spark, fixture):
+    cfg = delivery.RunConfig(correlation_id="123", topic_name=fixture.topic)
+    result = delivery.build_decrypted(spark, fixture.input_dir, fixture.status_dir, cfg)
+    manifest = delivery.deliver(result, fixture.output_dir, fixture.status_dir)
+    return cfg, result, manifest.collect()
+
+
+def test_marker_per_input(fixture, run):
+    # golden assertion 1 (SnapshotSenderIntegrationTest.kt:39-44)
+    markers = sorted(os.listdir(fixture.status_dir))
+    assert markers == sorted(f + ".finished" for f in fixture.files)
+
+
+def test_output_per_input_renamed(fixture, run):
+    # golden assertion 2 (:46-56): one output per input, .txt.gz → .json.gz
+    outputs = sorted(os.listdir(fixture.output_dir))
+    expected = sorted(
+        f.replace(".txt.gz.enc", ".json.gz") for f in fixture.files
+    )
+    assert outputs == expected
+
+
+def test_outputs_valid_gzip_jsonl(fixture, run):
+    # golden assertion 5 (:78-102): valid gzip, exact record count, parseable JSON
+    for name in os.listdir(fixture.output_dir):
+        with open(os.path.join(fixture.output_dir, name), "rb") as fh:
+            lines = gzip.decompress(fh.read()).decode().strip().split("\n")
+        assert len(lines) == RECORDS
+        for line in lines:
+            rec = json.loads(line)
+            assert "_id" in rec and "citizenId" in rec["_id"]
+
+
+def test_idempotent_rerun(spark, fixture, run):
+    # anti-join against .finished markers → second run delivers nothing
+    cfg = delivery.RunConfig(correlation_id="123", topic_name=fixture.topic)
+    result = delivery.build_decrypted(spark, fixture.input_dir, fixture.status_dir, cfg)
+    assert result.delivered.count() == 0
+
+
+def test_reprocess_flag_overrides_markers(spark, fixture, run):
+    cfg = delivery.RunConfig(
+        correlation_id="123", topic_name=fixture.topic, reprocess_files=True
+    )
+    result = delivery.build_decrypted(spark, fixture.input_dir, fixture.status_dir, cfg)
+    assert result.delivered.count() == N_FILES
+
+
+def test_status_transitions(spark, fixture, run):
+    # golden assertion 4 (:66-76): Sent n/n for delivered, Received 0/0 for empty
+    cfg, _, manifest_rows = run
+    manifest = spark.createDataFrame(manifest_rows)
+    seed = spark.createDataFrame(
+        [
+            ("123", fixture.topic, "Exported", N_FILES, 0),
+            ("321", "db.database.empty", "Exported", 0, 0),
+            ("111", "db.database.sent", "Sent", 10, 10),
+        ],
+        status.STATUS_SCHEMA,
+    )
+    sent = status.sent_counts(manifest, "123")
+    updated = (
+        seed.alias("s")
+        .join(sent.alias("u"), ["CorrelationId", "CollectionName"], "left")
+        .select(
+            "CorrelationId",
+            "CollectionName",
+            "CollectionStatus",
+            "FilesExported",
+            F.coalesce(F.col("u.FilesSent"), F.col("s.FilesSent")).alias("FilesSent"),
+        )
+    )
+    final = {
+        (r["CorrelationId"], r["CollectionName"]): (
+            r["CollectionStatus"],
+            r["FilesExported"],
+            r["FilesSent"],
+        )
+        for r in status.collection_status(updated).collect()
+    }
+    assert final[("123", fixture.topic)] == ("Sent", N_FILES, N_FILES)
+    assert final[("321", "db.database.empty")] == ("Received", 0, 0)
+    assert final[("111", "db.database.sent")] == ("Sent", 10, 10)
+
+
+def test_completion_aggregate(spark):
+    # DynamoDBExportStatusService.kt:79-102
+    rows = [
+        ("ok", "a", "Sent", 1, 1),
+        ("ok", "b", "Received", 0, 0),
+        ("ok", "c", "Blocked_Topic", 1, 0),
+        ("bad", "a", "Sent", 1, 1),
+        ("bad", "b", "Export_Failed", 1, 0),
+        ("wip", "a", "Exported", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, status.STATUS_SCHEMA)
+    out = {r["CorrelationId"]: r["completion_status"] for r in status.completion_status(df).collect()}
+    assert out == {
+        "ok": "COMPLETED_SUCCESSFULLY",
+        "bad": "COMPLETED_UNSUCCESSFULLY",
+        "wip": "NOT_COMPLETED",
+    }
+
+
+def test_blocked_topic_routing(spark, fixture):
+    cfg = delivery.RunConfig(
+        correlation_id="123",
+        topic_name=fixture.topic,
+        blocked_topics=f"{fixture.topic},db.other.topic",
+        reprocess_files=True,
+    )
+    result = delivery.build_decrypted(spark, fixture.input_dir, fixture.status_dir, cfg)
+    assert result.delivered.count() == 0
+    assert result.blocked.count() == N_FILES
+
+
+def test_record_parse(spark, fixture):
+    cfg = delivery.RunConfig(
+        correlation_id="123", topic_name=fixture.topic, reprocess_files=True
+    )
+    result = delivery.build_decrypted(spark, fixture.input_dir, fixture.status_dir, cfg)
+    records = delivery.parse_records(result.delivered)
+    n = records.count()
+    assert n == N_FILES * RECORDS
+    first = records.filter(F.col("record._id.citizenId") == "1/0").collect()
+    assert len(first) == 1
+    assert first[0]["record"]["_version"] == 2
+    # Mongo $date extended JSON → real timestamp
+    parsed_ts = records.select(
+        F.to_timestamp(
+            F.col("record.createdDateTime.`$date`"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+        ).alias("ts")
+    ).first()
+    assert parsed_ts["ts"] is not None
+
+
+def test_success_indicator_and_monitoring(tmp_path):
+    p = status.write_success_indicator(str(tmp_path), "db.database.empty")
+    assert os.path.basename(p) == "_database_empty_successful.gz"
+    with open(p, "rb") as fh:
+        assert gzip.decompress(fh.read()) == b""
+    msg = json.loads(
+        status.monitoring_message("123", "2026-08-13", "full", "COMPLETED_SUCCESSFULLY")
+    )
+    assert msg["severity"] == "Critical"
+    assert {e["key"] for e in msg["custom_elements"]} == {
+        "Export date",
+        "Correlation Id",
+        "Snapshot type",
+    }

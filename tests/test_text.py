@@ -1,0 +1,105 @@
+"""Filename-grammar accept/reject matrix replicated verbatim from the reference
+(TextParsingUtilityTest.kt:11-67) plus topic/rename/blocklist semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.functions import text
+
+ACCEPT = [
+    ("db.core.addressDeclaration-001-002-000001.txt.gz", "core", "addressDeclaration"),
+    ("core.addressDeclaration-045-050-000001.txt.gz", "core", "addressDeclaration"),
+    (
+        "db.core-with-hyphen.addressDeclaration-045-050-000001.txt.gz",
+        "core-with-hyphen",
+        "addressDeclaration",
+    ),
+    (
+        "core-with-hyphen.addressDeclaration-045-050-000001.txt.gz",
+        "core-with-hyphen",
+        "addressDeclaration",
+    ),
+    (
+        "db.core-with-hyphen.address-declaration-has-hyphen-045-050-000001.txt.gz",
+        "core-with-hyphen",
+        "address-declaration-has-hyphen",
+    ),
+    (
+        "core-with-hyphen.address-declaration-has-hyphen-045-050-000001.txt.gz",
+        "core-with-hyphen",
+        "address-declaration-has-hyphen",
+    ),
+]
+
+REJECT = [
+    "dbcoreaddressDeclaration-000001",
+    "db.core.address-045-05001.txt",
+    "bad_filename-045-050-000001",
+    "db.type.nonum.txt.gz",
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame(
+        [(f,) for f, _, _ in ACCEPT] + [(f,) for f in REJECT], "fileName string"
+    )
+    col = F.col("fileName")
+    rows = df.select(
+        "fileName",
+        text.filename_is_valid(col).alias("valid"),
+        text.extract_database(col).alias("database"),
+        text.extract_collection(col).alias("collection"),
+        text.derive_topic(col, text.extract_database(col), text.extract_collection(col)).alias(
+            "topic"
+        ),
+    ).collect()
+    return {r["fileName"]: r for r in rows}
+
+
+def test_accept_matrix(parsed):
+    for fname, db, coll in ACCEPT:
+        row = parsed[fname]
+        assert row["valid"], fname
+        assert row["database"] == db, fname
+        assert row["collection"] == coll, fname
+
+
+def test_reject_matrix(parsed):
+    for fname in REJECT:
+        assert not parsed[fname]["valid"], fname
+
+
+def test_topic_prefix_rule(parsed):
+    # HttpWriter.kt:47-49: "db." prefix kept only when the filename carries it
+    assert parsed[ACCEPT[0][0]]["topic"] == "db.core.addressDeclaration"
+    assert parsed[ACCEPT[1][0]]["topic"] == "core.addressDeclaration"
+
+
+def test_renames(spark):
+    df = spark.createDataFrame(
+        [("db.core.claimant-045-050-000001.txt.gz.enc",)], "f string"
+    )
+    row = df.select(
+        text.strip_enc_suffix(F.col("f")).alias("dec"),
+        text.rename_output(text.strip_enc_suffix(F.col("f"))).alias("out"),
+    ).collect()[0]
+    assert row["dec"] == "db.core.claimant-045-050-000001.txt.gz"
+    assert row["out"] == "db.core.claimant-045-050-000001.json.gz"
+
+
+def test_snapshot_type_normalization():
+    # NiFiUtility.kt:27-32
+    assert text.normalize_snapshot_type("full") == "full"
+    assert text.normalize_snapshot_type("incremental") == "incremental"
+    assert text.normalize_snapshot_type("drift_testing_incremental") == "incremental"
+    assert text.normalize_snapshot_type("anything-else") == "full"
+    assert text.normalize_snapshot_type("") == "full"
+
+
+def test_blocked_topics_parse():
+    # FilterBlockedTopicsUtils.kt:18-22
+    assert text.parse_blocked_topics("") == []
+    assert text.parse_blocked_topics(None) == []
+    assert text.parse_blocked_topics("db.a.b") == ["db.a.b"]
+    assert text.parse_blocked_topics("db.a.b,db.c.d") == ["db.a.b", "db.c.d"]

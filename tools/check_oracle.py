@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's t2 correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
+row-count + column names + order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from snapshot_sender_spark.session import get_spark  # noqa: E402
+from snapshot_sender_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def normalize(df_pandas):
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    import pandas as pd
+
+    df = df_pandas.reindex(sorted(df_pandas.columns), axis=1)
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if hasattr(v, "isoformat"):
+            import datetime
+
+            if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                return v.isoformat() + "T00:00:00"
+            s = v.isoformat()
+            return s if "T" in s else s + "T00:00:00"
+        if isinstance(v, float):
+            # integral floats canon like ints: pandas may widen a nullable
+            # int column to float64 on one side only
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        if isinstance(v, bytes):
+            return v.hex()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        return str(v)
+
+    rows = ["\x01".join(canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort()
+    return list(df.columns), rows
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark(app_name="check_oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spd = sdf.toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"✗ {name}: SPARK ERROR {e}")
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(spd)))
+            print(f"○ {name}: rows-only, {len(spd)} rows  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            opd = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {type(e).__name__}: {e}"))
+            print(f"✗ {name}: ORACLE ERROR {e}")
+            continue
+        scols, srows = normalize(spd)
+        ocols, orows = normalize(opd)
+        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            failures.append((name, f"SCHEMA: spark={scols} oracle={ocols}"))
+            print(f"✗ {name}: SCHEMA spark={scols} oracle={ocols}")
+        elif len(srows) != len(orows):
+            failures.append((name, f"ROWCOUNT: spark={len(srows)} oracle={len(orows)}"))
+            print(f"✗ {name}: ROWCOUNT spark={len(srows)} oracle={len(orows)}")
+        elif srows != orows:
+            diff_i = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            failures.append(
+                (name, f"VALUES at sorted-row {diff_i}:\n  spark : {srows[diff_i][:300]}\n  oracle: {orows[diff_i][:300]}")
+            )
+            print(f"✗ {name}: VALUES differ (row {diff_i})")
+            print(f"    spark : {srows[diff_i][:200]}")
+            print(f"    oracle: {orows[diff_i][:200]}")
+        else:
+            passed.append(name)
+            print(f"✓ {name}: {len(srows)} rows match  [{time.time()-t0:.1f}s]")
+
+    print(f"\n=== {len(passed)} matched, {len(rows_only)} rows-only, {len(failures)} failed ===")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
