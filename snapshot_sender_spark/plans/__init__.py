@@ -1,1 +1,1 @@
-from . import delivery, status  # noqa: F401
+from . import delivery, http_sink, metrics, status  # noqa: F401

@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas-UDF / toPandas crossings.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local testdata files are ≤ ~10 MB: the 128 MB default split puts an
+        # entire table in ONE scan task. 1 MB splits fan the scan across cores
+        # while staying well above row-group size. On a real cluster this is
+        # left at the 128 MB default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "64k")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -1,0 +1,134 @@
+"""Observability (df.observe counters) and the HTTP delivery sink, driven
+against an in-process HTTP receiver."""
+
+import gzip
+import http.server
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.plans import delivery, http_sink, metrics
+from snapshot_sender_spark.sources import fixtures as fx
+
+
+def test_observe_counts(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    instrumented, obs = metrics.observe_counts(
+        df,
+        "order_metrics",
+        total=None,
+        finished=F.col("o_orderstatus") == "F",
+        big=F.col("o_totalprice") > 200000,
+    )
+    n = instrumented.count()
+    got = obs.get
+    assert got["total"] == n
+    exp_f = df.filter(F.col("o_orderstatus") == "F").count()
+    assert got["finished"] == exp_f
+    assert got["big"] == df.filter(F.col("o_totalprice") > 200000).count()
+
+
+def test_observe_delivery_counters(spark, tmp_path):
+    f = fx.generate(str(tmp_path), n_files=4, records_per_file=10, seed=3)
+    cfg = delivery.RunConfig(correlation_id="m1", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    instrumented, obs = metrics.observe_delivery(result.delivered)
+    instrumented.count()
+    got = obs.get
+    assert got["snapshot_sender_files_sent_success"] == 4
+    assert got["snapshot_sender_bytes_sent"] > 0
+    assert got["snapshot_sender_topics_seen"] == 1
+
+
+def test_push_gateway_gated():
+    # prometheus_client is absent in this container → graceful False
+    ok = metrics.push_to_gateway({"c": 1.0}, job="t", grouping={"a": "b"})
+    assert ok is False
+
+
+class _Receiver(http.server.BaseHTTPRequestHandler):
+    store = []
+    fail_first_n = 0
+
+    def do_POST(self):
+        cls = type(self)
+        if cls.fail_first_n > 0:
+            cls.fail_first_n -= 1
+            self.send_response(503)
+            self.end_headers()
+            return
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        cls.store.append({"headers": dict(self.headers), "body": body})
+        self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def receiver():
+    _Receiver.store = []
+    _Receiver.fail_first_n = 0
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Receiver)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, f"http://127.0.0.1:{srv.server_address[1]}/"
+    srv.shutdown()
+
+
+def test_http_sink_delivers_with_headers(spark, tmp_path, receiver):
+    srv, url = receiver
+    f = fx.generate(str(tmp_path), n_files=3, records_per_file=5, seed=9)
+    cfg = delivery.RunConfig(correlation_id="c-42", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    receipts = http_sink.http_deliver(
+        result.delivered,
+        url,
+        correlation_id="c-42",
+        export_date="2026-08-13",
+        snapshot_type="drift_testing_incremental",
+        status_dir=f.status_dir,
+    ).collect()
+    assert len(_Receiver.store) == 3
+    assert all(r["status_code"] == 200 and r["attempts"] == 1 for r in receipts)
+    sample = _Receiver.store[0]
+    h = {k.lower(): v for k, v in sample["headers"].items()}
+    assert h["database"] == "core"
+    assert h["collection"] == "claimant"
+    assert h["topic"] == "db.core.claimant"
+    assert h["correlation_id"] == "c-42"
+    assert h["snapshot_type"] == "incremental"  # drift_testing_incremental normalized
+    assert h["filename"].endswith(".json.gz")
+    # body is the still-gzipped JSON-L payload, forwarded unparsed
+    lines = gzip.decompress(sample["body"]).decode().strip().split("\n")
+    assert len(lines) == 5
+    json.loads(lines[0])
+
+
+def test_http_sink_retries_then_succeeds(spark, tmp_path, receiver):
+    srv, url = receiver
+    _Receiver.fail_first_n = 2  # two 503s, then healthy
+    f = fx.generate(str(tmp_path), n_files=1, records_per_file=3, seed=11)
+    cfg = delivery.RunConfig(correlation_id="r", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    receipts = http_sink.http_deliver(
+        result.delivered, url, correlation_id="r", export_date="d", backoff_s=0.01
+    ).collect()
+    assert len(_Receiver.store) == 1
+    assert receipts[0]["attempts"] == 3  # two 503s, success on third
+
+
+def test_http_sink_exhausts_retries(spark, tmp_path, receiver):
+    srv, url = receiver
+    _Receiver.fail_first_n = 10**6
+    f = fx.generate(str(tmp_path), n_files=1, records_per_file=3, seed=12)
+    cfg = delivery.RunConfig(correlation_id="x", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    with pytest.raises(Exception):  # DeliveryError surfaces as a Spark task failure
+        http_sink.http_deliver(
+            result.delivered, url, correlation_id="x", export_date="d",
+            max_retries=2, backoff_s=0.01,
+        ).count()

@@ -1,0 +1,140 @@
+"""Structured-streaming semantics: watermark late-data drop, session windows,
+streaming dedup, stateful running aggregates — on controlled micro-batches so
+expected emissions are known exactly."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.streaming import windows as sw
+
+
+@pytest.fixture()
+def event_dir(tmp_path, spark):
+    """Three micro-batch files: b1 advances event time (watermark), b2 lets the
+    old window get evicted, b3 carries a late row behind the watermark.
+
+    Note Spark's contract: a late row is only *guaranteed* dropped once the
+    window's state has been evicted (watermark passed the window end in an
+    earlier batch); within the eviction batch itself it may still be counted."""
+    import time
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    batches = [
+        [  # b1: establishes window [00:00, 01:00) and advances watermark to 02:00
+            (1, "2024-01-01 00:05:00", 10, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:50:00", 10, "click", 2.0, "{}"),
+            (3, "2024-01-01 03:00:00", 11, "view", 3.0, "{}"),
+        ],
+        [  # b2: watermark 02:00 in effect → [00:00) window evicted + emitted here
+            (5, "2024-01-01 03:10:00", 11, "view", 5.0, "{}"),
+        ],
+        [  # b3: late row for the already-evicted window → guaranteed drop
+            (4, "2024-01-01 00:10:00", 10, "click", 4.0, "{}"),
+        ],
+    ]
+    for i, rows in enumerate(batches, 1):
+        df = spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(f"{d}/b{i}")
+        time.sleep(1.1)  # file-source batching orders by mtime; keep file order strict
+    return d
+
+
+def _stream(spark, path, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(path + "/*/")
+    )
+
+
+def test_late_data_dropped(spark, event_dir):
+    """An event arriving behind the watermark must not re-open its window
+    (append mode, 1h watermark, 1h tumbling windows)."""
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    events = _stream(spark, event_dir, schema)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select(F.col("window.start").alias("ws"), "n", "v")
+    )
+    out = sw.run_to_memory(agg, "append")
+    emitted = [
+        (r["n"], r["v"]) for r in out.collect() if r["ws"].isoformat() == "2024-01-01T00:00:00"
+    ]
+    # the [00:00, 01:00) window was evicted in batch 2 (watermark 02:00) with
+    # events 1+2 only; the late event 4 arriving in batch 3 must neither re-open
+    # the window nor emit a correction row
+    assert emitted == [(2, 3.0)]
+
+
+def test_session_window_batch_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:00"),
+            (10, "2024-01-01 00:10:00"),  # same session (gap 30m)
+            (10, "2024-01-01 01:00:00"),  # new session (50m gap)
+            (11, "2024-01-01 00:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sw.session_counts(df, "30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[10]) == 2
+    first = min(by_user[10], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2
+    assert first["session_end"].isoformat() == "2024-01-01T00:40:00"  # last ts + gap
+    assert len(by_user[11]) == 1
+
+
+def test_streaming_dedup_exactly_once(spark, sf_dir):
+    out = sw.streaming_dedup_counts(spark, sf_dir)
+    n_stream = {r["event_type"]: r["n"] for r in out.collect()}
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_batch = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert n_stream == n_batch  # doubled input, deduped back to exact counts
+
+
+def test_stateful_running_max(spark, event_dir):
+    """applyInPandasWithState: state carries across micro-batches (two files →
+    two batches via maxFilesPerTrigger=1)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    events = _stream(spark, event_dir, schema)
+
+    def running_max(key, pdfs, state):
+        mx, cnt = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                cnt += len(pdf)
+        state.update((mx, cnt))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [cnt]})
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        running_max,
+        outputStructType="user_id long, max_value double, n_events long",
+        stateStructType="max_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = sw.run_to_memory(out, "update").collect()
+    # last emission per user reflects accumulated state over both batches
+    final = {}
+    for r in result:
+        final[r["user_id"]] = (r["max_value"], max(r["n_events"], final.get(r["user_id"], (0, 0))[1]))
+    assert final[10][1] == 3  # events 1, 2 (batch 1) + 4 (batch 2)
+    assert final[10][0] == 4.0  # max value arrived in batch 2
+    assert final[11][1] == 2
