@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale-critical plan properties must not
+silently regress — filters push into the parquet scan, small dims broadcast,
+aggregates split map-side, global top-k avoids a total sort, scans prune
+columns. (SURVEY.md §4: these are the Catalyst behaviors the engine relies on
+at 100 TB.)"""
+
+import pytest
+
+from snapshot_sender_spark.queries import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")  # untruncated PushedFilters
+    qd = all_queries()[name]
+    df = qd.fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_predicates")
+    assert "PushedFilters: [" in plan
+    # range + in-list predicates reach the scan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # lineitem scan must not read join keys the query never touches
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in scan_line
+    assert "l_partkey" not in scan_line
+    assert "l_extendedprice" in scan_line
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # two-phase agg: map-side partial before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_broadcast_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_enrich")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_planned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_left_anti")
+    assert "LeftAnti" in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_equi_keyed(spark, sf_dir):
+    """The BETWEEN band must ride the equi key join as a post-condition, not
+    degrade to a nested-loop cross product."""
+    plan = plan_of(spark, sf_dir, "join_range_theta")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_udf_in_relational_hot_path(spark, sf_dir):
+    """Scalar-function queries must stay JVM-side (whole-stage codegen), no
+    Python crossing."""
+    for name in ["string_funcs", "date_funcs", "math_funcs", "json_funcs", "text_stats"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_delivery_content_never_shuffles(spark, tmp_path):
+    """The delivery plan's joins must all broadcast the small side — the
+    multi-TB binary content column never crosses an exchange."""
+    from snapshot_sender_spark.plans import delivery
+    from snapshot_sender_spark.sources import fixtures as fx
+
+    f = fx.generate(str(tmp_path), n_files=3, records_per_file=5, seed=5)
+    cfg = delivery.RunConfig(correlation_id="p", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    plan = result.delivered._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
