@@ -72,6 +72,37 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float) -> DataFrame:
+    """All-pairs cosine ≥ threshold on the quantized integer grid (embedding
+    near-dup dedup). O(n²) exact baseline — the LSH bucketing below is the
+    corpus-scale path; per-element products stay < 2^53 so the fold is exact
+    and order-free on any engine."""
+    quant = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT).cast("long")).alias(
+            "qv"
+        ),
+    ).withColumn(
+        "n2", F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    )
+    a = quant.select(F.col("id").alias("id_a"), F.col("qv").alias("qv_a"), F.col("n2").alias("n2_a"))
+    b = quant.select(F.col("id").alias("id_b"), F.col("qv").alias("qv_b"), F.col("n2").alias("n2_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("qv_a", "qv_b", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot.cast("double") / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double")))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,
