@@ -1,0 +1,131 @@
+"""Source/format coverage (SURVEY.md §2B "Scans/sources" + "Sinks"): CSV and
+gzip JSON-Lines round-trips through real write→scan cycles (schema-explicit,
+no inference in the scan path), to_json serialization, and the stream-static
+join. Oracles read the original parquet — a lossless round-trip must match."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load
+from . import query
+from .relational import SQL_DSUM, _money
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}:{fmt}".encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"source_rt_{fmt}_{tag}")
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n, {SQL_DSUM('s_acctbal')} AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    category="source",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → CSV (header, explicit schema back) → aggregate. The scan uses
+    an explicit schema — no inference pass at scale."""
+    d = _roundtrip_dir(sf_dir, "csv")
+    if not os.path.isdir(d):
+        load(spark, sf_dir, "supplier").write.mode("overwrite").option("header", True).csv(d)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    s = spark.read.schema(schema).option("header", True).csv(d)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(_money(F.col("s_acctbal"))).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "source_jsonl_gzip_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="source",
+)
+def source_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → gzip JSON-Lines (the reference's payload format + the engine's
+    partitioned .json.gz sink, HttpWriter.kt:58) → schema-explicit scan →
+    aggregate."""
+    d = _roundtrip_dir(sf_dir, "jsonl")
+    if not os.path.isdir(d):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(d)
+        )
+    schema = "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    o = spark.read.schema(schema).json(d)
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total"),
+    )
+
+
+@query(
+    "json_serialize",
+    oracle="""
+    SELECT event_id,
+           concat('{{"t":"', event_type, '","u":', CAST(user_id AS VARCHAR), '}}') AS as_json
+    FROM events WHERE event_id < 50
+    """.replace("{{", "{").replace("}}", "}"),
+    category="scalar-json",
+)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json over a struct column (the engine's serialization half of the
+    from_json/to_json pair)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    return e.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("as_json"),
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    category="streaming",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension (stateless enrich) + aggregate, driven to
+    completion — the streaming form of the broadcast dimension join."""
+    from ..streaming import windows as sw
+
+    events = sw.read_events_stream(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    joined = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+    return sw.run_to_memory(agg, "complete")
