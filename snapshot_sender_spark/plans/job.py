@@ -1,0 +1,117 @@
+"""Full delivery-job orchestration — the reference's job lifecycle (§3.1/§3.2
+of SURVEY.md) as one function:
+
+    beforeJob → pipeline (source→decrypt→deliver) → afterJob:
+      status upsert (Sent / Received / In_Progress)
+      success indicators (explicit topic, or implicitly on NO_FILES_EXPORTED)
+      monitoring message (skipped on NIFI_HEARTBEAT)
+      final metrics
+
+Reference: JobCompletionNotificationListener.kt:25-75, SuccessServiceImpl.kt,
+SnsServiceImpl.kt, DynamoDBExportStatusService.kt. The empty-topic path (§3.2:
+zero files exported → status "Received" → success indicator anyway) is a
+first-class branch, not an error."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import delivery as dlv
+from . import metrics as mx
+from . import status as st
+
+
+@dataclass
+class JobReport:
+    correlation_id: str
+    topic: str
+    files_delivered: int
+    records_parsed: int
+    rejected: int
+    blocked: int
+    collection_status: str
+    completion_status: str
+    success_indicator: str | None
+    monitoring_message: str | None
+    counters: dict = field(default_factory=dict)
+
+
+def run_delivery_job(
+    spark: SparkSession,
+    input_dir: str,
+    status_dir: str,
+    output_dir: str,
+    status_table_path: str,
+    cfg: dlv.RunConfig,
+    files_exported: int | None = None,
+    key_lookup=dlv.key_lookup_local,
+) -> JobReport:
+    """One topic, one correlation id (PropertyUtility.kt:5-11), end to end.
+
+    ``files_exported`` is the upstream exporter's count (DynamoDB seed,
+    environment.sh:84-101); defaults to the number of input files found."""
+    result = dlv.build_decrypted(spark, input_dir, status_dir, cfg, key_lookup=key_lookup)
+    instrumented, obs = mx.observe_delivery(result.delivered)
+    manifest = dlv.deliver(
+        dlv.DeliveryResult(instrumented, result.rejected, result.blocked), output_dir, status_dir
+    )
+    n_delivered = manifest.count()
+    n_rejected = result.rejected.count()
+    n_blocked = result.blocked.count()
+    records = dlv.parse_records(result.delivered)
+    n_records = records.count() if n_delivered else 0
+
+    if files_exported is None:
+        files_exported = n_delivered + n_blocked
+
+    # ---- afterJob: status upsert (derived counts, not increments) ----------
+    updates = spark.createDataFrame(
+        [(cfg.correlation_id, cfg.topic_name, "Exported", files_exported, n_delivered)],
+        st.STATUS_SCHEMA,
+    )
+    decided = st.collection_status(updates)
+    st.upsert_status(spark, status_table_path, decided)
+    table = st.load_status(spark, status_table_path)
+    row = table.filter(
+        (F.col("CorrelationId") == cfg.correlation_id)
+        & (F.col("CollectionName") == cfg.topic_name)
+    ).first()
+    coll_status = row["CollectionStatus"]
+    completion = {
+        r["CorrelationId"]: r["completion_status"] for r in st.completion_status(table).collect()
+    }[cfg.correlation_id]
+
+    # ---- success indicator: explicit on Sent, implicit on Received/empty ---
+    indicator = None
+    if coll_status in ("Sent", "Received"):
+        indicator = st.write_success_indicator(output_dir, cfg.topic_name)
+
+    # ---- monitoring message (heartbeat skip: JobCompletionNotification:60-75)
+    message = None
+    if cfg.export_date != "NIFI_HEARTBEAT":
+        message = st.monitoring_message(
+            cfg.correlation_id, cfg.export_date, cfg.snapshot_type, completion
+        )
+
+    try:
+        counters = dict(obs.get) if n_delivered else {}
+    except Exception:
+        counters = {}
+
+    return JobReport(
+        correlation_id=cfg.correlation_id,
+        topic=cfg.topic_name,
+        files_delivered=n_delivered,
+        records_parsed=n_records,
+        rejected=n_rejected,
+        blocked=n_blocked,
+        collection_status=coll_status,
+        completion_status=completion,
+        success_indicator=indicator,
+        monitoring_message=message,
+        counters=counters,
+    )

@@ -49,6 +49,6 @@ def query(name: str, oracle: str | None = None, category: str = ""):
 
 def all_queries() -> dict[str, QueryDef]:
     # import side-effect: modules register into REGISTRY
-    from . import llm, llm2, relational, relational2, sources_q, streamingq  # noqa: F401
+    from . import graph_q, llm, llm2, relational, relational2, sources_q, streamingq  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,177 @@
+"""Query batch 5: near-dup connected components (iterative label propagation
+vs a recursive-CTE oracle), stream-stream join, array higher-order functions,
+and the interval/date-arithmetic family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, graph
+from ..tables import load
+from . import query
+
+_EDGES_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+    pair_counts AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM pair_counts
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE)
+              / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.2
+    )
+"""
+
+
+@query(
+    "graph_near_dup_components",
+    oracle=(
+        _EDGES_SQL
+        + """,
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """
+    ).replace("WITH words", "WITH RECURSIVE words", 1),
+    category="llm-dedup",
+)
+def graph_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: Jaccard≥0.2 candidate pairs merged into
+    connected components by iterative min-label propagation
+    (operators/graph.py) — fixpoint equals the recursive-CTE reachability
+    closure, hence the shared oracle."""
+    edges = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2
+    ).select("id_a", "id_b")
+    return graph.connected_components(edges)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    category="streaming",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + a time-range condition
+    (clicks within the hour before each purchase) — the stateful two-sided
+    join; state bounded by the watermark on both sides."""
+    from ..streaming import windows as sw
+
+    purchases = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return sw.run_to_memory(joined, "append")
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT)
+             AS total_word_len,
+           len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS n_long_words,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                                        w -> CASE WHEN length(w) > 4 THEN 1 ELSE 0 END)) AS BIGINT)
+             AS n_long_words2,
+           array_to_string(list_transform(string_split(text, ' ')[1:3], w -> upper(w)), '-')
+             AS first3_upper
+    FROM documents WHERE doc_id < 50
+    """,
+    category="scalar-array",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: transform / filter / aggregate (fold) /
+    slice — all JVM lambda expressions inside codegen, no Python."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("total_word_len"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.when(F.length(w) > 4, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("n_long_words2"),
+        F.array_join(F.transform(F.slice(words, 1, 3), lambda w: F.upper(w)), "-").alias(
+            "first3_upper"
+        ),
+    )
+
+
+@query(
+    "date_interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS TIMESTAMP) AS year_start,
+           CAST(o_orderdate - INTERVAL 90 DAY AS TIMESTAMP) AS minus_90d
+    FROM orders WHERE o_orderkey < 800
+    """,
+    category="scalar-date",
+)
+def date_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d.cast("date"), 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day(d.cast("date")).cast("timestamp").alias("month_end"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.make_date(F.year(d), F.lit(1), F.lit(1)).cast("timestamp").alias("year_start"),
+        F.date_sub(d.cast("date"), 90).cast("timestamp").alias("minus_90d"),
+    )
