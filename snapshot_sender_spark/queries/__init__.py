@@ -49,6 +49,15 @@ def query(name: str, oracle: str | None = None, category: str = ""):
 
 def all_queries() -> dict[str, QueryDef]:
     # import side-effect: modules register into REGISTRY
-    from . import graph_q, llm, llm2, relational, relational2, sources_q, streamingq  # noqa: F401
+    from . import (  # noqa: F401
+        codec_q,
+        graph_q,
+        llm,
+        llm2,
+        relational,
+        relational2,
+        sources_q,
+        streamingq,
+    )
 
     return REGISTRY

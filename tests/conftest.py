@@ -6,10 +6,15 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small JVM for unit tests
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from snapshot_sender_spark.session import get_spark
 
-    s = get_spark(app_name="tests", shuffle_partitions=4)
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},  # static conf: set at build
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -41,8 +41,8 @@ def normalize(df_pandas):
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
             return repr(v)
-        if isinstance(v, bytes):
-            return v.hex()
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return bytes(v).hex()
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(canon(x) for x in v) + "]"
         return str(v)
