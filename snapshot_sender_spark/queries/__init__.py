@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None, category: str = ""):
 def all_queries() -> dict[str, QueryDef]:
     # import side-effect: modules register into REGISTRY
     from . import (  # noqa: F401
+        analytics_q,
         codec_q,
         graph_q,
         llm,
