@@ -47,11 +47,22 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
-    # warmup: touch the big tables + JIT the scan/agg path
+    # warmup: touch the big tables + JIT the scan/agg path, and boot the
+    # (reused) Python workers incl. their numpy import so pandas-UDF queries
+    # measure steady-state, not interpreter start-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
     registry["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from snapshot_sender_spark.operators.dedup import ngram_jaccard_pairs_gemm
+
+    ngram_jaccard_pairs_gemm(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64),
+        "text",
+        "doc_id",
+        0.9,
+        n_blocks=32,
+    ).write.format("noop").mode("overwrite").save()
 
     timings = {}
     for name in HEADLINE:

@@ -98,6 +98,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_gemm(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    n_blocks: int = 8,
+    max_vocab: int = 65536,
+) -> DataFrame:
+    """Exact word-bigram Jaccard pairs via blocked matrix multiply.
+
+    |A∩B| for every pair is one GEMM: with B the doc×shingle 0/1 matrix,
+    counts = B·Bᵀ. Distributed as the standard blocked similarity join: docs
+    are split into ``n_blocks`` row blocks; every block pair (i ≤ j) becomes
+    one task that multiplies its two sub-matrices (Arrow-shipped via
+    applyInPandas, dense float32 — counts ≤ vocab size are exact in float32).
+    No 36M-row candidate stream: the pair space is materialized only inside
+    the kernel and filtered to survivors before leaving the task.
+
+    Result-identical to ``ngram_jaccard_pairs`` (same threshold semantics), so
+    it shares the same SQL oracle. Falls back to the join plan when the
+    shingle vocabulary exceeds ``max_vocab`` (dense width limit; the sparse /
+    feature-hashed variant is the next rung)."""
+    import numpy as np
+    import pandas as pd
+
+    # No global shingle vocabulary: each block-pair task factorizes the shingle
+    # strings it actually sees (local index width ≤ union of two blocks'
+    # vocabularies). Avoids the global-distinct + window + back-join prep pass.
+    indexed = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
+    ).withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    # dense-width guard: big vocabularies → the posting-list join plan instead
+    est = (
+        indexed.select(F.explode("shingles").alias("s"))
+        .agg(F.approx_count_distinct("s").alias("v"))
+        .first()["v"]
+    )
+    if est > max_vocab:
+        return ngram_jaccard_pairs(df, text_col, id_col, threshold)
+    blocks = list(range(n_blocks))
+    pair_rows = [(i, j, side) for i in blocks for j in blocks if i <= j for side in ("a", "b")]
+    # assignment table: block-pair (i,j) pulls block i as side a, block j as side b
+    assign = indexed.sparkSession.createDataFrame(
+        [(i, j, s, i if s == "a" else j) for (i, j, s) in pair_rows],
+        "bi int, bj int, side string, block int",
+    )
+    grouped = indexed.join(F.broadcast(assign), "block").repartition("bi", "bj")
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        same_block = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if same_block:
+            b = a
+        if a.empty or b.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+
+        # local factorization: shingle strings → dense column ids for this task
+        all_shingles = np.concatenate(
+            [np.concatenate(a["shingles"].to_numpy()), np.concatenate(b["shingles"].to_numpy())]
+        )
+        local_vocab, _ = np.unique(all_shingles, return_inverse=True)
+        n_vocab = len(local_vocab)
+        lookup = {s: i for i, s in enumerate(local_vocab)}
+
+        def densify(rows):
+            m = np.zeros((len(rows), n_vocab), dtype=np.float32)
+            for r, shingles in enumerate(rows["shingles"]):
+                m[r, [lookup[s] for s in shingles]] = 1.0
+            return m
+
+        ma, mb = densify(a), densify(b)
+        counts = (ma @ mb.T).astype(np.float64)  # |A∩B| — exact ints ≤ vocab ≪ 2^24
+        sa = ma.sum(axis=1, dtype=np.float64)[:, None]
+        sb = mb.sum(axis=1, dtype=np.float64)[None, :]
+        # float64 division of exact integers — bit-identical to the SQL oracle
+        jac = counts / (sa + sb - counts)
+        ids_a = a["id"].to_numpy()
+        ids_b = b["id"].to_numpy()
+        if same_block:
+            # each unordered pair appears as (r,c) and (c,r): keep one
+            mask = (jac >= threshold) & (ids_a[:, None] < ids_b[None, :])
+        else:
+            # distinct blocks: each unordered pair appears exactly once, but
+            # the smaller id may sit on either side — normalize below
+            mask = jac >= threshold
+        ra, cb = np.nonzero(mask)
+        lo = np.minimum(ids_a[ra], ids_b[cb])
+        hi = np.maximum(ids_a[ra], ids_b[cb])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "jaccard": jac[ra, cb]})
+
+    return (
+        grouped.groupBy("bi", "bj")
+        .applyInPandas(lambda _, pdf: gemm(pdf), schema="id_a long, id_b long, jaccard double")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, jaccard_threshold: float = 0.5,
     num_hash_tables: int = 8, num_features: int = 1 << 18, seed: int = 42,

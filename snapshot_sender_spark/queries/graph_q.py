@@ -61,7 +61,7 @@ def graph_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components by iterative min-label propagation
     (operators/graph.py) — fixpoint equals the recursive-CTE reachability
     closure, hence the shared oracle."""
-    edges = dedup.ngram_jaccard_pairs(
+    edges = dedup.ngram_jaccard_pairs_gemm(
         load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2
     ).select("id_a", "id_b")
     return graph.connected_components(edges)

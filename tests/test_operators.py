@@ -65,6 +65,21 @@ def test_ngram_jaccard_identical_docs(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_gemm_matches_join_plan(spark, sf_dir):
+    """The blocked-GEMM kernel must produce exactly the join plan's pairs and
+    jaccard values (both at the block boundary and within blocks)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs_gemm(d, "text", "doc_id", 0.25, n_blocks=4).collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", 0.25).collect()
+    }
+    assert g == j and len(g) > 0
+
+
 def test_minhash_lsh_finds_duplicate(spark):
     rows = [(i, f"unique words for document number {i} " * 3) for i in range(20)]
     rows.append((100, rows[0][1]))  # exact dup of doc 0
