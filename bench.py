@@ -32,6 +32,7 @@ HEADLINE = [
     "json_funcs",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
     "sim_cosine_topk",
     "text_stats",
     "stream_tumbling_counts",

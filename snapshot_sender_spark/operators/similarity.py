@@ -103,6 +103,67 @@ def cosine_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float) -> 
     )
 
 
+def cosine_pairs_gemm(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Blocked-GEMM form of ``cosine_pairs`` — result-identical (same quantized
+    integer grid), O(n²·d) done as float64 matrix products instead of per-pair
+    expression folds. Quantized products ≤ 1e12 and 64-dim sums ≤ 6.4e13 stay
+    below 2^53, so the float64 GEMM is exact and order-free; the final division
+    is float64 on identical values → bit-equal to the fold and the SQL oracle.
+
+    Distribution: same blocked pattern as dedup.ngram_jaccard_pairs_gemm —
+    every block pair is one applyInPandas task; the pair space exists only
+    inside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    quant = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT).cast("long")).alias(
+            "qv"
+        ),
+    ).withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    pair_rows = [
+        (i, j, s, i if s == "a" else j)
+        for i in range(n_blocks)
+        for j in range(n_blocks)
+        if i <= j
+        for s in ("a", "b")
+    ]
+    assign = df.sparkSession.createDataFrame(pair_rows, "bi int, bj int, side string, block int")
+    grouped = quant.join(F.broadcast(assign), "block").repartition("bi", "bj")
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        same_block = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if same_block:
+            b = a
+        if a.empty or b.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        ma = np.array([np.asarray(v, dtype=np.float64) for v in a["qv"]])
+        mb = np.array([np.asarray(v, dtype=np.float64) for v in b["qv"]])
+        dots = ma @ mb.T  # exact: integer-valued floats < 2^53
+        na = np.sqrt((ma * ma).sum(axis=1))[:, None]
+        nb = np.sqrt((mb * mb).sum(axis=1))[None, :]
+        cos = dots / (na * nb)
+        ids_a = a["id"].to_numpy()
+        ids_b = b["id"].to_numpy()
+        if same_block:
+            mask = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
+        else:
+            mask = cos >= threshold
+        ra, cb = np.nonzero(mask)
+        lo = np.minimum(ids_a[ra], ids_b[cb])
+        hi = np.maximum(ids_a[ra], ids_b[cb])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ra, cb]})
+
+    return grouped.groupBy("bi", "bj").applyInPandas(
+        lambda _, pdf: gemm(pdf), schema="id_a long, id_b long, cosine double"
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,

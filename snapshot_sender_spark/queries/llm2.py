@@ -44,9 +44,10 @@ from . import query
     category="llm-dedup",
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline; LSH bucketing
-    is the corpus-scale path — operators/similarity.py)."""
-    return similarity.cosine_pairs(
+    """Embedding-cosine near-dup pairs via the blocked-GEMM kernel (exact,
+    bit-identical to the declarative fold — operators/similarity.py; LSH
+    bucketing is the corpus-scale candidate cut)."""
+    return similarity.cosine_pairs_gemm(
         load(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.35
     )
 

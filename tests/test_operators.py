@@ -125,6 +125,19 @@ def test_lsh_ann_overlaps_exact(spark, sf_dir):
     assert len(exact & approx) >= 3
 
 
+def test_cosine_pairs_gemm_matches_fold(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    g = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_gemm(emb, "embedding", "vec_id", 0.3, n_blocks=4).collect()
+    }
+    f = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(emb, "embedding", "vec_id", 0.3).collect()
+    }
+    assert g == f and len(g) > 0
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...", fake=False)
