@@ -82,6 +82,24 @@ def gunzip(content: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BinaryType())
+def gunzip_or_null(content: pd.Series) -> pd.Series:
+    """Tolerant gunzip: undecodable payloads (wrong key, truncation,
+    corruption) become NULL instead of failing the task — the PERMISSIVE /
+    corrupt-record policy at the codec layer, so bad files route to a rejects
+    side-channel rather than poisoning the whole job."""
+    out = []
+    for b in content:
+        if b is None:
+            out.append(None)
+            continue
+        try:
+            out.append(gzip.decompress(bytes(b)))
+        except Exception:
+            out.append(None)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
 def gzip_bytes(content: pd.Series) -> pd.Series:
     out = []
     for b in content:

@@ -225,18 +225,33 @@ def deliver(result: DeliveryResult, output_dir: str, status_dir: str) -> DataFra
     )
 
 
-def parse_records(decrypted: DataFrame) -> DataFrame:
+def corrupt_payloads(decrypted: DataFrame) -> DataFrame:
+    """Files whose decrypted bytes are not valid gzip (wrong key, truncation)
+    — the rejects side-channel for the tolerant parse path."""
+    return (
+        decrypted.withColumn("payload", crypto.gunzip_or_null(F.col("decrypted")))
+        .filter(F.col("payload").isNull() & F.col("decrypted").isNotNull())
+        .select("path", "fileName", "topic")
+    )
+
+
+def parse_records(decrypted: DataFrame, tolerant: bool = False) -> DataFrame:
     """Record-level view: gunzip → split lines → explode → from_json.
 
     The reference never parses the payload (it forwards opaque bytes,
     HttpWriter.kt:75); this is the generalized engine surface the payload shape
-    implies (SURVEY.md §1.2)."""
+    implies (SURVEY.md §1.2). ``tolerant=True`` drops undecodable payloads
+    (see ``corrupt_payloads`` for the reject stream) and leaves malformed JSON
+    lines as a NULL ``record`` with the raw line preserved — the PERMISSIVE /
+    _corrupt_record policy."""
+    gunzip_fn = crypto.gunzip_or_null if tolerant else crypto.gunzip
     lines = (
         decrypted.select(
             "fileName",
             "topic",
-            crypto.gunzip(F.col("decrypted")).alias("payload"),
+            gunzip_fn(F.col("decrypted")).alias("payload"),
         )
+        .filter(F.col("payload").isNotNull())
         .select(
             "fileName",
             "topic",

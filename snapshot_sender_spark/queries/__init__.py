@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QueryDef]:
     from . import (  # noqa: F401
         analytics_q,
         codec_q,
+        corrupt_q,
         graph_q,
         llm,
         llm2,

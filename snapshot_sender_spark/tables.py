@@ -22,9 +22,19 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Correctness-critical dynamic confs, pinned here because the verifying
+    driver builds its own SparkSession: UTC session timezone (timestamps must
+    canonicalize identically to DuckDB's UTC-naive values) and Arrow for the
+    pandas-UDF crossings."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _pin_session_confs(spark)
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark parquet
         # reader rejects; read nanos as long and convert (values are micro-

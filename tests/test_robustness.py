@@ -1,0 +1,127 @@
+"""Robustness: corrupt-payload routing, property-based round-trips
+(hypothesis), and streaming checkpoint restart."""
+
+import base64
+import gzip
+import os
+import time
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.functions import crypto, text
+from snapshot_sender_spark.plans import delivery
+from snapshot_sender_spark.sources import fixtures as fx
+
+
+def test_corrupt_payload_routed_not_fatal(spark, tmp_path):
+    """A file whose bytes don't decrypt to valid gzip must land in the rejects
+    side-channel while the rest of the batch parses."""
+    f = fx.generate(str(tmp_path), n_files=4, records_per_file=5, seed=13)
+    # corrupt one object in place (flip bytes) — wrong ciphertext → bad gzip
+    victim = os.path.join(f.input_dir, f.files[1])
+    data = bytearray(open(victim, "rb").read())
+    data[:16] = b"\x00" * 16
+    with open(victim, "wb") as fh:
+        fh.write(bytes(data))
+
+    cfg = delivery.RunConfig(correlation_id="c", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    bad = delivery.corrupt_payloads(result.delivered)
+    good = delivery.parse_records(result.delivered, tolerant=True)
+    assert [r["fileName"] for r in bad.collect()] == [f.files[1]]
+    assert good.count() == 3 * 5  # three intact files fully parsed
+    # strict mode would raise on the same input
+    import pytest
+
+    with pytest.raises(Exception):
+        delivery.parse_records(result.delivered, tolerant=False).count()
+
+
+# ---- property-based (hypothesis) --------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096), offset=st.integers(0, 200))
+def test_ctr_seek_property(data, offset):
+    key = bytes(range(32))
+    iv = bytes(range(16))
+    full = crypto._ctr_transform(data, key, iv)
+    offset = min(offset, len(data))
+    assert crypto.ctr_at_offset(full[offset:], key, iv, offset) == data[offset:]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    db=st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_\-]{0,20}", fullmatch=True),
+    coll=st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_\-]{0,20}", fullmatch=True),
+    prefix=st.sampled_from(["", "db."]),
+    nums=st.tuples(st.integers(0, 999), st.integers(0, 999), st.integers(0, 999999)),
+)
+def test_filename_grammar_property(db, coll, prefix, nums):
+    """Any name built from the grammar's own alphabet must parse back to its
+    (database, collection) — mirrors the reference's parse contract
+    (TextParsingUtility.kt:7-11) under generation instead of examples."""
+    import re
+
+    name = f"{prefix}{db}.{coll}-{nums[0]:03d}-{nums[1]:03d}-{nums[2]:06d}.txt.gz"
+    m = re.match(text.FILENAME_PATTERN, name)
+    assert m is not None
+    # the regex is greedy: a hyphenated collection can shift the boundary, but
+    # database.collection as a whole must round-trip
+    assert f"{m.group(1)}.{m.group(2)}" == f"{db}.{coll}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=2048))
+def test_gzip_roundtrip_property(payload):
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(payload)
+    assert gzip.decompress(buf.getvalue()) == payload
+
+
+# ---- streaming checkpoint restart -------------------------------------------
+
+
+def test_stream_checkpoint_restart(spark, tmp_path):
+    """A restarted query with the same checkpoint must process only NEW files —
+    the reference's restart-idempotency (.finished anti-join) in streaming
+    form."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+    os.makedirs(src)
+    schema = "event_id long, value double"
+
+    def write_file(tag, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/{tag}")
+
+    def run_once():
+        seen = []
+
+        def fb(df, epoch):
+            seen.extend(r["event_id"] for r in df.collect())
+
+        q = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{src}/*/").schema
+            ).format("parquet").load(f"{src}/*/")
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return seen
+
+    write_file("a", [(1, 1.0), (2, 2.0)])
+    first = run_once()
+    assert sorted(first) == [1, 2]
+    time.sleep(1.1)
+    write_file("b", [(3, 3.0)])
+    second = run_once()
+    assert sorted(second) == [3]  # only the new file; 1,2 not reprocessed

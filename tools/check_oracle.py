@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -62,7 +63,14 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark(app_name="check_oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # simulate the driver's untuned session (default confs, 200 shuffle
+        # partitions, no UTC pin) — queries must still match the oracle
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("check_vanilla").getOrCreate()
+    else:
+        spark = get_spark(app_name="check_oracle")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
