@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryDef]:
         llm2,
         relational,
         relational2,
+        scalar3_q,
         sources_q,
         streamingq,
     )

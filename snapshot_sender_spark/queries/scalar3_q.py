@@ -1,0 +1,165 @@
+"""Query batch 9: remaining scalar families — array set-algebra, sequence
+generation, unpivot/stack, map higher-order transforms, and lag-gap-cumsum
+sessionization in batch form."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "array_set_algebra",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_cat(string_split(text, ' ')[1:5], ['spark', 'table']))), ',') AS union_head,
+           array_to_string(list_sort(list_intersect(
+             list_distinct(string_split(text, ' ')), ['spark', 'table', 'row'])), ',') AS common,
+           array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
+             w -> NOT list_contains(['the', 'a', 'of'], w))), ',') AS minus_stop,
+           CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+                                        ['spark', 'query'])) > 0 THEN 1 ELSE 0 END AS overlaps
+    FROM documents WHERE doc_id < 60
+    """,
+    category="scalar-array",
+)
+def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except / overlap), canonicalized
+    by sort+join for cross-engine order independence."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    words = F.split(F.col("text"), " ")
+    dwords = F.array_distinct(words)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_union(F.slice(words, 1, 5), F.array(F.lit("spark"), F.lit("table")))),
+            ",",
+        ).alias("union_head"),
+        F.array_join(
+            F.array_sort(F.array_intersect(dwords, F.array(F.lit("spark"), F.lit("table"), F.lit("row")))),
+            ",",
+        ).alias("common"),
+        F.array_join(
+            F.array_sort(F.array_except(dwords, F.array(F.lit("the"), F.lit("a"), F.lit("of")))),
+            ",",
+        ).alias("minus_stop"),
+        F.when(
+            F.arrays_overlap(dwords, F.array(F.lit("spark"), F.lit("query"))), 1
+        )
+        .otherwise(0)
+        .alias("overlaps"),
+    )
+
+
+@query(
+    "sequence_generate",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(range(1, n_nationkey + 2), ',') AS seq_csv,
+           len(range(1, n_nationkey + 2)) AS seq_len
+    FROM nation
+    """,
+    category="scalar-array",
+)
+def sequence_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence() generation — 1..n per row (range is end-exclusive in DuckDB,
+    end-inclusive in Spark; bounds aligned)."""
+    n = load(spark, sf_dir, "nation")
+    seq = F.sequence(F.lit(1), F.col("n_nationkey") + 1)
+    return n.select(
+        "n_nationkey",
+        F.array_join(seq, ",").alias("seq_csv"),
+        F.size(seq).alias("seq_len"),
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+    ) WHERE c_custkey < 200
+    """,
+    category="setop",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide columns → (metric, value) long form."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), "
+        "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)",
+    )
+
+
+@query(
+    "map_transform_funcs",
+    oracle="""
+    SELECT event_id,
+           map(['a', 'b'], [value, value * 2])['b'][1] AS doubled,
+           array_to_string(map_values(map(['a', 'b'], ['x_' || event_type, 'y_' || event_type])), ',')
+             AS tagged_values
+    FROM events WHERE event_id < 80
+    """,
+    category="scalar-map",
+)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + transform_values — header-map manipulation
+    (NiFiUtility.kt:12-25 generalized)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 80)
+    m_num = F.create_map(F.lit("a"), F.col("value"), F.lit("b"), F.col("value") * 2)
+    m_str = F.transform_values(
+        F.create_map(F.lit("a"), F.lit("x"), F.lit("b"), F.lit("y")),
+        lambda k, v: F.concat(v, F.lit("_"), F.col("event_type")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m_num, "b").alias("doubled"),
+        F.array_join(F.map_values(m_str), ",").alias("tagged_values"),
+    )
+
+
+@query(
+    "sessionize_lag_cumsum",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL '45 minutes' THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    category="window",
+)
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by lag-gap flag + running sum — the window-function
+    composition equivalent of session_window() (both forms exposed; this one
+    carries an explicit session number)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 45 * 60), 1).otherwise(0)
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("session_no"),
+    )
+    return numbered.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    )

@@ -48,19 +48,32 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a memory
-    sink; return the materialized result as a batch DataFrame."""
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink; return the materialized result as a batch DataFrame.
+
+    Stateful operators allocate one state store per shuffle partition; for
+    file-replay micro-batches the store init dominates wall time, so the
+    query runs with a reduced stateful shuffle width (results are partition-
+    count independent). The conf is restored afterwards — on a real cluster
+    state width is sized to the key space, not trimmed."""
     spark = stream_df.sparkSession
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
