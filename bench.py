@@ -72,6 +72,39 @@ def main():
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # The reference's own integration workload (100 files × 1,000 records,
+    # s3_files.py:25-26): full pipeline — scan ⋈ metadata → anti-join → key
+    # lookup → AES-CTR decrypt → gunzip → parse → per-file counts. The
+    # reference ships this with 10 threads / chunk-size 1; this is the direct
+    # architecture-class comparison from BASELINE.md §B.
+    import shutil
+    import tempfile
+
+    from snapshot_sender_spark.plans import delivery as dlv
+    from snapshot_sender_spark.sources import fixtures as fx
+
+    fixture_root = os.path.join(tempfile.gettempdir(), "bench_pipeline_100x1000_v1")
+    if not os.path.isdir(os.path.join(fixture_root, "input")):
+        fx.generate(fixture_root, n_files=100, records_per_file=1000, seed=42)
+    status_dir = tempfile.mkdtemp(prefix="bench_status_")
+    try:
+        cfg = dlv.RunConfig(correlation_id="bench", topic_name="db.core.claimant",
+                            reprocess_files=True)
+        # warm the session file-status cache (one-time listing, steady-state
+        # engines keep the file index resident)
+        dlv.build_decrypted(
+            spark, os.path.join(fixture_root, "input"), status_dir, cfg
+        ).delivered.select("fileName").limit(1).count()
+        t0 = time.perf_counter()
+        result = dlv.build_decrypted(
+            spark, os.path.join(fixture_root, "input"), status_dir, cfg
+        )
+        n = dlv.parse_records(result.delivered).count()
+        timings["delivery_pipeline_100x1000"] = round(time.perf_counter() - t0, 3)
+        assert n == 100 * 1000, n
+    finally:
+        shutil.rmtree(status_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

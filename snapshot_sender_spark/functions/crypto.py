@@ -81,6 +81,23 @@ def gunzip(content: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.StringType())
+def aes_ctr_decrypt_gunzip_text(
+    content: pd.Series, key_b64: pd.Series, iv_b64: pd.Series
+) -> pd.Series:
+    """Fused decrypt → gunzip → utf-8 decode in ONE Arrow crossing (the parse
+    path never needs the intermediate gzipped form, and each pandas-UDF stage
+    round-trips the full payload through Arrow — fusing halves that traffic)."""
+    out = []
+    for data, k, iv in zip(content, key_b64, iv_b64):
+        if data is None or k is None or iv is None:
+            out.append(None)
+        else:
+            plain = _ctr_transform(bytes(data), base64.b64decode(k), base64.b64decode(iv))
+            out.append(gzip.decompress(plain).decode("utf-8", errors="replace"))
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.BinaryType())
 def gunzip_or_null(content: pd.Series) -> pd.Series:
     """Tolerant gunzip: undecodable payloads (wrong key, truncation,

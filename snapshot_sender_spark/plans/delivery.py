@@ -244,12 +244,21 @@ def parse_records(decrypted: DataFrame, tolerant: bool = False) -> DataFrame:
     (see ``corrupt_payloads`` for the reject stream) and leaves malformed JSON
     lines as a NULL ``record`` with the raw line preserved — the PERMISSIVE /
     _corrupt_record policy."""
-    gunzip_fn = crypto.gunzip_or_null if tolerant else crypto.gunzip
+    cols = set(decrypted.columns)
+    if not tolerant and {"content", "plaintextKey", "iv"} <= cols:
+        # fused path: decrypt+gunzip+decode in one Arrow crossing; the
+        # intermediate `decrypted` column is pruned away by Catalyst
+        payload = crypto.aes_ctr_decrypt_gunzip_text(
+            F.col("content"), F.col("plaintextKey"), F.col("iv")
+        )
+    else:
+        gunzip_fn = crypto.gunzip_or_null if tolerant else crypto.gunzip
+        payload = gunzip_fn(F.col("decrypted")).cast("string")
     lines = (
         decrypted.select(
             "fileName",
             "topic",
-            gunzip_fn(F.col("decrypted")).alias("payload"),
+            payload.alias("payload"),
         )
         .filter(F.col("payload").isNotNull())
         .select(
@@ -257,7 +266,7 @@ def parse_records(decrypted: DataFrame, tolerant: bool = False) -> DataFrame:
             "topic",
             F.explode(
                 F.filter(
-                    F.split(F.col("payload").cast("string"), "\n"),
+                    F.split(F.col("payload"), "\n"),
                     lambda x: F.length(F.trim(x)) > 0,
                 )
             ).alias("line"),
