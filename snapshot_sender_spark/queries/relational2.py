@@ -355,6 +355,20 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_quantile", oracle=None, category="aggregation")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable-quantile
+    path when the exact sort doesn't fit (approximate → rows-only check; the
+    exact interpolated variant is `percentile_exact`)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
+            "price_quartiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 @query(
     "string_position_funcs",
     oracle="""

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for all pandas-UDF / toPandas crossings.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch cap: the default 10k rows/batch is an OOM hazard for
+        # binary-heavy rows (10k × 1 MB payloads = 10 GB per in-flight batch
+        # in the decrypt UDF). 1024 keeps scalar-UDF vectorization efficiency
+        # while bounding batch memory at file-payload widths.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # Local testdata files are ≤ ~10 MB: the 128 MB default split puts an
         # entire table in ONE scan task. 1 MB splits fan the scan across cores
         # while staying well above row-group size. On a real cluster this is
