@@ -164,6 +164,44 @@ def cosine_pairs_gemm(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded) assigns
+    every vector to a centroid bucket; the query probes only the ``n_probe``
+    nearest centroids and exact-rescoring runs inside those buckets. At corpus
+    scale the bucket assignment is a partition key, so a probe touches
+    n_probe/n_centroids of the data — the standard IVF recall/cost dial."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
+    ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="bucket")
+    model = km.fit(feats)
+    assigned = model.transform(feats)
+    centers = model.clusterCenters()
+    qd = [float(x) for x in query]
+
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, qd))
+
+    probe = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:n_probe]
+    candidates = assigned.filter(F.col("bucket").isin([int(b) for b in probe]))
+    rescored = cosine_scores(candidates.select("id", "arr"), "arr", qd)
+    return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     vec_col: str,

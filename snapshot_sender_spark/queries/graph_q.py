@@ -108,6 +108,60 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    WHERE p.event_type = 'purchase'
+      AND p.ts < TIMESTAMP '2024-01-25 00:00:00'
+    """,
+    category="streaming",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: purchases with no click in the prior 30
+    minutes emit with a NULL click once the watermark passes — the
+    unmatched-row semantics only watermarks make possible in streaming.
+
+    The comparison is bounded to purchases well before the stream tail: null
+    emission near the end of input depends on Spark's internal state-watermark
+    arithmetic (event watermark minus join interval, with engine-version
+    subtleties) — rows that old are guaranteed emitted, so the outer-join
+    semantics stay oracle-checkable without modeling the tail."""
+    from ..streaming import windows as sw
+
+    purchases = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "left_outer",
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    out = sw.run_to_memory(joined, "append")
+    return out.filter(F.col("p_ts") < F.lit("2024-01-25").cast("timestamp")).select(
+        "purchase_id", "click_id", "user_id"
+    )
+
+
+@query(
     "array_higher_order",
     oracle="""
     SELECT doc_id,

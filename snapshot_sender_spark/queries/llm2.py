@@ -130,6 +130,20 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =============================================================================
 
 
+@query("sim_ann_ivf", oracle=None, category="llm-similarity")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded k-means coarse quantizer, 4-of-16 bucket probe, exact
+    re-rank (approximate → rows-only)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    return similarity.ivf_topk(emb, "embedding", "vec_id", q, k=10)
+
+
 @query("asof_merge_events", oracle=None, category="join")
 def asof_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O(left+right) as-of join (cogroup + merge_asof): last click at or

@@ -159,6 +159,30 @@ def test_record_parse(spark, fixture):
     assert parsed_ts["ts"] is not None
 
 
+def test_invalid_filename_routed_to_rejects(spark, tmp_path):
+    """A file whose (enc-stripped) name fails the grammar goes to the rejects
+    stream and is neither decrypted nor delivered (HttpWriter.kt:121-127
+    reject-counter semantics)."""
+    import json as _json
+    import shutil
+
+    f = fx.generate(str(tmp_path), n_files=2, records_per_file=3, seed=23)
+    good = os.path.join(f.input_dir, f.files[0])
+    bad_name = "not-a-valid-snapshot-name.enc"
+    shutil.copy(good, os.path.join(f.input_dir, bad_name))
+    meta_path = os.path.join(f.input_dir, "metadata.sidecar.jsonl")
+    with open(meta_path) as fh:
+        first_meta = _json.loads(fh.readline())
+    first_meta["fileName"] = bad_name
+    with open(meta_path, "a") as fh:
+        fh.write(_json.dumps(first_meta) + "\n")
+
+    cfg = delivery.RunConfig(correlation_id="rej", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    assert [r["fileName"] for r in result.rejected.collect()] == [bad_name]
+    assert result.delivered.count() == 2  # only the well-named files
+
+
 def test_success_indicator_and_monitoring(tmp_path):
     p = status.write_success_indicator(str(tmp_path), "db.database.empty")
     assert os.path.basename(p) == "_database_empty_successful.gz"
