@@ -85,7 +85,14 @@ def main():
 
     fixture_root = os.path.join(tempfile.gettempdir(), "bench_pipeline_100x1000_v1")
     if not os.path.isdir(os.path.join(fixture_root, "input")):
-        fx.generate(fixture_root, n_files=100, records_per_file=1000, seed=42)
+        tmp_root = fixture_root + ".tmp"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        fx.generate(tmp_root, n_files=100, records_per_file=1000, seed=42)
+        try:
+            os.replace(tmp_root, fixture_root)
+        except OSError:
+            if not os.path.isdir(os.path.join(fixture_root, "input")):
+                raise
     status_dir = tempfile.mkdtemp(prefix="bench_status_")
     try:
         cfg = dlv.RunConfig(correlation_id="bench", topic_name="db.core.claimant",

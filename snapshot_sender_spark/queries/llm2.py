@@ -167,7 +167,17 @@ def pipeline_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = os.path.join(tempfile.gettempdir(), "pipeline_e2e_fixture_v1")
     if not os.path.isdir(os.path.join(root, "input")):
-        fx.generate(root, n_files=8, records_per_file=25, seed=42)
+        # write-then-rename so a crashed half-generation never poisons the cache
+        import shutil
+
+        tmp_root = root + ".tmp"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        fx.generate(tmp_root, n_files=8, records_per_file=25, seed=42)
+        try:
+            os.replace(tmp_root, root)
+        except OSError:
+            if not os.path.isdir(os.path.join(root, "input")):
+                raise
     cfg = delivery.RunConfig(
         correlation_id="e2e", topic_name="db.core.claimant", reprocess_files=True
     )

@@ -14,13 +14,14 @@ from . import query
 @query(
     "array_set_algebra",
     oracle="""
+    -- COALESCE: DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
     SELECT doc_id,
-           array_to_string(list_sort(list_distinct(
-             list_cat(string_split(text, ' ')[1:5], ['spark', 'table']))), ',') AS union_head,
-           array_to_string(list_sort(list_intersect(
-             list_distinct(string_split(text, ' ')), ['spark', 'table', 'row'])), ',') AS common,
-           array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
-             w -> NOT list_contains(['the', 'a', 'of'], w))), ',') AS minus_stop,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_cat(string_split(text, ' ')[1:5], ['spark', 'table']))), ','), '') AS union_head,
+           COALESCE(array_to_string(list_sort(list_intersect(
+             list_distinct(string_split(text, ' ')), ['spark', 'table', 'row'])), ','), '') AS common,
+           COALESCE(array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
+             w -> NOT list_contains(['the', 'a', 'of'], w))), ','), '') AS minus_stop,
            CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
                                         ['spark', 'query'])) > 0 THEN 1 ELSE 0 END AS overlaps
     FROM documents WHERE doc_id < 60

@@ -24,6 +24,23 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"source_rt_{fmt}_{tag}")
 
 
+def _write_once(final_dir: str, write_fn) -> None:
+    """Write to a temp sibling then atomically rename — a crashed half-write
+    never poisons the cached fixture for later runs."""
+    if os.path.isdir(final_dir):
+        return
+    tmp = final_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    try:
+        os.replace(tmp, final_dir)
+    except OSError:
+        if not os.path.isdir(final_dir):  # lost a benign race
+            raise
+
+
 @query(
     "source_csv_roundtrip",
     oracle=f"""
@@ -36,8 +53,13 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier → CSV (header, explicit schema back) → aggregate. The scan uses
     an explicit schema — no inference pass at scale."""
     d = _roundtrip_dir(sf_dir, "csv")
-    if not os.path.isdir(d):
-        load(spark, sf_dir, "supplier").write.mode("overwrite").option("header", True).csv(d)
+    _write_once(
+        d,
+        lambda tmp: load(spark, sf_dir, "supplier")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(tmp),
+    )
     schema = T.StructType(
         [
             T.StructField("s_suppkey", T.LongType()),
@@ -67,14 +89,14 @@ def source_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned .json.gz sink, HttpWriter.kt:58) → schema-explicit scan →
     aggregate."""
     d = _roundtrip_dir(sf_dir, "jsonl")
-    if not os.path.isdir(d):
-        (
-            load(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderpriority", "o_totalprice")
-            .write.mode("overwrite")
-            .option("compression", "gzip")
-            .json(d)
-        )
+    _write_once(
+        d,
+        lambda tmp: load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(tmp),
+    )
     schema = "o_orderkey bigint, o_orderpriority string, o_totalprice double"
     o = spark.read.schema(schema).json(d)
     return o.groupBy("o_orderpriority").agg(
