@@ -83,16 +83,14 @@ def main():
     from snapshot_sender_spark.plans import delivery as dlv
     from snapshot_sender_spark.sources import fixtures as fx
 
+    from snapshot_sender_spark.util import write_once
+
     fixture_root = os.path.join(tempfile.gettempdir(), "bench_pipeline_100x1000_v1")
-    if not os.path.isdir(os.path.join(fixture_root, "input")):
-        tmp_root = fixture_root + ".tmp"
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        fx.generate(tmp_root, n_files=100, records_per_file=1000, seed=42)
-        try:
-            os.replace(tmp_root, fixture_root)
-        except OSError:
-            if not os.path.isdir(os.path.join(fixture_root, "input")):
-                raise
+    write_once(
+        fixture_root,
+        lambda tmp: fx.generate(tmp, n_files=100, records_per_file=1000, seed=42),
+        probe=os.path.join(fixture_root, "input", "metadata.sidecar.jsonl"),  # written last
+    )
     status_dir = tempfile.mkdtemp(prefix="bench_status_")
     try:
         cfg = dlv.RunConfig(correlation_id="bench", topic_name="db.core.claimant",

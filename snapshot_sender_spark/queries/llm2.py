@@ -165,19 +165,14 @@ def pipeline_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans import delivery
     from ..sources import fixtures as fx
 
-    root = os.path.join(tempfile.gettempdir(), "pipeline_e2e_fixture_v1")
-    if not os.path.isdir(os.path.join(root, "input")):
-        # write-then-rename so a crashed half-generation never poisons the cache
-        import shutil
+    from ..util import write_once
 
-        tmp_root = root + ".tmp"
-        shutil.rmtree(tmp_root, ignore_errors=True)
-        fx.generate(tmp_root, n_files=8, records_per_file=25, seed=42)
-        try:
-            os.replace(tmp_root, root)
-        except OSError:
-            if not os.path.isdir(os.path.join(root, "input")):
-                raise
+    root = os.path.join(tempfile.gettempdir(), "pipeline_e2e_fixture_v1")
+    write_once(
+        root,
+        lambda tmp: fx.generate(tmp, n_files=8, records_per_file=25, seed=42),
+        probe=os.path.join(root, "input", "metadata.sidecar.jsonl"),  # written last
+    )
     cfg = delivery.RunConfig(
         correlation_id="e2e", topic_name="db.core.claimant", reprocess_files=True
     )

@@ -153,8 +153,11 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries an explicit session number)."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(gap.isNull() | (gap > 45 * 60), 1).otherwise(0)
+    # microsecond precision: cast("long") truncates to seconds, which diverges
+    # from the oracle's exact interval comparison at the gap boundary
+    ts_us = F.unix_micros(F.col("ts"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 45 * 60 * 1_000_000), 1).otherwise(0)
     numbered = e.select(
         "user_id",
         "ts",

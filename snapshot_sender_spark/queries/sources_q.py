@@ -25,20 +25,12 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
 
 
 def _write_once(final_dir: str, write_fn) -> None:
-    """Write to a temp sibling then atomically rename — a crashed half-write
-    never poisons the cached fixture for later runs."""
-    if os.path.isdir(final_dir):
-        return
-    tmp = final_dir + ".tmp"
-    import shutil
+    """Concurrency/crash-safe cached write (unique tmp + atomic rename);
+    probes Spark's _SUCCESS marker so a pre-existing half-written cache is
+    rebuilt rather than trusted."""
+    from ..util import write_once
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    write_fn(tmp)
-    try:
-        os.replace(tmp, final_dir)
-    except OSError:
-        if not os.path.isdir(final_dir):  # lost a benign race
-            raise
+    write_once(final_dir, write_fn, probe=os.path.join(final_dir, "_SUCCESS"))
 
 
 @query(
