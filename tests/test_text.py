@@ -8,6 +8,8 @@ from snapshot_sender_spark.functions import text
 
 ACCEPT = [
     ("db.core.addressDeclaration-001-002-000001.txt.gz", "core", "addressDeclaration"),
+    ("db.a.b-045-050-000001.txt.gz", "a", "b"),  # single-char names (HttpWriterTest.kt:136)
+    ("db.database.collection-045-050-000001.txt.gz", "database", "collection"),
     ("core.addressDeclaration-045-050-000001.txt.gz", "core", "addressDeclaration"),
     (
         "db.core-with-hyphen.addressDeclaration-045-050-000001.txt.gz",
