@@ -74,8 +74,13 @@ def test_reject_matrix(parsed):
 
 def test_topic_prefix_rule(parsed):
     # HttpWriter.kt:47-49: "db." prefix kept only when the filename carries it
-    assert parsed[ACCEPT[0][0]]["topic"] == "db.core.addressDeclaration"
-    assert parsed[ACCEPT[1][0]]["topic"] == "core.addressDeclaration"
+    assert parsed["db.core.addressDeclaration-001-002-000001.txt.gz"]["topic"] == (
+        "db.core.addressDeclaration"
+    )
+    assert parsed["core.addressDeclaration-045-050-000001.txt.gz"]["topic"] == (
+        "core.addressDeclaration"
+    )
+    assert parsed["db.a.b-045-050-000001.txt.gz"]["topic"] == "db.a.b"
 
 
 def test_renames(spark):
