@@ -1,1 +1,1 @@
-from . import windows  # noqa: F401
+from . import delivery_stream, windows  # noqa: F401

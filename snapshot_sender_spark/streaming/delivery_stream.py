@@ -1,0 +1,119 @@
+"""Continuous delivery: the flagship pipeline as a Structured Streaming
+service.
+
+The reference is a batch job per (correlation_id, topic) — rerun by an
+external scheduler as exports land. Re-expressed as a stream, the same
+declarative stages run continuously: a file-stream source watches the input
+prefix, each micro-batch runs decrypt→validate→route, and foreachBatch
+delivers with epoch-id idempotent commits (checkpoint + markers give
+exactly-once delivery across restarts — the streaming generalization of the
+reference's restart contract).
+
+Local fixture layout (same as plans/delivery): encrypted objects + a
+metadata sidecar. The metadata side is re-read per batch (it grows with the
+prefix); at scale it is the driver-side listing delta.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import crypto, text
+from ..sources.listing import ENCRYPTION_META_SCHEMA
+
+
+def read_encrypted_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-stream source over the encrypted prefix; binaryFile isn't a
+    streaming source, so the stream carries (path, fileName) from the text
+    listing of object names via the parquet-less 'binaryFile'... workaround:
+    stream the metadata sidecar (one row per landed object) and join content
+    per batch in foreachBatch. The sidecar IS the arrival signal — exactly the
+    listing delta a scale deployment streams from S3 inventory/SQS events."""
+    return (
+        spark.readStream.schema(ENCRYPTION_META_SCHEMA)
+        .json(os.path.join(input_dir, "meta_stream"))
+    )
+
+
+def run_streaming_delivery(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    status_dir: str,
+    checkpoint_dir: str,
+    key_lookup,
+) -> list[int]:
+    """Drive the continuous delivery to completion over currently-available
+    input (Trigger.AvailableNow). Returns the list of processed epoch ids.
+
+    foreachBatch body = the batch pipeline stages on the batch's file set:
+    metadata rows → content join (read per batch) → grammar/topic → key
+    broadcast → decrypt → per-file write + markers. Epoch-id marker makes
+    redelivery of a replayed batch a no-op."""
+    os.makedirs(output_dir, exist_ok=True)
+    os.makedirs(status_dir, exist_ok=True)
+    epochs: list[int] = []
+
+    meta_stream = read_encrypted_stream(spark, input_dir)
+
+    def deliver_batch(meta_df: DataFrame, epoch_id: int) -> None:
+        epoch_marker = os.path.join(status_dir, f"_epoch_{epoch_id}.committed")
+        if os.path.exists(epoch_marker):
+            return
+        rows = meta_df.collect()  # file-level metadata: tiny
+        if rows:
+            names = {r["fileName"] for r in rows}
+            objects = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.enc")
+                .load(input_dir)
+                .select(
+                    F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
+                    F.col("content"),
+                )
+                .filter(F.col("fileName").isin(list(names)))
+            )
+            meta = spark.createDataFrame(rows, ENCRYPTION_META_SCHEMA)
+            files = objects.join(F.broadcast(meta), "fileName")
+            files = files.withColumn(
+                "decryptedFileName", text.strip_enc_suffix(F.col("fileName"))
+            ).filter(text.filename_is_valid(F.col("decryptedFileName")))
+            pairs = [
+                (r["dataKeyEncryptionKeyId"], r["cipherText"])
+                for r in files.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
+            ]
+            resolved = key_lookup(pairs)
+            keys_df = spark.createDataFrame(
+                resolved, "dataKeyEncryptionKeyId string, cipherText string, plaintextKey string"
+            )
+            decrypted = (
+                files.join(F.broadcast(keys_df), ["dataKeyEncryptionKeyId", "cipherText"])
+                .withColumn(
+                    "decrypted",
+                    crypto.aes_ctr_decrypt(F.col("content"), F.col("plaintextKey"), F.col("iv")),
+                )
+                .withColumn("outputFileName", text.rename_output(F.col("decryptedFileName")))
+            )
+            for row in decrypted.select("fileName", "outputFileName", "decrypted").collect():
+                out = os.path.join(output_dir, row["outputFileName"])
+                tmp = out + ".tmp"
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(row["decrypted"]))
+                os.replace(tmp, out)
+                with open(os.path.join(status_dir, row["fileName"] + ".finished"), "w") as fh:
+                    fh.write(f"Finished {row['fileName']}")
+        with open(epoch_marker, "w") as fh:
+            fh.write("committed")
+        epochs.append(epoch_id)
+
+    q = (
+        meta_stream.writeStream.foreachBatch(deliver_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return epochs
