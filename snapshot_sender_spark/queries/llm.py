@@ -346,10 +346,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample", oracle=None, category="llm-multimodal")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,
+           sha256(substring(text, i * 64 + 1, 64)) AS frame_sha
+    FROM documents, UNNEST(range(0, 4)) AS t(i)
+    WHERE i < GREATEST(1, length(text) // 64)
+    """,
+    category="llm-multimodal",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas frame-sampling plumbing over binary content (rows-only;
-    decode is the documented stub)."""
+    """mapInPandas frame-sampling plumbing over binary content (decode is the
+    documented stub; the byte-slice hashes are oracle-checked — the documents
+    text is ASCII, so VARCHAR slices in the oracle equal the byte slices the
+    kernel hashes)."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
     )

@@ -144,11 +144,22 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, "embedding", "vec_id", q, k=10)
 
 
-@query("asof_merge_events", oracle=None, category="join")
+@query(
+    "asof_merge_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    category="join",
+)
 def asof_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O(left+right) as-of join (cogroup + merge_asof): last click at or
-    before each purchase, with the click's value carried over. Equivalence with
-    the declarative composition is asserted in tests/test_operators.py."""
+    before each purchase, with the click's value carried over — checked
+    against DuckDB's native ASOF LEFT JOIN. Equivalence with the declarative
+    composition is also asserted in tests/test_operators.py."""
     e = load(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")

@@ -100,10 +100,20 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.streaming_dedup_counts(spark, sf_dir)
 
 
-@query("stream_stateful_running_max", oracle=None, category="streaming")
+@query(
+    "stream_stateful_running_max",
+    oracle="""
+    SELECT user_id, MAX(value) AS max_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
 def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
-    max value + event count, emitted per micro-batch (rows-only check)."""
+    max value + event count, emitted per micro-batch. The testdata replays as
+    one micro-batch, so the update-mode emissions equal the final state — a
+    plain grouped aggregate, hence oracle-checkable (multi-batch state carry
+    is exercised in tests/test_streaming.py)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
