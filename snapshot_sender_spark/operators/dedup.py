@@ -228,8 +228,10 @@ def minhash_lsh_pairs(
 
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens; token hashes from blake2b
-    (deterministic across processes, unlike Python's salted hash())."""
+    """64-bit SimHash over whitespace tokens. The token hash is the first 16
+    hex chars of md5 — deterministic across processes AND reproducible in
+    plain SQL (unlike Python's salted hash() or keyed blake2b), which is what
+    lets the whole signature computation be oracle-checked."""
     out = []
     for t in text:
         if t is None:
@@ -237,7 +239,7 @@ def simhash64(text: pd.Series) -> pd.Series:
             continue
         acc = [0] * 64
         for tok in t.split():
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
             for i in range(64):
                 acc[i] += 1 if (h >> i) & 1 else -1
         sig = 0

@@ -87,11 +87,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard_dist")
 
 
-@query("dedup_simhash", oracle=None, category="llm-dedup")
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th, UNNEST(range(0, 64)) AS t(i)
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN acc > 0 THEN
+                 CASE WHEN i = 63 THEN -9223372036854775808
+                      ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+               ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    category="llm-dedup",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with banded blocking (approximate fingerprint →
-    rows-only check)."""
-    return dedup.simhash_dedup(load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6)
+    """Per-document 64-bit SimHash signatures, oracle-checked bit-for-bit (the
+    md5-prefix token hash is reproducible in SQL; the top bit contributes the
+    signed wrap). Hamming-banded pair mining over these signatures is
+    exercised in tests/test_operators.py."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
 
 
 # =============================================================================
