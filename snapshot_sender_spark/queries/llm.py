@@ -335,11 +335,23 @@ def _rolling_hash(text: pd.Series) -> pd.Series:
     return text.map(h)
 
 
-@query("text_fingerprint_rolling", oracle=None, category="llm-text")
+@query(
+    "text_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, ch) -> (acc * 257 + ch) % 2305843009213693951) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+    category="llm-text",
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling-hash fingerprint (Rabin-Karp style, mod 2^61-1) via
-    Arrow-vectorized pandas UDF — the shift-resistant variant that SQL can't
-    express; rows-only check."""
+    """Polynomial rolling-hash fingerprint (Rabin-Karp style, base 257 mod
+    2^61−1) via Arrow-vectorized pandas UDF, oracle-checked: DuckDB's
+    list_reduce folds the same recurrence over the (ASCII) character codes."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", _rolling_hash(F.col("text")).alias("fingerprint"))
 
