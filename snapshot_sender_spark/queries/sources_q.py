@@ -98,6 +98,30 @@ def source_jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_type, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM part GROUP BY p_type
+    """,
+    category="source",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → scan → aggregate (the columnar alternative to parquet;
+    same pushdown/pruning machinery)."""
+    d = _roundtrip_dir(sf_dir, "orc")
+    _write_once(
+        d,
+        lambda tmp: load(spark, sf_dir, "part").write.mode("overwrite").orc(tmp),
+    )
+    p = spark.read.orc(d)
+    return p.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_money(F.col("p_retailprice"))).cast("double").alias("total_price"),
+    )
+
+
+@query(
     "json_serialize",
     oracle="""
     SELECT event_id,
