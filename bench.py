@@ -22,6 +22,9 @@ from snapshot_sender_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "join_inner_3way",
     "join_range_theta",
     "join_asof_last_click",
