@@ -1,0 +1,119 @@
+"""The reference's full integration scenario matrix in one run
+(SnapshotSenderIntegrationTest.kt + docker-compose: three sender instances →
+three correlation ids against one status table):
+
+  123 / db.core.claimant   — files exported and delivered  → Sent n/n
+  321 / db.database.empty  — nothing exported              → Received 0/0 + indicator
+  111 / db.database.sent   — already sent in a prior run   → stays Sent 10/10
+
+All seven golden assertion families checked across the combined state."""
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.plans import delivery, job, status
+from snapshot_sender_spark.sources import fixtures as fx
+
+N_FILES = 5
+RECORDS = 8
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("golden")
+    table = str(root / "status_table")
+
+    # seed rows (environment.sh:84-101)
+    seed = spark.createDataFrame(
+        [("111", "db.database.sent", "Sent", 10, 10)], status.STATUS_SCHEMA
+    )
+    status.upsert_status(spark, table, seed)
+
+    # scenario 123: real delivery
+    f = fx.generate(str(root / "claimant"), n_files=N_FILES, records_per_file=RECORDS, seed=71)
+    r123 = job.run_delivery_job(
+        spark, f.input_dir, f.status_dir, f.output_dir, table,
+        delivery.RunConfig(correlation_id="123", topic_name=f.topic),
+        files_exported=N_FILES,
+    )
+
+    # scenario 321: empty topic
+    empty_in = str(root / "empty_in")
+    os.makedirs(empty_in)
+    open(os.path.join(empty_in, "metadata.sidecar.jsonl"), "w").close()
+    r321 = job.run_delivery_job(
+        spark, empty_in, str(root / "empty_status"), str(root / "empty_out"), table,
+        delivery.RunConfig(correlation_id="321", topic_name="db.database.empty"),
+        files_exported=0,
+    )
+    return f, table, r123, r321
+
+
+def test_marker_and_output_per_input(world):
+    f, _, r123, _ = world
+    # golden 1+2: one .finished per input, one renamed .json.gz per input
+    assert sorted(os.listdir(f.status_dir)) == sorted(x + ".finished" for x in f.files)
+    assert sorted(p for p in os.listdir(f.output_dir) if p.endswith(".json.gz")) == sorted(
+        x.replace(".txt.gz.enc", ".json.gz") for x in f.files
+    )
+
+
+def test_outputs_parse(world):
+    f, *_ = world
+    # golden 5: valid gzip, exact record count, parseable JSON lines
+    for name in os.listdir(f.output_dir):
+        if not name.endswith(".json.gz") or name.startswith("_"):
+            continue
+        lines = gzip.decompress(open(os.path.join(f.output_dir, name), "rb").read())
+        parsed = [json.loads(x) for x in lines.decode().strip().split("\n")]
+        assert len(parsed) == RECORDS
+
+
+def test_status_matrix(spark, world):
+    f, table, *_ = world
+    # golden 4: Sent n/n, Received 0/0, Sent 10/10 across all three ids
+    rows = {
+        (r["CorrelationId"], r["CollectionName"]): (
+            r["CollectionStatus"], r["FilesExported"], r["FilesSent"]
+        )
+        for r in status.load_status(spark, table).collect()
+    }
+    assert rows[("123", "db.core.claimant")] == ("Sent", N_FILES, N_FILES)
+    assert rows[("321", "db.database.empty")] == ("Received", 0, 0)
+    assert rows[("111", "db.database.sent")] == ("Sent", 10, 10)
+
+
+def test_success_indicators(world):
+    f, _, r123, r321 = world
+    # golden 3: indicators for delivered and empty topics
+    assert os.path.basename(r123.success_indicator) == "_core_claimant_successful.gz"
+    assert os.path.basename(r321.success_indicator) == "_database_empty_successful.gz"
+    with open(r321.success_indicator, "rb") as fh:
+        assert gzip.decompress(fh.read()) == b""
+
+
+def test_completion_and_monitoring(spark, world):
+    _, table, r123, r321 = world
+    # golden 6: every correlation id completed successfully; monitoring JSON shape
+    comp = {
+        r["CorrelationId"]: r["completion_status"]
+        for r in status.completion_status(status.load_status(spark, table)).collect()
+    }
+    assert set(comp.values()) == {"COMPLETED_SUCCESSFULLY"}
+    for rep in (r123, r321):
+        msg = json.loads(rep.monitoring_message)
+        assert {e["key"] for e in msg["custom_elements"]} == {
+            "Export date", "Correlation Id", "Snapshot type",
+        }
+
+
+def test_counters(world):
+    _, _, r123, r321 = world
+    # golden 7 (engine-side counter families)
+    assert r123.counters["snapshot_sender_files_sent_success"] == N_FILES
+    assert r123.records_parsed == N_FILES * RECORDS
+    assert r321.files_delivered == 0 and r321.records_parsed == 0
