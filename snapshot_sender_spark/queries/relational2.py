@@ -271,6 +271,27 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_cume_dist",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS cd
+    FROM supplier
+    """,
+    category="window",
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist: rows ≤ current / partition size — exact rational of small
+    ints, identical double on both engines under a total order."""
+    from pyspark.sql import Window as W2
+
+    s = load(spark, sf_dir, "supplier")
+    w = W2.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey", "s_nationkey", "s_acctbal", F.cume_dist().over(w).alias("cd")
+    )
+
+
+@query(
     "window_first_last_nth",
     oracle="""
     SELECT s_nationkey, s_suppkey, s_acctbal,
