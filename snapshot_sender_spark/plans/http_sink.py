@@ -87,8 +87,13 @@ def http_deliver(
     the SQL engine: it returns a *receipt* DataFrame (one row per delivered
     file) that composes with ``df.observe`` counters — RDD-level foreach
     actions never fire SQL observation metrics — and doubles as the delivery
-    manifest for the status aggregation. The caller materializes the receipts
-    (count/write), which is what executes the POSTs."""
+    manifest for the status aggregation.
+
+    The receipts are materialized exactly once here (eager ``localCheckpoint``)
+    before being returned: a side-effecting transformation must not re-run on
+    every downstream action (count-then-write, AQE stage retry, speculation),
+    or every materialization would re-POST the partition. Downstream actions
+    read the checkpointed partitions instead."""
     rows = decrypted.select(
         "fileName", "outputFileName", "database", "collection", "topic", "decrypted"
     )
@@ -120,11 +125,13 @@ def http_deliver(
                     req.add_header("Content-Type", "application/octet-stream")
                     try:
                         with urllib.request.urlopen(req, timeout=30) as resp:
-                            if 200 <= resp.status < 300:
+                            # Only 200 counts as delivered (HttpWriter.kt:82-115
+                            # retries everything else, including other 2xx).
+                            if resp.status == 200:
                                 status = resp.status
                                 break
                             raise urllib.error.HTTPError(
-                                url, resp.status, "non-2xx", resp.headers, None
+                                url, resp.status, "non-200", resp.headers, None
                             )
                     except Exception:
                         if attempt == max_retries - 1:
@@ -151,4 +158,6 @@ def http_deliver(
                 out, columns=["fileName", "topic", "status_code", "attempts", "bytes_sent"]
             )
 
-    return rows.mapInPandas(post_batches, schema=RECEIPT_SCHEMA)
+    # Eager, replicated local checkpoint: runs the POSTs exactly once, now;
+    # every later count/collect/write on the result reuses the stored rows.
+    return rows.mapInPandas(post_batches, schema=RECEIPT_SCHEMA).localCheckpoint(eager=True)

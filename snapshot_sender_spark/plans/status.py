@@ -65,8 +65,8 @@ def collection_status(status: DataFrame) -> DataFrame:
     """The reference's collection-status decision
     (DynamoDBExportStatusService.kt:113-141):
       Exported ∧ exported==sent ∧ sent>0 → Sent
-      exported==0                        → Received  (NO_FILES_EXPORTED, :125-127,:154)
-      else                               → unchanged (IN_PROGRESS)."""
+      Exported ∧ exported==0 ∧ sent==0   → Received  (NO_FILES_EXPORTED, :121-131,:154)
+      else                               → unchanged (IN_PROGRESS / Export_Failed)."""
     return status.withColumn(
         "CollectionStatus",
         F.when(
@@ -75,7 +75,12 @@ def collection_status(status: DataFrame) -> DataFrame:
             & (F.col("FilesSent") > 0),
             F.lit("Sent"),
         )
-        .when(F.col("FilesExported") == 0, F.lit("Received"))
+        .when(
+            (F.col("CollectionStatus") == "Exported")
+            & (F.col("FilesExported") == 0)
+            & (F.col("FilesSent") == 0),
+            F.lit("Received"),
+        )
         .otherwise(F.col("CollectionStatus")),
     )
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -59,6 +60,11 @@ def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:
     """DataFrame of fileNames that already have a `.finished` marker
     (the reference's FinishedFilterProcessor.kt:17-27 existence probe,
     re-expressed as data for a left_anti join)."""
+    # Only a missing/empty dir means "nothing finished"; a real I/O or
+    # permission error must propagate — silently returning the empty set would
+    # defeat the idempotent-restart filter and re-deliver everything.
+    if not os.path.isdir(status_dir):
+        return spark.createDataFrame([], "fileName string")
     try:
         markers = (
             spark.read.format("binaryFile")
@@ -66,7 +72,7 @@ def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:
             .load(status_dir)
             .select(F.element_at(F.split(F.col("path"), "/"), -1).alias("marker"))
         )
-    except Exception:  # empty/missing dir
+    except AnalysisException:  # dir exists but matches no files → empty set
         return spark.createDataFrame([], "fileName string")
     return markers.select(
         F.regexp_replace(F.col("marker"), r"\.finished$", "").alias("fileName")

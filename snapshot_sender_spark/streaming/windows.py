@@ -31,8 +31,16 @@ def _events_stream_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
+    target = os.path.join(sf_dir, "events.parquet")
+    # Concurrent sessions race on the same link (TOCTOU); a stale link can
+    # also point at a moved sf_dir. Validate, then create tolerating the race.
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # another session won the race with the same target
     return d
 
 

@@ -108,6 +108,30 @@ def test_status_transitions(spark, fixture, run):
     assert final[("111", "db.database.sent")] == ("Sent", 10, 10)
 
 
+def test_received_requires_exported_status(spark):
+    # DynamoDBExportStatusService.kt:121-131 — NO_FILES_EXPORTED flips to
+    # Received ONLY when CollectionStatus=='Exported' and sent==0; a failed or
+    # in-flight row with 0 files must pass through unchanged, or completion
+    # could report COMPLETED_SUCCESSFULLY for a failed run.
+    rows = [
+        ("c", "exported.empty", "Exported", 0, 0),
+        ("c", "failed.empty", "Export_Failed", 0, 0),
+        ("c", "exporting.empty", "Exporting", 0, 0),
+        ("c", "exported.sent.mismatch", "Exported", 0, 3),
+    ]
+    df = spark.createDataFrame(rows, status.STATUS_SCHEMA)
+    out = {
+        r["CollectionName"]: r["CollectionStatus"]
+        for r in status.collection_status(df).collect()
+    }
+    assert out == {
+        "exported.empty": "Received",
+        "failed.empty": "Export_Failed",
+        "exporting.empty": "Exporting",
+        "exported.sent.mismatch": "Exported",
+    }
+
+
 def test_completion_aggregate(spark):
     # DynamoDBExportStatusService.kt:79-102
     rows = [

@@ -51,12 +51,19 @@ def test_push_gateway_gated():
 class _Receiver(http.server.BaseHTTPRequestHandler):
     store = []
     fail_first_n = 0
+    respond_202_first_n = 0
 
     def do_POST(self):
         cls = type(self)
         if cls.fail_first_n > 0:
             cls.fail_first_n -= 1
             self.send_response(503)
+            self.end_headers()
+            return
+        if cls.respond_202_first_n > 0:
+            cls.respond_202_first_n -= 1
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self.send_response(202)
             self.end_headers()
             return
         body = self.rfile.read(int(self.headers["Content-Length"]))
@@ -72,6 +79,7 @@ class _Receiver(http.server.BaseHTTPRequestHandler):
 def receiver():
     _Receiver.store = []
     _Receiver.fail_first_n = 0
+    _Receiver.respond_202_first_n = 0
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Receiver)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -119,6 +127,36 @@ def test_http_sink_retries_then_succeeds(spark, tmp_path, receiver):
     ).collect()
     assert len(_Receiver.store) == 1
     assert receipts[0]["attempts"] == 3  # two 503s, success on third
+
+
+def test_http_sink_materializes_once(spark, tmp_path, receiver):
+    # Re-running downstream actions must not re-POST: the receipts are
+    # checkpointed inside http_deliver, so count+collect+count = 1 send/file.
+    srv, url = receiver
+    f = fx.generate(str(tmp_path), n_files=2, records_per_file=4, seed=21)
+    cfg = delivery.RunConfig(correlation_id="once", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    receipts = http_sink.http_deliver(
+        result.delivered, url, correlation_id="once", export_date="d"
+    )
+    assert receipts.count() == 2
+    assert len(receipts.collect()) == 2
+    assert receipts.count() == 2
+    assert len(_Receiver.store) == 2  # not 6
+
+
+def test_http_sink_202_is_not_success(spark, tmp_path, receiver):
+    # HttpWriter.kt:82-115: only 200 counts as delivered; other 2xx retried.
+    srv, url = receiver
+    _Receiver.respond_202_first_n = 1
+    f = fx.generate(str(tmp_path), n_files=1, records_per_file=3, seed=22)
+    cfg = delivery.RunConfig(correlation_id="s202", topic_name=f.topic)
+    result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+    receipts = http_sink.http_deliver(
+        result.delivered, url, correlation_id="s202", export_date="d", backoff_s=0.01
+    ).collect()
+    assert receipts[0]["attempts"] == 2  # 202 retried, 200 accepted
+    assert receipts[0]["status_code"] == 200
 
 
 def test_http_sink_exhausts_retries(spark, tmp_path, receiver):
