@@ -98,11 +98,15 @@ def main():
     try:
         cfg = dlv.RunConfig(correlation_id="bench", topic_name="db.core.claimant",
                             reprocess_files=True)
-        # warm the session file-status cache (one-time listing, steady-state
-        # engines keep the file index resident)
-        dlv.build_decrypted(
-            spark, os.path.join(fixture_root, "input"), status_dir, cfg
-        ).delivered.select("fileName").limit(1).count()
+        # warm the full path once — file-status listing, decrypt-UDF workers
+        # (cryptography import), from_json codegen: steady-state engines keep
+        # workers and compiled plans resident, same rationale as the numpy
+        # warmup above
+        dlv.parse_records(
+            dlv.build_decrypted(
+                spark, os.path.join(fixture_root, "input"), status_dir, cfg
+            ).delivered
+        ).count()
         t0 = time.perf_counter()
         result = dlv.build_decrypted(
             spark, os.path.join(fixture_root, "input"), status_dir, cfg

@@ -39,7 +39,11 @@ from pyspark.sql import types as T
 
 from ..functions import crypto, text
 from ..sources import fixtures as fx
-from ..sources.listing import read_encrypted_files, read_finished_markers
+from ..sources.listing import (
+    read_encrypted_files,
+    read_encryption_meta,
+    read_finished_markers,
+)
 
 # Payload record schema (FIXTURES.md §A1; producer shape s3_files.py:40-75)
 RECORD_SCHEMA = T.StructType(
@@ -164,10 +168,20 @@ def build_decrypted(
 
     # 5. data-key resolution: distinct keys → external lookup → broadcast join.
     #    distinct() is tiny (a handful of keys per run); collecting it to the
-    #    driver IS the operator — one network call per distinct key.
+    #    driver IS the operator — one network call per distinct key. The key
+    #    set comes from the metadata side alone (minus finished files), never
+    #    touching the content scan: this mirrors the reference's processor
+    #    order (finishedFilter → dataKey, JobConfiguration.kt:61-64 — name
+    #    validation and topic blocking happen later, in the writer), and keeps
+    #    the driver job O(metadata), not O(objects).
+    key_source = read_encryption_meta(spark, input_dir)
+    if not cfg.reprocess_files:
+        key_source = key_source.join(
+            F.broadcast(read_finished_markers(spark, status_dir)), "fileName", "left_anti"
+        )
     pairs = [
         (r["dataKeyEncryptionKeyId"], r["cipherText"])
-        for r in valid.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
+        for r in key_source.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
     ]
     resolved = key_lookup(pairs)
     keys_df = spark.createDataFrame(

@@ -34,6 +34,15 @@ ENCRYPTION_META_SCHEMA = T.StructType(
 )
 
 
+def read_encryption_meta(spark: SparkSession, input_dir: str) -> DataFrame:
+    """The per-object encryption metadata (fileName, iv, keyId, cipherText) —
+    the S3 user-metadata side of the source (S3DirectoryReader.kt:86-98),
+    tiny: one short row per object."""
+    return spark.read.schema(ENCRYPTION_META_SCHEMA).json(
+        os.path.join(input_dir, "metadata.sidecar.jsonl")
+    )
+
+
 def read_encrypted_files(spark: SparkSession, input_dir: str) -> DataFrame:
     """One row per encrypted object: (path, fileName, content, iv,
     dataKeyEncryptionKeyId, cipherText) — the EncryptedStream analog
@@ -49,11 +58,8 @@ def read_encrypted_files(spark: SparkSession, input_dir: str) -> DataFrame:
             F.col("content"),
         )
     )
-    meta = spark.read.schema(ENCRYPTION_META_SCHEMA).json(
-        os.path.join(input_dir, "metadata.sidecar.jsonl")
-    )
     # metadata side is tiny (one short row per object) → broadcast
-    return objects.join(F.broadcast(meta), "fileName", "inner")
+    return objects.join(F.broadcast(read_encryption_meta(spark, input_dir)), "fileName", "inner")
 
 
 def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:
