@@ -10,8 +10,8 @@
   exact re-rank inside candidate buckets. Sub-linear candidate set at 100 TB;
   brute force stays as the recall baseline.
 
-* ``ivf_topk`` — IVF-style: k-means-ish coarse centroids (here: LSH bucket ids
-  as the coarse quantizer stand-in), probe nearest buckets only.
+* ``ivf_topk`` — IVF: seeded pyspark.ml KMeans coarse quantizer, probe the
+  nearest ``n_probe`` centroid buckets only, exact re-rank inside them.
 """
 
 from __future__ import annotations

@@ -36,6 +36,28 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_rocksdb_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_rocksdb_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate on the RocksDB state store provider —
+    identical results to the default HDFS-backed store (same oracle), with
+    state held off-heap: the configuration for 100 TB key cardinality."""
+    events = sw.read_events_stream(spark, sf_dir)
+    return sw.run_to_memory(
+        sw.tumbling_counts(events, "6 hours"), "complete", state_store="rocksdb"
+    )
+
+
+@query(
     "stream_sliding_counts",
     oracle="""
     SELECT window_start, COUNT(*) AS n FROM (

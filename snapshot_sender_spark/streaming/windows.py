@@ -56,8 +56,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+    stream_df: DataFrame,
+    output_mode: str,
+    state_partitions: int = 8,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the materialized result as a batch DataFrame.
@@ -66,12 +72,22 @@ def run_to_memory(
     file-replay micro-batches the store init dominates wall time, so the
     query runs with a reduced stateful shuffle width (results are partition-
     count independent). The conf is restored afterwards — on a real cluster
-    state width is sized to the key space, not trimmed."""
+    state width is sized to the key space, not trimmed.
+
+    ``state_store='rocksdb'`` runs the query on the RocksDB state store
+    provider — the 100 TB configuration: state lives off-heap/on-disk per
+    partition instead of in the executor heap, so key cardinality is bounded
+    by disk, not memory (provider instantiation fails loudly if the class is
+    unavailable, so a green run proves the provider was active)."""
     spark = stream_df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if state_store == "rocksdb":
+            spark.conf.set(provider_key, ROCKSDB_PROVIDER)
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -82,6 +98,11 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store == "rocksdb":
+            if prev_provider:
+                spark.conf.set(provider_key, prev_provider)
+            else:
+                spark.conf.unset(provider_key)
     return spark.table(name)
 
 

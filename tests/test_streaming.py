@@ -105,6 +105,30 @@ def test_streaming_dedup_exactly_once(spark, sf_dir):
     assert n_stream == n_batch  # doubled input, deduped back to exact counts
 
 
+def test_rocksdb_state_store_multi_batch(spark, event_dir):
+    """The RocksDB state store provider carries windowed state across
+    micro-batches and produces results identical to the default provider
+    (provider instantiation fails loudly on a bad class, so a green run
+    proves RocksDB was active)."""
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    events = _stream(spark, event_dir, schema)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    out = sw.run_to_memory(agg, "complete", state_store="rocksdb")
+    got = {r["ws"].isoformat(): r["n"] for r in out.collect()}
+    # all three batches accumulated: window 00:00 has events 1,2 + late 4
+    assert got["2024-01-01T00:00:00"] == 3
+    assert got["2024-01-01T03:00:00"] == 2
+    # the session conf is restored afterwards
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != sw.ROCKSDB_PROVIDER
+    )
+
+
 def test_stateful_running_max(spark, event_dir):
     """applyInPandasWithState: state carries across micro-batches (two files →
     two batches via maxFilesPerTrigger=1)."""
