@@ -98,13 +98,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def _jaccard_gemm_broadcast(
+    shingled: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Broadcast form of the blocked Jaccard GEMM for corpora that fit in a
+    broadcast (the analog of broadcast-join selection): the CSR-ified shingle
+    table ships once per executor, the shuffle carries only (block_i, block_j)
+    task ids, and each task densifies its two row blocks from the broadcast.
+    Eliminates the 2×(n_blocks+1)-fold row duplication and the per-group
+    Arrow array-of-array conversion that dominate the shuffle path locally.
+    Bit-identical results: same 0/1 counts, same float64 division."""
+    import numpy as np
+    import pandas as pd
+
+    rows = shingled.collect()  # guarded by the caller's size check
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    arrs = [np.asarray(r["shingles"], dtype=np.int64) for r in rows]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    vocab, cols_flat = np.unique(flat, return_inverse=True)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    # block assignment mirrors the shuffle path: id mod n_blocks
+    block_of = (ids % n_blocks).astype(np.int64)
+    order = np.argsort(block_of, kind="stable")
+    spark = shingled.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {
+            "ids": ids,
+            "cols": cols_flat.astype(np.int32),
+            "offsets": offsets,
+            "lens": lens,
+            "n_vocab": len(vocab),
+            "by_block": {int(b): order[block_of[order] == b] for b in range(n_blocks)},
+        }
+    )
+
+    def run_pairs(batches):
+        d = bc.value
+
+        def dense(rowsel):
+            m = np.zeros((len(rowsel), d["n_vocab"]), dtype=np.float32)
+            rr = np.repeat(np.arange(len(rowsel)), d["lens"][rowsel])
+            cc = np.concatenate(
+                [d["cols"][d["offsets"][r] : d["offsets"][r + 1]] for r in rowsel]
+            ) if len(rowsel) else np.empty(0, dtype=np.int32)
+            m[rr, cc] = 1.0
+            return m
+
+        for pdf in batches:
+            outs = []
+            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+                ra_sel = d["by_block"].get(int(bi), np.empty(0, dtype=np.int64))
+                rb_sel = d["by_block"].get(int(bj), np.empty(0, dtype=np.int64))
+                if not len(ra_sel) or not len(rb_sel):
+                    continue
+                ma, mb = dense(ra_sel), (None if bi == bj else dense(rb_sel))
+                counts = (ma @ (ma if mb is None else mb).T).astype(np.float64)
+                sa = d["lens"][ra_sel].astype(np.float64)[:, None]
+                sb = d["lens"][rb_sel].astype(np.float64)[None, :]
+                jac = counts / (sa + sb - counts)
+                ids_a, ids_b = d["ids"][ra_sel], d["ids"][rb_sel]
+                if bi == bj:
+                    mask = (jac >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                else:
+                    mask = jac >= threshold
+                ra, cb = np.nonzero(mask)
+                if len(ra):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ids_a[ra], ids_b[cb]),
+                                "id_b": np.maximum(ids_a[ra], ids_b[cb]),
+                                "jaccard": jac[ra, cb],
+                            }
+                        )
+                    )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+
+    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+    ncores = spark.sparkContext.defaultParallelism
+    pair_df = spark.createDataFrame(pairs, "bi int, bj int").repartition(min(len(pairs), ncores))
+    return pair_df.mapInPandas(run_pairs, schema="id_a long, id_b long, jaccard double")
+
+
 def ngram_jaccard_pairs_gemm(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
-    n_blocks: int = 8,
+    n_blocks: int = 16,
     max_vocab: int = 65536,
+    broadcast_max_elems: int = 16_000_000,
 ) -> DataFrame:
     """Exact word-bigram Jaccard pairs via blocked matrix multiply.
 
@@ -117,19 +204,34 @@ def ngram_jaccard_pairs_gemm(
     the kernel and filtered to survivors before leaving the task.
 
     Result-identical to ``ngram_jaccard_pairs`` (same threshold semantics), so
-    it shares the same SQL oracle. Falls back to the join plan when the
-    shingle vocabulary exceeds ``max_vocab`` (dense width limit; the sparse /
+    it shares the same SQL oracle: shingles are mapped to int64 by JVM-side
+    xxhash64 before shipping (4× smaller Arrow payload, integer unique/
+    searchsorted in the kernel) — a hash collision *within one doc-pair's
+    union* would be needed to perturb a count, P < 1e-9 at the dense-width
+    guard's vocabulary cap. Falls back to the join plan when the shingle
+    vocabulary exceeds ``max_vocab`` (dense width limit; the sparse /
     feature-hashed variant is the next rung)."""
     import numpy as np
     import pandas as pd
 
-    # No global shingle vocabulary: each block-pair task factorizes the shingle
-    # strings it actually sees (local index width ≤ union of two blocks'
-    # vocabularies). Avoids the global-distinct + window + back-join prep pass.
-    indexed = df.select(
+    # No global shingle vocabulary: shingles hash to int64 in the JVM and each
+    # block-pair task factorizes the hashes it actually sees (local index
+    # width ≤ union of two blocks' vocabularies). Avoids the global-distinct +
+    # window + back-join prep pass.
+    shingled = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
-    ).withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+        F.transform(
+            F.array_distinct(word_bigrams(F.col(text_col))), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    )
+    # one stats pass decides the physical strategy (≡ broadcast-join
+    # selection): corpus small enough to broadcast → broadcast-GEMM (no data
+    # shuffle); vocabulary too wide for dense blocks → posting-list join
+    stats = shingled.agg(F.sum(F.size("shingles")).alias("elems")).first()
+    total_elems = stats["elems"] or 0
+    if total_elems <= broadcast_max_elems:
+        return _jaccard_gemm_broadcast(shingled, threshold, n_blocks)
+    indexed = shingled.withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
     # dense-width guard: big vocabularies → the posting-list join plan instead
     est = (
         indexed.select(F.explode("shingles").alias("s"))
@@ -147,6 +249,16 @@ def ngram_jaccard_pairs_gemm(
     )
     grouped = indexed.join(F.broadcast(assign), "block").repartition("bi", "bj")
 
+    def densify(rows: pd.DataFrame, vocab: "np.ndarray"):
+        # vectorized 0/1 matrix build: one searchsorted over the flattened
+        # hashes, row ids by repeat — no per-row Python loop
+        arrs = [np.asarray(v, dtype=np.int64) for v in rows["shingles"]]
+        lens = np.array([len(x) for x in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        m = np.zeros((len(arrs), len(vocab)), dtype=np.float32)
+        m[np.repeat(np.arange(len(arrs)), lens), np.searchsorted(vocab, flat)] = 1.0
+        return m, lens
+
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == "a"]
         b = pdf[pdf["side"] == "b"]
@@ -156,24 +268,17 @@ def ngram_jaccard_pairs_gemm(
         if a.empty or b.empty:
             return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
 
-        # local factorization: shingle strings → dense column ids for this task
-        all_shingles = np.concatenate(
-            [np.concatenate(a["shingles"].to_numpy()), np.concatenate(b["shingles"].to_numpy())]
+        vocab = np.unique(
+            np.concatenate(
+                [np.concatenate(a["shingles"].to_numpy()), np.concatenate(b["shingles"].to_numpy())]
+            ).astype(np.int64, copy=False)
         )
-        local_vocab, _ = np.unique(all_shingles, return_inverse=True)
-        n_vocab = len(local_vocab)
-        lookup = {s: i for i, s in enumerate(local_vocab)}
-
-        def densify(rows):
-            m = np.zeros((len(rows), n_vocab), dtype=np.float32)
-            for r, shingles in enumerate(rows["shingles"]):
-                m[r, [lookup[s] for s in shingles]] = 1.0
-            return m
-
-        ma, mb = densify(a), densify(b)
+        ma, lens_a = densify(a, vocab)
+        mb, lens_b = densify(b, vocab)
         counts = (ma @ mb.T).astype(np.float64)  # |A∩B| — exact ints ≤ vocab ≪ 2^24
-        sa = ma.sum(axis=1, dtype=np.float64)[:, None]
-        sb = mb.sum(axis=1, dtype=np.float64)[None, :]
+        # set sizes are the (pre-distinct) shingle-array lengths
+        sa = lens_a.astype(np.float64)[:, None]
+        sb = lens_b.astype(np.float64)[None, :]
         # float64 division of exact integers — bit-identical to the SQL oracle
         jac = counts / (sa + sb - counts)
         ids_a = a["id"].to_numpy()

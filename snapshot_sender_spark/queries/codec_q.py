@@ -78,3 +78,49 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+@query(
+    "sample_systematic_hash",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE ((l_orderkey * 2654435761 + l_linenumber * 40503) % 100 + 100) % 100 < 10
+    GROUP BY l_returnflag
+    """,
+    category="sampling",
+)
+def sample_systematic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable ~10% systematic sample: a Knuth multiplicative hash of
+    the row key mod 100 — the same rows are selected by ANY engine (unlike
+    seeded Bernoulli RNGs), which is what reproducible training-data splits
+    need. All arithmetic stays in exact BIGINT range."""
+    l = load(spark, sf_dir, "lineitem")
+    bucket = F.pmod(
+        F.col("l_orderkey").cast("bigint") * F.lit(2654435761).cast("bigint")
+        + F.col("l_linenumber").cast("bigint") * F.lit(40503),
+        F.lit(100),
+    )
+    return (
+        l.filter(bucket < 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query("sql_tablesample", oracle=None, category="sampling")
+def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL TABLESAMPLE surface (REPEATABLE seed → deterministic within
+    Spark; rows-only oracle since the sampling RNG is engine-specific)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ts")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders_ts TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        GROUP BY o_orderstatus
+        """
+    )
