@@ -103,8 +103,78 @@ def cosine_pairs(df: DataFrame, vec_col: str, id_col: str, threshold: float) -> 
     )
 
 
+def _cosine_gemm_broadcast(
+    quant: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Broadcast form of the blocked cosine GEMM (broadcast-join-selection
+    analog, see dedup._jaccard_gemm_broadcast): the quantized matrix ships
+    once per executor, the shuffle carries only block-pair ids. Bit-identical
+    to the shuffle path — same integer grid, same float64 division."""
+    import numpy as np
+    import pandas as pd
+
+    rows = quant.collect()  # guarded by the caller's size check
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([np.asarray(r["qv"], dtype=np.float64) for r in rows])
+    block_of = (ids % n_blocks).astype(np.int64)
+    spark = quant.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {
+            "ids": ids,
+            "mat": mat,
+            "norm": np.sqrt((mat * mat).sum(axis=1)),
+            "by_block": {
+                int(b): np.nonzero(block_of == b)[0] for b in range(n_blocks)
+            },
+        }
+    )
+
+    def run_pairs(batches):
+        d = bc.value
+        for pdf in batches:
+            outs = []
+            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+                sa = d["by_block"].get(int(bi), np.empty(0, dtype=np.int64))
+                sb = d["by_block"].get(int(bj), np.empty(0, dtype=np.int64))
+                if not len(sa) or not len(sb):
+                    continue
+                cos = (d["mat"][sa] @ d["mat"][sb].T) / (
+                    d["norm"][sa][:, None] * d["norm"][sb][None, :]
+                )
+                ids_a, ids_b = d["ids"][sa], d["ids"][sb]
+                if bi == bj:
+                    mask = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                else:
+                    mask = cos >= threshold
+                ra, cb = np.nonzero(mask)
+                if len(ra):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ids_a[ra], ids_b[cb]),
+                                "id_b": np.maximum(ids_a[ra], ids_b[cb]),
+                                "cosine": cos[ra, cb],
+                            }
+                        )
+                    )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+
+    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+    ncores = spark.sparkContext.defaultParallelism
+    pair_df = spark.createDataFrame(pairs, "bi int, bj int").repartition(min(len(pairs), ncores))
+    return pair_df.mapInPandas(run_pairs, schema="id_a long, id_b long, cosine double")
+
+
 def cosine_pairs_gemm(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float, n_blocks: int = 8
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+    broadcast_max_elems: int = 16_000_000,
 ) -> DataFrame:
     """Blocked-GEMM form of ``cosine_pairs`` — result-identical (same quantized
     integer grid), O(n²·d) done as float64 matrix products instead of per-pair
@@ -123,7 +193,11 @@ def cosine_pairs_gemm(
         F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT).cast("long")).alias(
             "qv"
         ),
-    ).withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
+    )
+    stats = quant.agg(F.sum(F.size("qv")).alias("elems")).first()
+    if (stats["elems"] or 0) <= broadcast_max_elems:
+        return _cosine_gemm_broadcast(quant, threshold, n_blocks)
+    quant = quant.withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
     pair_rows = [
         (i, j, s, i if s == "a" else j)
         for i in range(n_blocks)
