@@ -76,6 +76,41 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: recompute the metadata struct and shrink the payload
+    proportionally to the pixel-count ratio (stand-in for a real resampler —
+    the byte budget `len·(tw·th)/(w·h)` in exact integer math is what a
+    nearest-neighbor downsample would produce; the interpolation itself is
+    the documented stub). Binary in, binary out, one Arrow crossing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                data = bytes(content or b"")
+                w = int(meta["width"]) if meta is not None and meta["width"] else target_w
+                h = int(meta["height"]) if meta is not None and meta["height"] else target_h
+                out_len = (len(data) * target_w * target_h) // max(1, w * h)
+                resized = data[:out_len]
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": target_w,
+                        "height": target_h,
+                        "n_bytes_out": len(resized),
+                        "content_sha": hashlib.sha256(resized).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes_out", "content_sha"],
+            )
+
+    return df.mapInPandas(
+        run, schema="media_id long, width int, height int, n_bytes_out long, content_sha string"
+    )
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing: slice the binary into evenly spaced windows
     (stand-in for video frame extraction; the slicing/partitioning is the real

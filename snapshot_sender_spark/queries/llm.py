@@ -385,6 +385,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+           (length(text) * 1024) // ((100 + doc_id % 100) * 50) AS n_bytes_out,
+           sha256(substring(text, 1,
+             CAST((length(text) * 1024) // ((100 + doc_id % 100) * 50) AS INT)))
+             AS content_sha
+    FROM documents
+    """,
+    category="llm-multimodal",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing to 32×32 over synthesized media metadata (width
+    100+id%100, height 50): the byte budget len·(tw·th)/(w·h) in exact
+    integer math on both engines; payload hash oracle-checked (ASCII text →
+    VARCHAR substring ≡ byte slice)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.lit(100) + F.col("doc_id") % 100).cast("int").alias("width"),
+            F.lit(50).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return multimodal.resize_media(d, target_w=32, target_h=32)
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id, CAST(i AS INT) AS frame_no,

@@ -167,3 +167,86 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no")).agg(
         F.min("ts").alias("session_start"), F.count("*").alias("n_events")
     )
+
+
+@query(
+    "text_levenshtein_match",
+    oracle="""
+    SELECT s.s_suppkey AS entity_key,
+           s.s_name, c.c_name,
+           levenshtein(s.s_name, c.c_name) AS edit_dist,
+           CASE WHEN levenshtein(s.s_name, c.c_name) <= 12 THEN 1 ELSE 0 END AS near_match
+    FROM supplier s JOIN customer c ON c.c_custkey = s.s_suppkey
+    """,
+    category="llm-text",
+)
+def text_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution primitive) — JVM-side
+    levenshtein over a keyed join, integer-exact on both engines."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    dist = F.levenshtein(F.col("s_name"), F.col("c_name"))
+    return s.join(c, c.c_custkey == s.s_suppkey).select(
+        F.col("s_suppkey").alias("entity_key"),
+        "s_name",
+        "c_name",
+        dist.alias("edit_dist"),
+        F.when(dist <= 12, 1).otherwise(0).alias("near_match"),
+    )
+
+
+@query(
+    "try_arithmetic_null_safe",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey % 5) = 0 THEN NULL
+                ELSE CAST(o_orderkey * 1000 AS DOUBLE) / (o_orderkey % 5) END AS price_per,
+           CASE WHEN (o_orderkey % 3) = 0 THEN NULL ELSE o_orderkey // (o_orderkey % 3) END AS key_div,
+           COALESCE(CAST(CASE WHEN o_orderstatus = 'O' THEN NULL
+                              ELSE o_orderkey END AS BIGINT), -1) AS safe_cast
+    FROM orders WHERE o_orderkey < 500
+    """,
+    category="scalar-null",
+)
+def try_arithmetic_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide / try_cast: error-free arithmetic yields NULL instead of
+    failing the job — the tolerant-pipeline arithmetic surface (division by
+    zero → NULL, mirrored as CASE guards in ANSI SQL)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_orderkey") * 1000, F.col("o_orderkey") % 5).alias("price_per"),
+        F.try_divide(F.col("o_orderkey"), F.col("o_orderkey") % 3).cast("bigint").alias("key_div"),
+        F.coalesce(
+            F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(F.col("o_orderkey")).cast("bigint"),
+            F.lit(-1),
+        ).alias("safe_cast"),
+    )
+
+
+@query(
+    "agg_histogram_fixed_bins",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bin_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bin_max
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="aggregation",
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-division binning — the portable
+    histogram primitive (engine histogram functions differ; the binning
+    expression is exact on both)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("bin_min"),
+            F.max("o_totalprice").cast("double").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
