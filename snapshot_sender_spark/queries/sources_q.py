@@ -122,6 +122,41 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_partition_pruning",
+    oracle="""
+    SELECT event_type, user_id % 8 AS user_bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+    """,
+    category="source",
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout (events partitioned by event_type) read
+    with a partition predicate: the scan lists only the two matching
+    directories — at 100 TB this is the difference between scanning the
+    selected partitions and scanning the table. The plan carries the
+    predicate as PartitionFilters (asserted in tests/test_plans.py), not a
+    post-scan filter."""
+    from ..tables import load as _load
+
+    d = _roundtrip_dir(sf_dir, "part_events")
+    _write_once(
+        d,
+        lambda tmp: _load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("long"))  # partition files keep raw nanos
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(tmp),
+    )
+    e = spark.read.parquet(d).filter(F.col("event_type").isin("click", "purchase"))
+    return e.groupBy("event_type", (F.col("user_id") % 8).alias("user_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "json_serialize",
     oracle="""
     SELECT event_id,

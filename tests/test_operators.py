@@ -162,3 +162,19 @@ def test_multimodal_frame_sample(spark):
     frames = multimodal.frame_sample(df, every_n_bytes=1024, max_frames=8).collect()
     assert len(frames) == 4
     assert sorted(r["frame_no"] for r in frames) == [0, 1, 2, 3]
+
+
+def test_multimodal_resize(spark):
+    import hashlib
+
+    data = bytes(range(200))
+    df = spark.createDataFrame(
+        [(1, data, ("image/png", 10, 10, None)), (2, data, ("image/png", 20, 10, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_media(df, 5, 10).collect()}
+    # pixel ratio 50/100 → half the bytes; 50/200 → a quarter
+    assert out[1]["n_bytes_out"] == 100
+    assert out[2]["n_bytes_out"] == 50
+    assert out[1]["width"] == 5 and out[1]["height"] == 10
+    assert out[1]["content_sha"] == hashlib.sha256(data[:100]).hexdigest()

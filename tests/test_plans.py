@@ -33,6 +33,15 @@ def test_column_pruning(spark, sf_dir):
     assert "l_extendedprice" in scan_line
 
 
+def test_partition_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "source_partition_pruning")
+    # the event_type predicate must prune partition directories at the scan,
+    # not filter rows afterwards
+    assert "PartitionFilters: [" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in scan_line
+
+
 def test_partial_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     # two-phase agg: map-side partial before the exchange
