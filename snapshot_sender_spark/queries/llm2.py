@@ -197,3 +197,126 @@ def pipeline_delivery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("record._version")).alias("max_version"),
         )
     )
+
+
+# =============================================================================
+# Context chunking / sequence packing / binned range join — batch 10
+# =============================================================================
+
+
+@query(
+    "text_chunk_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i // 150 AS INT) AS chunk_no,
+           substring(text, CAST(i AS INT) + 1, 200) AS chunk
+    FROM documents, UNNEST(range(0, length(text), 150)) AS t(i)
+    """,
+    category="llm-text",
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (200 chars, stride 150) via a
+    Python UDTF in a LATERAL join — the table-function surface; the chunk
+    grid is exact on both engines."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk string")
+    class ChunkText:
+        def eval(self, text: str, size: int, step: int):
+            if text is None:
+                return
+            for n, i in enumerate(range(0, len(text), step)):
+                yield n, text[i : i + size]
+
+    spark.udtf.register("chunk_text", ChunkText)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_chunk_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.chunk
+        FROM docs_chunk_v d, LATERAL chunk_text(d.text, 200, 150) c
+        """
+    )
+
+
+@query(
+    "pack_sequences_budget",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, tokens,
+             SUM(tokens) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT CAST((cum - tokens) // 512 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           SUM(tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM cum GROUP BY 1
+    """,
+    category="llm-text",
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing for training batches: documents (in id
+    order) are packed into bins of ~512 whitespace tokens via a running-sum
+    bucket — the deterministic packing primitive. The global order-by window
+    is the small-corpus form; at scale pack within hash partitions (same
+    expression over a partitioned window)."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = toks.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        cum.groupBy(
+            F.floor((F.col("cum") - F.col("tokens")) / 512).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    SELECT p.event_id, COUNT(*) AS n_clicks,
+           MIN(c.event_id) AS first_click
+    FROM events p
+    JOIN events c
+      ON c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    category="join",
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): clicks within ±30 min of each purchase.
+    Naively this is BroadcastNestedLoopJoin (O(n·m) compared pairs); the
+    binned operator (operators/rangejoin.py) explodes intervals into
+    30-minute buckets and joins on bucket equality + exact refinement — an
+    equi-keyed shuffle join that survives scale-up (plan asserted in
+    tests/test_plans.py)."""
+    from ..operators.rangejoin import interval_point_join_binned
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = interval_point_join_binned(
+        purchases, clicks, "w_start", "w_end", "ts", bucket_width_s=1800
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"), F.min("click_id").alias("first_click")
+    )

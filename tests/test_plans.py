@@ -42,6 +42,15 @@ def test_partition_pruning(spark, sf_dir):
     assert "event_type" in scan_line
 
 
+def test_binned_range_join_is_equi_keyed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_interval_binned")
+    # the bucket binning must turn the pure range predicate into an equi join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_partial_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q1_pricing_summary")
     # two-phase agg: map-side partial before the exchange
