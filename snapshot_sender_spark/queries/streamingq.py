@@ -158,3 +158,51 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return sw.run_to_memory(out, "update")
+
+
+@query(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained time-bucket rollup (hypertable-style continuous
+    aggregate): foreachBatch MERGEs mergeable partials (count, integer-cent
+    sum) into a persistent rollup table; the derived avg comes from partials
+    at read time. Final state equals the batch aggregate — the oracle.
+    Multi-batch merge + restart are exercised in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from ..streaming import rollup as ru
+
+    events = sw.read_events_stream(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="rollup_q_")
+    return ru.run_incremental_rollup(
+        events, os.path.join(work, "rollup"), os.path.join(work, "ckpt"), "6 hours"
+    )
+
+
+@query("agg_hll_sketch_merge", oracle=None, category="aggregation")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-group sketches built in
+    parallel, unioned to a global estimate — the re-aggregatable distinct-count
+    pattern (store sketches, not counts). Rows-only: the estimator is
+    engine-specific; accuracy vs exact is asserted in tests/test_operators.py."""
+    o = load(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg(F.col("o_custkey")).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_custkeys"),
+        F.sum("n_rows").alias("total_rows"),
+    )

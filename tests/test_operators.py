@@ -164,6 +164,21 @@ def test_multimodal_frame_sample(spark):
     assert sorted(r["frame_no"] for r in frames) == [0, 1, 2, 3]
 
 
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    from snapshot_sender_spark.queries import all_queries
+
+    row = all_queries()["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()[0]
+    from pyspark.sql import functions as F
+
+    exact = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()[0][0]
+    )
+    # union of per-group sketches estimates the global distinct within 5%
+    assert abs(row["approx_custkeys"] - exact) <= max(2, 0.05 * exact)
+
+
 def test_multimodal_resize(spark):
     import hashlib
 

@@ -105,6 +105,34 @@ def test_streaming_dedup_exactly_once(spark, sf_dir):
     assert n_stream == n_batch  # doubled input, deduped back to exact counts
 
 
+def test_incremental_rollup_multi_batch_and_restart(spark, event_dir, tmp_path):
+    """The foreachBatch rollup merges partials across micro-batches, and a
+    restart over the same checkpoint does not double-merge (exactly-once per
+    epoch via the streaming checkpoint)."""
+    from snapshot_sender_spark.streaming import rollup as ru
+
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    rollup_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = _stream(spark, event_dir, schema)  # 3 files → 3 micro-batches
+    out = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in ru.run_incremental_rollup(events, rollup_path, ckpt, "1 hour").collect()
+    }
+    # events 1,2 (b1) + late 4 (b3) in [00:00), event 3,5 (b1,b2) in [03:00)
+    assert out[("2024-01-01T00:00:00", "click")] == (3, 7.0)
+    assert out[("2024-01-01T03:00:00", "view")] == (2, 8.0)
+
+    # restart over the same checkpoint: no new data → no re-merge
+    events2 = _stream(spark, event_dir, schema)
+    again = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["sum_value"])
+        for r in ru.run_incremental_rollup(events2, rollup_path, ckpt, "1 hour").collect()
+    }
+    assert again == out
+
+
 def test_rocksdb_state_store_multi_batch(spark, event_dir):
     """The RocksDB state store provider carries windowed state across
     micro-batches and produces results identical to the default provider
