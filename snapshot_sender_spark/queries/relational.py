@@ -31,13 +31,33 @@ def _factor(c):
     return c.cast("decimal(4,2)")
 
 
+def _cents(c):
+    """Exact integer cents of a 2-decimal column: the decimal cast does the
+    HALF_UP shortest-repr rounding (same as _money), ×100 and the long cast
+    are then exact. Long arithmetic keeps the aggregate inside whole-stage
+    codegen — the DECIMAL(>18) sum falls off the fast path to BigDecimal,
+    which dominated the single-scan-task profile (~2× whole-query)."""
+    return (c.cast("decimal(12,2)") * 100).cast("long")
+
+
+def _from_cents(sum_col, scale: int):
+    """long Σcents·10^k → the identical double the DECIMAL-sum form yields:
+    decimal(38,·)/10^k is exact (result scale ≥ k), so the final double cast
+    is the single correct rounding — bit-equal to BigDecimal.doubleValue of
+    the decimal sum. Caller bound (documented): |Σ| < 2^63, i.e. rows ×
+    max-product < 9.2e18 — holds through sf100-scale sums; beyond that use
+    the decimal form."""
+    return (sum_col.cast("decimal(38,6)") / F.lit(10 ** scale)).cast("double")
+
+
 def dsum(c):
-    """Order-independent exact sum of a 2-decimal column, returned as double."""
-    return F.sum(_money(c)).cast("double")
+    """Order-independent exact sum of a 2-decimal column, returned as double
+    (integer-cents fast path, value-identical to SUM(DECIMAL(12,2))→DOUBLE)."""
+    return _from_cents(F.sum(_cents(c)), 2)
 
 
 def davg(c):
-    return (F.sum(_money(c)).cast("double") / F.count(c)).alias("davg")
+    return (_from_cents(F.sum(_cents(c)), 2) / F.count(c)).alias("davg")
 
 
 # SQL-side equivalents
@@ -78,30 +98,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Motivated by the reference's per-collection counters
     (MetricsConfiguration.kt:20-93) generalized to full grouped aggregation."""
     l = load(spark, sf_dir, "lineitem")
+    # integer-cents kernel: products/sums in long (codegen fast path), the
+    # exact-decimal division at the end — bit-equal to the DECIMAL-sum oracle
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_comp_c = 100 - _cents(F.col("l_discount"))  # ≡ cents(1 - d), 2-dec d
+    tax_comp_c = 100 + _cents(F.col("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity")).alias("sum_qty"),
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_money(F.col("l_extendedprice")) * _factor(1 - F.col("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(
-                _money(F.col("l_extendedprice"))
-                * _factor(1 - F.col("l_discount"))
-                * _factor(1 + F.col("l_tax"))
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(_money(F.col("l_quantity"))).cast("double") / F.count("l_quantity")).alias(
+            _from_cents(F.sum(price_c * disc_comp_c), 4).alias("sum_disc_price"),
+            _from_cents(F.sum(price_c * disc_comp_c * tax_comp_c), 6).alias("sum_charge"),
+            (_from_cents(F.sum(_cents(F.col("l_quantity"))), 2) / F.count("l_quantity")).alias(
                 "avg_qty"
             ),
-            (
-                F.sum(_money(F.col("l_extendedprice"))).cast("double")
-                / F.count("l_extendedprice")
-            ).alias("avg_price"),
-            (F.sum(_factor(F.col("l_discount"))).cast("double") / F.count("l_discount")).alias(
+            (_from_cents(F.sum(price_c), 2) / F.count("l_extendedprice")).alias("avg_price"),
+            (_from_cents(F.sum(_cents(F.col("l_discount"))), 2) / F.count("l_discount")).alias(
                 "avg_disc"
             ),
             F.count("*").alias("count_order"),

@@ -10,17 +10,17 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import query
-from .relational import _factor, _money
+from .relational import _cents, _factor, _from_cents, _money
 
 REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)"
 
 
 def _rev_col():
-    return (
-        F.sum(_money(F.col("l_extendedprice")) * _factor(1 - F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
-    )
+    # integer-cents kernel (relational._cents): value-identical to the
+    # DECIMAL-product sum in the REV oracle, ~2× faster (long codegen path)
+    return _from_cents(
+        F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))), 4
+    ).alias("revenue")
 
 
 @query(
