@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational2,
         scalar3_q,
         sources_q,
+        spark4_q,
         streamingq,
         tpch2_q,
         tpch_q,
