@@ -308,3 +308,71 @@ def lsh_ann_topk(
     candidates = model.approxNearestNeighbors(feats, qv, max(k * 4, 40))
     rescored = cosine_scores(candidates.select("id", F.col("arr")), "arr", query)
     return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def quantize_int8_arrow(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization via ``mapInArrow`` — the
+    embedding-compression step of a training-data pipeline (4× smaller than
+    float32, 8× than float64, before ANN indexing or storage).
+
+    Arrow-native path: batches arrive as pyarrow RecordBatches, the kernel is
+    vectorized numpy over the flattened list buffer — no per-row Python, no
+    pandas conversion. Per vector: scale = 127/max|x|, q_i = floor(x_i·scale)
+    (floor, not round — bit-portable, see queries/__init__). Emits
+    (id, scale, qsum, qmin, qmax) as the verifiable digest of the quantized
+    vector; all-zero vectors are passed through with scale NULL.
+
+    At 100 TB this runs embarrassingly parallel per batch with Arrow transfer
+    only — the same kernel shape as the GEMM dedup operators.
+    """
+    import pyarrow as pa
+
+    def quantize(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = np.asarray(
+                batch.column(batch.schema.get_field_index(id_col)), dtype=np.int64
+            )
+            lst = batch.column(batch.schema.get_field_index(vec_col))
+            # zero-copy off the Arrow list buffer: flatten() honors slices/offsets
+            flat = np.asarray(lst.flatten(), dtype=np.float64)
+            offsets = np.asarray(lst.offsets, dtype=np.int64)
+            offsets = offsets - offsets[0]  # flatten() already dropped the slice base
+            lens = np.diff(offsets)
+            n = len(ids)
+            maxabs = np.zeros(n)
+            nonempty = lens > 0
+            if nonempty.any():
+                # reduceat needs non-empty segments; compute on those only
+                starts = offsets[:-1][nonempty]
+                maxabs[nonempty] = np.maximum.reduceat(np.abs(flat), starts)
+            safe = maxabs > 0
+            scale_safe = np.where(safe, 127.0, 0.0) / np.where(safe, maxabs, 1.0)
+            scale = np.where(safe, scale_safe, np.nan)  # emitted (NaN → null)
+            q = np.floor(flat * np.repeat(scale_safe, lens)).astype(np.int64)
+            qsum = np.zeros(n, dtype=np.int64)
+            qmin = np.zeros(n, dtype=np.int64)
+            qmax = np.zeros(n, dtype=np.int64)
+            live = nonempty & (maxabs > 0)
+            if live.any():
+                starts = offsets[:-1][live]
+                qsum[live] = np.add.reduceat(q, starts)
+                qmin[live] = np.minimum.reduceat(q, starts)
+                qmax[live] = np.maximum.reduceat(q, starts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(scale, pa.float64(), from_pandas=True),  # NaN → null
+                    pa.array(qsum, pa.int64()),
+                    pa.array(qmin, pa.int64()),
+                    pa.array(qmax, pa.int64()),
+                ],
+                names=["id", "scale", "qsum", "qmin", "qmax"],
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).mapInArrow(
+        quantize, "id long, scale double, qsum long, qmin long, qmax long"
+    )

@@ -190,3 +190,226 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents", F.floor(F.col("value") * 100).cast("long")
     )
     return sw.run_to_memory(running_stats_transform(events), "update")
+
+
+@query(
+    "xml_from_xml_roundtrip",
+    oracle=f"""
+    SELECT c_nationkey AS nk,
+           COUNT(*) AS n,
+           {SQL_DSUM('c_acctbal')} AS total_bal,
+           MAX(c_custkey) AS max_key
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    category="xml",
+)
+def xml_from_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 native XML): serialize customer rows to XML with
+    to_xml, parse back with from_xml against an explicit schema, aggregate the
+    extracted typed fields. The raw-column oracle proves the XML round-trip is
+    lossless — the schema-on-read contract for XML feeds, same shape as the
+    VARIANT round-trip above."""
+    c = load(spark, sf_dir, "customer")
+    xml = c.select(
+        F.to_xml(F.struct("c_custkey", "c_nationkey", "c_acctbal")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml("x", "c_custkey bigint, c_nationkey int, c_acctbal double").alias("r")
+    ).select("r.*")
+    return parsed.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n"),
+        _from_cents(F.sum(_cents(F.col("c_acctbal"))), 2).alias("total_bal"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
+    "xml_xpath_extract",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    category="xml",
+)
+def xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over XML text (xpath_string / xpath_long): the
+    navigation API for XML payloads that arrive as strings — no schema pass,
+    the XML analog of get_json_object."""
+    o = load(spark, sf_dir, "orders")
+    xml = o.select(
+        F.concat(
+            F.lit("<order><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status><key>"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</key></order>"),
+        ).alias("x")
+    )
+    return (
+        xml.select(
+            F.xpath_string("x", F.lit("/order/status")).alias("status"),
+            F.expr("xpath_long(x, '/order/key')").alias("key"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n"), F.sum("key").alias("key_sum"))
+    )
+
+
+@query(
+    "string_collation_ci",
+    oracle="""
+    SELECT COUNT(CASE WHEN lower(pri_mixed) = '1-urgent' THEN 1 END) AS n_urgent_ci,
+           COUNT(CASE WHEN pri_mixed = '1-URGENT' THEN 1 END) AS n_urgent_cs,
+           COUNT(DISTINCT lower(pri_mixed)) AS n_distinct_ci,
+           COUNT(DISTINCT pri_mixed) AS n_distinct_cs
+    FROM (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS pri_mixed
+      FROM orders
+    )
+    """,
+    category="string",
+)
+def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): equality and DISTINCT
+    under UTF8_LCASE vs the default binary collation, over a deterministically
+    case-mangled column. Collation pushes case policy into the engine's
+    comparators (joins, aggregates, sorts all honor it) instead of wrapping
+    every predicate in lower() — at scale that keeps codegen'd comparisons
+    and avoids materializing a second folded column. Oracle folds with
+    lower(), the portable equivalent."""
+    o = load(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri_mixed")
+    )
+    ci = F.collate(F.col("pri_mixed"), "UTF8_LCASE")
+    return mixed.select(
+        F.count(F.when(ci == "1-urgent", 1)).alias("n_urgent_ci"),
+        F.count(F.when(F.col("pri_mixed") == "1-URGENT", 1)).alias("n_urgent_cs"),
+        F.count_distinct(ci).alias("n_distinct_ci"),
+        F.count_distinct(F.col("pri_mixed")).alias("n_distinct_cs"),
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT n_regionkey, substring(n_name, 1, 1) AS initial,
+           COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+    FROM nation
+    GROUP BY ALL
+    """,
+    category="sql",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — every non-aggregate select item becomes a grouping key
+    (identical syntax on both engines)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_regionkey, substring(n_name, 1, 1) AS initial,
+               COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+        FROM nation
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k,
+           COUNT(*) AS n_pairs, SUM(a.c_custkey + b.c_custkey) AS key_sum
+    FROM (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer WHERE c_custkey <= 300) a
+    JOIN (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer WHERE c_custkey <= 300) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+    category="join",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other instead of
+    dropping out — Spark plans this as a real equi-join (hash/sort-merge on
+    the null-safe key), not a cross product with a filter. DuckDB spells it
+    IS NOT DISTINCT FROM."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    keyed = c.select(
+        "c_custkey",
+        F.nullif((F.col("c_nationkey") % 5).cast("int"), F.lit(0)).alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    joined = a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+    return joined.groupBy(
+        F.coalesce(F.col("a.k").cast("string"), F.lit("NULL")).alias("k")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("a.c_custkey") + F.col("b.c_custkey")).alias("key_sum"),
+    )
+
+
+@query(
+    "array_posexplode_ordinal",
+    oracle="""
+    SELECT pos, COUNT(*) AS n, COUNT(DISTINCT word) AS n_words
+    FROM (
+      SELECT unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    )
+    WHERE pos < 5
+    GROUP BY pos
+    """,
+    category="array",
+)
+def array_posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — UNNEST WITH ORDINALITY: token position survives the
+    flatten, here profiling the first five token positions across the corpus
+    (position-dependent stats are the basis of positional n-gram models).
+    DuckDB's generate_subscripts is 1-based; normalized to 0-based."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("pos") < 5)
+        .groupBy("pos")
+        .agg(F.count("*").alias("n"), F.count_distinct("word").alias("n_words"))
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id AS id,
+           127.0 / NULLIF(maxabs, 0.0) AS scale,
+           CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+             list_sum(list_transform(emb, x -> floor(x * (127.0 / maxabs)))) END AS BIGINT) AS qsum,
+           CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+             list_min(list_transform(emb, x -> floor(x * (127.0 / maxabs)))) END AS BIGINT) AS qmin,
+           CAST(CASE WHEN maxabs = 0 THEN 0 ELSE
+             list_max(list_transform(emb, x -> floor(x * (127.0 / maxabs)))) END AS BIGINT) AS qmax
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    """,
+    category="llm-multimodal",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native int8 embedding quantization (operators/similarity.py::
+    quantize_int8_arrow, mapInArrow + vectorized numpy): per-vector symmetric
+    scale 127/max|x|, floor-quantized — the compression step before ANN
+    indexing / storage in a training-data pipeline. The per-vector digest
+    (scale, sum, min, max of the quantized values) hash-matches DuckDB's
+    list-lambda computation of the same grid, proving the Arrow kernel's
+    arithmetic is bit-portable IEEE float64."""
+    from ..operators.similarity import quantize_int8_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8_arrow(emb, "embedding", "vec_id")

@@ -150,3 +150,17 @@ def test_state_v2_gate_matches_environment():
     except ImportError:
         expected = False
     assert twstate.state_v2_available() is expected
+
+
+def test_quantize_int8_arrow_edge_cases(spark):
+    from snapshot_sender_spark.operators.similarity import quantize_int8_arrow
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0]), (3, []), (4, [2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["id"]: r for r in quantize_int8_arrow(df, "embedding", "vec_id").collect()}
+    assert rows[1]["qmin"] == -127 and rows[1]["qmax"] == 63  # scale = 127/1.0
+    assert rows[2]["scale"] is None and rows[2]["qsum"] == 0  # all-zero vector
+    assert rows[3]["scale"] is None  # empty vector
+    assert rows[4]["qmax"] == 127  # the max element lands exactly on 127
