@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QueryDef]:
         scalar3_q,
         sources_q,
         spark4_q,
+        sql2_q,
         streamingq,
         tpch2_q,
         tpch_q,
