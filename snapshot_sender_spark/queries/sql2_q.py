@@ -198,3 +198,93 @@ def csv_from_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         _from_cents(F.sum(_cents(F.col("p_retailprice"))), 2).alias("total_price"),
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           COALESCE(SUM(o_custkey), 0) AS cust_sum,
+           COALESCE(SUM(prio_len), 0) AS prio_len_sum
+    FROM (
+      SELECT o_orderstatus, o_custkey, NULL::BIGINT AS prio_len
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL BY NAME
+      SELECT length(o_orderpriority) AS prio_len, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    GROUP BY o_orderstatus
+    """,
+    category="set",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True) aligns by
+    column NAME and null-fills what either side lacks — how generations of a
+    dataset with drifted schemas append at scale (positional UNION would
+    silently mis-bind). DuckDB spells it UNION ALL BY NAME."""
+    o = load(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderstatus", "o_custkey")
+    gen2 = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.length("o_orderpriority").cast("long").alias("prio_len"), "o_orderstatus"
+    )
+    both = gen1.unionByName(gen2, allowMissingColumns=True)
+    return both.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("o_custkey"), F.lit(0)).alias("cust_sum"),
+        F.coalesce(F.sum("prio_len"), F.lit(0)).alias("prio_len_sum"),
+    )
+
+
+@query(
+    "source_schema_merge",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           COALESCE(SUM(s_suppkey), 0) AS key_sum,
+           COALESCE(SUM(extra_len), 0) AS extra_sum
+    FROM (
+      SELECT s_nationkey, s_suppkey, NULL::BIGINT AS extra_len
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT s_nationkey, s_suppkey, length(s_name) AS extra_len
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    GROUP BY s_nationkey
+    """,
+    category="source",
+)
+def source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution on scan: two file generations (the newer adds
+    an extra_len column) read as ONE dataset with mergeSchema=true — old files
+    surface NULL for the added column. At 100 TB schema drift is permanent;
+    merge-on-read beats rewriting history. The oracle reconstructs the same
+    union from the base table."""
+    import os
+    import tempfile
+
+    from ..util import write_once
+
+    s = load(spark, sf_dir, "supplier")
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "schema_merge_" + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:8],
+    )
+
+    def build(tmp):
+        s.filter(F.col("s_suppkey") % 2 == 0).select(
+            "s_nationkey", "s_suppkey"
+        ).write.parquet(os.path.join(tmp, "gen=1"))
+        s.filter(F.col("s_suppkey") % 2 == 1).select(
+            "s_nationkey",
+            "s_suppkey",
+            F.length("s_name").cast("long").alias("extra_len"),
+        ).write.parquet(os.path.join(tmp, "gen=2"))
+
+    write_once(d, build, probe=os.path.join(d, "gen=2", "_SUCCESS"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "false"
+    ).parquet(os.path.join(d, "gen=1"), os.path.join(d, "gen=2"))
+    return merged.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("s_suppkey"), F.lit(0)).alias("key_sum"),
+        F.coalesce(F.sum("extra_len"), F.lit(0)).alias("extra_sum"),
+    )
