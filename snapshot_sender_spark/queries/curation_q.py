@@ -1,0 +1,375 @@
+"""Corpus-curation surface: the LLM-training-data operators a 100 TB pipeline
+runs between raw scrape and tokenizer — repetition-based quality metrics
+(Gopher rules), benchmark decontamination (n-gram overlap), deterministic
+train/valid/test splitting, PII redaction, and exact stratified sampling.
+
+All five are pure DataFrame plans (no Python UDFs): explode/groupBy shuffles
+key-value pairs only (never full text), splits/sampling are stateless hash
+expressions that parallelize embarrassingly, and the decontamination join
+broadcasts nothing it doesn't have to — at 100 TB the benchmark n-gram set
+(MBs) broadcasts while the corpus side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+# =============================================================================
+# Gopher-style repetition / quality metrics
+# =============================================================================
+
+
+@query(
+    "text_gopher_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_word_frac,
+           CAST(SUM(length(w) * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS mean_word_len,
+           (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) <= 0.20
+            AND CAST(SUM(length(w) * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                  BETWEEN 3.0 AND 10.0) AS pass
+    FROM wc
+    GROUP BY doc_id
+    """,
+    category="llm-text",
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition metrics per document (Rae et al. 2021 §A1.1):
+    fraction of words taken by the most frequent word, fraction of words that
+    are repeats, mean word length — and the keep/drop verdict.
+
+    Scale shape: explodes to (doc_id, word) pairs and aggregates — the shuffle
+    carries words, never documents; two-phase agg combines map-side. All
+    divisions are same-input double ops (bit-identical across engines)."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    top_frac = F.max("c").cast("double") / n
+    dup_frac = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast("double") / n
+    mean_len = F.sum(F.length("w") * F.col("c")).cast("double") / n
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_word_frac"),
+        mean_len.alias("mean_word_len"),
+        ((top_frac <= 0.20) & mean_len.between(3.0, 10.0)).alias("pass"),
+    )
+
+
+# =============================================================================
+# Benchmark decontamination — n-gram overlap against a held-out set
+# =============================================================================
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws) - 3)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    cand AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+    SELECT cand.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM cand JOIN bench USING (gram)
+    GROUP BY cand.doc_id
+    """,
+    category="llm-text",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    5-gram with the held-out set (here: source='src0' plays the benchmark) —
+    the standard eval-leakage scrub (GPT-3 appendix C uses 13-grams).
+
+    Scale shape: the benchmark gram set is small (eval suites are MBs) →
+    broadcast to the corpus side; the corpus explodes to distinct
+    (doc_id, gram) pairs map-side, so the only shuffle is the final per-doc
+    count of matched grams."""
+    d = load(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 4),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+    )
+    exploded = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = exploded.filter(F.col("source") == "src0").select("gram").distinct()
+    cand = (
+        exploded.filter(F.col("source") != "src0").select("doc_id", "gram").distinct()
+    )
+    return (
+        cand.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+# =============================================================================
+# Deterministic train/valid/test split — stateless hash expression
+# =============================================================================
+
+
+@query(
+    "data_split_hash",
+    oracle="""
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    """,
+    category="llm-text",
+)
+def data_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment from a content-stable hash
+    (first md5 nibble: 12/16 train, 2/16 valid, 2/16 test) — reproducible
+    across runs and engines, no RNG state, no shuffle to assign; the only
+    shuffle is the audit count."""
+    d = load(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib <= "b", "train").when(nib <= "d", "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# =============================================================================
+# PII redaction — vectorized regex scrub
+# =============================================================================
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '[0-9]{4,}')) AS BIGINT) AS n_long_nums
+    FROM (
+      SELECT c_custkey,
+             c_name || ' <' || lower(replace(c_name, ' ', '.'))
+                    || '@corp.example.com> ref ' || CAST(c_custkey * 7919 AS VARCHAR)
+               AS raw
+      FROM customer
+    )
+    """,
+    category="llm-text",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace email addresses and long digit runs with typed
+    placeholders, and count what was removed (the audit trail). The PII-bearing
+    string is synthesized deterministically from customer rows because the
+    testdata carries no real PII — the operator (vectorized regexp_replace,
+    JVM-side, no UDF) is the deliverable.
+
+    Scale shape: stateless map — no shuffle at all; regex engines run
+    per-partition inside whole-stage codegen."""
+    c = load(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@corp.example.com> ref "),
+        (F.col("c_custkey") * 7919).cast("string"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    nums = r"[0-9]{4,}"
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), nums, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(raw, F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(nums), 0)).cast("long").alias("n_long_nums"),
+    )
+
+
+# =============================================================================
+# Exact stratified sample — k per stratum, deterministic order
+# =============================================================================
+
+
+@query(
+    "sample_stratified_exact",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    category="llm-text",
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=20 documents per language, chosen by hash order — a
+    deterministic stratified sample (same rows on every engine and run),
+    the eval-set carving primitive.
+
+    Scale shape: rank-within-stratum is a single hash-partitioned window;
+    skewed strata are bounded because only the top-k per partition survive
+    (Spark's WindowGroupLimit pushes the rn<=20 limit below the sort)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# =============================================================================
+# MinHash LSH, deterministic form — banding oracle-checked end-to-end
+# =============================================================================
+
+
+@query(
+    "dedup_minhash_banded",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id, j,
+             MIN(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15))::BIGINT)
+               AS mh
+      FROM g, UNNEST(range(0, 8)) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    b AS (
+      SELECT doc_id, j // 2 AS band,
+             CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR) || ':' ||
+             CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR) AS sig
+      FROM h GROUP BY doc_id, j // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND ga.gram = gb.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.id_a
+    JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+    """,
+    category="llm-dedup",
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with *deterministic* hash functions (md5-prefix,
+    reproducible in SQL), so the entire approximate pipeline — signatures,
+    band bucketing, candidate pairs, exact-Jaccard verification — is
+    oracle-checked bit-for-bit, unlike library MinHashLSH whose random
+    hyperplanes are engine-private (that variant is `dedup_minhash_lsh`).
+
+    k=8 hash functions in 4 bands of 2 (band-collision probability
+    1-(1-j²)⁴ ≈ .50 at j=.4). Scale shape: shuffles carry (doc_id, gram) and
+    fixed-width signatures only; band self-join keys on (band, sig) —
+    identical to the posting-list pattern, hot buckets bounded by band width."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    trigrams = F.zip_with(
+        F.slice(words, 1, n - 2),
+        F.zip_with(
+            F.slice(words, 2, n - 2), F.slice(words, 3, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    g = d.select("doc_id", F.explode(trigrams).alias("gram")).distinct()
+    h = (
+        g.select("doc_id", "gram", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("hv"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("hv").alias("mh"))
+    )
+    b = (
+        h.groupBy("doc_id", F.expr("j div 2").alias("band"))
+        .agg(
+            F.concat(
+                F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))).cast("string"),
+                F.lit(":"),
+                F.min(F.when(F.col("j") % 2 == 1, F.col("mh"))).cast("string"),
+            ).alias("sig")
+        )
+    )
+    b2 = b.select(F.col("doc_id").alias("id_b"), "band", "sig")
+    cand = (
+        b.select(F.col("doc_id").alias("id_a"), "band", "sig")
+        .join(b2, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    jac = F.col("ni").cast("double") / (
+        F.col("sa_n") + F.col("sb_n") - F.col("ni")
+    ).cast("double")
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("sa_n")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("sb_n")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )

@@ -102,3 +102,21 @@ def test_delivery_content_never_shuffles(spark, tmp_path):
     plan = result.delivered._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_curation_plans(spark, sf_dir):
+    """Curation operators keep their scale shape: the decontamination bench
+    set broadcasts (corpus side never shuffles grams twice), the stratified
+    sample pushes the k-limit below the window sort, and the PII scrub is a
+    shuffle-free JVM-side map."""
+    plan = plan_of(spark, sf_dir, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, sf_dir, "sample_stratified_exact")
+    assert "WindowGroupLimit" in plan
+
+    plan = plan_of(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
