@@ -373,3 +373,58 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.4)
     )
+
+
+# =============================================================================
+# TF-IDF term scoring — inverted-index statistics without float logs
+# =============================================================================
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, score FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM s
+    ) WHERE rk <= 3
+    """,
+    category="llm-text",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction / relevance
+    primitive. The idf is kept as the raw ratio N/df instead of log(N/df):
+    rank order within a document is identical (log is monotone) and the
+    division is a single same-input double op, bit-identical across engines —
+    float log is not.
+
+    Scale shape: tf and df are both two-phase aggregations over the exploded
+    (doc_id, term) stream; df (vocabulary-sized) broadcasts back; top-3 rides
+    WindowGroupLimit, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # one tiny job; the scalar both engines agree on
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    s = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        ((F.col("tf") * n_docs).cast("double") / F.col("df").cast("double")).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.select("doc_id", "term", "score", F.row_number().over(win).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score")
+    )

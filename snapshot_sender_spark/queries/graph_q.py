@@ -229,3 +229,80 @@ def date_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.make_date(F.year(d), F.lit(1), F.lit(1)).cast("timestamp").alias("year_start"),
         F.date_sub(d.cast("date"), 90).cast("timestamp").alias("minus_90d"),
     )
+
+
+@query(
+    "graph_pagerank_unrolled",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT src, dst FROM raw
+      UNION
+      SELECT dst AS src, src AS dst FROM raw
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+    i1 AS (
+      SELECT e.dst AS node,
+             150000 + (85 * SUM(s0.score // deg.d)) // 100 AS score
+      FROM e JOIN s0 ON s0.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    i2 AS (
+      SELECT e.dst AS node,
+             150000 + (85 * SUM(i1.score // deg.d)) // 100 AS score
+      FROM e JOIN i1 ON i1.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    i3 AS (
+      SELECT e.dst AS node,
+             150000 + (85 * SUM(i2.score // deg.d)) // 100 AS score
+      FROM e JOIN i2 ON i2.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, CAST(score AS BIGINT) AS score
+    FROM i3 ORDER BY score DESC, node LIMIT 20
+    """,
+    category="graph",
+)
+def graph_pagerank_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph, three synchronous
+    iterations in *integer* arithmetic (scores scaled ×1e6, per-edge integer
+    division) — deterministic on any engine and any partitioning because every
+    reduction is an integer sum, so the whole iteration is oracle-checked
+    (float PageRank can't be: summation order changes the bits).
+
+    Scale shape: the classic iterative join-aggregate — edges shuffle-keyed by
+    src once, each iteration is one shuffle on dst; scores (two longs/node)
+    are the only iterating state. On a cluster the edge table is persisted
+    across iterations and AQE handles hub-node skew."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    e = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # iterating over a shared, persisted edge list: the loop re-joins e each
+    # round, so materialize it once instead of recomputing the orders⋈lineitem
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    edges = e.join(deg, "src")  # (src, dst, d) — the static join, reused each iter
+    scores = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("score"))
+    for _ in range(3):
+        scores = (
+            edges.join(scores, edges.src == scores.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                (F.lit(150000) + F.expr("85 * sum(score div d) div 100")).alias("score")
+            )
+            .select(F.col("node2").alias("node"), F.col("score").cast("long"))
+        )
+    return scores.orderBy(F.desc("score"), F.asc("node")).limit(20)
