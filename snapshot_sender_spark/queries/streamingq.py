@@ -206,3 +206,121 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("approx_custkeys"),
         F.sum("n_rows").alias("total_rows"),
     )
+
+
+@query(
+    "stream_stream_full_outer",
+    oracle="""
+    SELECT p.purchase_id, c.click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM (SELECT event_id AS purchase_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    WHERE (p.ts IS NULL OR p.ts < TIMESTAMP '2024-01-25 00:00:00')
+      AND (c.ts IS NULL OR c.ts < TIMESTAMP '2024-01-25 00:00:00')
+    """,
+    category="streaming",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: unmatched rows on *either* side emit
+    with NULLs once the opposite side's watermark passes — purchases with no
+    prior click AND clicks that led to no purchase within 30 minutes, from one
+    stateful operator.
+
+    As in stream_stream_left_join, the comparison excludes rows near the
+    stream tail (their null-emission depends on the final state-watermark
+    position); both sides are bounded 6 days before end-of-stream, far past
+    the 1h delay + 30min join interval, where emission is guaranteed."""
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    purchases = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 30 MINUTES"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+    out = sw.run_to_memory(joined, "append")
+    return out.filter(
+        (F.col("p_ts").isNull() | (F.col("p_ts") < cutoff))
+        & (F.col("c_ts").isNull() | (F.col("c_ts") < cutoff))
+    ).select("purchase_id", "click_id", "user_id")
+
+
+@query(
+    "stream_join_then_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', p.ts) AS window_start,
+           COUNT(*) AS n_attributed
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    WHERE p.ts < TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY 1
+    """,
+    category="streaming",
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators in one streaming query (Spark 4's multiple-
+    stateful-operator support): stream-stream join → tumbling daily window
+    aggregation, both in append mode with a single pair of watermarks —
+    click-attributed purchases per day as a live pipeline.
+
+    Windows strictly before the cutoff are closed by end-of-stream (watermark
+    = max_ts − 1h on Jan 30; windows end Jan 25), so the aggregate is exact
+    and oracle-checkable; the open tail window is excluded on both engines."""
+    purchases = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(F.window("p_ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_attributed"))
+        .select(F.col("w.start").alias("window_start"), "n_attributed")
+    )
+    out = sw.run_to_memory(agg, "append")
+    return out.filter(F.col("window_start") < F.lit("2024-01-25").cast("timestamp"))
