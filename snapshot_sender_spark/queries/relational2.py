@@ -462,3 +462,46 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "uid").alias("from_map_uid"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "udaf_grouped_median",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS low_median,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    category="aggregation",
+)
+def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a grouped-agg pandas UDF (the UDAF surface):
+    exact lower median per group, computed vectorized over each group's
+    Arrow batch. Lower median (sorted[(n-1)//2]) rather than interpolated:
+    it's an element of the input, so the result is bit-identical to DuckDB's
+    quantile_disc — interpolated medians differ in final-ulp rounding between
+    engines.
+
+    Scale shape: grouped-agg UDFs shuffle each group to one task (no partial
+    aggregation) — correct for bounded group counts like this (5 priorities);
+    for high-cardinality keys the built-in percentile/median stays the fast
+    path (two-phase, JVM-side)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def low_median(v):
+        s = v.sort_values().reset_index(drop=True)
+        return float(s[(len(s) - 1) // 2])
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def group_n(v):
+        return len(v)
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
+    # in one agg() — both metrics go through the UDAF path
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        low_median("o_totalprice").alias("low_median"),
+        group_n("o_totalprice").alias("n"),
+    )

@@ -324,3 +324,33 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sw.run_to_memory(agg, "append")
     return out.filter(F.col("window_start") < F.lit("2024-01-25").cast("timestamp"))
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type FROM events
+    """,
+    category="streaming",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: exactly-once emission under an
+    at-least-once source, keyed by event_id with state retained only inside
+    the watermark delay. The duplicated input is the same event stream read
+    twice and unioned — every row arrives (at least) twice; the dedup state
+    must suppress the second copy.
+
+    The delay (40 days) exceeds the fixture's 30-day span so no state evicts
+    mid-run and the output is exactly the distinct set — deterministic
+    regardless of how AvailableNow slices micro-batches. At scale the delay is
+    sized to the real duplicate-arrival skew (hours), keeping state bounded —
+    the point of the WithinWatermark variant vs plain dropDuplicates."""
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    s1 = sw.read_events_stream(spark, sf_dir).select(*cols)
+    s2 = sw.read_events_stream(spark, sf_dir).select(*cols)
+    dedup = (
+        s1.union(s2)
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return sw.run_to_memory(dedup, "append")
