@@ -36,14 +36,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     _pin_session_confs(spark)
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark parquet
-        # reader rejects; read nanos as long and convert (values are micro-
-        # precision, so the truncation is lossless and matches DuckDB's view).
+        # events.parquet has stored ts either as TIMESTAMP(NANOS) (which the
+        # Spark parquet reader rejects unless read as long and converted) or,
+        # in newer generations, as plain TIMESTAMP(MICROS). Handle both.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+            # session tz is pinned UTC, so this cast is value-preserving; it
+            # keeps every downstream query's output type stable (TIMESTAMP)
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
