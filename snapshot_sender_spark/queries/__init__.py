@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QueryDef]:
         scalar3_q,
         sources_q,
         spark4_q,
+        spark41_q,
         sql2_q,
         streamingq,
         tpch2_q,
