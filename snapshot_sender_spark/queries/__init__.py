@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         relational2,
         scalar3_q,
+        scale_q,
         sources_q,
         spark4_q,
         spark41_q,

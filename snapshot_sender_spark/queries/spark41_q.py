@@ -189,6 +189,56 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_list_state_recent",
+    oracle="""
+    SELECT user_id, CAST(rn AS INT) AS rn, event_id FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    category="streaming",
+)
+def stream_list_state_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed ListState (state v2): a bounded last-3-events buffer per user,
+    truncated on every update so per-key state stays O(k) forever — the
+    recency-window shape that a full window-function rewrite would need
+    unbounded state for on a stream. Single-batch replay makes the final
+    emission equal the batch window-function oracle. Runs on
+    transformWithStateInPandas when protobuf is present, else the identical
+    fold on applyInPandasWithState (array-typed state tuple)."""
+    from ..streaming import windows as sw
+    from ..streaming.twstate import recent_events_transform
+
+    events = sw.read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    return sw.run_to_memory(recent_events_transform(events), "update")
+
+
+@query(
+    "stream_map_state_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+    category="streaming",
+)
+def stream_map_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed MapState (state v2): per-user map of event_type → running count —
+    a keyed sub-map per stream key, the reference's per-label metric counters
+    (MetricsConfiguration.kt:20-93) held as incremental state instead of a
+    re-aggregation. Emits the full current map each batch; single-batch
+    replay makes that the grouped-count oracle."""
+    from ..streaming import windows as sw
+    from ..streaming.twstate import type_counts_transform
+
+    events = sw.read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    return sw.run_to_memory(type_counts_transform(events), "update")
+
+
+@query(
     "sql_params_bound",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n, {SQL_DSUM('o_totalprice')} AS total

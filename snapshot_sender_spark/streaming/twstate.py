@@ -59,6 +59,65 @@ class RunningStatsProcessor(StatefulProcessor):
         pass
 
 
+class RecentEventsProcessor(StatefulProcessor):
+    """Per-key last-3 events by (ts desc, event_id desc), held in typed
+    ListState — the bounded-recency buffer shape (e.g. "most recent deliveries
+    per collection" over the reference's manifest). The list is truncated to
+    k=3 on every update, so state size is O(k) per key however long the
+    stream runs."""
+
+    K = 3
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent", "tsu bigint, event_id bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        pairs = [tuple(t) for t in self._recent.get()]
+        for pdf in rows:
+            pairs.extend(zip(pdf["tsu"].astype(int), pdf["event_id"].astype(int)))
+        pairs.sort(reverse=True)
+        pairs = pairs[: self.K]
+        self._recent.put([tuple(p) for p in pairs])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "rn": list(range(1, len(pairs) + 1)),
+                "event_id": [p[1] for p in pairs],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """Per-key MapState of event_type → running count — the reference's
+    per-label metric counters (MetricsConfiguration.kt:20-93) as keyed state:
+    a sub-key space per stream key, updated incrementally, emitted as the
+    full current map after each batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState("counts", "event_type string", "n bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        current = {k[0]: v[0] for k, v in self._counts.iterator()}
+        for pdf in rows:
+            for et, n in pdf["event_type"].value_counts().items():
+                current[et] = current.get(et, 0) + int(n)
+        for et, n in current.items():
+            self._counts.updateValue((et,), (n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(current),
+                "event_type": list(current.keys()),
+                "n": list(current.values()),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def state_v2_available() -> bool:
     """transformWithStateInPandas's Python worker speaks protobuf to the JVM
     state server; without google.protobuf the worker crashes at init."""
@@ -108,6 +167,90 @@ def running_stats_transform(events):
         fold,
         outputStructType=out_schema,
         stateStructType="n_events bigint, total_cents bigint, max_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def recent_events_transform(events):
+    """Per-user last-3 events (ts desc, event_id desc): ListState on state v2
+    when available, else the same bounded buffer as an array-typed
+    applyInPandasWithState tuple. Input needs columns (user_id, tsu, event_id);
+    output (user_id, rn int, event_id)."""
+    out_schema = "user_id bigint, rn int, event_id bigint"
+    if state_v2_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RecentEventsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        pairs = []
+        if state.exists:
+            tsus, ids = state.get
+            pairs = list(zip(tsus, ids))
+        for pdf in pdfs:
+            pairs.extend(zip(pdf["tsu"].astype(int), pdf["event_id"].astype(int)))
+        pairs.sort(reverse=True)
+        pairs = pairs[: RecentEventsProcessor.K]
+        state.update(([int(p[0]) for p in pairs], [int(p[1]) for p in pairs]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "rn": list(range(1, len(pairs) + 1)),
+                "event_id": [int(p[1]) for p in pairs],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="tsus array<bigint>, ids array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def type_counts_transform(events):
+    """Per-user event_type → count map: MapState on state v2 when available,
+    else parallel key/value arrays in the applyInPandasWithState tuple. Input
+    needs (user_id, event_type); output (user_id, event_type, n)."""
+    out_schema = "user_id bigint, event_type string, n bigint"
+    if state_v2_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCountsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        current = {}
+        if state.exists:
+            types, ns = state.get
+            current = dict(zip(types, ns))
+        for pdf in pdfs:
+            for et, n in pdf["event_type"].value_counts().items():
+                current[et] = current.get(et, 0) + int(n)
+        state.update((list(current.keys()), [int(v) for v in current.values()]))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(current),
+                "event_type": list(current.keys()),
+                "n": list(current.values()),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="types array<string>, ns array<bigint>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
