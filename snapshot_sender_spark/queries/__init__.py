@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         analytics_q,
         codec_q,
         corrupt_q,
+        coverage2_q,
         curation_q,
         graph_q,
         llm,

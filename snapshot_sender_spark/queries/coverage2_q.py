@@ -1,0 +1,139 @@
+"""Round-2 surface additions: dynamic-gap session windows, DataFrame
+transpose, and per-source corpus cap sampling.
+
+Dynamic-gap sessions generalize the fixed-gap session_window the engine
+already declares (SURVEY §2B "Streaming"): the reference's run-long activity
+sessions (PushGatewayServiceImpl.kt:22-26 periodic emission between jobs)
+have event-type-dependent quiet periods, which is exactly a per-event gap
+expression. Transpose is the Spark 4 DataFrame.transpose operator (metrics
+matrix pivot, the shape the reference's pushgateway grouping key produces).
+Per-source cap sampling is the corpus-balancing primitive every LLM data
+pipeline needs: bound any one domain/source's contribution deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN INTERVAL '10 minutes'
+                  ELSE INTERVAL '30 minutes' END AS gap
+      FROM events
+    ), o AS (
+      SELECT user_id, ts, event_id, ts + gap AS e,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM g
+    ), s AS (
+      SELECT user_id, ts, e,
+             SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT MIN(ts) AS session_start, MAX(e) AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    category="streaming",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a per-event gap expression (views cool off in 10
+    minutes, everything else in 30). Spark merges the per-event intervals
+    [ts, ts+gap) transitively; the oracle re-derives the same sessions with
+    the classic interval-merge idiom (running MAX of prior interval ends —
+    a new session starts exactly when ts >= every earlier end, matching
+    Spark's exclusive session end). The gap must be CalendarIntervalType,
+    hence make_interval, not an ANSI day-time interval literal."""
+    events = load(spark, sf_dir, "events")
+    gap = F.make_interval(
+        mins=F.when(F.col("event_type") == "view", F.lit(10)).otherwise(F.lit(30))
+    )
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "relational_transpose",
+    oracle="""
+    SELECT 'n_events' AS key,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS DOUBLE) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS DOUBLE) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS DOUBLE) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS DOUBLE) AS view
+    FROM events
+    UNION ALL
+    SELECT 'n_users',
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'click')    AS DOUBLE),
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'error')    AS DOUBLE),
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'purchase') AS DOUBLE),
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'signup')   AS DOUBLE),
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'view')     AS DOUBLE)
+    FROM events
+    """,
+    category="relational",
+)
+def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): a (metric × event_type) matrix flip.
+    The index column's values become column names, so the input is ordered
+    first for a deterministic column set; all measure cells share one type
+    (DOUBLE), transpose's requirement. The oracle builds the transposed
+    matrix directly with FILTER aggregates — both are exact integer counts
+    widened to double, so the hash comparison is bit-stable."""
+    events = load(spark, sf_dir, "events")
+    base = (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.countDistinct("user_id").cast("double").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+    return base.transpose()
+
+
+@query(
+    "curation_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 7
+    """,
+    category="curation",
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: cap any one source's contribution at K=7 documents,
+    chosen deterministically (rank by md5(text) — an unbiased, seedless
+    shuffle — tie-broken by doc_id). At 100 TB this is a single window over
+    the source-partitioned shuffle; Catalyst inserts WindowGroupLimit so each
+    partition keeps only K rows before the final filter, no full sort of the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+        .select("doc_id", "source")
+    )
