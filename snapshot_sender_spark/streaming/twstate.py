@@ -118,6 +118,89 @@ class TypeCountsProcessor(StatefulProcessor):
         pass
 
 
+class InactivityFlushProcessor(StatefulProcessor):
+    """Per-key inactivity flush via state-v2 *timers*: every batch with input
+    re-arms a processing-time timer `timeout_ms` ahead; if the key then sees
+    no input before the timer fires, handleExpiredTimer emits a final
+    (user_id, n_events, flushed=true) row and clears state — the reference's
+    end-of-run flush (JobCompletionNotificationListener.kt:31-58 finalizes
+    each collection's status when file flow stops) as an operator. Rows seen
+    while active are emitted with flushed=false update semantics."""
+
+    def __init__(self, timeout_ms: int = 1):
+        self._timeout_ms = timeout_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._n = handle.getValueState("n", "n_events bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._n.update((n,))
+        # re-arm: drop any prior timer, register a fresh inactivity deadline
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timer_values.getCurrentProcessingTimeInMs() + self._timeout_ms
+        )
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "flushed": [False]})
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        n = self._n.get()[0] if self._n.exists() else 0
+        self._n.clear()
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "flushed": [True]})
+
+    def close(self) -> None:
+        pass
+
+
+def inactivity_flush_transform(events, timeout_ms: int = 1):
+    """Inactivity flush on the best available arbitrary-state API: state-v2
+    timers (registerTimer/handleExpiredTimer, timeMode ProcessingTime) when
+    protobuf is importable, else applyInPandasWithState with
+    ProcessingTimeTimeout — the identical contract: while a key receives
+    input it emits (user_id, n_events, flushed=false); once `timeout_ms` of
+    processing time passes with no input for that key, one final
+    (user_id, n_events, flushed=true) row is emitted and the key's state is
+    dropped. Input needs a user_id column; output
+    (user_id, n_events, flushed)."""
+    out_schema = "user_id bigint, n_events bigint, flushed boolean"
+    if state_v2_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=InactivityFlushProcessor(timeout_ms),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get if state.exists else (0,)
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "flushed": [True]}
+            )
+            return
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "flushed": [False]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def state_v2_available() -> bool:
     """transformWithStateInPandas's Python worker speaks protobuf to the JVM
     state server; without google.protobuf the worker crashes at init."""

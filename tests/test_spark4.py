@@ -164,3 +164,58 @@ def test_quantize_int8_arrow_edge_cases(spark):
     assert rows[2]["scale"] is None and rows[2]["qsum"] == 0  # all-zero vector
     assert rows[3]["scale"] is None  # empty vector
     assert rows[4]["qmax"] == 127  # the max element lands exactly on 127
+
+
+def test_inactivity_flush_times_out_idle_keys(spark, tmp_path):
+    """One continuous query: both keys get input, their 1 ms inactivity
+    timers expire, each emits its flushed=true final row with the state-held
+    count, and the state is dropped — proven by feeding the key again and
+    seeing its count restart from zero instead of resuming."""
+    src = str(tmp_path / "flush_in")
+    ckpt = str(tmp_path / "flush_ckpt")
+    os.makedirs(src)
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], schema).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        twstate.inactivity_flush_transform(stream, timeout_ms=1)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("flush_run")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return {
+            (r["user_id"], r["n_events"], r["flushed"])
+            for r in spark.sql("SELECT * FROM flush_run").collect()
+        }
+
+    def wait_for(want, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = rows()
+            if want <= got:
+                return got
+            time.sleep(0.1)
+        raise AssertionError(f"timed out waiting for {want}, have {rows()}")
+
+    try:
+        # live counts, then inactivity flushes with the final per-key counts
+        wait_for({(1, 2, False), (2, 1, False), (1, 2, True), (2, 1, True)})
+        # feeding a flushed key restarts from empty state (flush cleared it)
+        spark.createDataFrame([(1, 7.0)], schema).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        got = wait_for({(1, 1, False)})
+        assert (1, 3, False) not in got  # state did NOT resume at the old count
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
