@@ -137,3 +137,109 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 7)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "agg_percentile_within_group",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS DOUBLE)
+             AS p25_disc_cents,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT))
+             AS p25_cont_cents,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS DOUBLE)
+             AS p90_disc_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregation",
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates PERCENTILE_DISC / PERCENTILE_CONT WITHIN
+    GROUP. Values are integer cents, so DISC picks an exact stored integer and
+    CONT's interpolation a + frac*(b-a) (frac ∈ {0, .25, .5, .75} — dyadic)
+    is exact in binary floating point on both engines — no round() anywhere."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS DOUBLE)
+                 AS p25_disc_cents,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT))
+                 AS p25_cont_cents,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT)) AS DOUBLE)
+                 AS p90_disc_cents
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_unpivot_clause",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS val FROM wide
+    UNION ALL
+    SELECT event_type, 'n_users', n_users FROM wide
+    """,
+    category="sql",
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL UNPIVOT clause (Spark 3.4+): wide metric columns → long
+    (metric, val) rows — the inverse of PIVOT, as first-class syntax rather
+    than the stack() expression (`unpivot_stack` declares that form). The
+    oracle is the ANSI UNION ALL expansion, proving the clause is sugar."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, metric, val FROM (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n_events,
+                 CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+          FROM events GROUP BY event_type
+        ) UNPIVOT (val FOR metric IN (n_events, n_users))
+        """
+    )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
+           CAST(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="sql",
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL PIVOT clause with an explicit IN list (the DataFrame pivot
+    form is `agg_pivot`). l_quantity is a whole-number double ≤ 50, so the
+    sums are exact integers in double arithmetic — order-independent, no
+    decimal detour needed."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem
+        ) PIVOT (
+          CAST(SUM(l_quantity) AS DOUBLE) FOR l_linestatus IN ('F' AS F, 'O' AS O)
+        )
+        """
+    )

@@ -120,3 +120,44 @@ def test_curation_plans(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """The 100 TB join pattern: a selective predicate on the dim side injects
+    a runtime bloom filter (bloom_filter_agg on the dim keys, might_contain
+    on the fact scan) so most fact rows drop BEFORE the shuffle. Thresholds
+    are lowered because local testdata is tiny — creationSideThreshold is the
+    MAX dim size allowed to build the filter, applicationSideScanSizeThreshold
+    the MIN fact size worth filtering; on a cluster the defaults (10 MB /
+    10 GB) pick the same shape for a real dim/fact pair. The filtered join
+    must return the same count as the unfiltered plan."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders")
+        dim = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(dim, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        n_bloom = j.count()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n_plain = li.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), li.l_orderkey == o.o_orderkey
+    ).count()
+    assert n_bloom == n_plain
