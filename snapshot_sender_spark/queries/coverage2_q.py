@@ -37,7 +37,7 @@ from . import query
       FROM g
     ), s AS (
       SELECT user_id, ts, e,
-             SUM(CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END)
+             SUM(CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
@@ -53,9 +53,11 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes, everything else in 30). Spark merges the per-event intervals
     [ts, ts+gap) transitively; the oracle re-derives the same sessions with
     the classic interval-merge idiom (running MAX of prior interval ends —
-    a new session starts exactly when ts >= every earlier end, matching
-    Spark's exclusive session end). The gap must be CalendarIntervalType,
-    hence make_interval, not an ANSI day-time interval literal."""
+    a new session starts only when ts is strictly AFTER every earlier end:
+    Spark merges an event landing exactly on the session end, pinned in
+    tests/test_streaming.py::test_dynamic_gap_session_boundaries). The gap
+    must be CalendarIntervalType, hence make_interval, not an ANSI day-time
+    interval literal."""
     events = load(spark, sf_dir, "events")
     gap = F.make_interval(
         mins=F.when(F.col("event_type") == "view", F.lit(10)).otherwise(F.lit(30))

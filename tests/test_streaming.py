@@ -190,3 +190,36 @@ def test_stateful_running_max(spark, event_dir):
     assert final[10][1] == 3  # events 1, 2 (batch 1) + 4 (batch 2)
     assert final[10][0] == 4.0  # max value arrived in batch 2
     assert final[11][1] == 2
+
+
+def test_dynamic_gap_session_boundaries(spark):
+    """Pins session_window's dynamic-gap semantics the oracle models: the
+    session-end boundary is INCLUSIVE for merging (an event at exactly the
+    current session's end still merges — only a strictly-later event starts
+    a new session), and a later event inside the merged window extends the
+    end by its own gap (running max of interval ends)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"),   # [00:00, 00:10)
+        (1, "2024-01-01 00:10:00", "click"),  # ts == prev end -> MERGES (inclusive), end 00:40
+        (1, "2024-01-01 00:35:00", "view"),   # 00:35 <= 00:40 -> merges, end max(40,45)=00:45
+        (1, "2024-01-01 00:45:01", "view"),   # strictly after 00:45 -> new [00:45:01, 00:55:01)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    gap = F.make_interval(
+        mins=F.when(F.col("event_type") == "view", F.lit(10)).otherwise(F.lit(30))
+    )
+    got = sorted(
+        (
+            str(r["start"]), str(r["end"]), r["n"]
+        )
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n")
+        .collect()
+    )
+    assert got == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:45:00", 3),
+        ("2024-01-01 00:45:01", "2024-01-01 00:55:01", 1),
+    ]
