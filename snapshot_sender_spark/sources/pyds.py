@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -96,6 +97,60 @@ class SnapshotListingReader(DataSourceReader):
             yield _file_row(part.ti, part.db, part.coll, fi, part.files)
 
 
+class _TopicRangePartition(InputPartition):
+    def __init__(self, ti: int, db: str, coll: str, lo: int, hi: int, total: int):
+        self.ti, self.db, self.coll = ti, db, coll
+        self.lo, self.hi, self.total = lo, hi, total
+
+
+class SnapshotListingStreamReader(DataSourceStreamReader):
+    """The listing as a *streaming* source (Spark 4 Python DataSource
+    streaming API): the offset is the per-run high-watermark of emitted file
+    indices ({"emitted": n}), each micro-batch advances it by up to
+    ``stream_batch_files`` per topic until ``files_per_topic`` is reached,
+    and ``partitions(start, end)`` plans one executor-side partition per
+    topic per offset range — the arrival-polling loop of the reference's
+    continuous deployment (it re-runs the batch job as new exports land) as
+    first-class source offsets, so the engine gets exactly-once via the
+    checkpoint instead of re-listing and re-filtering.
+
+    At 100 TB the offset would be the listing cursor (e.g. last-seen
+    StartAfter key per prefix); partitions stay per-prefix so each
+    micro-batch's listing is distributed and O(new files)."""
+
+    def __init__(self, options):
+        self.files_per_topic = int(options.get("files_per_topic", "100"))
+
+    def initialOffset(self):
+        return {"emitted": 0}
+
+    def latestOffset(self):
+        # poll result: how far the file universe has grown. A committed
+        # offset is never re-read: partitions() plans exactly [start, end),
+        # so a restarted query resumes from the checkpointed watermark and
+        # emits only files that arrived since.
+        return {"emitted": self.files_per_topic}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["emitted"]), int(end["emitted"])
+        if hi <= lo:
+            return []
+        return [
+            _TopicRangePartition(ti, db, coll, lo, hi, self.files_per_topic)
+            for ti, (db, coll) in enumerate(TOPICS)
+        ]
+
+    def read(self, part: _TopicRangePartition):
+        for fi in range(part.lo, part.hi):
+            yield _file_row(part.ti, part.db, part.coll, fi, part.total)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up; the checkpoint owns progress
+
+    def stop(self) -> None:
+        pass
+
+
 class SnapshotListingDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -106,6 +161,9 @@ class SnapshotListingDataSource(DataSource):
 
     def reader(self, schema: StructType):
         return SnapshotListingReader(self.options)
+
+    def streamReader(self, schema: StructType):
+        return SnapshotListingStreamReader(self.options)
 
 
 def register(spark) -> None:

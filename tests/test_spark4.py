@@ -219,3 +219,40 @@ def test_inactivity_flush_times_out_idle_keys(spark, tmp_path):
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_python_datasource_stream_offsets_and_resume(spark, tmp_path):
+    """The listing as a streaming source: offsets advance with the file
+    universe, and a restarted query resumes from the checkpointed watermark,
+    emitting ONLY files that arrived since — exactly-once across runs with
+    no re-listing (the streaming analog of the .finished anti-join)."""
+    pyds.register(spark)
+    ckpt = str(tmp_path / "pyds_ckpt")
+    out = str(tmp_path / "pyds_out")
+
+    def run(files_per_topic):
+        q = (
+            spark.readStream.format("snapshot_listing")
+            .option("files_per_topic", str(files_per_topic))
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = run(10)
+    assert len(first) == 6 * 10  # 6 topics x 10 files
+    assert {r["file_no"] for r in first} == set(range(10))
+
+    # universe grows to 15 files/topic; same checkpoint -> exactly the 5 new
+    # files per topic are appended on resume, nothing re-emitted
+    second = run(15)
+    assert len(second) == 6 * 15
+    new_rows = [r for r in second if r["file_no"] >= 10]
+    assert len(new_rows) == 6 * 5
+    assert {r["topic"] for r in new_rows} == {f"db.{d}.{c}" for d, c in pyds.TOPICS}
