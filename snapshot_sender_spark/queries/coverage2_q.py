@@ -245,3 +245,65 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "udtf_table_arg_gaps",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           COALESCE(MAX(epoch_us(ts) - epoch_us(prev_ts)), 0) AS max_gap_us
+    FROM (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ) GROUP BY user_id
+    """,
+    category="udtf",
+)
+def udtf_table_arg_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE(...) argument with PARTITION BY/ORDER BY
+    (Spark 4): per-user largest inter-event gap. The engine feeds each
+    partition's rows to one UDTF instance in ts order (eval per row,
+    terminate per partition) — the polymorphic-table-function surface the
+    LATERAL form (`text_chunk_udtf`) can't express, since it needs cross-row
+    state within an ordered partition. Gap multiset is invariant under tie
+    order, so max/count are deterministic; microsecond integers keep the
+    oracle exact."""
+    from datetime import timedelta
+
+    from pyspark.sql.functions import udtf
+
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.prev = None
+            self.max_gap = 0
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            if self.prev is not None:
+                gap = (row["ts"] - self.prev) // timedelta(microseconds=1)
+                if gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev = row["ts"]
+
+        def terminate(self):
+            if self.uid is not None:
+                yield self.uid, self.n, self.max_gap
+
+    spark.udtf.register("gap_stats", GapStats)
+    return spark.sql(
+        """
+        SELECT * FROM gap_stats(
+          TABLE(SELECT user_id, ts FROM events)
+          PARTITION BY user_id ORDER BY ts
+        )
+        """
+    )
