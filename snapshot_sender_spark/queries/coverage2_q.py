@@ -307,3 +307,44 @@ def udtf_table_arg_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "window_fill_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           NTH_VALUE(v, 2 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_seen
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+    category="window",
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): error readings are NULLed, then each row carries
+    the last non-null value via LAST_VALUE ... IGNORE NULLS over an ordered
+    per-user frame (plus NTH_VALUE IGNORE NULLS for the general form). The
+    values are carried, never combined, so floats pass through bit-identical;
+    (ts, event_id) ordering makes the frame total. At scale this is one
+    window over the user-partitioned shuffle — the standard telemetry
+    gap-fill without any self-join."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+        F.nth_value(v, 2, ignoreNulls=True).over(w).alias("second_seen"),
+    )
