@@ -223,3 +223,50 @@ def test_dynamic_gap_session_boundaries(spark):
         ("2024-01-01 00:00:00", "2024-01-01 00:45:00", 3),
         ("2024-01-01 00:45:01", "2024-01-01 00:55:01", 1),
     ]
+
+
+def test_streaming_dynamic_gap_sessions_merge_and_drop_late(spark, tmp_path):
+    """Dynamic-gap session windows under a watermark, across micro-batches
+    (append mode — the only supported mode for streaming session windows):
+    user 11's 03:10 view (b2) lands exactly on the end of the 03:00 session
+    from b1 and must MERGE into it (inclusive boundary, state carried across
+    batches); user 10's late 00:10 click (b3) arrives behind the watermark
+    after its session was finalized and must NOT reopen it; b4 advances the
+    watermark so the merged session is finalized and emitted."""
+    import time
+
+    d = str(tmp_path / "dyn_sess_in")
+    os.makedirs(d)
+    schema = "event_id long, ts string, user_id long, event_type string"
+    batches = [
+        [(1, "2024-01-01 00:05:00", 10, "click"),   # session [00:05, 00:35)
+         (3, "2024-01-01 03:00:00", 11, "view")],   # session [03:00, 03:10)
+        [(5, "2024-01-01 03:10:00", 11, "view")],   # == end -> merges, end 03:20
+        [(4, "2024-01-01 00:10:00", 10, "click")],  # behind watermark 02:10 -> drop
+        [(6, "2024-01-01 06:00:00", 12, "view")],   # watermark 05:00 finalizes u11
+    ]
+    for i, rows in enumerate(batches, 1):
+        df = spark.createDataFrame(rows, schema).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(f"{d}/b{i}")
+        time.sleep(1.1)
+    pq_schema = spark.read.parquet(d + "/b1").schema
+    events = _stream(spark, d, pq_schema)
+    gap = F.make_interval(
+        mins=F.when(F.col("event_type") == "view", F.lit(10)).otherwise(F.lit(30))
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("start"), F.col("w.end").alias("end"), "user_id", "n"
+        )
+    )
+    got = {
+        (r["user_id"], r["start"].isoformat(), r["end"].isoformat(), r["n"])
+        for r in sw.run_to_memory(agg, "append").collect()
+    }
+    assert got == {
+        (10, "2024-01-01T00:05:00", "2024-01-01T00:35:00", 1),  # late row kept out
+        (11, "2024-01-01T03:00:00", "2024-01-01T03:20:00", 2),  # cross-batch merge
+    }
