@@ -348,3 +348,32 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(v, ignorenulls=True).over(w).alias("filled"),
         F.nth_value(v, 2, ignoreNulls=True).over(w).alias("second_seen"),
     )
+
+
+@query(
+    "text_stats_arrow_udf",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_live,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+    category="llm-text",
+)
+def text_stats_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native scalar UDF (Spark 4.1 `arrow_udf`): the batch arrives as a
+    pyarrow.Array and is processed entirely with pyarrow.compute kernels —
+    no pandas materialization, no per-row Python. Counts chars, \S+ tokens,
+    and 'e' occurrences per document; all integers, so the oracle is exact.
+    This is the third vectorized-UDF tier the engine declares (pandas UDF →
+    mapInArrow → arrow_udf), the one with zero conversion overhead."""
+    from ..functions.arrowudfs import a_count_e, a_len, a_ws_tokens
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        a_len("text").alias("n_chars_live"),
+        a_ws_tokens("text").alias("ws_tokens"),
+        a_count_e("text").alias("n_e"),
+    )
