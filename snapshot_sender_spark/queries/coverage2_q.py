@@ -377,3 +377,97 @@ def text_stats_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_ws_tokens("text").alias("ws_tokens"),
         a_count_e("text").alias("n_e"),
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_orderkey > (SELECT MAX(l_orderkey) FROM lineitem) / 2
+    GROUP BY l_returnflag
+    """,
+    category="sql",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4: DECLARE / SET VAR): a cutoff computed
+    once into a typed variable, then referenced in a later statement — the
+    reference's run-scoped properties (correlation_id, export_date,
+    PropertyUtility.kt:5-11) as engine state instead of string templating.
+    The oracle inlines the same scalar subquery."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff BIGINT")
+    spark.sql("SET VAR cutoff = (SELECT MAX(l_orderkey) FROM lineitem) / 2")
+    return spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "WHERE l_orderkey > cutoff GROUP BY l_returnflag"
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    category="sql",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with positional USING parameters: the dynamic-SQL
+    form of parameterized queries (the spark.sql(args=...) API form is
+    `sql_parameterized`). Parameters bind as typed literals, not string
+    splices — injection-safe dynamic SQL."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n
+           FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?
+           GROUP BY o_orderpriority'
+          USING 200000.0, 'F'
+        """
+    )
+
+
+@query(
+    "sql_scripting_block",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE l_quantity >= 10) AS BIGINT)
+         + CAST(COUNT(*) FILTER (WHERE l_quantity >= 20) AS BIGINT)
+         + CAST(COUNT(*) FILTER (WHERE l_quantity >= 30) AS BIGINT)
+           AS total_ge_counts
+    FROM lineitem
+    """,
+    category="sql",
+)
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END with DECLARE/WHILE/SET): an
+    imperative loop over thresholds accumulating counts into a variable, the
+    procedural surface of the engine (the reference's chunk-loop control flow,
+    JobConfiguration.kt:41-52, lives in this layer when expressed in SQL).
+    The script's last statement is the result; the oracle collapses the loop
+    into FILTER aggregates."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE total BIGINT DEFAULT 0;
+          WHILE i <= 3 DO
+            SET total = total + (
+              SELECT COUNT(*) FROM lineitem WHERE l_quantity >= i * 10);
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS total_ge_counts;
+        END
+        """
+    )
