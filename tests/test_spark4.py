@@ -256,3 +256,37 @@ def test_python_datasource_stream_offsets_and_resume(spark, tmp_path):
     new_rows = [r for r in second if r["file_no"] >= 10]
     assert len(new_rows) == 6 * 5
     assert {r["topic"] for r in new_rows} == {f"db.{d}.{c}" for d, c in pyds.TOPICS}
+
+
+def test_ddl_column_defaults(spark, tmp_path):
+    """Column DEFAULT values on a parquet table: omitted columns and the
+    DEFAULT keyword both fill the declared default on INSERT — the
+    schema-evolution affordance for appending to delivery manifests whose
+    writers predate a new column."""
+    spark.sql("DROP TABLE IF EXISTS manifest_defaults")
+    spark.sql(
+        """
+        CREATE TABLE manifest_defaults (
+          fileName STRING,
+          status STRING DEFAULT 'Sent',
+          attempts INT DEFAULT 1
+        ) USING parquet
+        """
+    )
+    try:
+        spark.sql("INSERT INTO manifest_defaults VALUES ('a.json.gz', DEFAULT, DEFAULT)")
+        spark.sql("INSERT INTO manifest_defaults (fileName) VALUES ('b.json.gz')")
+        spark.sql(
+            "INSERT INTO manifest_defaults VALUES ('c.json.gz', 'Received', 3)"
+        )
+        got = {
+            r["fileName"]: (r["status"], r["attempts"])
+            for r in spark.sql("SELECT * FROM manifest_defaults").collect()
+        }
+        assert got == {
+            "a.json.gz": ("Sent", 1),
+            "b.json.gz": ("Sent", 1),
+            "c.json.gz": ("Received", 3),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS manifest_defaults")
