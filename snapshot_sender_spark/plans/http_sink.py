@@ -69,6 +69,24 @@ class DeliveryError(Exception):
 RECEIPT_SCHEMA = "fileName string, topic string, status_code int, attempts int, bytes_sent long"
 
 
+def _ssl_context(tls: dict | None):
+    """Build the task-local SSLContext from file paths (an SSLContext is not
+    picklable, so the sink ships paths and constructs per task) — the
+    reference's keystore config (SecureHttpClientProvider.kt:36-60:
+    trust.keystore → cafile, identity.keystore → certfile/keyfile for mutual
+    TLS)."""
+    if not tls:
+        return None
+    import ssl
+
+    ctx = ssl.create_default_context(cafile=tls.get("cafile"))
+    if tls.get("certfile"):
+        ctx.load_cert_chain(tls["certfile"], tls.get("keyfile"))
+    if tls.get("check_hostname") is False:
+        ctx.check_hostname = False
+    return ctx
+
+
 def http_deliver(
     decrypted: DataFrame,
     url: str,
@@ -78,6 +96,7 @@ def http_deliver(
     status_dir: str | None = None,
     max_retries: int = 5,
     backoff_s: float = 0.1,
+    tls: dict | None = None,
 ) -> DataFrame:
     """POST each file's payload with routing headers; at-least-once with
     idempotent markers. Retries per file: ``max_retries`` attempts with ×2
@@ -101,6 +120,7 @@ def http_deliver(
     def post_batches(batches):
         import pandas as pd
 
+        ctx = _ssl_context(tls)
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
@@ -124,7 +144,7 @@ def http_deliver(
                         req.add_header(k, v)
                     req.add_header("Content-Type", "application/octet-stream")
                     try:
-                        with urllib.request.urlopen(req, timeout=30) as resp:
+                        with urllib.request.urlopen(req, timeout=30, context=ctx) as resp:
                             # Only 200 counts as delivered (HttpWriter.kt:82-115
                             # retries everything else, including other 2xx).
                             if resp.status == 200:

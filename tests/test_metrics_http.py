@@ -170,3 +170,83 @@ def test_http_sink_exhausts_retries(spark, tmp_path, receiver):
             result.delivered, url, correlation_id="x", export_date="d",
             max_retries=2, backoff_s=0.01,
         ).count()
+
+
+def _make_self_signed(tmp_path):
+    """Self-signed localhost cert via the cryptography lib (already a crypto
+    dependency of the decrypt UDF)."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime(2026, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=3650))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.DNSName("localhost"), x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    certfile = str(tmp_path / "srv.crt")
+    keyfile = str(tmp_path / "srv.key")
+    with open(certfile, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    return certfile, keyfile
+
+
+def test_http_sink_tls(spark, tmp_path):
+    """Delivery over HTTPS with a private CA: the sink builds its SSLContext
+    from file paths inside the task (contexts don't pickle) and trusts the
+    receiver's self-signed cert via tls={'cafile': ...} — the reference's
+    trust.keystore config (SecureHttpClientProvider.kt:36-60)."""
+    import ssl
+
+    certfile, keyfile = _make_self_signed(tmp_path)
+    _Receiver.store = []
+    _Receiver.fail_first_n = 0
+    _Receiver.respond_202_first_n = 0
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Receiver)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"https://127.0.0.1:{srv.server_address[1]}/"
+        f = fx.generate(str(tmp_path), n_files=2, records_per_file=3, seed=31)
+        cfg = delivery.RunConfig(correlation_id="tls", topic_name=f.topic)
+        result = delivery.build_decrypted(spark, f.input_dir, f.status_dir, cfg)
+        receipts = http_sink.http_deliver(
+            result.delivered,
+            url,
+            correlation_id="tls",
+            export_date="d",
+            tls={"cafile": certfile, "check_hostname": False},
+        ).collect()
+        assert len(receipts) == 2 and all(r["status_code"] == 200 for r in receipts)
+        assert len(_Receiver.store) == 2
+    finally:
+        srv.shutdown()
