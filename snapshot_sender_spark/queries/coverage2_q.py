@@ -471,3 +471,45 @@ def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+             AS n_big_spenders
+    FROM events GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via roaring-style bitmaps (bitmap_bit_position
+    → bitmap_construct_agg per bucket → bitmap_count, summed): the
+    high-cardinality COUNT(DISTINCT) pattern that scales — each group's key
+    space shards into fixed-size bitmap buckets, partial aggregation builds
+    one small bitmap per (group, bucket) map-side, and the merge is bitwise
+    OR instead of a re-shuffle of raw ids; duplicate positions collapse in the
+    bitmap itself, so no pre-dedup pass exists anywhere in the plan.
+    Bit-exact ≡ COUNT(DISTINCT), which is the oracle."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               SUM(bitmap_count(bm)) AS n_users,
+               SUM(bitmap_count(bm_big)) AS n_big_spenders
+        FROM (
+          SELECT event_type,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm,
+                 bitmap_construct_agg(
+                   CASE WHEN value > 50 THEN bitmap_bit_position(user_id) END)
+                   AS bm_big
+          FROM events
+          GROUP BY event_type, bitmap_bucket_number(user_id)
+        )
+        GROUP BY event_type
+        """
+    )
