@@ -513,3 +513,39 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "string_url_parse",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/corpus/' || lang AS path,
+           'doc=' || CAST(doc_id AS VARCHAR) AS query,
+           CAST(doc_id AS VARCHAR) AS doc_param
+    FROM documents
+    """,
+    category="string",
+)
+def string_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url component extraction (HOST / PATH / QUERY / keyed QUERY
+    param) over URLs synthesized from document metadata — the crawl-corpus
+    provenance column every web-scale dataset carries. The oracle knows the
+    construction, so each extracted part is checked against its ground
+    truth."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/corpus/"),
+        F.col("lang"),
+        F.lit("?doc="),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
+    )
