@@ -549,3 +549,169 @@ def string_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("doc")).alias("doc_param"),
     )
+
+
+@query(
+    "pipeline_curation_e2e",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_words
+      FROM (
+        SELECT *, length(text) AS n_chars,
+               len(string_split(text, ' ')) AS nw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+      )
+      WHERE n_chars BETWEEN 120 AND 450 AND nw >= 25 AND uniq_ratio >= 0.30
+    ),
+    exact AS (
+      SELECT * FROM quality q
+      WHERE doc_id = (SELECT MIN(doc_id) FROM quality q2
+                      WHERE md5(lower(trim(q2.text))) = md5(lower(trim(q.text))))
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM exact),
+           UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id),
+    neardup_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM (SELECT a.doc_id AS id_a, b.doc_id AS doc_id, COUNT(*) AS n_shared
+            FROM shingled a JOIN shingled b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) b
+      JOIN sizes sa ON sa.doc_id = b.id_a
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      WHERE CAST(n_shared AS DOUBLE)
+            / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.5
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM exact),
+           UNNEST(range(1, len(ws) - 3)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+    ),
+    surviving AS (
+      SELECT * FROM exact
+      WHERE source <> 'src0'
+        AND doc_id NOT IN (SELECT doc_id FROM neardup_drop)
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS rk
+        FROM surviving
+      ) WHERE rk <= 5
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM capped
+    GROUP BY split, lang
+    """,
+    category="llm-pipeline",
+)
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-curation workflow as ONE oracle-checked plan, chaining
+    the operators the engine declares individually: quality gates → exact
+    dedup (min doc_id per content fingerprint) → near-dup drop (bigram
+    Jaccard ≥ 0.5, drop the higher id of each pair) → benchmark
+    decontamination (any shared word-5-gram with the src0 bench set) → drop
+    the bench source itself → per-source cap (K=5, md5-ranked) → hash
+    train/valid/test split → per-(split, lang) doc/token audit. Every stage
+    is deterministic (hash ranks, integer counts, same-input float compares),
+    so the composition hash-matches end to end — the proof the operators
+    compose into the actual LLM-data pipeline, not just pass in isolation."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id", "lang", "source", "text", F.size(words).alias("n_words")
+    ).filter(
+        F.length("text").between(120, 450)
+        & (F.size(words) >= 25)
+        & ((F.size(F.array_distinct(words)).cast("double") / F.size(words)) >= 0.30)
+    )
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w_fp = Window.partitionBy(fp).orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ws = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+        )
+    )
+    shingled = exact.select("doc_id", F.explode(shingles).alias("shingle"))
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a").alias("sa"), "id_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("set_size", "set_size_b")
+            .alias("sb"),
+            "id_b",
+        )
+        .filter(
+            F.col("n_shared").cast("double")
+            / (F.col("set_size") + F.col("set_size_b") - F.col("n_shared")).cast("double")
+            >= 0.5
+        )
+    )
+    neardup_drop = jac.select(F.col("id_b").alias("doc_id")).distinct()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 4),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+    )
+    exploded = exact.filter(F.size(ws) >= 5).select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    bench = exploded.filter(F.col("source") == "src0").select("gram").distinct()
+    contaminated = (
+        exploded.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    surviving = (
+        exact.filter(F.col("source") != "src0")
+        .join(neardup_drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    w_cap = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    capped = (
+        surviving.withColumn("rk", F.row_number().over(w_cap)).filter(F.col("rk") <= 5)
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(nib <= "b", "train").when(nib <= "d", "valid").otherwise("test")
+    return (
+        capped.select(split.alias("split"), "lang", "n_words")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )
