@@ -125,3 +125,25 @@ def test_stream_checkpoint_restart(spark, tmp_path):
     write_file("b", [(3, 3.0)])
     second = run_once()
     assert sorted(second) == [3]  # only the new file; 1,2 not reprocessed
+
+
+def test_ignore_corrupt_files_scan(spark, tmp_path):
+    """A lake at 100 TB always contains some torn/truncated objects; with
+    spark.sql.files.ignoreCorruptFiles the scan logs-and-skips them instead
+    of failing the whole job — and without it the same scan must fail loudly
+    (silent skipping by default would be a correctness bug)."""
+    import pytest as _pytest
+
+    d = str(tmp_path / "lake")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(d)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a real parquet footer")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with _pytest.raises(Exception):
+            spark.read.parquet(d).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(d).count() == 100  # valid rows survive
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
