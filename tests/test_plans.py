@@ -184,3 +184,16 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower()
     expected = orders.filter("o_orderpriority = '1-URGENT'").count()
     assert j.count() == expected
+
+
+def test_round2_query_plan_shapes(spark, sf_dir):
+    """Scale shapes of the round-2 operators: the per-source cap keeps only K
+    rows per partition before filtering (WindowGroupLimit, no full sort of
+    the corpus), and the bitmap-distinct aggregation is two-phase (partial
+    bitmap build map-side before the exchange)."""
+    plan = plan_of(spark, sf_dir, "curation_source_cap")
+    assert "WindowGroupLimit" in plan
+
+    plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    assert "partial_bitmap_construct_agg" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange") <= 3  # bucketed partials, one shuffle per agg level

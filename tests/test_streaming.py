@@ -270,3 +270,67 @@ def test_streaming_dynamic_gap_sessions_merge_and_drop_late(spark, tmp_path):
         (10, "2024-01-01T00:05:00", "2024-01-01T00:35:00", 1),  # late row kept out
         (11, "2024-01-01T03:00:00", "2024-01-01T03:20:00", 2),  # cross-batch merge
     }
+
+
+def test_dynamic_gap_session_fuzz_vs_model(spark):
+    """Randomized check of session_window's dynamic-gap semantics against an
+    independent interval-merge model (inclusive boundary: an event at t joins
+    the current session iff t <= current end; end = max of member t+gap).
+    75 independent (case, user) streams with ties and zero steps, one Spark
+    job, fixed seed."""
+    import datetime
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for case in range(25):
+        for user in range(3):
+            t = 0
+            for _ in range(rnd.randint(1, 12)):
+                t += rnd.randint(0, 90)  # minutes; 0 keeps ties in play
+                rows.append((case, user, t, rnd.choice(["view", "click"])))
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (c, u, base + datetime.timedelta(minutes=t), et)
+            for c, u, t, et in rows
+        ],
+        "case_id int, user_id int, ts timestamp, event_type string",
+    )
+    gap = F.make_interval(
+        mins=F.when(F.col("event_type") == "view", F.lit(10)).otherwise(F.lit(30))
+    )
+    got = {
+        (
+            r["case_id"],
+            r["user_id"],
+            int((r["start"] - base).total_seconds() // 60),
+            int((r["end"] - base).total_seconds() // 60),
+            r["n"],
+        )
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "case_id", "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), F.col("w.end").alias("end"),
+                "case_id", "user_id", "n")
+        .collect()
+    }
+
+    want = set()
+    by_key = {}
+    for c, u, t, et in rows:
+        by_key.setdefault((c, u), []).append((t, 10 if et == "view" else 30))
+    for (c, u), evs in by_key.items():
+        evs.sort(key=lambda e: e[0])
+        start = end = None
+        n = 0
+        for t, g in evs:
+            if start is None or t > end:  # strictly after current end -> new session
+                if start is not None:
+                    want.add((c, u, start, end, n))
+                start, end, n = t, t + g, 1
+            else:  # t <= end: inclusive merge
+                end = max(end, t + g)
+                n += 1
+        want.add((c, u, start, end, n))
+    assert got == want
