@@ -715,3 +715,38 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("total_words"),
         )
     )
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w
+                AS BIGINT) AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event's trailing 1-hour activity
+    (count + exact cents sum) per user — the rolling-telemetry window as an
+    event-time distance frame, not a row count (`window_range_frame` is the
+    numeric-distance form). Peers at the same ts share the frame on both
+    engines; the cents sum keeps the money column order-free exact."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w
+                 AS cents_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
