@@ -750,3 +750,30 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "json_variant_explode",
+    oracle="""
+    SELECT event_id, key, CAST(json_extract(props, '$.' || key) AS BIGINT) AS val
+    FROM (SELECT event_id, props, UNNEST(json_keys(props)) AS key FROM events)
+    """,
+    category="variant",
+)
+def json_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variant_explode as a lateral table function: each event's semi-
+    structured props object fans out to (key, value) rows without declaring
+    a schema anywhere — the VARIANT counterpart of map explode, for payloads
+    whose keys drift (schema_of_variant / typed variant_get cover the other
+    access paths in `json_variant_extract`). The oracle unnests DuckDB's
+    json_keys and re-extracts each key's value."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, t.key AS key, CAST(t.value AS BIGINT) AS val
+        FROM (SELECT event_id, parse_json(props) AS pv FROM events),
+             LATERAL variant_explode(pv) AS t(pos, key, value)
+        """
+    )
