@@ -106,10 +106,9 @@ class _TopicRangePartition(InputPartition):
 class SnapshotListingStreamReader(DataSourceStreamReader):
     """The listing as a *streaming* source (Spark 4 Python DataSource
     streaming API): the offset is the per-run high-watermark of emitted file
-    indices ({"emitted": n}), each micro-batch advances it by up to
-    ``stream_batch_files`` per topic until ``files_per_topic`` is reached,
-    and ``partitions(start, end)`` plans one executor-side partition per
-    topic per offset range — the arrival-polling loop of the reference's
+    indices ({"emitted": n}), each trigger advances it to the current file
+    universe (``files_per_topic``), and ``partitions(start, end)`` plans one
+    executor-side partition per topic per offset range — the arrival-polling loop of the reference's
     continuous deployment (it re-runs the batch job as new exports land) as
     first-class source offsets, so the engine gets exactly-once via the
     checkpoint instead of re-listing and re-filtering.
