@@ -115,7 +115,13 @@ class SnapshotListingStreamReader(DataSourceStreamReader):
 
     At 100 TB the offset would be the listing cursor (e.g. last-seen
     StartAfter key per prefix); partitions stay per-prefix so each
-    micro-batch's listing is distributed and O(new files)."""
+    micro-batch's listing is distributed and O(new files).
+
+    The offset is monotone under the source contract: the file universe only
+    grows (object stores don't un-list exports). A shrunk ``files_per_topic``
+    across restarts yields empty batches (partitions() plans nothing for
+    hi <= lo) rather than an error, and re-growth re-emits from the
+    checkpointed high-watermark."""
 
     def __init__(self, options):
         self.files_per_topic = int(options.get("files_per_topic", "100"))

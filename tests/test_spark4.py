@@ -354,3 +354,19 @@ def test_declarative_pipeline_local_run(spark):
     assert isinstance(reg.outputs[0], (MaterializedView, TemporaryView))
     comments = {o.name: o.comment for o in reg.outputs}
     assert comments["quality_docs"] == "quality-gated corpus"
+
+
+def test_to_arrow_interchange(spark):
+    """df.toArrow() (Spark 4): zero-copy-ish Arrow interchange for handing
+    query results to pyarrow/polars/duckdb without a pandas detour."""
+    import pyarrow as pa
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    tbl = df.toArrow()
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == 10
+    assert tbl.column("id").to_pylist() == list(range(10))
+    import duckdb
+
+    con = duckdb.connect()
+    assert con.sql("SELECT SUM(id) FROM tbl").fetchone()[0] == 45
