@@ -56,7 +56,7 @@ class LocalGraphRegistry(GraphElementRegistry):
         self.sqls.append((sql_text, file_path))
 
 
-def run_local(spark: SparkSession, define) -> dict[str, DataFrame]:
+def run_local(spark: SparkSession, define, workdir: str | None = None) -> dict[str, DataFrame]:
     """Register the pipeline declared by ``define()`` and materialize every
     flow target as a temp view; returns {target: DataFrame}.
 
@@ -64,11 +64,23 @@ def run_local(spark: SparkSession, define) -> dict[str, DataFrame]:
     references an unmaterialized dataset raises AnalysisException and is
     retried after other flows complete. A full pass with no progress means
     the graph has a cycle or references a dataset nobody defines — that
-    raises with the unresolved flow names."""
+    raises with the unresolved flow names.
+
+    Streaming flows (``create_streaming_table`` + ``@append_flow``, or a
+    ``@table`` whose query is streaming) are driven to completion with
+    Trigger.AvailableNow into a parquet directory under ``workdir`` (one per
+    target, checkpointed per flow — re-running the same workdir is
+    incremental, the streaming-table contract), then exposed as the same
+    temp view downstream batch flows read. Multiple append flows to one
+    target append to the same directory."""
+    import os
+    import tempfile
+
     registry = LocalGraphRegistry()
     with graph_element_registration_context(registry):
         define()
 
+    workdir = workdir or tempfile.mkdtemp(prefix="sdp_local_")
     results: dict[str, DataFrame] = {}
     pending = list(registry.flows)
     while pending:
@@ -77,6 +89,19 @@ def run_local(spark: SparkSession, define) -> dict[str, DataFrame]:
         for fl in list(pending):
             try:
                 df = fl.func()
+                if df.isStreaming:
+                    out = os.path.join(workdir, "data", fl.target)
+                    ckpt = os.path.join(workdir, "ckpt", fl.name)
+                    q = (
+                        df.writeStream.outputMode("append")
+                        .format("parquet")
+                        .option("path", out)
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    df = spark.read.parquet(out)
                 df.createOrReplaceTempView(fl.target)
             except AnalysisException as e:  # dependency not materialized yet
                 last_err = e

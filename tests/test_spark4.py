@@ -370,3 +370,45 @@ def test_to_arrow_interchange(spark):
 
     con = duckdb.connect()
     assert con.sql("SELECT SUM(id) FROM tbl").fetchone()[0] == 45
+
+
+def test_declarative_pipeline_streaming_table(spark, tmp_path):
+    """An SDP streaming table fed by an append_flow from the custom streaming
+    DataSource, consumed by a downstream materialized view — the declarative
+    form of the continuous delivery service, run locally (AvailableNow into
+    the pipeline workdir). Re-running over the same workdir is incremental:
+    no new files -> no new rows."""
+    from pyspark.pipelines import append_flow, create_streaming_table, materialized_view
+
+    from snapshot_sender_spark.plans import sdp
+
+    pyds.register(spark)
+
+    def define():
+        create_streaming_table("file_events")
+
+        @append_flow(target="file_events")
+        def listing_flow():
+            return (
+                spark.readStream.format("snapshot_listing")
+                .option("files_per_topic", "4")
+                .load()
+            )
+
+        @materialized_view
+        def per_topic():
+            return (
+                spark.table("file_events")
+                .groupBy("topic")
+                .agg(F.count("*").alias("n_files"), F.sum("size_bytes").alias("bytes"))
+            )
+
+    wd = str(tmp_path / "sdp_wd")
+    results = sdp.run_local(spark, define, workdir=wd)
+    assert results["file_events"].count() == 4 * len(pyds.TOPICS)
+    per_topic = {r["topic"]: r["n_files"] for r in results["per_topic"].collect()}
+    assert set(per_topic.values()) == {4} and len(per_topic) == len(pyds.TOPICS)
+
+    # incremental: same workdir, no universe growth -> identical row count
+    results2 = sdp.run_local(spark, define, workdir=wd)
+    assert results2["file_events"].count() == 4 * len(pyds.TOPICS)
