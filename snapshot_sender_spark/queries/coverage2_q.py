@@ -777,3 +777,54 @@ def json_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL variant_explode(pv) AS t(pos, key, value)
         """
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM orders
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+           h.o_orderkey AS version_orderkey, h.valid_from
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN hist h ON h.o_custkey = o.o_custkey
+      AND l.l_shipdate >= h.valid_from
+      AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+    """,
+    category="join",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each shipped line item is matched to the customer's
+    order-version (SCD2 interval derived with lead()) that was current at
+    ship time — the standard warehouse PIT lookup (and the leakage-safe
+    feature-store join: training rows must only see dimension state as of
+    their own timestamp). The half-open [valid_from, valid_to) intervals tile
+    each key's timeline, so exactly one version matches per fact row that
+    ships inside the history. At scale both sides shuffle once on the
+    customer key and the interval predicate rides the equi join as a
+    post-condition, never a nested loop."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH hist AS (
+          SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS valid_to
+          FROM orders
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+               h.o_orderkey AS version_orderkey, h.valid_from
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN hist h ON h.o_custkey = o.o_custkey
+          AND l.l_shipdate >= h.valid_from
+          AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+        """
+    )
