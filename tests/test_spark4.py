@@ -412,3 +412,19 @@ def test_declarative_pipeline_streaming_table(spark, tmp_path):
     # incremental: same workdir, no universe growth -> identical row count
     results2 = sdp.run_local(spark, define, workdir=wd)
     assert results2["file_events"].count() == 4 * len(pyds.TOPICS)
+
+
+def test_declarative_pipeline_unresolvable_raises(spark):
+    """A flow referencing a dataset nobody defines must fail loudly with the
+    unresolved flow names, not spin or silently drop the dataset."""
+    from pyspark.pipelines import materialized_view
+
+    from snapshot_sender_spark.plans import sdp
+
+    def define():
+        @materialized_view
+        def orphan():
+            return spark.table("never_defined_anywhere")
+
+    with pytest.raises(ValueError, match="orphan"):
+        sdp.run_local(spark, define)
