@@ -221,3 +221,35 @@ def test_success_indicator_and_monitoring(tmp_path):
         "Correlation Id",
         "Snapshot type",
     }
+
+
+def test_collection_status_truth_table(spark):
+    """Exhaustive decision table for collection_status
+    (DynamoDBExportStatusService.kt:113-141): ONLY 'Exported' rows transition —
+    to 'Sent' when counts match and are positive, to 'Received' when both are
+    zero (NO_FILES_EXPORTED); any other (status, exported, sent) combination
+    passes through unchanged, including failed and in-flight rows with zero
+    counts (the r1 advisory's latent bug: a non-Exported zero-count row must
+    NOT flip to Received)."""
+    from snapshot_sender_spark.plans import status as st
+
+    cases = []
+    for s in ["Exported", "Export_Failed", "Exporting", "Sent", "Received"]:
+        for exported in [0, 2]:
+            for sent in [0, 1, 2]:
+                cases.append((f"c-{s}-{exported}-{sent}", s, s, exported, sent))
+    df = spark.createDataFrame(
+        [(cid, "t", s, e, n) for cid, _, s, e, n in cases], st.STATUS_SCHEMA
+    )
+    got = {
+        r["CorrelationId"]: r["CollectionStatus"]
+        for r in st.collection_status(df).collect()
+    }
+    for cid, orig, s, exported, sent in cases:
+        if s == "Exported" and exported == sent and sent > 0:
+            want = "Sent"
+        elif s == "Exported" and exported == 0 and sent == 0:
+            want = "Received"
+        else:
+            want = orig
+        assert got[cid] == want, (cid, got[cid], want)
