@@ -129,3 +129,27 @@ def test_parquet_compression_codecs_roundtrip(spark, tmp_path):
                 codec,
                 meta.compression,
             )
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic replaces ONLY the
+    partitions present in the incoming data — the daily-reprocess write
+    pattern (re-deliver one export_date without touching the rest of the
+    lake). Static mode would truncate every partition first."""
+    d = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")], "id long, day string"
+    )
+    df.write.partitionBy("day").parquet(d)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame([(9, "2024-01-02")], "id long, day string").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # partition values are type-inferred on read (day comes back as a date)
+    got = {(r["id"], str(r["day"])) for r in spark.read.parquet(d).collect()}
+    # day 01 untouched, day 02 replaced
+    assert got == {(1, "2024-01-01"), (2, "2024-01-01"), (9, "2024-01-02")}
