@@ -828,3 +828,55 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
         """
     )
+
+
+@query(
+    "analytics_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    n_users AS (SELECT COUNT(DISTINCT user_id) AS u FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_both,
+           CAST(n_both AS DOUBLE) * u / (ta.n * tb.n) AS lift
+    FROM pairs, n_users
+    JOIN totals ta ON ta.event_type = type_a
+    JOIN totals tb ON tb.event_type = type_b
+    """,
+    category="analytics",
+)
+def analytics_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift over per-user event-type sets:
+    which behaviors coincide more than independence predicts. All counts are
+    integers and the lift is one identical division on both engines, so the
+    floats hash-match. Scale shape: the distinct (user, type) projection is
+    tiny relative to the event log, the self-join runs on the user key, and
+    the type totals broadcast."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        totals AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        n_users AS (SELECT COUNT(DISTINCT user_id) AS u FROM events),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS n_both
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b, n_both,
+               CAST(n_both AS DOUBLE) * u / (ta.n * tb.n) AS lift
+        FROM pairs, n_users
+        JOIN totals ta ON ta.event_type = type_a
+        JOIN totals tb ON tb.event_type = type_b
+        """
+    )
