@@ -880,3 +880,58 @@ def analytics_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN totals tb ON tb.event_type = type_b
         """
     )
+
+
+@query(
+    "sim_cosine_adjacent_hof",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                  i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE)))
+             AS cosine
+    FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+    """,
+    category="llm-similarity",
+)
+def sim_cosine_adjacent_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between consecutive embeddings written entirely in
+    built-in array higher-order functions — zip_with for the elementwise
+    product, aggregate for the fold — no UDF, fully inside whole-stage
+    codegen (the batch GEMM kernels exist for all-pairs; this is the
+    expression-level form for row-adjacent comparisons). Vectors are
+    quantized to integers so the dot products are exact on both engines and
+    the final division is one identical float op."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    a, b = q.alias("a"), q.alias("b")
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (
+                dot(F.col("a.qv"), F.col("b.qv")).cast("double")
+                / (
+                    F.sqrt(dot(F.col("a.qv"), F.col("a.qv")).cast("double"))
+                    * F.sqrt(dot(F.col("b.qv"), F.col("b.qv")).cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
