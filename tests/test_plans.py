@@ -197,3 +197,36 @@ def test_round2_query_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
     assert "partial_bitmap_construct_agg" in plan or "HashAggregate" in plan
     assert plan.count("Exchange") <= 3  # bucketed partials, one shuffle per agg level
+
+
+def test_cbo_column_statistics_drive_estimates(spark, sf_dir):
+    """ANALYZE TABLE column statistics feed the cost-based optimizer: the
+    equality-filter cardinality estimate uses the column's distinct count
+    (rows/NDV), which is what makes stats-driven join ordering and broadcast
+    selection work on a real warehouse — size heuristics alone can't see
+    selectivity."""
+    from snapshot_sender_spark.tables import load
+
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    load(spark, sf_dir, "orders").write.saveAsTable("cbo_orders")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.sql(
+            "ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderpriority"
+        )
+        desc = {r[0]: r[1] for r in spark.sql(
+            "DESC EXTENDED cbo_orders o_orderpriority"
+        ).collect()}
+        assert desc["distinct_count"] == "5"
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        total = spark.table("cbo_orders").count()
+        filtered = spark.sql(
+            "SELECT * FROM cbo_orders WHERE o_orderpriority = '1-URGENT'"
+        )
+        est = filtered._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert est.isDefined()
+        # rows/NDV estimate, within a factor of 2 of the true 1/5 selectivity
+        assert abs(int(str(est.get())) - total / 5) < total / 10
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
