@@ -76,11 +76,14 @@ def run_local(spark: SparkSession, define, workdir: str | None = None) -> dict[s
     import os
     import tempfile
 
+    from pyspark.pipelines.output import Sink
+
     registry = LocalGraphRegistry()
     with graph_element_registration_context(registry):
         define()
 
     workdir = workdir or tempfile.mkdtemp(prefix="sdp_local_")
+    sinks = {o.name: o for o in registry.outputs if isinstance(o, Sink)}
     results: dict[str, DataFrame] = {}
     pending = list(registry.flows)
     while pending:
@@ -89,6 +92,27 @@ def run_local(spark: SparkSession, define, workdir: str | None = None) -> dict[s
         for fl in list(pending):
             try:
                 df = fl.func()
+                if fl.target in sinks:
+                    # external sink: write with the sink's declared format and
+                    # options; nothing is registered for downstream reads
+                    # (that's the Sink contract), but a parquet sink with a
+                    # path is read back into results for inspection.
+                    sink = sinks[fl.target]
+                    ckpt = os.path.join(workdir, "ckpt", fl.name)
+                    q = (
+                        df.writeStream.outputMode("append")
+                        .format(sink.format)
+                        .options(**dict(sink.options))
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination()
+                    if sink.format == "parquet" and "path" in sink.options:
+                        results[fl.target] = spark.read.parquet(sink.options["path"])
+                    pending.remove(fl)
+                    progressed = True
+                    continue
                 if df.isStreaming:
                     out = os.path.join(workdir, "data", fl.target)
                     ckpt = os.path.join(workdir, "ckpt", fl.name)

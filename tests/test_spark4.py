@@ -428,3 +428,32 @@ def test_declarative_pipeline_unresolvable_raises(spark):
 
     with pytest.raises(ValueError, match="orphan"):
         sdp.run_local(spark, define)
+
+
+def test_declarative_pipeline_sink(spark, tmp_path):
+    """create_sink: an SDP external sink receives a streaming append flow
+    with the sink's declared format/options — the delivery side of the graph
+    (files leave the pipeline instead of becoming a dataset)."""
+    from pyspark.pipelines import append_flow, create_sink
+
+    from snapshot_sender_spark.plans import sdp
+
+    pyds.register(spark)
+    out = str(tmp_path / "sink_out")
+
+    def define():
+        create_sink("delivery", format="parquet", options={"path": out})
+
+        @append_flow(target="delivery")
+        def deliver_listing():
+            return (
+                spark.readStream.format("snapshot_listing")
+                .option("files_per_topic", "3")
+                .load()
+                .select("topic", "fileName", "size_bytes")
+            )
+
+    results = sdp.run_local(spark, define, workdir=str(tmp_path / "wd"))
+    delivered = results["delivery"]
+    assert delivered.count() == 3 * len(pyds.TOPICS)
+    assert set(delivered.columns) == {"topic", "fileName", "size_bytes"}
