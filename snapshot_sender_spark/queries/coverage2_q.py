@@ -935,3 +935,55 @@ def sim_cosine_adjacent_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+@query(
+    "sim_label_centroid_arrow",
+    oracle="""
+    WITH quant AS (
+      SELECT label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv[1]) AS BIGINT) AS sum_d1,
+           CAST(SUM(qv[2]) AS BIGINT) AS sum_d2,
+           CAST(SUM(qv[3]) AS BIGINT) AS sum_d3,
+           CAST(SUM(qv[4]) AS BIGINT) AS sum_d4
+    FROM quant GROUP BY label
+    """,
+    category="llm-similarity",
+)
+def sim_label_centroid_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid sums via grouped applyInArrow (Spark 4): each
+    label's rows arrive as ONE pyarrow.Table, the list column flattens to a
+    contiguous buffer, and numpy folds it as a (n, dim) matrix — the
+    grouped-Arrow API tier (applyInPandas without the pandas materialization).
+    Quantized integer sums, so the fold is exact and order-free
+    (`sim_label_centroid_dist` is the same aggregate in pure SQL)."""
+
+    def centroid(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        emb = tbl["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        dim = len(emb[0])
+        m = np.floor(flat * 1000).astype(np.int64).reshape(-1, dim)
+        sums = m.sum(axis=0)
+        return pa.table(
+            {
+                "label": [tbl["label"][0].as_py()],
+                "n": [m.shape[0]],
+                "sum_d1": [int(sums[0])],
+                "sum_d2": [int(sums[1])],
+                "sum_d3": [int(sums[2])],
+                "sum_d4": [int(sums[3])],
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInArrow(
+        centroid, schema="label long, n long, sum_d1 long, sum_d2 long, sum_d3 long, sum_d4 long"
+    )
