@@ -334,3 +334,31 @@ def test_dynamic_gap_session_fuzz_vs_model(spark):
                 n += 1
         want.add((c, u, start, end, n))
     assert got == want
+
+
+def test_streaming_observe_metrics(spark, event_dir):
+    """df.observe on a streaming query: per-micro-batch counters surface in
+    StreamingQueryProgress.observedMetrics — the run-long operator counters
+    (files read / rejected / delivered) for the continuous service, with no
+    extra action or second pass over the data."""
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    events = _stream(spark, event_dir, schema)
+    observed = events.observe(
+        "ingest", F.count(F.lit(1)).alias("rows"), F.sum("value").alias("total_value")
+    )
+    name = "obs_stream_q"
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = [
+        p.observedMetrics["ingest"]
+        for p in q.recentProgress
+        if "ingest" in p.observedMetrics
+    ]
+    assert sum(m["rows"] for m in per_batch) == 5  # all three files' rows counted
+    assert sum(m["total_value"] for m in per_batch) == 15.0
