@@ -1108,3 +1108,27 @@ def math_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query("agg_kll_quantile_sketch", oracle=None, category="aggregation")
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Apache DataSketches, Spark 4.1): mergeable
+    streaming quantiles with bounded error. Unlike theta sketches the
+    compaction is sampling-based and ORDER-dependent, so estimates vary with
+    partitioning → rows-only (the exact siblings are `percentile_exact` /
+    `agg_percentile_within_group`; accuracy is pinned within tolerance in
+    tests/test_operators.py::test_kll_quantile_accuracy)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               kll_sketch_get_n_double(kll_sketch_agg_double(value)) AS n,
+               kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)
+                 AS p50_est,
+               kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.9)
+                 AS p90_est
+        FROM events GROUP BY event_type
+        """
+    )

@@ -233,3 +233,30 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     ]
     full = as_map(similarity.ivf_topk(emb, "embedding", "vec_id", q, k=10, n_probe=16))
     assert full == exact
+
+
+def test_kll_quantile_accuracy(spark, sf_dir):
+    """KLL sketch quantiles land within the sketch's rank-error bound of the
+    exact percentiles (default k=200 -> ~1.65% rank error; we allow 3% of the
+    value range to absorb discreteness)."""
+    from pyspark.sql import functions as SF
+
+    from snapshot_sender_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("kll_ev")
+    got = spark.sql(
+        """
+        SELECT kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5) AS p50,
+               kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.9) AS p90
+        FROM kll_ev
+        """
+    ).first()
+    exact = ev.select(
+        SF.percentile("value", SF.lit(0.5)).alias("p50"),
+        SF.percentile("value", SF.lit(0.9)).alias("p90"),
+    ).first()
+    lo, hi = ev.agg(SF.min("value"), SF.max("value")).first()
+    rng = hi - lo
+    assert abs(got["p50"] - exact["p50"]) < 0.03 * rng
+    assert abs(got["p90"] - exact["p90"]) < 0.03 * rng
