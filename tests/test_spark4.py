@@ -457,3 +457,27 @@ def test_declarative_pipeline_sink(spark, tmp_path):
     delivered = results["delivery"]
     assert delivered.count() == 3 * len(pyds.TOPICS)
     assert set(delivered.columns) == {"topic", "fileName", "size_bytes"}
+
+
+def test_geospatial_wkb_roundtrip(spark):
+    """Spark 4.1 geospatial preview (flag-gated GEOMETRY type): WKB points
+    parse, carry an SRID, and serialize back to the identical WKB bytes —
+    the storage-level contract a geo-enabled lake needs before any spatial
+    predicate work."""
+    import struct
+
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
+
+    def wkb_point(x, y):
+        return b"\x01\x01\x00\x00\x00" + struct.pack("<dd", x, y)
+
+    pts = [(1, wkb_point(10.0, 20.0)), (2, wkb_point(-3.5, 48.25))]
+    df = spark.createDataFrame(pts, "id long, wkb binary")
+    out = df.selectExpr(
+        "id",
+        "st_srid(st_setsrid(st_geomfromwkb(wkb), 4326)) AS srid",
+        "st_asbinary(st_geomfromwkb(wkb)) AS back",
+    ).collect()
+    for row, (pid, raw) in zip(sorted(out, key=lambda r: r["id"]), pts):
+        assert row["srid"] == 4326
+        assert bytes(row["back"]) == raw, (pid, bytes(row["back"]).hex())
