@@ -1132,3 +1132,37 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         """
     )
+
+
+@query(
+    "string_luhn_check",
+    oracle="""
+    SELECT num, CASE WHEN
+      list_sum(list_transform(range(1, length(num) + 1), i ->
+        CASE WHEN i % 2 = 0
+             THEN CASE WHEN 2 * CAST(substr(reverse(num), i, 1) AS INT) > 9
+                       THEN 2 * CAST(substr(reverse(num), i, 1) AS INT) - 9
+                       ELSE 2 * CAST(substr(reverse(num), i, 1) AS INT) END
+             ELSE CAST(substr(reverse(num), i, 1) AS INT) END)) % 10 = 0
+      THEN TRUE ELSE FALSE END AS valid
+    FROM (SELECT lpad(CAST(o_orderkey AS VARCHAR), 15, '7') AS num
+          FROM orders WHERE o_orderkey <= 2000)
+    """,
+    category="string",
+)
+def string_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """luhn_check over deterministic 15-digit account numbers built from
+    order keys — the checksum gate a PII/payment-scrubbing pipeline applies
+    before redacting candidate card numbers (`text_pii_redact` is the scrub
+    itself). The oracle re-implements Luhn digit-doubling arithmetic in SQL,
+    so Spark's built-in is verified against the spec, not against itself."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT num, luhn_check(num) AS valid
+        FROM (SELECT lpad(CAST(o_orderkey AS STRING), 15, '7') AS num
+              FROM orders WHERE o_orderkey <= 2000)
+        """
+    )
