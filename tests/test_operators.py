@@ -260,3 +260,33 @@ def test_kll_quantile_accuracy(spark, sf_dir):
     rng = hi - lo
     assert abs(got["p50"] - exact["p50"]) < 0.03 * rng
     assert abs(got["p90"] - exact["p90"]) < 0.03 * rng
+
+
+def test_regr_aggregates_match_numpy(spark, sf_dir):
+    """The regr_* OLS family (slope/intercept/r2/count) agrees with numpy's
+    closed-form fit within float tolerance — kept out of the hash-matched
+    query surface because the internal double sums are accumulation-order
+    dependent, but the statistics themselves are stable to ~1e-9 relative."""
+    import numpy as np
+
+    from snapshot_sender_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").limit(20000)
+    li.createOrReplaceTempView("regr_li")
+    got = spark.sql(
+        """
+        SELECT regr_count(l_extendedprice, l_quantity) AS n,
+               regr_slope(l_extendedprice, l_quantity) AS slope,
+               regr_intercept(l_extendedprice, l_quantity) AS icept,
+               regr_r2(l_extendedprice, l_quantity) AS r2
+        FROM regr_li
+        """
+    ).first()
+    pdf = li.select("l_quantity", "l_extendedprice").toPandas()
+    x, y = pdf["l_quantity"].to_numpy(), pdf["l_extendedprice"].to_numpy()
+    slope, icept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["n"] == len(pdf)
+    assert abs(got["slope"] - slope) < 1e-6 * abs(slope)
+    assert abs(got["icept"] - icept) < 1e-6 * max(1.0, abs(icept))
+    assert abs(got["r2"] - r * r) < 1e-9
