@@ -110,3 +110,18 @@ def test_blocked_topics_parse():
     assert text.parse_blocked_topics(None) == []
     assert text.parse_blocked_topics("db.a.b") == ["db.a.b"]
     assert text.parse_blocked_topics("db.a.b,db.c.d") == ["db.a.b", "db.c.d"]
+
+
+def test_sentences_segmentation(spark):
+    """The sentences() built-in (locale-aware BreakIterator segmentation) —
+    test-only because the segmentation rules are JVM-locale-defined, not
+    SQL-portable: each sentence becomes a word array, punctuation dropped."""
+    df = spark.createDataFrame(
+        [("The quick fox. It jumped! Done?",)], "t string"
+    )
+    got = df.selectExpr("sentences(t) AS s").first()["s"]
+    assert [list(x) for x in got] == [
+        ["The", "quick", "fox"],
+        ["It", "jumped"],
+        ["Done"],
+    ]
