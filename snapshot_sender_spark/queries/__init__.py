@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
         codec_q,
         corrupt_q,
         coverage2_q,
+        coverage3_q,
         curation_q,
         graph_q,
         llm,

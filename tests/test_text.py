@@ -125,3 +125,35 @@ def test_sentences_segmentation(spark):
         ["It", "jumped"],
         ["Done"],
     ]
+
+
+def test_utf8_validation_funcs(spark):
+    """Spark 4 UTF-8 validation family on genuinely invalid byte sequences
+    (test-only: DuckDB VARCHARs cannot hold invalid UTF-8, so no oracle).
+    Covers a lone continuation byte, a truncated 3-byte sequence, an overlong
+    encoding, and a valid control string."""
+    df = spark.createDataFrame(
+        [("80",), ("e282",), ("c0af",), ("6f6b",)], "hex string"
+    ).selectExpr(
+        "hex",
+        "CAST(unhex(hex) AS STRING) AS s",
+        "is_valid_utf8(CAST(unhex(hex) AS STRING)) AS ok",
+        "hex(encode(make_valid_utf8(CAST(unhex(hex) AS STRING)), 'UTF-8')) AS repaired",
+        "try_validate_utf8(CAST(unhex(hex) AS STRING)) AS tried",
+    )
+    rows = {r["hex"]: r for r in df.collect()}
+    assert not rows["80"]["ok"] and rows["80"]["repaired"] == "EFBFBD"  # U+FFFD
+    assert not rows["e282"]["ok"] and rows["e282"]["repaired"] == "EFBFBD"
+    assert not rows["c0af"]["ok"]  # overlong '/' must NOT decode to 2F
+    assert "2F" not in rows["c0af"]["repaired"]
+    assert rows["6f6b"]["ok"] and rows["6f6b"]["repaired"] == "6F6B" and rows["6f6b"]["tried"] == "ok"
+
+
+def test_mode_deterministic_tie_break(spark):
+    """mode(col, true) breaks frequency ties to the LOWEST value — the
+    contract agg_mode_deterministic's oracle encodes. Both candidate orders
+    must give the same answer (insertion order must not matter)."""
+    a = spark.createDataFrame([(7,), (7,), (3,), (3,), (9,)], "x int")
+    b = spark.createDataFrame([(3,), (3,), (7,), (7,), (9,)], "x int")
+    assert a.selectExpr("mode(x, true) m").first()["m"] == 3
+    assert b.selectExpr("mode(x, true) m").first()["m"] == 3
