@@ -178,3 +178,46 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
     )
+
+
+@query(
+    "curation_token_budget_mix",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source, (n_chars + 3) // 4 AS toks,
+             SUM((n_chars + 3) // 4) OVER (
+               PARTITION BY source ORDER BY md5(text), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens_used
+    FROM sized WHERE cum_toks <= 300
+    GROUP BY source
+    """,
+    category="llm-curation",
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to a per-source TOKEN budget (the unit that matters for
+    training-data recipes, vs curation_source_cap's document count): docs are
+    taken in deterministic seedless-shuffle order (md5(text), doc_id) until
+    each source's running token total hits the budget. Integer token proxy
+    (ceil(chars/4)) keeps it engine-exact; the running sum is one window over
+    the source-partitioned shuffle — no global sort, no collect."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr("(n_chars + 3) div 4")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", toks.alias("toks"), F.md5("text").alias("shuffle_key"))
+        .withColumn("cum_toks", F.sum("toks").over(w))
+        .filter(F.col("cum_toks") <= 300)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("tokens_used"))
+    )

@@ -230,3 +230,50 @@ def test_cbo_column_statistics_drive_estimates(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE's OptimizeSkewedJoin must split oversized partitions at runtime —
+    the mechanism SCALE.md relies on for hot-key fact-fact joins at 100 TB.
+    Thresholds are scaled down so the synthetic hot key (one key holding ~95%
+    of rows) trips the detector locally; the assertion is on the FINAL
+    adaptive plan after execution (skew=true on the sort-merge join) and on
+    result equality with the non-adaptive join."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 20 != 0, 7).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("rid")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's QueryExecution (count() would plan a
+        # separate query and leave joined's adaptive plan unfinalized)
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        # same result with AQE skew handling off
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        assert left.join(right, "k").count() == n
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
