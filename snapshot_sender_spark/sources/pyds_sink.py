@@ -1,0 +1,159 @@
+"""Python DataSource WRITER (Spark 4 DataSource API, write path): the
+reference's delivery sink as a pluggable format with a real commit protocol.
+
+The reference's sink is two uncoordinated writes per file — the NiFi POST
+(HttpWriter.kt:72-81) then the `.finished` marker (S3StatusFileWriter.kt:19-52,
+invoked at HttpWriter.kt:96) — so a crash between them re-delivers on restart
+(at-least-once by construction). Re-expressed as a ``DataSourceWriter`` the
+same outputs get all-or-nothing visibility from the DSv2 commit protocol:
+
+* ``write(iterator)`` (executor, per partition) stages one gzip JSON-L file
+  under ``<path>/_staging/`` and returns a ``WriterCommitMessage`` naming the
+  staged file, its row count, and the delivered fileNames;
+* ``commit(messages)`` (driver, runs once ALL tasks succeeded) moves staged
+  files into ``<path>``, writes one ``.finished`` marker per delivered
+  fileName under ``<path>/status/``, and records everything in
+  ``_MANIFEST.json`` — nothing becomes visible if any task failed;
+* ``abort(messages)`` deletes whatever was staged.
+
+The streaming form (``DataSourceStreamWriter``) does the same per epoch with
+``_MANIFEST-<batchId>.json`` as the commit record; a batchId whose manifest
+already exists is skipped wholesale, which is exactly the epoch-idempotence
+foreachBatch sinks hand-roll.
+
+At 100 TB: staging + rename is the classic object-store commit pattern (one
+manifest write makes the epoch visible); markers keep restart idempotence for
+readers that poll the status prefix like the reference's
+FinishedFilterProcessor.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+    file_names: list = field(default_factory=list)
+
+
+def _stage_partition(path: str, schema_fields: list, iterator) -> _StagedFile:
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.json.gz"
+    staged = os.path.join(staging, name)
+    rows = 0
+    file_names = []
+    with gzip.open(staged, "wt", encoding="utf-8") as out:
+        for row in iterator:
+            d = {f: row[f] for f in schema_fields}
+            if "fileName" in d and d["fileName"] is not None:
+                file_names.append(d["fileName"])
+            out.write(json.dumps(d, default=str) + "\n")
+            rows += 1
+    return _StagedFile(staged=staged, rows=rows, file_names=file_names)
+
+
+def _publish(path: str, messages, manifest_name: str) -> None:
+    """Move staged files into place, write markers, then the manifest last —
+    the manifest write is the commit point."""
+    status = os.path.join(path, "status")
+    os.makedirs(status, exist_ok=True)
+    entries = []
+    for m in messages:
+        if m is None or m.rows == 0:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+            continue
+        final = os.path.join(path, os.path.basename(m.staged))
+        shutil.move(m.staged, final)
+        for fn in m.file_names:
+            marker = os.path.join(status, f"{fn}.finished")
+            with open(marker, "w") as fh:
+                fh.write(f"Finished {fn}")  # S3StatusFileWriter.kt:36 body shape
+        entries.append({"file": os.path.basename(final), "rows": m.rows,
+                        "delivered": m.file_names})
+    tmp = os.path.join(path, f".{manifest_name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": entries, "total_rows": sum(e["rows"] for e in entries)}, fh)
+    os.replace(tmp, os.path.join(path, manifest_name))
+
+
+def _discard(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.staged):
+            os.remove(m.staged)
+
+
+class DeliverySinkWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options["path"]
+        self.fields = list(schema.fieldNames())
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _stage_partition(self.path, self.fields, iterator)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".json.gz") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+        _publish(self.path, messages, "_MANIFEST.json")
+
+    def abort(self, messages):
+        _discard(messages)
+
+
+class DeliverySinkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema: StructType):
+        self.path = options["path"]
+        self.fields = list(schema.fieldNames())
+
+    def write(self, iterator):
+        return _stage_partition(self.path, self.fields, iterator)
+
+    def commit(self, messages, batchId: int):
+        manifest = os.path.join(self.path, f"_MANIFEST-{batchId}.json")
+        if os.path.exists(manifest):
+            _discard(messages)  # epoch already committed (restart replay)
+            return
+        _publish(self.path, messages, os.path.basename(manifest))
+
+    def abort(self, messages, batchId: int):
+        _discard(messages)
+
+
+class DeliverySinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "delivery_sink"
+
+    def schema(self):
+        # write-only source; schema comes from the written DataFrame
+        return "fileName string"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return DeliverySinkWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return DeliverySinkStreamWriter(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DeliverySinkDataSource)

@@ -1,0 +1,112 @@
+"""Python DataSource write path (sources/pyds_sink.py): DSv2 commit protocol
+around the reference's delivery outputs — staged partition files become
+visible only on commit, markers + manifest included; streaming form commits
+per epoch idempotently."""
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.sources import pyds_sink
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pyds_sink.register(spark)
+
+
+def _receipts(spark, n=6):
+    return spark.range(n).select(
+        F.concat(F.lit("db.core.claimant-000-001-00000"), F.col("id")).alias("fileName"),
+        (F.col("id") * 10).alias("rows_delivered"),
+    )
+
+
+def test_batch_write_commit_publishes_files_markers_manifest(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    _receipts(spark).repartition(3).write.format("delivery_sink").option(
+        "path", out
+    ).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 6
+    data_files = glob.glob(os.path.join(out, "part-*.json.gz"))
+    assert {e["file"] for e in manifest["files"]} == {os.path.basename(f) for f in data_files}
+    # every delivered fileName got its .finished marker with the reference's body
+    markers = os.listdir(os.path.join(out, "status"))
+    assert len(markers) == 6 and all(m.endswith(".finished") for m in markers)
+    body = open(os.path.join(out, "status", sorted(markers)[0])).read()
+    assert body.startswith("Finished db.core.claimant")
+    # staging fully drained; payload round-trips as JSON-L
+    assert glob.glob(os.path.join(out, "_staging", "*")) == []
+    rows = [json.loads(line) for f in data_files for line in gzip.open(f, "rt")]
+    assert sorted(r["rows_delivered"] for r in rows) == [0, 10, 20, 30, 40, 50]
+
+
+def test_batch_write_task_failure_publishes_nothing(spark, tmp_path):
+    out = str(tmp_path / "sink_fail")
+    os.makedirs(out)
+
+    @F.udf("string")
+    def boom(fn):
+        if fn.endswith("3"):
+            raise RuntimeError("delivery failed")
+        return fn
+
+    df = _receipts(spark, 4).withColumn("fileName", boom("fileName"))
+    with pytest.raises(Exception):
+        df.repartition(4).write.format("delivery_sink").option("path", out).mode(
+            "append"
+        ).save()
+    # abort: no manifest, no visible data files, no markers
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert glob.glob(os.path.join(out, "part-*.json.gz")) == []
+    assert not os.path.exists(os.path.join(out, "status"))
+
+
+def test_batch_overwrite_replaces_previous_commit(spark, tmp_path):
+    out = str(tmp_path / "sink_ow")
+    os.makedirs(out)
+    for _ in range(2):
+        _receipts(spark, 3).write.format("delivery_sink").option("path", out).mode(
+            "overwrite"
+        ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 3
+    data_files = glob.glob(os.path.join(out, "part-*.json.gz"))
+    assert {e["file"] for e in manifest["files"]} == {os.path.basename(f) for f in data_files}
+
+
+def test_stream_write_commits_per_epoch_idempotently(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    _receipts(spark, 5).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("fileName string, rows_delivered bigint")
+            .parquet(src)
+            .writeStream.format("delivery_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    manifests = glob.glob(os.path.join(out, "_MANIFEST-*.json"))
+    assert len(manifests) == 1
+    total = sum(json.load(open(m))["total_rows"] for m in manifests)
+    assert total == 5
+    assert len(os.listdir(os.path.join(out, "status"))) == 5
+    # restart from the same checkpoint: no new data → no new manifests
+    run()
+    assert glob.glob(os.path.join(out, "_MANIFEST-*.json")) == manifests
