@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QueryDef]:
         corrupt_q,
         coverage2_q,
         coverage3_q,
+        coverage4_q,
         curation_q,
         graph_q,
         llm,

@@ -290,3 +290,51 @@ def test_regr_aggregates_match_numpy(spark, sf_dir):
     assert abs(got["slope"] - slope) < 1e-6 * abs(slope)
     assert abs(got["icept"] - icept) < 1e-6 * max(1.0, abs(icept))
     assert abs(got["r2"] - r * r) < 1e-9
+
+
+def test_moment_aggregates_match_numpy(spark, sf_dir):
+    """Second/third/fourth-moment aggregates (stddev/variance pop+samp,
+    corr, covar, skewness, kurtosis) agree with numpy's closed forms within
+    float tolerance — like regr_*, excluded from the hash-matched surface
+    (accumulation-order-dependent double sums) but pinned here. Spark's
+    kurtosis is the EXCESS kurtosis (m4/m2² − 3) over population moments."""
+    import numpy as np
+
+    from snapshot_sender_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").limit(20000)
+    li.createOrReplaceTempView("mom_li")
+    got = spark.sql(
+        """
+        SELECT stddev_samp(l_extendedprice) AS sd_s,
+               stddev_pop(l_extendedprice) AS sd_p,
+               var_samp(l_extendedprice) AS var_s,
+               var_pop(l_extendedprice) AS var_p,
+               corr(l_quantity, l_extendedprice) AS corr_xy,
+               covar_samp(l_quantity, l_extendedprice) AS cov_s,
+               covar_pop(l_quantity, l_extendedprice) AS cov_p,
+               skewness(l_extendedprice) AS skew,
+               kurtosis(l_extendedprice) AS kurt
+        FROM mom_li
+        """
+    ).first()
+    pdf = li.select("l_quantity", "l_extendedprice").toPandas()
+    x, y = pdf["l_quantity"].to_numpy(), pdf["l_extendedprice"].to_numpy()
+    n = len(y)
+
+    def rel(a, b, tol=1e-9):
+        return abs(a - b) <= tol * max(1.0, abs(b))
+
+    assert rel(got["sd_s"], y.std(ddof=1))
+    assert rel(got["sd_p"], y.std(ddof=0))
+    assert rel(got["var_s"], y.var(ddof=1))
+    assert rel(got["var_p"], y.var(ddof=0))
+    assert rel(got["corr_xy"], np.corrcoef(x, y)[0, 1])
+    assert rel(got["cov_s"], np.cov(x, y, ddof=1)[0, 1])
+    assert rel(got["cov_p"], np.cov(x, y, ddof=0)[0, 1])
+    m2 = ((y - y.mean()) ** 2).mean()
+    m3 = ((y - y.mean()) ** 3).mean()
+    m4 = ((y - y.mean()) ** 4).mean()
+    assert rel(got["skew"], m3 / m2**1.5, tol=1e-8)
+    assert rel(got["kurt"], m4 / m2**2 - 3.0, tol=1e-8)
+    assert n >= 1000  # enough mass for the 4th-moment tolerance to be meaningful
