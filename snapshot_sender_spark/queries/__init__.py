@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QueryDef]:
         coverage2_q,
         coverage3_q,
         coverage4_q,
+        coverage5_q,
         curation_q,
         graph_q,
         llm,

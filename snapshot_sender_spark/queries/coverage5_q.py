@@ -1,0 +1,153 @@
+"""Query batch 12: JSON introspection, cross-timezone conversion,
+calendar-month distance, indexed-choice string functions, and the
+SQL-injection-safe IDENTIFIER clause.
+
+Timezone conversion generalizes the reference's export-date header handling
+(NiFiUtility.kt:15 passes export_date through; a fleet spanning regions needs
+the wall-clock mapping to be an engine op, not application code)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "json_introspect_funcs",
+    oracle="""
+    SELECT doc_id,
+           to_json(string_split(text, ' ')[1:4]) AS head_json,
+           CAST(json_array_length(to_json(string_split(text, ' ')[1:4])) AS BIGINT)
+             AS arr_len,
+           array_to_string(json_keys('{"doc": 1, "lang": "' || lang || '"}'), ',')
+             AS obj_keys,
+           json_extract_string('{"doc": 1, "lang": "' || lang || '"}', '$.lang')
+             AS lang_extracted
+    FROM documents WHERE doc_id < 80
+    """,
+    category="scalar-json",
+)
+def json_introspect_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON introspection: array length and object keys of runtime-built JSON
+    (json_array_length / json_object_keys), plus json_tuple extraction — the
+    schema-on-read probes for payloads nobody declared a schema for (§1.2:
+    the reference forwards payloads unparsed; these are the first-look ops)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    head_json = F.to_json(F.slice(F.split(F.col("text"), " "), 1, 4))
+    obj = F.concat(F.lit('{"doc": 1, "lang": "'), F.col("lang"), F.lit('"}'))
+    return d.select(
+        "doc_id",
+        head_json.alias("head_json"),
+        F.json_array_length(head_json).cast("bigint").alias("arr_len"),
+        F.array_join(F.json_object_keys(obj), ",").alias("obj_keys"),
+        F.expr(
+            """json_tuple('{"doc": 1, "lang": "' || lang || '"}', 'lang')"""
+        ).alias("lang_extracted"),
+    )
+
+
+@query(
+    "date_tz_convert",
+    oracle="""
+    SELECT event_id,
+           ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ts_nyc,
+           ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo' AS ts_tokyo,
+           CAST(hour(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS INT)
+             AS hour_nyc
+    FROM events WHERE event_id < 500
+    """,
+    category="scalar-date",
+)
+def date_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_timezone: the same instant as wall-clock time in other zones
+    (UTC→America/New_York crosses a day boundary for evening events;
+    UTC→Asia/Tokyo crosses forward). Both engines consult the same IANA tzdb;
+    the January data window sits outside DST transitions."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ntz = F.col("ts").cast("timestamp_ntz")
+    nyc = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), ntz)
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), ntz)
+    return e.select(
+        "event_id",
+        nyc.alias("ts_nyc"),
+        tokyo.alias("ts_tokyo"),
+        F.hour(nyc).cast("int").alias("hour_nyc"),
+    )
+
+
+@query(
+    "date_months_between",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(datediff('month', date_trunc('month', o_orderdate),
+                         DATE '2025-06-01') AS DOUBLE) AS months_to_ref,
+           CAST(datediff('month', date_trunc('month', o_orderdate),
+                         DATE '2025-06-01') // 12 AS BIGINT) AS whole_years
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    category="scalar-date",
+)
+def date_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """months_between on month-aligned dates — exactly integral by the
+    31-day-month rule, so the double compares bit-for-bit with the oracle's
+    calendar month difference."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    mb = F.months_between(
+        F.lit("2025-06-01").cast("date"), F.date_trunc("month", "o_orderdate")
+    )
+    return o.select(
+        "o_orderkey",
+        mb.alias("months_to_ref"),
+        F.floor(mb / 12).cast("bigint").alias("whole_years"),
+    )
+
+
+@query(
+    "string_choice_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           (['alpha', 'beta', 'gamma'])[1 + n_nationkey % 3] AS chosen,
+           CAST(COALESCE(list_position(string_split('AMERICA,ASIA,EUROPE', ','),
+                         r_name), 0) AS INT) AS region_slot
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    category="scalar-string",
+)
+def string_choice_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-choice string ops: elt (1-based positional pick) and
+    find_in_set (position in a comma-list, 0 when absent) — the dispatch-table
+    primitives behind topic→route mappings."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    return j.select(
+        "n_nationkey",
+        F.expr("elt(1 + n_nationkey % 3, 'alpha', 'beta', 'gamma')").alias("chosen"),
+        F.expr("find_in_set(r_name, 'AMERICA,ASIA,EUROPE')").cast("int").alias(
+            "region_slot"
+        ),
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_name
+    """,
+    category="sql",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause: table and column names supplied as runtime
+    strings without string-splicing SQL (the injection-safe form of dynamic
+    DDL/DML the reference's property-driven topic selection would need,
+    PropertyUtility.kt:5-11)."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("ident_nation")
+    return spark.sql(
+        "SELECT IDENTIFIER(:col) AS n_name, COUNT(*) AS n "
+        "FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:col)",
+        args={"col": "n_name", "tab": "ident_nation"},
+    )
