@@ -151,3 +151,49 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:col)",
         args={"col": "n_name", "tab": "ident_nation"},
     )
+
+
+@query(
+    "text_chunk_arrow_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i // 80 AS INT) AS chunk_no,
+           substring(text, CAST(i AS INT) + 1, 120) AS chunk
+    FROM documents, UNNEST(range(0, length(text), 80)) AS t(i)
+    """,
+    category="llm-text",
+)
+def text_chunk_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native UDTF (Spark 4.1 ``arrow_udtf``): overlapping context
+    windows (120 chars, stride 80) emitted as one pyarrow Table per offset —
+    the whole batch is sliced vectorized with pyarrow.compute, no per-row
+    Python. The one-to-many table-function shape text_chunk_udtf expresses
+    row-at-a-time, here at Arrow batch speed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id bigint, chunk_no int, chunk string")
+    class ArrowChunker:
+        def eval(self, batch: pa.RecordBatch):
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            lengths = pc.utf8_length(text)
+            max_len = pc.max(lengths).as_py() or 0
+            for chunk_no, off in enumerate(range(0, max_len, 80)):
+                mask = pc.greater(lengths, off)
+                ids = pc.filter(doc_id, mask)
+                if len(ids) == 0:
+                    continue
+                chunks = pc.utf8_slice_codeunits(
+                    pc.filter(text, mask), start=off, stop=off + 120
+                )
+                yield pa.table(
+                    {
+                        "doc_id": ids,
+                        "chunk_no": pa.array([chunk_no] * len(ids), pa.int32()),
+                        "chunk": chunks,
+                    }
+                )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ArrowChunker(d.asTable())
