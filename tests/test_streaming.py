@@ -362,3 +362,75 @@ def test_streaming_observe_metrics(spark, event_dir):
     ]
     assert sum(m["rows"] for m in per_batch) == 5  # all three files' rows counted
     assert sum(m["total_value"] for m in per_batch) == 15.0
+
+
+def test_update_mode_emits_only_changed_windows(spark, event_dir):
+    """Update output mode: each micro-batch emits only the windows whose
+    aggregate CHANGED in that batch (vs complete re-emitting everything and
+    append waiting for the watermark). The memory sink accumulates the update
+    stream, so the row multiset is the exact per-batch emission history; the
+    late b3 row lands behind the watermark of an evicted window → no update."""
+    import uuid
+
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    events = _stream(spark, event_dir, schema)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").cast("string").alias("ws"), "n")
+    )
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["ws"], r["n"]) for r in spark.table(name).collect())
+    assert got == [
+        ("2024-01-01 00:00:00", 2),  # batch 1: both windows change
+        ("2024-01-01 03:00:00", 1),
+        ("2024-01-01 03:00:00", 2),  # batch 2: only the 03:00 window changes
+    ]  # batch 3: late row for an evicted window → dropped, nothing emitted
+
+
+def test_foreach_row_sink(spark, event_dir, tmp_path):
+    """The row-level foreach sink (writeStream.foreach with open/process/close
+    lifecycle): the per-row delivery shape of the reference's HttpWriter
+    (chunk size 1, JobConfiguration.kt:96-97) — every row is delivered exactly
+    once per epoch-partition, and close() runs the commit-side bookkeeping."""
+    out = tmp_path / "foreach_rows"
+    out.mkdir()
+
+    class RowWriter:
+        def open(self, partition_id, epoch_id):
+            self.rows = []
+            self.tag = f"{epoch_id}-{partition_id}"
+            return True
+
+        def process(self, row):
+            self.rows.append(f"{row['event_id']}")
+
+        def close(self, error):
+            if self.rows:  # one marker file per (epoch, partition) with rows
+                p = out / f"part-{self.tag}"
+                p.write_text("\n".join(self.rows))
+
+    schema = spark.read.parquet(event_dir + "/b1").schema
+    events = _stream(spark, event_dir, schema)
+    q = (
+        events.select("event_id")
+        .writeStream.foreach(RowWriter())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    delivered = sorted(
+        int(line)
+        for f in out.iterdir()
+        for line in f.read_text().splitlines()
+    )
+    assert delivered == [1, 2, 3, 4, 5]
