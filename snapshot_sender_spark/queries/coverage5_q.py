@@ -197,3 +197,42 @@ def text_chunk_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return ArrowChunker(d.asTable())
+
+
+@query(
+    "pandas_api_groupby",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    category="pandas-api",
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the pandas groupby/agg idiom
+    compiled to the same distributed plan — the migration surface for users
+    arriving from single-node pandas. The ps frame is converted back with
+    to_spark() (columns only, no materialized index) so the result is the
+    plain aggregate."""
+    import warnings
+
+    import pyspark.pandas as ps
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        prev = ps.get_option("compute.default_index_type")
+        ps.set_option("compute.default_index_type", "distributed")
+        try:
+            pdf = ps.read_parquet(f"{sf_dir}/documents.parquet")
+            agg = pdf.groupby("source", as_index=False).agg(
+                {"doc_id": "count", "n_chars": "sum"}
+            )
+            out = agg.to_spark()
+        finally:
+            ps.set_option("compute.default_index_type", prev)
+    return out.select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -60,3 +60,35 @@ def test_gzip_udf_roundtrip(spark):
 
 def test_empty_gzip_is_valid_and_empty():
     assert gzip.decompress(empty_gzip()) == b""
+
+
+def test_builtin_aes_cbc_roundtrip_and_cross_check(spark):
+    """Spark's built-in aes_encrypt/aes_decrypt (CBC/PKCS with explicit IV —
+    deterministic, unlike the random-IV default) round-trips and its
+    ciphertext matches the cryptography library bit-for-bit; try_aes_decrypt
+    returns NULL on garbage instead of failing the job (the reference's
+    permanent-error routing, HttpKeyService.kt:61-70). CTR itself is NOT
+    offered by the built-in — the custom UDF in functions/crypto.py exists
+    precisely for that gap (SURVEY.md §2B crypto row)."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    from cryptography.hazmat.primitives.padding import PKCS7
+
+    key = b"0123456789abcdef0123456789abcdef"
+    iv = b"ABCDEF0123456789"
+    plaintext = b'{"rec": 1}'
+
+    df = spark.createDataFrame([(plaintext, key, iv)], "pt binary, key binary, iv binary")
+    row = df.selectExpr(
+        "aes_encrypt(pt, key, 'CBC', 'PKCS', iv) AS ct",
+        "aes_decrypt(aes_encrypt(pt, key, 'CBC', 'PKCS', iv), key, 'CBC', 'PKCS') AS rt",
+        "try_aes_decrypt(X'00112233445566', key, 'CBC', 'PKCS') AS bad",
+    ).first()
+    assert bytes(row["rt"]) == plaintext
+    assert row["bad"] is None
+
+    padder = PKCS7(128).padder()
+    padded = padder.update(plaintext) + padder.finalize()
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    expected = enc.update(padded) + enc.finalize()
+    # Spark prepends the IV to CBC output
+    assert bytes(row["ct"]) == iv + expected

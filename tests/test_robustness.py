@@ -147,3 +147,39 @@ def test_ignore_corrupt_files_scan(spark, tmp_path):
         assert spark.read.parquet(d).count() == 100  # valid rows survive
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=40).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_repetition_removal_matches_python_model(spark, docs):
+    """text_repetition_removal's order-preserving first-occurrence dedup
+    equals dict.fromkeys on arbitrary word soups (single hypothesis draw of a
+    whole corpus — one Spark job, many documents)."""
+    from snapshot_sender_spark.queries import all_queries  # registry import
+    from snapshot_sender_spark.queries.coverage3_q import text_repetition_removal
+    import os
+    import tempfile
+
+    all_queries()
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [(i, t, "xx", "s0", len(t)) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["dedup_text"], r["n_unique"], r["n_total"])
+            for r in text_repetition_removal(spark, d).collect()
+        }
+    for i, t in enumerate(docs):
+        words = t.split(" ")
+        deduped = list(dict.fromkeys(words))
+        assert got[i] == (" ".join(deduped), len(deduped), len(words))
