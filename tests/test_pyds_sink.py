@@ -110,3 +110,25 @@ def test_stream_write_commits_per_epoch_idempotently(spark, tmp_path):
     # restart from the same checkpoint: no new data → no new manifests
     run()
     assert glob.glob(os.path.join(out, "_MANIFEST-*.json")) == manifests
+
+
+def test_arrow_writer_stages_parquet_and_commits(spark, tmp_path):
+    """The Arrow-native writer (DataSourceArrowWriter): RecordBatches staged
+    straight to parquet, same commit protocol — published files read back
+    with the ordinary parquet reader, markers + manifest in place."""
+    out = str(tmp_path / "arrow_sink")
+    os.makedirs(out)
+    pyds_sink.register_arrow(spark)
+    _receipts(spark).repartition(2).write.format("delivery_sink_arrow").option(
+        "path", out
+    ).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 6
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert files and {e["file"] for e in manifest["files"]} == {
+        os.path.basename(f) for f in files
+    }
+    back = spark.read.parquet(*files)
+    assert sorted(r["rows_delivered"] for r in back.collect()) == [0, 10, 20, 30, 40, 50]
+    assert len(os.listdir(os.path.join(out, "status"))) == 6
