@@ -277,3 +277,65 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Join strategy hints are honored: BROADCAST forces BroadcastHashJoin,
+    SHUFFLE_HASH forces ShuffledHashJoin, MERGE forces SortMergeJoin — the
+    per-query escape hatches when AQE's choice is wrong at scale."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cases = {
+            "broadcast": "BroadcastHashJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "merge": "SortMergeJoin",
+        }
+        for hint, op in cases.items():
+            plan = (
+                o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert op in plan, f"{hint} → expected {op}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_exchange_reuse_for_repeated_subplan(spark, sf_dir):
+    """The same shuffle consumed twice (self-union of one aggregate) is
+    planned as ReusedExchange — at 100 TB, recomputing a fact-table shuffle
+    because two branches need it would double the job."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    j = agg.alias("a").join(agg.alias("b"), "l_returnflag")
+    j.collect()  # AQE surfaces ReusedExchange only in the executed final plan
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_cached_relation_reused(spark, sf_dir):
+    """df.persist() turns later scans into InMemoryTableScan — the hot-dim
+    caching lever. Unpersisted afterwards so the suite's other plans are
+    unaffected."""
+    from snapshot_sender_spark.tables import load
+
+    n = load(spark, sf_dir, "nation")
+    cached = n.persist()
+    try:
+        cached.count()  # materialize
+        plan = cached.filter("n_nationkey > 3")._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    finally:
+        cached.unpersist()
