@@ -236,3 +236,49 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("n_docs"),
         F.col("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_large,
+           CAST(COUNT(*) FILTER (WHERE day(ts) <= 15) AS BIGINT) AS n_first_half,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY event_type
+    """,
+    category="aggregation",
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if — the conditional-count shorthand (≡ COUNT(*) FILTER): the
+    reference's per-outcome counters (files posted vs retried vs rejected,
+    MetricsConfiguration.kt:20-93) as one pass over the group."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_large"),
+        F.count_if(F.dayofmonth("ts") <= 15).alias("n_first_half"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "array_zip_inline",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ')[1:3] AS ws FROM documents
+      WHERE doc_id < 60
+    )
+    SELECT doc_id, ws[i] AS word, CAST(length(ws[i]) AS INT) AS wlen
+    FROM words, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    """,
+    category="scalar-array",
+)
+def array_zip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + inline: two parallel arrays fanned out as one row per
+    element with struct fields promoted straight to columns (the
+    array-of-structs explode without the intermediate col.* projection)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    d = d.withColumn("word", F.slice(F.split(F.col("text"), " "), 1, 3)).withColumn(
+        "wlen", F.transform(F.col("word"), lambda w: F.length(w))
+    )
+    return d.select("doc_id", F.inline(F.arrays_zip("word", "wlen")))
