@@ -282,3 +282,40 @@ def array_zip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wlen", F.transform(F.col("word"), lambda w: F.length(w))
     )
     return d.select("doc_id", F.inline(F.arrays_zip("word", "wlen")))
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, length(text) AS nb
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, i,
+             ('0x' || substr(hx, 4*i + 3, 2))::INTEGER * 256
+               + ('0x' || substr(hx, 4*i + 1, 2))::INTEGER AS u16
+      FROM h, UNNEST(range(0, nb // 2)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(i // 8 AS INT) AS window_no,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(CASE WHEN u16 >= 32768 THEN (u16 - 65536) * (u16 - 65536)
+                         ELSE u16 * u16 END) AS BIGINT) AS energy
+    FROM samples GROUP BY doc_id, i // 8
+    """,
+    category="llm-multimodal",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction that is NOT a stub: binary payloads decoded as
+    16-bit little-endian PCM (numpy.frombuffer inside mapInPandas) and reduced
+    to exact integer sum-of-squares energy per 8-sample window. The oracle
+    re-derives every sample from the hex of the same bytes — decode, framing,
+    odd-byte truncation and windowing all verified bit-for-bit."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return multimodal.pcm16_window_energy(media)

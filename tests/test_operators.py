@@ -338,3 +338,26 @@ def test_moment_aggregates_match_numpy(spark, sf_dir):
     assert rel(got["skew"], m3 / m2**1.5, tol=1e-8)
     assert rel(got["kurt"], m4 / m2**2 - 3.0, tol=1e-8)
     assert n >= 1000  # enough mass for the 4th-moment tolerance to be meaningful
+
+
+def test_pcm16_energy_edge_cases(spark):
+    """PCM decode edge cases: odd trailing byte ignored, empty payload yields
+    no windows, negative samples square positively, short final window keeps
+    its true sample count."""
+    from snapshot_sender_spark.operators import multimodal as mm
+
+    rows = [
+        (1, bytes([0x01, 0x00, 0xFF, 0xFF, 0x7F])),  # 2 samples (1, -1) + odd byte
+        (2, b""),  # empty → nothing
+        (3, None),  # null → nothing
+        (4, bytes([0x00, 0x80] * 9)),  # 9× -32768 → window of 8 + window of 1
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        (r["media_id"], r["window_no"]): (r["n_samples"], r["energy"])
+        for r in mm.pcm16_window_energy(df).collect()
+    }
+    assert got[(1, 0)] == (2, 1 * 1 + (-1) * (-1))
+    assert not any(k[0] in (2, 3) for k in got)
+    assert got[(4, 0)] == (8, 8 * 32768 * 32768)
+    assert got[(4, 1)] == (1, 32768 * 32768)
