@@ -319,3 +319,83 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
     )
     return multimodal.pcm16_window_energy(media)
+
+
+@query(
+    "map_construct_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(['type=' || event_type,
+                                      'usr=' || CAST(user_id % 10 AS VARCHAR)]), ',')
+             AS m_base,
+           array_to_string(list_sort(['TYPE=' || event_type,
+                                      'USR=' || CAST(user_id % 10 AS VARCHAR)]), ',')
+             AS m_upper_keys,
+           array_to_string(list_sort(['type=' || event_type,
+                                      'usr=' || CAST(user_id % 10 AS VARCHAR),
+                                      'day=' || CAST(day(ts) AS VARCHAR)]), ',')
+             AS m_merged
+    FROM events WHERE event_id < 300
+    """,
+    category="scalar-map",
+)
+def map_construct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/rewrite family: str_to_map parsing of "k=v,k=v"
+    header strings (the reference's NiFi header map, NiFiUtility.kt:12-25, as
+    data), transform_keys, map_concat. Maps canonicalize to sorted k=v CSV on
+    both engines, so entry-order differences can't affect the hash."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+
+    def canon(m):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(m),
+                    lambda kv: F.concat(kv["key"], F.lit("="), kv["value"].cast("string")),
+                )
+            ),
+            ",",
+        )
+
+    base = F.expr("str_to_map(concat('type=', event_type, ',usr=', user_id % 10), ',', '=')")
+    upper = F.map_from_arrays(
+        F.transform(F.map_keys(base), F.upper), F.map_values(base)
+    )
+    merged = F.map_concat(
+        base, F.create_map(F.lit("day"), F.dayofmonth("ts").cast("string"))
+    )
+    return e.select(
+        "event_id",
+        canon(base).alias("m_base"),
+        canon(upper).alias("m_upper_keys"),
+        canon(merged).alias("m_merged"),
+    )
+
+
+@query(
+    "string_regexp_position_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'ba[a-z]+')) AS BIGINT) AS n_matches,
+           CASE WHEN regexp_extract(text, 'ba[a-z]+') = '' THEN 0
+                ELSE CAST(strpos(text, regexp_extract(text, 'ba[a-z]+')) AS INT)
+           END AS first_pos,
+           NULLIF(regexp_extract(text, 'ba[a-z]+'), '') AS first_match,
+           regexp_matches(text, 's[ct]an') AS has_scan
+    FROM documents
+    """,
+    category="scalar-string",
+)
+def string_regexp_position_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex position/count family: regexp_count, regexp_instr (1-based, 0
+    when absent), regexp_substr (NULL when absent), regexp_like — the
+    occurrence-analysis side of the regex surface (the validation side is
+    string_regexp_filename's reference grammar)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("ba[a-z]+")).cast("bigint").alias("n_matches"),
+        F.regexp_instr(F.col("text"), F.lit("ba[a-z]+")).cast("int").alias("first_pos"),
+        F.regexp_substr(F.col("text"), F.lit("ba[a-z]+")).alias("first_match"),
+        F.rlike(F.col("text"), F.lit("s[ct]an")).alias("has_scan"),
+    )
