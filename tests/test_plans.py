@@ -339,3 +339,44 @@ def test_cached_relation_reused(spark, sf_dir):
         assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     finally:
         cached.unpersist()
+
+
+def test_declared_surface_plan_audit(spark, sf_dir):
+    """Global plan audit over EVERY declared batch query: row-at-a-time
+    Python (BatchEvalPython) appears only in the two Python-UDTF queries
+    (that API is row-based by definition), Arrow crossings only in the known
+    vectorized-kernel set, and nested-loop/cartesian shapes only where the
+    query genuinely wants one (explicit CROSS JOIN, single-row scalar-
+    subquery broadcasts). A new query that accidentally de-vectorizes or
+    cross-joins fails here by name."""
+    SKIP_CATEGORIES = {"streaming", "pipeline", "llm-pipeline"}
+    EXPECTED_BATCH_PY = {"text_chunk_udtf", "udtf_table_arg_gaps"}
+    EXPECTED_ARROW = {
+        "dedup_embedding_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+        "embedding_quantize_int8", "multimodal_audio_energy",
+        "multimodal_frame_sample", "multimodal_resize",
+        "sim_label_centroid_arrow", "text_chunk_arrow_udtf",
+        "text_fingerprint_rolling", "text_stats_arrow_udf",
+    }
+    EXPECTED_NLJ = {
+        "join_cross",                     # explicit cartesian surface
+        "analytics_cooccurrence_lift",    # single-row totals broadcast
+        "sql_table_udf",                  # lateral TVF over one row
+        "tpch_q11_important_stock",       # scalar-subquery threshold
+        "tpch_q22_global_sales_opportunity",  # scalar-subquery avg balance
+    }
+    batch_py, arrow_py, nlj = set(), set(), set()
+    for name, qd in sorted(all_queries().items()):
+        if qd.category in SKIP_CATEGORIES:
+            continue
+        plan = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            batch_py.add(name)
+        if any(tag in plan for tag in ("ArrowEvalPython", "MapInPandas",
+                                       "FlatMapGroupsInPandas", "InArrow")):
+            arrow_py.add(name)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            nlj.add(name)
+    assert batch_py == EXPECTED_BATCH_PY
+    assert arrow_py == EXPECTED_ARROW
+    assert nlj == EXPECTED_NLJ
