@@ -399,3 +399,54 @@ def string_regexp_position_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_substr(F.col("text"), F.lit("ba[a-z]+")).alias("first_match"),
         F.rlike(F.col("text"), F.lit("s[ct]an")).alias("has_scan"),
     )
+
+
+@query(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(day(ts)) AS last_day,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY last_day, user_id) AS r_q,
+             NTILE(4) OVER (ORDER BY freq, user_id) AS f_q,
+             NTILE(4) OVER (ORDER BY monetary_cents, user_id) AS m_q
+      FROM per_user
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(m_q) AS BIGINT) AS sum_m_q
+    FROM scored GROUP BY r_q, f_q
+    """,
+    category="analytics",
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quartiles (NTILE
+    with unique tie-break so quartile assignment is engine-exact; money in
+    integer cents) rolled up to segment counts — the standard customer-value
+    grid as three windows over one aggregate."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.dayofmonth("ts")).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias(
+            "monetary_cents"
+        ),
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("last_day", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("monetary_cents", "user_id")).alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q").agg(
+        F.count("*").alias("n_users"), F.sum("m_q").alias("sum_m_q")
+    )
