@@ -450,3 +450,25 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_q", "f_q").agg(
         F.count("*").alias("n_users"), F.sum("m_q").alias("sum_m_q")
     )
+
+
+@query(
+    "agg_product_exact",
+    oracle="""
+    SELECT l_orderkey,
+           product(l_linenumber) AS line_product,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem WHERE l_orderkey < 2000
+    GROUP BY l_orderkey
+    """,
+    category="aggregation",
+)
+def agg_product_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCT aggregate on small integers (line numbers ≤ 7, ≤ 7 lines →
+    products ≤ 7! — exact in a double regardless of multiply order, so the
+    float output is engine-reproducible)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.product("l_linenumber").alias("line_product"),
+        F.count("*").alias("n_lines"),
+    )
