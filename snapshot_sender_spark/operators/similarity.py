@@ -376,3 +376,60 @@ def quantize_int8_arrow(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     ).mapInArrow(
         quantize, "id long, scale double, qsum long, qmin long, qmax long"
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index instead of re-clustering per query: centroids to
+    ``<dir>/centroids.parquet`` (tiny — driver-readable), vectors to
+    ``<dir>/vectors/`` PARTITIONED BY bucket. Probing then reads only the
+    probed buckets' directories — parquet partition pruning IS the IVF cost
+    model (n_probe/n_centroids of the data per query), and the index is
+    shared across queries/jobs like any table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    feats = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
+    ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", predictionCol="bucket"
+    ).fit(feats)
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(centers, "bucket int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    model.transform(feats).select("id", "arr", "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{index_dir}/vectors")
+
+
+def ivf_search_index(
+    spark, index_dir: str, query: list[float], k: int = 10, n_probe: int = 4
+) -> DataFrame:
+    """Query a persisted IVF index: pick the n_probe nearest centroids on the
+    driver (centroid table is tiny), then scan ONLY those bucket partitions
+    (PartitionFilters on the vectors table) and exact-rescore with the same
+    integer-quantized cosine as the exact path."""
+    qd = [float(x) for x in query]
+    centers = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(c, qd))
+
+    probe = sorted(centers, key=lambda r: dist2(r["center"]))[:n_probe]
+    buckets = [int(r["bucket"]) for r in probe]
+    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("bucket").isin(buckets)
+    )
+    rescored = cosine_scores(vectors.select("id", "arr"), "arr", qd)
+    return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)

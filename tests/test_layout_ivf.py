@@ -1,0 +1,88 @@
+"""Storage/layout maintenance + persisted IVF index: compaction produces the
+planned file count with identical data; the persisted index prunes bucket
+partitions and full-probe equals the exact scan."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators import layout, similarity
+from snapshot_sender_spark.tables import load
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+    )
+    df.repartition(40).write.parquet(src)  # 40 small files
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 40
+
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    out = layout.compact_parquet(spark, src, dst, target_file_bytes=-(-total // 4))
+    n_out = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert n_out == 4
+    # identical content (order-insensitive)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+    assert out.select("pad").subtract(df.select("pad")).count() == 0
+
+
+def test_compact_sorted_files_have_selective_stats(spark, tmp_path):
+    """Sort-clustered compaction: each output file covers a disjoint id range,
+    so a point predicate's min/max pruning touches one file."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "many_s")
+    dst = str(tmp_path / "sorted")
+    spark.range(10_000).select(F.col("id"), (F.col("id") * 2).alias("v")).repartition(
+        16
+    ).write.parquet(src)
+    layout.compact_parquet(spark, src, dst, target_file_bytes=10**12, sort_cols=["id"])
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    # single target file still sorts; force multiple ranges for the stats check
+    layout.compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=sum(os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))) // 5,
+        sort_cols=["id"],
+    )
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) >= 3
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        maxs = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint id ranges → min/max pruning is selective
+
+
+def test_ivf_index_persists_prunes_and_full_probe_is_exact(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, "embedding", "vec_id", idx, n_centroids=8)
+
+    # probing must prune bucket partitions at the scan
+    res = similarity.ivf_search_index(spark, idx, q, k=10, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    # full probe == exact brute force (same quantized cosine, same tie-break)
+    full = similarity.ivf_search_index(spark, idx, q, k=10, n_probe=8)
+    exact = similarity.cosine_topk(emb, "embedding", "vec_id", q, k=10)
+    got = [(r["id"], r["cosine"]) for r in full.collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in exact.collect()]
+    assert got == want
+
+    # partial probe keeps reasonable recall and is a subset of the corpus
+    part_ids = {r["id"] for r in res.collect()}
+    assert len(part_ids & {r[0] for r in want}) >= 3
