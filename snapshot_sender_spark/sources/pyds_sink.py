@@ -166,8 +166,9 @@ class DeliverySinkArrowWriter(DataSourceArrowWriter):
     no per-row Python objects anywhere on the write path. Same commit
     protocol as the Row form."""
 
-    def __init__(self, options, schema: StructType):
+    def __init__(self, options, schema: StructType, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import pyarrow.parquet as pq
@@ -196,6 +197,10 @@ class DeliverySinkArrowWriter(DataSourceArrowWriter):
         return _StagedFile(staged=staged, rows=rows, file_names=file_names)
 
     def commit(self, messages):
+        if self.overwrite:  # same contract as the Row writer: replace the
+            for f in os.listdir(self.path):  # previous commit wholesale
+                if f.endswith(".parquet") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
         _publish(self.path, messages, "_MANIFEST.json")
 
     def abort(self, messages):
@@ -211,7 +216,7 @@ class DeliverySinkArrowDataSource(DataSource):
         return "fileName string"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return DeliverySinkArrowWriter(self.options, schema)
+        return DeliverySinkArrowWriter(self.options, schema, overwrite)
 
 
 def register_arrow(spark) -> None:

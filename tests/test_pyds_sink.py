@@ -184,3 +184,17 @@ def test_pluggable_source_to_pluggable_sink_stream(spark, tmp_path):
         json.load(open(m))["total_rows"]
         for m in glob.glob(os.path.join(out, "_MANIFEST-*.json"))
     ) == 6 * 20
+
+
+def test_arrow_writer_overwrite_replaces_previous_commit(spark, tmp_path):
+    out = str(tmp_path / "arrow_ow")
+    os.makedirs(out)
+    pyds_sink.register_arrow(spark)
+    for n in (5, 3):
+        _receipts(spark, n).write.format("delivery_sink_arrow").option(
+            "path", out
+        ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 3
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert {e["file"] for e in manifest["files"]} == {os.path.basename(f) for f in files}
