@@ -472,3 +472,51 @@ def agg_product_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.product("l_linenumber").alias("line_product"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "quality_referential_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+      (SELECT CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders)
+        AS n_null_custkey,
+      (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        AS n_dup_orderkey,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders,
+      (SELECT CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        FROM orders) AS min_price_cents,
+      (SELECT CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        FROM orders) AS max_price_cents
+    """,
+    category="quality",
+)
+def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the Deequ-style pre-flight a 100 TB ingest runs
+    before publishing): row count, null-key count, duplicate-key count,
+    referential orphans (anti-join against the dimension), and value bounds —
+    the scalar checks in ONE aggregation pass plus one anti-join, not six
+    scans."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    stats = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_dup_orderkey"),
+        F.min(cents).alias("min_price_cents"),
+        F.max(cents).alias("max_price_cents"),
+    )
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("n_orphan_orders")
+    )
+    return stats.crossJoin(orphans).select(
+        "n_rows",
+        "n_null_custkey",
+        "n_dup_orderkey",
+        "n_orphan_orders",
+        "min_price_cents",
+        "max_price_cents",
+    )
