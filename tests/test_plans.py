@@ -364,6 +364,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "sql_table_udf",                  # lateral TVF over one row
         "tpch_q11_important_stock",       # scalar-subquery threshold
         "tpch_q22_global_sales_opportunity",  # scalar-subquery avg balance
+        "quality_referential_audit",      # cross join of two 1-row aggregates
     }
     batch_py, arrow_py, nlj = set(), set(), set()
     for name, qd in sorted(all_queries().items()):
