@@ -520,3 +520,62 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price_cents",
         "max_price_cents",
     )
+
+
+@query(
+    "math_int_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           factorial(n_nationkey % 12) AS fact,
+           bin(n_nationkey + 1) AS bits,
+           CAST((n_nationkey >> 2) & 1 AS INT) AS bit2,
+           CAST(CASE WHEN (n_nationkey * 37 + 50) % 100 > 50
+                       OR ((n_nationkey * 37 + 50) % 100 = 50
+                           AND ((n_nationkey * 37 + 50) // 100) % 2 = 1)
+                     THEN (n_nationkey * 37 + 50) // 100 + 1
+                     ELSE (n_nationkey * 37 + 50) // 100 END AS BIGINT)
+             AS banker_rounded
+    FROM nation
+    """,
+    category="scalar-math",
+)
+def math_int_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer math extras: factorial, binary representation, bit
+    extraction, and bround (banker's HALF_EVEN rounding — the money-correct
+    rounding mode) on DECIMAL, stated in the oracle as pure integer
+    arithmetic so every value compares exactly."""
+    n = load(spark, sf_dir, "nation")
+    cents = (F.col("n_nationkey") * 37 + 50).cast("decimal(12,0)")
+    return n.select(
+        "n_nationkey",
+        F.factorial(F.col("n_nationkey") % 12).alias("fact"),
+        F.bin(F.col("n_nationkey") + 1).alias("bits"),
+        F.expr("getbit(n_nationkey, 2)").cast("int").alias("bit2"),
+        F.bround(cents / 100, 0).cast("bigint").alias("banker_rounded"),
+    )
+
+
+@query(
+    "string_overlay_funcs",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 3) || '###' || substr(p_name, 7) AS patched,
+           CAST(strpos(p_name, 'o') AS INT) AS first_o,
+           repeat(p_brand, 2) AS doubled,
+           reverse(p_type) AS backwards
+    FROM part WHERE p_partkey < 300
+    """,
+    category="scalar-string",
+)
+def string_overlay_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """overlay (in-place byte-range patch — the engine form of the
+    reference's filename rewrites), locate, repeat, reverse. The oracle
+    rebuilds overlay from substr concatenation."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.overlay("p_name", F.lit("###"), F.lit(4)).alias("patched"),
+        F.locate("o", "p_name").cast("int").alias("first_o"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.reverse("p_type").alias("backwards"),
+    )
