@@ -481,3 +481,18 @@ def test_geospatial_wkb_roundtrip(spark):
     for row, (pid, raw) in zip(sorted(out, key=lambda r: r["id"]), pts):
         assert row["srid"] == 4326
         assert bytes(row["back"]) == raw, (pid, bytes(row["back"]).hex())
+
+
+def test_schema_inference_functions(spark):
+    """schema_of_json / schema_of_csv / schema_of_variant: the DDL strings the
+    engine infers for undeclared payloads (test-only — the output is a Spark
+    DDL dialect no other engine reproduces). Pinned so inference drift across
+    Spark upgrades is visible."""
+    row = spark.sql(
+        """SELECT schema_of_json('{"a": 1, "b": [1.5], "c": {"d": "x"}}') AS j,
+                  schema_of_csv('1,abc,2.5') AS c,
+                  schema_of_variant(parse_json('{"a": 1, "b": ["x"]}')) AS v"""
+    ).first()
+    assert row["j"] == "STRUCT<a: BIGINT, b: ARRAY<DOUBLE>, c: STRUCT<d: STRING>>"
+    assert row["c"] == "STRUCT<_c0: INT, _c1: STRING, _c2: DOUBLE>"
+    assert row["v"] == "OBJECT<a: BIGINT, b: ARRAY<STRING>>"  # variant spells OBJECT
