@@ -579,3 +579,43 @@ def string_overlay_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat("p_brand", 2).alias("doubled"),
         F.reverse("p_type").alias("backwards"),
     )
+
+
+@query(
+    "null_zero_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 7 END
+             AS null_if_zero,
+           COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                         ELSE o_orderkey % 7 END, 0) AS zero_if_null,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'had_null' ELSE 'had_value' END
+             AS branch_nvl2,
+           (o_orderstatus IS NOT DISTINCT FROM 'O') AS eq_null_safe,
+           CASE WHEN isnan(CASE WHEN o_orderkey % 5 = 0 THEN 'NaN'::DOUBLE
+                                ELSE CAST(o_orderkey AS DOUBLE) END)
+                THEN -1.0 ELSE CAST(o_orderkey AS DOUBLE) END AS nan_guarded
+    FROM orders WHERE o_orderkey < 700
+    """,
+    category="scalar-null",
+)
+def null_zero_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null/zero/NaN-normalization family (Spark 4 nullifzero/zeroifnull
+    plus nvl2, null-safe equality, nanvl) — the tri-state cleanups a pipeline
+    applies before aggregating sensor-style data. The oracle states each as
+    its CASE definition."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 700)
+    mod7 = F.col("o_orderkey") % 7
+    maybe_nan = F.when(F.col("o_orderkey") % 5 == 0, F.lit(float("nan"))).otherwise(
+        F.col("o_orderkey").cast("double")
+    )
+    return o.select(
+        "o_orderkey",
+        F.nullifzero(mod7).alias("null_if_zero"),
+        F.zeroifnull(F.nullifzero(mod7)).alias("zero_if_null"),
+        F.nvl2(F.nullifzero(mod7), F.lit("had_value"), F.lit("had_null")).alias(
+            "branch_nvl2"
+        ),
+        F.equal_null(F.col("o_orderstatus"), F.lit("O")).alias("eq_null_safe"),
+        F.nanvl(maybe_nan, F.lit(-1.0)).alias("nan_guarded"),
+    )
