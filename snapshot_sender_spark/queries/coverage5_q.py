@@ -619,3 +619,36 @@ def null_zero_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.equal_null(F.col("o_orderstatus"), F.lit("O")).alias("eq_null_safe"),
         F.nanvl(maybe_nan, F.lit(-1.0)).alias("nan_guarded"),
     )
+
+
+@query(
+    "date_epoch_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS epoch_days,
+           CAST(DATE '1970-01-01'
+                + INTERVAL (CAST(o_orderdate AS DATE) - DATE '1970-01-01') DAY
+                AS TIMESTAMP) AS roundtrip_date,
+           epoch_ms(o_orderkey * 1000 + 123) AS ts_from_millis,
+           CAST(CAST(o_orderdate AS DATE)
+             + CAST(CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END
+                    AS INTEGER) AS TIMESTAMP) AS next_monday
+    FROM orders WHERE o_orderkey < 800
+    """,
+    category="scalar-date",
+)
+def date_epoch_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-integer date plumbing (unix_date / date_from_unix_date /
+    timestamp_millis) and next_day — the calendar arithmetic a partition-layout
+    planner uses (days-since-epoch IS the partition key at 100 TB). next_day
+    is strictly-after; the oracle states the isodow modular form."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.unix_date(d).cast("int").alias("epoch_days"),
+        F.date_from_unix_date(F.unix_date(d)).cast("timestamp").alias("roundtrip_date"),
+        F.timestamp_millis(F.col("o_orderkey") * 1000 + 123).alias("ts_from_millis"),
+        F.next_day(d, "Mon").cast("timestamp").alias("next_monday"),
+    )
