@@ -354,3 +354,47 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     return sw.run_to_memory(dedup, "append")
+
+
+@query(
+    "stream_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+      )
+    """,
+    category="streaming",
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases that had at least one click in
+    the preceding hour, emitted ONCE regardless of click count (the streaming
+    EXISTS). Completes the stream-stream join family (inner / left outer /
+    full outer / semi); state bounded by both watermarks like the others."""
+    purchases = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        sw.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "left_semi",
+    ).select("purchase_id", "user_id")
+    return sw.run_to_memory(joined, "append")
