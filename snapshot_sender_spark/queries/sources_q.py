@@ -202,3 +202,72 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
     return sw.run_to_memory(agg, "complete")
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT CAST(string_split(line, '|')[1] AS BIGINT) AS doc_id,
+           length(string_split(line, '|')[2]) AS text_len
+    FROM (SELECT CAST(doc_id AS VARCHAR) || '|' || text AS line FROM documents)
+    """,
+    category="source",
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The line-oriented ``text`` source (one string column per line — the
+    rawest scan Spark offers, what a log/JSONL pre-parser starts from):
+    documents written as delimited lines, read back, fields re-split."""
+    d = _roundtrip_dir(sf_dir, "textlines")
+    _write_once(
+        d,
+        lambda tmp: load(spark, sf_dir, "documents")
+        .select(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text")).alias("value"))
+        .write.mode("overwrite")
+        .text(tmp),
+    )
+    lines = spark.read.text(d)
+    parts = F.split(F.col("value"), r"\|")
+    return lines.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        F.length(parts.getItem(1)).alias("text_len"),
+    )
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+           CAST(n_chars AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 5
+    """,
+    category="source",
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — the delivery pipeline's ingestion format
+    (one row per object: path, length, content; S3DirectoryReader.kt:31-98
+    equivalent): five known files scanned, identity checked via basename and
+    byte length (ASCII text → bytes == n_chars)."""
+    import os as _os
+
+    d = _roundtrip_dir(sf_dir, "binfiles")
+
+    def write_files(tmp: str) -> None:
+        _os.makedirs(tmp, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 5)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(_os.path.join(tmp, f"doc_{r['doc_id']}.txt"), "w") as fh:
+                fh.write(r["text"])
+
+    from ..util import write_once as _wo
+
+    _wo(d, write_files, probe=_os.path.join(d, "doc_0.txt"))
+    files = spark.read.format("binaryFile").load(d)
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+    )
