@@ -40,6 +40,8 @@ def _rev_col():
     category="tpch",
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: top unshipped BUILDING-segment orders by revenue — selective dim
+    filters broadcast into the lineitem scan; decimal-exact revenue sum."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -76,6 +78,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="tpch",
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: revenue from orders whose customer and supplier share an ASIA
+    nation — the 6-table join; every dimension side broadcasts."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -111,6 +115,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     category="tpch",
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: one-pass filtered global aggregate — every predicate reaches the
+    parquet scan (PushedFilters), no shuffle beyond the 1-row final agg."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.filter(
@@ -335,6 +341,8 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     category="tpch",
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: revenue lost to returned items per customer over a quarter —
+    top-k by a decimal-exact aggregate over the return-flag filter."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
