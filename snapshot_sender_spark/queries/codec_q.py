@@ -28,6 +28,7 @@ from . import query
     category="scalar-codec",
 )
 def codec_hex_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec scalars: hex/unhex round-trip, bit ops, conv base conversion — the byte-plumbing family under the delivery payloads."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
     pk = F.col("p_partkey").cast("long")
     return p.select(

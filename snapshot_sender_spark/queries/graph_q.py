@@ -219,6 +219,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-date",
 )
 def date_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL arithmetic: add/subtract day-time and year-month intervals, timestamp differences — calendar-exact on both engines."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
     d = F.col("o_orderdate")
     return o.select(

@@ -189,6 +189,7 @@ def filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-table inner equi-join chain (customer ⋈ orders ⋈ lineitem) — dims broadcast, fact never re-shuffles per join."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -210,6 +211,7 @@ def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving all left rows (the reference's status-table lookup shape)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return (
@@ -232,6 +234,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: unmatched rows of both sides survive with NULL opposite columns."""
     cs = (
         load(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
@@ -276,6 +279,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — EXISTS as a join type; emits each left row at most once (the key-membership probe)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_mktsegment")
@@ -317,6 +321,7 @@ def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (the one intentional cartesian in the surface) — tiny dims only."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
@@ -411,6 +416,7 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped global aggregate (count/sum/min/max/avg) — the 1-row final reduce."""
     l = load(spark, sf_dir, "lineitem")
     return l.agg(
         F.count("*").alias("n_rows"),
@@ -459,6 +465,7 @@ def agg_sent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (group → subtotal → grand total) in one aggregation pass."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
@@ -481,6 +488,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys: all 4 grouping combinations in one pass (reference's per-label counter matrix, MetricsConfiguration.kt:20-93, generalized)."""
     l = load(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
@@ -499,6 +507,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: chosen rollup combinations only, with grouping() flags disambiguating the NULL rows."""
     o = load(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders")
     return spark.sql(
@@ -544,6 +553,7 @@ def agg_bool_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: groupBy + pivot(values) + agg — rows to columns with a declared value list (no extra scan to discover keys)."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
@@ -568,6 +578,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
 )
 def agg_count_distinct_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group beside plain counts — the two-phase distinct aggregate (partial sets, final merge)."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
@@ -628,6 +639,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank under ties (ordering keys chosen so tie groups are deterministic)."""
     s = load(spark, sf_dir, "supplier")
     w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return s.select(
@@ -652,6 +664,7 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets with defaults — the adjacent-row comparison surface (file-sequence deltas in the reference's numbering)."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
@@ -708,6 +721,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile buckets and percent_rank over a unique total order — engine-exact quantile assignment."""
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return c.select(
@@ -756,6 +770,7 @@ def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sort",
 )
 def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global sort (mixed asc/desc, nulls placement) — range-partitioned total order."""
     s = load(spark, sf_dir, "supplier")
     return (
         s.select("s_suppkey", "s_nationkey", "s_acctbal")
@@ -781,6 +796,7 @@ def sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="setop",
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — bag union, no dedup shuffle."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.unionAll(s).groupBy("nk").agg(F.count("*").alias("n"))
@@ -796,6 +812,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="setop",
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) between two projections."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.intersect(s)
@@ -987,6 +1004,7 @@ def date_int_yyyymmdd(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-math",
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic scalar family: +,-,*,/, pmod, abs, greatest/least, integer div — all JVM codegen."""
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
     return l.select(
         "l_orderkey",
@@ -1041,6 +1059,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-array",
 )
 def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode→groupBy word count over documents (shuffle carries (token, 1) pairs, not text)."""
     d = load(spark, sf_dir, "documents")
     return (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -1089,6 +1108,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-json",
 )
 def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit StructType into typed columns — the declared-schema payload parse (s3_files.py:40-75 shapes)."""
     e = load(spark, sf_dir, "events")
     parsed = e.select(F.from_json(F.col("props"), "k INT").alias("p"))
     return parsed.groupBy(F.col("p.k").alias("k")).agg(F.count("*").alias("n"))

@@ -32,6 +32,7 @@ from .relational import SQL_DSUM, _money
     category="sql",
 )
 def sql_cte_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH common-table-expression feeding an aggregate — the named-subplan SQL surface."""
     register_views(spark, sf_dir)
     return spark.sql(
         f"""
@@ -83,6 +84,7 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sql",
 )
 def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — planned as a left semi join."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -104,6 +106,7 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sql",
 )
 def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in the projection — the 1-row broadcast pattern."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -125,6 +128,7 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sql",
 )
 def sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — the post-aggregate filter."""
     register_views(spark, sf_dir)
     return spark.sql(
         f"""
@@ -144,6 +148,7 @@ def sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="sql",
 )
 def sql_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over multiple columns — dedup as an aggregate without measures."""
     l = load(spark, sf_dir, "lineitem")
     return l.select("l_returnflag", "l_linestatus", "l_suppkey").distinct()
 
@@ -183,6 +188,7 @@ def sql_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — the mirrored preserve-right form."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
@@ -234,6 +240,7 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="setop",
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — bag union followed by the dedup shuffle."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.union(s).distinct()
@@ -308,6 +315,7 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
 )
 def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over ordered frames (frame-exact semantics on both engines)."""
     s = load(spark, sf_dir, "supplier")
     w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -425,6 +433,7 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar-string",
 )
 def string_position_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position/search string family: instr, locate, substring_index, lpad/rpad."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
     return p.select(
         "p_partkey",
