@@ -11,13 +11,32 @@ as the z-order query in queries/scale_q.py).
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
     return max(1, math.ceil(total_bytes / max(1, target_file_bytes)))
+
+
+def _input_bytes(spark: SparkSession, path: str) -> int:
+    """Sum the byte size of the .parquet files under ``path`` through the
+    Hadoop FileSystem API, so sizing works for any supported URI scheme
+    (file://, s3a://, hdfs://) — not just the local filesystem. A silent 0
+    here would compact the whole dataset into one file (see plan_target_files),
+    so an empty/missing input raises instead."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
+    if total == 0:
+        raise ValueError(f"no parquet bytes found under {path!r}")
+    return total
 
 
 def compact_parquet(
@@ -34,12 +53,7 @@ def compact_parquet(
     per-file min/max stats prune point/range scans afterwards. Returns the
     compacted DataFrame (lazy — the write has already happened)."""
     df = spark.read.parquet(in_path)
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(in_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    total = _input_bytes(spark, in_path)
     n_files = plan_target_files(total, target_file_bytes)
     if sort_cols:
         shaped = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)

@@ -11,9 +11,14 @@ same outputs get all-or-nothing visibility from the DSv2 commit protocol:
   under ``<path>/_staging/`` and returns a ``WriterCommitMessage`` naming the
   staged file, its row count, and the delivered fileNames;
 * ``commit(messages)`` (driver, runs once ALL tasks succeeded) moves staged
-  files into ``<path>``, writes one ``.finished`` marker per delivered
-  fileName under ``<path>/status/``, and records everything in
-  ``_MANIFEST.json`` — nothing becomes visible if any task failed;
+  files into ``<path>``, publishes ``_MANIFEST.json`` (the commit point),
+  then writes one ``.finished`` marker per delivered fileName under
+  ``<path>/status/`` — nothing becomes visible if any task failed, and a
+  driver crash mid-publish can only leave a committed manifest with missing
+  markers, which ``replay_markers`` idempotently re-creates on recovery
+  (markers are a pure function of the manifests). Overwrite mode replaces
+  the previous commit wholesale: data files, manifest, its status markers,
+  and stale ``_staging`` leftovers;
 * ``abort(messages)`` deletes whatever was staged.
 
 The streaming form (``DataSourceStreamWriter``) does the same per epoch with
@@ -71,8 +76,12 @@ def _stage_partition(path: str, schema_fields: list, iterator) -> _StagedFile:
 
 
 def _publish(path: str, messages, manifest_name: str) -> None:
-    """Move staged files into place, write markers, then the manifest last —
-    the manifest write is the commit point."""
+    """Move staged files into place, write the manifest (THE commit point),
+    then the markers. Markers after the manifest means a driver crash
+    mid-publish can never advertise a batch that did not commit; on recovery
+    the markers are idempotently re-creatable from the manifest (see
+    ``replay_markers``), so marker-polling readers converge to exactly the
+    committed set."""
     status = os.path.join(path, "status")
     os.makedirs(status, exist_ok=True)
     entries = []
@@ -83,16 +92,59 @@ def _publish(path: str, messages, manifest_name: str) -> None:
             continue
         final = os.path.join(path, os.path.basename(m.staged))
         shutil.move(m.staged, final)
-        for fn in m.file_names:
-            marker = os.path.join(status, f"{fn}.finished")
-            with open(marker, "w") as fh:
-                fh.write(f"Finished {fn}")  # S3StatusFileWriter.kt:36 body shape
         entries.append({"file": os.path.basename(final), "rows": m.rows,
                         "delivered": m.file_names})
     tmp = os.path.join(path, f".{manifest_name}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"files": entries, "total_rows": sum(e["rows"] for e in entries)}, fh)
     os.replace(tmp, os.path.join(path, manifest_name))
+    _write_markers(status, entries)
+
+
+def _write_markers(status: str, entries) -> None:
+    for e in entries:
+        for fn in e["delivered"]:
+            marker = os.path.join(status, f"{fn}.finished")
+            with open(marker, "w") as fh:
+                fh.write(f"Finished {fn}")  # S3StatusFileWriter.kt:36 body shape
+
+
+def replay_markers(path: str) -> int:
+    """Recovery helper: re-derive the status markers from every committed
+    manifest under ``path`` (markers are a pure function of the manifests).
+    Returns the number of markers ensured present. Run after a driver crash
+    that may have landed between the manifest rename and the marker writes."""
+    status = os.path.join(path, "status")
+    os.makedirs(status, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(path)):
+        if f.startswith("_MANIFEST") and f.endswith(".json"):
+            with open(os.path.join(path, f)) as fh:
+                manifest = json.load(fh)
+            _write_markers(status, manifest["files"])
+            n += sum(len(e["delivered"]) for e in manifest["files"])
+    return n
+
+
+def _clear_previous_commit(path: str, data_suffix: str, keep_staged) -> None:
+    """Overwrite semantics: replace the previous commit WHOLESALE — data
+    files, manifest, the status markers it advertised, and any _staging
+    leftovers a crashed prior run abandoned (everything in _staging except
+    this commit's own staged files, which _publish is about to move)."""
+    for f in os.listdir(path):
+        if f.endswith(data_suffix) or f == "_MANIFEST.json":
+            os.remove(os.path.join(path, f))
+    status = os.path.join(path, "status")
+    if os.path.isdir(status):
+        for f in os.listdir(status):
+            if f.endswith(".finished"):
+                os.remove(os.path.join(status, f))
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        live = {os.path.basename(m.staged) for m in keep_staged if m is not None}
+        for f in os.listdir(staging):
+            if f not in live:
+                os.remove(os.path.join(staging, f))
 
 
 def _discard(messages) -> None:
@@ -112,9 +164,7 @@ class DeliverySinkWriter(DataSourceWriter):
 
     def commit(self, messages):
         if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".json.gz") or f == "_MANIFEST.json":
-                    os.remove(os.path.join(self.path, f))
+            _clear_previous_commit(self.path, ".json.gz", messages)
         _publish(self.path, messages, "_MANIFEST.json")
 
     def abort(self, messages):
@@ -198,9 +248,7 @@ class DeliverySinkArrowWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         if self.overwrite:  # same contract as the Row writer: replace the
-            for f in os.listdir(self.path):  # previous commit wholesale
-                if f.endswith(".parquet") or f == "_MANIFEST.json":
-                    os.remove(os.path.join(self.path, f))
+            _clear_previous_commit(self.path, ".parquet", messages)
         _publish(self.path, messages, "_MANIFEST.json")
 
     def abort(self, messages):

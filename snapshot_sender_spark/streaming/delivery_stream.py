@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import crypto, text
+from ..plans import delivery
 from ..sources.listing import ENCRYPTION_META_SCHEMA
 
 
@@ -51,8 +52,11 @@ def run_streaming_delivery(
 
     foreachBatch body = the batch pipeline stages on the batch's file set:
     metadata rows → content join (read per batch) → grammar/topic → key
-    broadcast → decrypt → per-file write + markers. Epoch-id marker makes
-    redelivery of a replayed batch a no-op."""
+    broadcast → decrypt → the batch ``deliver()`` foreachPartition sink
+    (per-file atomic rename + markers, fully distributed — decrypted bytes
+    never reach the driver). Epoch-id marker makes redelivery of a replayed
+    batch a no-op; the only driver-side collects are the metadata listing
+    delta and the distinct-key set (both O(files-per-batch), not O(bytes))."""
     os.makedirs(output_dir, exist_ok=True)
     os.makedirs(status_dir, exist_ok=True)
     epochs: list[int] = []
@@ -80,7 +84,23 @@ def run_streaming_delivery(
             files = objects.join(F.broadcast(meta), "fileName")
             files = files.withColumn(
                 "decryptedFileName", text.strip_enc_suffix(F.col("fileName"))
-            ).filter(text.filename_is_valid(F.col("decryptedFileName")))
+            )
+            rejected = files.filter(
+                ~text.filename_is_valid(F.col("decryptedFileName"))
+            ).select("fileName")
+            files = files.filter(text.filename_is_valid(F.col("decryptedFileName")))
+            files = (
+                files.withColumn("database", text.extract_database(F.col("decryptedFileName")))
+                .withColumn("collection", text.extract_collection(F.col("decryptedFileName")))
+                .withColumn(
+                    "topic",
+                    text.derive_topic(
+                        F.col("decryptedFileName"), F.col("database"), F.col("collection")
+                    ),
+                )
+            )
+            # distinct-key collect IS the operator: one external key-service
+            # call per distinct (keyId, cipherText) — O(keys), never O(bytes)
             pairs = [
                 (r["dataKeyEncryptionKeyId"], r["cipherText"])
                 for r in files.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
@@ -97,14 +117,17 @@ def run_streaming_delivery(
                 )
                 .withColumn("outputFileName", text.rename_output(F.col("decryptedFileName")))
             )
-            for row in decrypted.select("fileName", "outputFileName", "decrypted").collect():
-                out = os.path.join(output_dir, row["outputFileName"])
-                tmp = out + ".tmp"
-                with open(tmp, "wb") as fh:
-                    fh.write(bytes(row["decrypted"]))
-                os.replace(tmp, out)
-                with open(os.path.join(status_dir, row["fileName"] + ".finished"), "w") as fh:
-                    fh.write(f"Finished {row['fileName']}")
+            # the batch sink: foreachPartition atomic write + markers — the
+            # micro-batch is delivered by the executors, not the driver
+            delivery.deliver(
+                delivery.DeliveryResult(
+                    delivered=decrypted,
+                    rejected=rejected,
+                    blocked=decrypted.select("fileName", "topic").limit(0),
+                ),
+                output_dir,
+                status_dir,
+            )
         with open(epoch_marker, "w") as fh:
             fh.write("committed")
         epochs.append(epoch_id)

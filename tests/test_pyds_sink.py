@@ -198,3 +198,45 @@ def test_arrow_writer_overwrite_replaces_previous_commit(spark, tmp_path):
     assert manifest["total_rows"] == 3
     files = glob.glob(os.path.join(out, "part-*.parquet"))
     assert {e["file"] for e in manifest["files"]} == {os.path.basename(f) for f in files}
+
+
+def test_overwrite_clears_stale_markers_and_staging(spark, tmp_path):
+    """Overwrite replaces the previous commit WHOLESALE: the status prefix
+    must advertise only the new commit's deliveries, and _staging leftovers
+    from a crashed prior run are drained (round-2 ADVICE items)."""
+    out = str(tmp_path / "sink_ow_markers")
+    os.makedirs(out)
+    _receipts(spark, 5).write.format("delivery_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert len(os.listdir(os.path.join(out, "status"))) == 5
+    # simulate a crashed prior run's abandoned staging file
+    stale = os.path.join(out, "_staging", "part-deadbeef.json.gz")
+    os.makedirs(os.path.dirname(stale), exist_ok=True)
+    open(stale, "w").write("orphan")
+
+    _receipts(spark, 2).write.format("delivery_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    markers = os.listdir(os.path.join(out, "status"))
+    assert len(markers) == 2  # no phantom deliveries from the replaced commit
+    assert not os.path.exists(stale)
+
+
+def test_markers_follow_manifest_and_replay(spark, tmp_path):
+    """The manifest rename is the commit point; markers come after and are
+    re-creatable from the manifest — a crash in the marker window never
+    advertises an uncommitted batch and always converges on replay."""
+    out = str(tmp_path / "sink_replay")
+    os.makedirs(out)
+    _receipts(spark, 4).write.format("delivery_sink").option("path", out).mode(
+        "append"
+    ).save()
+    status = os.path.join(out, "status")
+    expected = sorted(os.listdir(status))
+    # simulate driver crash after manifest rename but before marker writes
+    for m in expected:
+        os.remove(os.path.join(status, m))
+    n = pyds_sink.replay_markers(out)
+    assert n == 4
+    assert sorted(os.listdir(status)) == expected
