@@ -72,9 +72,9 @@ def ngram_jaccard_pairs(
     # The exploded posting list is O(docs × shingles-per-doc) — small relative
     # to the pair blowup. Broadcasting it turns the candidate join into a
     # map-side hash join and lets partial aggregation absorb the pair stream
-    # before any shuffle. At corpus scale swap to a shuffle join bucketed on
-    # shingle + drop top-frequency shingles (skew cut) — semantics preserved
-    # as long as the cut is applied to the oracle too.
+    # before any shuffle. This is the SMALL-corpus fast path; the corpus-scale
+    # plan (shuffle join bucketed on shingle hash + top-frequency-shingle cut)
+    # is ngram_jaccard_pairs_shuffle below.
     pair_counts = (
         a.join(F.broadcast(b), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -86,6 +86,76 @@ def ngram_jaccard_pairs(
     return (
         pair_counts.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_shuffle(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Corpus-scale posting-list Jaccard: every join is a bucketed SHUFFLE
+    join keyed on the shingle hash (or doc id) — no broadcast of any
+    corpus-sized side anywhere, so the plan holds when the posting list is
+    terabytes. This is the declared 100-TB fallback for vocabularies too wide
+    for the dense GEMM blocks.
+
+    Plan: shingles → xxhash64 posting list (8-byte join keys, the string
+    never shuffles) → optional top-frequency-shingle cut (``max_shingle_df``:
+    shingles present in more documents are dropped BEFORE the self-join — the
+    standard stopword-shingle skew cut; set sizes are recomputed post-cut so
+    Jaccard stays exact over the cut universe, and any SQL oracle must apply
+    the same cut) → sort-merge self-join on the hash → partial-aggregated
+    pair counts → sort-merge joins against the per-doc size table.
+
+    Residual hot-key skew after the cut is AQE's skew-join territory
+    (sort-merge joins split oversized partitions at runtime). With
+    ``max_shingle_df=None`` the result is identical to
+    ``ngram_jaccard_pairs`` (same integer counts, same float64 division)."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
+    )
+    posting = shingled.select("id", F.explode("shingles").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("h")
+    )
+    if max_shingle_df is not None:
+        keep = (
+            posting.groupBy("h")
+            .agg(F.count("*").alias("doc_freq"))
+            .filter(F.col("doc_freq") <= max_shingle_df)
+            .select("h")
+        )
+        posting = posting.hint("merge").join(keep.hint("merge"), "h")
+    posting = posting.localCheckpoint(eager=False)  # computed once, used 3×
+    sizes = posting.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = posting.select(F.col("id").alias("id_a"), "h")
+    b = posting.select(F.col("id").alias("id_b"), "h")
+    pair_counts = (
+        a.hint("merge")
+        .join(b.hint("merge"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        pair_counts.hint("merge")
+        .join(sa.hint("merge"), "id_a")
+        .hint("merge")
+        .join(sb.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -208,9 +278,10 @@ def ngram_jaccard_pairs_gemm(
     xxhash64 before shipping (4× smaller Arrow payload, integer unique/
     searchsorted in the kernel) — a hash collision *within one doc-pair's
     union* would be needed to perturb a count, P < 1e-9 at the dense-width
-    guard's vocabulary cap. Falls back to the join plan when the shingle
-    vocabulary exceeds ``max_vocab`` (dense width limit; the sparse /
-    feature-hashed variant is the next rung)."""
+    guard's vocabulary cap. Falls back to ``ngram_jaccard_pairs_shuffle`` (the
+    broadcast-free bucketed posting-list join) when the shingle vocabulary
+    exceeds ``max_vocab`` — exactly the large-corpus case where broadcasting
+    anything corpus-sized is impossible."""
     import numpy as np
     import pandas as pd
 
@@ -239,7 +310,7 @@ def ngram_jaccard_pairs_gemm(
         .first()["v"]
     )
     if est > max_vocab:
-        return ngram_jaccard_pairs(df, text_col, id_col, threshold)
+        return ngram_jaccard_pairs_shuffle(df, text_col, id_col, threshold)
     blocks = list(range(n_blocks))
     pair_rows = [(i, j, side) for i in blocks for j in blocks if i <= j for side in ("a", "b")]
     # assignment table: block-pair (i,j) pulls block i as side a, block j as side b

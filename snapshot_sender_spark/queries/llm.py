@@ -78,6 +78,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ngram_jaccard_shuffle",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM shingled
+      WHERE shingle IN (
+        SELECT shingle FROM shingled GROUP BY shingle HAVING COUNT(*) <= 20
+      )
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM kept GROUP BY doc_id
+    ),
+    pair_counts AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) AS jaccard
+    FROM pair_counts
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.3
+    """,
+    category="llm-dedup",
+)
+def dedup_ngram_jaccard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB Jaccard plan: broadcast-free bucketed posting-list join on
+    the shingle hash with a top-frequency-shingle cut (doc-freq > 20 dropped
+    — the stopword-shingle skew cut; the oracle applies the identical cut, so
+    the post-cut Jaccard is verified exactly). Every join is sort-merge: the
+    plan has no BroadcastExchange at all (pinned by tests/test_operators.py),
+    so nothing in it is bounded by executor memory at corpus scale."""
+    return dedup.ngram_jaccard_pairs_shuffle(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.3, max_shingle_df=20,
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, category="llm-dedup")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding (approximate → rows-only check). Sub-quadratic

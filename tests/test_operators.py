@@ -80,6 +80,50 @@ def test_ngram_jaccard_gemm_matches_join_plan(spark, sf_dir):
     assert g == j and len(g) > 0
 
 
+def test_ngram_jaccard_shuffle_matches_broadcast_plan(spark, sf_dir):
+    """The broadcast-free bucketed posting-list plan is result-identical to
+    the broadcast join plan when no frequency cut is applied — same integer
+    pair counts and set sizes, same float64 division."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs_shuffle(d, "text", "doc_id", 0.25).collect()
+    }
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", 0.25).collect()
+    }
+    assert s == j and len(s) > 0
+
+
+def test_ngram_jaccard_shuffle_plan_has_no_broadcast(spark, sf_dir):
+    """The 100-TB guarantee: NOTHING in the shuffle plan broadcasts — the
+    posting list, the pair counts, and the size table all move by bucketed
+    shuffle (sort-merge joins), so no stage is bounded by executor memory."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.ngram_jaccard_pairs_shuffle(d, "text", "doc_id", 0.3, max_shingle_df=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_ngram_jaccard_frequency_cut_drops_hot_shingles(spark):
+    """A shingle present in more than max_shingle_df docs contributes to no
+    pair; docs related only through hot shingles disappear from the result."""
+    # docs 0..9 share ONLY the hot bigram "common filler"; 20/21 share rare text
+    rows = [(i, f"common filler unique{i} tail{i}") for i in range(10)]
+    rows += [(20, "rare shared phrase alpha"), (21, "rare shared phrase beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs_shuffle(
+            df, "text", "doc_id", threshold=0.1, max_shingle_df=5
+        ).collect()
+    }
+    assert (20, 21) in pairs
+    assert not any(a < 10 and b < 10 for a, b in pairs)
+
+
 def test_minhash_lsh_finds_duplicate(spark):
     rows = [(i, f"unique words for document number {i} " * 3) for i in range(20)]
     rows.append((100, rows[0][1]))  # exact dup of doc 0
