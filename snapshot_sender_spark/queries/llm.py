@@ -433,6 +433,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 192 AND doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, i,
+             ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM d, UNNEST(range(0, 192)) AS t(i)
+    )
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height, 3 AS channels,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INT) AS pixel_min,
+           CAST(MAX(v) AS INT) AS pixel_max,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode that is NOT a stub: each document's first 192 bytes become
+    the pixels of an 8×8 RGB PNG (encoded in one mapInPandas stage with the
+    row filters cycling through all five PNG predictors), then a second
+    mapInPandas stage runs the real stdlib-zlib decoder — chunk walk with CRC
+    verification, IDAT inflate, Sub/Up/Avg/Paeth unfiltering — and reduces to
+    exact integer pixel stats. The oracle recomputes the stats straight from
+    the source bytes, so the entire encode→deflate→inflate→unfilter round
+    trip is verified bit-for-bit (the PNG analog of multimodal_audio_energy)."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 192) & (F.col("doc_id") < 200)
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return multimodal.png_pixel_stats(multimodal.encode_as_png(media, width=8, height=8))
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 32 AS width, 32 AS height,

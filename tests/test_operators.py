@@ -182,9 +182,77 @@ def test_cosine_pairs_gemm_matches_fold(spark, sf_dir):
     assert g == f and len(g) > 0
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_stub_raises_for_non_png():
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...", fake=False)
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg-bytes", fake=False)
+
+
+def test_png_roundtrip_all_filters():
+    """encode → decode must be the identity for every PNG filter type, RGB
+    and RGBA, including non-square shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for c in (3, 4):
+        px = rng.integers(0, 256, size=(7, 5, c), dtype=np.uint8)
+        for f in range(5):
+            data = multimodal.encode_png_rgb8(px, filters=[f] * 7)
+            out = multimodal.decode_png(data)
+            assert out.shape == px.shape and (out == px).all(), f"filter {f} c={c}"
+    # cycling filters (the default) too
+    px = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png_rgb8(px)) == px).all()
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(multimodal.encode_png_rgb8(px))
+    data[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(data))
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"plainly not a png")
+    # 16-bit depth is out of scope and must say so, not mis-decode
+    good = multimodal.encode_png_rgb8(px)
+    bad_ihdr = bytearray(good)
+    bad_ihdr[24] = 16  # IHDR bit-depth byte
+    import struct as _s
+    import zlib as _z
+    crc = _z.crc32(bytes(bad_ihdr[12:29])) & 0xFFFFFFFF
+    bad_ihdr[29:33] = _s.pack(">I", crc)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(bytes(bad_ihdr))
+
+
+def test_decode_image_real_for_png():
+    """decode_image routes PNG content through the real decoder: features are
+    exact pixel ratios, not hash fakes."""
+    import numpy as np
+
+    px = np.full((8, 8, 3), 51, dtype=np.uint8)  # 51/255 = 0.2 exactly
+    feat = multimodal.decode_image(multimodal.encode_png_rgb8(px))
+    assert feat[:3] == [8.0, 8.0, 3.0]
+    assert feat[3] == pytest.approx(0.2) and feat[7] == pytest.approx(0.2)
+
+
+def test_png_pixel_stats_distributed(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(6):
+        px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        imgs.append((i, multimodal.encode_png_rgb8(px), px))
+    df = spark.createDataFrame(
+        [(i, bytearray(data)) for i, data, _ in imgs], "media_id long, content binary"
+    )
+    stats = {r["media_id"]: r for r in multimodal.png_pixel_stats(df).collect()}
+    for i, _, px in imgs:
+        assert stats[i]["pixel_sum"] == int(px.sum())
+        assert stats[i]["r_sum"] == int(px[:, :, 0].sum())
+        assert stats[i]["pixel_max"] == int(px.max())
 
 
 def test_multimodal_extract_features(spark):
