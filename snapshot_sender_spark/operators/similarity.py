@@ -310,6 +310,84 @@ def lsh_ann_topk(
     return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 
 
+def lsh_batch_topk(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+    max_distance: float = 10.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch multi-query ANN: ONE ``approxSimilarityJoin`` between the whole
+    query set and the corpus, then per-query exact cosine re-rank and window
+    top-k. Returns (query_id, id, cosine, rank).
+
+    This is the retrieval-workload shape ``approxNearestNeighbors`` can't do:
+    that API rescans the corpus per query vector (driver loop, Q jobs); here
+    Q×N candidate generation is a single LSH-bucketed join — both sides hash
+    with the same fitted model, candidates are hash-bucket collisions within
+    ``max_distance``, and the pair stream is pruned to top-k inside a window
+    (WindowGroupLimit pushes the k-cut before the final sort). At 100 TB the
+    join shuffles only (hash, id, vec) pairs and the per-query state is k
+    rows."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    corpus = corpus_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
+    ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
+    queries = queries_df.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qarr")
+    ).withColumn("features", array_to_vector(F.col("qarr").cast("array<double>")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(corpus)
+    joined = model.approxSimilarityJoin(queries, corpus, max_distance, distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.id").alias("id"),
+        F.col("datasetA.qarr").alias("qarr"),
+        F.col("datasetB.arr").alias("arr"),
+    )
+    # exact re-rank on the quantized integer grid (same arithmetic as
+    # cosine_topk, so recall against the brute-force baseline is well-defined)
+    qint = lambda col: F.transform(  # noqa: E731
+        col, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+    dot = F.aggregate(
+        F.zip_with(qint(F.col("qarr")), qint(F.col("arr")), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda col: F.aggregate(  # noqa: E731
+        qint(col), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    scored = pairs.select(
+        "query_id",
+        "id",
+        (
+            dot.cast("double")
+            / (F.sqrt(n2(F.col("qarr")).cast("double")) * F.sqrt(n2(F.col("arr")).cast("double")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "cosine", "rank")
+    )
+
+
 def quantize_int8_arrow(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Per-vector symmetric int8 quantization via ``mapInArrow`` — the
     embedding-compression step of a training-data pipeline (4× smaller than

@@ -220,6 +220,23 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, "embedding", "vec_id", q, k=10)
 
 
+@query("sim_ann_batch_topk", oracle=None, category="llm-similarity")
+def sim_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query ANN: the 8 lowest vec_ids form the query set, one
+    approxSimilarityJoin against the rest of the corpus generates candidates
+    for ALL queries at once, exact cosine re-rank + window top-k per query
+    (operators/similarity.py:lsh_batch_topk). Approximate → rows-only; recall
+    vs the brute-force baseline is pinned in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return similarity.lsh_batch_topk(
+        corpus, queries, "embedding", "vec_id", "query_id", k=10
+    )
+
+
 @query(
     "sim_label_centroid_dist",
     oracle=f"""

@@ -347,6 +347,43 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert full == exact
 
 
+def test_batch_ann_recall_vs_exact(spark, sf_dir):
+    """Batch ANN (one approxSimilarityJoin for the whole query set) measured
+    per query against the brute-force baseline: every query must reach >= 5/10
+    recall, and returned cosines must equal the exact kernel's values (the
+    re-rank uses the same integer-quantized arithmetic)."""
+    from pyspark.sql import functions as SF
+
+    from snapshot_sender_spark.operators import similarity
+    from snapshot_sender_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(SF.col("vec_id") < 4).select(
+        SF.col("vec_id").alias("query_id"), SF.col("embedding")
+    )
+    corpus = emb.filter(SF.col("vec_id") >= 4)
+    batch = similarity.lsh_batch_topk(
+        corpus, queries, "embedding", "vec_id", "query_id", k=10
+    ).collect()
+    by_query: dict = {}
+    for r in batch:
+        by_query.setdefault(r["query_id"], {})[r["id"]] = r["cosine"]
+    assert set(by_query) == {0, 1, 2, 3}  # every query answered in one pass
+    for qid, got in by_query.items():
+        qvec = [
+            float(x)
+            for x in emb.filter(SF.col("vec_id") == qid).first()["embedding"]
+        ]
+        exact = {
+            r["vec_id"]: r["cosine"]
+            for r in similarity.cosine_topk(corpus, "embedding", "vec_id", qvec, k=10).collect()
+        }
+        hits = set(got) & set(exact)
+        assert len(hits) >= 5, f"query {qid} recall {len(hits)}/10"
+        for vid in hits:
+            assert got[vid] == exact[vid], f"query {qid} cosine drift for {vid}"
+
+
 def test_kll_quantile_accuracy(spark, sf_dir):
     """KLL sketch quantiles land within the sketch's rank-error bound of the
     exact percentiles (default k=200 -> ~1.65% rank error; we allow 3% of the
