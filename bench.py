@@ -1,14 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line {"metric", "value", "unit", "queries", "sf"}.
+line {"metric", "value", "unit", "queries", "queries_cold", "cold_total_sec",
+"sf"}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect). Numbers are STEADY-STATE: every headline query runs once
-untimed (plan compilation, whole-stage codegen, Python-worker/numpy boot,
-streaming state-store class load), then the timed run measures execution.
-First-run plan-compile latency is a per-query constant that vanishes at real
-data scale; at sf0.1 it would be 50-70% of every number and mostly measure
-JIT noise, not the operators.
+driver collect). METHODOLOGY (frozen as of round 3, dual-reported so every
+round is comparable to both earlier rounds):
+
+* ``queries_cold`` / ``cold_total_sec`` — each query's FIRST execution in the
+  session (pays plan compilation, whole-stage-codegen JIT, Python-worker/
+  numpy boot, state-store class load). Comparable to BENCH_r01.
+* ``queries`` / ``value`` — steady-state best-of-2 after the cold lap.
+  Comparable to BENCH_r02. First-run constants vanish at real data scale, so
+  this is the number that predicts 100-TB throughput; the cold column keeps
+  the one-time costs honest.
 """
 
 from __future__ import annotations
@@ -55,15 +60,18 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
-    # warmup pass: run every headline query once untimed — compiles plans,
-    # JITs codegen, boots the reused Python workers (numpy import), loads
-    # streaming state-store classes. The timed pass below measures execution.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
-    for name in HEADLINE:
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()  # session init
 
-    # best of two timed laps: the machine is shared, and a single GC pause or
-    # CPU-contention spike otherwise lands on one unlucky query per round
+    # COLD lap: first execution of each query — plan compile + codegen JIT +
+    # Python-worker boot included (this lap doubles as the warmup)
+    cold = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
+
+    # WARM: best of two timed laps — the machine is shared, and a single GC
+    # pause or CPU-contention spike otherwise lands on one unlucky query
     timings = {}
     for _lap in range(2):
         for name in HEADLINE:
@@ -97,16 +105,21 @@ def main():
     try:
         cfg = dlv.RunConfig(correlation_id="bench", topic_name="db.core.claimant",
                             reprocess_files=True)
-        # warm the full path twice — file-status listing, decrypt-UDF worker
-        # pool growth (cryptography import ×32 workers), from_json codegen:
-        # measured, the second lap still pays one-time JIT/worker costs and
-        # the third is steady state, which is what this number reports
-        for _ in range(2):
-            dlv.parse_records(
-                dlv.build_decrypted(
-                    spark, os.path.join(fixture_root, "input"), status_dir, cfg
-                ).delivered
-            ).count()
+        # lap 1 = cold (first execution, worker-pool growth / cryptography
+        # import ×32 workers / from_json codegen); lap 2 untimed — measured,
+        # it still pays one-time JIT/worker costs; laps 3-4 are steady state
+        t0 = time.perf_counter()
+        dlv.parse_records(
+            dlv.build_decrypted(
+                spark, os.path.join(fixture_root, "input"), status_dir, cfg
+            ).delivered
+        ).count()
+        cold["delivery_pipeline_100x1000"] = round(time.perf_counter() - t0, 3)
+        dlv.parse_records(
+            dlv.build_decrypted(
+                spark, os.path.join(fixture_root, "input"), status_dir, cfg
+            ).delivered
+        ).count()
         for _lap in range(2):
             t0 = time.perf_counter()
             result = dlv.build_decrypted(
@@ -129,6 +142,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

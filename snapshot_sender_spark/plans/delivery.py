@@ -217,15 +217,25 @@ def deliver(result: DeliveryResult, output_dir: str, status_dir: str) -> DataFra
     )
 
     def write_partition(rows):
+        # tmp names are per-attempt unique: under speculative execution two
+        # attempts of the same partition run CONCURRENTLY, and a shared tmp
+        # path would let one attempt truncate the other's half-written file
+        # mid-rename. Unique tmp + atomic replace makes duplicate attempts
+        # last-writer-wins over identical content — byte-stable output.
+        import uuid
+
+        nonce = uuid.uuid4().hex
         for row in rows:
             out_path = os.path.join(output_dir, row["outputFileName"])
-            tmp = out_path + ".tmp"
+            tmp = f"{out_path}.{nonce}.tmp"
             with open(tmp, "wb") as fh:
                 fh.write(bytes(row["decrypted"]))
             os.replace(tmp, out_path)  # atomic → idempotent under retry
             marker = os.path.join(status_dir, row["fileName"] + ".finished")
-            with open(marker, "w") as fh:
+            mtmp = f"{marker}.{nonce}.tmp"
+            with open(mtmp, "w") as fh:
                 fh.write(f"Finished {row['fileName']}")
+            os.replace(mtmp, marker)
 
     to_write.foreachPartition(write_partition)
 
