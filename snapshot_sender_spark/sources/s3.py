@@ -72,9 +72,15 @@ def read_encrypted_files_s3(
     prefix: str,
     s3_client=None,
     max_workers: int = 16,
+    objects_path: str | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """EncryptedStream DataFrame from S3: binaryFile scan of the prefix joined
-    with the broadcast metadata listing. Returns (files_df, rejected_keys)."""
+    with the broadcast metadata listing. Returns (files_df, rejected_keys).
+
+    ``objects_path`` overrides the content-scan URI (default
+    ``s3a://bucket/prefix``) — lets integration tests join a real HTTP-stub
+    listing against a local object directory when no s3a connector jars are
+    on the classpath; production leaves it None."""
     if s3_client is None:
         import boto3
 
@@ -83,7 +89,7 @@ def read_encrypted_files_s3(
     meta = spark.createDataFrame(rows or [], ENCRYPTION_META_SCHEMA)
     objects = (
         spark.read.format("binaryFile")
-        .load(f"s3a://{bucket}/{prefix}")
+        .load(objects_path or f"s3a://{bucket}/{prefix}")
         .select(
             F.col("path"),
             F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),

@@ -1,0 +1,206 @@
+"""S3 source against a REAL local S3 HTTP stub (stdlib http.server): boto3
+speaks actual wire protocol — signed requests, ListObjectsV2 XML with
+continuation-token pagination, HEAD user-metadata headers — instead of the
+botocore Stubber's canned dicts. Covers the reference's integration tier
+(S3DirectoryReaderTest.kt:217-274 pagination/truncation;
+SnapshotSenderIntegrationTest.kt:39-102 listing⋈content end-to-end, with the
+content scan pointed at a local directory because no s3a connector jars ship
+in this environment — the join plan is identical either way)."""
+
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+import boto3
+import pytest
+from botocore.config import Config
+
+from snapshot_sender_spark.sources.s3 import (
+    list_objects_with_metadata,
+    read_encrypted_files_s3,
+)
+
+PAGE_SIZE = 2  # force multi-page listings even for small fixtures
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+class _S3StubHandler(BaseHTTPRequestHandler):
+    """Minimal path-style S3: GET /<bucket>?list-type=2 and HEAD /<bucket>/<key>."""
+
+    objects: dict = {}  # key -> {"body": bytes, "meta": dict[str, str]}
+
+    def log_message(self, *a):  # silence request logging
+        pass
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        qs = parse_qs(parsed.query)
+        if "list-type" not in qs:
+            self.send_error(400, "only ListObjectsV2 is stubbed")
+            return
+        prefix = qs.get("prefix", [""])[0]
+        start = int(qs.get("continuation-token", ["0"])[0])
+        keys = sorted(k for k in self.objects if k.startswith(prefix))
+        page = keys[start : start + PAGE_SIZE]
+        truncated = start + PAGE_SIZE < len(keys)
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>',
+            '<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">',
+            "<Name>bucket</Name>",
+            f"<Prefix>{_xml_escape(prefix)}</Prefix>",
+            f"<KeyCount>{len(page)}</KeyCount>",
+            f"<MaxKeys>{PAGE_SIZE}</MaxKeys>",
+            f"<IsTruncated>{'true' if truncated else 'false'}</IsTruncated>",
+        ]
+        if truncated:
+            parts.append(
+                f"<NextContinuationToken>{start + PAGE_SIZE}</NextContinuationToken>"
+            )
+        for k in page:
+            parts.append(
+                f"<Contents><Key>{_xml_escape(k)}</Key><Size>{len(self.objects[k]['body'])}</Size>"
+                "<ETag>&quot;0&quot;</ETag><StorageClass>STANDARD</StorageClass></Contents>"
+            )
+        parts.append("</ListBucketResult>")
+        body = "".join(parts).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/xml")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_HEAD(self):
+        key = unquote(urlparse(self.path).path.split("/", 2)[2])
+        obj = self.objects.get(key)
+        if obj is None:
+            self.send_error(404, "NoSuchKey")
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(obj["body"])))
+        self.send_header("ETag", '"0"')
+        self.send_header("Last-Modified", "Thu, 01 Jan 2026 00:00:00 GMT")
+        for mk, mv in obj["meta"].items():
+            self.send_header(f"x-amz-meta-{mk}", mv)
+        self.end_headers()
+
+
+@pytest.fixture()
+def s3_stub():
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _S3StubHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    _S3StubHandler.objects = {}
+    client = boto3.client(
+        "s3",
+        endpoint_url=f"http://127.0.0.1:{server.server_address[1]}",
+        region_name="eu-west-2",
+        aws_access_key_id="stub",
+        aws_secret_access_key="stub",
+        config=Config(s3={"addressing_style": "path"}, retries={"max_attempts": 1}),
+    )
+    yield client, _S3StubHandler.objects
+    server.shutdown()
+    server.server_close()
+
+
+def _put(objects, key, body=b"x", iv="aXY=", key_id="k1", cipher="Y3Q="):
+    meta = {}
+    if iv is not None:
+        meta = {"iv": iv, "datakeyencryptionkeyid": key_id, "ciphertext": cipher}
+    objects[key] = {"body": body, "meta": meta}
+
+
+def test_http_stub_pagination_and_metadata(s3_stub):
+    """5 objects at page size 2 → 3 ListObjectsV2 round trips with real
+    continuation tokens; HEAD metadata arrives as x-amz-meta-* headers."""
+    client, objects = s3_stub
+    for i in range(5):
+        _put(objects, f"exports/db.a.b-045-050-00000{i}.txt.gz.enc", iv=f"iv{i}")
+    rows, rejected = list_objects_with_metadata(client, "bucket", "exports/", max_workers=4)
+    assert [r["fileName"] for r in rows] == [
+        f"db.a.b-045-050-00000{i}.txt.gz.enc" for i in range(5)
+    ]
+    assert [r["iv"] for r in rows] == [f"iv{i}" for i in range(5)]
+    assert rejected == []
+
+
+def test_http_stub_prefix_filter_and_missing_metadata(s3_stub):
+    client, objects = s3_stub
+    _put(objects, "exports/db.a.b-045-050-000001.txt.gz.enc")
+    _put(objects, "exports/db.a.b-045-050-000002.txt.gz.enc", iv=None)  # no meta
+    _put(objects, "other/db.a.b-045-050-000003.txt.gz.enc")  # outside prefix
+    rows, rejected = list_objects_with_metadata(client, "bucket", "exports/")
+    assert [r["fileName"] for r in rows] == ["db.a.b-045-050-000001.txt.gz.enc"]
+    assert rejected == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
+
+
+def test_http_stub_empty_prefix(s3_stub):
+    client, _objects = s3_stub
+    rows, rejected = list_objects_with_metadata(client, "bucket", "exports/")
+    assert rows == [] and rejected == []
+
+
+def test_listing_joins_content_end_to_end(spark, s3_stub, tmp_path):
+    """The full source: paginated stub listing + HEAD metadata broadcast-joined
+    against the distributed binaryFile content scan, then AES-CTR decrypted —
+    the reference's SnapshotSenderIntegrationTest shape. Objects whose
+    metadata is missing never reach the scan output."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.functions import crypto
+    from snapshot_sender_spark.sources import fixtures as fx
+
+    f = fx.generate(str(tmp_path / "gen"), n_files=5, records_per_file=3, seed=77)
+    client, objects = s3_stub
+    meta_rows = {}
+    import json
+
+    for line in open(os.path.join(f.input_dir, "metadata.sidecar.jsonl")):
+        r = json.loads(line)
+        meta_rows[r["fileName"]] = r
+    for i, name in enumerate(sorted(f.files)):
+        body = open(os.path.join(f.input_dir, name), "rb").read()
+        if i == 4:  # one object with missing metadata → rejected, not joined
+            _put(objects, f"exports/{name}", body=body, iv=None)
+        else:
+            m = meta_rows[name]
+            _put(
+                objects, f"exports/{name}", body=body,
+                iv=m["iv"], key_id=m["dataKeyEncryptionKeyId"], cipher=m["cipherText"],
+            )
+    files_df, rejected = read_encrypted_files_s3(
+        spark, "bucket", "exports/", s3_client=client,
+        objects_path=os.path.join(str(f.input_dir), "*.enc"),
+    )
+    joined = files_df.collect()
+    assert len(joined) == 4  # 5 objects − 1 metadata-less reject
+    assert len(rejected) == 1
+    # decrypt proves iv/cipherText survived the HTTP hop intact
+    from snapshot_sender_spark.plans.delivery import key_lookup_local
+
+    keys = {
+        (kid, ct): pk
+        for kid, ct, pk in key_lookup_local(
+            [(r["dataKeyEncryptionKeyId"], r["cipherText"]) for r in joined]
+        )
+    }
+    keys_df = spark.createDataFrame(
+        [(k[0], k[1], v) for k, v in keys.items()],
+        "dataKeyEncryptionKeyId string, cipherText string, plaintextKey string",
+    )
+    decrypted = (
+        files_df.join(F.broadcast(keys_df), ["dataKeyEncryptionKeyId", "cipherText"])
+        .withColumn(
+            "payload", crypto.gunzip(crypto.aes_ctr_decrypt("content", "plaintextKey", "iv"))
+        )
+        .select("fileName", "payload")
+        .collect()
+    )
+    for row in decrypted:
+        lines = bytes(row["payload"]).decode().strip().split("\n")
+        assert len(lines) == 3  # records_per_file round-trips
