@@ -28,10 +28,15 @@ def _events_stream_dir(sf_dir: str) -> str:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(target):
+        # multi-file table: the directory itself is a valid stream source
+        # (the symlink indirection exists only for single-file testdata —
+        # a top-level symlink to a DIRECTORY is skipped by the file source)
+        return target
     d = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    target = os.path.join(sf_dir, "events.parquet")
     # Concurrent sessions race on the same link (TOCTOU); a stale link can
     # also point at a moved sf_dir. Validate, then create tolerating the race.
     if os.path.islink(link) and os.readlink(link) != target:
