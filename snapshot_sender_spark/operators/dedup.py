@@ -168,6 +168,98 @@ def ngram_jaccard_pairs_shuffle(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-bigram Jaccard pairs via the prefix filter (All-Pairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08 — public
+    algorithms). Result-identical to ``ngram_jaccard_pairs``; this is the
+    default corpus-scale exact plan.
+
+    Why: the plain posting-list self-join generates one candidate row per
+    shared-shingle occurrence — Σ df(shingle)² rows, which explodes on
+    dense-overlap corpora (hot shingles). The prefix filter bounds that mass:
+    order every doc's shingles by ascending global doc-frequency (rarest
+    first; ties by hash) and join only each doc's PREFIX — the first
+    ``n − ⌈t·n⌉ + 1`` shingles. Two sets with Jaccard ≥ t must share at least
+    one element lying in BOTH prefixes under any common global order, so the
+    candidate set is complete; hot shingles sort to the back and fall out of
+    most prefixes, collapsing the df² mass exactly where it is worst.
+    Candidates are then verified exactly from the full (sorted, distinct)
+    shingle arrays via ``array_intersect``.
+
+    Scale shape: every join is keyed shuffle (shingle hash / doc id) — no
+    broadcast of any corpus-sized side; per-candidate verify cost is
+    O(|a| + |b|); doc arrays ship only to their own candidates. Same int64
+    xxhash64 shingle representation (and the same negligible-collision
+    caveat) as the GEMM kernels."""
+    from pyspark.sql import Window
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
+    )
+    posting = (
+        shingled.select("id", F.explode("shingles").alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("h"))
+        .localCheckpoint(eager=False)  # computed once, used by prefix + verify
+    )
+    doc_freq = posting.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = posting.hint("merge").join(doc_freq.hint("merge"), "h")
+    by_rarity = Window.partitionBy("id").orderBy("df", "h")
+    whole_doc = Window.partitionBy("id")
+    sized = ranked.withColumn("rn", F.row_number().over(by_rarity)).withColumn(
+        "n", F.count("*").over(whole_doc)
+    )
+    prefix = sized.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).select("id", "h")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "h")
+        .hint("merge")
+        .join(prefix.select(F.col("id").alias("id_b"), "h").hint("merge"), "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = posting.groupBy("id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"), F.count("*").alias("set_size")
+    )
+    return (
+        cand.hint("merge")
+        .join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("set_size").alias("size_a"),
+            ).hint("merge"),
+            "id_a",
+        )
+        .hint("merge")
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("set_size").alias("size_b"),
+            ).hint("merge"),
+            "id_b",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("hs_a", "hs_b")))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _jaccard_gemm_broadcast(
     shingled: DataFrame, threshold: float, n_blocks: int
 ) -> DataFrame:
@@ -254,6 +346,10 @@ def _jaccard_gemm_broadcast(
     return pair_df.mapInPandas(run_pairs, schema="id_a long, id_b long, jaccard double")
 
 
+# corpus-stats memo for the Jaccard strategy selector: semanticHash → stats
+_JACCARD_STATS_CACHE: dict[int, tuple] = {}
+
+
 def ngram_jaccard_pairs_gemm(
     df: DataFrame,
     text_col: str,
@@ -262,6 +358,7 @@ def ngram_jaccard_pairs_gemm(
     n_blocks: int = 16,
     max_vocab: int = 65536,
     broadcast_max_elems: int = 16_000_000,
+    max_dense_flops: float = 5e10,
 ) -> DataFrame:
     """Exact word-bigram Jaccard pairs via blocked matrix multiply.
 
@@ -278,10 +375,23 @@ def ngram_jaccard_pairs_gemm(
     xxhash64 before shipping (4× smaller Arrow payload, integer unique/
     searchsorted in the kernel) — a hash collision *within one doc-pair's
     union* would be needed to perturb a count, P < 1e-9 at the dense-width
-    guard's vocabulary cap. Falls back to ``ngram_jaccard_pairs_shuffle`` (the
-    broadcast-free bucketed posting-list join) when the shingle vocabulary
-    exceeds ``max_vocab`` — exactly the large-corpus case where broadcasting
-    anything corpus-sized is impossible."""
+    guard's vocabulary cap.
+
+    Strategy selection is COST-BASED (the physical-plan analog of a CBO's
+    join selection): two count-only stats passes estimate GEMM work
+    (docs² · vocab / 2 dense flops — quadratic in docs regardless of
+    blocking, BLAS constant) and posting-join work (Σ df² candidate rows —
+    output-sensitive, shuffle-row constant), and the cheaper plan runs.
+    Within the posting branch, a df-skew statistic picks
+    ``ngram_jaccard_pairs_prefix`` (skewed df → prefixes drop hot shingles)
+    vs ``ngram_jaccard_pairs_shuffle`` (uniform df → prefix filter can't
+    prune; skip its window + verify overhead). Within the GEMM branch the
+    driver-collect broadcast kernel additionally requires the corpus under
+    ``broadcast_max_elems`` AND the flops under ``max_dense_flops``; else the
+    distributed blocked kernel runs (dense width capped by ``max_vocab``).
+    Measured on the key-offset scale tiers (tools/scale_run.py): at 1× the
+    GEMM kernel wins 1.5 s vs 12 s; at 10× the posting join wins 41 s vs
+    67 s — the crossover the cost model encodes."""
     import numpy as np
     import pandas as pd
 
@@ -295,22 +405,69 @@ def ngram_jaccard_pairs_gemm(
             F.array_distinct(word_bigrams(F.col(text_col))), lambda s: F.xxhash64(s)
         ).alias("shingles"),
     )
-    # one stats pass decides the physical strategy (≡ broadcast-join
-    # selection): corpus small enough to broadcast → broadcast-GEMM (no data
-    # shuffle); vocabulary too wide for dense blocks → posting-list join
-    stats = shingled.agg(F.sum(F.size("shingles")).alias("elems")).first()
-    total_elems = stats["elems"] or 0
-    if total_elems <= broadcast_max_elems:
+    # Two count-only stats passes decide the physical strategy — the same
+    # role table statistics play in a cost-based optimizer's join selection.
+    # Cheap at any corpus size (aggregates over the shingle column only), and
+    # memoized per logical plan (semanticHash) the way an engine caches table
+    # stats — repeated runs of the same query skip the stats jobs. Staleness
+    # caveat: like any cached statistic, a table REWRITTEN IN PLACE under the
+    # same plan within one session reuses the old stats (decision quality
+    # only — every strategy is result-identical).
+    cache_key = None
+    try:
+        cache_key = shingled.semanticHash()
+    except Exception:
+        pass
+    if cache_key is not None and cache_key in _JACCARD_STATS_CACHE:
+        n_docs, total_elems, vocab, sum_df2 = _JACCARD_STATS_CACHE[cache_key]
+    else:
+        stats = shingled.agg(
+            F.count("*").alias("docs"), F.sum(F.size("shingles")).alias("elems")
+        ).first()
+        total_elems = stats["elems"] or 0
+        n_docs = stats["docs"] or 0
+        dstats = (
+            shingled.select(F.explode("shingles").alias("s"))
+            .groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .agg(
+                F.count("*").alias("vocab"),
+                F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
+            )
+            .first()
+            if n_docs
+            else None
+        )
+        vocab = (dstats["vocab"] if dstats else 0) or 0
+        sum_df2 = (dstats["sum_df2"] if dstats else 0) or 0
+        if cache_key is not None:
+            if len(_JACCARD_STATS_CACHE) >= 256:
+                _JACCARD_STATS_CACHE.clear()
+            _JACCARD_STATS_CACHE[cache_key] = (n_docs, total_elems, vocab, sum_df2)
+    # Cost model (calibrated on the key-offset scale tiers, tools/scale_run.py):
+    #   GEMM total work  = docs² · vocab / 2 dense flops — QUADRATIC in docs no
+    #     matter how the blocks are cut, but with a BLAS-kernel constant;
+    #   posting-join work ≈ Σ df(shingle)² candidate rows — output-sensitive,
+    #     but each row is a shuffled+aggregated record, ~10³ flops-equivalent.
+    # Measured: sf0.1 (1.25e10 flops vs 7.5e7 rows) GEMM wins 1.5 s vs 12 s;
+    # 10× tier (1e13 flops vs 7.5e8 rows) posting wins 41 s vs 67 s.
+    POSTING_ROW_FLOPS = 2000.0
+    cost_gemm = n_docs * n_docs * max(vocab, 1) / 2
+    cost_posting = POSTING_ROW_FLOPS * max(sum_df2, 1)
+    if cost_gemm > cost_posting or vocab > max_vocab:
+        # Posting-join territory. Prefix filtering (All-Pairs/PPJoin) prunes
+        # the Σ df² mass only when the df distribution is skewed (hot shingles
+        # sort out of prefixes); on uniform-df corpora it adds a window + a
+        # verify join for no candidate reduction. Skew statistic: Σ df²
+        # relative to the uniform-df corpus with the same elems/vocab.
+        uniform_df2 = (total_elems * total_elems) / max(vocab, 1)
+        if sum_df2 > 2.0 * uniform_df2:
+            return ngram_jaccard_pairs_prefix(df, text_col, id_col, threshold)
+        return ngram_jaccard_pairs_shuffle(df, text_col, id_col, threshold)
+    if total_elems <= broadcast_max_elems and cost_gemm <= max_dense_flops:
+        # driver-collect + rebroadcast is bounded by BOTH size and flops
         return _jaccard_gemm_broadcast(shingled, threshold, n_blocks)
     indexed = shingled.withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
-    # dense-width guard: big vocabularies → the posting-list join plan instead
-    est = (
-        indexed.select(F.explode("shingles").alias("s"))
-        .agg(F.approx_count_distinct("s").alias("v"))
-        .first()["v"]
-    )
-    if est > max_vocab:
-        return ngram_jaccard_pairs_shuffle(df, text_col, id_col, threshold)
     blocks = list(range(n_blocks))
     pair_rows = [(i, j, side) for i in blocks for j in blocks if i <= j for side in ("a", "b")]
     # assignment table: block-pair (i,j) pulls block i as side a, block j as side b

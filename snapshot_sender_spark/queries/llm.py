@@ -79,6 +79,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard_prefix",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+    ),
+    pair_counts AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) AS jaccard
+    FROM pair_counts
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.3
+    """,
+    category="llm-dedup",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard at corpus scale via the prefix filter (All-Pairs/PPJoin,
+    Bayardo WWW'07): join only each doc's rarest ``n − ⌈t·n⌉ + 1`` shingles
+    (candidate generation is complete for Jaccard ≥ t), verify candidates from
+    the full shingle sets. Same oracle as ``dedup_ngram_jaccard`` — identical
+    results, but candidate mass tracks true near-dups instead of Σ df²; this
+    is the plan the GEMM selector falls back to past its flops budget."""
+    return dedup.ngram_jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+    )
+
+
+@query(
     "dedup_ngram_jaccard_shuffle",
     oracle="""
     WITH words AS (

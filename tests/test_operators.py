@@ -80,6 +80,69 @@ def test_ngram_jaccard_gemm_matches_join_plan(spark, sf_dir):
     assert g == j and len(g) > 0
 
 
+def test_ngram_jaccard_prefix_matches_join_plan(spark, sf_dir):
+    """The prefix-filtered plan (All-Pairs/PPJoin candidate generation +
+    exact verification) is result-identical to the plain join plan: the
+    prefix filter is complete for Jaccard ≥ t, and verification recomputes
+    the exact overlap from the full shingle sets."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.25, 0.5):
+        p = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs_prefix(d, "text", "doc_id", t).collect()
+        }
+        j = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", t).collect()
+        }
+        assert p == j and len(p) > 0
+
+
+def test_ngram_jaccard_prefix_plan_has_no_broadcast(spark, sf_dir):
+    """Corpus-scale guarantee for the prefix plan: every join moves by keyed
+    shuffle — no BroadcastExchange anywhere, so no stage is bounded by
+    executor memory."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.ngram_jaccard_pairs_prefix(d, "text", "doc_id", 0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_ngram_jaccard_gemm_selector_posting_routes(spark, sf_dir):
+    """The cost-based selector's posting branch: a uniform-df corpus (the
+    testdata documents — every shingle appears in a similar share of docs)
+    must route to the plain shuffle plan (no Window, no BroadcastExchange);
+    a skewed corpus (one hot shingle + rare tails) must route to the
+    prefix-filtered plan (Window for the per-doc rarity ranking). Both are
+    result-identical to the reference join plan."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # vocab cap forces the posting branch even where GEMM is cheaper
+    df = dedup.ngram_jaccard_pairs_gemm(d, "text", "doc_id", 0.3, max_vocab=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "Window" not in plan  # uniform df → plain shuffle, not prefix
+    g = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in df.collect()}
+    j = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", 0.3).collect()
+    }
+    assert g == j and len(g) > 0
+
+    rows = [(i, f"hot filler unique{i} tail{i} end{i}") for i in range(40)]
+    rows += [(100 + i, f"rare{i} phrase{i} alpha{i} beta{i}") for i in range(4)]
+    skewed = spark.createDataFrame(rows, "doc_id long, text string")
+    df2 = dedup.ngram_jaccard_pairs_gemm(skewed, "text", "doc_id", 0.3, max_vocab=1)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan2  # skewed df → prefix plan
+    g2 = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in df2.collect()}
+    j2 = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(skewed, "text", "doc_id", 0.3).collect()
+    }
+    assert g2 == j2
+
+
 def test_ngram_jaccard_shuffle_matches_broadcast_plan(spark, sf_dir):
     """The broadcast-free bucketed posting-list plan is result-identical to
     the broadcast join plan when no frequency cut is applied — same integer
