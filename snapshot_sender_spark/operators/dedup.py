@@ -346,6 +346,66 @@ def _jaccard_gemm_broadcast(
     return pair_df.mapInPandas(run_pairs, schema="id_a long, id_b long, jaccard double")
 
 
+def incremental_jaccard_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact CROSS-SET Jaccard: every (new-doc, existing-doc) pair with
+    J ≥ threshold — the continuous-ingestion shape of corpus dedup, where
+    each incoming batch is checked against the standing corpus instead of
+    re-running a quadratic self-join over everything.
+
+    Plan: the existing corpus's posting list joins the NEW batch's posting
+    list on the shingle hash — never existing×existing, so per-batch cost is
+    proportional to the batch's shingle mass times per-shingle corpus df,
+    not corpus². At production scale the existing posting list is a
+    maintained bucketed table (write it partitioned by ``h`` range once,
+    append each accepted batch), making the per-batch join a co-located
+    shuffle on 8-byte keys; document text never shuffles. All joins are
+    keyed shuffles — nothing corpus-sized broadcasts. Returns
+    (id_new, id_existing, jaccard)."""
+
+    def posting(d: DataFrame, out: str) -> DataFrame:
+        sh = d.select(
+            F.col(id_col).alias(out),
+            F.array_distinct(word_bigrams(F.col(text_col))).alias("sh"),
+        )
+        return sh.select(out, F.explode("sh").alias("shingle")).select(
+            out, F.xxhash64("shingle").alias("h")
+        )
+
+    pn = posting(new, "id_new")
+    pe = posting(existing, "id_existing")
+    sn = pn.groupBy("id_new").agg(F.count("*").alias("size_new"))
+    se = pe.groupBy("id_existing").agg(F.count("*").alias("size_existing"))
+    pair_counts = (
+        pn.hint("merge")
+        .join(pe.hint("merge"), "h")
+        .groupBy("id_new", "id_existing")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pair_counts.hint("merge")
+        .join(sn.hint("merge"), "id_new")
+        .hint("merge")
+        .join(se.hint("merge"), "id_existing")
+        .select(
+            "id_new",
+            "id_existing",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("size_new") + F.col("size_existing") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # corpus-stats memo for the Jaccard strategy selector: semanticHash → stats
 _JACCARD_STATS_CACHE: dict[int, tuple] = {}
 

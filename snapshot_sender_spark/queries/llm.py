@@ -167,6 +167,50 @@ def dedup_ngram_jaccard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+    ),
+    pair_counts AS (
+      SELECT n.doc_id AS id_new, e.doc_id AS id_existing, COUNT(*) AS n_shared
+      FROM shingled n JOIN shingled e ON n.shingle = e.shingle
+      WHERE n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+      GROUP BY n.doc_id, e.doc_id
+    )
+    SELECT id_new, id_existing,
+           CAST(n_shared AS DOUBLE)
+             / CAST(sn.set_size + se.set_size - n_shared AS DOUBLE) AS jaccard
+    FROM pair_counts
+    JOIN sizes sn ON sn.doc_id = id_new
+    JOIN sizes se ON se.doc_id = id_existing
+    WHERE CAST(n_shared AS DOUBLE)
+             / CAST(sn.set_size + se.set_size - n_shared AS DOUBLE) >= 0.3
+    """,
+    category="llm-dedup",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: an incoming batch (here doc_id % 10 = 0)
+    is exact-Jaccard-checked against the standing corpus (the rest) with a
+    cross-set posting join — per-batch cost, never corpus² (operators/
+    dedup.py:incremental_jaccard_pairs). This is how a training-data
+    pipeline dedups each day's crawl against everything already accepted."""
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_jaccard_pairs(
+        existing, new, "text", "doc_id", threshold=0.3
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, category="llm-dedup")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding (approximate → rows-only check). Sub-quadratic

@@ -143,6 +143,37 @@ def test_ngram_jaccard_gemm_selector_posting_routes(spark, sf_dir):
     assert g2 == j2
 
 
+def test_incremental_jaccard_matches_cross_pairs_of_self_join(spark, sf_dir):
+    """Cross-set incremental dedup must equal the full self-join's result
+    restricted to (new, existing) pairs — same exact Jaccard values — and
+    its plan must contain no existing×existing join and no broadcast."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r["id_new"], r["id_existing"]): round(r["jaccard"], 9)
+        for r in dedup.incremental_jaccard_pairs(
+            existing, new, "text", "doc_id", 0.25
+        ).collect()
+    }
+    full = {}
+    for r in dedup.ngram_jaccard_pairs(d, "text", "doc_id", 0.25).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 0 and b % 10 != 0:
+            full[(a, b)] = round(r["jaccard"], 9)
+        elif b % 10 == 0 and a % 10 != 0:
+            full[(b, a)] = round(r["jaccard"], 9)
+    assert inc == full and len(inc) > 0
+    plan = (
+        dedup.incremental_jaccard_pairs(existing, new, "text", "doc_id", 0.25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+
+
 def test_ngram_jaccard_shuffle_matches_broadcast_plan(spark, sf_dir):
     """The broadcast-free bucketed posting-list plan is result-identical to
     the broadcast join plan when no frequency cut is applied — same integer
