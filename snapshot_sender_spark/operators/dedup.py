@@ -406,6 +406,89 @@ def incremental_jaccard_pairs(
     )
 
 
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus shingle posting list as a BUCKETED, sorted table
+    (``table``: (id, h) bucketed by h; ``table + "_sizes"``: per-doc set
+    sizes) — the standing dedup index for continuous ingestion.
+
+    Why bucketed: every subsequent batch dedup joins on ``h``; with the
+    corpus side bucketed+sorted on the join key, the sort-merge join reads
+    the corpus buckets IN PLACE — no Exchange, no sort on the corpus side,
+    ever (pinned by test). Only the incoming batch (tiny by comparison)
+    shuffles to match the bucket layout. This is the posting-list analog of
+    the persisted IVF index (operators/similarity.py): pay the layout once,
+    amortize over every batch. ``mode="append"`` adds an accepted batch's
+    postings to the index (bucket spec is preserved by Spark on append)."""
+    posting = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("h"))
+    (
+        posting.write.bucketBy(n_buckets, "h")
+        .sortBy("h")
+        .mode(mode)
+        .saveAsTable(table)
+    )
+    sizes = posting.groupBy("id").agg(F.count("*").alias("set_size"))
+    sizes.write.mode(mode).saveAsTable(table + "_sizes")
+
+
+def incremental_jaccard_against_index(
+    spark,
+    table: str,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact cross-set Jaccard of an incoming batch against a persisted
+    dedup index (see ``build_dedup_index``). Result-identical to
+    ``incremental_jaccard_pairs(corpus, new, ...)``; the difference is
+    physical: the corpus posting list is read bucket-aligned on the join
+    key, so the plan has NO Exchange and no sort on the corpus side — the
+    per-batch cost is shuffling the batch itself plus a merge against
+    pre-sorted corpus buckets. Returns (id_new, id_existing, jaccard)."""
+    pe = spark.table(table).select(F.col("id").alias("id_existing"), "h")
+    se = spark.table(table + "_sizes").select(
+        F.col("id").alias("id_existing"), F.col("set_size").alias("size_existing")
+    )
+    pn = new.select(
+        F.col(id_col).alias("id_new"),
+        F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("shingle"),
+    ).select("id_new", F.xxhash64("shingle").alias("h"))
+    sn = pn.groupBy("id_new").agg(F.count("*").alias("size_new"))
+    pair_counts = (
+        pn.hint("merge")
+        .join(pe.hint("merge"), "h")
+        .groupBy("id_new", "id_existing")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pair_counts.hint("merge")
+        .join(sn.hint("merge"), "id_new")
+        .hint("merge")
+        .join(se.hint("merge"), "id_existing")
+        .select(
+            "id_new",
+            "id_existing",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("size_new") + F.col("size_existing") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # corpus-stats memo for the Jaccard strategy selector: semanticHash → stats
 _JACCARD_STATS_CACHE: dict[int, tuple] = {}
 

@@ -174,6 +174,49 @@ def test_incremental_jaccard_matches_cross_pairs_of_self_join(spark, sf_dir):
     assert "SortMergeJoin" in plan
 
 
+def test_dedup_index_incremental_matches_and_skips_corpus_shuffle(spark, sf_dir):
+    """The persisted bucketed dedup index: (a) batch-vs-index results equal
+    the direct cross-set operator, including after an append; (b) the plan
+    reads the corpus posting buckets IN PLACE — 'Bucketed: true' scan and
+    exactly one shuffle on the shingle hash (the incoming batch side)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    first = d.filter(F.col("doc_id") % 10 == 1)
+    rest = d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 1))
+    try:
+        dedup.build_dedup_index(first, "text", "doc_id", "t_dedup_idx", n_buckets=8)
+        dedup.build_dedup_index(
+            rest, "text", "doc_id", "t_dedup_idx", n_buckets=8, mode="append"
+        )
+        q = dedup.incremental_jaccard_against_index(
+            spark, "t_dedup_idx", new, "text", "doc_id", 0.25
+        )
+        got = {
+            (r["id_new"], r["id_existing"]): round(r["jaccard"], 9)
+            for r in q.collect()
+        }
+        want = {
+            (r["id_new"], r["id_existing"]): round(r["jaccard"], 9)
+            for r in dedup.incremental_jaccard_pairs(
+                d.filter(F.col("doc_id") % 10 != 0), new, "text", "doc_id", 0.25
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+        # after execution AQE prints Final + Initial sections; count within
+        # the final plan only
+        plan = (
+            q._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning(h#") == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx")
+        spark.sql("DROP TABLE IF EXISTS t_dedup_idx_sizes")
+
+
 def test_ngram_jaccard_shuffle_matches_broadcast_plan(spark, sf_dir):
     """The broadcast-free bucketed posting-list plan is result-identical to
     the broadcast join plan when no frequency cut is applied — same integer
