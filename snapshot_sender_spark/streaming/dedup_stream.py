@@ -1,0 +1,121 @@
+"""Continuous ingestion dedup service: a document stream is deduped per
+micro-batch against the persisted bucketed posting-list index
+(operators/dedup.py:build_dedup_index), and each batch's surviving (novel)
+docs are appended to BOTH the accepted corpus and the index inside the same
+epoch — so batch N+1 is deduped against everything accepted through batch N.
+This is the streaming form of the training-data pipeline's daily-crawl dedup.
+
+Scale shape (mirrors the batch incremental operator): the corpus posting
+list is never re-shuffled — each batch sort-merge joins against pre-sorted
+index buckets in place; only the batch's own shingles shuffle. Within-batch
+near-dup uses the exact pair operator on the (small) batch. Epoch-id markers
+make replayed batches no-ops, the same idempotence contract as the streaming
+delivery service (streaming/delivery_stream.py).
+
+Generalization beyond the reference: the reference never dedups payloads
+(src/main/kotlin has no near-dup stage); this implements the north-star
+LLM-data requirement as a first-class streaming service.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def run_streaming_ingestion_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_table: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+) -> list[int]:
+    """Drive ingestion dedup to completion over currently-available input
+    (Trigger.AvailableNow). Returns the processed epoch ids.
+
+    Per micro-batch: (1) within-batch exact dedup (content hash, keep min
+    id); (2) within-batch near-dup (exact Jaccard pairs ≥ threshold, keep
+    the lower id of every pair); (3) cross-set near-dup of the survivors
+    against the standing index (bucket-aligned join, corpus never shuffles);
+    (4) append the accepted docs to ``accepted_dir`` and their postings to
+    the index. Epoch markers in ``accepted_dir/_epochs`` make a replayed
+    batch (crash between append and checkpoint commit) a no-op."""
+    os.makedirs(accepted_dir, exist_ok=True)
+    epochs_dir = os.path.join(accepted_dir, "_epochs")
+    os.makedirs(epochs_dir, exist_ok=True)
+    data_dir = os.path.join(accepted_dir, "data")
+    epochs: list[int] = []
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(epochs_dir, f"epoch_{epoch_id}.committed")
+        if os.path.exists(marker):
+            return
+        epochs.append(epoch_id)
+        # foreachBatch hands a CLONED session; the metastore is shared but
+        # each session caches table relations (file listings) separately —
+        # work through the batch's session and refresh before reading so an
+        # earlier epoch's index append is visible to this one.
+        sess = batch.sparkSession
+        # (1) within-batch exact: keep the min doc_id per content hash
+        keepers = dedup.exact_dedup(batch, "text", "doc_id").select(
+            F.col("keeper_id").alias("doc_id")
+        )
+        batch = batch.join(keepers, "doc_id")
+        # (2) within-batch near-dup: drop the higher id of every pair
+        near = (
+            dedup.ngram_jaccard_pairs(batch, "text", "doc_id", threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        batch = batch.join(near, "doc_id", "left_anti")
+        # (3) cross-set vs the standing index (absent on the first epoch)
+        if sess.catalog.tableExists(index_table):
+            sess.catalog.refreshTable(index_table)
+            sess.catalog.refreshTable(index_table + "_sizes")
+            dups = (
+                dedup.incremental_jaccard_against_index(
+                    sess, index_table, batch, "text", "doc_id", threshold
+                )
+                .select(F.col("id_new").alias("doc_id"))
+                .distinct()
+            )
+            accepted = batch.join(dups, "doc_id", "left_anti")
+            index_mode = "append"
+        else:
+            accepted = batch
+            index_mode = "overwrite"
+        # (4) publish: corpus parquet + index postings, then the epoch marker
+        accepted = accepted.localCheckpoint()  # one computation, used twice
+        accepted.write.mode("append").parquet(data_dir)
+        dedup.build_dedup_index(
+            accepted, "text", "doc_id", index_table, n_buckets=n_buckets,
+            mode=index_mode,
+        )
+        with open(marker, "w") as f:
+            f.write("")
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    # make clone-session appends visible to the caller's session
+    if spark.catalog.tableExists(index_table):
+        spark.catalog.refreshTable(index_table)
+        spark.catalog.refreshTable(index_table + "_sizes")
+    return epochs
