@@ -511,3 +511,95 @@ def ivf_search_index(
     )
     rescored = cosine_scores(vectors.select("id", "arr"), "arr", qd)
     return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def ivf_batch_near_dup(
+    spark,
+    index_dir: str,
+    new_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Cross-set embedding near-dup of an incoming batch against a persisted
+    IVF index (the embedding analog of the text-side
+    ``dedup.incremental_jaccard_against_index``): each new vector is assigned
+    to its ``n_probe`` nearest centroids (broadcast join against the tiny
+    centroid table, distances JVM-side), then ONLY those bucket partitions of
+    the corpus vectors table are scanned (static partition pruning on the
+    collected bucket set — O(n_centroids) driver state) and candidate pairs
+    are exact-rescored on the same integer-quantized grid as ``cosine_pairs``.
+
+    Returns (id_new, id_existing, cosine ≥ threshold). Recall follows IVF
+    semantics: a qualifying pair is missed only if the existing vector's
+    bucket is outside the new vector's probe set; ``n_probe = n_centroids``
+    is exhaustive and exactly equals the brute-force cross join (pinned by
+    test). Corpus vectors ship only from probed buckets to their candidate
+    pairs; nothing corpus-sized broadcasts or crosses into Python."""
+    from pyspark.sql import Window
+
+    centroids = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    newq = new_df.select(
+        F.col(id_col).alias("id_new"), F.col(vec_col).alias("arr_new")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("arr_new").cast("array<double>"),
+            F.col("center"),
+            lambda a, c: (a - c) * (a - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    by_dist = Window.partitionBy("id_new").orderBy("d2", "bucket")
+    probes = (
+        newq.join(F.broadcast(centroids), how="cross")
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(by_dist))
+        .filter(F.col("rk") <= n_probe)
+        .select("id_new", "arr_new", "bucket")
+    )
+    probed_buckets = [
+        int(r["bucket"]) for r in probes.select("bucket").distinct().collect()
+    ]
+    vectors = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(F.col("bucket").isin(probed_buckets))
+        .select(F.col("id").alias("id_existing"), F.col("arr").alias("arr_old"), "bucket")
+    )
+
+    def qvec(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+    def qnorm2(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+    pairs = (
+        probes.withColumn("qv_new", qvec(F.col("arr_new")))
+        .withColumn("n2_new", qnorm2(F.col("qv_new")))
+        .join(
+            vectors.withColumn("qv_old", qvec(F.col("arr_old")))
+            .withColumn("n2_old", qnorm2(F.col("qv_old"))),
+            "bucket",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qv_new", "qv_old", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select(
+            "id_new",
+            "id_existing",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("n2_new").cast("double"))
+                    * F.sqrt(F.col("n2_old").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -86,3 +86,68 @@ def test_ivf_index_persists_prunes_and_full_probe_is_exact(spark, sf_dir, tmp_pa
     # partial probe keeps reasonable recall and is a subset of the corpus
     part_ids = {r["id"] for r in res.collect()}
     assert len(part_ids & {r[0] for r in want}) >= 3
+
+
+def test_ivf_batch_near_dup_full_probe_exact_and_pruned(spark, sf_dir, tmp_path):
+    """Batch-vs-index embedding near-dup: full probe equals the brute-force
+    cross join on the quantized grid; partial probe is a subset with
+    identical cosines; the scan is partition-pruned to probed buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    idx = str(tmp_path / "ivf_dedup_index")
+    similarity.build_ivf_index(existing, "embedding", "vec_id", idx, n_centroids=8)
+
+    full = similarity.ivf_batch_near_dup(
+        spark, idx, new, "embedding", "vec_id", threshold=0.35, n_probe=8
+    )
+    got = {
+        (r["id_new"], r["id_existing"]): round(r["cosine"], 12)
+        for r in full.collect()
+    }
+    # brute-force cross-set reference on the same quantized grid
+    a = existing.select(
+        F.col("vec_id").alias("id_existing"), F.col("embedding").alias("e_old")
+    )
+    b = new.select(F.col("vec_id").alias("id_new"), F.col("embedding").alias("e_new"))
+    qv = lambda c: F.transform(
+        c, lambda x: F.floor(x.cast("double") * similarity.QUANT).cast("long")
+    )
+    n2 = lambda c: F.aggregate(c, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    dot = F.aggregate(
+        F.zip_with(qv(F.col("e_new")), qv(F.col("e_old")), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ref = (
+        b.crossJoin(a)
+        .select(
+            "id_new",
+            "id_existing",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(n2(qv(F.col("e_new"))).cast("double"))
+                    * F.sqrt(n2(qv(F.col("e_old"))).cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+    want = {
+        (r["id_new"], r["id_existing"]): round(r["cosine"], 12)
+        for r in ref.collect()
+    }
+    assert got == want and len(got) > 0
+
+    part = similarity.ivf_batch_near_dup(
+        spark, idx, new, "embedding", "vec_id", threshold=0.35, n_probe=2
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    sub = {
+        (r["id_new"], r["id_existing"]): round(r["cosine"], 12)
+        for r in part.collect()
+    }
+    assert set(sub).issubset(set(got))
+    assert all(got[k] == v for k, v in sub.items())
