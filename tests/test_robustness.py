@@ -261,3 +261,48 @@ def test_speculation_enabled_delivery_subprocess(tmp_path):
     assert len(result["outputs"]) == 8 and len(result["markers"]) == 8
     assert result["tmp_leftovers"] == []
     assert result["n_attempts"] >= 1
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+            min_size=2,
+            max_size=12,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=40,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+)
+def test_prefix_filter_complete_on_random_corpora(spark, corpus, threshold):
+    """The All-Pairs/PPJoin prefix filter's completeness theorem, under
+    generation: on arbitrary word soups (tiny vocab → heavy shingle sharing,
+    the filter's hardest shape) the prefix plan's pairs must equal a pure-
+    Python brute force over every doc pair, at several thresholds. One Spark
+    job per drawn corpus."""
+    from snapshot_sender_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dd.ngram_jaccard_pairs_prefix(
+            df, "text", "doc_id", threshold
+        ).collect()
+    }
+    def shingles(t):
+        ws = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    want = {}
+    for i, ti in enumerate(corpus):
+        for j in range(i + 1, len(corpus)):
+            si, sj = shingles(ti), shingles(corpus[j])
+            inter = len(si & sj)
+            if inter:
+                jac = inter / (len(si) + len(sj) - inter)
+                if jac >= threshold:
+                    want[(i, j)] = round(jac, 9)
+    assert got == want
