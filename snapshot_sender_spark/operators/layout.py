@@ -39,23 +39,62 @@ def _input_bytes(spark: SparkSession, path: str) -> int:
     return total
 
 
+def _morton_key(df: DataFrame, xcol: str, ycol: str):
+    """32-bit Morton (Z-order) key over two columns, min/max-normalized to
+    16 bits each — pure JVM bitwise expressions (the same interleave as the
+    oracle-checked ``layout_zorder_cluster`` query, plus range scaling so
+    arbitrary integer domains fill the key space)."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(xcol).alias("xmin"), F.max(xcol).alias("xmax"),
+        F.min(ycol).alias("ymin"), F.max(ycol).alias("ymax"),
+    ).first()
+
+    def scaled(col, lo, hi):
+        span = max(1, int(hi) - int(lo))
+        return (
+            (F.col(col).cast("long") - F.lit(int(lo))) * F.lit(65535) / F.lit(span)
+        ).cast("long")
+
+    x = scaled(xcol, stats["xmin"], stats["xmax"])
+    y = scaled(ycol, stats["ymin"], stats["ymax"])
+    key = F.lit(0).cast("long")
+    for i in range(16):
+        key = key + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        key = key + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return key
+
+
 def compact_parquet(
     spark: SparkSession,
     in_path: str,
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    zorder_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Rewrite ``in_path`` (many small parquet files) into ``out_path`` with
     ~``target_file_bytes`` files. File count is planned from the INPUT byte
     size (compression ratio carries over within a rewrite of the same data);
     with ``sort_cols`` the rewrite range-partitions + sorts within files so
-    per-file min/max stats prune point/range scans afterwards. Returns the
-    compacted DataFrame (lazy — the write has already happened)."""
+    per-file min/max stats prune point/range scans afterwards; with
+    ``zorder_cols`` (two columns) it clusters on the Morton key instead, so
+    min/max stats stay selective on BOTH columns at once — a linear sort is
+    selective only on its leading column (asserted by test on footer stats).
+    Returns the compacted DataFrame (lazy — the write has already happened)."""
     df = spark.read.parquet(in_path)
     total = _input_bytes(spark, in_path)
     n_files = plan_target_files(total, target_file_bytes)
-    if sort_cols:
+    if zorder_cols:
+        xcol, ycol = zorder_cols
+        shaped = (
+            df.withColumn("__zkey", _morton_key(df, xcol, ycol))
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif sort_cols:
         shaped = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         shaped = df.repartition(n_files)

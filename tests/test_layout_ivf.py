@@ -151,3 +151,54 @@ def test_ivf_batch_near_dup_full_probe_exact_and_pruned(spark, sf_dir, tmp_path)
     }
     assert set(sub).issubset(set(got))
     assert all(got[k] == v for k, v in sub.items())
+
+
+def test_compact_zorder_files_selective_on_both_columns(spark, tmp_path):
+    """Z-order clustering: per-file min/max ranges must be selective on BOTH
+    interleaved columns, where a linear sort is selective only on its leading
+    column. Coverage = Σ_files (max−min+1) / (n_files · global_range); 1.0
+    means every file spans the whole domain (no skipping possible)."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    n = 1 << 14
+    # two independent uniform columns: x = low bits, y = bit-reversed (so a
+    # linear sort on x leaves y unclustered in every file)
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        F.floor(F.col("id") / 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(16).write.parquet(src)
+
+    def coverage(path, col):
+        spans, lo_all, hi_all = [], [], []
+        for p in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo + 1)
+            lo_all.append(lo)
+            hi_all.append(hi)
+        domain = max(hi_all) - min(lo_all) + 1
+        return sum(spans) / (len(spans) * domain)
+
+    total = sum(os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet")))
+    per16 = -(-total // 16)
+
+    zdst = str(tmp_path / "zorder")
+    out = layout.compact_parquet(
+        spark, src, zdst, target_file_bytes=per16, zorder_cols=("x", "y")
+    )
+    assert out.count() == n and "x" in out.columns and "__zkey" not in out.columns
+    sdst = str(tmp_path / "sorted")
+    layout.compact_parquet(spark, src, sdst, target_file_bytes=per16, sort_cols=["x"])
+
+    # linear sort: near-perfect on x, useless on y
+    assert coverage(sdst, "x") < 0.3
+    assert coverage(sdst, "y") > 0.8
+    # z-order: selective on BOTH (16 files over a 2-D grid → ~quarter of each
+    # axis per file ideally; allow generous slack)
+    assert coverage(zdst, "x") < 0.55
+    assert coverage(zdst, "y") < 0.55
