@@ -168,6 +168,80 @@ def dedup_ngram_jaccard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ingestion_dedup",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM words, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS set_size FROM shingled GROUP BY doc_id
+    ),
+    exact_keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    pair_counts AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shingled a
+      JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM exact_keepers)
+        AND b.doc_id IN (SELECT doc_id FROM exact_keepers)
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near_dropped AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM pair_counts
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE)
+              / CAST(sa.set_size + sb.set_size - n_shared AS DOUBLE) >= 0.3
+    )
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM exact_keepers)
+      AND doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    """,
+    category="llm-dedup",
+)
+def stream_ingestion_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingestion-dedup SERVICE (streaming/dedup_stream.py) as an
+    oracle-checked query: the documents table arrives as one AvailableNow
+    micro-batch; accepted docs = exact-dedup keepers (min id per content
+    hash) minus the higher id of every near-dup pair ≥ 0.3 — which is exactly
+    SQL-expressible, so the whole service (stream plumbing, foreachBatch,
+    index build, epoch commit) is verified end-to-end against DuckDB."""
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_stream import run_streaming_ingestion_dedup
+
+    spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx")
+    spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx_sizes")
+    work = tempfile.mkdtemp(prefix="stream_dedup_q_")
+    try:
+        inp = f"{work}/input"
+        load(spark, sf_dir, "documents").select("doc_id", "text").write.parquet(inp)
+        run_streaming_ingestion_dedup(
+            spark,
+            inp,
+            "t_q_stream_dedup_idx",
+            f"{work}/accepted",
+            f"{work}/ckpt",
+            threshold=0.3,
+        )
+        accepted = spark.read.parquet(f"{work}/accepted/data")
+        # materialize before the workdir is removed
+        rows = accepted.collect()
+        return spark.createDataFrame(rows, accepted.schema).select("doc_id", "text")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx")
+        spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx_sizes")
+
+
+@query(
     "dedup_incremental_batch",
     oracle="""
     WITH words AS (
