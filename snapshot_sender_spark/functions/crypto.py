@@ -138,3 +138,72 @@ def empty_gzip() -> bytes:
     with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0):
         pass
     return buf.getvalue()
+
+
+# --- distributed chunked decrypt (one huge object, many tasks) ----------------
+
+
+def local_range_reader(path: str):
+    """Range reader for local/posix files: pread the [offset, offset+length)
+    slice without buffering the rest. On a cluster, substitute an object-store
+    range reader (e.g. an S3 ``get_object(Range="bytes=o-e")`` closure) — the
+    operator only needs (offset, length) → bytes."""
+
+    def read(offset: int, length: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    return read
+
+
+def chunked_decrypt(
+    spark,
+    size_bytes: int,
+    key_b64: str,
+    iv_b64: str,
+    range_reader,
+    chunk_bytes: int = 64 * 1024 * 1024,
+):
+    """Decrypt ONE large AES-CTR object across many tasks — the 100 TB answer
+    to the reference's whole-object buffering (S3Utils.kt:34-42, which holds
+    the entire object in memory; SURVEY §7 risk 2): CTR is a seekable stream
+    cipher, so each task range-reads its [offset, offset+chunk) slice and
+    applies the keystream at its counter offset (``ctr_at_offset``). No task
+    ever holds more than ``chunk_bytes``; a 50 GB object becomes
+    ceil(size/chunk) independent tasks.
+
+    Returns a DataFrame (chunk_idx, offset, plaintext) ordered by chunk_idx =
+    byte order; downstream consumers stream-concatenate (the payload is a
+    gzip stream, which decompresses sequentially). ``range_reader`` is a
+    picklable (offset, length) → bytes closure; ``local_range_reader`` for
+    posix paths, or an object-store range-GET closure on a cluster."""
+    key = base64.b64decode(key_b64)
+    iv = base64.b64decode(iv_b64)
+    n_chunks = max(1, -(-size_bytes // chunk_bytes))
+    ranges = spark.range(n_chunks).select(
+        F.col("id").alias("chunk_idx"),
+        (F.col("id") * chunk_bytes).alias("offset"),
+        F.least(
+            F.lit(chunk_bytes),
+            F.lit(size_bytes) - F.col("id") * chunk_bytes,
+        ).alias("length"),
+    ).repartition(min(n_chunks, spark.sparkContext.defaultParallelism))
+
+    def decrypt_ranges(batches):
+        for pdf in batches:
+            outs = []
+            for idx, off, ln in zip(pdf["chunk_idx"], pdf["offset"], pdf["length"]):
+                cipher = range_reader(int(off), int(ln))
+                outs.append(
+                    {
+                        "chunk_idx": int(idx),
+                        "offset": int(off),
+                        "plaintext": ctr_at_offset(cipher, key, iv, int(off)),
+                    }
+                )
+            yield pd.DataFrame(outs, columns=["chunk_idx", "offset", "plaintext"])
+
+    return ranges.mapInPandas(
+        decrypt_ranges, schema="chunk_idx long, offset long, plaintext binary"
+    )

@@ -92,3 +92,38 @@ def test_builtin_aes_cbc_roundtrip_and_cross_check(spark):
     expected = enc.update(padded) + enc.finalize()
     # Spark prepends the IV to CBC output
     assert bytes(row["ct"]) == iv + expected
+
+
+def test_chunked_decrypt_reassembles_large_object(spark, tmp_path):
+    """One large AES-CTR object decrypted as independent range tasks must
+    reassemble byte-identical to a whole-object decrypt, including chunk
+    boundaries that fall mid-AES-block (chunk size not a multiple of 16)."""
+    import base64 as b64
+    import os
+
+    from snapshot_sender_spark.functions.crypto import (
+        _ctr_transform,
+        chunked_decrypt,
+        local_range_reader,
+    )
+
+    key = bytes(range(32))
+    iv = bytes(range(16))
+    plain = os.urandom(1_000_003)  # prime-ish size: last chunk is ragged
+    cipher = _ctr_transform(plain, key, iv)
+    path = str(tmp_path / "big.enc")
+    with open(path, "wb") as f:
+        f.write(cipher)
+
+    out = chunked_decrypt(
+        spark,
+        size_bytes=len(cipher),
+        key_b64=b64.b64encode(key).decode(),
+        iv_b64=b64.b64encode(iv).decode(),
+        range_reader=local_range_reader(path),
+        chunk_bytes=65_537,  # not a multiple of 16 → intra-block seeks
+    )
+    rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+    assert len(rows) == -(-len(cipher) // 65_537)
+    assert all(r["offset"] == i * 65_537 for i, r in enumerate(rows))
+    assert b"".join(bytes(r["plaintext"]) for r in rows) == plain
