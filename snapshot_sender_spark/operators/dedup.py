@@ -440,6 +440,55 @@ def build_dedup_index(
     sizes.write.mode(mode).saveAsTable(table + "_sizes")
 
 
+def append_dedup_index_epoch(
+    spark,
+    table: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    epoch: int,
+    n_buckets: int = 8,
+) -> None:
+    """REPLAY-IDEMPOTENT per-epoch index append for the streaming ingestion
+    service: postings and sizes are bucketed on their join keys AND
+    partitioned by epoch; re-running an epoch DYNAMICALLY OVERWRITES its own
+    partition instead of double-appending, so a crash between the corpus
+    write and the index write cannot duplicate postings on replay (blind
+    ``mode("append")`` would). Bucketed scans survive the partitioning —
+    batch joins still read corpus buckets with no Exchange (probed and
+    pinned in tests). ``insertInto`` resolves columns BY POSITION, hence the
+    fixed column order here."""
+    posting = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("h"), F.lit(int(epoch)).alias("epoch"))
+    )
+    sizes = (
+        posting.groupBy("id")
+        .agg(F.count("*").alias("set_size"))
+        .select("id", "set_size", F.lit(int(epoch)).alias("epoch"))
+    )
+    if not spark.catalog.tableExists(table):
+        (
+            posting.write.bucketBy(n_buckets, "h")
+            .sortBy("h")
+            .partitionBy("epoch")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        sizes.write.partitionBy("epoch").mode("overwrite").saveAsTable(table + "_sizes")
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        posting.write.insertInto(table, overwrite=True)
+        sizes.write.insertInto(table + "_sizes", overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def incremental_jaccard_against_index(
     spark,
     table: str,

@@ -89,16 +89,21 @@ def run_streaming_ingestion_dedup(
                 .distinct()
             )
             accepted = batch.join(dups, "doc_id", "left_anti")
-            index_mode = "append"
         else:
             accepted = batch
-            index_mode = "overwrite"
-        # (4) publish: corpus parquet + index postings, then the epoch marker
+        # (4) publish, replay-idempotently: the corpus epoch directory is
+        # OVERWRITTEN (a re-run of this epoch replaces, never duplicates) and
+        # the index append is per-epoch dynamic partition overwrite — so a
+        # crash anywhere between these writes and the marker leaves a state
+        # that replay simply rewrites. The marker is a fast-skip, not the
+        # only duplicate guard.
         accepted = accepted.localCheckpoint()  # one computation, used twice
-        accepted.write.mode("append").parquet(data_dir)
-        dedup.build_dedup_index(
-            accepted, "text", "doc_id", index_table, n_buckets=n_buckets,
-            mode=index_mode,
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"epoch={epoch_id}")
+        )
+        dedup.append_dedup_index_epoch(
+            sess, index_table, accepted, "text", "doc_id", epoch_id,
+            n_buckets=n_buckets,
         )
         with open(marker, "w") as f:
             f.write("")

@@ -121,3 +121,65 @@ def test_streaming_dedup_epoch_replay_is_noop(spark, dirs):
     )
     assert accepted_ids(spark, dirs) == {1}
     assert len(os.listdir(os.path.join(dirs["accepted"], "data"))) == n_files
+
+
+def test_streaming_dedup_mid_epoch_crash_replay_no_duplicates(
+    spark, dirs, monkeypatch
+):
+    """Crash AFTER the corpus epoch write but BEFORE the index write, then
+    replay with a fresh checkpoint: the epoch-directory overwrite and the
+    per-epoch dynamic partition overwrite must leave zero duplicate corpus
+    rows and an index consistent with the accepted corpus."""
+    from snapshot_sender_spark.operators import dedup as dedup_ops
+    from snapshot_sender_spark.streaming import dedup_stream as ds
+
+    _docs(
+        spark,
+        [(1, "unique first document text body"), (2, "another totally different one here")],
+    ).write.mode("append").parquet(dirs["input"])
+
+    real_append = dedup_ops.append_dedup_index_epoch
+    calls = {"n": 0}
+
+    def crashing_append(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before index write")
+        return real_append(*a, **kw)
+
+    monkeypatch.setattr(dedup_ops, "append_dedup_index_epoch", crashing_append)
+    with pytest.raises(Exception):
+        run_streaming_ingestion_dedup(
+            spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
+        )
+    # corpus epoch dir was written; index was not; marker was not. Replay with
+    # a fresh checkpoint reprocesses the same batch.
+    run_streaming_ingestion_dedup(
+        spark,
+        dirs["input"],
+        TABLE,
+        dirs["accepted"],
+        dirs["ckpt"] + "_retry",
+        threshold=0.5,
+    )
+    rows = spark.read.parquet(os.path.join(dirs["accepted"], "data")).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # no duplicates
+    # index postings cover exactly the accepted docs, once each
+    idx_ids = [r["id"] for r in spark.table(TABLE).select("id").collect()]
+    per_doc = {r["doc_id"]: r["text"] for r in rows}
+    expected = sum(
+        len({f"{a} {b}" for a, b in zip(t.split(), t.split()[1:])})
+        for t in per_doc.values()
+    )
+    assert len(idx_ids) == expected and set(idx_ids) == {1, 2}
+    # and a SECOND replay (epoch re-run with marker present) stays unchanged
+    run_streaming_ingestion_dedup(
+        spark,
+        dirs["input"],
+        TABLE,
+        dirs["accepted"],
+        dirs["ckpt"] + "_retry2",
+        threshold=0.5,
+    )
+    assert spark.table(TABLE).count() == expected
+    assert spark.read.parquet(os.path.join(dirs["accepted"], "data")).count() == 2
