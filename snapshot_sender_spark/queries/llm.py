@@ -212,6 +212,7 @@ def stream_ingestion_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash) minus the higher id of every near-dup pair ≥ 0.3 — which is exactly
     SQL-expressible, so the whole service (stream plumbing, foreachBatch,
     index build, epoch commit) is verified end-to-end against DuckDB."""
+    import atexit
     import shutil
     import tempfile
 
@@ -220,25 +221,21 @@ def stream_ingestion_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx")
     spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx_sizes")
     work = tempfile.mkdtemp(prefix="stream_dedup_q_")
-    try:
-        inp = f"{work}/input"
-        load(spark, sf_dir, "documents").select("doc_id", "text").write.parquet(inp)
-        run_streaming_ingestion_dedup(
-            spark,
-            inp,
-            "t_q_stream_dedup_idx",
-            f"{work}/accepted",
-            f"{work}/ckpt",
-            threshold=0.3,
-        )
-        accepted = spark.read.parquet(f"{work}/accepted/data")
-        # materialize before the workdir is removed
-        rows = accepted.collect()
-        return spark.createDataFrame(rows, accepted.schema).select("doc_id", "text")
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-        spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx")
-        spark.sql("DROP TABLE IF EXISTS t_q_stream_dedup_idx_sizes")
+    # the returned DataFrame reads the service's output lazily (accepted docs
+    # never pass through the driver); the workdir outlives the call and is
+    # removed at interpreter exit
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = f"{work}/input"
+    load(spark, sf_dir, "documents").select("doc_id", "text").write.parquet(inp)
+    run_streaming_ingestion_dedup(
+        spark,
+        inp,
+        "t_q_stream_dedup_idx",
+        f"{work}/accepted",
+        f"{work}/ckpt",
+        threshold=0.3,
+    )
+    return spark.read.parquet(f"{work}/accepted/data").select("doc_id", "text")
 
 
 @query(
