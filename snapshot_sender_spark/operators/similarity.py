@@ -603,3 +603,86 @@ def ivf_batch_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): KMeans-cluster the embeddings, compute exact cosine pairs ONLY
+    within clusters (pair space = Σ cluster_size², never n²), union the
+    ≥ threshold pairs into connected components, and keep the minimum id per
+    component. Returns (id, keeper_id) for every input row — keeper_id = id
+    for uniques, component-min for duplicates.
+
+    Scale shape: clustering is the standard KMeans (sampled init, few
+    iterations over (id, vec)); the quadratic step is confined within
+    clusters, and the quantized-grid cosine matches ``cosine_pairs`` exactly
+    — with ``n_clusters=1`` the result reduces to full-graph components over
+    ``cosine_pairs`` (pinned by test), which is the recall ceiling."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .graph import connected_components
+
+    feats = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
+    ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
+    if n_clusters <= 1:  # exact mode: one cluster, no KMeans (k>1 required)
+        clustered = feats.select("id", "arr", F.lit(0).alias("bucket"))
+    else:
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="features", predictionCol="bucket"
+        ).fit(feats)
+        clustered = model.transform(feats).select("id", "arr", "bucket")
+
+    def qvec(col):
+        return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+    quant = clustered.select(
+        "id", "bucket", qvec(F.col("arr")).alias("qv")
+    ).withColumn(
+        "n2", F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    )
+    a = quant.select(
+        F.col("bucket"), F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = quant.select(
+        F.col("bucket"), F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv_a", "qv_b", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comps = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("keeper_id")
+        )
+    )

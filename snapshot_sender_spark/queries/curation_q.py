@@ -428,3 +428,63 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "score")
     )
+
+
+# =============================================================================
+# Sequence packing (pretraining batch preparation)
+# =============================================================================
+
+
+@query(
+    "pack_training_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, start_pos,
+           CAST(FLOOR(start_pos / 512) AS BIGINT) AS seq_id,
+           CAST(FLOOR((start_pos + n_tokens - 1) / 512) AS BIGINT)
+             <> CAST(FLOOR(start_pos / 512) AS BIGINT) AS spans_boundary
+    FROM pos
+    """,
+    category="llm-curation",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate each source's
+    docs (in doc_id order) into one token stream and cut fixed 512-token
+    sequences — per doc: its start offset, owning sequence id, and whether it
+    straddles a sequence boundary. Packing is per-source (the sharded form —
+    each shard packs independently and in parallel; a global single stream
+    would serialize the window). Cumulative position is one window cumsum;
+    everything stays JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    pos = toks.withColumn(
+        "start_pos", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return pos.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_pos",
+        F.floor(F.col("start_pos") / 512).cast("long").alias("seq_id"),
+        (
+            F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / 512)
+            != F.floor(F.col("start_pos") / 512)
+        ).alias("spans_boundary"),
+    )

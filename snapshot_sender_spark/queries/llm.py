@@ -282,6 +282,18 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_semantic_dedup", oracle=None, category="llm-dedup")
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster → within-cluster exact cosine
+    pairs → connected components → keep min id). Rows-only: KMeans isn't
+    SQL-expressible; the n_clusters=1 reduction to full-graph components over
+    ``cosine_pairs`` is pinned exactly in tests (test_operators.py)."""
+    return similarity.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.35, n_clusters=4,
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, category="llm-dedup")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding (approximate → rows-only check). Sub-quadratic

@@ -647,3 +647,39 @@ def test_pcm16_energy_edge_cases(spark):
     assert not any(k[0] in (2, 3) for k in got)
     assert got[(4, 0)] == (8, 8 * 32768 * 32768)
     assert got[(4, 1)] == (1, 32768 * 32768)
+
+
+def test_semantic_dedup_single_cluster_reduces_to_full_components(spark, sf_dir):
+    """SemDeDup with n_clusters=1 must equal full-graph connected components
+    over the exact all-pairs cosine graph (the recall ceiling); with more
+    clusters, keepers are a superset (pairs split across clusters are
+    missed) and every keeper is a real component minimum."""
+    from snapshot_sender_spark.operators import similarity as sim
+    from snapshot_sender_spark.operators.graph import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = 0.35
+    got = {
+        (r["id"], r["keeper_id"])
+        for r in sim.semantic_dedup(emb, "embedding", "vec_id", t, n_clusters=1).collect()
+    }
+    pairs = sim.cosine_pairs(emb, "embedding", "vec_id", t)
+    comps = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    want = {
+        (r["vec_id"], comps.get(r["vec_id"], r["vec_id"]))
+        for r in emb.select("vec_id").collect()
+    }
+    assert got == want
+    n_docs = emb.count()
+    assert len(got) == n_docs
+    kept_full = {k for _, k in got}
+
+    clustered = {
+        (r["id"], r["keeper_id"])
+        for r in sim.semantic_dedup(emb, "embedding", "vec_id", t, n_clusters=4).collect()
+    }
+    kept_clustered = {k for _, k in clustered}
+    assert kept_full.issubset(kept_clustered)  # clustering only splits groups
+    assert all(k <= i for i, k in clustered)  # keeper is a component minimum
