@@ -488,3 +488,66 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.floor(F.col("start_pos") / 512)
         ).alias("spans_boundary"),
     )
+
+
+@query(
+    "curation_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, SUM((n_chars + 3) // 4) AS toks
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, toks,
+             CAST(FLOOR(1000 * SQRT(
+               CAST((SELECT MIN(toks) FROM counts) AS DOUBLE) / toks)) AS BIGINT)
+               AS permille
+      FROM counts
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM((d.n_chars + 3) // 4) AS BIGINT) AS toks_kept,
+           MAX(r.permille) AS permille
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ((d.doc_id * 2654435761 + 97) % 1000 + 1000) % 1000 < r.permille
+    GROUP BY d.source
+    """,
+    category="llm-curation",
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted source mixing (alpha = 0.5): every pretraining
+    recipe flattens the source distribution by sampling source i at a rate
+    proportional to share_i^(alpha-1), so post-sample mass tends toward
+    share^alpha. Rates derive from per-source token totals (smallest source
+    keeps 100%, a 4x-larger source keeps ~50%); the keep decision is the
+    same integer multiplicative hash as ``sample_weighted_hash``, and the
+    rate itself is floor(1000*sqrt(min/n)) — IEEE double sqrt/divide are
+    correctly rounded, so ANY engine derives the identical permille. The
+    rates table is tiny (one row per source) and broadcast-joins to docs."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr("(n_chars + 3) div 4")
+    counts = docs.groupBy("source").agg(F.sum(toks).alias("toks"))
+    min_toks = F.min("toks").over(Window.partitionBy(F.lit(1)))
+    rates = counts.withColumn(
+        "permille",
+        F.floor(
+            F.lit(1000)
+            * F.sqrt(min_toks.cast("double") / F.col("toks").cast("double"))
+        ).cast("long"),
+    ).select("source", "permille")
+    bucket = F.pmod(
+        F.col("doc_id").cast("bigint") * F.lit(2654435761).cast("bigint") + F.lit(97),
+        F.lit(1000),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("permille"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(toks).alias("toks_kept"),
+            F.max("permille").alias("permille"),
+        )
+    )
