@@ -430,6 +430,12 @@ def build_dedup_index(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("h"))
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # clear a stale location left by a previous process (in-memory
+        # catalog starts empty; see _drop_stale_table_location)
+        _drop_stale_table_location(spark, table)
+        _drop_stale_table_location(spark, table + "_sizes")
     (
         posting.write.bucketBy(n_buckets, "h")
         .sortBy("h")
@@ -438,6 +444,25 @@ def build_dedup_index(
     )
     sizes = posting.groupBy("id").agg(F.count("*").alias("set_size"))
     sizes.write.mode(mode).saveAsTable(table + "_sizes")
+
+
+def _drop_stale_table_location(spark, table: str) -> None:
+    """Remove a managed table's warehouse directory when the CATALOG has no
+    such table. With the default in-memory catalog, a table created by a
+    previous process leaves its location on disk while the new process's
+    catalog starts empty — `DROP TABLE IF EXISTS` is then a no-op and
+    CREATE fails with LOCATION_ALREADY_EXISTS. A persistent metastore
+    doesn't have this problem (the table survives and `tableExists` guards
+    creation); this guard only fires for locations the current catalog
+    cannot see, which are unreachable garbage by definition."""
+    if spark.catalog.tableExists(table):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(wh, table.split(".")[-1].lower())
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def append_dedup_index_epoch(
@@ -471,6 +496,8 @@ def append_dedup_index_epoch(
         .select("id", "set_size", F.lit(int(epoch)).alias("epoch"))
     )
     if not spark.catalog.tableExists(table):
+        _drop_stale_table_location(spark, table)
+        _drop_stale_table_location(spark, table + "_sizes")
         (
             posting.write.bucketBy(n_buckets, "h")
             .sortBy("h")

@@ -183,3 +183,34 @@ def test_streaming_dedup_mid_epoch_crash_replay_no_duplicates(
     )
     assert spark.table(TABLE).count() == expected
     assert spark.read.parquet(os.path.join(dirs["accepted"], "data")).count() == 2
+
+
+def test_stale_warehouse_location_from_previous_process_is_cleared(spark, dirs):
+    """With the in-memory catalog, a previous PROCESS's managed index table
+    leaves its warehouse directory on disk while the new catalog is empty —
+    DROP TABLE IF EXISTS no-ops and CREATE would fail with
+    LOCATION_ALREADY_EXISTS. The index builders must clear such unreachable
+    locations. Simulated by planting the directories without catalog
+    entries."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}")
+    spark.sql(f"DROP TABLE IF EXISTS {TABLE}_sizes")
+    for t in (TABLE, f"{TABLE}_sizes"):
+        stale = os.path.join(wh, t)
+        os.makedirs(stale, exist_ok=True)
+        with open(os.path.join(stale, "leftover.parquet"), "wb") as f:
+            f.write(b"junk")
+    try:
+        _docs(spark, [(1, "fresh corpus document text body")]).write.mode(
+            "append"
+        ).parquet(dirs["input"])
+        run_streaming_ingestion_dedup(
+            spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
+        )
+        assert accepted_ids(spark, dirs) == {1}
+        assert {r["id"] for r in spark.table(TABLE).select("id").collect()} == {1}
+    finally:
+        for t in (TABLE, f"{TABLE}_sizes"):
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
