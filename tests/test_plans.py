@@ -399,3 +399,58 @@ def test_streaming_delivery_no_driver_content_collect():
             assert "decrypted" not in line and "content" not in line, line
     # the distributed sink is actually in the path
     assert "delivery.deliver(" in src
+
+
+def test_runtime_bloom_filter_joins_available(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (row-level runtime filtering) is ON
+    in the session config; it self-gates on the application side being scan-
+    heavy (default 10 GB), which is exactly the 100-TB condition — testdata
+    is below it, so the at-scale condition is simulated by lowering the
+    threshold. The optimized plan must inject a bloom_filter_agg built from
+    the selective dim side into the fact scan, and results must be
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        with_bloom = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_th,
+        )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    plain = {
+        (r["o_orderpriority"], r["n"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert with_bloom == plain and len(plain) == 1
