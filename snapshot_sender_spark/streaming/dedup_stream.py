@@ -70,9 +70,13 @@ def run_streaming_ingestion_dedup(
             F.col("keeper_id").alias("doc_id")
         )
         batch = batch.join(keepers, "doc_id")
-        # (2) within-batch near-dup: drop the higher id of every pair
+        # (2) within-batch near-dup: drop the higher id of every pair. The
+        # cost-based selector picks the physical plan per batch (GEMM for
+        # small/dense batches, posting joins past the flops budget), so the
+        # service stays scale-correct when a single micro-batch is a whole
+        # day's crawl.
         near = (
-            dedup.ngram_jaccard_pairs(batch, "text", "doc_id", threshold)
+            dedup.ngram_jaccard_pairs_gemm(batch, "text", "doc_id", threshold)
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )

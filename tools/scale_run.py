@@ -25,8 +25,14 @@ QUERIES = [
     "q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "join_inner_3way",
-    "dedup_ngram_jaccard",
+    "window_topk_per_group",
+    "text_stats",
+    "sim_cosine_topk",
     "stream_tumbling_counts",
+    "dedup_exact",
+    "dedup_minhash_banded",
+    "dedup_ngram_jaccard_shuffle",
+    "dedup_ngram_jaccard",
 ]
 
 
