@@ -406,6 +406,102 @@ def incremental_jaccard_pairs(
     )
 
 
+def incremental_jaccard_pairs_prefix(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered CROSS-SET Jaccard (the All-Pairs/PPJoin prefix filter
+    adapted to batch-vs-corpus): result-identical to
+    ``incremental_jaccard_pairs``, but candidate generation joins only each
+    doc's rarest ``n − ⌈t·n⌉ + 1`` shingles — the completeness theorem holds
+    under ANY global order common to both sides, so the rarity order is
+    ascending doc-frequency over the UNION of both posting lists. On
+    boilerplate-heavy corpora (hot shared shingles) this collapses the
+    Σ df_new·df_corpus candidate mass exactly where it is worst; candidates
+    are verified exactly from the full sorted shingle arrays. Every join is
+    a keyed shuffle — nothing corpus-sized broadcasts."""
+    from pyspark.sql import Window
+
+    def posting(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.select(
+                F.col(id_col).alias(out),
+                F.array_distinct(word_bigrams(F.col(text_col))).alias("sh"),
+            )
+            .select(out, F.explode("sh").alias("shingle"))
+            .select(out, F.xxhash64("shingle").alias("h"))
+        )
+
+    pn = posting(new, "id").withColumn("side", F.lit("n"))
+    pe = posting(existing, "id").withColumn("side", F.lit("e"))
+    both = pn.unionByName(pe).localCheckpoint(eager=False)
+    doc_freq = both.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = both.hint("merge").join(doc_freq.hint("merge"), "h")
+    by_rarity = Window.partitionBy("side", "id").orderBy("df", "h")
+    whole_doc = Window.partitionBy("side", "id")
+    sized = ranked.withColumn("rn", F.row_number().over(by_rarity)).withColumn(
+        "n", F.count("*").over(whole_doc)
+    )
+    prefix = sized.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).select("side", "id", "h")
+    cand = (
+        prefix.filter(F.col("side") == "n")
+        .select(F.col("id").alias("id_new"), "h")
+        .hint("merge")
+        .join(
+            prefix.filter(F.col("side") == "e")
+            .select(F.col("id").alias("id_existing"), "h")
+            .hint("merge"),
+            "h",
+        )
+        .select("id_new", "id_existing")
+        .distinct()
+    )
+    sets = both.groupBy("side", "id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"), F.count("*").alias("set_size")
+    )
+    return (
+        cand.hint("merge")
+        .join(
+            sets.filter(F.col("side") == "n")
+            .select(
+                F.col("id").alias("id_new"),
+                F.col("hs").alias("hs_n"),
+                F.col("set_size").alias("size_new"),
+            )
+            .hint("merge"),
+            "id_new",
+        )
+        .hint("merge")
+        .join(
+            sets.filter(F.col("side") == "e")
+            .select(
+                F.col("id").alias("id_existing"),
+                F.col("hs").alias("hs_e"),
+                F.col("set_size").alias("size_existing"),
+            )
+            .hint("merge"),
+            "id_existing",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("hs_n", "hs_e")))
+        .select(
+            "id_new",
+            "id_existing",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("size_new") + F.col("size_existing") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def build_dedup_index(
     df: DataFrame,
     text_col: str,

@@ -683,3 +683,33 @@ def test_semantic_dedup_single_cluster_reduces_to_full_components(spark, sf_dir)
     kept_clustered = {k for _, k in clustered}
     assert kept_full.issubset(kept_clustered)  # clustering only splits groups
     assert all(k <= i for i, k in clustered)  # keeper is a component minimum
+
+
+def test_incremental_prefix_matches_plain_cross_set(spark, sf_dir):
+    """The cross-set prefix-filtered plan must equal the plain cross-set
+    posting join exactly (completeness under the shared union-df order), at
+    two thresholds, and broadcast nothing."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    for t in (0.25, 0.5):
+        p = {
+            (r["id_new"], r["id_existing"]): round(r["jaccard"], 9)
+            for r in dedup.incremental_jaccard_pairs_prefix(
+                existing, new, "text", "doc_id", t
+            ).collect()
+        }
+        j = {
+            (r["id_new"], r["id_existing"]): round(r["jaccard"], 9)
+            for r in dedup.incremental_jaccard_pairs(
+                existing, new, "text", "doc_id", t
+            ).collect()
+        }
+        assert p == j and len(p) > 0
+    plan = (
+        dedup.incremental_jaccard_pairs_prefix(existing, new, "text", "doc_id", 0.25)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" not in plan
