@@ -250,3 +250,33 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query("string_soundex", oracle=None, category="string")
+def string_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic codes over customer names (fuzzy-match blocking key).
+    Rows-only: DuckDB has no soundex; the classic American-Soundex vector
+    (Robert/Rupert→R163, Ashcraft→A261, Tymczak→T522, Pfister→P236) is
+    pinned in tests/test_text.py instead."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(F.soundex("c_name").alias("sx"))
+        .groupBy("sx")
+        .agg(F.count("*").alias("n"))
+        .orderBy("sx")
+    )
+
+
+@query("agg_histogram_numeric", oracle=None, category="aggregation")
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-bin histogram sketch (histogram_numeric — Greenwald-Khanna
+    style centroids). Approximate by design → rows-only; its exact sibling
+    is `agg_histogram_fixed_bins`, and tests pin that centroid weights sum
+    to the row count and centroids lie inside the data range."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_totalprice").cast("double").alias("v"))
+        .agg(F.expr("histogram_numeric(v, 8)").alias("bins"))
+        .select(F.explode("bins").alias("b"))
+        .select(F.col("b.x").alias("centroid"), F.col("b.y").alias("weight"))
+    )

@@ -157,3 +157,36 @@ def test_mode_deterministic_tie_break(spark):
     b = spark.createDataFrame([(3,), (3,), (7,), (7,), (9,)], "x int")
     assert a.selectExpr("mode(x, true) m").first()["m"] == 3
     assert b.selectExpr("mode(x, true) m").first()["m"] == 3
+
+
+def test_soundex_classic_vector(spark):
+    """American Soundex reference vector (public algorithm test cases)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Robert",), ("Rupert",), ("Ashcraft",), ("Tymczak",), ("Pfister",)],
+        "s string",
+    )
+    got = {r["s"]: r["sx"] for r in df.select("s", F.soundex("s").alias("sx")).collect()}
+    assert got == {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+    }
+
+
+def test_histogram_numeric_mass_and_range(spark, sf_dir):
+    """The adaptive histogram's centroid weights must sum to the row count
+    and every centroid must lie within the data range."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    n, lo, hi = o.agg(F.count("*"), F.min("v"), F.max("v")).first()
+    bins = o.agg(F.expr("histogram_numeric(v, 8)").alias("b")).first()["b"]
+    assert sum(r["y"] for r in bins) == n
+    assert all(lo <= r["x"] <= hi for r in bins)
+    assert 1 <= len(bins) <= 8
