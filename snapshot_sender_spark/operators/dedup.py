@@ -553,9 +553,17 @@ def _drop_stale_table_location(spark, table: str) -> None:
     cannot see, which are unreachable garbage by definition."""
     if spark.catalog.tableExists(table):
         return
+    # resolve the FULL managed location: a db-qualified table lives under
+    # <warehouse>/<db>.db/<name> (default db: <warehouse>/<name>) — building
+    # the path from the bare name alone would miss qualified tables and
+    # could delete an unrelated default-db table of the same short name
+    parts = table.lower().split(".")
+    name = parts[-1]
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase().lower()
+    rel = name if db == "default" else f"{db}.db/{name}"
     wh = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(wh, table.split(".")[-1].lower())
+    p = jvm.org.apache.hadoop.fs.Path(wh, rel)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
         fs.delete(p, True)
@@ -619,6 +627,7 @@ def incremental_jaccard_against_index(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Exact cross-set Jaccard of an incoming batch against a persisted
     dedup index (see ``build_dedup_index``). Result-identical to
@@ -626,9 +635,23 @@ def incremental_jaccard_against_index(
     physical: the corpus posting list is read bucket-aligned on the join
     key, so the plan has NO Exchange and no sort on the corpus side — the
     per-batch cost is shuffling the batch itself plus a merge against
-    pre-sorted corpus buckets. Returns (id_new, id_existing, jaccard)."""
-    pe = spark.table(table).select(F.col("id").alias("id_existing"), "h")
-    se = spark.table(table + "_sizes").select(
+    pre-sorted corpus buckets. Returns (id_new, id_existing, jaccard).
+
+    ``exclude_epoch`` (epoch-partitioned indexes only, see
+    ``append_dedup_index_epoch``): drop that epoch's partition from the
+    corpus side — partition-pruned, no data read. The streaming service
+    passes its CURRENT epoch id so a replay after a crash *between* the
+    index append and the epoch marker doesn't see the crashed attempt's own
+    postings (every accepted doc would self-match at Jaccard 1.0 and be
+    dropped, and the empty re-accept would then strand the stale index
+    partition — phantom postings suppressing future accepts)."""
+    pe = spark.table(table)
+    se = spark.table(table + "_sizes")
+    if exclude_epoch is not None:
+        pe = pe.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
+        se = se.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
+    pe = pe.select(F.col("id").alias("id_existing"), "h")
+    se = se.select(
         F.col("id").alias("id_existing"), F.col("set_size").alias("size_existing")
     )
     pn = new.select(
@@ -874,9 +897,116 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash64_plan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash signatures computed ENTIRELY JVM-side (same md5-prefix
+    token hash as ``simhash64``/``simhash64_np``, bit-identical signatures,
+    pinned by a parity test). Kept as the zero-Python alternative; measured
+    SLOWER locally than the numpy kernel (10× tier warm: 2.6 s vs 0.6-1.0 s —
+    the md5-hex→conv string path plus the 64-buffer aggregate costs more than
+    the Arrow crossing it avoids), so ``simhash64_np`` is the production
+    default. On a cluster where Python workers are the bottleneck (or
+    unavailable), this plan is the drop-in replacement.
+
+    Plan: explode whitespace tokens → JVM ``md5`` → the first 16 hex chars
+    parsed as two 32-bit halves via ``conv`` and recombined with
+    ``shiftleft|bitwiseOR`` (conv's unsigned decimal string can't cast to a
+    signed 64-bit long directly; each half fits) → ONE groupBy(id) with 64
+    conditional-sum aggregates (±1 per bit) → the signature reassembled by
+    OR-ing ``1 << i`` for every positive accumulator. Everything stays inside
+    whole-stage codegen; partial aggregation absorbs the token stream
+    map-side, so only 64 longs per doc shuffle — no Python crossing at all.
+
+    Matches the UDF's edge semantics: NULL text → NULL signature; token-less
+    text → 0; duplicate tokens each contribute. Returns (id_col, simhash)."""
+    from functools import reduce
+
+    ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    toks = ids.select(
+        "id", F.explode(F.split(F.col("t"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # materialize the md5 prefix in its own projection so the digest runs
+    # once per token (hi and lo both derive from it)
+    hx = toks.select("id", F.substring(F.md5(F.col("tok")), 1, 16).alias("x"))
+    hi = F.conv(F.substring(F.col("x"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.col("x"), 9, 8), 16, 10).cast("long")
+    hashed = hx.select("id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("h"))
+    accs = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    sig = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(zero)
+            for i in range(64)
+        ],
+    )
+    sigs = accs.select("id", sig.alias("simhash"))
+    return (
+        ids.select("id", F.col("t").isNull().alias("t_null"))
+        .join(sigs, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("t_null"), F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("simhash"), zero))
+            .alias("simhash"),
+        )
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_np(text: pd.Series) -> pd.Series:
+    """Numpy-vectorized 64-bit SimHash — the PRODUCTION kernel (bit-identical
+    to ``simhash64``/``simhash64_plan``, pinned by parity test; measured the
+    fastest of the three at the 10× tier — see the module's simhash notes).
+
+    The whole Arrow batch is processed as flat arrays: one concatenated
+    digest buffer for every token in the batch (hashlib.md5 is a C call; the
+    first 8 digest bytes big-endian == the first 16 hex chars as an int),
+    ``np.unpackbits`` to a (tokens, 64) 0/1 matrix, per-doc ±1 accumulators
+    via ``np.add.reduceat`` segment sums (acc = 2·ones − n), and the
+    signature reassembled as a weighted bit-dot. The only per-token Python
+    is the md5 call itself — no 64-iteration inner loop."""
+    import numpy as np
+
+    toks_per = [None if t is None else t.split() for t in text]
+    lens = np.array([len(ts) for ts in toks_per if ts], dtype=np.int64)
+    out = np.zeros(len(text), dtype=np.int64)
+    if lens.size:
+        buf = b"".join(
+            hashlib.md5(tok.encode()).digest()[:8]
+            for ts in toks_per
+            if ts
+            for tok in ts
+        )
+        bytes_ = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 8)
+        # unpackbits emits MSB-first per byte; big-endian bytes → bit 63..0,
+        # so flip to get column i == bit i of the 64-bit integer
+        bits = np.unpackbits(bytes_, axis=1)[:, ::-1]
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        acc_pos = (2 * ones - lens[:, None]) > 0
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sigs = (acc_pos * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+        out[np.array([ts is not None and len(ts) > 0 for ts in toks_per])] = sigs
+    result = pd.Series(out, dtype="object")
+    result[[t is None for t in text]] = None
+    return result
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens. The token hash is the first 16
+    """64-bit SimHash over whitespace tokens — the REFERENCE kernel (pure
+    Python, row-at-a-time) kept for the bit-parity tests against the numpy
+    kernel (``simhash64_np``, the production path) and the all-JVM plan
+    (``simhash64_plan``). The token hash is the first 16
     hex chars of md5 — deterministic across processes AND reproducible in
     plain SQL (unlike Python's salted hash() or keyed blake2b), which is what
     lets the whole signature computation be oracle-checked."""
@@ -902,8 +1032,10 @@ def simhash64(text: pd.Series) -> pd.Series:
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
     16-bit bands (a pair within hamming 3 of 64 bits must agree on ≥1 of 4
-    bands — pigeonhole), so the join is band-equality, not all-pairs."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    bands — pigeonhole), so the join is band-equality, not all-pairs.
+    Signatures come from the numpy-vectorized kernel (``simhash64_np``, the
+    measured-fastest of the three bit-identical implementations)."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64_np(F.col(text_col)).alias("sig"))
     bands = sig.select(
         "id",
         "sig",

@@ -559,6 +559,10 @@ def ivf_batch_near_dup(
         .withColumn("rk", F.row_number().over(by_dist))
         .filter(F.col("rk") <= n_probe)
         .select("id_new", "arr_new", "bucket")
+        # materialize once: the probe assignment (cross-join + window) feeds
+        # BOTH the collected bucket set and the candidate pair join — without
+        # this the whole assignment plan would run twice
+        .localCheckpoint()
     )
     probed_buckets = [
         int(r["bucket"]) for r in probes.select("bucket").distinct().collect()

@@ -87,7 +87,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, COUNT(*) AS n_sampled,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM lineitem
-    WHERE ((l_orderkey * 2654435761 + l_linenumber * 40503) % 100 + 100) % 100 < 10
+    WHERE ((l_orderkey % 100) * 2654435761 + l_linenumber * 40503) % 100 < 10
     GROUP BY l_returnflag
     """,
     category="sampling",
@@ -96,10 +96,13 @@ def sample_systematic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable ~10% systematic sample: a Knuth multiplicative hash of
     the row key mod 100 — the same rows are selected by ANY engine (unlike
     seeded Bernoulli RNGs), which is what reproducible training-data splits
-    need. All arithmetic stays in exact BIGINT range."""
+    need. The key is reduced mod 100 before the multiply (same residue class)
+    so the product stays in exact, overflow-checked BIGINT range at any
+    scale factor."""
     l = load(spark, sf_dir, "lineitem")
     bucket = F.pmod(
-        F.col("l_orderkey").cast("bigint") * F.lit(2654435761).cast("bigint")
+        F.pmod(F.col("l_orderkey").cast("bigint"), F.lit(100))
+        * F.lit(2654435761).cast("bigint")
         + F.col("l_linenumber").cast("bigint") * F.lit(40503),
         F.lit(100),
     )

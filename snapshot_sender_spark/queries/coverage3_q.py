@@ -155,7 +155,7 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_kept,
            CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM documents
-    WHERE ((doc_id * 2654435761 + 97) % 1000 + 1000) % 1000
+    WHERE ((doc_id % 1000) * 2654435761 + 97) % 1000
           < LEAST(800, n_chars * 3)
     GROUP BY source
     """,
@@ -166,10 +166,15 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability ∝ its length (permille threshold = min(800, 3·n_chars)),
     decided by a multiplicative hash of its id — integer-only, so ANY engine
     selects the same rows. The importance-/quality-weighted downsampling step
-    of a corpus pipeline, with none of the seeded-RNG portability problems."""
+    of a corpus pipeline, with none of the seeded-RNG portability problems.
+    doc_id is reduced mod 1000 before the multiply (same residue class, since
+    (a mod m)·k ≡ a·k mod m) so the product can't overflow DuckDB's checked
+    int64 at large scale factors."""
     d = load(spark, sf_dir, "documents")
     bucket = F.pmod(
-        F.col("doc_id").cast("bigint") * F.lit(2654435761).cast("bigint") + F.lit(97),
+        F.pmod(F.col("doc_id").cast("bigint"), F.lit(1000))
+        * F.lit(2654435761).cast("bigint")
+        + F.lit(97),
         F.lit(1000),
     )
     permille = F.least(F.lit(800), F.col("n_chars") * 3)

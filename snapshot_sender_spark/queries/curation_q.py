@@ -509,7 +509,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM((d.n_chars + 3) // 4) AS BIGINT) AS toks_kept,
            MAX(r.permille) AS permille
     FROM documents d JOIN rates r ON d.source = r.source
-    WHERE ((d.doc_id * 2654435761 + 97) % 1000 + 1000) % 1000 < r.permille
+    WHERE ((d.doc_id % 1000) * 2654435761 + 97) % 1000 < r.permille
     GROUP BY d.source
     """,
     category="llm-curation",
@@ -537,8 +537,14 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sqrt(min_toks.cast("double") / F.col("toks").cast("double"))
         ).cast("long"),
     ).select("source", "permille")
+    # doc_id is reduced mod 1000 BEFORE the multiply so the product stays
+    # ≤ 999·2654435761 ≈ 2.7e12 — far inside int64 on BOTH engines (the raw
+    # product overflows DuckDB's checked int64 for doc_id ≳ 3.4e9, i.e. at
+    # large scale factors; Spark non-ANSI would silently wrap instead)
     bucket = F.pmod(
-        F.col("doc_id").cast("bigint") * F.lit(2654435761).cast("bigint") + F.lit(97),
+        F.pmod(F.col("doc_id").cast("bigint"), F.lit(1000))
+        * F.lit(2654435761).cast("bigint")
+        + F.lit(97),
         F.lit(1000),
     )
     return (

@@ -211,7 +211,15 @@ def stream_ingestion_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch; accepted docs = exact-dedup keepers (min id per content
     hash) minus the higher id of every near-dup pair ≥ 0.3 — which is exactly
     SQL-expressible, so the whole service (stream plumbing, foreachBatch,
-    index build, epoch commit) is verified end-to-end against DuckDB."""
+    index build, epoch commit) is verified end-to-end against DuckDB.
+
+    SINGLE-BATCH ASSUMPTION: the oracle models exactly one epoch. Across
+    multiple epochs the semantics legitimately differ (keeper = first
+    ACCEPTED doc, and the cross-set check drops id_new regardless of id
+    order), so the input is coalesced to ONE file — the file source's
+    AvailableNow trigger then delivers it as one micro-batch and the oracle
+    stays faithful. Multi-epoch behavior is pinned separately in
+    tests/test_streaming_dedup.py (maxFilesPerTrigger=1)."""
     import atexit
     import shutil
     import tempfile
@@ -226,7 +234,9 @@ def stream_ingestion_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # removed at interpreter exit
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     inp = f"{work}/input"
-    load(spark, sf_dir, "documents").select("doc_id", "text").write.parquet(inp)
+    load(spark, sf_dir, "documents").select("doc_id", "text").coalesce(
+        1
+    ).write.parquet(inp)
     run_streaming_ingestion_dedup(
         spark,
         inp,
@@ -330,10 +340,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash signatures, oracle-checked bit-for-bit (the
     md5-prefix token hash is reproducible in SQL; the top bit contributes the
-    signed wrap). Hamming-banded pair mining over these signatures is
-    exercised in tests/test_operators.py."""
+    signed wrap). Computed by the numpy-vectorized batch kernel
+    (operators/dedup.py:simhash64_np — flat digest buffer → unpackbits →
+    reduceat segment sums; no per-token Python inner loop). Bit-parity across
+    all three implementations (numpy / reference loop UDF / all-JVM plan) is
+    pinned in tests/test_operators.py, which also records why numpy is the
+    production default (measured fastest at the 10× tier)."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+    return d.select("doc_id", dedup.simhash64_np(F.col("text")).alias("simhash"))
 
 
 # =============================================================================

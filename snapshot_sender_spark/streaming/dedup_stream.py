@@ -81,13 +81,19 @@ def run_streaming_ingestion_dedup(
             .distinct()
         )
         batch = batch.join(near, "doc_id", "left_anti")
-        # (3) cross-set vs the standing index (absent on the first epoch)
+        # (3) cross-set vs the standing index (absent on the first epoch).
+        # The CURRENT epoch's partition is excluded from the corpus side: a
+        # crash between the index append (below) and the marker leaves this
+        # epoch's own postings in the index, and replay would otherwise
+        # self-match every accepted doc at Jaccard 1.0 — dropping them all
+        # and stranding the stale partition (phantom postings).
         if sess.catalog.tableExists(index_table):
             sess.catalog.refreshTable(index_table)
             sess.catalog.refreshTable(index_table + "_sizes")
             dups = (
                 dedup.incremental_jaccard_against_index(
-                    sess, index_table, batch, "text", "doc_id", threshold
+                    sess, index_table, batch, "text", "doc_id", threshold,
+                    exclude_epoch=epoch_id,
                 )
                 .select(F.col("id_new").alias("doc_id"))
                 .distinct()
@@ -97,10 +103,11 @@ def run_streaming_ingestion_dedup(
             accepted = batch
         # (4) publish, replay-idempotently: the corpus epoch directory is
         # OVERWRITTEN (a re-run of this epoch replaces, never duplicates) and
-        # the index append is per-epoch dynamic partition overwrite — so a
-        # crash anywhere between these writes and the marker leaves a state
-        # that replay simply rewrites. The marker is a fast-skip, not the
-        # only duplicate guard.
+        # the index append is per-epoch dynamic partition overwrite; with the
+        # current epoch excluded from step (3), replay recomputes the SAME
+        # accepted set whether the crash hit before or after the index
+        # append, so both writes converge. The marker is a fast-skip, not
+        # the only duplicate guard.
         accepted = accepted.localCheckpoint()  # one computation, used twice
         accepted.write.mode("overwrite").parquet(
             os.path.join(data_dir, f"epoch={epoch_id}")

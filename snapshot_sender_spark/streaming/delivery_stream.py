@@ -39,6 +39,30 @@ def read_encrypted_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def read_batch_objects(spark: SparkSession, input_dir: str, names) -> DataFrame:
+    """Read EXACTLY one micro-batch's encrypted objects as (fileName, content).
+
+    The batch's file names are already known driver-side (the tiny metadata
+    rows ARE the arrival signal), so the binaryFile source is given the
+    explicit per-file path list — per-batch I/O is O(batch), never O(corpus).
+    A `load(prefix)` + filter on the DERIVED fileName column cannot push down
+    to the binaryFile source (it prunes only on raw path/length/modTime), so
+    it would list AND read every object under a growing prefix each batch —
+    quadratic total I/O over a continuous service's lifetime. The reference
+    reads each object exactly once (S3DirectoryReader.kt:59-65: paginated
+    listing, one GET per listed key); the explicit path list is the streaming
+    equivalent of that contract."""
+    paths = [os.path.join(input_dir, name) for name in sorted(names)]
+    return (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
+            F.col("content"),
+        )
+    )
+
+
 def run_streaming_delivery(
     spark: SparkSession,
     input_dir: str,
@@ -70,16 +94,10 @@ def run_streaming_delivery(
         rows = meta_df.collect()  # file-level metadata: tiny
         if rows:
             names = {r["fileName"] for r in rows}
-            objects = (
-                spark.read.format("binaryFile")
-                .option("pathGlobFilter", "*.enc")
-                .load(input_dir)
-                .select(
-                    F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
-                    F.col("content"),
-                )
-                .filter(F.col("fileName").isin(list(names)))
-            )
+            # explicit path list: this batch's bytes and ONLY this batch's
+            # bytes are read — O(batch) I/O regardless of how large the
+            # standing prefix has grown (see read_batch_objects)
+            objects = read_batch_objects(spark, input_dir, names)
             meta = spark.createDataFrame(rows, ENCRYPTION_META_SCHEMA)
             files = objects.join(F.broadcast(meta), "fileName")
             files = files.withColumn(

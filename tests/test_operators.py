@@ -284,6 +284,50 @@ def test_simhash_deterministic(spark):
     assert a == b
 
 
+def test_simhash_kernels_bit_parity(spark, sf_dir):
+    """All three SimHash implementations — numpy batch kernel (production,
+    measured fastest at the 10× tier: ~0.6-1.0 s warm vs 1.2 s loop-UDF vs
+    2.6 s all-JVM), the reference per-token loop UDF, and the all-JVM plan —
+    must be bit-identical on real corpus text AND the edge cases (NULL text →
+    NULL, token-less text → 0, duplicate/multi-space tokens, sign-bit wrap)."""
+    edge = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha  gamma"),  # dup token + double space
+            (2, ""),
+            (3, None),
+            (4, "   leading and trailing   "),
+            (5, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    for df in (edge, docs):
+        want = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", dedup.simhash64(F.col("text")).alias("s")
+            ).collect()
+        }
+        got_np = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", dedup.simhash64_np(F.col("text")).alias("s")
+            ).collect()
+        }
+        got_jvm = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash64_plan(df, "text", "doc_id").collect()
+        }
+        assert got_np == want
+        assert got_jvm == want
+    # the JVM alternative is genuinely Python-free: no Arrow/row-Python node
+    plan = (
+        dedup.simhash64_plan(docs, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_cosine_topk_self_similarity(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

