@@ -18,6 +18,8 @@ Reference counter names preserved where an engine-side event maps 1:1:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -56,8 +58,8 @@ def push_to_gateway(
     grouping: dict[str, str],
     gateway: str = "localhost:9091",
 ) -> bool:
-    """Pushgateway emission (PushGatewayServiceImpl.kt:22-53), gated on
-    prometheus_client availability; returns False when the lib is absent."""
+    """One-shot pushgateway emission (PushGatewayServiceImpl.kt:25-28), gated
+    on prometheus_client availability; returns False when the lib is absent."""
     try:
         from prometheus_client import CollectorRegistry, Gauge
         from prometheus_client import push_to_gateway as _push
@@ -69,3 +71,89 @@ def push_to_gateway(
         g.set(float(value))
     _push(gateway, job=job, registry=registry, grouping_key=grouping)
     return True
+
+
+class PrometheusGateway:
+    """Thin push/delete adapter over prometheus_client's PushGateway HTTP API,
+    created lazily so the class imports (and the lifecycle below runs with a
+    stub gateway) in environments without the library."""
+
+    def __init__(self, gateway: str = "localhost:9091"):
+        self.gateway = gateway
+
+    def push(self, job: str, grouping: dict[str, str], counters: dict[str, float]) -> None:
+        if not push_to_gateway(counters, job, grouping, self.gateway):
+            raise ImportError("prometheus_client not available")
+
+    def delete(self, job: str, grouping: dict[str, str]) -> None:
+        from prometheus_client import delete_from_gateway
+
+        delete_from_gateway(self.gateway, job=job, grouping_key=grouping)
+
+
+class PushGatewayLifecycle:
+    """The reference's full pushgateway LIFECYCLE (PushGatewayServiceImpl.kt:
+    22-44), not just the one-shot push: a driver-side scheduler pushes the
+    current counters every ``push_rate`` seconds after ``initial_delay``
+    (@Scheduled fixedRate=20000 initialDelay=10000); ``push_final()`` cancels
+    the schedule, pushes one last snapshot, then — when ``delete_metrics`` —
+    waits ``scrape_interval`` (prometheus.scrape.interval, default 70 s: one
+    scrape must land between the final push and the delete) and deletes the
+    grouping key, so a per-(topic, correlation_id) batch job leaves no stale
+    series behind.
+
+    Spark-first shape: the scheduler is a single daemon thread on the DRIVER
+    reading ``counters_fn()`` (typically Observation results — computed by the
+    executors inside the delivering job, O(metrics) driver state); the
+    gateway is injected (``PrometheusGateway`` in production, a recording stub
+    in tests — prometheus_client isn't in this container)."""
+
+    def __init__(
+        self,
+        gateway,
+        counters_fn,
+        job: str = "snapshot_sender",
+        grouping: dict[str, str] | None = None,
+        push_rate: float = 20.0,
+        initial_delay: float = 10.0,
+        scrape_interval: float = 70.0,
+        delete_metrics: bool = True,
+    ):
+        self.gateway = gateway
+        self.counters_fn = counters_fn
+        self.job = job
+        self.grouping = dict(grouping or {})
+        self.push_rate = push_rate
+        self.initial_delay = initial_delay
+        self.scrape_interval = scrape_interval
+        self.delete_metrics = delete_metrics
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _run(self) -> None:
+        if self._stop.wait(self.initial_delay):
+            return
+        while True:
+            self.push_once()
+            if self._stop.wait(self.push_rate):
+                return
+
+    def push_once(self) -> None:
+        self.gateway.push(self.job, self.grouping, dict(self.counters_fn()))
+
+    def start(self) -> "PushGatewayLifecycle":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def push_final(self) -> None:
+        """pushFinalMetrics(): cancel the schedule, push the final snapshot,
+        then (optionally) wait one scrape interval and delete the series."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+        self.push_once()
+        if self.delete_metrics:
+            # a scrape must observe the final values before the series dies
+            threading.Event().wait(self.scrape_interval)
+            self.gateway.delete(self.job, self.grouping)

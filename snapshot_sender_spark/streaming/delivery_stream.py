@@ -16,7 +16,9 @@ prefix); at scale it is the driver-side listing delta.
 
 from __future__ import annotations
 
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +39,31 @@ def read_encrypted_stream(spark: SparkSession, input_dir: str) -> DataFrame:
         spark.readStream.schema(ENCRYPTION_META_SCHEMA)
         .json(os.path.join(input_dir, "meta_stream"))
     )
+
+
+def poll_arrivals(s3_client, bucket: str, prefix: str, input_dir: str, seen: set) -> list[str]:
+    """One poll of the arrival signal from a REAL S3 listing: page through
+    ListObjectsV2 + per-object HEAD metadata (sources/s3.py — the reference's
+    S3DirectoryReader contract over actual wire protocol) and append the NEW
+    objects' metadata rows as one sidecar file under ``meta_stream/`` — the
+    file-stream source then delivers them as the next micro-batch. This is
+    the listing→signal bridge a deployment runs between scheduler ticks (or
+    replaces with S3 inventory/SQS events); ``seen`` carries the listing
+    delta state, O(names) driver-side. Returns the newly-signalled names."""
+    from ..sources.s3 import list_objects_with_metadata
+
+    rows, _rejected = list_objects_with_metadata(s3_client, bucket, prefix)
+    new = [r for r in rows if r["fileName"] not in seen]
+    if not new:
+        return []
+    meta_dir = os.path.join(input_dir, "meta_stream")
+    os.makedirs(meta_dir, exist_ok=True)
+    path = os.path.join(meta_dir, f"arrival_{time.time_ns()}.json")
+    with open(path, "w") as fh:
+        for r in new:
+            fh.write(json.dumps(r) + "\n")
+    seen.update(r["fileName"] for r in new)
+    return [r["fileName"] for r in new]
 
 
 def read_batch_objects(spark: SparkSession, input_dir: str, names) -> DataFrame:

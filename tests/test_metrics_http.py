@@ -5,6 +5,7 @@ import gzip
 import http.server
 import json
 import threading
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -250,3 +251,68 @@ def test_http_sink_tls(spark, tmp_path):
         assert len(_Receiver.store) == 2
     finally:
         srv.shutdown()
+
+
+class _StubGateway:
+    """Records the push/delete call sequence the way a real pushgateway would
+    see it (prometheus_client isn't in this container)."""
+
+    def __init__(self):
+        self.events = []
+
+    def push(self, job, grouping, counters):
+        self.events.append(("push", job, dict(grouping), dict(counters)))
+
+    def delete(self, job, grouping):
+        self.events.append(("delete", job, dict(grouping)))
+
+
+def test_pushgateway_lifecycle_scheduled_then_final_then_delete():
+    """PushGatewayServiceImpl.kt:22-44 parity: periodic pushes at the
+    configured rate after the initial delay; push_final cancels the schedule,
+    pushes one last snapshot, waits one scrape interval, then deletes the
+    grouping key. Sequence and grouping-key fidelity pinned via a stub."""
+    from snapshot_sender_spark.plans.metrics import PushGatewayLifecycle
+
+    gw = _StubGateway()
+    counts = {"snapshot_sender_files_sent_success": 0}
+    grouping = {"topic_name": "db.a.b", "correlation_id": "c1"}
+    lc = PushGatewayLifecycle(
+        gw,
+        lambda: counts,
+        grouping=grouping,
+        push_rate=0.05,
+        initial_delay=0.02,
+        scrape_interval=0.05,
+    ).start()
+    deadline = time.time() + 5
+    while len(gw.events) < 3 and time.time() < deadline:
+        time.sleep(0.01)
+    counts["snapshot_sender_files_sent_success"] = 7  # progress mid-run
+    lc.push_final()
+    kinds = [e[0] for e in gw.events]
+    # ≥3 scheduled pushes happened, then exactly one final push, then delete
+    assert kinds.count("push") >= 4 and kinds[-1] == "delete" and kinds[-2] == "push"
+    assert all(k == "push" for k in kinds[:-1])
+    # the final push carries the final counter values and the grouping key
+    final_push = gw.events[-2]
+    assert final_push[3]["snapshot_sender_files_sent_success"] == 7
+    assert final_push[2] == grouping and gw.events[-1][2] == grouping
+    # schedule is genuinely cancelled: no pushes after the delete
+    n = len(gw.events)
+    time.sleep(0.2)
+    assert len(gw.events) == n
+
+
+def test_pushgateway_lifecycle_delete_disabled():
+    """delete.metrics=false parity: the final push happens, the series stays."""
+    from snapshot_sender_spark.plans.metrics import PushGatewayLifecycle
+
+    gw = _StubGateway()
+    lc = PushGatewayLifecycle(
+        gw, lambda: {"c": 1}, push_rate=0.05, initial_delay=0.01,
+        scrape_interval=0.01, delete_metrics=False,
+    ).start()
+    time.sleep(0.1)
+    lc.push_final()
+    assert gw.events and all(e[0] == "push" for e in gw.events)

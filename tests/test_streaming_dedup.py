@@ -280,3 +280,47 @@ def test_stale_warehouse_location_from_previous_process_is_cleared(spark, dirs):
     finally:
         for t in (TABLE, f"{TABLE}_sizes"):
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_concurrent_same_epoch_index_append_no_duplicates(spark, dirs):
+    """Two concurrent attempts of the SAME epoch's index append (the zombie-
+    attempt shape: a stalled first attempt resumes while its replay is
+    already writing): per-epoch dynamic partition overwrite must converge to
+    exactly one copy of the epoch's postings — never a double-append. The
+    delivery sink has the equivalent race tests (test_robustness.py); this
+    pins the index-append side."""
+    import threading
+
+    from snapshot_sender_spark.operators import dedup as dedup_ops
+
+    docs = _docs(
+        spark,
+        [(1, "first unique document body text"), (2, "second distinct body of words")],
+    )
+    # establish the table (epoch 0), then race two epoch-1 attempts
+    dedup_ops.append_dedup_index_epoch(spark, TABLE, docs, "text", "doc_id", 0)
+    batch = _docs(spark, [(10, "a brand new third document arrives")])
+    errs = []
+
+    def attempt():
+        try:
+            dedup_ops.append_dedup_index_epoch(spark, TABLE, batch, "text", "doc_id", 1)
+        except Exception as e:  # a loser MAY fail; it must not corrupt
+            errs.append(e)
+
+    threads = [threading.Thread(target=attempt) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(errs) < 2  # at least one attempt succeeded
+    spark.catalog.refreshTable(TABLE)
+    spark.catalog.refreshTable(TABLE + "_sizes")
+    text = batch.first()["text"]
+    expected = len({f"{a} {b}" for a, b in zip(text.split(), text.split()[1:])})
+    got = spark.table(TABLE).filter(F.col("epoch") == 1).collect()
+    assert len(got) == expected and {r["id"] for r in got} == {10}
+    sizes = spark.table(TABLE + "_sizes").filter(F.col("epoch") == 1).collect()
+    assert len(sizes) == 1 and sizes[0]["set_size"] == expected
+    # epoch 0 untouched by the race
+    assert {r["id"] for r in spark.table(TABLE).filter(F.col("epoch") == 0).collect()} == {1, 2}
