@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Two decodes are REAL with nothing but the
-stdlib + numpy: PNG (zlib inflate + per-row unfilter — see the codec section
-below) and 16-bit PCM audio. Formats that genuinely need codec libraries not
-in this container (JPEG, MP3, H.264) remain documented stubs: ``decode_image``
-raises NotImplementedError for them unless ``fake=True``, in which case a
-deterministic fake decoder (blake2b-seeded) produces stable pseudo-features so
-the distributed plumbing can be exercised end-to-end.
+signatures) is real and tested. Three decodes are REAL with nothing but the
+stdlib + numpy: PNG (zlib inflate + per-row unfilter), baseline JPEG (full
+Huffman → dequant → IDCT pipeline — see the codec sections below), and
+16-bit PCM audio. Formats that genuinely need codec libraries not in this
+container (MP3, H.264, progressive JPEG) remain documented stubs:
+``decode_image`` raises NotImplementedError for them unless ``fake=True``,
+in which case a deterministic fake decoder (blake2b-seeded) produces stable
+pseudo-features so the distributed plumbing can be exercised end-to-end.
 
 Pattern: ``mapInPandas`` over batches of (id, content, meta) — one Python
 crossing per Arrow batch; media bytes never shuffle (derive features first,
@@ -48,14 +49,24 @@ FEATURE_SCHEMA = "media_id long, n_bytes long, sha256 string, feat array<double>
 
 
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
-    """PNG payloads decode for REAL (stdlib-zlib decoder below — 8-bit
-    RGB/RGBA, all five scanline filters): the 8-dim feature is
-    [w, h, channels, overall/R/G/B pixel means, pixel max/255], every value an
-    exact integer ratio. Other formats (JPEG etc.) need codec libraries not in
-    this container and remain the documented stub; ``fake=True`` yields a
-    deterministic pseudo-feature from a keyed hash for plumbing tests."""
+    """PNG and baseline-JPEG payloads decode for REAL (stdlib+numpy codecs
+    below — PNG: 8-bit RGB/RGBA, all five scanline filters; JPEG: baseline
+    sequential, any sampling): the 8-dim feature is [w, h, channels,
+    overall/R/G/B pixel means, pixel max/255], every value an exact integer
+    ratio. Other formats (MP3, H.264, progressive JPEG) need codec libraries
+    not in this container and remain the documented stub; ``fake=True``
+    yields a deterministic pseudo-feature from a keyed hash for plumbing
+    tests."""
+    px = None
     if content[:8] == PNG_MAGIC:
         px = decode_png(bytes(content))
+    elif content[:2] == b"\xff\xd8":
+        import numpy as np
+
+        px = decode_jpeg(bytes(content))
+        if px.ndim == 2:  # grayscale → single-channel plane
+            px = px[:, :, np.newaxis]
+    if px is not None:
         h, w, c = px.shape
         flat = px.reshape(-1).astype("int64")
         rgb = px.reshape(-1, c)
@@ -66,14 +77,15 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
             float(c),
             int(flat.sum()) / (n * 255),
             int(rgb[:, 0].sum()) / (h * w * 255),
-            int(rgb[:, 1].sum()) / (h * w * 255),
-            int(rgb[:, 2].sum()) / (h * w * 255),
+            int(rgb[:, min(1, c - 1)].sum()) / (h * w * 255),
+            int(rgb[:, min(2, c - 1)].sum()) / (h * w * 255),
             int(flat.max()) / 255 if n else 0.0,
         ]
     if not fake:
         raise NotImplementedError(
-            "non-PNG image decode requires an imaging library not present in this "
-            "environment; pass fake=True for the deterministic test double"
+            "image decode beyond PNG/baseline-JPEG requires a codec library not "
+            "present in this environment; pass fake=True for the deterministic "
+            "test double"
         )
     h = hashlib.blake2b(content or b"", digest_size=16).digest()
     return [b / 255.0 for b in h[:8]]
@@ -375,6 +387,535 @@ def png_pixel_stats(
             )
 
     return df.mapInPandas(run, schema=PNG_STATS_SCHEMA)
+
+
+# =============================================================================
+# Baseline JPEG codec — stdlib + numpy, no imaging library.
+# Sequential baseline DCT JPEG (ITU T.81 Annex F, public spec): marker parse
+# (DQT/SOF0/DHT/SOS/DRI), Huffman entropy decode with 0xFF00 byte unstuffing,
+# dequantize, inverse zigzag, orthonormal-matrix 2-D IDCT, level shift +
+# clamp, nearest-neighbor chroma upsample, JFIF YCbCr→RGB. The encoder (used
+# by fixtures/queries to synthesize payloads executor-side) emits grayscale or
+# 4:4:4 color with the standard Annex K Huffman tables. Reference analog:
+# none — the reference never decodes payloads (HttpWriter.kt:75 posts bytes
+# unparsed); this is a north-star LLM-data capability.
+# =============================================================================
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3 typical Huffman tables (public spec constants)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_basis():
+    """Orthonormal 8×8 DCT-II basis A: FDCT = A·f·Aᵀ, IDCT = Aᵀ·F·A (DC-only
+    block reconstructs to the constant DC/8 — exact in float64, which is what
+    makes flat-block JPEGs decode bit-for-bit)."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (0.5 / math.sqrt(2.0)) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return a
+
+
+_DCT_A = None
+
+
+def _A():
+    global _DCT_A
+    if _DCT_A is None:
+        _DCT_A = _dct_basis()
+    return _DCT_A
+
+
+def _build_huffman(bits, values):
+    """T.81 C.2: canonical code assignment — (length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_huffman_spec(bits, values):
+    """symbol → (code, length) for the encoder side."""
+    return {sym: (code, length) for (length, code), sym in _build_huffman(bits, values).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # unstuff
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t magnitude bits to the signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels, quant=None) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a baseline
+    sequential JPEG (4:4:4 for color — every component full resolution, one
+    quant table, Annex K Huffman tables). ``quant`` is a length-64 table in
+    natural (row-major) order, default all-8s: DC step 8 makes flat 8×8
+    blocks reconstruct EXACTLY (8·(v−128)/8 survives quantization and the
+    DC-only IDCT is the constant DC/8), the property the oracle-checked
+    queries build on. Dimensions must be multiples of 8 (fixtures are)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    quant = list(quant) if quant is not None else [8] * 64
+    if gray:
+        comps = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+    qz = np.array([quant[ZIGZAG[i]] for i in range(64)], dtype=np.float64)
+    A = _A()
+    dc_spec = _encode_huffman_spec(*_DC_LUMA)
+    ac_spec = _encode_huffman_spec(*_AC_LUMA)
+    dc_spec_c = _encode_huffman_spec(*_DC_CHROMA)
+    ac_spec_c = _encode_huffman_spec(*_AC_CHROMA)
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, comp in enumerate(comps):
+                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = A @ block @ A.T
+                zz = np.array([coef.flat[ZIGZAG[i]] for i in range(64)])
+                q = np.rint(zz / qz).astype(np.int64)
+                dcs, acs = (dc_spec, ac_spec) if ci == 0 else (dc_spec_c, ac_spec_c)
+                diff = int(q[0]) - pred[ci]
+                pred[ci] = int(q[0])
+                t = _category(diff)
+                code, length = dcs[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(q[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = acs[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    t = _category(v)
+                    code, length = acs[(run << 4) | t]
+                    bw.write(code, length)
+                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if last_nz < 63:
+                    code, length = acs[0x00]  # EOB
+                    bw.write(code, length)
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG[i]] for i in range(64)))
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qt 0
+    out += _seg(0xC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    ):
+        if nc == 1 and tid == 1:
+            continue
+        out += _seg(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, interleaved single
+    scan, optional restart markers) to an (h, w) grayscale or (h, w, 3) RGB
+    uint8 array — stdlib + numpy only. Arbitrary sampling factors are
+    reconstructed by nearest-neighbor (pixel-replication) upsampling;
+    progressive (SOF2) and arithmetic coding raise NotImplementedError."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                qz = list(seg[o + 1 : o + 65])
+                tbl = [0] * 64
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = qz[i]
+                qt[tq] = tbl
+                o += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                huff[(cls, tid)] = _build_huffman(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline frame marker 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            # locate the end of the entropy-coded segment (next non-RST marker)
+            end = pos
+            while end < len(data) - 1:
+                if data[end] == 0xFF and data[end + 1] not in (0x00, *range(0xD0, 0xD8)):
+                    break
+                end += 1
+            planes = _decode_scan(
+                data[pos:end], frame, scan_comps, qt, huff, restart_interval
+            )
+            pos = end
+            fh, fw = frame["h"], frame["w"]
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            out = []
+            for c, plane in zip(scan_comps, planes):
+                rep_y = vmax // c["v"]
+                rep_x = hmax // c["h"]
+                up = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
+                out.append(up[:fh, :fw])
+            if len(out) == 1:
+                return out[0]
+            y, cb, cr = (p.astype(np.float64) for p in out)
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=2)
+            return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(scan: bytes, frame, comps, qt, huff, restart_interval):
+    """Interleaved baseline scan → list of per-component uint8 planes (at
+    their native sampling resolution, MCU-padded then cropped by caller)."""
+    import numpy as np
+
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8) for c in comps
+    ]
+    A = _A()
+    # split on restart markers (RSTn live OUTSIDE the bitstream proper)
+    intervals: list[bytes] = []
+    if restart_interval:
+        cur = bytearray()
+        i = 0
+        while i < len(scan):
+            if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+            else:
+                cur.append(scan[i])
+                i += 1
+        intervals.append(bytes(cur))
+    else:
+        intervals = [scan]
+    br = _BitReader(intervals[0])
+    interval_idx = 0
+    pred = [0] * len(comps)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                interval_idx += 1
+                br = _BitReader(intervals[interval_idx])
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, c in enumerate(comps):
+                qtab = qt[c["tq"]]
+                dct = huff[(0, c["td"])]
+                act = huff[(1, c["ta"])]
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = br.decode_symbol(dct)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci] * qtab[0]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            zz[k] = _extend(br.read_bits(s), s) * qtab[ZIGZAG[k]]
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        for i in range(64):
+                            coef.flat[ZIGZAG[i]] = zz[i]
+                        block = A.T @ coef @ A + 128.0
+                        py = (my * c["v"] + byi) * 8
+                        pxx = (mx * c["h"] + bxi) * 8
+                        planes[ci][py : py + 8, pxx : pxx + 8] = np.clip(
+                            np.rint(block), 0, 255
+                        ).astype(np.uint8)
+    return planes
+
+
+JPEG_STATS_SCHEMA = (
+    "media_id long, width int, height int, channels int, pixel_sum long, "
+    "pixel_min int, pixel_max int"
+)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL JPEG decode as a distributed operator: full baseline decode
+    (Huffman → dequant → IDCT → clamp) inside mapInPandas, reduced to exact
+    integer pixel stats. Only (id, stats) rows shuffle; pixels die in-task —
+    the JPEG sibling of png_pixel_stats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                px = decode_jpeg(bytes(content))
+                if px.ndim == 2:
+                    h, w = px.shape
+                    c = 1
+                else:
+                    h, w, c = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixel_sum": int(flat.sum()),
+                        "pixel_min": int(flat.min()),
+                        "pixel_max": int(flat.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "pixel_sum", "pixel_min", "pixel_max",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+def encode_as_jpeg_flatblocks(
+    df: DataFrame, blocks_w: int = 8, blocks_h: int = 8,
+    id_col: str = "media_id", content_col: str = "content",
+) -> DataFrame:
+    """Pack each payload's first blocks_w·blocks_h bytes as a grayscale JPEG
+    where byte i is the CONSTANT value of 8×8 block i (row-major) — with the
+    all-8s quant table such flat blocks survive encode→decode bit-for-bit
+    (see encode_jpeg), so downstream pixel stats are exactly derivable from
+    the source bytes by any engine. Payloads shorter than one image drop."""
+    import numpy as np
+
+    need = blocks_w * blocks_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, jpgs = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                buf = bytes(content or b"")
+                if len(buf) < need:
+                    continue
+                vals = np.frombuffer(buf[:need], dtype=np.uint8).reshape(
+                    blocks_h, blocks_w
+                )
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                ids.append(mid)
+                jpgs.append(encode_jpeg(px))
+            yield pd.DataFrame({"media_id": ids, "content": jpgs})
+
+    return df.mapInPandas(run, schema="media_id long, content binary")
 
 
 AUDIO_ENERGY_SCHEMA = "media_id long, window_no int, n_samples int, energy bigint"

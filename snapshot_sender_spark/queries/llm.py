@@ -675,6 +675,50 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 64 AND doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM d, UNNEST(range(0, 64)) AS t(i)
+    )
+    SELECT doc_id AS media_id, 64 AS width, 64 AS height, 1 AS channels,
+           CAST(SUM(v) * 64 AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INT) AS pixel_min,
+           CAST(MAX(v) AS INT) AS pixel_max
+    FROM px GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode that is NOT a stub: each document's first 64 bytes become
+    the 8×8 flat blocks of a 64×64 grayscale baseline JPEG (encoded in one
+    mapInPandas stage — FDCT, quantization, Annex K Huffman entropy coding
+    with byte stuffing), then a second mapInPandas stage runs the real
+    decoder — marker walk, canonical Huffman decode, dequantize, inverse
+    zigzag, float64 IDCT, level shift + clamp — and reduces to exact integer
+    pixel stats. Flat blocks with the all-8s quant table reconstruct
+    bit-for-bit (DC 8·(v−128) survives the /8 quantization and a DC-only
+    IDCT is the constant DC/8), so the oracle recomputes the stats straight
+    from the source bytes: the entire encode→entropy→decode round trip is
+    verified exactly (the lossy-codec analog of multimodal_image_stats)."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64) & (F.col("doc_id") < 200)
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return multimodal.jpeg_pixel_stats(
+        multimodal.encode_as_jpeg_flatblocks(media, blocks_w=8, blocks_h=8)
+    )
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 32 AS width, 32 AS height,

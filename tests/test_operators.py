@@ -363,8 +363,12 @@ def test_cosine_pairs_gemm_matches_fold(spark, sf_dir):
     assert g == f and len(g) > 0
 
 
-def test_multimodal_decode_stub_raises_for_non_png():
+def test_multimodal_decode_stub_raises_for_unsupported_format():
+    # GIF: no codec in this container → the documented stub path
     with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a-not-decodable", fake=False)
+    # truncated/garbage JPEG is a DECODE error, not a stub miss
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg-bytes", fake=False)
 
 
@@ -405,6 +409,94 @@ def test_png_decode_rejects_corruption_and_unsupported():
     bad_ihdr[29:33] = _s.pack(">I", crc)
     with pytest.raises(NotImplementedError):
         multimodal.decode_png(bytes(bad_ihdr))
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """Flat 8×8 blocks with the all-8s quant table survive the full baseline
+    pipeline (FDCT → quantize → Huffman → decode → IDCT) BIT-FOR-BIT — the
+    property the oracle-checked multimodal_jpeg_stats query builds on."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    out = multimodal.decode_jpeg(multimodal.encode_jpeg(px))
+    assert out.shape == (64, 64) and np.array_equal(out, px)
+
+
+def test_jpeg_near_lossless_gray_and_color():
+    """With a unit quant table the codec is near-lossless on arbitrary
+    content: |err| ≤ 1 gray (IDCT rounding), ≤ 4 color (YCbCr round trip).
+    Exercises every Huffman path — DC diffs, AC run/size, ZRL, EOB — on
+    noise, and non-square shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    got = multimodal.decode_jpeg(multimodal.encode_jpeg(gray, quant=[1] * 64))
+    assert got.shape == gray.shape
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got3 = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, quant=[1] * 64))
+    assert got3.shape == rgb.shape
+    assert np.abs(got3.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_decode_rejects_corruption_and_unsupported():
+    import struct as _s
+
+    import numpy as np
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    good = multimodal.encode_jpeg(px)
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.decode_jpeg(b"plainly not a jpeg")
+    # flip SOF0 (baseline) to SOF2 (progressive) → explicit NotImplementedError
+    prog = bytearray(good)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        multimodal.decode_jpeg(bytes(prog))
+    # 16-bit precision frame → explicit NotImplementedError
+    deep = bytearray(good)
+    deep[sof_at + 4] = 16  # precision byte of the SOF payload
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        multimodal.decode_jpeg(bytes(deep))
+
+
+def test_jpeg_pixel_stats_distributed(spark):
+    """The distributed jpeg stats operator: per-image exact integer stats for
+    arbitrary (non-flat) grayscale content encoded at unit quant — compared
+    against the decoder's own output, which the near-lossless test bounds."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    imgs = []
+    for i in range(6):
+        px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        imgs.append((i, multimodal.encode_jpeg(px, quant=[1] * 64)))
+    df = spark.createDataFrame(
+        [(i, bytearray(d)) for i, d in imgs], "media_id long, content binary"
+    )
+    stats = {r["media_id"]: r for r in multimodal.jpeg_pixel_stats(df).collect()}
+    for i, d in imgs:
+        px = multimodal.decode_jpeg(d)
+        assert stats[i]["width"] == 16 and stats[i]["channels"] == 1
+        assert stats[i]["pixel_sum"] == int(px.astype(np.int64).sum())
+        assert stats[i]["pixel_min"] == int(px.min())
+        assert stats[i]["pixel_max"] == int(px.max())
+
+
+def test_decode_image_real_for_jpeg():
+    """decode_image routes JPEG content through the real decoder: exact pixel
+    ratios, not hash fakes — a flat 51-valued image yields mean 0.2."""
+    import numpy as np
+
+    vals = np.full((8, 8), 51, dtype=np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    feat = multimodal.decode_image(multimodal.encode_jpeg(px))
+    assert feat[:3] == [64.0, 64.0, 1.0]
+    assert feat[3] == pytest.approx(0.2) and feat[7] == pytest.approx(0.2)
 
 
 def test_decode_image_real_for_png():
