@@ -41,7 +41,13 @@ def rows_of(spark, d: str) -> int:
 
 
 def main() -> None:
-    dirs = sys.argv[1:]
+    global QUERIES
+    args = sys.argv[1:]
+    if "--queries" in args:
+        i = args.index("--queries")
+        QUERIES = args[i + 1].split(",")
+        args = args[:i] + args[i + 2 :]
+    dirs = args
     spark = get_spark(app_name="scale_run")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
