@@ -572,30 +572,84 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg(pixels, quant=None) -> bytes:
+def _encode_block(bw, block, qz, A, dcs, acs, pred, ci):
+    """FDCT → quantize → Huffman-encode one 8×8 block; updates pred[ci]."""
+    import numpy as np
+
+    coef = A @ (block - 128.0) @ A.T
+    zz = np.array([coef.flat[ZIGZAG[i]] for i in range(64)])
+    q = np.rint(zz / qz).astype(np.int64)
+    diff = int(q[0]) - pred[ci]
+    pred[ci] = int(q[0])
+    t = _category(diff)
+    code, length = dcs[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = acs[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        t = _category(v)
+        code, length = acs[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        code, length = acs[0x00]  # EOB
+        bw.write(code, length)
+
+
+def encode_jpeg(pixels, quant=None, subsample=False, restart_interval=0) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a baseline
-    sequential JPEG (4:4:4 for color — every component full resolution, one
-    quant table, Annex K Huffman tables). ``quant`` is a length-64 table in
-    natural (row-major) order, default all-8s: DC step 8 makes flat 8×8
-    blocks reconstruct EXACTLY (8·(v−128)/8 survives quantization and the
-    DC-only IDCT is the constant DC/8), the property the oracle-checked
-    queries build on. Dimensions must be multiples of 8 (fixtures are)."""
+    sequential JPEG (Annex K Huffman tables, one quant table). ``quant`` is a
+    length-64 table in natural (row-major) order, default all-8s: DC step 8
+    makes flat 8×8 blocks reconstruct EXACTLY (8·(v−128)/8 survives
+    quantization and the DC-only IDCT is the constant DC/8), the property
+    the oracle-checked queries build on.
+
+    ``subsample=True`` (color only) emits 4:2:0 — luma 2×2 per MCU, chroma
+    box-averaged to half resolution — exercising the decoder's multi-block
+    MCU interleave + upsample path. ``restart_interval=N`` emits a DRI
+    segment and RSTn markers every N MCUs (byte-aligned, DC predictors
+    reset), exercising the decoder's restart resynchronization. Dimensions
+    must be multiples of the MCU size (8, or 16 when subsampled)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("dimensions must be multiples of 8")
+    if subsample and gray:
+        raise ValueError("subsampling applies to color images only")
+    mcu = 16 if subsample else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"dimensions must be multiples of {mcu}")
     quant = list(quant) if quant is not None else [8] * 64
     if gray:
-        comps = [px.astype(np.float64)]
+        planes = [px.astype(np.float64)]
+        samp = [(1, 1)]
     else:
         r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        comps = [y, cb, cr]
+        if subsample:
+            # box-average 2×2 → half-resolution chroma
+            def half(p):
+                return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+            planes = [y, half(cb), half(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
     qz = np.array([quant[ZIGZAG[i]] for i in range(64)], dtype=np.float64)
     A = _A()
     dc_spec = _encode_huffman_spec(*_DC_LUMA)
@@ -603,49 +657,38 @@ def encode_jpeg(pixels, quant=None) -> bytes:
     dc_spec_c = _encode_huffman_spec(*_DC_CHROMA)
     ac_spec_c = _encode_huffman_spec(*_AC_CHROMA)
     bw = _BitWriter()
-    pred = [0] * len(comps)
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, comp in enumerate(comps):
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = A @ block @ A.T
-                zz = np.array([coef.flat[ZIGZAG[i]] for i in range(64)])
-                q = np.rint(zz / qz).astype(np.int64)
+    pred = [0] * len(planes)
+    mcux, mcuy = w // mcu, h // mcu
+    scan_parts: list[bytes] = []
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)])
+                )
+                bw = _BitWriter()
+                pred = [0] * len(planes)
+            n_mcu += 1
+            for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
                 dcs, acs = (dc_spec, ac_spec) if ci == 0 else (dc_spec_c, ac_spec_c)
-                diff = int(q[0]) - pred[ci]
-                pred[ci] = int(q[0])
-                t = _category(diff)
-                code, length = dcs[t]
-                bw.write(code, length)
-                if t:
-                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    v = int(q[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = acs[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    t = _category(v)
-                    code, length = acs[(run << 4) | t]
-                    bw.write(code, length)
-                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
-                    run = 0
-                if last_nz < 63:
-                    code, length = acs[0x00]  # EOB
-                    bw.write(code, length)
-    scan = bw.flush()
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        py = (my * sv + byi) * 8
+                        pxx = (mx * sh + bxi) * 8
+                        block = plane[py : py + 8, pxx : pxx + 8]
+                        _encode_block(bw, block, qz, A, dcs, acs, pred, ci)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG[i]] for i in range(64)))
-    nc = len(comps)
+    nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qt 0
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])  # id, sampling, qt 0
     out += _seg(0xC0, sof)
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
@@ -653,6 +696,8 @@ def encode_jpeg(pixels, quant=None) -> bytes:
         if nc == 1 and tid == 1:
             continue
         out += _seg(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         td_ta = 0x00 if ci == 0 else 0x11

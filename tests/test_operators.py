@@ -442,6 +442,49 @@ def test_jpeg_near_lossless_gray_and_color():
     assert np.abs(got3.astype(int) - rgb.astype(int)).max() <= 4
 
 
+def test_jpeg_420_subsampling_and_restart_markers():
+    """The decoder's multi-block MCU interleave + chroma-upsample path (4:2:0:
+    luma 2×2 per MCU, box-averaged half-res chroma) and its restart-marker
+    resynchronization (DRI + RSTn every N MCUs, DC predictors reset) — both
+    exercised by the encoder's subsample/restart options."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    # 4:2:0 smooth gradient: NN upsample of half-res chroma bounds the error
+    x = np.linspace(0, 255, 32)
+    base = np.add.outer(x, x) / 2
+    rgb = np.clip(
+        np.rint(np.stack([base, 255 - base, base / 2 + 64], axis=2)), 0, 255
+    ).astype(np.uint8)
+    dec = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(rgb, quant=[1] * 64, subsample=True)
+    )
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 12
+    # flat color through 4:2:0 is exact (flat chroma survives the half-res trip)
+    flatc = np.full((16, 16, 3), [120, 90, 200], dtype=np.uint8)
+    decf = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(flatc, quant=[1] * 64, subsample=True)
+    )
+    assert np.abs(decf.astype(int) - flatc.astype(int)).max() <= 1
+    # DRI: restart markers present, decode identical to the non-DRI stream
+    noise = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    enc_dri = multimodal.encode_jpeg(noise, quant=[1] * 64, restart_interval=2)
+    assert b"\xff\xdd" in enc_dri and b"\xff\xd0" in enc_dri
+    dec_dri = multimodal.decode_jpeg(enc_dri)
+    assert np.array_equal(
+        dec_dri, multimodal.decode_jpeg(multimodal.encode_jpeg(noise, quant=[1] * 64))
+    )
+    assert np.abs(dec_dri.astype(int) - noise.astype(int)).max() <= 1
+    # both together
+    assert np.array_equal(
+        multimodal.decode_jpeg(
+            multimodal.encode_jpeg(rgb, quant=[1] * 64, subsample=True, restart_interval=1)
+        ),
+        dec,
+    )
+
+
 def test_jpeg_decode_rejects_corruption_and_unsupported():
     import struct as _s
 
