@@ -49,11 +49,39 @@ def run_delivery_job(
     cfg: dlv.RunConfig,
     files_exported: int | None = None,
     key_lookup=dlv.key_lookup_local,
+    gateway=None,
+    push_rate: float = 20.0,
+    initial_delay: float = 10.0,
+    scrape_interval: float = 70.0,
 ) -> JobReport:
     """One topic, one correlation id (PropertyUtility.kt:5-11), end to end.
 
     ``files_exported`` is the upstream exporter's count (DynamoDB seed,
-    environment.sh:84-101); defaults to the number of input files found."""
+    environment.sh:84-101); defaults to the number of input files found.
+
+    ``gateway`` (optional — a ``metrics.PrometheusGateway`` or compatible
+    push/delete object) activates the reference's full pushgateway lifecycle
+    around the job: scheduled pushes of the live counters while the job runs,
+    a final push in afterJob, then delete of the per-(type, correlation_id,
+    topic, export_date) grouping key after one scrape interval
+    (PushGatewayServiceImpl.kt:22-44)."""
+    counters_box: dict = {}
+    lifecycle = None
+    if gateway is not None:
+        lifecycle = mx.PushGatewayLifecycle(
+            gateway,
+            lambda: counters_box,
+            job="snapshot_sender",
+            grouping={
+                "type": cfg.snapshot_type,
+                "correlation_id": cfg.correlation_id,
+                "topic_name": cfg.topic_name,
+                "export_date": cfg.export_date,
+            },
+            push_rate=push_rate,
+            initial_delay=initial_delay,
+            scrape_interval=scrape_interval,
+        ).start()
     result = dlv.build_decrypted(spark, input_dir, status_dir, cfg, key_lookup=key_lookup)
     instrumented, obs = mx.observe_delivery(result.delivered)
     manifest = dlv.deliver(
@@ -101,6 +129,11 @@ def run_delivery_job(
         counters = dict(obs.get) if n_delivered else {}
     except Exception:
         counters = {}
+    if lifecycle is not None:
+        # afterJob pushFinalMetrics(): cancel schedule → final push of the
+        # job's counters → delete-after-scrape of the grouping key
+        counters_box.update(counters)
+        lifecycle.push_final()
 
     return JobReport(
         correlation_id=cfg.correlation_id,

@@ -350,6 +350,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dedup.simhash64_np(F.col("text")).alias("simhash"))
 
 
+@query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th, UNNEST(range(0, 64)) AS t(i)
+      GROUP BY doc_id, i
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN acc > 0 THEN
+                   CASE WHEN i = 63 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                 ELSE 0 END) AS BIGINT) AS s
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+    category="llm-dedup",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR MINING, oracle-checked exactly: the Spark plan
+    blocks on 16-bit bands (only band-colliding pairs are joined — never
+    all-pairs), but 4 bands over 64 bits are EXACT for hamming ≤ 3 by
+    pigeonhole (3 differing bits can dirty at most 3 of 4 bands), so the
+    banded result equals DuckDB's brute-force all-pairs filter row for row —
+    the candidate-generation optimization is verified lossless, not just
+    plausible."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(d, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # =============================================================================
 # Similarity search
 # =============================================================================

@@ -91,3 +91,50 @@ def test_connected_components_chain_diameter(spark):
     assert out.filter(F.col("component") != 0).count() == 0 or (
         out.filter(F.col("component") == 0).count() == 31
     )
+
+
+def test_full_job_with_pushgateway_lifecycle(spark, tmp_path):
+    """run_delivery_job with a gateway wires the reference's metrics
+    lifecycle: scheduled pushes while the job runs, a final push carrying the
+    job's observed counters, then delete of the per-job grouping key
+    (type/correlation_id/topic_name/export_date)."""
+
+    class Gw:
+        def __init__(self):
+            self.events = []
+
+        def push(self, job_name, grouping, counters):
+            self.events.append(("push", job_name, dict(grouping), dict(counters)))
+
+        def delete(self, job_name, grouping):
+            self.events.append(("delete", job_name, dict(grouping)))
+
+    f = fx.generate(str(tmp_path), n_files=3, records_per_file=2, seed=41)
+    cfg = delivery.RunConfig(correlation_id="job-gw", topic_name=f.topic)
+    gw = Gw()
+    report = job.run_delivery_job(
+        spark,
+        f.input_dir,
+        f.status_dir,
+        f.output_dir,
+        str(tmp_path / "status_table"),
+        cfg,
+        files_exported=3,
+        gateway=gw,
+        push_rate=0.05,
+        initial_delay=0.01,
+        scrape_interval=0.01,
+    )
+    assert report.files_delivered == 3
+    kinds = [e[0] for e in gw.events]
+    assert kinds[-1] == "delete" and kinds[-2] == "push" and kinds.count("push") >= 1
+    final = gw.events[-2]
+    assert final[1] == "snapshot_sender"
+    assert final[2] == {
+        "type": cfg.snapshot_type,
+        "correlation_id": "job-gw",
+        "topic_name": f.topic,
+        "export_date": cfg.export_date,
+    }
+    assert final[3].get("snapshot_sender_files_sent_success") == 3
+    assert gw.events[-1][2] == final[2]
