@@ -19,6 +19,7 @@ LLM-data requirement as a first-class streaming service.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,25 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 
 DOC_SCHEMA = "doc_id long, text string"
+
+
+def _batch_fingerprint(batch: DataFrame) -> dict:
+    """Order-insensitive fingerprint of a micro-batch: row count + XOR of the
+    per-row (id, text) hashes — one cheap aggregate. Stored inside the epoch
+    marker so a replayed epoch can prove it carries the SAME input: epoch ids
+    restart at 0 under a fresh checkpoint, so a marker from a previous
+    checkpoint generation may collide with a batch of entirely different
+    content (e.g. ops lost the checkpoint dir but kept the accepted dir) —
+    silently fast-skipping would then DROP the new files, and silently
+    reprocessing would overwrite the old epoch's corpus partition. A
+    fingerprint mismatch turns both into a loud, actionable error."""
+    row = batch.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(hash(doc_id, text))").cast("long"), F.lit(0)
+        ).alias("x"),
+    ).first()
+    return {"n": row["n"], "x": int(row["x"])}
 
 
 def run_streaming_ingestion_dedup(
@@ -57,7 +77,21 @@ def run_streaming_ingestion_dedup(
 
     def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
         marker = os.path.join(epochs_dir, f"epoch_{epoch_id}.committed")
+        fp = _batch_fingerprint(batch)
         if os.path.exists(marker):
+            with open(marker) as fh:
+                committed = fh.read()
+            if committed:
+                prev = json.loads(committed)
+                if prev != fp:
+                    raise RuntimeError(
+                        f"epoch {epoch_id} marker exists but its committed input "
+                        f"fingerprint {prev} != this batch's {fp}: epoch ids have "
+                        "collided across checkpoint generations (fresh checkpoint "
+                        "with retained markers?). Refusing to silently skip new "
+                        "data or overwrite the committed epoch — restore the "
+                        "matching checkpoint or clear the accepted dir."
+                    )
             return
         epochs.append(epoch_id)
         # foreachBatch hands a CLONED session; the metastore is shared but
@@ -117,7 +151,7 @@ def run_streaming_ingestion_dedup(
             n_buckets=n_buckets,
         )
         with open(marker, "w") as f:
-            f.write("")
+            f.write(json.dumps(fp))
 
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:

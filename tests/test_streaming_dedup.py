@@ -324,3 +324,42 @@ def test_concurrent_same_epoch_index_append_no_duplicates(spark, dirs):
     assert len(sizes) == 1 and sizes[0]["set_size"] == expected
     # epoch 0 untouched by the race
     assert {r["id"] for r in spark.table(TABLE).filter(F.col("epoch") == 0).collect()} == {1, 2}
+
+
+def test_stale_epoch_marker_with_different_input_fails_loudly(spark, dirs):
+    """Epoch ids restart at 0 under a FRESH checkpoint, so a marker retained
+    from a previous checkpoint generation can collide with a batch of
+    entirely different content — the silent outcomes (skip the new files, or
+    overwrite the committed epoch) are both data loss. The marker carries the
+    committed batch's fingerprint; a mismatch must raise, naming the
+    collision. Same-input replays (fingerprint match) stay no-ops."""
+    _docs(spark, [(1, "the original first document body")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
+    )
+    assert accepted_ids(spark, dirs) == {1}
+    # same input, fresh checkpoint → fingerprint matches → no-op (unchanged)
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"] + "_same", threshold=0.5
+    )
+    assert accepted_ids(spark, dirs) == {1}
+    # new file lands, checkpoint LOST: fresh generation re-lists everything as
+    # epoch 0 → collides with the committed epoch-0 marker → loud failure
+    _docs(spark, [(2, "a brand new second document body")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(dirs["input"])
+    # (the RuntimeError surfaces wrapped in Spark's StreamingQueryException)
+    with pytest.raises(Exception, match="checkpoint generations"):
+        run_streaming_ingestion_dedup(
+            spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"] + "_lost", threshold=0.5
+        )
+    # nothing was silently dropped or overwritten
+    assert accepted_ids(spark, dirs) == {1}
+    # the supported path still works: the ORIGINAL checkpoint picks up only
+    # the new file as the next epoch
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
+    )
+    assert accepted_ids(spark, dirs) == {1, 2}
