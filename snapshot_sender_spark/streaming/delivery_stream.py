@@ -115,10 +115,47 @@ def run_streaming_delivery(
     meta_stream = read_encrypted_stream(spark, input_dir)
 
     def deliver_batch(meta_df: DataFrame, epoch_id: int) -> None:
+        import json
+        import zlib
+
         epoch_marker = os.path.join(status_dir, f"_epoch_{epoch_id}.committed")
-        if os.path.exists(epoch_marker):
-            return
         rows = meta_df.collect()  # file-level metadata: tiny
+        # order-insensitive batch fingerprint, computed driver-side from the
+        # already-collected metadata (no extra job). Epoch ids restart at 0
+        # under a fresh checkpoint, so a marker retained from a previous
+        # checkpoint generation can collide with a batch of DIFFERENT files —
+        # silently fast-skipping would drop the new arrivals. A mismatch is a
+        # loud, actionable error instead (same contract as the ingestion-
+        # dedup service's fingerprinted markers).
+        fp = {"n": len(rows), "x": 0}
+        for r in rows:
+            fp["x"] ^= zlib.crc32(r["fileName"].encode())
+        if os.path.exists(epoch_marker):
+            with open(epoch_marker) as fh:
+                committed = fh.read()
+            if committed and committed != "committed":  # legacy empty/plain markers skip
+                prev = json.loads(committed)
+                if prev != fp:
+                    raise RuntimeError(
+                        f"epoch {epoch_id} marker exists but its committed batch "
+                        f"fingerprint {prev} != this batch's {fp}: epoch ids have "
+                        "collided across checkpoint generations (fresh checkpoint "
+                        "with retained status dir?). Refusing to silently skip "
+                        "new arrivals — restore the matching checkpoint."
+                    )
+            return
+        # the reference's already-processed filter (FinishedFilterProcessor
+        # semantics): per-FILE idempotence — a replayed epoch whose marker was
+        # lost re-delivers nothing that already has a .finished marker, the
+        # same contract as the batch pipeline. Probed per batch file
+        # driver-side (O(batch) existence checks ≡ the reference's per-key
+        # probe; a HEAD per file against S3) — NOT a scan of the whole marker
+        # dir, which would grow O(everything-ever-delivered) per batch.
+        rows = [
+            r
+            for r in rows
+            if not os.path.exists(os.path.join(status_dir, r["fileName"] + ".finished"))
+        ]
         if rows:
             names = {r["fileName"] for r in rows}
             # explicit path list: this batch's bytes and ONLY this batch's
@@ -174,7 +211,7 @@ def run_streaming_delivery(
                 status_dir,
             )
         with open(epoch_marker, "w") as fh:
-            fh.write("committed")
+            fh.write(json.dumps(fp))
         epochs.append(epoch_id)
 
     q = (

@@ -123,3 +123,68 @@ def test_second_micro_batch_reads_only_its_own_files(spark, tmp_path, monkeypatc
     # wave-2 batches are disjoint from wave 1's files: no re-read, ever
     wave2 = [s for s in scans if s & set(f.files[2:])]
     assert wave2 and all(not (s & set(f.files[:2])) for s in wave2)
+
+
+def test_stale_epoch_marker_with_different_arrivals_fails_loudly(spark, tmp_path):
+    """A status dir retained across a LOST checkpoint: the fresh generation
+    re-signals everything as epoch 0, colliding with the committed epoch-0
+    marker while carrying different files — the fingerprinted marker must
+    raise instead of silently skipping the new arrivals. Same-input replays
+    (fingerprint match) stay no-ops."""
+    import pytest
+
+    from snapshot_sender_spark.plans import delivery as dl
+
+    f = fx.generate(str(tmp_path / "gen"), n_files=3, records_per_file=2, seed=54)
+    input_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    status_dir = str(tmp_path / "status")
+    os.makedirs(input_dir)
+    _land(f, input_dir, f.files[:2])
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt"), dl.key_lookup_local
+    )
+    assert len([p for p in os.listdir(out_dir) if p.endswith(".json.gz")]) == 2
+    # same arrivals, fresh checkpoint → fingerprint match → no-op
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt_same"), dl.key_lookup_local
+    )
+    assert len([p for p in os.listdir(out_dir) if p.endswith(".json.gz")]) == 2
+    # third file lands; checkpoint lost → epoch-0 collision with different set
+    time.sleep(1.1)
+    _land(f, input_dir, f.files[2:])
+    with pytest.raises(Exception, match="checkpoint generations"):
+        ds.run_streaming_delivery(
+            spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt_lost"),
+            dl.key_lookup_local,
+        )
+    assert len([p for p in os.listdir(out_dir) if p.endswith(".json.gz")]) == 2
+
+
+def test_replayed_epoch_with_lost_marker_skips_finished_files(spark, tmp_path):
+    """Per-FILE idempotence under epoch replay: if the epoch marker is lost
+    but outputs + .finished markers survive, the replayed batch re-delivers
+    nothing (the already-processed left_anti, the batch pipeline's own
+    restart contract, now guards the streaming path too)."""
+    from snapshot_sender_spark.plans import delivery as dl
+
+    f = fx.generate(str(tmp_path / "gen"), n_files=2, records_per_file=2, seed=55)
+    input_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    status_dir = str(tmp_path / "status")
+    os.makedirs(input_dir)
+    _land(f, input_dir, f.files)
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt"), dl.key_lookup_local
+    )
+    outs = sorted(p for p in os.listdir(out_dir) if p.endswith(".json.gz"))
+    assert len(outs) == 2
+    mtimes = {p: os.path.getmtime(os.path.join(out_dir, p)) for p in outs}
+    # lose BOTH the checkpoint and the epoch marker; .finished markers survive
+    for m in os.listdir(status_dir):
+        if m.startswith("_epoch_"):
+            os.remove(os.path.join(status_dir, m))
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt2"), dl.key_lookup_local
+    )
+    assert {p: os.path.getmtime(os.path.join(out_dir, p)) for p in outs} == mtimes
