@@ -19,6 +19,7 @@ PICKS = [
     ("curation_source_cap", "Per-source cap: WindowGroupLimit keeps K rows per source inside each shuffle partition before the filter — the corpus is never fully sorted."),
     ("decontam_ngram_overlap", "Benchmark decontamination: the bench-gram set broadcasts; corpus grams are probed map-side."),
     ("sample_weighted_hash", "Weighted sampling: the integer-hash predicate is evaluated in the scan stage — whole-stage codegen, no exchange before the group-by of the tiny survivor set."),
+    ("dedup_simhash_pairs", "SimHash near-dup mining: signatures from the vectorized Arrow kernel, then the 16-bit-band self-join — candidate pairs share a band (shuffle keyed on the band value), never an all-pairs product; the hamming filter runs on the already-tiny candidate set. Exact for hamming ≤ 3 by pigeonhole (oracle-checked)."),
 ]
 
 HEADER = [
