@@ -714,7 +714,16 @@ def decode_jpeg(data: bytes):
     scan, optional restart markers) to an (h, w) grayscale or (h, w, 3) RGB
     uint8 array — stdlib + numpy only. Arbitrary sampling factors are
     reconstructed by nearest-neighbor (pixel-replication) upsampling;
-    progressive (SOF2) and arithmetic coding raise NotImplementedError."""
+    progressive (SOF2) and arithmetic coding raise NotImplementedError.
+    Truncated or structurally corrupt streams always raise ValueError —
+    never a bare IndexError from running off the buffer."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes):
     import numpy as np
 
     if data[:2] != b"\xff\xd8":

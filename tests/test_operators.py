@@ -507,6 +507,52 @@ def test_jpeg_decode_rejects_corruption_and_unsupported():
         multimodal.decode_jpeg(bytes(deep))
 
 
+def test_jpeg_truncation_never_leaks_low_level_errors():
+    """Every strict prefix of a valid JPEG must fail with ValueError or
+    NotImplementedError — never IndexError/struct.error from running off the
+    buffer (a decoder fed untrusted corpus bytes must fail typed)."""
+    import numpy as np
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = multimodal.encode_jpeg(px, quant=[1] * 64)
+    for cut in range(len(good)):
+        try:
+            multimodal.decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: leaked {type(e).__name__}: {e}")
+        # some prefixes may decode (e.g. cut just before EOI) — that's fine
+
+
+def test_jpeg_roundtrip_property():
+    """Hypothesis: for arbitrary 8×8-multiple grayscale content, unit-quant
+    encode→decode is within ±1 everywhere, and flat-block images with the
+    default table are exact."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 3),
+        st.integers(1, 3),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(bh, bw, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(bh * 8, bw * 8), dtype=np.uint8)
+        out = multimodal.decode_jpeg(multimodal.encode_jpeg(img, quant=[1] * 64))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+        vals = rng.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+        flat = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        assert np.array_equal(
+            multimodal.decode_jpeg(multimodal.encode_jpeg(flat)), flat
+        )
+
+    run()
+
+
 def test_jpeg_pixel_stats_distributed(spark):
     """The distributed jpeg stats operator: per-image exact integer stats for
     arbitrary (non-flat) grayscale content encoded at unit quant — compared
