@@ -30,15 +30,22 @@ METADATA_KEYS = ("iv", "datakeyencryptionkeyid", "ciphertext")  # S3 lowercases 
 
 
 def list_objects_with_metadata(
-    s3_client, bucket: str, prefix: str, max_workers: int = 16
+    s3_client, bucket: str, prefix: str, max_workers: int = 16, skip_names=None
 ) -> tuple[list[dict], list[str]]:
     """Paginated ListObjectsV2 + HEAD per object. Returns (metadata rows,
-    rejected keys missing the encryption triple)."""
+    rejected keys missing the encryption triple).
+
+    ``skip_names``: object base names to exclude BEFORE the HEAD fan-out — a
+    continuous poller (streaming/delivery_stream.poll_arrivals) passes its
+    already-seen set so each poll pays one listing pass (unavoidable without
+    S3 inventory/SQS events) but only O(new) HEAD requests, not O(corpus)."""
     keys: list[str] = []
+    skip = skip_names or ()
     paginator = s3_client.get_paginator("list_objects_v2")
     for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
         for obj in page.get("Contents", []):
-            keys.append(obj["Key"])
+            if obj["Key"].rsplit("/", 1)[-1] not in skip:
+                keys.append(obj["Key"])
 
     def head(key: str):
         meta = {

@@ -49,11 +49,15 @@ def poll_arrivals(s3_client, bucket: str, prefix: str, input_dir: str, seen: set
     file-stream source then delivers them as the next micro-batch. This is
     the listing→signal bridge a deployment runs between scheduler ticks (or
     replaces with S3 inventory/SQS events); ``seen`` carries the listing
-    delta state, O(names) driver-side. Returns the newly-signalled names."""
+    delta state, O(names) driver-side. Each poll pays one paginated LIST
+    (unavoidable without inventory/events) but HEADs only the UNSEEN keys —
+    per-poll request count is O(new arrivals), never O(corpus). Returns the
+    newly-signalled names."""
     from ..sources.s3 import list_objects_with_metadata
 
-    rows, _rejected = list_objects_with_metadata(s3_client, bucket, prefix)
-    new = [r for r in rows if r["fileName"] not in seen]
+    new, _rejected = list_objects_with_metadata(
+        s3_client, bucket, prefix, skip_names=seen
+    )
     if not new:
         return []
     meta_dir = os.path.join(input_dir, "meta_stream")

@@ -73,8 +73,11 @@ class _S3StubHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    heads: list = []  # every HEADed key, for request-count assertions
+
     def do_HEAD(self):
         key = unquote(urlparse(self.path).path.split("/", 2)[2])
+        _S3StubHandler.heads.append(key)
         obj = self.objects.get(key)
         if obj is None:
             self.send_error(404, "NoSuchKey")
@@ -95,6 +98,7 @@ def s3_stub():
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     _S3StubHandler.objects = {}
+    _S3StubHandler.heads = []
     client = boto3.client(
         "s3",
         endpoint_url=f"http://127.0.0.1:{server.server_address[1]}",
@@ -283,3 +287,34 @@ def test_streaming_delivery_from_stub_listing(spark, s3_stub, tmp_path):
     for p in outs:
         with open(os.path.join(out_dir, p), "rb") as fh:
             assert len(gzip.decompress(fh.read()).decode().strip().split("\n")) == 3
+
+
+def test_poll_arrivals_heads_only_unseen_keys(s3_stub, tmp_path):
+    """Each poll pays one paginated LIST over the prefix but HEADs only the
+    keys it hasn't signalled yet — per-poll request count is O(new arrivals),
+    never O(corpus). With 4 objects seen and 2 new, the second poll issues
+    exactly 2 HEADs; a no-change poll issues zero."""
+    from snapshot_sender_spark.streaming import delivery_stream as ds
+
+    client, objects = s3_stub
+    input_dir = str(tmp_path / "landing")
+    os.makedirs(input_dir)
+    for i in range(4):
+        _put(objects, f"exports/db.a.b-045-050-00000{i}.txt.gz.enc", iv=f"iv{i}")
+    seen: set = set()
+    first = ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen)
+    assert len(first) == 4 and len(_S3StubHandler.heads) == 4
+    _S3StubHandler.heads.clear()
+    for i in (4, 5):
+        _put(objects, f"exports/db.a.b-045-050-00000{i}.txt.gz.enc", iv=f"iv{i}")
+    second = ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen)
+    assert sorted(second) == [
+        "db.a.b-045-050-000004.txt.gz.enc", "db.a.b-045-050-000005.txt.gz.enc"
+    ]
+    assert sorted(_S3StubHandler.heads) == [
+        "exports/db.a.b-045-050-000004.txt.gz.enc",
+        "exports/db.a.b-045-050-000005.txt.gz.enc",
+    ]
+    _S3StubHandler.heads.clear()
+    assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen) == []
+    assert _S3StubHandler.heads == []
