@@ -921,8 +921,12 @@ def simhash64_plan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from functools import reduce
 
     ids = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # tokenization must equal Python's str.split(): that set is Unicode
+    # White_Space PLUS the C0 separators \x1c-\x1f. Java's default \s is
+    # ASCII-only, so NBSP/em-space text would tokenize differently and break
+    # bit-parity; (?U) switches \s to White_Space and the class adds \x1c-\x1f.
     toks = ids.select(
-        "id", F.explode(F.split(F.col("t"), r"\s+")).alias("tok")
+        "id", F.explode(F.split(F.col("t"), r"(?U)[\s\x1c-\x1f]+")).alias("tok")
     ).filter(F.col("tok") != "")
     # materialize the md5 prefix in its own projection so the digest runs
     # once per token (hi and lo both derive from it)

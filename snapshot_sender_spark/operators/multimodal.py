@@ -58,14 +58,25 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     yields a deterministic pseudo-feature from a keyed hash for plumbing
     tests."""
     px = None
-    if content[:8] == PNG_MAGIC:
-        px = decode_png(bytes(content))
-    elif content[:2] == b"\xff\xd8":
-        import numpy as np
+    try:
+        if content[:8] == PNG_MAGIC:
+            px = decode_png(bytes(content))
+        elif content[:2] == b"\xff\xd8":
+            import numpy as np
 
-        px = decode_jpeg(bytes(content))
-        if px.ndim == 2:  # grayscale → single-channel plane
-            px = px[:, :, np.newaxis]
+            px = decode_jpeg(bytes(content))
+            if px.ndim == 2:  # grayscale → single-channel plane
+                px = px[:, :, np.newaxis]
+    except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
+        # magic-matched but undecodable (corrupt, progressive, 16-bit …):
+        # with fake=True the contract is "never raise, deterministic pseudo-
+        # features for plumbing tests"; without it, decode errors propagate
+        # (normalized to ValueError for the PNG walker's low-level errors)
+        if not fake:
+            if isinstance(e, (ValueError, NotImplementedError)):
+                raise
+            raise ValueError(f"corrupt image: {type(e).__name__}: {e}") from e
+        px = None
     if px is not None:
         h, w, c = px.shape
         flat = px.reshape(-1).astype("int64")
@@ -715,11 +726,13 @@ def decode_jpeg(data: bytes):
     uint8 array — stdlib + numpy only. Arbitrary sampling factors are
     reconstructed by nearest-neighbor (pixel-replication) upsampling;
     progressive (SOF2) and arithmetic coding raise NotImplementedError.
-    Truncated or structurally corrupt streams always raise ValueError —
-    never a bare IndexError from running off the buffer."""
+    Truncated or structurally corrupt streams always raise ValueError (or
+    NotImplementedError for recognized-but-unsupported modes) — never a bare
+    IndexError/KeyError/StopIteration from running off the buffer or
+    dereferencing a table a corrupt stream never defined."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, StopIteration, TypeError, struct.error) as e:
         raise ValueError(f"truncated or corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -780,11 +793,15 @@ def _decode_jpeg(data: bytes):
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF: no frame header")
             ns = seg[0]
             scan_comps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS names component {cs} absent from SOF")
                 scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
             # locate the end of the entropy-coded segment (next non-RST marker)
             end = pos

@@ -65,7 +65,17 @@ def run_delivery_job(
     a final push in afterJob, then delete of the per-(type, correlation_id,
     topic, export_date) grouping key after one scrape interval
     (PushGatewayServiceImpl.kt:22-44)."""
-    counters_box: dict = {}
+    # live counters the scheduled pushes read: seeded at ZERO for the metric
+    # families the job emits (the reference's registry also starts at 0 and
+    # the scheduler pushes those zeros until chunks complete) — an empty dict
+    # would make every scheduled push an empty-registry PUT, which REPLACES
+    # the grouping key's metrics at the gateway instead of publishing
+    # progress. Updated in place as observations land.
+    counters_box: dict = {
+        "snapshot_sender_files_sent_success": 0,
+        "snapshot_sender_bytes_sent": 0,
+        "snapshot_sender_topics_seen": 0,
+    }
     lifecycle = None
     if gateway is not None:
         lifecycle = mx.PushGatewayLifecycle(
@@ -82,6 +92,23 @@ def run_delivery_job(
             initial_delay=initial_delay,
             scrape_interval=scrape_interval,
         ).start()
+    try:
+        return _run_delivery_job_body(
+            spark, input_dir, status_dir, output_dir, status_table_path, cfg,
+            files_exported, key_lookup, counters_box, lifecycle,
+        )
+    except BaseException:
+        if lifecycle is not None:
+            # failed job: stop the scheduler (no thread leak) but skip the
+            # final push/delete — the last-pushed series stays for diagnosis
+            lifecycle.cancel()
+        raise
+
+
+def _run_delivery_job_body(
+    spark, input_dir, status_dir, output_dir, status_table_path, cfg,
+    files_exported, key_lookup, counters_box, lifecycle,
+) -> JobReport:
     result = dlv.build_decrypted(spark, input_dir, status_dir, cfg, key_lookup=key_lookup)
     instrumented, obs = mx.observe_delivery(result.delivered)
     manifest = dlv.deliver(

@@ -134,7 +134,10 @@ class PushGatewayLifecycle:
         if self._stop.wait(self.initial_delay):
             return
         while True:
-            self.push_once()
+            try:
+                self.push_once()
+            except Exception:  # noqa: BLE001 — transient gateway outage must
+                pass  # not kill the schedule (Spring's @Scheduled keeps firing)
             if self._stop.wait(self.push_rate):
                 return
 
@@ -146,12 +149,20 @@ class PushGatewayLifecycle:
         self._thread.start()
         return self
 
-    def push_final(self) -> None:
-        """pushFinalMetrics(): cancel the schedule, push the final snapshot,
-        then (optionally) wait one scrape interval and delete the series."""
+    def cancel(self) -> None:
+        """Stop the schedule WITHOUT a final push or delete — the failure
+        path (a crashed job must not leak a forever-pushing thread, and its
+        last-pushed series stays visible for diagnosis)."""
         self._stop.set()
         if self._thread is not None:
             self._thread.join()
+
+    def push_final(self) -> None:
+        """pushFinalMetrics(): cancel the schedule, push the final snapshot,
+        then (optionally) wait one scrape interval and delete the series.
+        Synchronous by design — the reference sleeps the scrape interval on
+        the caller's thread too (deleteMetrics(), Thread.sleep)."""
+        self.cancel()
         self.push_once()
         if self.delete_metrics:
             # a scrape must observe the final values before the series dies

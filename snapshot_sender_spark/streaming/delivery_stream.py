@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,7 +42,10 @@ def read_encrypted_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def poll_arrivals(s3_client, bucket: str, prefix: str, input_dir: str, seen: set) -> list[str]:
+def poll_arrivals(
+    s3_client, bucket: str, prefix: str, input_dir: str, seen: set,
+    rejected: list | None = None,
+) -> list[str]:
     """One poll of the arrival signal from a REAL S3 listing: page through
     ListObjectsV2 + per-object HEAD metadata (sources/s3.py — the reference's
     S3DirectoryReader contract over actual wire protocol) and append the NEW
@@ -51,13 +55,19 @@ def poll_arrivals(s3_client, bucket: str, prefix: str, input_dir: str, seen: set
     replaces with S3 inventory/SQS events); ``seen`` carries the listing
     delta state, O(names) driver-side. Each poll pays one paginated LIST
     (unavoidable without inventory/events) but HEADs only the UNSEEN keys —
-    per-poll request count is O(new arrivals), never O(corpus). Returns the
-    newly-signalled names."""
+    per-poll request count is O(new arrivals), never O(corpus). Keys missing
+    the encryption metadata triple are appended to ``rejected`` (if given)
+    and marked seen — surfaced once, never silently re-HEADed every poll.
+    Returns the newly-signalled names."""
     from ..sources.s3 import list_objects_with_metadata
 
-    new, _rejected = list_objects_with_metadata(
+    new, newly_rejected = list_objects_with_metadata(
         s3_client, bucket, prefix, skip_names=seen
     )
+    if newly_rejected:
+        seen.update(k.rsplit("/", 1)[-1] for k in newly_rejected)
+        if rejected is not None:
+            rejected.extend(newly_rejected)
     if not new:
         return []
     meta_dir = os.path.join(input_dir, "meta_stream")
@@ -82,8 +92,21 @@ def read_batch_objects(spark: SparkSession, input_dir: str, names) -> DataFrame:
     quadratic total I/O over a continuous service's lifetime. The reference
     reads each object exactly once (S3DirectoryReader.kt:59-65: paginated
     listing, one GET per listed key); the explicit path list is the streaming
-    equivalent of that contract."""
-    paths = [os.path.join(input_dir, name) for name in sorted(names)]
+    equivalent of that contract.
+
+    Signalled-but-absent files (deleted between the arrival signal and this
+    replayed batch — ops TTL/cleanup) are probed out driver-side first:
+    an explicit `load` of a missing path raises, which would wedge the
+    replaying epoch in a crash loop; the survivors still deliver, matching
+    the old prefix-scan behavior. O(batch) existence probes ≡ one HEAD per
+    batch file at S3 scale."""
+    paths = [
+        p
+        for p in (os.path.join(input_dir, name) for name in sorted(names))
+        if os.path.exists(p)
+    ]
+    if not paths:
+        return spark.createDataFrame([], "fileName string, content binary")
     return (
         spark.read.format("binaryFile")
         .load(paths)
@@ -119,9 +142,6 @@ def run_streaming_delivery(
     meta_stream = read_encrypted_stream(spark, input_dir)
 
     def deliver_batch(meta_df: DataFrame, epoch_id: int) -> None:
-        import json
-        import zlib
-
         epoch_marker = os.path.join(status_dir, f"_epoch_{epoch_id}.committed")
         rows = meta_df.collect()  # file-level metadata: tiny
         # order-insensitive batch fingerprint, computed driver-side from the

@@ -297,6 +297,8 @@ def test_simhash_kernels_bit_parity(spark, sf_dir):
             (3, None),
             (4, "   leading and trailing   "),
             (5, "single"),
+            (6, "nbsp separated em and　ideographic"),  # Unicode spaces
+            (7, "tab\tnl\nvt\x0bfs\x1cgs\x1dus\x1f end"),  # control separators
         ],
         "doc_id long, text string",
     )
@@ -505,6 +507,38 @@ def test_jpeg_decode_rejects_corruption_and_unsupported():
     deep[sof_at + 4] = 16  # precision byte of the SOF payload
     with pytest.raises(NotImplementedError, match="8-bit"):
         multimodal.decode_jpeg(bytes(deep))
+    # structurally corrupt (not truncated) streams fail TYPED, never with a
+    # bare KeyError/StopIteration: SOS before any SOF; SOS naming a component
+    # absent from SOF; an entropy segment referencing an undefined DHT
+    no_sof = good[:sof_at] + good[sof_at:].replace(b"\xff\xc0", b"\xff\xfe", 1)
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        multimodal.decode_jpeg(no_sof)
+    sos_at = good.find(b"\xff\xda")
+    bad_comp = bytearray(good)
+    bad_comp[sos_at + 5] = 9  # scan component id 9, SOF declares id 1
+    with pytest.raises(ValueError, match="absent from SOF"):
+        multimodal.decode_jpeg(bytes(bad_comp))
+    bad_dht = bytearray(good)
+    bad_dht[sos_at + 6] = 0x33  # td/ta -> table 3, never defined
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        multimodal.decode_jpeg(bytes(bad_dht))
+
+
+def test_decode_image_fake_true_never_raises_on_magic_prefixed_garbage():
+    """fake=True is the plumbing contract: payloads that happen to start with
+    a PNG/JPEG magic but don't decode must yield deterministic pseudo-
+    features, not blow up the mapInPandas task (regression guard: real-decode
+    routing used to bypass the fake fallback)."""
+    for payload in (b"\xff\xd8\xff\xe0jpeg-like-garbage", PNG_MAGIC_GARBAGE):
+        feat = multimodal.decode_image(payload, fake=True)
+        assert len(feat) == 8
+        assert feat == multimodal.decode_image(payload, fake=True)  # stable
+    # and fake=False still propagates the decode error
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg-like-garbage", fake=False)
+
+
+PNG_MAGIC_GARBAGE = b"\x89PNG\r\n\x1a\nnot-really-a-png"
 
 
 def test_jpeg_truncation_never_leaks_low_level_errors():

@@ -318,3 +318,25 @@ def test_poll_arrivals_heads_only_unseen_keys(s3_stub, tmp_path):
     _S3StubHandler.heads.clear()
     assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen) == []
     assert _S3StubHandler.heads == []
+
+
+def test_poll_arrivals_surfaces_rejects_once(s3_stub, tmp_path):
+    """Metadata-less objects are surfaced through the rejected list on the
+    poll that discovers them, marked seen (no re-HEAD storm every poll), and
+    never signalled to the stream."""
+    from snapshot_sender_spark.streaming import delivery_stream as ds
+
+    client, objects = s3_stub
+    input_dir = str(tmp_path / "landing")
+    os.makedirs(input_dir)
+    _put(objects, "exports/db.a.b-045-050-000001.txt.gz.enc", iv="iv1")
+    _put(objects, "exports/db.a.b-045-050-000002.txt.gz.enc", iv=None)  # no meta
+    seen: set = set()
+    rejected: list = []
+    new = ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected)
+    assert new == ["db.a.b-045-050-000001.txt.gz.enc"]
+    assert rejected == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
+    _S3StubHandler.heads.clear()
+    rejected2: list = []
+    assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected2) == []
+    assert rejected2 == [] and _S3StubHandler.heads == []  # no re-HEAD, no re-report

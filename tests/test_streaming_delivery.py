@@ -188,3 +188,25 @@ def test_replayed_epoch_with_lost_marker_skips_finished_files(spark, tmp_path):
         spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt2"), dl.key_lookup_local
     )
     assert {p: os.path.getmtime(os.path.join(out_dir, p)) for p in outs} == mtimes
+
+
+def test_signalled_but_deleted_file_does_not_wedge_the_stream(spark, tmp_path):
+    """A replayed epoch whose signalled file was meanwhile deleted from the
+    landing dir (ops TTL) must deliver the survivors and commit — an explicit
+    load of a missing path would otherwise raise every replay, wedging the
+    epoch in a crash loop."""
+    from snapshot_sender_spark.plans import delivery as dl
+
+    f = fx.generate(str(tmp_path / "gen"), n_files=3, records_per_file=2, seed=56)
+    input_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    status_dir = str(tmp_path / "status")
+    os.makedirs(input_dir)
+    _land(f, input_dir, f.files)
+    os.remove(os.path.join(input_dir, f.files[0]))  # deleted before delivery
+    ds.run_streaming_delivery(
+        spark, input_dir, out_dir, status_dir, str(tmp_path / "ckpt"), dl.key_lookup_local
+    )
+    outs = [p for p in os.listdir(out_dir) if p.endswith(".json.gz")]
+    assert len(outs) == 2  # survivors delivered, epoch committed
+    assert any(p.startswith("_epoch_") for p in os.listdir(status_dir))

@@ -62,6 +62,8 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
