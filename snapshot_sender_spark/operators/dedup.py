@@ -648,6 +648,11 @@ def incremental_jaccard_against_index(
     pe = spark.table(table)
     se = spark.table(table + "_sizes")
     if exclude_epoch is not None:
+        if "epoch" not in pe.columns:
+            raise ValueError(
+                f"exclude_epoch requires an epoch-partitioned index "
+                f"(append_dedup_index_epoch); table {table!r} has no epoch column"
+            )
         pe = pe.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
         se = se.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
     pe = pe.select(F.col("id").alias("id_existing"), "h")
