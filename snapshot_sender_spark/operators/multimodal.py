@@ -732,7 +732,10 @@ def decode_jpeg(data: bytes):
     dereferencing a table a corrupt stream never defined."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, KeyError, StopIteration, TypeError, struct.error) as e:
+    except (
+        IndexError, KeyError, StopIteration, TypeError, ZeroDivisionError,
+        struct.error,
+    ) as e:
         raise ValueError(f"truncated or corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -786,7 +789,10 @@ def _decode_jpeg(data: bytes):
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                sh, sv = hv >> 4, hv & 0xF
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):  # T.81 B.2.2 bounds
+                    raise ValueError(f"invalid sampling factors {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline frame marker 0xFF{marker:02X}")

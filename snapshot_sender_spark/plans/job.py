@@ -71,11 +71,7 @@ def run_delivery_job(
     # would make every scheduled push an empty-registry PUT, which REPLACES
     # the grouping key's metrics at the gateway instead of publishing
     # progress. Updated in place as observations land.
-    counters_box: dict = {
-        "snapshot_sender_files_sent_success": 0,
-        "snapshot_sender_bytes_sent": 0,
-        "snapshot_sender_topics_seen": 0,
-    }
+    counters_box: dict = {name: 0 for name in mx.DELIVERY_COUNTER_FAMILIES}
     lifecycle = None
     if gateway is not None:
         lifecycle = mx.PushGatewayLifecycle(

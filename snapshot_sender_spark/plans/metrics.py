@@ -18,10 +18,22 @@ Reference counter names preserved where an engine-side event maps 1:1:
 
 from __future__ import annotations
 
+import logging
 import threading
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# the delivery job's metric families — single source of truth for both the
+# in-flight observation aliases (observe_delivery) and the zero-seeded live
+# counter dict the pushgateway scheduler reads (plans/job.py)
+DELIVERY_COUNTER_FAMILIES = (
+    "snapshot_sender_files_sent_success",
+    "snapshot_sender_bytes_sent",
+    "snapshot_sender_topics_seen",
+)
 
 
 def observe_counts(
@@ -43,11 +55,12 @@ def observe_delivery(decrypted: DataFrame) -> tuple[DataFrame, Observation]:
     """The reference's delivery counter family, computed in-flight by the same
     job that runs the sink."""
     obs = Observation("delivery_metrics")
+    files_f, bytes_f, topics_f = DELIVERY_COUNTER_FAMILIES
     instrumented = decrypted.observe(
         obs,
-        F.count(F.lit(1)).alias("snapshot_sender_files_sent_success"),
-        F.sum(F.length("decrypted")).alias("snapshot_sender_bytes_sent"),
-        F.approx_count_distinct("topic").alias("snapshot_sender_topics_seen"),
+        F.count(F.lit(1)).alias(files_f),
+        F.sum(F.length("decrypted")).alias(bytes_f),
+        F.approx_count_distinct("topic").alias(topics_f),
     )
     return instrumented, obs
 
@@ -129,6 +142,7 @@ class PushGatewayLifecycle:
         self.delete_metrics = delete_metrics
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        self.last_push_error: Exception | None = None
 
     def _run(self) -> None:
         if self._stop.wait(self.initial_delay):
@@ -136,8 +150,11 @@ class PushGatewayLifecycle:
         while True:
             try:
                 self.push_once()
-            except Exception:  # noqa: BLE001 — transient gateway outage must
-                pass  # not kill the schedule (Spring's @Scheduled keeps firing)
+            except Exception as e:  # noqa: BLE001 — transient gateway outage
+                # must not kill the schedule (Spring's @Scheduled keeps
+                # firing, logging each failure); keep the last error visible
+                self.last_push_error = e
+                logger.warning("scheduled pushgateway push failed: %s", e)
             if self._stop.wait(self.push_rate):
                 return
 

@@ -54,20 +54,21 @@ def poll_arrivals(
     the listing→signal bridge a deployment runs between scheduler ticks (or
     replaces with S3 inventory/SQS events); ``seen`` carries the listing
     delta state, O(names) driver-side. Each poll pays one paginated LIST
-    (unavoidable without inventory/events) but HEADs only the UNSEEN keys —
-    per-poll request count is O(new arrivals), never O(corpus). Keys missing
-    the encryption metadata triple are appended to ``rejected`` (if given)
-    and marked seen — surfaced once, never silently re-HEADed every poll.
-    Returns the newly-signalled names."""
+    (unavoidable without inventory/events) but HEADs only keys not yet
+    SIGNALLED — per-poll request count is O(new arrivals + standing rejects),
+    never O(corpus). Keys missing the encryption metadata triple are appended
+    to ``rejected`` (if given) on every poll that still finds them lacking;
+    they are deliberately NOT marked seen, so a producer re-uploading the
+    same key with corrected metadata IS picked up on the next poll — the
+    bounded re-HEAD cost of standing rejects (anomalies, normally few) buys
+    that recovery path. Returns the newly-signalled names."""
     from ..sources.s3 import list_objects_with_metadata
 
     new, newly_rejected = list_objects_with_metadata(
         s3_client, bucket, prefix, skip_names=seen
     )
-    if newly_rejected:
-        seen.update(k.rsplit("/", 1)[-1] for k in newly_rejected)
-        if rejected is not None:
-            rejected.extend(newly_rejected)
+    if newly_rejected and rejected is not None:
+        rejected.extend(newly_rejected)
     if not new:
         return []
     meta_dir = os.path.join(input_dir, "meta_stream")
@@ -109,6 +110,10 @@ def read_batch_objects(spark: SparkSession, input_dir: str, names) -> DataFrame:
         return spark.createDataFrame([], "fileName string, content binary")
     return (
         spark.read.format("binaryFile")
+        # the probe above is driver-time; a file can still vanish between
+        # probe and the executor's read (TTL race) — ignoreMissingFiles is
+        # Spark's mechanism for exactly that window
+        .option("ignoreMissingFiles", "true")
         .load(paths)
         .select(
             F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),

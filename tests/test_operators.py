@@ -522,6 +522,13 @@ def test_jpeg_decode_rejects_corruption_and_unsupported():
     bad_dht[sos_at + 6] = 0x33  # td/ta -> table 3, never defined
     with pytest.raises(ValueError, match="corrupt JPEG"):
         multimodal.decode_jpeg(bytes(bad_dht))
+    # zero sampling factor (T.81 demands 1..4) must fail typed, not with
+    # ZeroDivisionError in the MCU geometry — and never escape fake=True
+    zero_samp = bytearray(good)
+    zero_samp[sof_at + 11] = 0x00  # component sampling hv byte
+    with pytest.raises(ValueError, match="sampling"):
+        multimodal.decode_jpeg(bytes(zero_samp))
+    assert len(multimodal.decode_image(bytes(zero_samp), fake=True)) == 8
 
 
 def test_decode_image_fake_true_never_raises_on_magic_prefixed_garbage():

@@ -320,10 +320,11 @@ def test_poll_arrivals_heads_only_unseen_keys(s3_stub, tmp_path):
     assert _S3StubHandler.heads == []
 
 
-def test_poll_arrivals_surfaces_rejects_once(s3_stub, tmp_path):
-    """Metadata-less objects are surfaced through the rejected list on the
-    poll that discovers them, marked seen (no re-HEAD storm every poll), and
-    never signalled to the stream."""
+def test_poll_arrivals_reprobes_rejects_until_fixed(s3_stub, tmp_path):
+    """Metadata-less objects are surfaced through the rejected list and
+    RE-PROBED on every poll (O(standing rejects) HEADs — bounded, they are
+    anomalies) so a producer re-uploading the same key with corrected
+    metadata is picked up; delivered keys are never re-HEADed."""
     from snapshot_sender_spark.streaming import delivery_stream as ds
 
     client, objects = s3_stub
@@ -336,7 +337,17 @@ def test_poll_arrivals_surfaces_rejects_once(s3_stub, tmp_path):
     new = ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected)
     assert new == ["db.a.b-045-050-000001.txt.gz.enc"]
     assert rejected == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
+    # next poll: the delivered key is not re-HEADed; the reject is re-probed
+    # (and re-reported) while still broken
     _S3StubHandler.heads.clear()
     rejected2: list = []
     assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected2) == []
-    assert rejected2 == [] and _S3StubHandler.heads == []  # no re-HEAD, no re-report
+    assert rejected2 == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
+    assert _S3StubHandler.heads == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
+    # producer fixes the upload under the SAME key -> next poll signals it
+    _put(objects, "exports/db.a.b-045-050-000002.txt.gz.enc", iv="iv2-fixed")
+    rejected3: list = []
+    assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected3) == [
+        "db.a.b-045-050-000002.txt.gz.enc"
+    ]
+    assert rejected3 == []
