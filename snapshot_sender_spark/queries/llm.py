@@ -663,15 +663,69 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm-multimodal",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature plumbing: documents.text treated as opaque bytes
-    (the image/audio decode itself is stubbed — operators/multimodal.py — but
-    the byte-level path is real and oracle-checked)."""
+    """Binary-column feature plumbing: documents.text treated as opaque
+    bytes; the byte-level path (length, digest) is oracle-checked here. Real
+    decoded-pixel features are the sibling ``multimodal_features_real``."""
     d = load(spark, sf_dir, "documents")
     bin_col = F.col("text").cast("binary")
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.length(bin_col).cast("long").alias("n_bytes"),
         F.sha2(bin_col, 256).alias("sha256_hex"),
+    )
+
+
+@query(
+    "multimodal_features_real",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 192 AND doc_id < 150
+    ),
+    px AS (
+      SELECT doc_id, i,
+             ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM d, UNNEST(range(0, 192)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           8.0 AS f_w, 8.0 AS f_h, 3.0 AS f_c,
+           CAST(SUM(v) AS DOUBLE) / (192 * 255) AS f_mean,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS DOUBLE)
+             / (64 * 255) AS f_r,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS DOUBLE)
+             / (64 * 255) AS f_g,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS DOUBLE)
+             / (64 * 255) AS f_b,
+           CAST(MAX(v) AS DOUBLE) / 255 AS f_max
+    FROM px GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_features' REAL decode path, oracle-checked end to end: each
+    document's first 192 bytes become an 8×8 RGB PNG (executor-side encode),
+    then ``extract_features(fake=False)`` runs the actual decoder and emits
+    the 8-dim pixel-ratio feature vector. Every feature is an exact integer
+    sum divided once in float64 (IEEE division is correctly rounded, so any
+    engine derives the identical doubles from the same bytes) — the oracle
+    recomputes them straight from the source text."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 192) & (F.col("doc_id") < 150)
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    feats = multimodal.extract_features(
+        multimodal.encode_as_png(media, width=8, height=8), fake=False
+    )
+    f = F.col("feat")
+    return feats.select(
+        "media_id",
+        f[0].alias("f_w"), f[1].alias("f_h"), f[2].alias("f_c"),
+        f[3].alias("f_mean"), f[4].alias("f_r"), f[5].alias("f_g"),
+        f[6].alias("f_b"), f[7].alias("f_max"),
     )
 
 
