@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes the
 full declared operator surface (snapshot_sender_spark/queries/*) and
 ``oracle_sql()`` the matching DuckDB SQL for every deterministic query
-(approximate operators — LSH, SimHash, stateful streaming — are rows-only by
-design and omit the oracle entry).
+(approximate operators — LSH banding, KLL/theta sketches, sampled/stateful
+streaming — are rows-only by design and omit the oracle entry; SimHash is
+fully oracle-checked, signatures and banded pair mining both).
 """
 
 from __future__ import annotations

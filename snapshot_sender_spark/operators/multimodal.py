@@ -82,14 +82,18 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         flat = px.reshape(-1).astype("int64")
         rgb = px.reshape(-1, c)
         n = flat.size
+        # a structurally valid stream may declare a zero dimension (w=0 or
+        # h=0): zero pixels → all ratio features are 0, never a division crash
+        denom = (n * 255) or 1
+        plane = (h * w * 255) or 1
         return [
             float(w),
             float(h),
             float(c),
-            int(flat.sum()) / (n * 255),
-            int(rgb[:, 0].sum()) / (h * w * 255),
-            int(rgb[:, min(1, c - 1)].sum()) / (h * w * 255),
-            int(rgb[:, min(2, c - 1)].sum()) / (h * w * 255),
+            int(flat.sum()) / denom,
+            int(rgb[:, 0].sum()) / plane,
+            int(rgb[:, min(1, c - 1)].sum()) / plane,
+            int(rgb[:, min(2, c - 1)].sum()) / plane,
             int(flat.max()) / 255 if n else 0.0,
         ]
     if not fake:

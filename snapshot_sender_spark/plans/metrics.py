@@ -160,6 +160,7 @@ class PushGatewayLifecycle:
 
     def push_once(self) -> None:
         self.gateway.push(self.job, self.grouping, dict(self.counters_fn()))
+        self.last_push_error = None  # a success clears a recovered outage
 
     def start(self) -> "PushGatewayLifecycle":
         self._thread = threading.Thread(target=self._run, daemon=True)

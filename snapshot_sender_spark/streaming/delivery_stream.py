@@ -57,18 +57,20 @@ def poll_arrivals(
     (unavoidable without inventory/events) but HEADs only keys not yet
     SIGNALLED — per-poll request count is O(new arrivals + standing rejects),
     never O(corpus). Keys missing the encryption metadata triple are appended
-    to ``rejected`` (if given) on every poll that still finds them lacking;
-    they are deliberately NOT marked seen, so a producer re-uploading the
-    same key with corrected metadata IS picked up on the next poll — the
-    bounded re-HEAD cost of standing rejects (anomalies, normally few) buys
-    that recovery path. Returns the newly-signalled names."""
+    to ``rejected`` (if given) ONCE per key — a standing reject stays in the
+    list, not duplicated every poll — and re-PROBED each poll: they are
+    deliberately NOT marked seen, so a producer re-uploading the same key
+    with corrected metadata IS picked up on the next poll; the bounded
+    re-HEAD cost of standing rejects (anomalies, normally few) buys that
+    recovery path. Returns the newly-signalled names."""
     from ..sources.s3 import list_objects_with_metadata
 
     new, newly_rejected = list_objects_with_metadata(
         s3_client, bucket, prefix, skip_names=seen
     )
     if newly_rejected and rejected is not None:
-        rejected.extend(newly_rejected)
+        known = set(rejected)
+        rejected.extend(k for k in newly_rejected if k not in known)
     if not new:
         return []
     meta_dir = os.path.join(input_dir, "meta_stream")
@@ -96,30 +98,40 @@ def read_batch_objects(spark: SparkSession, input_dir: str, names) -> DataFrame:
     equivalent of that contract.
 
     Signalled-but-absent files (deleted between the arrival signal and this
-    replayed batch — ops TTL/cleanup) are probed out driver-side first:
-    an explicit `load` of a missing path raises, which would wedge the
-    replaying epoch in a crash loop; the survivors still deliver, matching
-    the old prefix-scan behavior. O(batch) existence probes ≡ one HEAD per
-    batch file at S3 scale."""
-    paths = [
-        p
-        for p in (os.path.join(input_dir, name) for name in sorted(names))
-        if os.path.exists(p)
-    ]
-    if not paths:
-        return spark.createDataFrame([], "fileName string, content binary")
-    return (
-        spark.read.format("binaryFile")
-        # the probe above is driver-time; a file can still vanish between
-        # probe and the executor's read (TTL race) — ignoreMissingFiles is
-        # Spark's mechanism for exactly that window
-        .option("ignoreMissingFiles", "true")
-        .load(paths)
-        .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
-            F.col("content"),
-        )
-    )
+    replayed batch — ops TTL/cleanup) are probed out driver-side first
+    (O(batch) existence probes ≡ one HEAD per batch file at S3 scale): an
+    explicit `load` of a missing path raises, which would wedge the replaying
+    epoch in a crash loop; the survivors still deliver, matching the old
+    prefix-scan behavior. Deletion races are closed in two layers: a file
+    vanishing between the probe and load-time path RESOLUTION still raises
+    at `load` (verified: ignoreMissingFiles does NOT cover that sub-window),
+    so the probe+load is retried with a re-probed list; one vanishing after
+    resolution but before the executor's read is skipped by
+    ``ignoreMissingFiles`` (the sub-window that option does cover)."""
+    from pyspark.errors import AnalysisException
+
+    last_err: Exception | None = None
+    for _ in range(3):
+        paths = [
+            p
+            for p in (os.path.join(input_dir, name) for name in sorted(names))
+            if os.path.exists(p)
+        ]
+        if not paths:
+            return spark.createDataFrame([], "fileName string, content binary")
+        try:
+            return (
+                spark.read.format("binaryFile")
+                .option("ignoreMissingFiles", "true")
+                .load(paths)
+                .select(
+                    F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
+                    F.col("content"),
+                )
+            )
+        except AnalysisException as e:  # a probed path vanished pre-resolution
+            last_err = e
+    raise last_err
 
 
 def run_streaming_delivery(

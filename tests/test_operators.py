@@ -529,6 +529,14 @@ def test_jpeg_decode_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError, match="sampling"):
         multimodal.decode_jpeg(bytes(zero_samp))
     assert len(multimodal.decode_image(bytes(zero_samp), fake=True)) == 8
+    # a structurally valid stream declaring ZERO width decodes to 0 pixels:
+    # feature extraction must yield zero ratios, not ZeroDivisionError —
+    # with fake=True AND fake=False alike
+    zero_w = bytearray(good)
+    zero_w[sof_at + 7 : sof_at + 9] = b"\x00\x00"  # SOF width = 0
+    for fk in (True, False):
+        feat = multimodal.decode_image(bytes(zero_w), fake=fk)
+        assert feat[0] == 0.0 and feat[3] == 0.0 and len(feat) == 8
 
 
 def test_decode_image_fake_true_never_raises_on_magic_prefixed_garbage():

@@ -340,9 +340,10 @@ def test_poll_arrivals_reprobes_rejects_until_fixed(s3_stub, tmp_path):
     # next poll: the delivered key is not re-HEADed; the reject is re-probed
     # (and re-reported) while still broken
     _S3StubHandler.heads.clear()
-    rejected2: list = []
-    assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected2) == []
-    assert rejected2 == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
+    # a PERSISTENT rejected list is not duplicated by the re-probe: still
+    # exactly one entry after the second poll finds it still broken
+    assert ds.poll_arrivals(client, "bucket", "exports/", input_dir, seen, rejected) == []
+    assert rejected == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
     assert _S3StubHandler.heads == ["exports/db.a.b-045-050-000002.txt.gz.enc"]
     # producer fixes the upload under the SAME key -> next poll signals it
     _put(objects, "exports/db.a.b-045-050-000002.txt.gz.enc", iv="iv2-fixed")
