@@ -14,6 +14,7 @@ first-class branch, not an error."""
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -23,6 +24,8 @@ from pyspark.sql import functions as F
 from . import delivery as dlv
 from . import metrics as mx
 from . import status as st
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -66,11 +69,14 @@ def run_delivery_job(
     topic, export_date) grouping key after one scrape interval
     (PushGatewayServiceImpl.kt:22-44)."""
     # live counters the scheduled pushes read: seeded at ZERO for the metric
-    # families the job emits (the reference's registry also starts at 0 and
-    # the scheduler pushes those zeros until chunks complete) — an empty dict
-    # would make every scheduled push an empty-registry PUT, which REPLACES
-    # the grouping key's metrics at the gateway instead of publishing
-    # progress. Updated in place as observations land.
+    # families the job emits. NOTE a deliberate divergence from the
+    # reference here: its Counter.inc() fires per chunk mid-run, so its
+    # scheduled pushes show real progress, whereas Observation results only
+    # materialize after the action completes — so OUR scheduled pushes carry
+    # zeros for the whole run BY CONSTRUCTION, and only push_final() carries
+    # the real totals. The zero-seeding still matters: an empty dict would
+    # make every scheduled push an empty-registry PUT, which REPLACES the
+    # grouping key's metrics at the gateway instead of publishing liveness.
     counters_box: dict = {name: 0 for name in mx.DELIVERY_COUNTER_FAMILIES}
     lifecycle = None
     if gateway is not None:
@@ -154,9 +160,18 @@ def _run_delivery_job_body(
         counters = {}
     if lifecycle is not None:
         # afterJob pushFinalMetrics(): cancel schedule → final push of the
-        # job's counters → delete-after-scrape of the grouping key
+        # job's counters → delete-after-scrape of the grouping key. Delivery
+        # side effects are already committed at this point, so a transient
+        # gateway outage here must NOT discard the JobReport — the reference
+        # runs pushFinalMetrics in afterJob's finally block, where a listener
+        # exception does not fail the completed Spring Batch job, and our own
+        # scheduled pushes swallow the same error class.
         counters_box.update(counters)
-        lifecycle.push_final()
+        try:
+            lifecycle.push_final()
+        except Exception as e:  # noqa: BLE001 — job already succeeded
+            lifecycle.last_push_error = e
+            logger.warning("final pushgateway push failed (job succeeded): %s", e)
 
     return JobReport(
         correlation_id=cfg.correlation_id,

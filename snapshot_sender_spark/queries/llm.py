@@ -313,27 +313,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard_dist")
 
 
-@query(
-    "dedup_simhash",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+# Python str.split() splits on any run of Unicode whitespace and drops
+# empties; DuckDB's string_split(text, ' ') only matches a single ASCII space
+# (multi-space / NBSP text would hash md5('') phantom tokens and silently
+# diverge from the kernel). This RE2 class IS Python's str.split() separator
+# set (every char where str.isspace() splits: ASCII ws + C0 separators +
+# NEL/NBSP + the Unicode space blocks), so the oracle tokenizes identically —
+# parity on multi-space/NBSP/ideographic-space text is pinned in
+# tests/test_operators.py, not left to fixture luck.
+_PY_SPLIT_WS = (
+    r"[\t\n\x0B\x0C\r\x1C-\x1F "
+    r"\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+# token-less documents (empty/whitespace-only text) get signature 0 from the
+# kernel (zero accumulators → no positive bit) and NULL text stays NULL; the
+# LEFT JOIN + CASE reproduces both instead of dropping the rows.
+_SIMHASH_SIGS_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '{_PY_SPLIT_WS}')) AS tok
+      FROM documents
     ),
     th AS (
-      SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+      SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h
+      FROM toks WHERE tok <> ''
     ),
     bits AS (
       SELECT doc_id, i,
              SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
       FROM th, UNNEST(range(0, 64)) AS t(i)
       GROUP BY doc_id, i
+    ),
+    sigs AS (
+      SELECT d.doc_id,
+             CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(b.s, 0) END AS s
+      FROM documents d LEFT JOIN (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN acc > 0 THEN
+                     CASE WHEN i = 63 THEN -9223372036854775808
+                          ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                   ELSE 0 END) AS BIGINT) AS s
+        FROM bits GROUP BY doc_id
+      ) b USING (doc_id)
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN acc > 0 THEN
-                 CASE WHEN i = 63 THEN -9223372036854775808
-                      ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
-               ELSE 0 END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_SIGS_SQL}
+    SELECT doc_id, s AS simhash FROM sigs
     """,
     category="llm-dedup",
 )
@@ -352,27 +382,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash_pairs",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    th AS (
-      SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM toks
-    ),
-    bits AS (
-      SELECT doc_id, i,
-             SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-      FROM th, UNNEST(range(0, 64)) AS t(i)
-      GROUP BY doc_id, i
-    ),
-    sigs AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN acc > 0 THEN
-                   CASE WHEN i = 63 THEN -9223372036854775808
-                        ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
-                 ELSE 0 END) AS BIGINT) AS s
-      FROM bits GROUP BY doc_id
-    )
+    oracle=f"""
+    WITH {_SIMHASH_SIGS_SQL}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

@@ -167,10 +167,17 @@ def run_streaming_delivery(
         # checkpoint generation can collide with a batch of DIFFERENT files —
         # silently fast-skipping would drop the new arrivals. A mismatch is a
         # loud, actionable error instead (same contract as the ingestion-
-        # dedup service's fingerprinted markers).
+        # dedup service's fingerprinted markers, which hash CONTENT): each
+        # file's crc covers fileName + iv + cipherText, so a same-name batch
+        # whose objects were re-uploaded with different encryption material
+        # is detected too, not just a renamed one.
         fp = {"n": len(rows), "x": 0}
         for r in rows:
-            fp["x"] ^= zlib.crc32(r["fileName"].encode())
+            fp["x"] ^= zlib.crc32(
+                b"\x00".join(
+                    (r["fileName"].encode(), r["iv"].encode(), r["cipherText"].encode())
+                )
+            )
         if os.path.exists(epoch_marker):
             with open(epoch_marker) as fh:
                 committed = fh.read()

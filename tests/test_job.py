@@ -138,3 +138,36 @@ def test_full_job_with_pushgateway_lifecycle(spark, tmp_path):
     }
     assert final[3].get("snapshot_sender_files_sent_success") == 3
     assert gw.events[-1][2] == final[2]
+
+
+def test_full_job_final_push_outage_does_not_discard_report(spark, tmp_path):
+    """A gateway outage at the FINAL push must not abort run_delivery_job:
+    delivery side effects are already committed, so the JobReport is returned
+    and the error is recorded — the reference's pushFinalMetrics runs in
+    afterJob's finally block where a listener exception does not fail the
+    completed Spring Batch job."""
+
+    class DownGw:
+        def push(self, job_name, grouping, counters):
+            raise ConnectionError("pushgateway unreachable")
+
+        def delete(self, job_name, grouping):
+            raise ConnectionError("pushgateway unreachable")
+
+    f = fx.generate(str(tmp_path), n_files=2, records_per_file=2, seed=42)
+    cfg = delivery.RunConfig(correlation_id="job-gw-down", topic_name=f.topic)
+    report = job.run_delivery_job(
+        spark,
+        f.input_dir,
+        f.status_dir,
+        f.output_dir,
+        str(tmp_path / "status_table"),
+        cfg,
+        files_exported=2,
+        gateway=DownGw(),
+        push_rate=5.0,
+        initial_delay=5.0,  # no scheduled push fires; only push_final hits the outage
+        scrape_interval=0.01,
+    )
+    assert report.files_delivered == 2
+    assert report.counters.get("snapshot_sender_files_sent_success") == 2

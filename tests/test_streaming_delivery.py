@@ -161,6 +161,45 @@ def test_stale_epoch_marker_with_different_arrivals_fails_loudly(spark, tmp_path
     assert len([p for p in os.listdir(out_dir) if p.endswith(".json.gz")]) == 2
 
 
+def test_stale_epoch_marker_same_names_different_content_fails_loudly(spark, tmp_path):
+    """The fingerprint hashes fileName + iv + cipherText, not names alone: a
+    retained status dir meeting a fresh checkpoint generation whose epoch-0
+    batch carries the SAME file names but re-uploaded encryption material
+    (different iv) must raise, not silently fast-skip the new bytes."""
+    import pytest
+
+    from snapshot_sender_spark.plans import delivery as dl
+
+    f = fx.generate(str(tmp_path / "gen"), n_files=2, records_per_file=2, seed=55)
+    input_dir = str(tmp_path / "landing")
+    status_dir = str(tmp_path / "status")
+    os.makedirs(input_dir)
+    _land(f, input_dir, f.files)
+    ds.run_streaming_delivery(
+        spark, input_dir, str(tmp_path / "out"), status_dir,
+        str(tmp_path / "ckpt"), dl.key_lookup_local,
+    )
+    # second landing dir: identical names, perturbed iv (a re-upload with new
+    # encryption material); retained status dir; fresh checkpoint → epoch 0
+    input2 = str(tmp_path / "landing2")
+    os.makedirs(os.path.join(input2, "meta_stream"))
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(f.input_dir, "metadata.sidecar.jsonl"))
+    ]
+    with open(os.path.join(input2, "meta_stream", "arrival_0.json"), "w") as fh:
+        for r in rows:
+            r["iv"] = ("0" * len(r["iv"]))[: len(r["iv"])]
+            fh.write(json.dumps(r) + "\n")
+    for name in f.files:
+        shutil.copy(os.path.join(f.input_dir, name), os.path.join(input2, name))
+    with pytest.raises(Exception, match="checkpoint generations"):
+        ds.run_streaming_delivery(
+            spark, input2, str(tmp_path / "out2"), status_dir,
+            str(tmp_path / "ckpt2"), dl.key_lookup_local,
+        )
+
+
 def test_replayed_epoch_with_lost_marker_skips_finished_files(spark, tmp_path):
     """Per-FILE idempotence under epoch replay: if the epoch marker is lost
     but outputs + .finished markers survive, the replayed batch re-delivers
