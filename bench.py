@@ -1,19 +1,30 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line {"metric", "value", "unit", "queries", "queries_cold", "cold_total_sec",
-"sf"}.
+"sf", ...}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect). METHODOLOGY (frozen as of round 3, dual-reported so every
-round is comparable to both earlier rounds):
+driver collect). METHODOLOGY (revised round 5 for noise robustness — the
+machine is shared with other tenants and rounds 3/4 were judged through a
+±1.4x co-tenant noise band):
 
 * ``queries_cold`` / ``cold_total_sec`` — each query's FIRST execution in the
   session (pays plan compilation, whole-stage-codegen JIT, Python-worker/
   numpy boot, state-store class load). Comparable to BENCH_r01.
-* ``queries`` / ``value`` — steady-state best-of-2 after the cold lap.
-  Comparable to BENCH_r02. First-run constants vanish at real data scale, so
-  this is the number that predicts 100-TB throughput; the cold column keeps
-  the one-time costs honest.
+* ``queries`` / ``value`` — per-query MEDIAN of 5 warm laps (round 5+). The
+  median is robust to a GC pause or a co-tenant CPU-steal spike landing on
+  one unlucky lap, which min-of-2 was not.
+* ``queries_best`` / ``best_total_sec`` — per-query MIN over the same 5 laps.
+  This is the round-2/3/4 "best-of" statistic: compare it (not ``value``)
+  against BENCH_r02..r04's ``queries``, since a median is >= a min by
+  construction.
+* ``queries_raw`` — all 5 warm lap times per query, so a regression can be
+  attributed (uniform drift = machine, single-lap outlier = noise, all-laps
+  step on one query = plan change).
+* ``load`` — /proc/loadavg samples: before/after the whole bench and at the
+  start of each warm lap. First-run constants vanish at real data scale, so
+  the warm numbers predict 100-TB throughput; the cold column keeps the
+  one-time costs honest.
 """
 
 from __future__ import annotations
@@ -21,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -50,6 +62,16 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
+WARM_LAPS = 5
+
+
+def loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +80,8 @@ def main():
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    load_samples = {"start": loadavg(), "laps": [], "end": []}
 
     registry = all_queries()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()  # session init
@@ -70,17 +94,16 @@ def main():
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
 
-    # WARM: best of two timed laps — the machine is shared, and a single GC
-    # pause or CPU-contention spike otherwise lands on one unlucky query
-    timings = {}
-    for _lap in range(2):
+    # WARM: 5 timed laps per query; report the median (noise-robust) and keep
+    # the min + raw lap times for cross-round comparison and attribution
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _lap in range(WARM_LAPS):
+        load_samples["laps"].append(loadavg())
         for name in HEADLINE:
             qd = registry[name]
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            raw[name].append(round(time.perf_counter() - t0, 3))
 
     # The reference's own integration workload (100 files × 1,000 records,
     # s3_files.py:25-26): full pipeline — scan ⋈ metadata → anti-join → key
@@ -105,45 +128,41 @@ def main():
     try:
         cfg = dlv.RunConfig(correlation_id="bench", topic_name="db.core.claimant",
                             reprocess_files=True)
-        # lap 1 = cold (first execution, worker-pool growth / cryptography
-        # import ×32 workers / from_json codegen); lap 2 untimed — measured,
-        # it still pays one-time JIT/worker costs; laps 3-4 are steady state
-        t0 = time.perf_counter()
-        dlv.parse_records(
-            dlv.build_decrypted(
-                spark, os.path.join(fixture_root, "input"), status_dir, cfg
-            ).delivered
-        ).count()
-        cold["delivery_pipeline_100x1000"] = round(time.perf_counter() - t0, 3)
-        dlv.parse_records(
-            dlv.build_decrypted(
-                spark, os.path.join(fixture_root, "input"), status_dir, cfg
-            ).delivered
-        ).count()
-        for _lap in range(2):
+
+        def run_pipeline() -> float:
             t0 = time.perf_counter()
             result = dlv.build_decrypted(
                 spark, os.path.join(fixture_root, "input"), status_dir, cfg
             )
             n = dlv.parse_records(result.delivered).count()
-            dt = round(time.perf_counter() - t0, 3)
-            prev = timings.get("delivery_pipeline_100x1000")
-            if prev is None or dt < prev:
-                timings["delivery_pipeline_100x1000"] = dt
             assert n == 100 * 1000, n
+            return round(time.perf_counter() - t0, 3)
+
+        # lap 1 = cold (first execution, worker-pool growth / cryptography
+        # import ×32 workers / from_json codegen); lap 2 untimed warm-up —
+        # measured, it still pays one-time JIT/worker costs; then 5 laps
+        cold["delivery_pipeline_100x1000"] = run_pipeline()
+        run_pipeline()
+        raw["delivery_pipeline_100x1000"] = [run_pipeline() for _ in range(WARM_LAPS)]
     finally:
         shutil.rmtree(status_dir, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    load_samples["end"] = loadavg()
+    timings = {name: round(statistics.median(v), 3) for name, v in raw.items()}
+    best = {name: min(v) for name, v in raw.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_best": best,
+                "best_total_sec": round(sum(best.values()), 3),
+                "queries_raw": raw,
                 "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "load": load_samples,
                 "sf": sf,
             }
         )
