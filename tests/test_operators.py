@@ -545,12 +545,19 @@ def test_jpeg_decode_rejects_corruption_and_unsupported():
     good = multimodal.encode_jpeg(px)
     with pytest.raises(ValueError, match="SOI"):
         multimodal.decode_jpeg(b"plainly not a jpeg")
-    # flip SOF0 (baseline) to SOF2 (progressive) → explicit NotImplementedError
+    # flip SOF0 to SOF2: the stream now CLAIMS progressive but carries a
+    # baseline scan header (Ss=0, Se=63 — illegal for a progressive DC scan);
+    # the progressive path must reject it typed, not misdecode
     prog = bytearray(good)
     sof_at = prog.find(b"\xff\xc0")
     prog[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         multimodal.decode_jpeg(bytes(prog))
+    # flip to SOF3 (lossless sequential) → explicit NotImplementedError
+    lossless = bytearray(good)
+    lossless[sof_at + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        multimodal.decode_jpeg(bytes(lossless))
     # 16-bit precision frame → explicit NotImplementedError
     deep = bytearray(good)
     deep[sof_at + 4] = 16  # precision byte of the SOF payload
@@ -649,6 +656,118 @@ def test_jpeg_roundtrip_property():
         )
 
     run()
+
+
+def test_jpeg_progressive_parity_with_baseline():
+    """Progressive (SOF2) decode must equal the baseline decode of the SAME
+    pixels bit-for-bit — the two encoders emit identical quantized
+    coefficients, so any difference is a scan-writer or multi-scan-decoder
+    bug. Covers both scan scripts (successive approximation and spectral
+    selection), gray + color, flat/sparse/gradient/noise content (sparse →
+    long EOB runs; gradient → refinement-heavy; noise → dense run/size
+    coding), and a cropped frame whose dims are not block multiples."""
+    import struct as _s
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    flat = np.repeat(np.repeat(rng.integers(0, 256, (4, 4), dtype=np.uint8), 8, 0), 8, 1)
+    sparse = np.full((64, 64), 128, dtype=np.uint8)
+    sparse[rng.integers(0, 64, 30), rng.integers(0, 64, 30)] = rng.integers(0, 256, 30)
+    gy, gx = np.mgrid[0:48, 0:40]
+    grad = ((gy * 3 + gx * 2) % 256).astype(np.uint8)
+    noise = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    color = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    for succ in (True, False):
+        assert np.array_equal(
+            multimodal.decode_jpeg(multimodal.encode_jpeg_progressive(flat, successive=succ)),
+            flat,  # flat blocks at the default table: bit-exact, like baseline
+        )
+        for img in (sparse, grad, noise, color):
+            base = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+            prog = multimodal.decode_jpeg(
+                multimodal.encode_jpeg_progressive(img, successive=succ)
+            )
+            assert np.array_equal(prog, base), f"succ={succ} shape={img.shape}"
+
+    # cropped frame: patch SOF dims to non-multiples of 8 in both streams
+    def patch_dims(b, h, w):
+        b = bytearray(b)
+        i = 2
+        while i < len(b):
+            m = b[i + 1]
+            (seglen,) = _s.unpack(">H", bytes(b[i + 2 : i + 4]))
+            if m in (0xC0, 0xC2):
+                b[i + 5 : i + 9] = _s.pack(">HH", h, w)
+                return bytes(b)
+            i += 2 + seglen
+        raise AssertionError("no SOF")
+
+    db = multimodal.decode_jpeg(patch_dims(multimodal.encode_jpeg(grad), 43, 37))
+    dp = multimodal.decode_jpeg(
+        patch_dims(multimodal.encode_jpeg_progressive(grad), 43, 37)
+    )
+    assert db.shape == dp.shape == (43, 37) and np.array_equal(db, dp)
+
+
+def test_jpeg_progressive_truncation_never_leaks_low_level_errors():
+    """Every strict prefix of a valid progressive JPEG must fail with
+    ValueError/NotImplementedError — the multi-scan state machine must not
+    leak IndexError/KeyError/struct.error on untrusted corpus bytes."""
+    import numpy as np
+
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    good = multimodal.encode_jpeg_progressive(px)
+    for cut in range(len(good)):
+        try:
+            multimodal.decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: leaked {type(e).__name__}: {e}")
+        # a prefix that still decodes (e.g. cut inside trailing scans whose
+        # coefficients are then zero) is fine — progressive degrades gracefully
+
+
+def test_jpeg_progressive_roundtrip_property():
+    """Hypothesis: for arbitrary grayscale AND RGB content, progressive
+    decode equals baseline decode exactly, under both scan scripts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(1, 3),
+        st.integers(1, 3),
+        st.booleans(),
+        st.booleans(),
+        st.integers(0, 2**32 - 1),
+    )
+    def run(bh, bw, succ, rgb, seed):
+        rng = np.random.default_rng(seed)
+        shape = (bh * 8, bw * 8, 3) if rgb else (bh * 8, bw * 8)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+        prog = multimodal.decode_jpeg(
+            multimodal.encode_jpeg_progressive(img, successive=succ)
+        )
+        assert np.array_equal(prog, base)
+
+    run()
+
+
+def test_decode_image_real_for_progressive_jpeg():
+    """decode_image routes SOF2 content through the real multi-scan decoder:
+    exact pixel ratios, not hash fakes (progressive was the last common image
+    mode behind the fake fallback)."""
+    import numpy as np
+
+    vals = np.full((8, 8), 51, dtype=np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    feat = multimodal.decode_image(multimodal.encode_jpeg_progressive(px))
+    assert feat[:3] == [64.0, 64.0, 1.0]
+    assert feat[3] == pytest.approx(0.2) and feat[7] == pytest.approx(0.2)
 
 
 def test_jpeg_pixel_stats_distributed(spark):
