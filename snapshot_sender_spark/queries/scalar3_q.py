@@ -252,15 +252,71 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("string_soundex", oracle=None, category="string")
+@query(
+    "string_soundex",
+    oracle="""
+    WITH names AS (
+      SELECT c_custkey AS rid, c_name AS s FROM customer
+      UNION ALL
+      SELECT 1000000 + p_partkey AS rid, p_name AS s FROM part
+    ),
+    chars AS (
+      SELECT rid, s, CAST(i AS INT) AS i, substring(upper(s), CAST(i AS INT), 1) AS ch
+      FROM names, UNNEST(range(1, length(s) + 1)) AS t(i)
+    ),
+    coded AS (
+      SELECT rid, s, i,
+        CASE WHEN regexp_matches(ch, '^[A-Z]$')
+             THEN translate(ch, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                '01230127022455012623017202')
+             ELSE '0' END AS code
+      FROM chars
+    ),
+    st AS (
+      SELECT rid, i, code,
+        last_value(CASE WHEN code <> '7' THEN code END IGNORE NULLS)
+          OVER (PARTITION BY rid ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM coded
+    ),
+    digits AS (
+      SELECT rid,
+        string_agg(code, '' ORDER BY i)
+          FILTER (WHERE i > 1 AND code BETWEEN '1' AND '6'
+                  AND (prev IS NULL OR code <> prev)) AS d
+      FROM st GROUP BY rid
+    ),
+    sxt AS (
+      SELECT n.rid,
+        CASE WHEN NOT regexp_matches(substring(n.s, 1, 1), '^[A-Za-z]$') THEN n.s
+             ELSE substring(upper(n.s), 1, 1)
+                  || rpad(coalesce(substring(d.d, 1, 3), ''), 3, '0')
+        END AS sx
+      FROM names n LEFT JOIN digits d USING (rid)
+    )
+    SELECT sx, COUNT(*) AS n FROM sxt GROUP BY sx ORDER BY sx
+    """,
+    category="string",
+)
 def string_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Soundex phonetic codes over customer names (fuzzy-match blocking key).
-    Rows-only: DuckDB has no soundex; the classic American-Soundex vector
-    (Robert/Rupert→R163, Ashcraft→A261, Tymczak→T522, Pfister→P236) is
-    pinned in tests/test_text.py instead."""
-    c = load(spark, sf_dir, "customer")
+    """Soundex phonetic codes over customer names (fuzzy-match blocking key)
+    — EXACT oracle (upgraded round 5 from rows-only): American Soundex is a
+    small state machine, fully expressible in SQL. The DuckDB side replays
+    Spark's Soundex expression semantics, pinned empirically: first char not
+    an ASCII letter → input returned unchanged; H/W are transparent (the
+    previous code survives them, so codes separated only by H/W collapse);
+    vowels AND embedded non-letters reset the previous code; mapping
+    '01230127022455012623017202' for A-Z with '7' marking H/W. The
+    last_value(... IGNORE NULLS) window is the 'previous effective code'
+    register; the classic test vector (Robert/Rupert→R163, Ashcraft→A261,
+    Tymczak→T522, Pfister→P236) stays pinned in tests/test_text.py, and
+    tests/test_operators.py pins the SQL against F.soundex on the
+    adversarial edge strings (BhB, B#B, Hxy, hw, Ångström…)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_name").alias("s"))
+    p = load(spark, sf_dir, "part").select(F.col("p_name").alias("s"))
     return (
-        c.select(F.soundex("c_name").alias("sx"))
+        c.unionAll(p)  # part names are varied multi-word strings — customer
+        .select(F.soundex("s").alias("sx"))  # names alone collapse to 1 code
         .groupBy("sx")
         .agg(F.count("*").alias("n"))
         .orderBy("sx")

@@ -379,6 +379,74 @@ def test_simhash_oracle_tokenizer_parity_on_unicode_whitespace(spark, tmp_path):
     assert (1, 6) in pairs
 
 
+def test_soundex_oracle_state_machine_matches_spark_on_edges(spark):
+    """The SQL soundex state machine used by the string_soundex oracle must
+    replay F.soundex exactly on the adversarial edges the fixture names never
+    exercise: H/W transparency (BhB→B000), non-letter resets (B#B→B100),
+    H-initial (Hxy→H200), degenerate hw/wh strings, non-ASCII-letter start
+    (returned unchanged), and the classic test vector."""
+    import duckdb
+
+    edges = [
+        "Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "honeyman",
+        "bHbob", "BaB", "BhB", "BwB", "Hxy", "123abc", "", "A", "ae",
+        "Washington", "Lee, Mr.", "B#B", "C3PO", "Ångström", "hw", "wh", "Hh",
+        "Customer#000000001",
+    ]
+    want = {
+        r["s"]: r["sx"]
+        for r in spark.createDataFrame([(s,) for s in edges], "s string")
+        .select("s", F.soundex("s").alias("sx"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE names AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(edges)))
+        + ") t(rid, s)",
+        edges,
+    )
+    got = dict(
+        con.execute(
+            """
+    WITH chars AS (
+      SELECT rid, s, CAST(i AS INT) AS i, substring(upper(s), CAST(i AS INT), 1) AS ch
+      FROM names, UNNEST(range(1, length(s) + 1)) AS t(i)
+    ),
+    coded AS (
+      SELECT rid, s, i,
+        CASE WHEN regexp_matches(ch, '^[A-Z]$')
+             THEN translate(ch, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                '01230127022455012623017202')
+             ELSE '0' END AS code
+      FROM chars
+    ),
+    st AS (
+      SELECT rid, i, code,
+        last_value(CASE WHEN code <> '7' THEN code END IGNORE NULLS)
+          OVER (PARTITION BY rid ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM coded
+    ),
+    digits AS (
+      SELECT rid,
+        string_agg(code, '' ORDER BY i)
+          FILTER (WHERE i > 1 AND code BETWEEN '1' AND '6'
+                  AND (prev IS NULL OR code <> prev)) AS d
+      FROM st GROUP BY rid
+    )
+    SELECT n.s,
+      CASE WHEN NOT regexp_matches(substring(n.s, 1, 1), '^[A-Za-z]$') THEN n.s
+           ELSE substring(upper(n.s), 1, 1)
+                || rpad(coalesce(substring(d.d, 1, 3), ''), 3, '0')
+      END AS sx
+    FROM names n LEFT JOIN digits d USING (rid)
+    """
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_cosine_topk_self_similarity(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
