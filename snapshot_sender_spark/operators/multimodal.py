@@ -5,8 +5,13 @@ signatures) is real and tested. Three decodes are REAL with nothing but the
 stdlib + numpy: PNG (zlib inflate + per-row unfilter), JPEG — baseline
 sequential AND progressive/SOF2 (full Huffman → dequant → IDCT pipeline,
 spectral-selection + successive-approximation scans — see the codec sections
-below) — and 16-bit PCM audio. Formats that genuinely need codec libraries
-not in this container (MP3, H.264) remain documented stubs:
+below) — and 16-bit PCM audio. For MP3 and H.264 the bitstream METADATA
+layer is also real (round 5): an MPEG-1 Layer III frame-header walk
+(frame count / sample rate / bitrate mode / exact sample total, ID3v2
+skip) and an Annex B NAL walk with Exp-Golomb SPS decode (exact coded
+resolution incl. frame cropping, profile/level, NAL census). Only the
+codec cores that genuinely need external libraries — Layer III spectral
+audio decode and AVC pixel decode — remain documented stubs:
 ``decode_image`` raises NotImplementedError for them unless ``fake=True``,
 in which case a deterministic fake decoder (blake2b-seeded) produces stable
 pseudo-features so the distributed plumbing can be exercised end-to-end.
@@ -1509,3 +1514,394 @@ def pcm16_window_energy(
     return df.select(
         F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
     ).mapInPandas(gen, schema=AUDIO_ENERGY_SCHEMA)
+
+
+# =============================================================================
+# MP3 bitstream metadata (frame-header walk) — REAL parse, stdlib-only.
+# The audio payload itself (Layer III Huffman spectral data → PCM) genuinely
+# needs a codec library and stays out of scope; everything a data pipeline
+# typically extracts from an MP3 column — frame count, sample rate, bitrate
+# mode, exact duration in samples — comes from the frame HEADERS, and that
+# walk is implemented from the MPEG-1 audio spec (ISO 11172-3 2.4.1.3).
+# =============================================================================
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = free, 15 = bad
+MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+MP3_SAMPLERATES = [44100, 48000, 32000]  # index 3 = reserved
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def mp3_frame_size(bitrate_kbps: int, samplerate: int, padding: int = 0) -> int:
+    """Layer III MPEG-1 frame length in bytes: 144·bitrate/samplerate (+pad)."""
+    return 144 * bitrate_kbps * 1000 // samplerate + padding
+
+
+def encode_mp3_frames(
+    n_frames: int, bitrate_kbps: int = 128, samplerate: int = 44100,
+    payload_byte: int = 0, id3_tag: bytes | None = None,
+) -> bytes:
+    """Fixture writer: a structurally valid CBR MPEG-1 Layer III stream of
+    ``n_frames`` frames — correct sync/version/layer/bitrate/samplerate
+    header fields and exact frame sizes, deterministic dummy payload (the
+    spectral data is not audio). Optionally preceded by an ID3v2 tag."""
+    bi = MP3_BITRATES.index(bitrate_kbps)
+    si = MP3_SAMPLERATES.index(samplerate)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync 11111111 111, MPEG-1 (11), Layer III (01), no CRC (1)
+            (bi << 4) | (si << 2) | 0b00,  # bitrate idx, samplerate idx, no pad
+            0b11000100,  # mono, no mode ext, not copyrighted, original, no emph
+        ]
+    )
+    size = mp3_frame_size(bitrate_kbps, samplerate)
+    frame = hdr + bytes([payload_byte]) * (size - 4)
+    out = bytearray()
+    if id3_tag is not None:
+        body = id3_tag
+        sz = len(body)
+        # ID3v2 syncsafe size: 4×7 bits
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + body
+    out += frame * n_frames
+    return bytes(out)
+
+
+def parse_mp3_info(data: bytes) -> dict:
+    """Walk an MP3 stream's frame headers: skip a leading ID3v2 tag, then
+    decode every frame header (sync, version, layer, bitrate, samplerate,
+    padding), stepping exact frame sizes. Returns n_frames, samplerate,
+    bitrate_kbps (of the first frame), cbr flag, total_samples (exact:
+    n_frames × 1152) and parsed_bytes. Corrupt/truncated streams raise
+    ValueError — never a bare IndexError."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    n_frames = 0
+    first_bitrate = None
+    samplerate = None
+    cbr = True
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        version = (b1 >> 3) & 0b11
+        layer = (b1 >> 1) & 0b11
+        if version != 0b11 or layer != 0b01:
+            raise NotImplementedError("only MPEG-1 Layer III streams")
+        bi = (b2 >> 4) & 0xF
+        si = (b2 >> 2) & 0b11
+        padding = (b2 >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            raise ValueError(f"invalid bitrate/samplerate index at byte {pos}")
+        br = MP3_BITRATES[bi]
+        sr = MP3_SAMPLERATES[si]
+        if samplerate is None:
+            samplerate, first_bitrate = sr, br
+        elif br != first_bitrate:
+            cbr = False
+        size = mp3_frame_size(br, sr, padding)
+        if pos + size > len(data):
+            raise ValueError(f"truncated MP3 frame at byte {pos}")
+        pos += size
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    return {
+        "n_frames": n_frames,
+        "samplerate": samplerate,
+        "bitrate_kbps": first_bitrate,
+        "cbr": cbr,
+        "total_samples": n_frames * MP3_SAMPLES_PER_FRAME,
+        "parsed_bytes": pos,
+    }
+
+
+MP3_INFO_SCHEMA = (
+    "media_id long, n_frames int, samplerate int, bitrate_kbps int, "
+    "cbr boolean, total_samples bigint, parsed_bytes bigint"
+)
+
+
+def mp3_stream_info(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed MP3 metadata extraction (mapInPandas, bytes never
+    shuffle): one row of exact header-derived facts per payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                info = parse_mp3_info(bytes(buf or b""))
+                rows.append({"media_id": mid, **info})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "samplerate", "bitrate_kbps",
+                    "cbr", "total_samples", "parsed_bytes",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=MP3_INFO_SCHEMA)
+
+
+# =============================================================================
+# H.264 (AVC) bitstream metadata — REAL parse, stdlib-only: Annex B NAL walk
+# + Exp-Golomb SPS decode (ITU-T H.264 7.3.2.1.1) recovering the exact coded
+# resolution incl. frame cropping. Pixel decode (CABAC/CAVLC residuals,
+# inter prediction) genuinely needs a codec library and stays out of scope.
+# =============================================================================
+
+
+class _ExpGolombReader:
+    def __init__(self, data: bytes):
+        # strip emulation-prevention bytes (00 00 03 xx → 00 00 xx)
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            if i + 2 < len(data) and data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 3:
+                out += data[i : i + 2]
+                i += 3
+            else:
+                out.append(data[i])
+                i += 1
+        self.data = bytes(out)
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte, off = divmod(self.pos, 8)
+        if byte >= len(self.data):
+            raise ValueError("truncated NAL payload")
+        self.pos += 1
+        return (self.data[byte] >> (7 - off)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:  # unsigned Exp-Golomb
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("invalid Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.bits(zeros) if zeros else 0)
+
+    def se(self) -> int:  # signed Exp-Golomb
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+class _ExpGolombWriter:
+    def __init__(self):
+        self.bits_: list[int] = []
+
+    def bit(self, b: int) -> None:
+        self.bits_.append(b & 1)
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        n = (v + 1).bit_length() - 1
+        self.bits(0, n)
+        self.bits(v + 1, n + 1)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits_ + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            raw.append(int("".join(map(str, bits[i : i + 8])), 2))
+        # insert emulation prevention
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def encode_h264_sps_stream(width: int, height: int, profile_idc: int = 66,
+                           level_idc: int = 30) -> bytes:
+    """Fixture writer: a minimal Annex B stream — SPS (with frame cropping
+    when width/height are not multiples of 16) + PPS + one dummy IDR NAL —
+    whose SPS decodes to exactly (width, height)."""
+    mbs_w = (width + 15) // 16
+    mbs_h = (height + 15) // 16
+    crop_r = (mbs_w * 16 - width) // 2  # crop units of 2 px (4:2:0)
+    crop_b = (mbs_h * 16 - height) // 2
+    if (mbs_w * 16 - width) % 2 or (mbs_h * 16 - height) % 2:
+        raise ValueError("width/height must be even (4:2:0 crop units)")
+    w = _ExpGolombWriter()
+    w.bits(profile_idc, 8)
+    w.bits(0, 8)  # constraint flags + reserved
+    w.bits(level_idc, 8)
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(0)  # max_num_ref_frames
+    w.bit(0)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mbs_w - 1)  # pic_width_in_mbs_minus1
+    w.ue(mbs_h - 1)  # pic_height_in_map_units_minus1
+    w.bit(1)  # frame_mbs_only_flag
+    w.bit(1)  # direct_8x8_inference_flag
+    crop = crop_r or crop_b
+    w.bit(1 if crop else 0)  # frame_cropping_flag
+    if crop:
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    w.bit(0)  # vui_parameters_present_flag
+    sps = b"\x00\x00\x00\x01" + bytes([0x67]) + w.rbsp()
+    p = _ExpGolombWriter()
+    p.ue(0)  # pic_parameter_set_id
+    p.ue(0)  # seq_parameter_set_id
+    p.bit(0)  # entropy_coding_mode_flag (CAVLC)
+    p.bit(0)  # bottom_field_pic_order_in_frame_present_flag
+    p.ue(0)  # num_slice_groups_minus1
+    p.ue(0)  # num_ref_idx_l0_default_active_minus1
+    p.ue(0)  # num_ref_idx_l1_default_active_minus1
+    p.bit(0)  # weighted_pred_flag
+    p.bits(0, 2)  # weighted_bipred_idc
+    p.bits(0, 24)  # qp deltas (se(0)=1-bit each would differ; keep byte-simple)
+    pps = b"\x00\x00\x00\x01" + bytes([0x68]) + p.rbsp()
+    idr = b"\x00\x00\x01" + bytes([0x65, 0x88, 0x80])  # dummy slice payload
+    return sps + pps + idr
+
+
+def parse_h264_info(data: bytes) -> dict:
+    """Annex B NAL walk + SPS decode: returns exact (width, height),
+    profile_idc, level_idc and the NAL-type census. Baseline/Main/Extended
+    SPS only (profile_idc >= 100 adds the chroma/scaling block — parsed for
+    the common high-profile fields); corrupt streams raise ValueError."""
+    # split on start codes
+    nals = []
+    i = 0
+    n = len(data)
+    while i < n:
+        if data[i : i + 3] == b"\x00\x00\x01":
+            start = i + 3
+        elif data[i : i + 4] == b"\x00\x00\x00\x01":
+            start = i + 4
+        else:
+            i += 1
+            continue
+        j = start
+        while j < n and not (
+            data[j : j + 3] == b"\x00\x00\x01" or data[j : j + 4] == b"\x00\x00\x00\x01"
+        ):
+            j += 1
+        nals.append(data[start:j])
+        i = j
+    if not nals:
+        raise ValueError("no Annex B start codes")
+    sps_info = None
+    census: dict[int, int] = {}
+    for nal in nals:
+        if not nal:
+            raise ValueError("empty NAL unit")
+        if nal[0] & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        typ = nal[0] & 0x1F
+        census[typ] = census.get(typ, 0) + 1
+        if typ == 7 and sps_info is None:
+            r = _ExpGolombReader(nal[1:])
+            profile = r.bits(8)
+            r.bits(8)  # constraint flags
+            level = r.bits(8)
+            r.ue()  # sps id
+            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+                chroma = r.ue()
+                if chroma == 3:
+                    r.bit()
+                r.ue()  # bit_depth_luma_minus8
+                r.ue()  # bit_depth_chroma_minus8
+                r.bit()  # qpprime_y_zero_transform_bypass
+                if r.bit():  # seq_scaling_matrix_present
+                    raise NotImplementedError("SPS scaling matrices")
+            r.ue()  # log2_max_frame_num_minus4
+            poc_type = r.ue()
+            if poc_type == 0:
+                r.ue()
+            elif poc_type == 1:
+                r.bit()
+                r.se()
+                r.se()
+                for _ in range(r.ue()):
+                    r.se()
+            r.ue()  # max_num_ref_frames
+            r.bit()  # gaps allowed
+            mbs_w = r.ue() + 1
+            mbs_h = r.ue() + 1
+            frame_mbs_only = r.bit()
+            if not frame_mbs_only:
+                r.bit()  # mb_adaptive_frame_field_flag
+            r.bit()  # direct_8x8_inference
+            crop_l = crop_r = crop_t = crop_b = 0
+            if r.bit():  # frame_cropping_flag
+                crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+            h_mult = 1 if frame_mbs_only else 2
+            sps_info = {
+                "width": mbs_w * 16 - 2 * (crop_l + crop_r),
+                "height": h_mult * mbs_h * 16 - 2 * h_mult * (crop_t + crop_b),
+                "profile_idc": profile,
+                "level_idc": level,
+            }
+    if sps_info is None:
+        raise ValueError("no SPS NAL in stream")
+    return {
+        **sps_info,
+        "n_nals": len(nals),
+        "n_idr": census.get(5, 0),
+    }
+
+
+H264_INFO_SCHEMA = (
+    "media_id long, width int, height int, profile_idc int, level_idc int, "
+    "n_nals int, n_idr int"
+)
+
+
+def h264_stream_info(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed H.264 metadata extraction (mapInPandas): exact coded
+    resolution + profile/level + NAL census per payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                info = parse_h264_info(bytes(buf or b""))
+                rows.append({"media_id": mid, **info})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "profile_idc", "level_idc",
+                    "n_nals", "n_idr",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=H264_INFO_SCHEMA)

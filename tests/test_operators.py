@@ -1223,3 +1223,116 @@ def test_incremental_prefix_matches_plain_cross_set(spark, sf_dir):
         .toString()
     )
     assert "BroadcastExchange" not in plan
+
+
+def test_mp3_frame_walk_exact_and_typed_errors():
+    """The MP3 frame-header walk: exact frame stepping incl. ID3v2 skip and
+    VBR detection; truncated/corrupt streams fail with ValueError, unsupported
+    MPEG versions with NotImplementedError — never a bare IndexError."""
+    good = multimodal.encode_mp3_frames(4, 128, 44100)
+    info = multimodal.parse_mp3_info(good)
+    assert info["n_frames"] == 4 and info["total_samples"] == 4 * 1152
+    assert info["parsed_bytes"] == len(good) and info["cbr"]
+    # ID3v2 tag skipped via syncsafe size
+    tagged = multimodal.encode_mp3_frames(2, 320, 32000, id3_tag=b"x" * 515)
+    ti = multimodal.parse_mp3_info(tagged)
+    assert ti["n_frames"] == 2 and ti["samplerate"] == 32000
+    assert ti["parsed_bytes"] == len(tagged)
+    # VBR: frames at different bitrates concatenated
+    vbr = multimodal.encode_mp3_frames(1, 128) + multimodal.encode_mp3_frames(1, 192)
+    assert multimodal.parse_mp3_info(vbr)["cbr"] is False
+    # every strict prefix fails typed — except exact frame boundaries, which
+    # are legitimately valid shorter streams (and must report fewer frames)
+    frame_len = multimodal.mp3_frame_size(128, 44100)
+    for cut in range(len(good)):
+        try:
+            pi = multimodal.parse_mp3_info(good[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: leaked {type(e).__name__}")
+        assert cut % frame_len == 0 and pi["n_frames"] == cut // frame_len, cut
+    # lost sync mid-stream
+    bad = bytearray(good)
+    bad[0] = 0xFE
+    with pytest.raises(ValueError, match="sync"):
+        multimodal.parse_mp3_info(bytes(bad))
+    # MPEG-2 version bits -> typed NotImplementedError
+    v2 = bytearray(good)
+    v2[1] = 0xF3  # version 10 (MPEG-2), layer III
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        multimodal.parse_mp3_info(bytes(v2))
+
+
+def test_h264_sps_parse_exact_and_typed_errors():
+    """The Annex B walk + Exp-Golomb SPS decode: exact resolution recovery
+    incl. frame cropping (1080p = 68 map units cropped by 8 rows) and the
+    high-profile chroma branch; corrupt streams fail typed."""
+    for w, h in ((1920, 1080), (1280, 720), (100, 64), (354, 288), (16, 16)):
+        info = multimodal.parse_h264_info(multimodal.encode_h264_sps_stream(w, h))
+        assert (info["width"], info["height"]) == (w, h), (w, h, info)
+    info = multimodal.parse_h264_info(
+        multimodal.encode_h264_sps_stream(640, 480, profile_idc=77, level_idc=31)
+    )
+    assert info["profile_idc"] == 77 and info["level_idc"] == 31
+    assert info["n_nals"] == 3 and info["n_idr"] == 1
+    # high-profile SPS: hand-build with the chroma_format block present
+    wtr = multimodal._ExpGolombWriter()
+    wtr.bits(100, 8)
+    wtr.bits(0, 8)
+    wtr.bits(41, 8)
+    wtr.ue(0)      # sps id
+    wtr.ue(1)      # chroma_format_idc 4:2:0
+    wtr.ue(0)      # bit_depth_luma_minus8
+    wtr.ue(0)      # bit_depth_chroma_minus8
+    wtr.bit(0)     # qpprime
+    wtr.bit(0)     # no scaling matrices
+    wtr.ue(0)      # log2_max_frame_num_minus4
+    wtr.ue(2)      # pic_order_cnt_type 2 (no extra fields)
+    wtr.ue(1)      # max_num_ref_frames
+    wtr.bit(0)
+    wtr.ue(120 - 1)  # 1920 / 16
+    wtr.ue(68 - 1)   # 1088 / 16
+    wtr.bit(1)     # frame_mbs_only
+    wtr.bit(1)     # direct_8x8
+    wtr.bit(1)     # cropping
+    wtr.ue(0); wtr.ue(0); wtr.ue(0); wtr.ue(4)  # crop bottom 8 rows
+    wtr.bit(0)     # no VUI
+    hp = b"\x00\x00\x00\x01" + bytes([0x67]) + wtr.rbsp()
+    hi = multimodal.parse_h264_info(hp)
+    assert (hi["width"], hi["height"], hi["profile_idc"]) == (1920, 1080, 100)
+    # typed failures: no start code, empty NAL, forbidden bit, no SPS
+    with pytest.raises(ValueError, match="start code"):
+        multimodal.parse_h264_info(b"\x01\x02\x03")
+    with pytest.raises(ValueError, match="no SPS"):
+        multimodal.parse_h264_info(b"\x00\x00\x01\x65\x88")
+    with pytest.raises(ValueError, match="forbidden"):
+        multimodal.parse_h264_info(b"\x00\x00\x01\xe7\x88")
+    # truncated SPS payload -> typed, never IndexError
+    for cut in range(5, len(hp)):
+        try:
+            multimodal.parse_h264_info(hp[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: leaked {type(e).__name__}")
+
+
+def test_mp3_h264_distributed_info(spark):
+    """Distributed metadata extraction plumbing: exact per-payload rows."""
+    rows = [
+        (1, bytearray(multimodal.encode_mp3_frames(3, 160, 48000))),
+        (2, bytearray(multimodal.encode_mp3_frames(6, 64, 44100, id3_tag=b"z" * 64))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in multimodal.mp3_stream_info(df).collect()}
+    assert got[1]["n_frames"] == 3 and got[1]["samplerate"] == 48000
+    assert got[2]["total_samples"] == 6 * 1152 and got[2]["bitrate_kbps"] == 64
+    vrows = [
+        (1, bytearray(multimodal.encode_h264_sps_stream(1920, 1080))),
+        (2, bytearray(multimodal.encode_h264_sps_stream(354, 288, profile_idc=77))),
+    ]
+    vdf = spark.createDataFrame(vrows, "media_id long, content binary")
+    vgot = {r["media_id"]: r for r in multimodal.h264_stream_info(vdf).collect()}
+    assert (vgot[1]["width"], vgot[1]["height"]) == (1920, 1080)
+    assert (vgot[2]["width"], vgot[2]["profile_idc"]) == (354, 77)
