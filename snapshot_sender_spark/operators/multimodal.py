@@ -942,11 +942,10 @@ def encode_jpeg_progressive(pixels, quant=None, successive=True) -> bytes:
             continue
         out += _seg(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
 
-    def sos(comp_ids, ss, se, ah, al, ac=False):
+    def sos(comp_ids, ss, se, ah, al):
         body = bytes([len(comp_ids)])
         for cid in comp_ids:
-            td_ta = (0x00 if cid == 1 else 0x11) if not ac else (0x00 if cid == 1 else 0x11)
-            body += bytes([cid, td_ta])
+            body += bytes([cid, 0x00 if cid == 1 else 0x11])  # td/ta table ids
         body += bytes([ss, se, (ah << 4) | al])
         return _seg(0xDA, body)
 
@@ -954,15 +953,15 @@ def encode_jpeg_progressive(pixels, quant=None, successive=True) -> bytes:
     if successive:
         out += sos(all_ids, 0, 0, 0, 1) + dc_first_scan(1)
         for ci in range(nc):
-            out += sos([ci + 1], 1, 63, 0, 1, ac=True) + ac_first_scan(ci, 1, 63, 1)
+            out += sos([ci + 1], 1, 63, 0, 1) + ac_first_scan(ci, 1, 63, 1)
         out += sos(all_ids, 0, 0, 1, 0) + dc_refine_scan(0)
         for ci in range(nc):
-            out += sos([ci + 1], 1, 63, 1, 0, ac=True) + ac_refine_scan(ci, 1, 63, 0)
+            out += sos([ci + 1], 1, 63, 1, 0) + ac_refine_scan(ci, 1, 63, 0)
     else:
         out += sos(all_ids, 0, 0, 0, 0) + dc_first_scan(0)
         for ci in range(nc):
-            out += sos([ci + 1], 1, 5, 0, 0, ac=True) + ac_first_scan(ci, 1, 5, 0)
-            out += sos([ci + 1], 6, 63, 0, 0, ac=True) + ac_first_scan(ci, 6, 63, 0)
+            out += sos([ci + 1], 1, 5, 0, 0) + ac_first_scan(ci, 1, 5, 0)
+            out += sos([ci + 1], 6, 63, 0, 0) + ac_first_scan(ci, 6, 63, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
