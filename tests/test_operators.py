@@ -1336,3 +1336,45 @@ def test_mp3_h264_distributed_info(spark):
     vgot = {r["media_id"]: r for r in multimodal.h264_stream_info(vdf).collect()}
     assert (vgot[1]["width"], vgot[1]["height"]) == (1920, 1080)
     assert (vgot[2]["width"], vgot[2]["profile_idc"]) == (354, 77)
+
+
+def test_mp3_h264_roundtrip_property():
+    """Hypothesis: for arbitrary valid parameters, fixture-write → parse
+    recovers every field exactly (the same loop the query oracles check,
+    over the whole parameter space instead of the doc_id slice)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 20),
+        st.sampled_from(multimodal.MP3_BITRATES[1:]),
+        st.sampled_from(multimodal.MP3_SAMPLERATES),
+        st.one_of(st.none(), st.integers(0, 2000)),
+    )
+    def run_mp3(n_frames, br, sr, id3len):
+        data = multimodal.encode_mp3_frames(
+            n_frames, br, sr, id3_tag=None if id3len is None else b"q" * id3len
+        )
+        info = multimodal.parse_mp3_info(data)
+        assert info["n_frames"] == n_frames
+        assert info["bitrate_kbps"] == br and info["samplerate"] == sr
+        assert info["total_samples"] == n_frames * 1152
+        assert info["parsed_bytes"] == len(data) and info["cbr"]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(8, 2048).map(lambda v: v * 2),  # even widths 16..4096
+        st.integers(8, 1088).map(lambda v: v * 2),
+        st.sampled_from([66, 77, 88]),
+        st.integers(10, 52),
+    )
+    def run_h264(w, h, profile, level):
+        info = multimodal.parse_h264_info(
+            multimodal.encode_h264_sps_stream(w, h, profile_idc=profile, level_idc=level)
+        )
+        assert (info["width"], info["height"]) == (w, h)
+        assert info["profile_idc"] == profile and info["level_idc"] == level
+
+    run_mp3()
+    run_h264()
