@@ -1795,25 +1795,22 @@ def parse_h264_info(data: bytes) -> dict:
     profile_idc, level_idc and the NAL-type census. Baseline/Main/Extended
     SPS only (profile_idc >= 100 adds the chroma/scaling block — parsed for
     the common high-profile fields); corrupt streams raise ValueError."""
-    # split on start codes
+    # split on start codes — bytes.find scans in C; a byte-at-a-time Python
+    # loop would allocate two slice objects per input byte on multi-MB NALs
     nals = []
-    i = 0
     n = len(data)
-    while i < n:
-        if data[i : i + 3] == b"\x00\x00\x01":
-            start = i + 3
-        elif data[i : i + 4] == b"\x00\x00\x00\x01":
-            start = i + 4
-        else:
-            i += 1
-            continue
-        j = start
-        while j < n and not (
-            data[j : j + 3] == b"\x00\x00\x01" or data[j : j + 4] == b"\x00\x00\x00\x01"
-        ):
-            j += 1
-        nals.append(data[start:j])
-        i = j
+    i = data.find(b"\x00\x00\x01")
+    while i != -1:
+        start = i + 3
+        nxt = data.find(b"\x00\x00\x01", start)
+        end = nxt if nxt != -1 else n
+        # a 4-byte start code 00 00 00 01 is a 3-byte one found a byte late;
+        # strip the trailing zero(s) this NAL inherits from the next code
+        payload_end = end
+        while payload_end > start and nxt != -1 and data[payload_end - 1] == 0:
+            payload_end -= 1
+        nals.append(data[start:payload_end])
+        i = nxt
     if not nals:
         raise ValueError("no Annex B start codes")
     sps_info = None
@@ -1831,10 +1828,14 @@ def parse_h264_info(data: bytes) -> dict:
             r.bits(8)  # constraint flags
             level = r.bits(8)
             r.ue()  # sps id
+            chroma = 1  # 4:2:0 implied when the chroma block is absent (A.2)
+            separate_planes = 0
             if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
                 chroma = r.ue()
+                if chroma > 3:
+                    raise ValueError(f"invalid chroma_format_idc {chroma}")
                 if chroma == 3:
-                    r.bit()
+                    separate_planes = r.bit()
                 r.ue()  # bit_depth_luma_minus8
                 r.ue()  # bit_depth_chroma_minus8
                 r.bit()  # qpprime_y_zero_transform_bypass
@@ -1862,9 +1863,17 @@ def parse_h264_info(data: bytes) -> dict:
             if r.bit():  # frame_cropping_flag
                 crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
             h_mult = 1 if frame_mbs_only else 2
+            # crop units per H.264 7-21..7-24: SubWidthC/SubHeightC depend on
+            # chroma_format_idc (monochrome and separate-planes crop in luma
+            # samples); CropUnitY additionally doubles for field coding
+            if chroma == 0 or separate_planes:
+                cux, cuy = 1, h_mult
+            else:
+                cux = 2 if chroma in (1, 2) else 1  # SubWidthC
+                cuy = (2 if chroma == 1 else 1) * h_mult  # SubHeightC · (2−fmo)
             sps_info = {
-                "width": mbs_w * 16 - 2 * (crop_l + crop_r),
-                "height": h_mult * mbs_h * 16 - 2 * h_mult * (crop_t + crop_b),
+                "width": mbs_w * 16 - cux * (crop_l + crop_r),
+                "height": h_mult * mbs_h * 16 - cuy * (crop_t + crop_b),
                 "profile_idc": profile,
                 "level_idc": level,
             }

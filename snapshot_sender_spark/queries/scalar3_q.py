@@ -252,14 +252,10 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "string_soundex",
-    oracle="""
-    WITH names AS (
-      SELECT c_custkey AS rid, c_name AS s FROM customer
-      UNION ALL
-      SELECT 1000000 + p_partkey AS rid, p_name AS s FROM part
-    ),
+# Shared soundex state-machine SQL (used by the string_soundex oracle AND the
+# edge-case parity test, so the two can't drift): expects a names(rid, s)
+# relation already in scope — rids must be unique — and yields sxt(rid, sx).
+SOUNDEX_STATE_MACHINE_SQL = """
     chars AS (
       SELECT rid, s, CAST(i AS INT) AS i, substring(upper(s), CAST(i AS INT), 1) AS ch
       FROM names, UNNEST(range(1, length(s) + 1)) AS t(i)
@@ -294,6 +290,20 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         END AS sx
       FROM names n LEFT JOIN digits d USING (rid)
     )
+"""
+
+
+@query(
+    "string_soundex",
+    # even/odd rids keep the two sources disjoint at ANY scale factor (a
+    # fixed offset would collide once custkey grows past it)
+    oracle=f"""
+    WITH names AS (
+      SELECT c_custkey * 2 AS rid, c_name AS s FROM customer
+      UNION ALL
+      SELECT p_partkey * 2 + 1 AS rid, p_name AS s FROM part
+    ),
+    {SOUNDEX_STATE_MACHINE_SQL}
     SELECT sx, COUNT(*) AS n FROM sxt GROUP BY sx ORDER BY sx
     """,
     category="string",

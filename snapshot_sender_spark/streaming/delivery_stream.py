@@ -171,22 +171,29 @@ def run_streaming_delivery(
         # file's crc covers fileName + iv + cipherText, so a same-name batch
         # whose objects were re-uploaded with different encryption material
         # is detected too, not just a renamed one.
-        fp = {"n": len(rows), "x": 0}
+        fp = {"v": 2, "n": len(rows), "x": 0}
+        legacy_fp = {"n": len(rows), "x": 0}  # v1 format: fileName-only XOR
         for r in rows:
             fp["x"] ^= zlib.crc32(
                 b"\x00".join(
                     (r["fileName"].encode(), r["iv"].encode(), r["cipherText"].encode())
                 )
             )
+            legacy_fp["x"] ^= zlib.crc32(r["fileName"].encode())
         if os.path.exists(epoch_marker):
             with open(epoch_marker) as fh:
                 committed = fh.read()
             if committed and committed != "committed":  # legacy empty/plain markers skip
                 prev = json.loads(committed)
-                if prev != fp:
+                # a marker written before the fingerprint covered iv/cipherText
+                # has no "v" field — compare it against the v1 form so a
+                # legitimate crash-replay across a code upgrade stays a no-op
+                # instead of a false checkpoint-collision alarm
+                want = fp if prev.get("v") == 2 else legacy_fp
+                if prev != want:
                     raise RuntimeError(
                         f"epoch {epoch_id} marker exists but its committed batch "
-                        f"fingerprint {prev} != this batch's {fp}: epoch ids have "
+                        f"fingerprint {prev} != this batch's {want}: epoch ids have "
                         "collided across checkpoint generations (fresh checkpoint "
                         "with retained status dir?). Refusing to silently skip "
                         "new arrivals — restore the matching checkpoint."

@@ -399,6 +399,8 @@ def test_soundex_oracle_state_machine_matches_spark_on_edges(spark):
         .select("s", F.soundex("s").alias("sx"))
         .collect()
     }
+    from snapshot_sender_spark.queries.scalar3_q import SOUNDEX_STATE_MACHINE_SQL
+
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE names AS SELECT * FROM (VALUES "
@@ -406,42 +408,12 @@ def test_soundex_oracle_state_machine_matches_spark_on_edges(spark):
         + ") t(rid, s)",
         edges,
     )
+    # the SAME SQL the string_soundex oracle ships — the test would go stale
+    # against a drifted copy otherwise
     got = dict(
         con.execute(
-            """
-    WITH chars AS (
-      SELECT rid, s, CAST(i AS INT) AS i, substring(upper(s), CAST(i AS INT), 1) AS ch
-      FROM names, UNNEST(range(1, length(s) + 1)) AS t(i)
-    ),
-    coded AS (
-      SELECT rid, s, i,
-        CASE WHEN regexp_matches(ch, '^[A-Z]$')
-             THEN translate(ch, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                                '01230127022455012623017202')
-             ELSE '0' END AS code
-      FROM chars
-    ),
-    st AS (
-      SELECT rid, i, code,
-        last_value(CASE WHEN code <> '7' THEN code END IGNORE NULLS)
-          OVER (PARTITION BY rid ORDER BY i
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-      FROM coded
-    ),
-    digits AS (
-      SELECT rid,
-        string_agg(code, '' ORDER BY i)
-          FILTER (WHERE i > 1 AND code BETWEEN '1' AND '6'
-                  AND (prev IS NULL OR code <> prev)) AS d
-      FROM st GROUP BY rid
-    )
-    SELECT n.s,
-      CASE WHEN NOT regexp_matches(substring(n.s, 1, 1), '^[A-Za-z]$') THEN n.s
-           ELSE substring(upper(n.s), 1, 1)
-                || rpad(coalesce(substring(d.d, 1, 3), ''), 3, '0')
-      END AS sx
-    FROM names n LEFT JOIN digits d USING (rid)
-    """
+            f"WITH {SOUNDEX_STATE_MACHINE_SQL} "
+            "SELECT n.s, x.sx FROM names n JOIN sxt x USING (rid)"
         ).fetchall()
     )
     assert got == want
@@ -1301,6 +1273,39 @@ def test_h264_sps_parse_exact_and_typed_errors():
     hp = b"\x00\x00\x00\x01" + bytes([0x67]) + wtr.rbsp()
     hi = multimodal.parse_h264_info(hp)
     assert (hi["width"], hi["height"], hi["profile_idc"]) == (1920, 1080, 100)
+
+    # crop units follow chroma_format_idc (review finding, round 5): 4:2:2
+    # crops vertically in LUMA rows (CropUnitY=1), monochrome in luma both
+    # ways — a 4:2:0-hardcoded parser reads 1072/120 here instead of 1080/124
+    def sps_with_chroma(chroma, crops, profile=122):
+        w2 = multimodal._ExpGolombWriter()
+        w2.bits(profile, 8)
+        w2.bits(0, 8)
+        w2.bits(41, 8)
+        w2.ue(0)          # sps id
+        w2.ue(chroma)     # chroma_format_idc
+        if chroma == 3:
+            w2.bit(0)     # separate_colour_plane_flag
+        w2.ue(0); w2.ue(0); w2.bit(0); w2.bit(0)  # depths, qpprime, no scaling
+        w2.ue(0)          # log2_max_frame_num_minus4
+        w2.ue(2)          # poc type 2
+        w2.ue(1)          # max refs
+        w2.bit(0)
+        w2.ue(120 - 1)    # 1920 wide
+        w2.ue(68 - 1)     # 1088 map units
+        w2.bit(1); w2.bit(1)  # frame_mbs_only, direct_8x8
+        w2.bit(1)         # cropping
+        for c in crops:
+            w2.ue(c)
+        w2.bit(0)         # no VUI
+        return b"\x00\x00\x00\x01" + bytes([0x67]) + w2.rbsp()
+
+    i422 = multimodal.parse_h264_info(sps_with_chroma(2, (0, 0, 0, 8)))
+    assert (i422["width"], i422["height"]) == (1920, 1080)  # 8 LUMA rows cropped
+    mono = multimodal.parse_h264_info(sps_with_chroma(0, (4, 0, 0, 0)))
+    assert (mono["width"], mono["height"]) == (1916, 1088)  # 4 luma cols cropped
+    i444 = multimodal.parse_h264_info(sps_with_chroma(3, (2, 2, 4, 4)))
+    assert (i444["width"], i444["height"]) == (1916, 1080)
     # typed failures: no start code, empty NAL, forbidden bit, no SPS
     with pytest.raises(ValueError, match="start code"):
         multimodal.parse_h264_info(b"\x01\x02\x03")
