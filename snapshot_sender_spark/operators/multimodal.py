@@ -5,7 +5,9 @@ signatures) is real and tested. Three decodes are REAL with nothing but the
 stdlib + numpy: PNG (zlib inflate + per-row unfilter), JPEG — baseline
 sequential AND progressive/SOF2 (full Huffman → dequant → IDCT pipeline,
 spectral-selection + successive-approximation scans — see the codec sections
-below) — and 16-bit PCM audio. For MP3 and H.264 the bitstream METADATA
+below), 16-bit PCM audio, and a FLAC subset (mono 16-bit, Rice-coded
+fixed-prediction subframes, CRC-8/16 + MD5 integrity — bit-exact lossless,
+see the FLAC section). For MP3 and H.264 the bitstream METADATA
 layer is also real (round 5): an MPEG-1 Layer III frame-header walk
 (frame count / sample rate / bitrate mode / exact sample total, ID3v2
 skip) and an Annex B NAL walk with Exp-Golomb SPS decode (exact coded
@@ -1913,3 +1915,439 @@ def h264_stream_info(
             )
 
     return df.mapInPandas(run, schema=H264_INFO_SCHEMA)
+
+
+# =============================================================================
+# FLAC (subset) — REAL lossless audio codec, stdlib-only: mono 16-bit,
+# CONSTANT / VERBATIM / FIXED-prediction subframes with Rice-coded residuals,
+# CRC-8 frame headers, CRC-16 frame footers, STREAMINFO MD5 of the raw PCM.
+# Losslessness makes it fully oracle-able: decode(encode(pcm)) == pcm
+# bit-for-bit, verified three ways (samples, CRCs, MD5). LPC subframes and
+# multi-channel decorrelation raise typed NotImplementedError.
+# =============================================================================
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_code(value: int) -> bytes:
+    """FLAC's UTF-8-style coding of frame numbers (any 36-bit value)."""
+    if value < 0x80:
+        return bytes([value])
+    for n_cont, lead, maxv in (
+        (1, 0xC0, 1 << 11), (2, 0xE0, 1 << 16), (3, 0xF0, 1 << 21),
+        (4, 0xF8, 1 << 26), (5, 0xFC, 1 << 31), (6, 0xFE, 1 << 36),
+    ):
+        if value < maxv:
+            out = [lead | (value >> (6 * n_cont))]
+            for i in range(n_cont - 1, -1, -1):
+                out.append(0x80 | ((value >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+_FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _fixed_residual(samples: list[int], order: int) -> list[int]:
+    co = _FIXED_COEFS[order]
+    return [
+        s - sum(c * samples[i - 1 - j] for j, c in enumerate(co))
+        for i, s in enumerate(samples)
+        if i >= order
+    ] if order else list(samples)
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer WITHOUT the JPEG 0xFF byte stuffing _BitWriter
+    applies — FLAC streams carry raw bytes."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def write_rice(self, v: int, k: int) -> None:
+        u = (v << 1) ^ (v >> 63) if v < 0 else v << 1  # zigzag fold
+        self.write_unary(u >> k)
+        if k:
+            self.write(u & ((1 << k) - 1), k)
+
+    def write_signed(self, v: int, bits: int) -> None:
+        self.write(v & ((1 << bits) - 1), bits)
+
+    def flush_zero(self) -> bytes:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)  # FLAC pads frames with zeros
+        return bytes(self.out)
+
+
+def encode_flac(samples, block_size: int = 256) -> bytes:
+    """Encode mono 16-bit PCM samples as a FLAC subset stream: per block the
+    cheapest of CONSTANT / FIXED order 0-2 (single Rice partition, parameter
+    from the mean folded residual) / VERBATIM fallback. Bit-exact lossless —
+    the STREAMINFO MD5 of the raw little-endian PCM lets any decoder verify."""
+    samples = [int(s) for s in samples]
+    if not all(-32768 <= s <= 32767 for s in samples):
+        raise ValueError("samples must be 16-bit")
+    total = len(samples)
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    md5 = hashlib.md5(pcm).digest()
+
+    si = _FlacBitWriter()
+    si.write(block_size, 16)  # min block size
+    si.write(block_size, 16)  # max block size
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(44100, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(total, 36)
+    streaminfo = si.flush_zero() + md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + streaminfo  # last-block flag + type 0
+
+    for frame_no, start in enumerate(range(0, total, block_size)):
+        blk = samples[start : start + block_size]
+        n = len(blk)
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(0b0111, 4)  # block size: 16-bit value at header end
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(0b0000, 4)  # channel assignment: mono
+        hdr.write(0b100, 3)  # sample size: 16 bits
+        hdr.write(0, 1)  # reserved
+        hdr_bytes = hdr.flush_zero() + _utf8_code(frame_no) + struct.pack(">H", n - 1)
+        hdr_bytes += bytes([_crc8(hdr_bytes)])
+
+        body = _FlacBitWriter()
+        if all(s == blk[0] for s in blk):
+            body.write(0, 1)
+            body.write(0b000000, 6)  # CONSTANT
+            body.write(0, 1)  # no wasted bits
+            body.write_signed(blk[0], 16)
+        else:
+            # pick the FIXED order (0-2) with the smallest folded-residual sum
+            best = None
+            for order in range(3):
+                if n <= order:
+                    continue
+                res = _fixed_residual(blk, order)
+                cost = sum((abs(r) << 1) for r in res)
+                if best is None or cost < best[2]:
+                    best = (order, res, cost)
+            order, res, cost = best
+            mean = (sum((abs(r) << 1) for r in res) // max(1, len(res))) or 1
+            k = min(14, max(0, mean.bit_length() - 1))
+            rice_bits = sum(((((abs(r) << 1) >> k) + 1) + k) for r in res)
+            if rice_bits + 16 * order > 16 * n:  # VERBATIM is cheaper
+                body.write(0, 1)
+                body.write(0b000001, 6)  # VERBATIM
+                body.write(0, 1)
+                for s in blk:
+                    body.write_signed(s, 16)
+            else:
+                body.write(0, 1)
+                body.write(0b001000 | order, 6)  # FIXED
+                body.write(0, 1)  # no wasted bits
+                for s in blk[:order]:
+                    body.write_signed(s, 16)  # warmup
+                body.write(0, 2)  # residual method: 4-bit Rice
+                body.write(0, 4)  # partition order 0 → one partition
+                body.write(k, 4)
+                for r in res:
+                    body.write_rice(r, k)
+        frame = hdr_bytes + body.flush_zero()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.bitpos = pos * 8
+
+    def bit(self) -> int:
+        byte, off = divmod(self.bitpos, 8)
+        if byte >= len(self.data):
+            raise ValueError("truncated FLAC stream")
+        self.bitpos += 1
+        return (self.data[byte] >> (7 - off)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bit() == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary code")
+        return q
+
+    def rice(self, k: int) -> int:
+        u = (self.unary() << k) | (self.bits(k) if k else 0)
+        return (u >> 1) ^ -(u & 1)  # unfold zigzag
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) // 8 * 8
+
+
+def decode_flac(data: bytes, verify_md5: bool = True):
+    """Decode a FLAC subset stream (mono, 16-bit, CONSTANT/VERBATIM/FIXED
+    subframes, 4- or 5-bit Rice partitions, wasted bits) to a list of int16
+    samples. Verifies the frame-header CRC-8, frame CRC-16, and (by default)
+    the STREAMINFO MD5 of the decoded PCM — three independent lossless
+    proofs. LPC subframes and multi-channel streams raise typed
+    NotImplementedError; corrupt streams raise ValueError."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated metadata block header")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("missing or malformed STREAMINFO")
+    r = _FlacBitReader(streaminfo)
+    r.bits(16)  # min block
+    r.bits(16)
+    r.bits(24)
+    r.bits(24)
+    samplerate = r.bits(20)
+    channels = r.bits(3) + 1
+    bps = r.bits(5) + 1
+    total = r.bits(36)
+    md5_expect = streaminfo[18:34]
+    if channels != 1:
+        raise NotImplementedError("only mono FLAC supported")
+    if bps != 16:
+        raise NotImplementedError("only 16-bit FLAC supported")
+    if samplerate == 0:
+        raise ValueError("invalid sample rate 0")
+
+    samples: list[int] = []
+    while len(samples) < total:
+        frame_start = pos
+        br = _FlacBitReader(data, pos)
+        if br.bits(14) != 0b11111111111110:
+            raise ValueError(f"lost FLAC frame sync at byte {pos}")
+        br.bit()  # reserved
+        br.bit()  # blocking strategy
+        bs_bits = br.bits(4)
+        sr_bits = br.bits(4)
+        chan = br.bits(4)
+        size_bits = br.bits(3)
+        br.bit()  # reserved
+        if chan != 0:
+            raise NotImplementedError("multi-channel FLAC frame")
+        if size_bits not in (0b100, 0b000):
+            raise NotImplementedError("non-16-bit frame sample size")
+        # UTF-8-coded frame number (byte-aligned here by construction)
+        br.align()
+        first = br.bits(8)
+        n_cont = 0
+        probe = first
+        while probe & 0x80:
+            if probe & 0x40 == 0:
+                break
+            n_cont += 1
+            probe <<= 1
+        for _ in range(n_cont):
+            cont = br.bits(8)
+            if cont & 0xC0 != 0x80:
+                raise ValueError("malformed UTF-8 frame number")
+        if bs_bits == 0b0110:
+            n = br.bits(8) + 1
+        elif bs_bits == 0b0111:
+            n = br.bits(16) + 1
+        elif bs_bits == 0:
+            raise ValueError("reserved block size code")
+        elif bs_bits == 1:
+            n = 192
+        elif 2 <= bs_bits <= 5:
+            n = 576 << (bs_bits - 2)
+        else:
+            n = 256 << (bs_bits - 8)
+        if sr_bits == 0b1100:
+            br.bits(8)
+        elif sr_bits in (0b1101, 0b1110):
+            br.bits(16)
+        elif sr_bits == 0b1111:
+            raise ValueError("invalid sample rate code")
+        hdr_len = br.bitpos // 8 - frame_start
+        crc8_got = br.bits(8)
+        if _crc8(data[frame_start : frame_start + hdr_len]) != crc8_got:
+            raise ValueError(f"FLAC header CRC-8 mismatch at byte {frame_start}")
+
+        # ---- one mono subframe
+        if br.bit():
+            raise ValueError("subframe padding bit set")
+        stype = br.bits(6)
+        wasted = 0
+        if br.bit():
+            wasted = 1
+            while br.bit() == 0:
+                wasted += 1
+        eff_bits = 16 - wasted
+        if stype == 0:
+            blk = [br.signed(eff_bits)] * n
+        elif stype == 1:
+            blk = [br.signed(eff_bits) for _ in range(n)]
+        elif 8 <= stype <= 12:
+            order = stype - 8
+            warm = [br.signed(eff_bits) for _ in range(order)]
+            method = br.bits(2)
+            if method > 1:
+                raise ValueError("reserved residual coding method")
+            plen = br.bits(4)
+            kbits = 4 + method
+            escape = (1 << kbits) - 1
+            res: list[int] = []
+            n_parts = 1 << plen
+            if n % n_parts:
+                raise ValueError("block size not divisible into partitions")
+            for p in range(n_parts):
+                cnt = n // n_parts - (order if p == 0 else 0)
+                if cnt < 0:
+                    raise ValueError("partition smaller than predictor order")
+                k = br.bits(kbits)
+                if k == escape:
+                    vbits = br.bits(5)
+                    res.extend(br.signed(vbits) if vbits else 0 for _ in range(cnt))
+                else:
+                    res.extend(br.rice(k) for _ in range(cnt))
+            blk = list(warm)
+            co = _FIXED_COEFS[order]
+            for rv in res:
+                blk.append(rv + sum(c * blk[-1 - j] for j, c in enumerate(co)))
+        elif stype >= 32:
+            raise NotImplementedError("LPC subframes not supported")
+        else:
+            raise ValueError(f"reserved subframe type {stype}")
+        if wasted:
+            blk = [s << wasted for s in blk]
+        br.align()
+        crc16_got = br.bits(16)
+        frame_len = br.bitpos // 8 - frame_start
+        if _crc16(data[frame_start : frame_start + frame_len - 2]) != crc16_got:
+            raise ValueError(f"FLAC frame CRC-16 mismatch at byte {frame_start}")
+        if not all(-32768 <= s <= 32767 for s in blk):
+            raise ValueError("decoded sample out of 16-bit range")
+        samples.extend(blk)
+        pos = frame_start + frame_len
+    samples = samples[:total]
+    if verify_md5 and md5_expect != b"\x00" * 16:
+        pcm = b"".join(struct.pack("<h", s) for s in samples)
+        if hashlib.md5(pcm).digest() != md5_expect:
+            raise ValueError("decoded PCM does not match STREAMINFO MD5")
+    return samples
+
+
+def flac_window_energy(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content", window: int = 8
+) -> DataFrame:
+    """Distributed FLAC decode → windowed integer energy (same reduction and
+    schema as pcm16_window_energy, so the two oracles are directly
+    comparable): each payload is a FLAC stream, decoded by the real subset
+    codec above, MD5-verified, then reduced to exact sum-of-squares."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            wins: list = []
+            ns: list = []
+            energies: list = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                samples = np.array(decode_flac(bytes(buf or b"")), dtype=np.int64)
+                for w in range(0, len(samples), window):
+                    chunk = samples[w : w + window]
+                    ids.append(mid)
+                    wins.append(w // window)
+                    ns.append(len(chunk))
+                    energies.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "window_no": wins, "n_samples": ns, "energy": energies}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(content_col).alias(content_col)
+    ).mapInPandas(gen, schema=AUDIO_ENERGY_SCHEMA)
+
+
+def encode_as_flac(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content",
+    block_size: int = 64,
+) -> DataFrame:
+    """Pack each payload's bytes as mono 16-bit PCM (little-endian pairs,
+    like pcm16_window_energy reads them) and encode as a FLAC subset stream —
+    the audio analog of encode_as_png/encode_as_jpeg_flatblocks fixture
+    synthesis: downstream decodes are then exactly derivable from the source
+    bytes because the codec is lossless."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content or b"")
+                b = b[: len(b) - (len(b) % 2)]
+                samples = np.frombuffer(b, dtype="<i2").tolist()
+                ids.append(mid)
+                outs.append(encode_flac(samples, block_size=block_size))
+            yield pd.DataFrame({"media_id": ids, "content": outs})
+
+    return df.mapInPandas(run, schema="media_id long, content binary")

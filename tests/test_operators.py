@@ -1383,3 +1383,85 @@ def test_mp3_h264_roundtrip_property():
 
     run_mp3()
     run_h264()
+
+
+def test_flac_lossless_roundtrip_and_integrity_checks():
+    """The FLAC subset codec: decode(encode(pcm)) == pcm exactly across
+    signal shapes (silence/constant/ramp/noise/sine pick different subframe
+    types); tampered streams trip the CRC-8 / CRC-16 / MD5 layers typed."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    shapes = {
+        "silence": [0] * 600,
+        "constant": [1234] * 300,
+        "ramp": list(range(-300, 300)),
+        "noise": [rng.randrange(-32768, 32768) for _ in range(800)],
+        "sine": [int(20000 * math.sin(i / 9)) for i in range(777)],
+        "extremes": [32767, -32768] * 64,
+        "empty": [],
+    }
+    for name, sig in shapes.items():
+        enc = multimodal.encode_flac(sig)
+        assert multimodal.decode_flac(enc) == sig, name
+    # compressible signals actually compress
+    assert len(multimodal.encode_flac(shapes["sine"])) < 2 * len(shapes["sine"])
+    # flip one payload byte in the sine stream → some integrity layer fires
+    enc = multimodal.encode_flac(shapes["sine"])
+    bad = bytearray(enc)
+    bad[len(bad) // 2] ^= 0x40
+    with pytest.raises((ValueError, NotImplementedError)):
+        multimodal.decode_flac(bytes(bad))
+    # not-flac and truncation sweeps fail typed
+    with pytest.raises(ValueError, match="fLaC"):
+        multimodal.decode_flac(b"RIFFxxxx")
+    for cut in range(0, len(enc), 7):
+        try:
+            out = multimodal.decode_flac(enc[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(f"cut={cut}: leaked {type(e).__name__}")
+        raise AssertionError(f"cut={cut}: truncated stream decoded {len(out)} samples")
+
+
+def test_flac_roundtrip_property():
+    """Hypothesis: arbitrary int16 sample vectors round-trip exactly at
+    several block sizes (blocks smaller than, equal to, and larger than the
+    signal exercise frame splitting and the final short frame)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), max_size=600),
+        st.sampled_from([16, 64, 256, 4096]),
+    )
+    def run(sig, bs):
+        assert multimodal.decode_flac(multimodal.encode_flac(sig, block_size=bs)) == sig
+
+    run()
+
+
+def test_flac_distributed_energy(spark):
+    """flac_window_energy over synthesized payloads equals pcm16_window_energy
+    over the SAME raw bytes — the codec inserted into the pipeline changes
+    nothing (losslessness proven at the operator level, not just per-sample)."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, bytes(rng.randrange(256) for _ in range(2 * rng.randrange(5, 40))))
+            for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id long, content binary"
+    )
+    direct = {
+        (r["media_id"], r["window_no"]): (r["n_samples"], r["energy"])
+        for r in multimodal.pcm16_window_energy(df).collect()
+    }
+    via_flac = {
+        (r["media_id"], r["window_no"]): (r["n_samples"], r["energy"])
+        for r in multimodal.flac_window_energy(multimodal.encode_as_flac(df)).collect()
+    }
+    assert via_flac == direct
