@@ -68,6 +68,40 @@ def graph_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_near_dup_components_star",
+    oracle=(
+        _EDGES_SQL
+        + """,
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    )
+    SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    """
+    ).replace("WITH words", "WITH RECURSIVE words", 1),
+    category="llm-dedup",
+)
+def graph_near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup clustering through the diameter-independent
+    alternating large-star/small-star algorithm (Kiveris et al. SoCC'14,
+    operators/graph.py::connected_components_star) — O(log n) rounds where
+    label propagation needs O(diameter); the scale path for chain-shaped
+    duplicate graphs. Identical fixpoint (component = min reachable id), so
+    it shares the recursive-CTE oracle with graph_near_dup_components."""
+    edges = dedup.ngram_jaccard_pairs_gemm(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2
+    ).select("id_a", "id_b")
+    return graph.connected_components_star(edges)
+
+
+@query(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id

@@ -93,6 +93,73 @@ def test_connected_components_chain_diameter(spark):
     )
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """Alternating large-star/small-star reaches the identical fixpoint as
+    min-label propagation on a mixed graph: cliques, chains, isolated
+    self-loops, reversed edge order, duplicate edges."""
+    import random
+
+    from snapshot_sender_spark.operators.graph import (
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    rnd = random.Random(41)
+    edge_list = (
+        [(rnd.randrange(150), rnd.randrange(150)) for _ in range(220)]  # random
+        + [(200 + i, 200 + i + 1) for i in range(25)]  # chain
+        + [(300 + i, 300 + j) for i in range(6) for j in range(i + 1, 6)]  # clique
+        + [(400, 400), (401, 402), (402, 401)]  # self-loop + dup reversed pair
+    )
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    want = {(r["node"], r["component"]) for r in connected_components(edges, max_iter=200).collect()}
+    got_star = {(r["node"], r["component"]) for r in connected_components_star(edges).collect()}
+    got_auto = {(r["node"], r["component"]) for r in connected_components_auto(edges).collect()}
+    assert got_star == want
+    assert got_auto == want
+
+
+def test_connected_components_star_diameter_independent(spark):
+    """The point of the star variant: a 400-hop chain converges within ~log n
+    alternations where label propagation would need 400 rounds. Pin the
+    round bound by capping max_iter at 12 — propagation under the same cap
+    is still far from the fixpoint."""
+    from snapshot_sender_spark.operators.graph import (
+        _propagate,
+        _symmetrize,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    )
+    out = connected_components_star(edges, max_iter=12)
+    assert out.select(F.countDistinct("component").alias("c")).first()["c"] == 1
+    assert out.filter(F.col("component") != 0).count() == 0
+    assert out.count() == 401
+    # propagation with the same round budget has NOT converged on this graph
+    _, converged = _propagate(_symmetrize(edges, "id_a", "id_b"), 12)
+    assert not converged
+
+
+def test_connected_components_auto_routes_deep_graph(spark):
+    """The router probes with a few propagation rounds and falls back to the
+    star variant when the fixpoint isn't reached — a chain longer than
+    probe_rounds must still come out fully merged (propagation alone at
+    probe depth could not have produced this labeling)."""
+    from snapshot_sender_spark.operators.graph import connected_components_auto
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    out = connected_components_auto(edges, probe_rounds=3)
+    assert out.select(F.countDistinct("component").alias("c")).first()["c"] == 1
+    assert out.count() == 121
+    # empty-graph degenerate case through both paths
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_auto(empty).count() == 0
+
+
 def test_full_job_with_pushgateway_lifecycle(spark, tmp_path):
     """run_delivery_job with a gateway wires the reference's metrics
     lifecycle: scheduled pushes while the job runs, a final push carrying the
