@@ -62,7 +62,7 @@ def run_delivery_job(
     ``files_exported`` is the upstream exporter's count (DynamoDB seed,
     environment.sh:84-101); defaults to the number of input files found.
 
-    ``gateway`` (optional — a ``metrics.PrometheusGateway`` or compatible
+    ``gateway`` (optional — a ``metrics.HttpPushGateway`` or compatible
     push/delete object) activates the reference's full pushgateway lifecycle
     around the job: scheduled pushes of the live counters while the job runs,
     a final push in afterJob, then delete of the per-(type, correlation_id,

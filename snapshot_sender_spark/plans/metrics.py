@@ -65,14 +65,89 @@ def observe_delivery(decrypted: DataFrame) -> tuple[DataFrame, Observation]:
     return instrumented, obs
 
 
+def pushgateway_group_path(job: str, grouping: dict[str, str]) -> str:
+    """URL path identifying a pushgateway metric GROUP — the public wire
+    protocol (prometheus/pushgateway README): ``/metrics/job/<job>`` followed
+    by one ``/<label>/<value>`` pair per grouping key. Values containing
+    ``/`` (which would split the path) use the ``<label>@base64/<value>``
+    escape with URL-safe base64; an EMPTY value encodes as a single ``=``
+    (base64 of "" is "", which the gateway rejects as a missing segment);
+    everything else is percent-encoded. Grouping keys are emitted in sorted
+    order so the path — and therefore the group identity — is deterministic.
+    Parity target: PushGatewayServiceImpl.kt:49-53 (job + grouping-key push)."""
+    import base64
+    import urllib.parse
+
+    def seg(label: str, value: str) -> str:
+        if value == "" or "/" in value:
+            b64 = base64.urlsafe_b64encode(value.encode("utf-8")).decode() or "="
+            return f"{label}@base64/{b64}"
+        return f"{label}/{urllib.parse.quote(value, safe='')}"
+
+    parts = [seg("job", job)] + [seg(k, grouping[k]) for k in sorted(grouping)]
+    return "/metrics/" + "/".join(parts)
+
+
+def exposition_format(counters: dict[str, float]) -> bytes:
+    """Prometheus text exposition format (version 0.0.4) for a gauge-snapshot
+    push: ``# TYPE`` line + ``name value`` per metric, trailing newline.
+    Metric names sanitize ``.`` → ``_`` (the one illegal character our
+    counter families could carry)."""
+    lines = []
+    for name, value in counters.items():
+        safe = name.replace(".", "_")
+        lines.append(f"# TYPE {safe} gauge")
+        lines.append(f"{safe} {float(value)!r}")
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+class HttpPushGateway:
+    """From-scratch pushgateway client over the public wire protocol — no
+    prometheus_client needed (the library is absent in this container, so the
+    dependency-free client is the production path). ``push`` PUTs the full
+    gauge snapshot (replaces the metric group — correct for scheduled
+    whole-snapshot pushes, equivalent to the reference's pushAdd because
+    every push carries the complete counter family), ``delete`` removes the
+    group (PushGatewayServiceImpl.kt:49-53 deleteMetrics parity). Raises
+    ``urllib.error.HTTPError``/``URLError`` on failure — the lifecycle's
+    scheduler tolerates and logs, push_final's caller wraps (plans/job.py)."""
+
+    CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
+
+    def __init__(self, gateway: str = "localhost:9091", timeout: float = 10.0):
+        self.base = gateway if "://" in gateway else f"http://{gateway}"
+        self.timeout = timeout
+
+    def _request(self, method: str, path: str, body: bytes | None = None) -> None:
+        import urllib.request
+
+        headers = {"Content-Type": self.CONTENT_TYPE} if body is not None else {}
+        req = urllib.request.Request(
+            self.base + path, data=body, method=method, headers=headers
+        )
+        # raises HTTPError on 4xx/5xx — callers decide retry/log semantics
+        with urllib.request.urlopen(req, timeout=self.timeout):
+            pass
+
+    def push(self, job: str, grouping: dict[str, str], counters: dict[str, float]) -> None:
+        self._request(
+            "PUT", pushgateway_group_path(job, grouping), exposition_format(counters)
+        )
+
+    def delete(self, job: str, grouping: dict[str, str]) -> None:
+        self._request("DELETE", pushgateway_group_path(job, grouping))
+
+
 def push_to_gateway(
     counters: dict[str, float],
     job: str,
     grouping: dict[str, str],
     gateway: str = "localhost:9091",
 ) -> bool:
-    """One-shot pushgateway emission (PushGatewayServiceImpl.kt:25-28), gated
-    on prometheus_client availability; returns False when the lib is absent."""
+    """One-shot pushgateway emission (PushGatewayServiceImpl.kt:25-28) through
+    prometheus_client when importable; returns False when the lib is absent.
+    Kept as the optional library path — ``HttpPushGateway`` above is the
+    dependency-free production client speaking the same wire protocol."""
     try:
         from prometheus_client import CollectorRegistry, Gauge
         from prometheus_client import push_to_gateway as _push
@@ -86,22 +161,9 @@ def push_to_gateway(
     return True
 
 
-class PrometheusGateway:
-    """Thin push/delete adapter over prometheus_client's PushGateway HTTP API,
-    created lazily so the class imports (and the lifecycle below runs with a
-    stub gateway) in environments without the library."""
-
-    def __init__(self, gateway: str = "localhost:9091"):
-        self.gateway = gateway
-
-    def push(self, job: str, grouping: dict[str, str], counters: dict[str, float]) -> None:
-        if not push_to_gateway(counters, job, grouping, self.gateway):
-            raise ImportError("prometheus_client not available")
-
-    def delete(self, job: str, grouping: dict[str, str]) -> None:
-        from prometheus_client import delete_from_gateway
-
-        delete_from_gateway(self.gateway, job=job, grouping_key=grouping)
+# Back-compat name: earlier rounds' adapter required prometheus_client; the
+# raw wire client supersedes it with identical push/delete signatures.
+PrometheusGateway = HttpPushGateway
 
 
 class PushGatewayLifecycle:

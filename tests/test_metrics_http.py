@@ -304,6 +304,112 @@ def test_pushgateway_lifecycle_scheduled_then_final_then_delete():
     assert len(gw.events) == n
 
 
+class _GatewayStub(http.server.BaseHTTPRequestHandler):
+    """Records requests the way a real pushgateway would see them: method,
+    full path, content-type, raw body."""
+
+    requests: list = []
+
+    def _handle(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        type(self).requests.append(
+            {
+                "method": self.command,
+                "path": self.path,
+                "content_type": self.headers.get("Content-Type"),
+                "body": self.rfile.read(n) if n else b"",
+            }
+        )
+        self.send_response(200)
+        self.end_headers()
+
+    do_PUT = do_POST = do_DELETE = _handle
+
+    def log_message(self, *a):
+        pass
+
+
+def test_pushgateway_wire_protocol():
+    """HTTP-level parity (verdict #8): the dependency-free HttpPushGateway
+    speaks the public pushgateway wire protocol — PUT/DELETE against
+    /metrics/job/<job>/<label>/<value> with sorted grouping keys, base64url
+    escape for values containing '/', a bare '=' for empty values,
+    percent-encoding otherwise, and a version-0.0.4 text-exposition body.
+    PushGatewayServiceImpl.kt:49-53 parity at the wire, not via a stub class."""
+    from snapshot_sender_spark.plans.metrics import HttpPushGateway
+
+    _GatewayStub.requests = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _GatewayStub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        gw = HttpPushGateway(f"127.0.0.1:{srv.server_address[1]}")
+        grouping = {
+            "topic_name": "db/core/addressDeclaration",  # '/' → base64 escape
+            "correlation_id": "run 7",  # space → percent-encoding
+            "export_date": "",  # empty → '='
+        }
+        gw.push(
+            "snapshot_sender",
+            grouping,
+            {"snapshot_sender_files_sent_success": 7, "snapshot_sender_bytes_sent": 1024.5},
+        )
+        gw.delete("snapshot_sender", grouping)
+        assert [r["method"] for r in _GatewayStub.requests] == ["PUT", "DELETE"]
+        put, dele = _GatewayStub.requests
+        import base64
+
+        b64_topic = base64.urlsafe_b64encode(b"db/core/addressDeclaration").decode()
+        want_path = (
+            "/metrics/job/snapshot_sender"
+            "/correlation_id/run%207"
+            "/export_date@base64/="
+            f"/topic_name@base64/{b64_topic}"
+        )
+        assert put["path"] == want_path and dele["path"] == want_path
+        assert put["content_type"] == "text/plain; version=0.0.4; charset=utf-8"
+        assert put["body"] == (
+            b"# TYPE snapshot_sender_files_sent_success gauge\n"
+            b"snapshot_sender_files_sent_success 7.0\n"
+            b"# TYPE snapshot_sender_bytes_sent gauge\n"
+            b"snapshot_sender_bytes_sent 1024.5\n"
+        )
+        assert dele["body"] == b""
+    finally:
+        srv.shutdown()
+
+
+def test_pushgateway_lifecycle_over_http():
+    """The full lifecycle (scheduled pushes → final push → delete-after-scrape)
+    driven end-to-end over real HTTP against the stub gateway — the wire-level
+    variant of the _StubGateway sequence test above."""
+    from snapshot_sender_spark.plans.metrics import HttpPushGateway, PushGatewayLifecycle
+
+    _GatewayStub.requests = []
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _GatewayStub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        counts = {"snapshot_sender_files_sent_success": 0}
+        lc = PushGatewayLifecycle(
+            HttpPushGateway(f"127.0.0.1:{srv.server_address[1]}"),
+            lambda: counts,
+            grouping={"correlation_id": "c1"},
+            push_rate=0.05,
+            initial_delay=0.02,
+            scrape_interval=0.05,
+        ).start()
+        deadline = time.time() + 5
+        while len(_GatewayStub.requests) < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        counts["snapshot_sender_files_sent_success"] = 9
+        lc.push_final()
+        methods = [r["method"] for r in _GatewayStub.requests]
+        assert methods[-1] == "DELETE" and all(m == "PUT" for m in methods[:-1])
+        assert len(methods) >= 4  # ≥2 scheduled + 1 final + delete
+        assert b"snapshot_sender_files_sent_success 9.0\n" in _GatewayStub.requests[-2]["body"]
+    finally:
+        srv.shutdown()
+
+
 def test_pushgateway_lifecycle_delete_disabled():
     """delete.metrics=false parity: the final push happens, the series stays."""
     from snapshot_sender_spark.plans.metrics import PushGatewayLifecycle
