@@ -285,10 +285,21 @@ def lsh_ann_topk(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     seed: int = 42,
+    num_candidates: int | None = None,
 ) -> DataFrame:
     """Approximate NN via random-projection LSH; exact cosine re-rank on the
     candidate set. Returns (id, cosine) — approximate recall, deterministic
-    given the seed."""
+    given the seed.
+
+    ``num_candidates`` (default max(20k, 200)) is the over-retrieve budget —
+    the recall dial, NOT bucket geometry: ``approxNearestNeighbors`` cuts the
+    bucket-collision set to this many by Euclidean distance with an
+    ARBITRARY order inside distance ties, and a near-dup corpus has tie
+    classes (clusters of near-identical vectors) wider than the old k×4
+    budget — measured recall@10 collapsed to 0.475 at 200k vectors and
+    recovered to 1.000 at budget 200 (SCALE.md, round 5). The exact re-rank
+    then breaks ties deterministically by (cosine DESC, id ASC), so once the
+    tie class fits the budget the result is stable."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import Vectors
@@ -305,7 +316,8 @@ def lsh_ann_topk(
     )
     model = lsh.fit(feats)
     qv = Vectors.dense([float(x) for x in query])
-    candidates = model.approxNearestNeighbors(feats, qv, max(k * 4, 40))
+    budget = num_candidates if num_candidates is not None else max(k * 20, 200)
+    candidates = model.approxNearestNeighbors(feats, qv, budget)
     rescored = cosine_scores(candidates.select("id", F.col("arr")), "arr", query)
     return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 
@@ -632,7 +644,7 @@ def semantic_dedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from .graph import connected_components
+    from .graph import connected_components_auto
 
     feats = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
@@ -682,7 +694,9 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    comps = connected_components(pairs)
+    # auto-routed: propagation for cliquey dup graphs (the common case),
+    # diameter-independent star fallback if the probe doesn't converge
+    comps = connected_components_auto(pairs)
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comps.withColumnRenamed("node", "id"), "id", "left")
