@@ -291,15 +291,23 @@ def lsh_ann_topk(
     candidate set. Returns (id, cosine) — approximate recall, deterministic
     given the seed.
 
-    ``num_candidates`` (default max(20k, 200)) is the over-retrieve budget —
-    the recall dial, NOT bucket geometry: ``approxNearestNeighbors`` cuts the
-    bucket-collision set to this many by Euclidean distance with an
-    ARBITRARY order inside distance ties, and a near-dup corpus has tie
-    classes (clusters of near-identical vectors) wider than the old k×4
-    budget — measured recall@10 collapsed to 0.475 at 200k vectors and
-    recovered to 1.000 at budget 200 (SCALE.md, round 5). The exact re-rank
-    then breaks ties deterministically by (cosine DESC, id ASC), so once the
-    tie class fits the budget the result is stable."""
+    ``num_candidates`` is the over-retrieve budget — the recall dial, NOT
+    bucket geometry: ``approxNearestNeighbors`` cuts the bucket-collision set
+    to this many by Euclidean distance with an ARBITRARY order inside
+    distance ties, and a near-dup corpus has tie classes (clusters of
+    near-identical vectors) wider than the round-4 k×4 budget — measured
+    recall@10 collapsed to 0.475 at 200k vectors and recovered to 1.000 at
+    budget 200 (re-measured round 6: recall stays 1.000 at 200k for every
+    bucket_length in [0.5, 2.0], so the geometry dial was a red herring —
+    SCALE.md). The exact re-rank then breaks ties deterministically by
+    (cosine DESC, id ASC), so once the tie class fits the budget the result
+    is stable.
+
+    Default budget AUTO-SCALES with the corpus: max(k·20, 200, n/1000) from
+    one cheap count — tie-class width grows with corpus density, so a fixed
+    budget that is right at 200k vectors would silently under-retrieve at
+    20M. The count job is O(metadata) on columnar sources; pass an explicit
+    ``num_candidates`` to skip it when the corpus size is already known."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import Vectors
@@ -316,7 +324,10 @@ def lsh_ann_topk(
     )
     model = lsh.fit(feats)
     qv = Vectors.dense([float(x) for x in query])
-    budget = num_candidates if num_candidates is not None else max(k * 20, 200)
+    if num_candidates is not None:
+        budget = num_candidates
+    else:
+        budget = max(k * 20, 200, df.count() // 1000)
     candidates = model.approxNearestNeighbors(feats, qv, budget)
     rescored = cosine_scores(candidates.select("id", F.col("arr")), "arr", query)
     return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)

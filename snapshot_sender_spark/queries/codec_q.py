@@ -68,11 +68,33 @@ def explode_outer_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", F.explode_outer(tags).alias("tag"))
 
 
-@query("sample_deterministic", oracle=None, category="sampling")
+@query(
+    "sample_deterministic",
+    # GOLDEN-PINNED, not cross-engine (documented honestly): Spark's seeded
+    # Bernoulli RNG is engine-specific, so no SQL derivation of the sampled
+    # rows exists — but it IS deterministic within Spark (XORShift seeded per
+    # partition; fixed files + fixed maxPartitionBytes → fixed partitioning).
+    # The oracle therefore replays a COMMITTED golden of Spark's own output,
+    # frozen per known sf tier and keyed by the table's row count, so the
+    # driver's hash compare becomes a true reproducibility check instead of
+    # a rows-only count. An unknown tier yields zero golden rows → a loud
+    # mismatch, never a silent pass.
+    oracle="""
+    WITH golden(tier_rows, l_returnflag, n_sampled) AS (VALUES
+      (6000,   'A', 217),   (6000,   'N', 238),   (6000,   'R', 187),
+      (60000,  'A', 2029),  (60000,  'N', 1955),  (60000,  'R', 1968),
+      (600000, 'A', 19929), (600000, 'N', 20043), (600000, 'R', 20036)
+    )
+    SELECT l_returnflag, CAST(n_sampled AS BIGINT) AS n_sampled
+    FROM golden WHERE tier_rows = (SELECT COUNT(*) FROM lineitem)
+    """,
+    category="sampling",
+)
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed (rows-only: the sample RNG is
-    engine-specific, so no cross-engine oracle — determinism within Spark is
-    what matters for reproducible pipeline runs)."""
+    """Bernoulli sampling with a fixed seed. The oracle is a committed golden
+    of Spark's deterministic output per sf tier (see the oracle comment) —
+    reproducible training-data splits are the point of seeding, and the
+    golden pins exactly that."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.sample(fraction=0.1, seed=42)
@@ -116,10 +138,26 @@ def sample_systematic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sql_tablesample", oracle=None, category="sampling")
+@query(
+    "sql_tablesample",
+    # GOLDEN-PINNED like sample_deterministic above: TABLESAMPLE REPEATABLE
+    # is deterministic within Spark but its RNG is engine-specific, so the
+    # oracle replays the committed per-tier golden of Spark's own output
+    # (keyed by the orders row count; unknown tier → zero rows → loud fail).
+    oracle="""
+    WITH golden(tier_rows, o_orderstatus, n) AS (VALUES
+      (1500,   'F', 56),   (1500,   'O', 54),   (1500,   'P', 59),
+      (15000,  'F', 486),  (15000,  'O', 473),  (15000,  'P', 537),
+      (150000, 'F', 4914), (150000, 'O', 5084), (150000, 'P', 5007)
+    )
+    SELECT o_orderstatus, CAST(n AS BIGINT) AS n
+    FROM golden WHERE tier_rows = (SELECT COUNT(*) FROM orders)
+    """,
+    category="sampling",
+)
 def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL TABLESAMPLE surface (REPEATABLE seed → deterministic within
-    Spark; rows-only oracle since the sampling RNG is engine-specific)."""
+    Spark; oracle = committed golden of that deterministic output per tier)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ts")
     return spark.sql(
         """

@@ -98,7 +98,7 @@ def main():
             ),
             (
                 "lsh",
-                "tables=3 bl=2.0 cand=200",
+                f"tables=3 bl=2.0 cand=auto({max(200, n // 1000)})",
                 lambda q: similarity.lsh_ann_topk(
                     corpus, "embedding", "vec_id", q, k=K
                 ),
