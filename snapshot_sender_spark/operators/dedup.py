@@ -98,12 +98,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingles: array<long>) — each doc's DISTINCT word-bigram shingles
+    hashed to int64 by JVM-side xxhash64. The shared first stage of every
+    Jaccard strategy; callers that run several dedup stages over one batch
+    (the streaming ingestion service) compute this ONCE, localCheckpoint it,
+    and pass it (or its exploded posting form) into each stage instead of
+    re-shingling the text per stage."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(word_bigrams(F.col(text_col))), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    )
+
+
 def ngram_jaccard_pairs_shuffle(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-scale posting-list Jaccard: every join is a bucketed SHUFFLE
     join keyed on the shingle hash (or doc id) — no broadcast of any
@@ -122,14 +138,15 @@ def ngram_jaccard_pairs_shuffle(
     Residual hot-key skew after the cut is AQE's skew-join territory
     (sort-merge joins split oversized partitions at runtime). With
     ``max_shingle_df=None`` the result is identical to
-    ``ngram_jaccard_pairs`` (same integer counts, same float64 division)."""
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
-    )
-    posting = shingled.select("id", F.explode("shingles").alias("shingle")).select(
-        "id", F.xxhash64("shingle").alias("h")
-    )
+    ``ngram_jaccard_pairs`` (same integer counts, same float64 division).
+
+    ``posting``: optional precomputed (id, h) posting list — the exploded
+    form of ``hashed_shingle_sets`` — so a multi-stage caller shingles the
+    text once. When given, ``df``/``text_col``/``id_col`` are ignored."""
+    if posting is None:
+        posting = hashed_shingle_sets(df, text_col, id_col).select(
+            "id", F.explode("shingles").alias("h")
+        )
     if max_shingle_df is not None:
         keep = (
             posting.groupBy("h")
@@ -173,6 +190,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-bigram Jaccard pairs via the prefix filter (All-Pairs /
     PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08 — public
@@ -195,18 +213,18 @@ def ngram_jaccard_pairs_prefix(
     broadcast of any corpus-sized side; per-candidate verify cost is
     O(|a| + |b|); doc arrays ship only to their own candidates. Same int64
     xxhash64 shingle representation (and the same negligible-collision
-    caveat) as the GEMM kernels."""
+    caveat) as the GEMM kernels.
+
+    ``posting``: optional precomputed (id, h) posting list (the exploded
+    ``hashed_shingle_sets`` form); when given, text is never re-shingled and
+    ``df``/``text_col``/``id_col`` are ignored."""
     from pyspark.sql import Window
 
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_bigrams(F.col(text_col))).alias("shingles"),
-    )
-    posting = (
-        shingled.select("id", F.explode("shingles").alias("shingle"))
-        .select("id", F.xxhash64("shingle").alias("h"))
-        .localCheckpoint(eager=False)  # computed once, used by prefix + verify
-    )
+    if posting is None:
+        posting = hashed_shingle_sets(df, text_col, id_col).select(
+            "id", F.explode("shingles").alias("h")
+        )
+    posting = posting.localCheckpoint(eager=False)  # computed once: prefix + verify
     doc_freq = posting.groupBy("h").agg(F.count("*").alias("df"))
     ranked = posting.hint("merge").join(doc_freq.hint("merge"), "h")
     by_rarity = Window.partitionBy("id").orderBy("df", "h")
@@ -577,6 +595,7 @@ def append_dedup_index_epoch(
     id_col: str,
     epoch: int,
     n_buckets: int = 8,
+    posting: DataFrame | None = None,
 ) -> None:
     """REPLAY-IDEMPOTENT per-epoch index append for the streaming ingestion
     service: postings and sizes are bucketed on their join keys AND
@@ -586,14 +605,19 @@ def append_dedup_index_epoch(
     ``mode("append")`` would). Bucketed scans survive the partitioning —
     batch joins still read corpus buckets with no Exchange (probed and
     pinned in tests). ``insertInto`` resolves columns BY POSITION, hence the
-    fixed column order here."""
-    posting = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("s"),
+    fixed column order here. ``posting``: optional precomputed (id, h) batch
+    posting list (exploded ``hashed_shingle_sets``); when given,
+    ``df``/``text_col``/``id_col`` are ignored and text is not re-shingled."""
+    if posting is not None:
+        posting = posting.select("id", "h", F.lit(int(epoch)).alias("epoch"))
+    else:
+        posting = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("s"),
+            )
+            .select("id", F.xxhash64("s").alias("h"), F.lit(int(epoch)).alias("epoch"))
         )
-        .select("id", F.xxhash64("s").alias("h"), F.lit(int(epoch)).alias("epoch"))
-    )
     sizes = (
         posting.groupBy("id")
         .agg(F.count("*").alias("set_size"))
@@ -628,6 +652,7 @@ def incremental_jaccard_against_index(
     id_col: str,
     threshold: float = 0.5,
     exclude_epoch: int | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cross-set Jaccard of an incoming batch against a persisted
     dedup index (see ``build_dedup_index``). Result-identical to
@@ -659,10 +684,16 @@ def incremental_jaccard_against_index(
     se = se.select(
         F.col("id").alias("id_existing"), F.col("set_size").alias("size_existing")
     )
-    pn = new.select(
-        F.col(id_col).alias("id_new"),
-        F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("shingle"),
-    ).select("id_new", F.xxhash64("shingle").alias("h"))
+    # ``posting``: optional precomputed (id, h) batch posting list (exploded
+    # ``hashed_shingle_sets``) so a multi-stage caller shingles once; when
+    # given, ``new``/``text_col``/``id_col`` are ignored.
+    if posting is not None:
+        pn = posting.select(F.col("id").alias("id_new"), "h")
+    else:
+        pn = new.select(
+            F.col(id_col).alias("id_new"),
+            F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("shingle"),
+        ).select("id_new", F.xxhash64("shingle").alias("h"))
     sn = pn.groupBy("id_new").agg(F.count("*").alias("size_new"))
     pair_counts = (
         pn.hint("merge")
@@ -702,6 +733,7 @@ def ngram_jaccard_pairs_gemm(
     max_vocab: int = 65536,
     broadcast_max_elems: int = 16_000_000,
     max_dense_flops: float = 5e10,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-bigram Jaccard pairs via blocked matrix multiply.
 
@@ -741,13 +773,12 @@ def ngram_jaccard_pairs_gemm(
     # No global shingle vocabulary: shingles hash to int64 in the JVM and each
     # block-pair task factorizes the hashes it actually sees (local index
     # width ≤ union of two blocks' vocabularies). Avoids the global-distinct +
-    # window + back-join prep pass.
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(word_bigrams(F.col(text_col))), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
-    )
+    # window + back-join prep pass. ``shingled``: optional precomputed
+    # ``hashed_shingle_sets`` output (multi-stage callers shingle once); the
+    # posting-branch strategies below then consume its exploded form instead
+    # of re-shingling the text.
+    if shingled is None:
+        shingled = hashed_shingle_sets(df, text_col, id_col)
     # Two count-only stats passes decide the physical strategy — the same
     # role table statistics play in a cost-based optimizer's join selection.
     # Cheap at any corpus size (aggregates over the shingle column only), and
@@ -804,9 +835,14 @@ def ngram_jaccard_pairs_gemm(
         # verify join for no candidate reduction. Skew statistic: Σ df²
         # relative to the uniform-df corpus with the same elems/vocab.
         uniform_df2 = (total_elems * total_elems) / max(vocab, 1)
+        posting = shingled.select("id", F.explode("shingles").alias("h"))
         if sum_df2 > 2.0 * uniform_df2:
-            return ngram_jaccard_pairs_prefix(df, text_col, id_col, threshold)
-        return ngram_jaccard_pairs_shuffle(df, text_col, id_col, threshold)
+            return ngram_jaccard_pairs_prefix(
+                df, text_col, id_col, threshold, posting=posting
+            )
+        return ngram_jaccard_pairs_shuffle(
+            df, text_col, id_col, threshold, posting=posting
+        )
     if total_elems <= broadcast_max_elems and cost_gemm <= max_dense_flops:
         # driver-collect + rebroadcast is bounded by BOTH size and flops
         return _jaccard_gemm_broadcast(shingled, threshold, n_blocks)

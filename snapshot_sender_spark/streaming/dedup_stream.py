@@ -99,42 +99,61 @@ def run_streaming_ingestion_dedup(
         # work through the batch's session and refresh before reading so an
         # earlier epoch's index append is visible to this one.
         sess = batch.sparkSession
-        # (1) within-batch exact: keep the min doc_id per content hash
+        # (1) within-batch exact: keep the min doc_id per content hash.
+        # Checkpointed — every later stage re-reads these survivors, and
+        # without the checkpoint the scan + exact-dedup join would replay
+        # inside each stage's lineage.
         keepers = dedup.exact_dedup(batch, "text", "doc_id").select(
             F.col("keeper_id").alias("doc_id")
         )
-        batch = batch.join(keepers, "doc_id")
+        batch = batch.join(keepers, "doc_id").localCheckpoint()
+        # ONE shingle pass for the whole epoch (round-6 profiling: the text →
+        # bigram → xxhash64 fan-out used to run independently inside stages
+        # 2, 3 AND the index append): hash-shingle the survivors once, lazily
+        # checkpoint, and feed the array form to the near-dup selector and
+        # the exploded posting form to the index probe + append.
+        shingled = dedup.hashed_shingle_sets(batch, "text", "doc_id").localCheckpoint(
+            eager=False
+        )
+        posting = shingled.select("id", F.explode("shingles").alias("h"))
         # (2) within-batch near-dup: drop the higher id of every pair. The
         # cost-based selector picks the physical plan per batch (GEMM for
         # small/dense batches, posting joins past the flops budget), so the
         # service stays scale-correct when a single micro-batch is a whole
         # day's crawl.
         near = (
-            dedup.ngram_jaccard_pairs_gemm(batch, "text", "doc_id", threshold)
+            dedup.ngram_jaccard_pairs_gemm(
+                batch, "text", "doc_id", threshold, shingled=shingled
+            )
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        batch = batch.join(near, "doc_id", "left_anti")
+        survivors = batch.join(near, "doc_id", "left_anti")
         # (3) cross-set vs the standing index (absent on the first epoch).
         # The CURRENT epoch's partition is excluded from the corpus side: a
         # crash between the index append (below) and the marker leaves this
         # epoch's own postings in the index, and replay would otherwise
         # self-match every accepted doc at Jaccard 1.0 — dropping them all
         # and stranding the stale partition (phantom postings).
+        # The probe uses the FULL batch posting list (not just step-2
+        # survivors): a doc already dropped within-batch that also matches
+        # the corpus adds a drop-row for an id the anti-join below no longer
+        # carries — the accepted set is identical, and the full list is the
+        # already-checkpointed one.
         if sess.catalog.tableExists(index_table):
             sess.catalog.refreshTable(index_table)
             sess.catalog.refreshTable(index_table + "_sizes")
             dups = (
                 dedup.incremental_jaccard_against_index(
-                    sess, index_table, batch, "text", "doc_id", threshold,
-                    exclude_epoch=epoch_id,
+                    sess, index_table, None, "text", "doc_id", threshold,
+                    exclude_epoch=epoch_id, posting=posting,
                 )
                 .select(F.col("id_new").alias("doc_id"))
                 .distinct()
             )
-            accepted = batch.join(dups, "doc_id", "left_anti")
+            accepted = survivors.join(dups, "doc_id", "left_anti")
         else:
-            accepted = batch
+            accepted = survivors
         # (4) publish, replay-idempotently: the corpus epoch directory is
         # OVERWRITTEN (a re-run of this epoch replaces, never duplicates) and
         # the index append is per-epoch dynamic partition overwrite; with the
@@ -146,9 +165,14 @@ def run_streaming_ingestion_dedup(
         accepted.write.mode("overwrite").parquet(
             os.path.join(data_dir, f"epoch={epoch_id}")
         )
+        # index postings for the accepted docs: reuse the epoch's posting
+        # list instead of re-shingling the accepted text
+        accepted_posting = posting.join(
+            accepted.select(F.col("doc_id").alias("id")), "id", "semi"
+        )
         dedup.append_dedup_index_epoch(
             sess, index_table, accepted, "text", "doc_id", epoch_id,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, posting=accepted_posting,
         )
         with open(marker, "w") as f:
             f.write(json.dumps(fp))
