@@ -1659,6 +1659,338 @@ def mp3_stream_info(
 
 
 # =============================================================================
+# MPEG-1 Layer III SPECTRAL decode — REAL bit-level parse of a documented
+# SUBSET, from the public ISO/IEC 11172-3 structure (2.4.1.7 side info,
+# 2.4.2.7 main data, Table B.6 scalefac_compress, Table B.7 code table 1,
+# Table B.8 scalefactor bands): mono long-block streams with
+# main_data_begin=0 (no bit reservoir), 44.1 kHz band table, Huffman code
+# tables 0 and 1, empty count1 region. The side-info walk, scalefactor
+# read, per-REGION Huffman decode with sign bits, and the power-law
+# requantization xr = ±|v|^(4/3)·2^((gain−210)/4 − mult·(sf+pre)) are all
+# real; what stays typed NotImplementedError — with the reason in the
+# message — is exactly the part that needs the spec's large constant
+# tables or a codec library: Huffman tables 2–31 (linbits), the count1
+# quadruple tables, the bit reservoir, short/mixed blocks, other band
+# tables, and the polyphase synthesis filterbank (512 tabulated window
+# coefficients). The container ships no MP3 codec to source or cross-check
+# those against; the subset here is round-trip verified by this repo's own
+# encoder + the oracle's independent integer recomputation.
+# =============================================================================
+
+# Table B.6: scalefac_compress → (slen1 over sfb 0-10, slen2 over sfb 11-20)
+MP3_SLEN = [
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+]
+# Table B.8, long blocks, 44.1 kHz: start line of each of the 21 scalefactor
+# bands plus the 576 terminator (band widths 4,4,4,4,4,4,6,6,8,8,10,12,16,
+# 20,24,28,34,42,50,54,76 and the 158-line residue above band 20)
+MP3_SFB_LONG_44100 = [
+    0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134, 162,
+    196, 238, 288, 342, 418, 576,
+]
+# Table B.7 code table 1 (the only table whose codes fit in one line):
+# (|x|,|y|) → (code, bits); prefix-free {1, 01, 001, 000}
+MP3_HUFF_T1 = {(0, 0): (0b1, 1), (1, 0): (0b01, 2), (0, 1): (0b001, 3), (1, 1): (0b000, 3)}
+_MP3_HUFF_T1_DEC = {v: k for k, v in MP3_HUFF_T1.items()}
+# preflag pretab (2.4.3.4.array), bands 0..20
+MP3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2]
+
+
+def encode_mp3_spectral(
+    granule_specs: list[tuple[int, int]],
+    bitrate_kbps: int = 128,
+    scalefac_compress: int = 1,
+    id3_tag: bytes | None = None,
+) -> bytes:
+    """Fixture writer for the spectral subset: a CBR 44.1 kHz mono MPEG-1
+    Layer III stream whose frames carry REAL side info, scalefactors and
+    Huffman-coded spectra. ``granule_specs`` is a flat list of (nnz, m) —
+    two entries per frame — where granule g gets its first ``nnz`` spectral
+    lines set to ±1 (signs alternating +,−,…) coded with table 1, and
+    global_gain = 210 + 4·m so requantized lines are exactly ±2^m.
+
+    Layout per granule: big_values = ⌈nnz/2⌉ pairs, all inside region0
+    (region0_count=15 spans lines 0..161 at 44.1 kHz — nnz is capped at 160
+    by validation), table_select = (1, 0, 0), count1 region empty
+    (part2_3_length ends exactly after the last sign bit), scalefactor
+    values all zero but with ``scalefac_compress``-many REAL bits on the
+    wire so the decoder's part2 walk is exercised."""
+    assert len(granule_specs) % 2 == 0, "two granules per frame"
+    slen1, slen2 = MP3_SLEN[scalefac_compress]
+    part2 = 11 * slen1 + 10 * slen2
+    bi = MP3_BITRATES.index(bitrate_kbps)
+    hdr = bytes([0xFF, 0xFB, (bi << 4) | (0 << 2), 0b11000100])
+    size = mp3_frame_size(bitrate_kbps, 44100)
+    out = bytearray()
+    if id3_tag is not None:
+        sz = len(id3_tag)
+        out += b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + id3_tag
+    for f in range(0, len(granule_specs), 2):
+        side = _FlacBitWriter()  # generic MSB-first writer
+        main = _FlacBitWriter()
+        side.write(0, 9)   # main_data_begin = 0 (no reservoir)
+        side.write(0, 5)   # private_bits
+        side.write(0, 4)   # scfsi: scalefactors sent for every group
+        for nnz, m in granule_specs[f : f + 2]:
+            if not 0 <= nnz <= 160:
+                raise ValueError("nnz must fit region0 (lines 0..161)")
+            if not 0 <= m <= 11:
+                raise ValueError("m out of the exact-dyadic gain range")
+            big_values = (nnz + 1) // 2
+            part3 = 0
+            for p in range(big_values):
+                x = 1 if 2 * p < nnz else 0
+                y = 1 if 2 * p + 1 < nnz else 0
+                part3 += MP3_HUFF_T1[(x, y)][1] + x + y  # code + sign bits
+            side.write(part2 + part3, 12)  # part2_3_length
+            side.write(big_values, 9)
+            side.write(210 + 4 * m, 8)     # global_gain
+            side.write(scalefac_compress, 4)
+            side.write(0, 1)               # window_switching_flag: long blocks
+            side.write(1, 5)               # table_select region0 → table 1
+            side.write(0, 5)               # region1 → table 0 (no bits, zeros)
+            side.write(0, 5)               # region2 → table 0
+            side.write(15, 4)              # region0_count: sfb 0..15 ⊇ lines 0..161
+            side.write(0, 3)               # region1_count
+            side.write(0, 1)               # preflag
+            side.write(0, 1)               # scalefac_scale → mult 0.5 (unused: sf=0)
+            side.write(0, 1)               # count1table_select
+            # main data for this granule: scalefactors (zero-valued, real
+            # widths), then the Huffman spectrum
+            for _ in range(11):
+                main.write(0, slen1)
+            for _ in range(10):
+                main.write(0, slen2)
+            for p in range(big_values):
+                x = 1 if 2 * p < nnz else 0
+                y = 1 if 2 * p + 1 < nnz else 0
+                code, bits = MP3_HUFF_T1[(x, y)]
+                main.write(code, bits)
+                if x:
+                    main.write((2 * p) % 2, 1)      # sign: 1 = negative
+                if y:
+                    main.write((2 * p + 1) % 2, 1)
+        frame = bytearray(hdr)
+        frame += side.flush_zero()
+        assert len(frame) == 4 + 17, "mono MPEG-1 side info is 17 bytes"
+        body = main.flush_zero()
+        if len(frame) + len(body) > size:
+            raise ValueError("spectra overflow the frame's main_data capacity")
+        frame += body
+        frame += bytes(size - len(frame))
+        out += frame
+    return bytes(out)
+
+
+def parse_mp3_spectra(data: bytes) -> list[dict]:
+    """REAL Layer III spectral decode for the documented subset: walks every
+    frame, parses the 17-byte mono side info field by field, reads the
+    scalefactors, Huffman-decodes the big_values region per REGION (table 0
+    = zero lines / no bits, table 1 = real prefix decode + sign bits,
+    region boundaries from the 44.1 kHz long-block band table clipped to
+    big_values·2), and requantizes xr_i = sign·|v|^(4/3) ·
+    2^((global_gain−210)/4 − mult·(scalefac+preflag·pretab)). Returns one
+    dict per granule: frame_no, granule, global_gain, nnz (nonzero lines)
+    and energy = Σ xr² (exact for the ±2^m subset; float otherwise).
+
+    Out-of-subset features raise typed NotImplementedError naming the
+    missing constant tables (see the section comment above); malformed
+    streams raise ValueError."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = (
+            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    out: list[dict] = []
+    frame_no = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 sync at byte {pos}")
+        if (b1 >> 3) & 0b11 != 0b11 or (b1 >> 1) & 0b11 != 0b01:
+            raise NotImplementedError("only MPEG-1 Layer III streams")
+        if not (b1 & 1):
+            raise NotImplementedError("CRC-protected frames")
+        bi, si, padding = (b2 >> 4) & 0xF, (b2 >> 2) & 0b11, (b2 >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            raise ValueError(f"invalid bitrate/samplerate index at byte {pos}")
+        if MP3_SAMPLERATES[si] != 44100:
+            raise NotImplementedError(
+                "scalefactor band table implemented for 44.1 kHz only"
+            )
+        if (b3 >> 6) & 0b11 != 0b11:
+            raise NotImplementedError("only single_channel (mono) side info")
+        size = mp3_frame_size(MP3_BITRATES[bi], 44100, padding)
+        if pos + size > len(data):
+            raise ValueError(f"truncated MP3 frame at byte {pos}")
+        br = _FlacBitReader(data, pos=pos + 4)  # generic MSB-first reader
+        if br.bits(9) != 0:
+            raise NotImplementedError("bit reservoir (main_data_begin != 0)")
+        br.bits(5)  # private_bits
+        br.bits(4)  # scfsi (scalefactors are re-read per granule below)
+        gr_side = []
+        for _g in range(2):
+            side = {
+                "part2_3_length": br.bits(12),
+                "big_values": br.bits(9),
+                "global_gain": br.bits(8),
+                "scalefac_compress": br.bits(4),
+            }
+            if br.bit():
+                raise NotImplementedError("window switching (short/mixed blocks)")
+            side["table_select"] = [br.bits(5) for _ in range(3)]
+            side["region0_count"] = br.bits(4)
+            side["region1_count"] = br.bits(3)
+            side["preflag"] = br.bit()
+            side["scalefac_scale"] = br.bit()
+            if br.bit():
+                raise NotImplementedError("count1 code table A")
+            gr_side.append(side)
+        main = _FlacBitReader(data, pos=pos + 21)
+        for g, side in enumerate(gr_side):
+            consumed = 0  # bits read against this granule's part2_3_length
+            slen1, slen2 = MP3_SLEN[side["scalefac_compress"]]
+            scalefacs = []
+            for _ in range(11):
+                scalefacs.append(main.bits(slen1) if slen1 else 0)
+            for _ in range(10):
+                scalefacs.append(main.bits(slen2) if slen2 else 0)
+            consumed += 11 * slen1 + 10 * slen2
+            # region line boundaries (long blocks): region0 ends at band
+            # region0_count+1, region1 at band +region1_count+1 more, all
+            # clipped to the big_values line span
+            bv_lines = side["big_values"] * 2
+            r0 = min(MP3_SFB_LONG_44100[min(side["region0_count"] + 1, 22)], bv_lines)
+            r1 = min(
+                MP3_SFB_LONG_44100[
+                    min(side["region0_count"] + 1 + side["region1_count"] + 1, 22)
+                ],
+                bv_lines,
+            )
+            values: list[int] = []
+            for region_end, table in zip(
+                (r0, r1, bv_lines), side["table_select"]
+            ):
+                while len(values) < region_end:
+                    if table == 0:
+                        values.extend((0, 0))
+                        continue
+                    if table != 1:
+                        raise NotImplementedError(
+                            f"Huffman code table {table} (linbits tables need "
+                            "the spec's constant tables)"
+                        )
+                    code, bits = 0, 0
+                    while (code, bits) not in _MP3_HUFF_T1_DEC:
+                        code = (code << 1) | main.bit()
+                        bits += 1
+                        if bits > 3:
+                            raise ValueError("invalid table-1 codeword")
+                    consumed += bits
+                    x, y = _MP3_HUFF_T1_DEC[(code, bits)]
+                    if x:
+                        x = -x if main.bit() else x
+                        consumed += 1
+                    if y:
+                        y = -y if main.bit() else y
+                        consumed += 1
+                    values.extend((x, y))
+            if consumed < side["part2_3_length"]:
+                raise NotImplementedError(
+                    "count1 region (quadruple code tables need the spec's "
+                    "constant tables)"
+                )
+            if consumed > side["part2_3_length"]:
+                raise ValueError("Huffman data overran part2_3_length")
+            # requantization: exact power-of-two scaling for the ±1 subset
+            mult = 0.5 if side["scalefac_scale"] == 0 else 1.0
+            gain = 2.0 ** ((side["global_gain"] - 210) / 4.0)
+            energy = 0.0
+            nnz = 0
+            for i, v in enumerate(values):
+                if v == 0:
+                    continue
+                sfb = _sfb_of_line(i)
+                sf = scalefacs[sfb] if sfb < 21 else 0
+                xr = (abs(v) ** (4.0 / 3.0)) * gain * 2.0 ** (
+                    -mult * (sf + side["preflag"] * MP3_PRETAB[min(sfb, 20)])
+                )
+                energy += xr * xr
+                nnz += 1
+            out.append(
+                {
+                    "frame_no": frame_no,
+                    "granule": g,
+                    "global_gain": side["global_gain"],
+                    "nnz": nnz,
+                    "energy": energy,
+                }
+            )
+        pos += size
+        frame_no += 1
+    if frame_no == 0:
+        raise ValueError("no MP3 frames")
+    return out
+
+
+def _sfb_of_line(i: int) -> int:
+    """Long-block scalefactor band containing spectral line i (44.1 kHz)."""
+    for b in range(22):
+        if i < MP3_SFB_LONG_44100[b + 1]:
+            return b
+    return 21
+
+
+MP3_SPECTRAL_SCHEMA = (
+    "media_id long, frame_no int, granule int, global_gain int, "
+    "nnz int, energy bigint"
+)
+
+
+def mp3_spectral_energy(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed Layer III spectral decode (mapInPandas, bytes never
+    shuffle): one row per granule with the nonzero-line count and the exact
+    integer spectral energy Σ xr² (the fixture subset keeps xr = ±2^m, so
+    the float accumulation is exact and the BIGINT cast is lossless)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                for g in parse_mp3_spectra(bytes(buf or b"")):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_no": g["frame_no"],
+                            "granule": g["granule"],
+                            "global_gain": g["global_gain"],
+                            "nnz": g["nnz"],
+                            "energy": int(g["energy"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_no", "granule", "global_gain", "nnz",
+                    "energy",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=MP3_SPECTRAL_SCHEMA)
+
+
+# =============================================================================
 # H.264 (AVC) bitstream metadata — REAL parse, stdlib-only: Annex B NAL walk
 # + Exp-Golomb SPS decode (ITU-T H.264 7.3.2.1.1) recovering the exact coded
 # resolution incl. frame cropping. Pixel decode (CABAC/CAVLC residuals,

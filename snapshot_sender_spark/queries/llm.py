@@ -1099,6 +1099,84 @@ def multimodal_mp3_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp3_energy",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 300
+    ),
+    f AS (
+      SELECT doc_id, CAST(t.fr AS INT) AS frame_no
+      FROM p, UNNEST(range(0, n_frames)) AS t(fr)
+    ),
+    g AS (
+      SELECT doc_id, frame_no, 0 AS granule,
+             (doc_id * 7 + frame_no * 13) % 161 AS nnz,
+             doc_id % 12 AS m
+      FROM f
+      UNION ALL
+      SELECT doc_id, frame_no, 1,
+             (doc_id * 11 + frame_no * 5 + 3) % 161,
+             (doc_id + frame_no) % 12
+      FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_no AS INT) AS frame_no,
+           CAST(granule AS INT) AS granule,
+           CAST(210 + 4 * m AS INT) AS global_gain,
+           CAST(nnz AS INT) AS nnz,
+           CAST(nnz * power(4, m) AS BIGINT) AS energy
+    FROM g
+    """,
+    category="llm-multimodal",
+)
+def multimodal_mp3_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer III SPECTRAL decode that is NOT a stub (closes the round-5
+    north-star item): per document a mono 44.1 kHz CBR stream is synthesized
+    whose frames carry REAL side info, scalefactor bits and table-1
+    Huffman-coded ±1 spectra at doc_id-derived line counts and gains
+    (operators/multimodal.py:encode_mp3_spectral), and the real subset
+    decoder (parse_mp3_spectra: side-info walk, scalefactor read, per-region
+    prefix decode with sign bits, power-law requantization) recovers each
+    granule's nonzero-line census and exact spectral energy nnz·4^m. The
+    oracle recomputes everything from the doc_id formulas in integer/exact
+    SQL, so the encode→decode loop is verified bit-for-bit. Out-of-subset
+    features (Huffman tables 2–31, count1 quadruples, bit reservoir, short
+    blocks, synthesis filterbank) remain typed NotImplementedError — they
+    need the spec's large constant tables or a codec library, neither of
+    which exists in this container."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                specs = []
+                for fr in range(1 + did % 3):
+                    specs.append(((did * 7 + fr * 13) % 161, did % 12))
+                    specs.append(((did * 11 + fr * 5 + 3) % 161, (did + fr) % 12))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_mp3_spectral(
+                            specs,
+                            scalefac_compress=1 + did % 15,
+                            id3_tag=(b"t" * 40 if did % 4 == 0 else None),
+                        ),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.mp3_spectral_energy(media)
+
+
+@query(
     "multimodal_h264_info",
     oracle="""
     SELECT doc_id AS media_id,

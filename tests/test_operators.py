@@ -1385,6 +1385,76 @@ def test_mp3_h264_roundtrip_property():
     run_h264()
 
 
+def test_mp3_spectral_roundtrip_property():
+    """Hypothesis over the Layer III spectral subset: arbitrary per-granule
+    (nnz, gain, scalefac_compress) specs encode to real side-info +
+    scalefactor + table-1 Huffman bits and decode back to the exact
+    nonzero-line census and spectral energy nnz·4^m."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 160), st.integers(0, 11)),
+            min_size=2, max_size=8,
+        ).filter(lambda sp: len(sp) % 2 == 0),
+        st.integers(0, 15),
+        st.one_of(st.none(), st.integers(0, 500)),
+    )
+    def run(specs, sc, id3len):
+        data = multimodal.encode_mp3_spectral(
+            specs, scalefac_compress=sc,
+            id3_tag=None if id3len is None else b"q" * id3len,
+        )
+        out = multimodal.parse_mp3_spectra(data)
+        assert len(out) == len(specs)
+        for (nnz, m), g in zip(specs, out):
+            assert g["nnz"] == nnz
+            assert g["global_gain"] == 210 + 4 * m
+            assert g["energy"] == nnz * (4 ** m)  # exact dyadic subset
+        # the metadata walk accepts the same stream
+        assert multimodal.parse_mp3_info(data)["n_frames"] == len(specs) // 2
+
+    run()
+
+
+def test_mp3_spectral_typed_errors():
+    """Out-of-subset features raise NotImplementedError naming the missing
+    piece; malformed streams raise ValueError — never a bare IndexError."""
+    import pytest
+
+    data = bytearray(multimodal.encode_mp3_spectral([(3, 1), (0, 0)]))
+    with pytest.raises(ValueError):
+        multimodal.parse_mp3_spectra(bytes(data[: len(data) // 2]))
+    # main_data_begin != 0 → bit reservoir (first side-info bit after header)
+    reservoir = bytearray(data)
+    reservoir[4] |= 0x80
+    with pytest.raises(NotImplementedError, match="reservoir"):
+        multimodal.parse_mp3_spectra(bytes(reservoir))
+    # non-44.1 kHz spectral decode is out of subset (info walk still fine)
+    sr48 = bytearray(data)
+    sr48[2] = (sr48[2] & ~0b1100) | (1 << 2)
+    with pytest.raises(NotImplementedError, match="44.1"):
+        multimodal.parse_mp3_spectra(bytes(sr48))
+    # a table_select outside {0, 1} names the missing Huffman tables; the
+    # field sits 47 bits into the side info (9+5+4+12+9+8+4+1 = 52 .. 56)
+    other_table = bytearray(data)
+    br = multimodal._FlacBitReader(bytes(other_table), pos=4)
+    br.bits(9 + 5 + 4 + 12 + 9 + 8 + 4 + 1)
+    bitpos = 4 * 8 + 52
+    byte, off = divmod(bitpos, 8)
+    # overwrite the 5-bit table_select with 7 (MSB-first within the stream)
+    for i, bit in enumerate([0, 0, 1, 1, 1]):
+        b_i, o_i = divmod(bitpos + i, 8)
+        if bit:
+            other_table[b_i] |= 1 << (7 - o_i)
+        else:
+            other_table[b_i] &= ~(1 << (7 - o_i))
+    with pytest.raises(NotImplementedError, match="table 7"):
+        multimodal.parse_mp3_spectra(bytes(other_table))
+
+
 def test_flac_lossless_roundtrip_and_integrity_checks():
     """The FLAC subset codec: decode(encode(pcm)) == pcm exactly across
     signal shapes (silence/constant/ramp/noise/sine pick different subframe
