@@ -125,8 +125,12 @@ def connected_components_star(
     alternation: the alternation operator is deterministic and strictly
     decreases the Kiveris potential until fixpoint (no 2-cycles exist), so
     equal fingerprints two alternations apart imply the fixpoint was reached.
-    Worst case this runs one extra (cheap, already-contracted) alternation
-    while halving the per-round action overhead."""
+    Worst case this runs up to TWO extra already-contracted alternations
+    (fixpoint at alternation c is detected at the first sampled index ≥
+    c+2) while halving the per-round action overhead — a trade aimed at
+    DEEP graphs, where alternations are many; tiny already-star inputs pay
+    the extra alternations, but those graphs route through propagation via
+    ``connected_components_auto`` anyway."""
     nodes = (
         _symmetrize(edges, src, dst)
         .select(F.col("u").alias("node"))

@@ -1537,6 +1537,29 @@ def mp3_frame_size(bitrate_kbps: int, samplerate: int, padding: int = 0) -> int:
     return 144 * bitrate_kbps * 1000 // samplerate + padding
 
 
+def _id3v2(tag: bytes) -> bytes:
+    """ID3v2.3 container for ``tag`` bytes: 'ID3' + version + flags + the
+    4×7-bit syncsafe size. Shared by both fixture writers."""
+    sz = len(tag)
+    return b"ID3" + bytes([3, 0, 0]) + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + tag
+
+
+def _skip_id3v2(data: bytes) -> int:
+    """Offset of the first audio byte: past a leading ID3v2 tag (syncsafe
+    size) if present, else 0. Shared by both parsers."""
+    if data[:3] != b"ID3":
+        return 0
+    if len(data) < 10:
+        raise ValueError("truncated ID3v2 header")
+    sz = (
+        ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    )
+    return 10 + sz
+
+
 def encode_mp3_frames(
     n_frames: int, bitrate_kbps: int = 128, samplerate: int = 44100,
     payload_byte: int = 0, id3_tag: bytes | None = None,
@@ -1559,12 +1582,7 @@ def encode_mp3_frames(
     frame = hdr + bytes([payload_byte]) * (size - 4)
     out = bytearray()
     if id3_tag is not None:
-        body = id3_tag
-        sz = len(body)
-        # ID3v2 syncsafe size: 4×7 bits
-        out += b"ID3" + bytes([3, 0, 0]) + bytes(
-            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
-        ) + body
+        out += _id3v2(id3_tag)
     out += frame * n_frames
     return bytes(out)
 
@@ -1576,17 +1594,7 @@ def parse_mp3_info(data: bytes) -> dict:
     bitrate_kbps (of the first frame), cbr flag, total_samples (exact:
     n_frames × 1152) and parsed_bytes. Corrupt/truncated streams raise
     ValueError — never a bare IndexError."""
-    pos = 0
-    if data[:3] == b"ID3":
-        if len(data) < 10:
-            raise ValueError("truncated ID3v2 header")
-        sz = (
-            ((data[6] & 0x7F) << 21)
-            | ((data[7] & 0x7F) << 14)
-            | ((data[8] & 0x7F) << 7)
-            | (data[9] & 0x7F)
-        )
-        pos = 10 + sz
+    pos = _skip_id3v2(data)
     n_frames = 0
     first_bitrate = None
     samplerate = None
@@ -1724,10 +1732,7 @@ def encode_mp3_spectral(
     size = mp3_frame_size(bitrate_kbps, 44100)
     out = bytearray()
     if id3_tag is not None:
-        sz = len(id3_tag)
-        out += b"ID3" + bytes([3, 0, 0]) + bytes(
-            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
-        ) + id3_tag
+        out += _id3v2(id3_tag)
     for f in range(0, len(granule_specs), 2):
         side = _FlacBitWriter()  # generic MSB-first writer
         main = _FlacBitWriter()
@@ -1799,15 +1804,7 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
     Out-of-subset features raise typed NotImplementedError naming the
     missing constant tables (see the section comment above); malformed
     streams raise ValueError."""
-    pos = 0
-    if data[:3] == b"ID3":
-        if len(data) < 10:
-            raise ValueError("truncated ID3v2 header")
-        sz = (
-            ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
-            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-        )
-        pos = 10 + sz
+    pos = _skip_id3v2(data)
     out: list[dict] = []
     frame_no = 0
     while pos < len(data):
@@ -1836,7 +1833,11 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
         if br.bits(9) != 0:
             raise NotImplementedError("bit reservoir (main_data_begin != 0)")
         br.bits(5)  # private_bits
-        br.bits(4)  # scfsi (scalefactors are re-read per granule below)
+        if br.bits(4) != 0:
+            # scfsi != 0 legally OMITS granule 1's scalefactor bits for the
+            # shared bands — decoding it as if transmitted would misalign
+            # the bit cursor, so it is out of subset like the other guards
+            raise NotImplementedError("scfsi scalefactor sharing")
         gr_side = []
         for _g in range(2):
             side = {

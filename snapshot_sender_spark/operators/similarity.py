@@ -286,6 +286,7 @@ def lsh_ann_topk(
     num_hash_tables: int = 3,
     seed: int = 42,
     num_candidates: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate NN via random-projection LSH; exact cosine re-rank on the
     candidate set. Returns (id, cosine) — approximate recall, deterministic
@@ -303,11 +304,14 @@ def lsh_ann_topk(
     (cosine DESC, id ASC), so once the tie class fits the budget the result
     is stable.
 
-    Default budget AUTO-SCALES with the corpus: max(k·20, 200, n/1000) from
-    one cheap count — tie-class width grows with corpus density, so a fixed
-    budget that is right at 200k vectors would silently under-retrieve at
-    20M. The count job is O(metadata) on columnar sources; pass an explicit
-    ``num_candidates`` to skip it when the corpus size is already known."""
+    Default budget AUTO-SCALES with the corpus: max(k·20, 200, n/1000) —
+    tie-class width grows with corpus density, so a fixed budget that is
+    right at 200k vectors would silently under-retrieve at 20M. n comes
+    from ``corpus_count`` when the caller already knows it, else one
+    df.count() job; that is a real scan when ``df`` carries filters, but it
+    is marginal next to the LSH fit + approxNearestNeighbors passes over
+    the same corpus that follow it. Pass an explicit ``num_candidates`` to
+    skip the sizing entirely."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import Vectors
@@ -327,7 +331,8 @@ def lsh_ann_topk(
     if num_candidates is not None:
         budget = num_candidates
     else:
-        budget = max(k * 20, 200, df.count() // 1000)
+        n = corpus_count if corpus_count is not None else df.count()
+        budget = max(k * 20, 200, n // 1000)
     candidates = model.approxNearestNeighbors(feats, qv, budget)
     rescored = cosine_scores(candidates.select("id", F.col("arr")), "arr", query)
     return rescored.select("id", "cosine").orderBy(F.desc("cosine"), F.asc("id")).limit(k)

@@ -72,18 +72,22 @@ def explode_outer_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_deterministic",
     # GOLDEN-PINNED, not cross-engine (documented honestly): Spark's seeded
     # Bernoulli RNG is engine-specific, so no SQL derivation of the sampled
-    # rows exists — but it IS deterministic within Spark (XORShift seeded per
-    # partition; fixed files + fixed maxPartitionBytes → fixed partitioning).
-    # The oracle therefore replays a COMMITTED golden of Spark's own output,
-    # frozen per known sf tier and keyed by the table's row count, so the
-    # driver's hash compare becomes a true reproducibility check instead of
-    # a rows-only count. An unknown tier yields zero golden rows → a loud
-    # mismatch, never a silent pass.
+    # rows exists — but it IS deterministic within Spark once the input's
+    # partitioning is pinned. The RNG is seeded per PARTITION, and file
+    # split sizes depend on core count (maxPartitionBytes vs
+    # bytes/defaultParallelism), so the query first canonicalizes to ONE
+    # partition in total key order (orderBy unique key + coalesce(1)) —
+    # the sample is then machine- and core-count-independent. The oracle
+    # replays a COMMITTED golden of that canonical output, frozen per known
+    # sf tier and keyed by the table's row count, so the driver's hash
+    # compare becomes a true reproducibility check instead of a rows-only
+    # count. An unknown tier yields zero golden rows → a loud mismatch,
+    # never a silent pass.
     oracle="""
     WITH golden(tier_rows, l_returnflag, n_sampled) AS (VALUES
-      (6000,   'A', 217),   (6000,   'N', 238),   (6000,   'R', 187),
-      (60000,  'A', 2029),  (60000,  'N', 1955),  (60000,  'R', 1968),
-      (600000, 'A', 19929), (600000, 'N', 20043), (600000, 'R', 20036)
+      (6000,   'A', 209),   (6000,   'N', 236),   (6000,   'R', 197),
+      (60000,  'A', 2048),  (60000,  'N', 2001),  (60000,  'R', 1922),
+      (600000, 'A', 20274), (600000, 'N', 19807), (600000, 'R', 19823)
     )
     SELECT l_returnflag, CAST(n_sampled AS BIGINT) AS n_sampled
     FROM golden WHERE tier_rows = (SELECT COUNT(*) FROM lineitem)
@@ -95,7 +99,11 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Spark's deterministic output per sf tier (see the oracle comment) —
     reproducible training-data splits are the point of seeding, and the
     golden pins exactly that."""
-    l = load(spark, sf_dir, "lineitem")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")  # unique key → total order
+        .coalesce(1)  # one partition → partition-index-independent RNG
+    )
     return (
         l.sample(fraction=0.1, seed=42)
         .groupBy("l_returnflag")
@@ -140,15 +148,17 @@ def sample_systematic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_tablesample",
-    # GOLDEN-PINNED like sample_deterministic above: TABLESAMPLE REPEATABLE
-    # is deterministic within Spark but its RNG is engine-specific, so the
-    # oracle replays the committed per-tier golden of Spark's own output
-    # (keyed by the orders row count; unknown tier → zero rows → loud fail).
+    # GOLDEN-PINNED like sample_deterministic above (same canonical
+    # one-partition total-order input, so the golden is core-count
+    # independent): TABLESAMPLE REPEATABLE is deterministic within Spark but
+    # its RNG is engine-specific, so the oracle replays the committed
+    # per-tier golden of Spark's own output (keyed by the orders row count;
+    # unknown tier → zero rows → loud fail).
     oracle="""
     WITH golden(tier_rows, o_orderstatus, n) AS (VALUES
       (1500,   'F', 56),   (1500,   'O', 54),   (1500,   'P', 59),
-      (15000,  'F', 486),  (15000,  'O', 473),  (15000,  'P', 537),
-      (150000, 'F', 4914), (150000, 'O', 5084), (150000, 'P', 5007)
+      (15000,  'F', 486),  (15000,  'O', 557),  (15000,  'P', 542),
+      (150000, 'F', 4976), (150000, 'O', 4861), (150000, 'P', 5048)
     )
     SELECT o_orderstatus, CAST(n AS BIGINT) AS n
     FROM golden WHERE tier_rows = (SELECT COUNT(*) FROM orders)
@@ -157,8 +167,14 @@ def sample_systematic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL TABLESAMPLE surface (REPEATABLE seed → deterministic within
-    Spark; oracle = committed golden of that deterministic output per tier)."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ts")
+    Spark; oracle = committed golden of that deterministic output per tier,
+    over the canonical single-partition key order)."""
+    (
+        load(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .coalesce(1)
+        .createOrReplaceTempView("orders_ts")
+    )
     return spark.sql(
         """
         SELECT o_orderstatus, COUNT(*) AS n

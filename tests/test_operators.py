@@ -1432,18 +1432,24 @@ def test_mp3_spectral_typed_errors():
     reservoir[4] |= 0x80
     with pytest.raises(NotImplementedError, match="reservoir"):
         multimodal.parse_mp3_spectra(bytes(reservoir))
+    # scfsi != 0 omits granule-1 scalefactors (shared bands) — out of subset;
+    # the 4 scfsi bits sit 14 bits past the header (main_data_begin 9 +
+    # private 5)
+    scfsi = bytearray(data)
+    scfsi[(4 * 8 + 14) // 8] |= 1 << (7 - (4 * 8 + 14) % 8)
+    with pytest.raises(NotImplementedError, match="scfsi"):
+        multimodal.parse_mp3_spectra(bytes(scfsi))
     # non-44.1 kHz spectral decode is out of subset (info walk still fine)
     sr48 = bytearray(data)
     sr48[2] = (sr48[2] & ~0b1100) | (1 << 2)
     with pytest.raises(NotImplementedError, match="44.1"):
         multimodal.parse_mp3_spectra(bytes(sr48))
-    # a table_select outside {0, 1} names the missing Huffman tables; the
-    # field sits 47 bits into the side info (9+5+4+12+9+8+4+1 = 52 .. 56)
+    # a table_select outside {0, 1} names the missing Huffman tables;
+    # granule 0's region0 table_select starts 52 side-info bits past the
+    # header (main_data_begin 9 + private 5 + scfsi 4 + part2_3_length 12 +
+    # big_values 9 + global_gain 8 + scalefac_compress 4 + window_flag 1)
     other_table = bytearray(data)
-    br = multimodal._FlacBitReader(bytes(other_table), pos=4)
-    br.bits(9 + 5 + 4 + 12 + 9 + 8 + 4 + 1)
     bitpos = 4 * 8 + 52
-    byte, off = divmod(bitpos, 8)
     # overwrite the 5-bit table_select with 7 (MSB-first within the stream)
     for i, bit in enumerate([0, 0, 1, 1, 1]):
         b_i, o_i = divmod(bitpos + i, 8)

@@ -100,7 +100,8 @@ def main():
                 "lsh",
                 f"tables=3 bl=2.0 cand=auto({max(200, n // 1000)})",
                 lambda q: similarity.lsh_ann_topk(
-                    corpus, "embedding", "vec_id", q, k=K
+                    corpus, "embedding", "vec_id", q, k=K,
+                    corpus_count=n - N_BATCH,  # known → skip the sizing count
                 ),
             ),
         ]:
