@@ -1670,19 +1670,21 @@ def mp3_stream_info(
 # MPEG-1 Layer III SPECTRAL decode — REAL bit-level parse of a documented
 # SUBSET, from the public ISO/IEC 11172-3 structure (2.4.1.7 side info,
 # 2.4.2.7 main data, Table B.6 scalefac_compress, Table B.7 code table 1,
-# Table B.8 scalefactor bands): mono long-block streams with
-# main_data_begin=0 (no bit reservoir), 44.1 kHz band table, Huffman code
-# tables 0 and 1, empty count1 region. The side-info walk, scalefactor
+# Table B.8 scalefactor bands): mono long-block streams, 44.1 kHz band
+# table, Huffman code tables 0 and 1, empty count1 region, and the BIT
+# RESERVOIR (main_data_begin back-pointer with cross-frame packing — it is
+# structural, so it needs no spec tables). The side-info walk, scalefactor
 # read, per-REGION Huffman decode with sign bits, and the power-law
 # requantization xr = ±|v|^(4/3)·2^((gain−210)/4 − mult·(sf+pre)) are all
 # real; what stays typed NotImplementedError — with the reason in the
 # message — is exactly the part that needs the spec's large constant
 # tables or a codec library: Huffman tables 2–31 (linbits), the count1
-# quadruple tables, the bit reservoir, short/mixed blocks, other band
-# tables, and the polyphase synthesis filterbank (512 tabulated window
-# coefficients). The container ships no MP3 codec to source or cross-check
-# those against; the subset here is round-trip verified by this repo's own
-# encoder + the oracle's independent integer recomputation.
+# quadruple tables, scfsi scalefactor sharing, short/mixed blocks, other
+# band tables, and the polyphase synthesis filterbank (512 tabulated
+# window coefficients). The container ships no MP3 codec to source or
+# cross-check those against; the subset here is round-trip verified by
+# this repo's own encoder + the oracle's independent integer
+# recomputation.
 # =============================================================================
 
 # Table B.6: scalefac_compress → (slen1 over sfb 0-10, slen2 over sfb 11-20)
@@ -1710,6 +1712,7 @@ def encode_mp3_spectral(
     bitrate_kbps: int = 128,
     scalefac_compress: int = 1,
     id3_tag: bytes | None = None,
+    reservoir_targets: list[int] | None = None,
 ) -> bytes:
     """Fixture writer for the spectral subset: a CBR 44.1 kHz mono MPEG-1
     Layer III stream whose frames carry REAL side info, scalefactors and
@@ -1723,23 +1726,47 @@ def encode_mp3_spectral(
     by validation), table_select = (1, 0, 0), count1 region empty
     (part2_3_length ends exactly after the last sign bit), scalefactor
     values all zero but with ``scalefac_compress``-many REAL bits on the
-    wire so the decoder's part2 walk is exercised."""
+    wire so the decoder's part2 walk is exercised.
+
+    ``reservoir_targets`` enables the BIT RESERVOIR (2.4.2.7
+    main_data_begin): one byte offset per frame (frame 0 must be 0); frame
+    n's two-granule main-data blob then starts ``targets[n]`` bytes BEFORE
+    frame n's own main_data region, inside the stuffing bytes of earlier
+    frames — the blobs pack back-to-back into the concatenated regions
+    exactly as real encoders do, with ancillary stuffing inserted to hit
+    each frame's pointer. Targets must satisfy the spec's feasibility
+    constraints (≤ 511, ≤ bytes actually in the reservoir, and the next
+    pointer cannot exceed what this frame leaves unconsumed); infeasible
+    targets raise ValueError."""
     assert len(granule_specs) % 2 == 0, "two granules per frame"
     slen1, slen2 = MP3_SLEN[scalefac_compress]
     part2 = 11 * slen1 + 10 * slen2
     bi = MP3_BITRATES.index(bitrate_kbps)
     hdr = bytes([0xFF, 0xFB, (bi << 4) | (0 << 2), 0b11000100])
     size = mp3_frame_size(bitrate_kbps, 44100)
-    out = bytearray()
-    if id3_tag is not None:
-        out += _id3v2(id3_tag)
-    for f in range(0, len(granule_specs), 2):
+    region_cap = size - 21  # bytes of main_data space per frame
+    n_frames = len(granule_specs) // 2
+    targets = list(reservoir_targets) if reservoir_targets is not None else [0] * n_frames
+    if len(targets) != n_frames:
+        raise ValueError("reservoir_targets needs one entry per frame")
+    if targets and targets[0] != 0:
+        raise ValueError("frame 0 cannot point into an empty reservoir")
+
+    # pass 1: side info (main_data_begin = target) + byte-aligned blobs
+    sides: list[bytes] = []
+    blobs: list[bytes] = []
+    for n in range(n_frames):
+        t = targets[n]
+        if not 0 <= t <= 511:
+            raise ValueError("main_data_begin is a 9-bit field")
+        if t > n * region_cap:
+            raise ValueError("reservoir target exceeds bytes ever written")
         side = _FlacBitWriter()  # generic MSB-first writer
         main = _FlacBitWriter()
-        side.write(0, 9)   # main_data_begin = 0 (no reservoir)
+        side.write(t, 9)   # main_data_begin
         side.write(0, 5)   # private_bits
         side.write(0, 4)   # scfsi: scalefactors sent for every group
-        for nnz, m in granule_specs[f : f + 2]:
+        for nnz, m in granule_specs[2 * n : 2 * n + 2]:
             if not 0 <= nnz <= 160:
                 raise ValueError("nnz must fit region0 (lines 0..161)")
             if not 0 <= m <= 11:
@@ -1778,15 +1805,35 @@ def encode_mp3_spectral(
                     main.write((2 * p) % 2, 1)      # sign: 1 = negative
                 if y:
                     main.write((2 * p + 1) % 2, 1)
-        frame = bytearray(hdr)
-        frame += side.flush_zero()
-        assert len(frame) == 4 + 17, "mono MPEG-1 side info is 17 bytes"
-        body = main.flush_zero()
-        if len(frame) + len(body) > size:
+        sb = side.flush_zero()
+        assert len(sb) == 17, "mono MPEG-1 side info is 17 bytes"
+        sides.append(sb)
+        blobs.append(main.flush_zero())
+
+    # pass 2: pack blobs back-to-back into the concatenated main_data
+    # regions; frame n's blob must start at queue offset n·C − target[n],
+    # so stuffing (ancillary bytes of the PREVIOUS frame) fills any gap
+    queue = bytearray()
+    for n in range(n_frames):
+        start = n * region_cap - targets[n]
+        if len(queue) > start:
+            raise ValueError(
+                "infeasible reservoir target: previous frame's data extends "
+                "past where this frame's pointer says its data begins"
+            )
+        queue += bytes(start - len(queue))  # stuffing
+        queue += blobs[n]
+        if len(queue) > (n + 1) * region_cap:
             raise ValueError("spectra overflow the frame's main_data capacity")
-        frame += body
-        frame += bytes(size - len(frame))
-        out += frame
+    queue += bytes(n_frames * region_cap - len(queue))
+
+    out = bytearray()
+    if id3_tag is not None:
+        out += _id3v2(id3_tag)
+    for n in range(n_frames):
+        out += hdr
+        out += sides[n]
+        out += queue[n * region_cap : (n + 1) * region_cap]
     return bytes(out)
 
 
@@ -1801,12 +1848,20 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
     dict per granule: frame_no, granule, global_gain, nnz (nonzero lines)
     and energy = Σ xr² (exact for the ±2^m subset; float otherwise).
 
+    The BIT RESERVOIR is supported (it is structural, not tabular): the
+    decoder keeps the last 511 bytes of main_data regions seen so far, and
+    a frame with main_data_begin = B bit-reads its two granules from B
+    bytes back in that buffer, continuing into its own region — exactly the
+    2.4.2.7 model. A pointer reaching before the reservoir's start raises
+    ValueError.
+
     Out-of-subset features raise typed NotImplementedError naming the
     missing constant tables (see the section comment above); malformed
     streams raise ValueError."""
     pos = _skip_id3v2(data)
     out: list[dict] = []
     frame_no = 0
+    reservoir = bytearray()  # last ≤511 bytes of main_data regions seen
     while pos < len(data):
         if pos + 4 > len(data):
             raise ValueError("truncated MP3 frame header")
@@ -1830,8 +1885,12 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
         if pos + size > len(data):
             raise ValueError(f"truncated MP3 frame at byte {pos}")
         br = _FlacBitReader(data, pos=pos + 4)  # generic MSB-first reader
-        if br.bits(9) != 0:
-            raise NotImplementedError("bit reservoir (main_data_begin != 0)")
+        main_data_begin = br.bits(9)
+        if main_data_begin > len(reservoir):
+            raise ValueError(
+                f"reservoir underflow at frame {frame_no}: main_data_begin "
+                f"{main_data_begin} > {len(reservoir)} buffered bytes"
+            )
         br.bits(5)  # private_bits
         if br.bits(4) != 0:
             # scfsi != 0 legally OMITS granule 1's scalefactor bits for the
@@ -1856,7 +1915,11 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
             if br.bit():
                 raise NotImplementedError("count1 code table A")
             gr_side.append(side)
-        main = _FlacBitReader(data, pos=pos + 21)
+        # main_data window: main_data_begin bytes back in the reservoir,
+        # continuing into this frame's own region (2.4.2.7)
+        region = data[pos + 21 : pos + size]
+        window = bytes(reservoir[len(reservoir) - main_data_begin :]) + region
+        main = _FlacBitReader(window)
         for g, side in enumerate(gr_side):
             consumed = 0  # bits read against this granule's part2_3_length
             slen1, slen2 = MP3_SLEN[side["scalefac_compress"]]
@@ -1936,6 +1999,7 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
                     "energy": energy,
                 }
             )
+        reservoir = (reservoir + region)[-511:]  # 9-bit pointer ceiling
         pos += size
         frame_no += 1
     if frame_no == 0:

@@ -1140,11 +1140,14 @@ def multimodal_mp3_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix decode with sign bits, power-law requantization) recovers each
     granule's nonzero-line census and exact spectral energy nnz·4^m. The
     oracle recomputes everything from the doc_id formulas in integer/exact
-    SQL, so the encode→decode loop is verified bit-for-bit. Out-of-subset
-    features (Huffman tables 2–31, count1 quadruples, bit reservoir, short
-    blocks, synthesis filterbank) remain typed NotImplementedError — they
-    need the spec's large constant tables or a codec library, neither of
-    which exists in this container."""
+    SQL, so the encode→decode loop is verified bit-for-bit. Odd doc_ids use
+    the BIT RESERVOIR (doc_id-derived main_data_begin pointers, so their
+    frames' spectra live partly in earlier frames' stuffing bytes — the
+    oracle is unchanged because framing doesn't change the spectra).
+    Out-of-subset features (Huffman tables 2–31, count1 quadruples, scfsi,
+    short blocks, synthesis filterbank) remain typed NotImplementedError —
+    they need the spec's large constant tables or a codec library, neither
+    of which exists in this container."""
     from ..operators import multimodal
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1160,6 +1163,14 @@ def multimodal_mp3_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for fr in range(1 + did % 3):
                     specs.append(((did * 7 + fr * 13) % 161, did % 12))
                     specs.append(((did * 11 + fr * 5 + 3) % 161, (did + fr) % 12))
+                targets = None
+                if did % 2 == 1 and len(specs) > 2:
+                    # feasible by construction: blobs ≤ ~190 B vs 396 B
+                    # regions, so pointers ≤ 200 never overrun (see encoder)
+                    targets = [0] + [
+                        (did * 13 + n * 53) % 201
+                        for n in range(1, len(specs) // 2)
+                    ]
                 rows.append(
                     {
                         "media_id": did,
@@ -1167,6 +1178,7 @@ def multimodal_mp3_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             specs,
                             scalefac_compress=1 + did % 15,
                             id3_tag=(b"t" * 40 if did % 4 == 0 else None),
+                            reservoir_targets=targets,
                         ),
                     }
                 )

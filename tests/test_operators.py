@@ -1401,11 +1401,20 @@ def test_mp3_spectral_roundtrip_property():
         ).filter(lambda sp: len(sp) % 2 == 0),
         st.integers(0, 15),
         st.one_of(st.none(), st.integers(0, 500)),
+        st.booleans(),
+        st.randoms(use_true_random=False),
     )
-    def run(specs, sc, id3len):
+    def run(specs, sc, id3len, use_reservoir, rnd):
+        targets = None
+        if use_reservoir and len(specs) > 2:
+            # conservative feasible pointers: a 2-granule blob is ≤ ~190
+            # bytes at these caps, the region holds 396, so ≤ 200 always
+            # satisfies t_n ≤ t_{n-1} + C − S_{n-1}
+            targets = [0] + [rnd.randint(0, 200) for _ in range(len(specs) // 2 - 1)]
         data = multimodal.encode_mp3_spectral(
             specs, scalefac_compress=sc,
             id3_tag=None if id3len is None else b"q" * id3len,
+            reservoir_targets=targets,
         )
         out = multimodal.parse_mp3_spectra(data)
         assert len(out) == len(specs)
@@ -1427,10 +1436,11 @@ def test_mp3_spectral_typed_errors():
     data = bytearray(multimodal.encode_mp3_spectral([(3, 1), (0, 0)]))
     with pytest.raises(ValueError):
         multimodal.parse_mp3_spectra(bytes(data[: len(data) // 2]))
-    # main_data_begin != 0 → bit reservoir (first side-info bit after header)
+    # main_data_begin pointing before the reservoir's start (frame 0 has an
+    # empty reservoir) is malformed, not out-of-subset → ValueError
     reservoir = bytearray(data)
     reservoir[4] |= 0x80
-    with pytest.raises(NotImplementedError, match="reservoir"):
+    with pytest.raises(ValueError, match="reservoir underflow"):
         multimodal.parse_mp3_spectra(bytes(reservoir))
     # scfsi != 0 omits granule-1 scalefactors (shared bands) — out of subset;
     # the 4 scfsi bits sit 14 bits past the header (main_data_begin 9 +
