@@ -1672,16 +1672,17 @@ def mp3_stream_info(
 # 2.4.2.7 main data, Table B.6 scalefac_compress, Table B.7 code table 1,
 # Table B.8 scalefactor bands): mono long-block streams, 44.1 kHz band
 # table, Huffman code tables 0 and 1, empty count1 region, and the BIT
-# RESERVOIR (main_data_begin back-pointer with cross-frame packing — it is
-# structural, so it needs no spec tables). The side-info walk, scalefactor
-# read, per-REGION Huffman decode with sign bits, and the power-law
-# requantization xr = ±|v|^(4/3)·2^((gain−210)/4 − mult·(sf+pre)) are all
-# real; what stays typed NotImplementedError — with the reason in the
-# message — is exactly the part that needs the spec's large constant
-# tables or a codec library: Huffman tables 2–31 (linbits), the count1
-# quadruple tables, scfsi scalefactor sharing, short/mixed blocks, other
-# band tables, and the polyphase synthesis filterbank (512 tabulated
-# window coefficients). The container ships no MP3 codec to source or
+# RESERVOIR (main_data_begin back-pointer with cross-frame packing) and
+# SCFSI scalefactor sharing (granule 1 copies scfsi-marked band groups and
+# transmits no bits for them) — both structural, needing no spec tables.
+# The side-info walk, scalefactor read, per-REGION Huffman decode with
+# sign bits, and the power-law requantization
+# xr = ±|v|^(4/3)·2^((gain−210)/4 − mult·(sf+pre)) are all real; what
+# stays typed NotImplementedError — with the reason in the message — is
+# exactly the part that needs the spec's large constant tables or a codec
+# library: Huffman tables 2–31 (linbits), the count1 quadruple tables,
+# short/mixed blocks, other band tables, and the polyphase synthesis
+# filterbank (512 tabulated window coefficients). The container ships no MP3 codec to source or
 # cross-check those against; the subset here is round-trip verified by
 # this repo's own encoder + the oracle's independent integer
 # recomputation.
@@ -1705,6 +1706,9 @@ MP3_HUFF_T1 = {(0, 0): (0b1, 1), (1, 0): (0b01, 2), (0, 1): (0b001, 3), (1, 1): 
 _MP3_HUFF_T1_DEC = {v: k for k, v in MP3_HUFF_T1.items()}
 # preflag pretab (2.4.3.4.array), bands 0..20
 MP3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2]
+# scfsi band groups (2.4.2.7): long-block sfb ranges whose granule-1
+# scalefactors are OMITTED (copied from granule 0) when the group's bit is 1
+MP3_SCFSI_BANDS = [(0, 6), (6, 11), (11, 16), (16, 21)]
 
 
 def encode_mp3_spectral(
@@ -1713,6 +1717,7 @@ def encode_mp3_spectral(
     scalefac_compress: int = 1,
     id3_tag: bytes | None = None,
     reservoir_targets: list[int] | None = None,
+    scfsi: int = 0,
 ) -> bytes:
     """Fixture writer for the spectral subset: a CBR 44.1 kHz mono MPEG-1
     Layer III stream whose frames carry REAL side info, scalefactors and
@@ -1737,10 +1742,28 @@ def encode_mp3_spectral(
     each frame's pointer. Targets must satisfy the spec's feasibility
     constraints (≤ 511, ≤ bytes actually in the reservoir, and the next
     pointer cannot exceed what this frame leaves unconsumed); infeasible
-    targets raise ValueError."""
+    targets raise ValueError.
+
+    ``scfsi`` (4 bits, group 0 = MSB per 2.4.1.7 read order) marks
+    scalefactor band groups whose granule-1 scalefactors are SHARED:
+    granule 1 then transmits no bits for sfb groups 0–5 / 6–10 / 11–15 /
+    16–20 with a set bit — the decoder must copy granule 0's values, and
+    its part2 bit budget shrinks accordingly."""
     assert len(granule_specs) % 2 == 0, "two granules per frame"
+    if not 0 <= scfsi <= 0xF:
+        raise ValueError("scfsi is a 4-bit field")
     slen1, slen2 = MP3_SLEN[scalefac_compress]
-    part2 = 11 * slen1 + 10 * slen2
+
+    def slen_of(band: int) -> int:
+        return slen1 if band < 11 else slen2
+
+    # bands actually transmitted per granule under scfsi (granule 0 always
+    # sends all 21; granule 1 skips shared groups)
+    tx_bands = [list(range(21)), []]
+    for gi, (lo, hi) in enumerate(MP3_SCFSI_BANDS):
+        if not (scfsi >> (3 - gi)) & 1:
+            tx_bands[1].extend(range(lo, hi))
+    part2_of = [sum(slen_of(b) for b in bands) for bands in tx_bands]
     bi = MP3_BITRATES.index(bitrate_kbps)
     hdr = bytes([0xFF, 0xFB, (bi << 4) | (0 << 2), 0b11000100])
     size = mp3_frame_size(bitrate_kbps, 44100)
@@ -1765,8 +1788,8 @@ def encode_mp3_spectral(
         main = _FlacBitWriter()
         side.write(t, 9)   # main_data_begin
         side.write(0, 5)   # private_bits
-        side.write(0, 4)   # scfsi: scalefactors sent for every group
-        for nnz, m in granule_specs[2 * n : 2 * n + 2]:
+        side.write(scfsi, 4)
+        for g, (nnz, m) in enumerate(granule_specs[2 * n : 2 * n + 2]):
             if not 0 <= nnz <= 160:
                 raise ValueError("nnz must fit region0 (lines 0..161)")
             if not 0 <= m <= 11:
@@ -1777,7 +1800,7 @@ def encode_mp3_spectral(
                 x = 1 if 2 * p < nnz else 0
                 y = 1 if 2 * p + 1 < nnz else 0
                 part3 += MP3_HUFF_T1[(x, y)][1] + x + y  # code + sign bits
-            side.write(part2 + part3, 12)  # part2_3_length
+            side.write(part2_of[g] + part3, 12)  # part2_3_length
             side.write(big_values, 9)
             side.write(210 + 4 * m, 8)     # global_gain
             side.write(scalefac_compress, 4)
@@ -1791,11 +1814,10 @@ def encode_mp3_spectral(
             side.write(0, 1)               # scalefac_scale → mult 0.5 (unused: sf=0)
             side.write(0, 1)               # count1table_select
             # main data for this granule: scalefactors (zero-valued, real
-            # widths), then the Huffman spectrum
-            for _ in range(11):
-                main.write(0, slen1)
-            for _ in range(10):
-                main.write(0, slen2)
+            # widths; granule 1 omits scfsi-shared groups), then the
+            # Huffman spectrum
+            for b in tx_bands[g]:
+                main.write(0, slen_of(b))
             for p in range(big_values):
                 x = 1 if 2 * p < nnz else 0
                 y = 1 if 2 * p + 1 < nnz else 0
@@ -1892,11 +1914,7 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
                 f"{main_data_begin} > {len(reservoir)} buffered bytes"
             )
         br.bits(5)  # private_bits
-        if br.bits(4) != 0:
-            # scfsi != 0 legally OMITS granule 1's scalefactor bits for the
-            # shared bands — decoding it as if transmitted would misalign
-            # the bit cursor, so it is out of subset like the other guards
-            raise NotImplementedError("scfsi scalefactor sharing")
+        scfsi = br.bits(4)  # granule-1 scalefactor sharing per band group
         gr_side = []
         for _g in range(2):
             side = {
@@ -1920,15 +1938,28 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
         region = data[pos + 21 : pos + size]
         window = bytes(reservoir[len(reservoir) - main_data_begin :]) + region
         main = _FlacBitReader(window)
+        prev_scalefacs: list[int] = []
         for g, side in enumerate(gr_side):
             consumed = 0  # bits read against this granule's part2_3_length
             slen1, slen2 = MP3_SLEN[side["scalefac_compress"]]
+            # scalefactors: granule 1 COPIES granule 0's values for scfsi-
+            # shared band groups and reads no bits for them (2.4.2.7)
             scalefacs = []
-            for _ in range(11):
-                scalefacs.append(main.bits(slen1) if slen1 else 0)
-            for _ in range(10):
-                scalefacs.append(main.bits(slen2) if slen2 else 0)
-            consumed += 11 * slen1 + 10 * slen2
+            for band in range(21):
+                group = next(
+                    gi for gi, (lo, hi) in enumerate(MP3_SCFSI_BANDS)
+                    if lo <= band < hi
+                )
+                shared = g == 1 and (scfsi >> (3 - group)) & 1
+                slen = slen1 if band < 11 else slen2
+                if shared:
+                    scalefacs.append(prev_scalefacs[band])
+                elif slen:
+                    scalefacs.append(main.bits(slen))
+                    consumed += slen
+                else:
+                    scalefacs.append(0)
+            prev_scalefacs = scalefacs
             # region line boundaries (long blocks): region0 ends at band
             # region0_count+1, region1 at band +region1_count+1 more, all
             # clipped to the big_values line span

@@ -1143,11 +1143,13 @@ def multimodal_mp3_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, so the encode→decode loop is verified bit-for-bit. Odd doc_ids use
     the BIT RESERVOIR (doc_id-derived main_data_begin pointers, so their
     frames' spectra live partly in earlier frames' stuffing bytes — the
-    oracle is unchanged because framing doesn't change the spectra).
-    Out-of-subset features (Huffman tables 2–31, count1 quadruples, scfsi,
-    short blocks, synthesis filterbank) remain typed NotImplementedError —
-    they need the spec's large constant tables or a codec library, neither
-    of which exists in this container."""
+    oracle is unchanged because framing doesn't change the spectra), and
+    every stream sets a doc_id-derived scfsi so granule 1's scalefactors
+    for shared band groups are genuinely omitted/copied. Out-of-subset
+    features (Huffman tables 2–31, count1 quadruples, short blocks,
+    synthesis filterbank) remain typed NotImplementedError — they need the
+    spec's large constant tables or a codec library, neither of which
+    exists in this container."""
     from ..operators import multimodal
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1179,6 +1181,7 @@ def multimodal_mp3_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                             scalefac_compress=1 + did % 15,
                             id3_tag=(b"t" * 40 if did % 4 == 0 else None),
                             reservoir_targets=targets,
+                            scfsi=did % 16,
                         ),
                     }
                 )

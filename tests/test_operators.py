@@ -1402,9 +1402,10 @@ def test_mp3_spectral_roundtrip_property():
         st.integers(0, 15),
         st.one_of(st.none(), st.integers(0, 500)),
         st.booleans(),
+        st.integers(0, 15),
         st.randoms(use_true_random=False),
     )
-    def run(specs, sc, id3len, use_reservoir, rnd):
+    def run(specs, sc, id3len, use_reservoir, scfsi, rnd):
         targets = None
         if use_reservoir and len(specs) > 2:
             # conservative feasible pointers: a 2-granule blob is ≤ ~190
@@ -1414,7 +1415,7 @@ def test_mp3_spectral_roundtrip_property():
         data = multimodal.encode_mp3_spectral(
             specs, scalefac_compress=sc,
             id3_tag=None if id3len is None else b"q" * id3len,
-            reservoir_targets=targets,
+            reservoir_targets=targets, scfsi=scfsi,
         )
         out = multimodal.parse_mp3_spectra(data)
         assert len(out) == len(specs)
@@ -1442,13 +1443,6 @@ def test_mp3_spectral_typed_errors():
     reservoir[4] |= 0x80
     with pytest.raises(ValueError, match="reservoir underflow"):
         multimodal.parse_mp3_spectra(bytes(reservoir))
-    # scfsi != 0 omits granule-1 scalefactors (shared bands) — out of subset;
-    # the 4 scfsi bits sit 14 bits past the header (main_data_begin 9 +
-    # private 5)
-    scfsi = bytearray(data)
-    scfsi[(4 * 8 + 14) // 8] |= 1 << (7 - (4 * 8 + 14) % 8)
-    with pytest.raises(NotImplementedError, match="scfsi"):
-        multimodal.parse_mp3_spectra(bytes(scfsi))
     # non-44.1 kHz spectral decode is out of subset (info walk still fine)
     sr48 = bytearray(data)
     sr48[2] = (sr48[2] & ~0b1100) | (1 << 2)
