@@ -358,7 +358,8 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "multimodal_features_real", "multimodal_flac_energy",
         "multimodal_frame_sample",
         "multimodal_h264_info", "multimodal_image_stats",
-        "multimodal_jpeg_stats", "multimodal_mp3_info",
+        "multimodal_jpeg_stats", "multimodal_mp3_energy",
+        "multimodal_mp3_info",
         "multimodal_progressive_stats", "multimodal_resize",
         "sim_label_centroid_arrow", "text_chunk_arrow_udtf",
         "text_fingerprint_rolling", "text_stats_arrow_udf",

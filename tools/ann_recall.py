@@ -32,6 +32,15 @@ TIERS = {
     "1x": "/root/testdata/sf0.1",
     "10x": "/tmp/scale/sf1",
     "100x": "/tmp/scale/sf10",
+    # 2M vectors: 1000 key-offset copies of sf0.1 with IDENTICAL embeddings
+    # per copy — every vector has a 1000-wide exact-duplicate tie class, the
+    # hardest case for a fixed over-retrieve budget and exactly what the
+    # auto budget (max(k·20, 200, n/1000)) must absorb. ivf/batch are
+    # skipped at this tier (KMeans fit and the 32-query similarity join are
+    # tool-budget-prohibitive locally; both are measured through 100×); a
+    # fixed-budget lsh row is added instead to show the failure the auto
+    # dial prevents.
+    "1000x": "/tmp/scale/sf100_emb",
 }
 K = 10
 N_SINGLE = 8  # queries for the per-query APIs (each refits its model)
@@ -75,27 +84,31 @@ def main():
         print(f"| {name} | {n} | exact | full scan ×{N_BATCH} | 1.000 (baseline) | {exact_sec:.1f} |")
         sys.stdout.flush()
 
-        # IVF through the PERSISTED index (the scale path: cluster once,
-        # partition-pruned probes per query). Centroid count grows with the
-        # corpus (√n rule of thumb), probe fraction held at 1/4.
-        n_cent = max(16, 2 ** int(math.log2(max(16, int(math.sqrt(n))))))
-        n_probe = max(4, n_cent // 4)
-        index_dir = f"/tmp/ann_recall_index_{name}"
-        t0 = time.monotonic()
-        similarity.build_ivf_index(
-            corpus, "embedding", "vec_id", index_dir, n_centroids=n_cent
-        )
-        build_sec = time.monotonic() - t0
-        print(f"| {name} | {n} | ivf-build | c={n_cent}, once per corpus | — | {build_sec:.1f} |")
-        sys.stdout.flush()
-        for api, params, fn in [
-            (
-                "ivf",
-                f"c={n_cent} probe={n_probe}",
-                lambda q: similarity.ivf_search_index(
-                    spark, index_dir, q, k=K, n_probe=n_probe
-                ),
-            ),
+        probes = []
+        if name != "1000x":
+            # IVF through the PERSISTED index (the scale path: cluster once,
+            # partition-pruned probes per query). Centroid count grows with
+            # the corpus (√n rule of thumb), probe fraction held at 1/4.
+            n_cent = max(16, 2 ** int(math.log2(max(16, int(math.sqrt(n))))))
+            n_probe = max(4, n_cent // 4)
+            index_dir = f"/tmp/ann_recall_index_{name}"
+            t0 = time.monotonic()
+            similarity.build_ivf_index(
+                corpus, "embedding", "vec_id", index_dir, n_centroids=n_cent
+            )
+            build_sec = time.monotonic() - t0
+            print(f"| {name} | {n} | ivf-build | c={n_cent}, once per corpus | — | {build_sec:.1f} |")
+            sys.stdout.flush()
+            probes.append(
+                (
+                    "ivf",
+                    f"c={n_cent} probe={n_probe}",
+                    lambda q: similarity.ivf_search_index(
+                        spark, index_dir, q, k=K, n_probe=n_probe
+                    ),
+                )
+            )
+        probes.append(
             (
                 "lsh",
                 f"tables=3 bl=2.0 cand=auto({max(200, n // 1000)})",
@@ -103,8 +116,22 @@ def main():
                     corpus, "embedding", "vec_id", q, k=K,
                     corpus_count=n - N_BATCH,  # known → skip the sizing count
                 ),
-            ),
-        ]:
+            )
+        )
+        if name == "1000x":
+            # the counterfactual: the fixed budget that was right at 200k —
+            # the 1000-wide exact-duplicate tie classes must defeat it
+            probes.append(
+                (
+                    "lsh",
+                    "tables=3 bl=2.0 cand=200 (FIXED, the r5 default)",
+                    lambda q: similarity.lsh_ann_topk(
+                        corpus, "embedding", "vec_id", q, k=K,
+                        num_candidates=200,
+                    ),
+                )
+            )
+        for api, params, fn in probes:
             t0 = time.monotonic()
             hits = total = 0
             for qid in panel_ids[:N_SINGLE]:
@@ -115,6 +142,10 @@ def main():
             print(f"| {name} | {n} | {api} | {params} ×{N_SINGLE} | {hits / total:.3f} | {sec:.1f} |")
             sys.stdout.flush()
 
+        if name == "1000x":
+            emb.unpersist()
+            corpus.unpersist()
+            continue
         queries_df = emb.filter(F.col("vec_id").isin(panel_ids)).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
