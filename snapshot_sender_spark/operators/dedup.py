@@ -644,6 +644,83 @@ def append_dedup_index_epoch(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+COMPACTED_EPOCH = -1  # reserved partition id for folded epochs (streamed
+#                       epoch ids are >= 0, so it never collides and the
+#                       service's exclude_epoch equality never prunes it)
+
+
+def compact_dedup_index(
+    spark,
+    table: str,
+    epochs: list[int],
+    target_epoch: int = COMPACTED_EPOCH,
+    write_tasks: int = 1,
+) -> int:
+    """Fold COMMITTED epoch partitions of an epoch-partitioned dedup index
+    (``append_dedup_index_epoch``) into the single reserved
+    ``epoch = COMPACTED_EPOCH`` partition — the small-file compaction the
+    standing index needs at scale: a long-running ingestion service
+    accretes one partition (× n_buckets files) per epoch forever, and
+    after thousands of epochs every batch probe pays an open/list tax per
+    tiny file even though partition pruning never prunes them (the probe
+    wants the WHOLE standing corpus). Returns the number of posting rows
+    folded.
+
+    Result-identical by construction: the probe reads the union of all
+    non-excluded partitions, and compaction only moves rows between
+    partitions (the target partition's existing rows are folded too, so
+    repeated compaction is stable). The bucket spec survives — insertInto
+    on a bucketed table re-clusters by the table's spec, so the
+    bucket-aligned no-Exchange probe plan is unchanged (pinned by test).
+
+    DURABILITY CONTRACT: compact only epochs whose ``_epochs`` markers are
+    committed and retained. A compacted epoch's own partition disappears,
+    so the crash-replay path that rebuilds an epoch via dynamic partition
+    overwrite (marker lost) would DUPLICATE its postings — marker files
+    must live at least as long as the index, exactly as the service already
+    requires for its fast-skip contract. The service's current epoch must
+    never be in ``epochs`` (its partition is the replay-exclusion target).
+    """
+    epochs = sorted({int(e) for e in epochs})
+    if int(target_epoch) in epochs:
+        raise ValueError("target_epoch cannot be in the epochs to fold")
+    if not epochs:
+        return 0
+    fold = epochs + [int(target_epoch)]
+    moved = 0
+    for t, cols in (
+        (table, ["id", "h"]),
+        (table + "_sizes", ["id", "set_size"]),
+    ):
+        src = spark.table(t).filter(F.col("epoch").isin(fold))
+        # materialize BEFORE touching partitions: the write below replaces
+        # the very files this plan would otherwise lazily re-read.
+        # ``write_tasks`` bounds the output layout: the bucketed V1 writer
+        # emits one file per (task, bucket), so the compacted partition has
+        # at most write_tasks x n_buckets files — write_tasks=1 (default)
+        # gives the canonical one-file-per-bucket layout; pass more for
+        # indexes whose standing corpus is too large for single-task I/O.
+        # (A repartition on the bucket column does NOT work here: the scan
+        # already reports the bucket hash-partitioning, the exchange is
+        # elided, and the writer inherits the scan's file-binpacked task
+        # layout — observed as 2x the files instead of fewer.)
+        merged = src.select(*cols).repartition(max(1, int(write_tasks))).localCheckpoint()
+        if t == table:
+            moved = merged.count()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.select(
+                *cols, F.lit(int(target_epoch)).alias("epoch")
+            ).write.insertInto(t, overwrite=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for e in epochs:
+            spark.sql(f"ALTER TABLE {t} DROP IF EXISTS PARTITION (epoch={e})")
+        spark.catalog.refreshTable(t)
+    return moved
+
+
 def incremental_jaccard_against_index(
     spark,
     table: str,

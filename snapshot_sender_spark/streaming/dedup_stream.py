@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,22 @@ from pyspark.sql import functions as F
 from ..operators import dedup
 
 DOC_SCHEMA = "doc_id long, text string"
+
+
+def committed_epochs(accepted_dir: str) -> list[int]:
+    """Epoch ids whose markers are committed — the only epochs
+    ``dedup.compact_dedup_index`` may fold (a compacted epoch's partition
+    disappears, so crash-replay of an UNcommitted epoch would duplicate its
+    postings; see the compaction docstring's durability contract)."""
+    epochs_dir = os.path.join(accepted_dir, "_epochs")
+    if not os.path.isdir(epochs_dir):
+        return []
+    out = []
+    for name in os.listdir(epochs_dir):
+        m = re.fullmatch(r"epoch_(\d+)\.committed", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def _batch_fingerprint(batch: DataFrame) -> dict:

@@ -363,3 +363,118 @@ def test_stale_epoch_marker_with_different_input_fails_loudly(spark, dirs):
         spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
     )
     assert accepted_ids(spark, dirs) == {1, 2}
+
+
+def test_compact_dedup_index_folds_epochs_probe_identical(spark, dirs):
+    """Compaction folds committed epoch partitions into the reserved
+    epoch=-1 partition: the cross-set probe result is bit-identical, the
+    partition/file census shrinks, the bucket-aligned no-Exchange plan
+    survives, and the service keeps deduping correctly afterwards."""
+    from snapshot_sender_spark.operators import dedup as dedup_ops
+    from snapshot_sender_spark.streaming.dedup_stream import committed_epochs
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight",
+        2: "red orange yellow green blue indigo violet ultraviolet",
+    }
+    # three epochs of one file each (mtime-ordered)
+    import time as _time
+
+    for k, txt in texts.items():
+        part = dirs["input"] + f"_stage{k}"
+        _docs(spark, [(k * 10, txt)]).coalesce(1).write.parquet(part)
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(os.path.join(part, "part-*.parquet"))[0]
+        dst = os.path.join(dirs["input"], f"e{k}.parquet")
+        _shutil.move(src, dst)
+        os.utime(dst, (_time.time() - 300 + 60 * k,) * 2)
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"],
+        threshold=0.5, max_files_per_trigger=1,
+    )
+    assert accepted_ids(spark, dirs) == {0, 10, 20}
+    epochs = committed_epochs(dirs["accepted"])
+    assert epochs == [0, 1, 2]
+
+    probe = _docs(spark, [(99, texts[1] + " nine")])  # near-dup of doc 10
+
+    def probe_pairs():
+        df = dedup_ops.incremental_jaccard_against_index(
+            spark, TABLE, probe, "text", "doc_id", threshold=0.5
+        )
+        rows = {(r["id_new"], r["id_existing"], round(r["jaccard"], 9))
+                for r in df.collect()}
+        # final AQE plan only (Initial section repeats the exchanges)
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        return rows, plan
+
+    before, plan_before = probe_pairs()
+    assert before, "probe must hit the indexed near-dup"
+
+    def census(t):
+        parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {t}").collect()}
+        files = spark.table(t).inputFiles()
+        return parts, len(files)
+
+    parts0, files0 = census(TABLE)
+    assert parts0 == {"epoch=0", "epoch=1", "epoch=2"}
+
+    moved = dedup_ops.compact_dedup_index(spark, TABLE, epochs)
+    assert moved > 0
+    parts1, files1 = census(TABLE)
+    assert parts1 == {"epoch=-1"}
+    assert files1 < files0
+
+    after, plan_after = probe_pairs()
+    assert after == before
+    # corpus side still bucket-aligned: in-place bucketed scan and exactly
+    # ONE shuffle on the shingle hash (the probe batch side) — the same pin
+    # as test_dedup_index_incremental_matches_and_skips_corpus_shuffle
+    for plan in (plan_before, plan_after):
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange hashpartitioning(h#") == 1
+
+    # repeated compaction is stable (folds -1 into itself)
+    again = dedup_ops.compact_dedup_index(spark, TABLE, [5])  # nonexistent
+    assert again == 0 or census(TABLE)[0] == {"epoch=-1"}
+    assert probe_pairs()[0] == before
+
+    # the service continues: a 4th epoch dedups against the compacted index
+    nxt = _docs(spark, [(30, texts[2] + " infrared"),  # near-dup of doc 20
+                        (31, "nine ten eleven twelve thirteen fourteen "
+                             "fifteen sixteen")])
+    part = dirs["input"] + "_stage3"
+    nxt.coalesce(1).write.parquet(part)
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(os.path.join(part, "part-*.parquet"))[0]
+    _shutil.move(src, os.path.join(dirs["input"], "e3.parquet"))
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"],
+        threshold=0.5,
+    )
+    assert accepted_ids(spark, dirs) == {0, 10, 20, 31}
+    # the new epoch's partition coexists with the compacted one
+    parts2, _ = census(TABLE)
+    assert "epoch=-1" in parts2 and any(p != "epoch=-1" for p in parts2)
+
+
+def test_compact_dedup_index_rejects_target_in_fold_set(spark, dirs):
+    from snapshot_sender_spark.operators import dedup as dedup_ops
+
+    _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")]).coalesce(
+        1
+    ).write.mode("append").parquet(dirs["input"])
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"], threshold=0.5
+    )
+    with pytest.raises(ValueError, match="target_epoch"):
+        dedup_ops.compact_dedup_index(spark, TABLE, [0, -1])
+    assert dedup_ops.compact_dedup_index(spark, TABLE, []) == 0
