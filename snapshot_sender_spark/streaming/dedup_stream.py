@@ -75,6 +75,7 @@ def run_streaming_ingestion_dedup(
     threshold: float = 0.5,
     n_buckets: int = 8,
     max_files_per_trigger: int | None = None,
+    compact_after: bool = False,
 ) -> list[int]:
     """Drive ingestion dedup to completion over currently-available input
     (Trigger.AvailableNow). Returns the processed epoch ids.
@@ -85,7 +86,14 @@ def run_streaming_ingestion_dedup(
     against the standing index (bucket-aligned join, corpus never shuffles);
     (4) append the accepted docs to ``accepted_dir`` and their postings to
     the index. Epoch markers in ``accepted_dir/_epochs`` make a replayed
-    batch (crash between append and checkpoint commit) a no-op."""
+    batch (crash between append and checkpoint commit) a no-op.
+
+    ``compact_after``: once the stream terminates, fold every committed
+    epoch's index partition into the reserved compacted partition
+    (``dedup.compact_dedup_index``) — the built-in small-file maintenance
+    for a service run per crawl cycle. Safe at this point by construction:
+    every folded epoch has its marker committed (the fold reads the marker
+    dir), and no epoch is in flight."""
     os.makedirs(accepted_dir, exist_ok=True)
     epochs_dir = os.path.join(accepted_dir, "_epochs")
     os.makedirs(epochs_dir, exist_ok=True)
@@ -209,4 +217,10 @@ def run_streaming_ingestion_dedup(
     if spark.catalog.tableExists(index_table):
         spark.catalog.refreshTable(index_table)
         spark.catalog.refreshTable(index_table + "_sizes")
+        if compact_after:
+            done = [
+                e for e in committed_epochs(accepted_dir)
+                if e != dedup.COMPACTED_EPOCH
+            ]
+            dedup.compact_dedup_index(spark, index_table, done)
     return epochs

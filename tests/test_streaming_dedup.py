@@ -478,3 +478,43 @@ def test_compact_dedup_index_rejects_target_in_fold_set(spark, dirs):
     with pytest.raises(ValueError, match="target_epoch"):
         dedup_ops.compact_dedup_index(spark, TABLE, [0, -1])
     assert dedup_ops.compact_dedup_index(spark, TABLE, []) == 0
+
+
+def test_service_compact_after_run(spark, dirs):
+    """compact_after=True folds all committed epochs when the stream
+    terminates; a follow-up run dedups correctly against the compacted
+    index and its own new epoch partitions."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "one two three four five six seven eight"]
+    for k, txt in enumerate(texts):
+        part = dirs["input"] + f"_s{k}"
+        _docs(spark, [(k * 10, txt)]).coalesce(1).write.parquet(part)
+        src = _glob.glob(os.path.join(part, "part-*.parquet"))[0]
+        dst = os.path.join(dirs["input"], f"e{k}.parquet")
+        _shutil.move(src, dst)
+        os.utime(dst, (_time.time() - 300 + 60 * k,) * 2)
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"],
+        threshold=0.5, max_files_per_trigger=1, compact_after=True,
+    )
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {TABLE}").collect()}
+    assert parts == {"epoch=-1"}
+    assert accepted_ids(spark, dirs) == {0, 10}
+    # follow-up: a near-dup of an accepted doc is rejected via the compacted
+    # index; a novel doc is accepted into a fresh epoch partition
+    nxt = _docs(spark, [(30, texts[0] + " iota"),
+                        (31, "nine ten eleven twelve thirteen fourteen "
+                             "fifteen sixteen")])
+    part = dirs["input"] + "_s2"
+    nxt.coalesce(1).write.parquet(part)
+    src = _glob.glob(os.path.join(part, "part-*.parquet"))[0]
+    _shutil.move(src, os.path.join(dirs["input"], "e2.parquet"))
+    run_streaming_ingestion_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"],
+        threshold=0.5,
+    )
+    assert accepted_ids(spark, dirs) == {0, 10, 31}
