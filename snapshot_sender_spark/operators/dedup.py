@@ -680,10 +680,30 @@ def compact_dedup_index(
     must live at least as long as the index, exactly as the service already
     requires for its fast-skip contract. The service's current epoch must
     never be in ``epochs`` (its partition is the replay-exclusion target).
+
+    CRASH RECOVERY: a crash between the target-partition overwrite and the
+    source-partition drops leaves folded rows in BOTH places — probes in
+    that window double-count n_shared. Rows are globally unique by key
+    ((id, h) postings: one epoch per doc, distinct shingles per doc; (id)
+    sizes), so the fold dedups by key and RE-RUNNING the compaction with
+    the same epochs is curative, not amplifying (pinned by test). Run it
+    from the service (``compact_after``) or any context that retries on
+    failure.
     """
     epochs = sorted({int(e) for e in epochs})
     if int(target_epoch) in epochs:
         raise ValueError("target_epoch cannot be in the epochs to fold")
+    # fold only partitions that EXIST: committed_epochs markers outlive
+    # their folded partitions, so a service cycle with nothing new must be
+    # a no-op, not an O(corpus) rewrite of the compacted partition. The
+    # union over BOTH tables covers a crash between the posting fold and
+    # the sizes fold (the sizes table may still hold an epoch the posting
+    # table already dropped — re-running must finish folding it).
+    live = set()
+    for t in (table, table + "_sizes"):
+        for row in spark.sql(f"SHOW PARTITIONS {t}").collect():
+            live.add(int(row[0].split("=", 1)[1]))
+    epochs = [e for e in epochs if e in live]
     if not epochs:
         return 0
     fold = epochs + [int(target_epoch)]
@@ -694,7 +714,9 @@ def compact_dedup_index(
     ):
         src = spark.table(t).filter(F.col("epoch").isin(fold))
         # materialize BEFORE touching partitions: the write below replaces
-        # the very files this plan would otherwise lazily re-read.
+        # the very files this plan would otherwise lazily re-read. The
+        # dropDuplicates is the crash-recovery dedup described above — free
+        # when no crash happened (rows are already unique by key).
         # ``write_tasks`` bounds the output layout: the bucketed V1 writer
         # emits one file per (task, bucket), so the compacted partition has
         # at most write_tasks x n_buckets files — write_tasks=1 (default)
@@ -704,7 +726,12 @@ def compact_dedup_index(
         # already reports the bucket hash-partitioning, the exchange is
         # elided, and the writer inherits the scan's file-binpacked task
         # layout — observed as 2x the files instead of fewer.)
-        merged = src.select(*cols).repartition(max(1, int(write_tasks))).localCheckpoint()
+        merged = (
+            src.select(*cols)
+            .dropDuplicates(cols)
+            .repartition(max(1, int(write_tasks)))
+            .localCheckpoint()
+        )
         if t == table:
             moved = merged.count()
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

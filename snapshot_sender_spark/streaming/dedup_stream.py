@@ -30,6 +30,16 @@ from ..operators import dedup
 
 DOC_SCHEMA = "doc_id long, text string"
 
+# ONE source of truth for the epoch-marker filename: the writer
+# (_marker_path) and the parser (committed_epochs) both derive from it, so
+# a scheme change cannot silently break the fold-committed-epochs path.
+_MARKER_TEMPLATE = "epoch_{}.committed"
+_MARKER_RE = re.compile(_MARKER_TEMPLATE.format(r"(\d+)").replace(".", r"\."))
+
+
+def _marker_path(epochs_dir: str, epoch_id: int) -> str:
+    return os.path.join(epochs_dir, _MARKER_TEMPLATE.format(int(epoch_id)))
+
 
 def committed_epochs(accepted_dir: str) -> list[int]:
     """Epoch ids whose markers are committed — the only epochs
@@ -41,7 +51,7 @@ def committed_epochs(accepted_dir: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(epochs_dir):
-        m = re.fullmatch(r"epoch_(\d+)\.committed", name)
+        m = _MARKER_RE.fullmatch(name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
@@ -101,7 +111,7 @@ def run_streaming_ingestion_dedup(
     epochs: list[int] = []
 
     def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(epochs_dir, f"epoch_{epoch_id}.committed")
+        marker = _marker_path(epochs_dir, epoch_id)
         fp = _batch_fingerprint(batch)
         if os.path.exists(marker):
             with open(marker) as fh:
@@ -218,9 +228,11 @@ def run_streaming_ingestion_dedup(
         spark.catalog.refreshTable(index_table)
         spark.catalog.refreshTable(index_table + "_sizes")
         if compact_after:
-            done = [
-                e for e in committed_epochs(accepted_dir)
-                if e != dedup.COMPACTED_EPOCH
-            ]
-            dedup.compact_dedup_index(spark, index_table, done)
+            # committed_epochs can only yield non-negative ids (the marker
+            # regex is \d+), so the reserved compacted partition is never in
+            # this list; compact_dedup_index additionally prunes to epochs
+            # whose partitions still exist, making repeat cycles no-ops
+            dedup.compact_dedup_index(
+                spark, index_table, committed_epochs(accepted_dir)
+            )
     return epochs

@@ -440,10 +440,31 @@ def test_compact_dedup_index_folds_epochs_probe_identical(spark, dirs):
         assert "Bucketed: true" in plan
         assert plan.count("Exchange hashpartitioning(h#") == 1
 
-    # repeated compaction is stable (folds -1 into itself)
-    again = dedup_ops.compact_dedup_index(spark, TABLE, [5])  # nonexistent
-    assert again == 0 or census(TABLE)[0] == {"epoch=-1"}
+    # folding nonexistent/already-folded epochs is a true no-op: markers
+    # outlive partitions, so a service cycle with nothing new must not
+    # rewrite the standing corpus
+    assert dedup_ops.compact_dedup_index(spark, TABLE, [5]) == 0
+    assert dedup_ops.compact_dedup_index(spark, TABLE, epochs) == 0
+    assert census(TABLE) == (parts1, files1)
     assert probe_pairs()[0] == before
+
+    # CRASH RECOVERY: simulate dying between the target overwrite and the
+    # source drops — the folded epoch exists in BOTH epoch=-1 and its own
+    # partition (recreate it with the same content via the idempotent
+    # per-epoch append). Re-running the fold must dedup by key, not
+    # amplify, and restore the exact probe results.
+    doc0 = spark.read.parquet(
+        os.path.join(dirs["accepted"], "data", "epoch=0")
+    ).select("doc_id", "text")
+    dedup_ops.append_dedup_index_epoch(
+        spark, TABLE, doc0, "text", "doc_id", epoch=0
+    )
+    assert census(TABLE)[0] == {"epoch=-1", "epoch=0"}  # the crash state
+    healed = dedup_ops.compact_dedup_index(spark, TABLE, [0])
+    assert healed == moved  # same unique posting rows as the clean fold
+    assert census(TABLE)[0] == {"epoch=-1"}
+    assert probe_pairs()[0] == before
+    assert spark.table(TABLE).count() == moved  # no duplicate rows survive
 
     # the service continues: a 4th epoch dedups against the compacted index
     nxt = _docs(spark, [(30, texts[2] + " infrared"),  # near-dup of doc 20
