@@ -2,10 +2,13 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes the
 full declared operator surface (snapshot_sender_spark/queries/*) and
-``oracle_sql()`` the matching DuckDB SQL for every deterministic query
-(approximate operators — LSH banding, KLL/theta sketches, sampled/stateful
-streaming — are rows-only by design and omit the oracle entry; SimHash is
-fully oracle-checked, signatures and banded pair mining both).
+``oracle_sql()`` the matching DuckDB SQL for every deterministic query.
+Only 4 queries remain rows-only by documented design (unseeded-RNG KLL
+sketch, two KMeans-based float-order-sensitive operators, the AES e2e
+pipeline DuckDB cannot run); every other approximate operator is either
+cross-engine exact (SimHash, md5 MinHash banding) or GOLDEN-PINNED — the
+oracle replays a committed golden of Spark's own deterministic output
+(queries/goldens.py documents the determinism contract per query).
 """
 
 from __future__ import annotations

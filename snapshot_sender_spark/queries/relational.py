@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import query
+from .goldens import golden_oracle
 
 # ---- exact-arithmetic helpers (see queries/__init__ docstring) ---------------
 
@@ -587,12 +588,17 @@ def agg_count_distinct_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # approximate by design — rows-only check
+    # GOLDEN-PINNED (goldens.py): HLL++ register merges are max-per-register
+    # — commutative/associative — so the estimate is a pure function of the
+    # data set on ANY partitioning (verified bit-stable across repartitionings
+    # at all three tiers before pinning).
+    oracle=golden_oracle("agg_approx_distinct"),
     category="aggregation",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
-    COUNT(DISTINCT) when the distinct set itself doesn't fit a shuffle."""
+    COUNT(DISTINCT) when the distinct set itself doesn't fit a shuffle.
+    Oracle: committed golden of the order-independent estimate per tier."""
     l = load(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),

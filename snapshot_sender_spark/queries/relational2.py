@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load, register_views
 from . import query
+from .goldens import golden_oracle
 from .relational import SQL_DSUM, _money
 
 # =============================================================================
@@ -404,12 +405,27 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile", oracle=None, category="aggregation")
+@query(
+    "agg_approx_quantile",
+    # GOLDEN-PINNED (goldens.py): GK summaries are merge-order-dependent, so
+    # the query canonicalizes its input first (orderBy unique key +
+    # coalesce(1), the sample_deterministic trick) — the sequential update
+    # order is then total and the sketch output is machine- and
+    # core-count-independent; the oracle replays the committed golden.
+    oracle=golden_oracle("agg_approx_quantile"),
+    category="aggregation",
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the mergeable-quantile
-    path when the exact sort doesn't fit (approximate → rows-only check; the
-    exact interpolated variant is `percentile_exact`)."""
-    l = load(spark, sf_dir, "lineitem")
+    path when the exact sort doesn't fit (the exact interpolated variant is
+    `percentile_exact`). Canonical input order (see oracle comment) makes the
+    sketch reproducible; at cluster scale drop the canonicalization and the
+    estimates stay within the accuracy bound, just not bit-pinned."""
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")  # unique key → total order
+        .coalesce(1)  # one partition → merge-order-independent sketch
+    )
     return l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000).alias(
             "price_quartiles"

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import query
+from .goldens import golden_oracle
 
 
 @query(
@@ -333,13 +334,24 @@ def string_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_histogram_numeric", oracle=None, category="aggregation")
+@query(
+    "agg_histogram_numeric",
+    # GOLDEN-PINNED (goldens.py): the streaming-histogram centroid merge is
+    # order-dependent, so the query canonicalizes its input first (orderBy
+    # unique key + coalesce(1), the sample_deterministic trick) — updates are
+    # then sequential in total key order and the centroids are machine- and
+    # core-count-independent; the oracle replays the committed golden.
+    oracle=golden_oracle("agg_histogram_numeric"),
+    category="aggregation",
+)
 def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adaptive-bin histogram sketch (histogram_numeric — Greenwald-Khanna
-    style centroids). Approximate by design → rows-only; its exact sibling
-    is `agg_histogram_fixed_bins`, and tests pin that centroid weights sum
-    to the row count and centroids lie inside the data range."""
-    o = load(spark, sf_dir, "orders")
+    """Adaptive-bin histogram sketch (histogram_numeric — Ben-Haim/Tom-Tov
+    style centroids). Canonical input order (see oracle comment) makes the
+    sketch reproducible; its exact sibling is `agg_histogram_fixed_bins`, and
+    tests additionally pin that centroid weights sum to the row count and
+    centroids lie inside the data range. At cluster scale drop the
+    canonicalization — the bins stay valid, just not bit-pinned."""
+    o = load(spark, sf_dir, "orders").orderBy("o_orderkey").coalesce(1)
     return (
         o.select(F.col("o_totalprice").cast("double").alias("v"))
         .agg(F.expr("histogram_numeric(v, 8)").alias("bins"))

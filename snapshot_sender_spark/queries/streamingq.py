@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..streaming import windows as sw
 from ..tables import load
 from . import query
+from .goldens import golden_oracle
 
 
 @query(
@@ -191,12 +192,21 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge", oracle=None, category="aggregation")
+@query(
+    "agg_hll_sketch_merge",
+    # GOLDEN-PINNED (goldens.py): Datasketches HLL union is a per-register
+    # max — the final estimate depends only on the data SET, never on
+    # partitioning or merge order (verified bit-stable across repartitionings
+    # at all three tiers before pinning).
+    oracle=golden_oracle("agg_hll_sketch_merge"),
+    category="aggregation",
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Datasketches): per-group sketches built in
     parallel, unioned to a global estimate — the re-aggregatable distinct-count
-    pattern (store sketches, not counts). Rows-only: the estimator is
-    engine-specific; accuracy vs exact is asserted in tests/test_operators.py."""
+    pattern (store sketches, not counts). Oracle: committed golden of the
+    order-independent estimate per tier; accuracy vs exact is additionally
+    asserted in tests/test_operators.py."""
     o = load(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg(F.col("o_custkey")).alias("sk"),
