@@ -1209,3 +1209,123 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# =============================================================================
+# Exact substring (duplicated k-token span) dedup — Lee et al., "Deduplicating
+# Training Data Makes Language Models Better" (ACL 2022), re-expressed as a
+# declarative shingle-position plan instead of the paper's suffix array.
+# =============================================================================
+
+
+def _positional_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, pos, shingle_hash) for every k-token window, 0-based pos.
+
+    All-JVM: split → transform(sequence) builds the k-gram at each start
+    position → posexplode. Docs shorter than k tokens produce no rows (the
+    sequence guard keeps ``sequence(0, n-k)`` from running descending)."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")),
+    )
+    return (
+        df.filter(n >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "shingle_hash"))
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Per-document duplicated-substring statistics.
+
+    A k-token span is *duplicated* when its exact token sequence occurs
+    ``min_count``+ times corpus-wide (within- or cross-document). Overlapping
+    duplicated windows merge into maximal spans (equal-length intervals sorted
+    by start ⇒ a new span begins exactly when ``pos − lag(pos) > k`` — the
+    running-max-end island rule degenerates to a single lag).
+
+    Returns (doc_id, n_tokens, n_spans, dup_tokens, dup_fraction) for EVERY
+    input doc (zero-span docs included via the left join).
+
+    Scale: the only wide exchanges are the shingle-hash groupBy/join (32-char
+    md5 keys, never text) and one per-doc window; hot shingles behave like the
+    stopword-shingle skew in the Jaccard plans (AQE skew-split applies)."""
+    from pyspark.sql import Window
+
+    pos = _positional_shingles(df, text_col, id_col, k)
+    dup_hashes = (
+        pos.groupBy("shingle_hash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("shingle_hash")
+    )
+    dup_pos = pos.join(dup_hashes, "shingle_hash").select("id", "pos")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "new_span",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .when(F.lag("pos").over(w).isNull(), 1)
+        .otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    spans = islands.groupBy("id", "span_id").agg(
+        F.min("pos").alias("start"), (F.max("pos") + k).alias("end")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start")).alias("dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    joined = base.join(per_doc, base.doc_id == per_doc.id, "left")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_fraction"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Rewrite each document with every duplicated k-token span removed
+    (the destructive half of exact substring dedup).
+
+    Plan: the duplicated window STARTS per doc collapse to one small int array
+    (collect_set — bounded by tokens/doc), which joins back to the original
+    row; the token filter is then a per-row JVM higher-order function
+    (token i survives iff no duplicated start p covers it: p ≤ i < p+k).
+    The document text itself crosses exactly one exchange (the id join) and
+    never enters a groupBy."""
+    pos = _positional_shingles(df, text_col, id_col, k)
+    dup_hashes = (
+        pos.groupBy("shingle_hash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("shingle_hash")
+    )
+    dup_starts = (
+        pos.join(dup_hashes, "shingle_hash")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("dup_starts"))
+    )
+    joined = df.join(dup_starts, df[id_col] == dup_starts.id, "left").drop("id")
+    words = F.split(F.col(text_col), " ")
+    starts = F.coalesce("dup_starts", F.array().cast("array<int>"))
+    indexed = F.transform(words, lambda x, i: F.struct(i.alias("i"), x.alias("w")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(starts, lambda p: (p <= s["i"]) & (s["i"] < p + F.lit(k))),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(kept).alias("kept_tokens"),
+        F.md5(clean).alias("clean_hash"),
+    )

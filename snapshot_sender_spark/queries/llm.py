@@ -577,6 +577,107 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTR_SHINGLES_SQL = """
+    words AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(ws, i + 1, i + 5), ' ') AS shingle
+      FROM words, UNNEST(range(0, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    ),
+    dup AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+    ),
+    dpos AS (
+      SELECT doc_id, pos FROM sh WHERE shingle IN (SELECT shingle FROM dup)
+    )
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_SHINGLES_SQL},
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dpos
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+      FROM isl2 GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / len(string_split(d.text, ' ')) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    category="llm-dedup",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup statistics (Lee et al. ACL'22, the suffix-array
+    training-data dedup) re-expressed declaratively: a 5-token window whose
+    exact token sequence occurs ≥2 times corpus-wide marks its positions
+    duplicated; overlapping windows merge into maximal spans (equal-length
+    intervals ⇒ the islands rule is a single lag compare). Per-doc
+    span count / duplicated-token count / fraction, zero-span docs included.
+    Only 32-char shingle hashes and int positions shuffle — never text. The
+    fraction is same-input/same-op double division, bitwise equal on both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(d, "text", "doc_id", k=5, min_count=2)
+
+
+@query(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH {_SUBSTR_SHINGLES_SQL},
+    keep AS (
+      SELECT w.doc_id, j AS i, ws[j + 1] AS tok
+      FROM words w, UNNEST(range(0, len(ws))) AS t(j)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dpos ds
+        WHERE ds.doc_id = w.doc_id AND ds.pos <= j AND j < ds.pos + 5
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS kept, STRING_AGG(tok, ' ' ORDER BY i) AS txt
+      FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(r.kept, 0) AS INT) AS kept_tokens,
+           md5(COALESCE(r.txt, '')) AS clean_hash
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    category="llm-dedup",
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The destructive half of exact substring dedup: every duplicated 5-token
+    span is cut from the document. The duplicated window starts collapse to
+    one small int array per doc; the token filter is a per-row JVM
+    higher-order function (token i survives iff no start p has p ≤ i < p+5),
+    so the text crosses exactly one exchange (the id join) and never enters a
+    groupBy. Oracle rebuilds the cleaned text longhand with a correlated
+    NOT EXISTS and ordered STRING_AGG; md5 pins it byte-for-byte."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(d, "text", "doc_id", k=5, min_count=2)
+
+
 # =============================================================================
 # Similarity search
 # =============================================================================

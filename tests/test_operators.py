@@ -1545,3 +1545,112 @@ def test_flac_distributed_energy(spark):
         for r in multimodal.flac_window_energy(multimodal.encode_as_flac(df)).collect()
     }
     assert via_flac == direct
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated k-token span) dedup
+# ---------------------------------------------------------------------------
+
+
+def _brute_span_stats(rows, k=5, min_count=2):
+    """Reference implementation: dict-of-counts over every k-gram, then
+    per-doc interval union by literal position-set membership."""
+    from collections import Counter
+
+    grams = Counter()
+    toks = {i: t.split(" ") for i, t in rows}
+    for i, ws in toks.items():
+        for p in range(len(ws) - k + 1):
+            grams[tuple(ws[p : p + k])] += 1
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - k + 1):
+            if grams[tuple(ws[p : p + k])] >= min_count:
+                covered.update(range(p, p + k))
+        spans = 0
+        prev = None
+        for c in sorted(covered):
+            if prev is None or c != prev + 1:
+                spans += 1
+            prev = c
+        out[i] = (len(ws), spans, len(covered))
+    return out
+
+
+def test_duplicate_span_stats_matches_bruteforce(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e x y z w q"),  # shares one 5-gram with 1/4
+        (3, "p q r s t u v w x y"),  # unique
+        (4, "a b c d e f g h i j"),  # exact dup of 1
+        (5, "m m m m m m m m m m"),  # within-doc repeats count toward min_count
+        (6, "short doc"),  # < k tokens → no shingles
+        (7, "u1 u2 u3 a b c d e u4 u5 u6 a b c d e u7"),  # two disjoint spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+        for r in dedup.duplicate_span_stats(df, "text", "doc_id").collect()
+    }
+    assert got == _brute_span_stats(rows)
+    # fraction is dup/n for a spot row
+    row = dedup.duplicate_span_stats(df, "text", "doc_id").filter("doc_id = 2").first()
+    assert row["dup_fraction"] == row["dup_tokens"] / row["n_tokens"]
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    import hashlib as _h
+    from collections import Counter
+
+    k, min_count = 5, 2
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e x y z w q"),
+        (3, "p q r s t u v w x y"),
+        (4, "a b c d e f g h i j"),
+        (6, "short doc"),
+    ]
+    grams = Counter()
+    toks = {i: t.split(" ") for i, t in rows}
+    for ws in toks.values():
+        for p in range(len(ws) - k + 1):
+            grams[tuple(ws[p : p + k])] += 1
+    expect = {}
+    for i, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - k + 1):
+            if grams[tuple(ws[p : p + k])] >= min_count:
+                covered.update(range(p, p + k))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        expect[i] = (len(kept), _h.md5(" ".join(kept).encode()).hexdigest())
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["kept_tokens"], r["clean_hash"])
+        for r in dedup.remove_duplicate_spans(df, "text", "doc_id").collect()
+    }
+    assert got == expect
+    # doc 1 ≡ doc 4 → every window duplicated → everything removed
+    assert got[1] == (0, _h.md5(b"").hexdigest())
+    # the unique doc and the sub-k doc survive untouched
+    assert got[3][0] == 10 and got[6][0] == 2
+
+
+def test_duplicate_span_stats_no_duplicates_at_all(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicate_span_stats(df, "text", "doc_id").collect()}
+    assert all(out[i]["n_spans"] == 0 and out[i]["dup_tokens"] == 0 for i in (1, 2))
+
+
+def test_substring_span_queries_stay_jvm_side(spark, sf_dir):
+    """Neither substring query may cross into Python: the plan must contain no
+    BatchEvalPython / ArrowEvalPython / mapInPandas stages."""
+    from snapshot_sender_spark.queries import all_queries
+
+    for name in ("dedup_substring_spans", "dedup_substring_removal"):
+        plan = all_queries()[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan, f"{name} crossed to Python: {bad}"
