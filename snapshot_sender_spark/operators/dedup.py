@@ -1310,14 +1310,20 @@ def remove_duplicate_spans(
         .filter(F.col("occ") >= min_count)
         .select("shingle_hash")
     )
+    # Reserved __-names so a caller whose id_col is literally "id" (or who
+    # carries a "dup_starts" column) can't collide with the join-back side —
+    # a string .drop("id") would remove ALL same-named columns, theirs too.
     dup_starts = (
         pos.join(dup_hashes, "shingle_hash")
         .groupBy("id")
-        .agg(F.collect_set("pos").alias("dup_starts"))
+        .agg(F.collect_set("pos").alias("__dup_starts"))
+        .withColumnRenamed("id", "__span_doc")
     )
-    joined = df.join(dup_starts, df[id_col] == dup_starts.id, "left").drop("id")
+    joined = df.join(dup_starts, df[id_col] == dup_starts["__span_doc"], "left").drop(
+        "__span_doc"
+    )
     words = F.split(F.col(text_col), " ")
-    starts = F.coalesce("dup_starts", F.array().cast("array<int>"))
+    starts = F.coalesce("__dup_starts", F.array().cast("array<int>"))
     indexed = F.transform(words, lambda x, i: F.struct(i.alias("i"), x.alias("w")))
     kept = F.filter(
         indexed,

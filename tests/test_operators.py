@@ -1637,6 +1637,18 @@ def test_remove_duplicate_spans_matches_bruteforce(spark):
     assert got[3][0] == 10 and got[6][0] == 2
 
 
+def test_remove_duplicate_spans_id_col_named_id(spark):
+    """A caller whose id column is literally "id" must not collide with the
+    operator's internal join-back column (a string .drop("id") would have
+    removed the caller's column too)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], ["id", "text"]
+    )
+    got = {r["doc_id"]: r["kept_tokens"] for r in
+           dedup.remove_duplicate_spans(df, "text", "id").collect()}
+    assert got == {1: 1, 2: 1}  # shared 5-gram removed, one token survives
+
+
 def test_duplicate_span_stats_no_duplicates_at_all(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "g h i j k l")], ["doc_id", "text"]
