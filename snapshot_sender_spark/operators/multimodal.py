@@ -11,9 +11,14 @@ see the FLAC section). For MP3 and H.264 the bitstream METADATA
 layer is also real (round 5): an MPEG-1 Layer III frame-header walk
 (frame count / sample rate / bitrate mode / exact sample total, ID3v2
 skip) and an Annex B NAL walk with Exp-Golomb SPS decode (exact coded
-resolution incl. frame cropping, profile/level, NAL census). Only the
-codec cores that genuinely need external libraries — Layer III spectral
-audio decode and AVC pixel decode — remain documented stubs:
+resolution incl. frame cropping, profile/level, NAL census). Round 6
+adds two real CORE subsets: MPEG-1 Layer III spectral decode (side-info
+walk, scalefactors, table-1 Huffman, bit reservoir, scfsi — see the MP3
+section) and H.264 PIXEL decode for all-I_PCM streams (slice-header
+walk, per-MB raw 4:2:0 extraction, SPS crop — see the I_PCM section).
+Only the codec paths that genuinely need external libraries or the
+specs' large constant tables — Layer III synthesis filterbank / other
+Huffman tables, and AVC predicted-MB residuals — remain typed stubs:
 ``decode_image`` raises NotImplementedError for them unless ``fake=True``,
 in which case a deterministic fake decoder (blake2b-seeded) produces stable
 pseudo-features so the distributed plumbing can be exercised end-to-end.
@@ -2134,6 +2139,16 @@ class _ExpGolombReader:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
+    def aligned_bytes(self, n: int) -> bytes:
+        """Read n raw bytes at a byte-aligned position (I_PCM samples)."""
+        if self.pos % 8:
+            raise ValueError("read not byte-aligned")
+        byte = self.pos // 8
+        if byte + n > len(self.data):
+            raise ValueError("truncated NAL payload")
+        self.pos += 8 * n
+        return self.data[byte : byte + n]
+
 
 class _ExpGolombWriter:
     def __init__(self):
@@ -2150,6 +2165,20 @@ class _ExpGolombWriter:
         n = (v + 1).bit_length() - 1
         self.bits(0, n)
         self.bits(v + 1, n + 1)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align_zero(self) -> None:
+        while len(self.bits_) % 8:
+            self.bit(0)
+
+    def raw_bytes(self, data) -> None:
+        """Append bytes at a byte-aligned position (I_PCM samples)."""
+        if len(self.bits_) % 8:
+            raise ValueError("write not byte-aligned")
+        for b in data:
+            self.bits(int(b), 8)
 
     def rbsp(self) -> bytes:
         bits = self.bits_ + [1]  # rbsp_stop_one_bit
@@ -2170,11 +2199,9 @@ class _ExpGolombWriter:
         return bytes(out)
 
 
-def encode_h264_sps_stream(width: int, height: int, profile_idc: int = 66,
-                           level_idc: int = 30) -> bytes:
-    """Fixture writer: a minimal Annex B stream — SPS (with frame cropping
-    when width/height are not multiples of 16) + PPS + one dummy IDR NAL —
-    whose SPS decodes to exactly (width, height)."""
+def _h264_sps_nal(width: int, height: int, profile_idc: int, level_idc: int) -> bytes:
+    """SPS NAL (start code included) whose decode is exactly (width, height):
+    baseline fields only, frame cropping when the dims aren't MB multiples."""
     mbs_w = (width + 15) // 16
     mbs_h = (height + 15) // 16
     crop_r = (mbs_w * 16 - width) // 2  # crop units of 2 px (4:2:0)
@@ -2203,7 +2230,15 @@ def encode_h264_sps_stream(width: int, height: int, profile_idc: int = 66,
         w.ue(0)
         w.ue(crop_b)
     w.bit(0)  # vui_parameters_present_flag
-    sps = b"\x00\x00\x00\x01" + bytes([0x67]) + w.rbsp()
+    return b"\x00\x00\x00\x01" + bytes([0x67]) + w.rbsp()
+
+
+def encode_h264_sps_stream(width: int, height: int, profile_idc: int = 66,
+                           level_idc: int = 30) -> bytes:
+    """Fixture writer: a minimal Annex B stream — SPS (with frame cropping
+    when width/height are not multiples of 16) + PPS + one dummy IDR NAL —
+    whose SPS decodes to exactly (width, height)."""
+    sps = _h264_sps_nal(width, height, profile_idc, level_idc)
     p = _ExpGolombWriter()
     p.ue(0)  # pic_parameter_set_id
     p.ue(0)  # seq_parameter_set_id
@@ -2220,13 +2255,11 @@ def encode_h264_sps_stream(width: int, height: int, profile_idc: int = 66,
     return sps + pps + idr
 
 
-def parse_h264_info(data: bytes) -> dict:
-    """Annex B NAL walk + SPS decode: returns exact (width, height),
-    profile_idc, level_idc and the NAL-type census. Baseline/Main/Extended
-    SPS only (profile_idc >= 100 adds the chroma/scaling block — parsed for
-    the common high-profile fields); corrupt streams raise ValueError."""
-    # split on start codes — bytes.find scans in C; a byte-at-a-time Python
-    # loop would allocate two slice objects per input byte on multi-MB NALs
+def _split_annexb(data: bytes) -> list[bytes]:
+    """Split an Annex B byte stream into NAL payloads (header byte included).
+
+    bytes.find scans in C; a byte-at-a-time Python loop would allocate two
+    slice objects per input byte on multi-MB NALs."""
     nals = []
     n = len(data)
     i = data.find(b"\x00\x00\x01")
@@ -2243,70 +2276,99 @@ def parse_h264_info(data: bytes) -> dict:
         i = nxt
     if not nals:
         raise ValueError("no Annex B start codes")
-    sps_info = None
-    census: dict[int, int] = {}
     for nal in nals:
         if not nal:
             raise ValueError("empty NAL unit")
         if nal[0] & 0x80:
             raise ValueError("forbidden_zero_bit set")
+    return nals
+
+
+def _parse_sps(payload: bytes) -> dict:
+    """Full SPS RBSP decode (H.264 7.3.2.1.1) — every field a slice-header
+    parse later depends on, plus the display (cropped) geometry."""
+    r = _ExpGolombReader(payload)
+    profile = r.bits(8)
+    r.bits(8)  # constraint flags
+    level = r.bits(8)
+    r.ue()  # sps id
+    chroma = 1  # 4:2:0 implied when the chroma block is absent (A.2)
+    separate_planes = 0
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma = r.ue()
+        if chroma > 3:
+            raise ValueError(f"invalid chroma_format_idc {chroma}")
+        if chroma == 3:
+            separate_planes = r.bit()
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.bit()  # qpprime_y_zero_transform_bypass
+        if r.bit():  # seq_scaling_matrix_present
+            raise NotImplementedError("SPS scaling matrices")
+    log2_frame_num_m4 = r.ue()
+    poc_type = r.ue()
+    log2_poc_lsb_m4 = 0
+    delta_poc_always_zero = 0
+    if poc_type == 0:
+        log2_poc_lsb_m4 = r.ue()
+    elif poc_type == 1:
+        delta_poc_always_zero = r.bit()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.bit()  # gaps allowed
+    mbs_w = r.ue() + 1
+    mbs_h = r.ue() + 1
+    frame_mbs_only = r.bit()
+    if not frame_mbs_only:
+        r.bit()  # mb_adaptive_frame_field_flag
+    r.bit()  # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.bit():  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    h_mult = 1 if frame_mbs_only else 2
+    # crop units per H.264 7-21..7-24: SubWidthC/SubHeightC depend on
+    # chroma_format_idc (monochrome and separate-planes crop in luma
+    # samples); CropUnitY additionally doubles for field coding
+    if chroma == 0 or separate_planes:
+        cux, cuy = 1, h_mult
+    else:
+        cux = 2 if chroma in (1, 2) else 1  # SubWidthC
+        cuy = (2 if chroma == 1 else 1) * h_mult  # SubHeightC · (2−fmo)
+    return {
+        "width": mbs_w * 16 - cux * (crop_l + crop_r),
+        "height": h_mult * mbs_h * 16 - cuy * (crop_t + crop_b),
+        "profile_idc": profile,
+        "level_idc": level,
+        "chroma_format_idc": chroma,
+        "log2_max_frame_num_minus4": log2_frame_num_m4,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb_minus4": log2_poc_lsb_m4,
+        "delta_poc_always_zero": delta_poc_always_zero,
+        "frame_mbs_only": frame_mbs_only,
+        "mbs_w": mbs_w,
+        "mbs_h": mbs_h,
+        "crop": (crop_l, crop_r, crop_t, crop_b),
+        "crop_units": (cux, cuy),
+    }
+
+
+def parse_h264_info(data: bytes) -> dict:
+    """Annex B NAL walk + SPS decode: returns exact (width, height),
+    profile_idc, level_idc and the NAL-type census. Baseline/Main/Extended
+    SPS only (profile_idc >= 100 adds the chroma/scaling block — parsed for
+    the common high-profile fields); corrupt streams raise ValueError."""
+    nals = _split_annexb(data)
+    sps_info = None
+    census: dict[int, int] = {}
+    for nal in nals:
         typ = nal[0] & 0x1F
         census[typ] = census.get(typ, 0) + 1
         if typ == 7 and sps_info is None:
-            r = _ExpGolombReader(nal[1:])
-            profile = r.bits(8)
-            r.bits(8)  # constraint flags
-            level = r.bits(8)
-            r.ue()  # sps id
-            chroma = 1  # 4:2:0 implied when the chroma block is absent (A.2)
-            separate_planes = 0
-            if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-                chroma = r.ue()
-                if chroma > 3:
-                    raise ValueError(f"invalid chroma_format_idc {chroma}")
-                if chroma == 3:
-                    separate_planes = r.bit()
-                r.ue()  # bit_depth_luma_minus8
-                r.ue()  # bit_depth_chroma_minus8
-                r.bit()  # qpprime_y_zero_transform_bypass
-                if r.bit():  # seq_scaling_matrix_present
-                    raise NotImplementedError("SPS scaling matrices")
-            r.ue()  # log2_max_frame_num_minus4
-            poc_type = r.ue()
-            if poc_type == 0:
-                r.ue()
-            elif poc_type == 1:
-                r.bit()
-                r.se()
-                r.se()
-                for _ in range(r.ue()):
-                    r.se()
-            r.ue()  # max_num_ref_frames
-            r.bit()  # gaps allowed
-            mbs_w = r.ue() + 1
-            mbs_h = r.ue() + 1
-            frame_mbs_only = r.bit()
-            if not frame_mbs_only:
-                r.bit()  # mb_adaptive_frame_field_flag
-            r.bit()  # direct_8x8_inference
-            crop_l = crop_r = crop_t = crop_b = 0
-            if r.bit():  # frame_cropping_flag
-                crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
-            h_mult = 1 if frame_mbs_only else 2
-            # crop units per H.264 7-21..7-24: SubWidthC/SubHeightC depend on
-            # chroma_format_idc (monochrome and separate-planes crop in luma
-            # samples); CropUnitY additionally doubles for field coding
-            if chroma == 0 or separate_planes:
-                cux, cuy = 1, h_mult
-            else:
-                cux = 2 if chroma in (1, 2) else 1  # SubWidthC
-                cuy = (2 if chroma == 1 else 1) * h_mult  # SubHeightC · (2−fmo)
-            sps_info = {
-                "width": mbs_w * 16 - cux * (crop_l + crop_r),
-                "height": h_mult * mbs_h * 16 - cuy * (crop_t + crop_b),
-                "profile_idc": profile,
-                "level_idc": level,
-            }
+            full = _parse_sps(nal[1:])
+            sps_info = {k: full[k] for k in ("width", "height", "profile_idc", "level_idc")}
     if sps_info is None:
         raise ValueError("no SPS NAL in stream")
     return {
@@ -2343,6 +2405,255 @@ def h264_stream_info(
             )
 
     return df.mapInPandas(run, schema=H264_INFO_SCHEMA)
+
+
+# =============================================================================
+# H.264 I_PCM PIXEL decode (subset) — REAL pixel reconstruction, stdlib+numpy.
+# I_PCM (ITU-T H.264 7.3.5, mb_type 25 in I slices) carries raw uncompressed
+# 4:2:0 samples inside a normal coded slice: the decoder must do the real
+# slice-header Exp-Golomb walk (frame_num/POC widths come from the SPS),
+# per-macroblock mb_type decode, pcm_alignment_zero_bits, and byte-exact
+# sample extraction through emulation-prevention stripping, then place each
+# 16×16 luma / 8×8 chroma block at its raster position and apply the SPS
+# frame cropping. Predicted macroblocks (CAVLC/CABAC residuals) genuinely
+# need the spec's VLC tables / arithmetic coder and stay typed
+# NotImplementedError. Reference analog: none — the reference never parses
+# payloads (HttpWriter.kt:75 posts bytes unparsed).
+# =============================================================================
+
+
+def encode_h264_ipcm_stream(
+    width: int, height: int, luma, cb, cr, level_idc: int = 30
+) -> bytes:
+    """Fixture writer: SPS + PPS + one IDR slice where EVERY macroblock is
+    I_PCM. ``luma`` must be the PADDED (mbs_h·16, mbs_w·16) uint8 plane;
+    ``cb``/``cr`` the padded (mbs_h·8, mbs_w·8) chroma planes. The PPS here
+    is fully spec-parseable (unlike the metadata fixture's byte-simple one)
+    because the pixel decoder walks it for real."""
+    import numpy as np
+
+    mbs_w = (width + 15) // 16
+    mbs_h = (height + 15) // 16
+    luma = np.asarray(luma, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    if luma.shape != (mbs_h * 16, mbs_w * 16):
+        raise ValueError(f"luma plane must be padded to {(mbs_h*16, mbs_w*16)}")
+    if cb.shape != (mbs_h * 8, mbs_w * 8) or cr.shape != (mbs_h * 8, mbs_w * 8):
+        raise ValueError(f"chroma planes must be padded to {(mbs_h*8, mbs_w*8)}")
+    sps = _h264_sps_nal(width, height, 66, level_idc)
+    p = _ExpGolombWriter()
+    p.ue(0)  # pic_parameter_set_id
+    p.ue(0)  # seq_parameter_set_id
+    p.bit(0)  # entropy_coding_mode_flag (CAVLC)
+    p.bit(0)  # bottom_field_pic_order_in_frame_present_flag
+    p.ue(0)  # num_slice_groups_minus1
+    p.ue(0)  # num_ref_idx_l0_default_active_minus1
+    p.ue(0)  # num_ref_idx_l1_default_active_minus1
+    p.bit(0)  # weighted_pred_flag
+    p.bits(0, 2)  # weighted_bipred_idc
+    p.se(0)  # pic_init_qp_minus26
+    p.se(0)  # pic_init_qs_minus26
+    p.se(0)  # chroma_qp_index_offset
+    p.bit(0)  # deblocking_filter_control_present_flag
+    p.bit(0)  # constrained_intra_pred_flag
+    p.bit(0)  # redundant_pic_cnt_present_flag
+    pps = b"\x00\x00\x00\x01" + bytes([0x68]) + p.rbsp()
+    s = _ExpGolombWriter()
+    s.ue(0)  # first_mb_in_slice
+    s.ue(7)  # slice_type = 7 (I, all slices of the picture)
+    s.ue(0)  # pic_parameter_set_id
+    s.bits(0, 4)  # frame_num: u(log2_max_frame_num_minus4 + 4) = u(4)
+    s.ue(0)  # idr_pic_id (nal_unit_type 5)
+    s.bits(0, 4)  # pic_order_cnt_lsb: u(4) (poc_type 0)
+    s.bit(0)  # dec_ref_pic_marking: no_output_of_prior_pics_flag
+    s.bit(0)  # long_term_reference_flag
+    s.se(0)  # slice_qp_delta
+    for m in range(mbs_w * mbs_h):
+        my, mx = divmod(m, mbs_w)
+        s.ue(25)  # mb_type = I_PCM
+        s.align_zero()  # pcm_alignment_zero_bit(s)
+        s.raw_bytes(luma[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].reshape(-1))
+        s.raw_bytes(cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].reshape(-1))
+        s.raw_bytes(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].reshape(-1))
+    idr = b"\x00\x00\x00\x01" + bytes([0x65]) + s.rbsp()
+    return sps + pps + idr
+
+
+def _parse_pps(payload: bytes) -> dict:
+    """PPS RBSP decode (7.3.2.2) for the CAVLC single-slice-group subset."""
+    r = _ExpGolombReader(payload)
+    r.ue()  # pic_parameter_set_id
+    r.ue()  # seq_parameter_set_id
+    if r.bit():  # entropy_coding_mode_flag
+        raise NotImplementedError("CABAC slices (arithmetic decoder)")
+    bottom_field = r.bit()
+    if r.ue():  # num_slice_groups_minus1
+        raise NotImplementedError("slice groups (FMO)")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.bit()  # weighted_pred_flag
+    r.bits(2)  # weighted_bipred_idc
+    r.se()  # pic_init_qp_minus26
+    r.se()  # pic_init_qs_minus26
+    r.se()  # chroma_qp_index_offset
+    deblock = r.bit()
+    r.bit()  # constrained_intra_pred_flag
+    redundant = r.bit()
+    return {
+        "bottom_field_present": bottom_field,
+        "deblock_present": deblock,
+        "redundant_present": redundant,
+    }
+
+
+def _decode_ipcm_slice(nal: bytes, sps: dict, pps: dict):
+    """Decode one all-I_PCM coded slice into padded (luma, cb, cr) planes."""
+    import numpy as np
+
+    nal_type = nal[0] & 0x1F
+    nal_ref_idc = (nal[0] >> 5) & 3
+    r = _ExpGolombReader(nal[1:])
+    if r.ue():  # first_mb_in_slice
+        raise NotImplementedError("multi-slice pictures")
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError(
+            f"slice_type {slice_type}: inter prediction needs reference frames"
+        )
+    r.ue()  # pic_parameter_set_id
+    r.bits(sps["log2_max_frame_num_minus4"] + 4)  # frame_num
+    if not sps["frame_mbs_only"]:
+        if r.bit():  # field_pic_flag
+            raise NotImplementedError("field-coded pictures")
+    if nal_type == 5:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.bits(sps["log2_max_poc_lsb_minus4"] + 4)  # pic_order_cnt_lsb
+        if pps["bottom_field_present"]:
+            r.se()  # delta_pic_order_cnt_bottom
+    elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
+        r.se()
+        if pps["bottom_field_present"]:
+            r.se()
+    if pps["redundant_present"]:
+        r.ue()  # redundant_pic_cnt
+    if nal_ref_idc:
+        if nal_type == 5:
+            r.bit()  # no_output_of_prior_pics_flag
+            r.bit()  # long_term_reference_flag
+        elif r.bit():  # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError("adaptive reference marking")
+    r.se()  # slice_qp_delta
+    if pps["deblock_present"]:
+        if r.ue() != 1:  # disable_deblocking_filter_idc
+            r.se()
+            r.se()
+    mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+    luma = np.zeros((mbs_h * 16, mbs_w * 16), np.uint8)
+    cbp = np.zeros((mbs_h * 8, mbs_w * 8), np.uint8)
+    crp = np.zeros((mbs_h * 8, mbs_w * 8), np.uint8)
+    for m in range(mbs_w * mbs_h):
+        my, mx = divmod(m, mbs_w)
+        mb_type = r.ue()
+        if mb_type != 25:
+            raise NotImplementedError(
+                f"mb_type {mb_type}: only I_PCM macroblocks — intra-predicted "
+                "residual decode needs the spec's CAVLC tables"
+            )
+        while r.pos % 8:
+            if r.bit():
+                raise ValueError("pcm_alignment_zero_bit set")
+        luma[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = np.frombuffer(
+            r.aligned_bytes(256), np.uint8
+        ).reshape(16, 16)
+        cbp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
+            r.aligned_bytes(64), np.uint8
+        ).reshape(8, 8)
+        crp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.frombuffer(
+            r.aligned_bytes(64), np.uint8
+        ).reshape(8, 8)
+    if r.bit() != 1:  # rbsp_stop_one_bit
+        raise ValueError("missing rbsp_stop_one_bit after slice data")
+    return luma, cbp, crp
+
+
+def parse_h264_ipcm_pixels(data: bytes) -> dict:
+    """REAL H.264 pixel decode for the all-I_PCM subset: NAL walk, SPS/PPS
+    decode, slice-header walk, per-MB I_PCM extraction, SPS frame cropping.
+    Returns cropped numpy planes {luma (h,w), cb, cr (h/2,w/2)} + geometry."""
+    nals = _split_annexb(data)
+    sps = pps = None
+    planes = None
+    for nal in nals:
+        typ = nal[0] & 0x1F
+        if typ == 7 and sps is None:
+            sps = _parse_sps(nal[1:])
+        elif typ == 8 and pps is None:
+            pps = _parse_pps(nal[1:])
+        elif typ in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("coded slice before SPS/PPS")
+            planes = _decode_ipcm_slice(nal, sps, pps)
+    if planes is None:
+        raise ValueError("no coded slice in stream")
+    luma, cbp, crp = planes
+    w, h = sps["width"], sps["height"]
+    crop_l, _cr, crop_t, _cb = sps["crop"]
+    cux, cuy = sps["crop_units"]
+    x0, y0 = cux * crop_l, cuy * crop_t
+    return {
+        "width": w,
+        "height": h,
+        "n_mbs": sps["mbs_w"] * sps["mbs_h"],
+        "luma": luma[y0 : y0 + h, x0 : x0 + w],
+        "cb": cbp[y0 // 2 : y0 // 2 + h // 2, x0 // 2 : x0 // 2 + w // 2],
+        "cr": crp[y0 // 2 : y0 // 2 + h // 2, x0 // 2 : x0 // 2 + w // 2],
+    }
+
+
+H264_PIXEL_SCHEMA = (
+    "media_id long, width int, height int, n_mbs int, luma_sum bigint, "
+    "luma_sq_sum bigint, luma_pos_hash bigint, cb_sum bigint, cr_sum bigint"
+)
+
+
+def h264_ipcm_pixel_stats(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed H.264 I_PCM pixel decode (mapInPandas): exact integer
+    reductions over the reconstructed, cropped planes — sum / sum of squares
+    / position-weighted sum Σ(i+1)·v over row-major luma, chroma sums. Bytes
+    never shuffle; one Python crossing per Arrow batch."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "width", "height", "n_mbs", "luma_sum",
+            "luma_sq_sum", "luma_pos_hash", "cb_sum", "cr_sum",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                d = parse_h264_ipcm_pixels(bytes(buf or b""))
+                y = d["luma"].astype(np.int64).reshape(-1)
+                idx = np.arange(1, y.size + 1, dtype=np.int64)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_mbs": d["n_mbs"],
+                        "luma_sum": int(y.sum()),
+                        "luma_sq_sum": int((y * y).sum()),
+                        "luma_pos_hash": int((idx * y).sum()),
+                        "cb_sum": int(d["cb"].astype(np.int64).sum()),
+                        "cr_sum": int(d["cr"].astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=H264_PIXEL_SCHEMA)
 
 
 # =============================================================================

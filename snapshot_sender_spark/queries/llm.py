@@ -1354,8 +1354,9 @@ def multimodal_h264_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/multimodal.py:parse_h264_info) recovers the exact coded
     width/height, profile, level, and NAL census. The oracle recomputes the
     expected values from the doc_id formulas, so the Exp-Golomb write→read
-    round trip incl. crop arithmetic is verified exactly. Only pixel decode
-    (CABAC/CAVLC residuals) remains out of scope."""
+    round trip incl. crop arithmetic is verified exactly. PIXEL decode is
+    real for the I_PCM subset (multimodal_h264_pixels); only predicted-MB
+    residual decode (CABAC/CAVLC tables) remains out of scope."""
     from ..operators import multimodal
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -1382,6 +1383,97 @@ def multimodal_h264_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
     return multimodal.h264_stream_info(media)
+
+
+@query(
+    "multimodal_h264_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 28 + (doc_id % 6) * 10 AS w, 20 + (doc_id % 5) * 8 AS h
+      FROM documents WHERE doc_id < 120
+    ),
+    y AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+             (doc_id * 31 + (t.i // w) * 5 + (t.i % w) * 3) % 256 AS v
+      FROM p, UNNEST(range(0, w * h)) AS t(i)
+    ),
+    c AS (
+      SELECT doc_id,
+             (doc_id * 17 + (t.i // (w // 2)) * 7 + (t.i % (w // 2)) * 11) % 256 AS cbv,
+             (doc_id * 13 + (t.i // (w // 2)) * 3 + (t.i % (w // 2)) * 5) % 256 AS crv
+      FROM p, UNNEST(range(0, (w // 2) * (h // 2))) AS t(i)
+    ),
+    ya AS (
+      SELECT doc_id, SUM(v) AS luma_sum, SUM(v * v) AS luma_sq_sum,
+             SUM((i + 1) * v) AS luma_pos_hash
+      FROM y GROUP BY doc_id
+    ),
+    ca AS (
+      SELECT doc_id, SUM(cbv) AS cb_sum, SUM(crv) AS cr_sum
+      FROM c GROUP BY doc_id
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(((w + 15) // 16) * ((h + 15) // 16) AS INT) AS n_mbs,
+           CAST(luma_sum AS BIGINT) AS luma_sum,
+           CAST(luma_sq_sum AS BIGINT) AS luma_sq_sum,
+           CAST(luma_pos_hash AS BIGINT) AS luma_pos_hash,
+           CAST(cb_sum AS BIGINT) AS cb_sum,
+           CAST(cr_sum AS BIGINT) AS cr_sum
+    FROM p JOIN ya USING (doc_id) JOIN ca USING (doc_id)
+    """,
+    category="llm-multimodal",
+)
+def multimodal_h264_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 PIXEL decode that is NOT a stub (closes the last media-codec
+    north-star item for a documented subset): per document a real Annex B
+    stream is synthesized — SPS with frame cropping (dims deliberately not
+    MB multiples), a fully spec-parseable PPS, and one IDR slice whose every
+    macroblock is I_PCM (mb_type 25) carrying doc_id-derived raw 4:2:0
+    samples (operators/multimodal.py:encode_h264_ipcm_stream). The REAL
+    subset decoder (parse_h264_ipcm_pixels: NAL walk, SPS/PPS decode,
+    slice-header Exp-Golomb walk with SPS-derived field widths,
+    pcm_alignment_zero_bits, byte-exact sample extraction through
+    emulation-prevention stripping, raster MB placement, SPS crop) then
+    reconstructs the planes, and exact integer reductions (sum, sum of
+    squares, position-weighted Σ(i+1)·v, chroma sums) pin every sample's
+    value AND position. The oracle recomputes all aggregates from the
+    doc_id pixel formulas in integer SQL. Predicted macroblocks
+    (CAVLC/CABAC residuals) remain typed NotImplementedError — they need
+    the spec's VLC tables / arithmetic coder."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 28 + (did % 6) * 10
+                h = 20 + (did % 5) * 8
+                w16 = ((w + 15) // 16) * 16
+                h16 = ((h + 15) // 16) * 16
+                yy, xx = np.mgrid[0:h16, 0:w16]
+                luma = ((did * 31 + yy * 5 + xx * 3) % 256).astype(np.uint8)
+                cy, cx = np.mgrid[0 : h16 // 2, 0 : w16 // 2]
+                cb = ((did * 17 + cy * 7 + cx * 11) % 256).astype(np.uint8)
+                cr = ((did * 13 + cy * 3 + cx * 5) % 256).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_ipcm_stream(
+                            w, h, luma, cb, cr
+                        ),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.h264_ipcm_pixel_stats(media)
 
 
 @query(

@@ -1385,6 +1385,110 @@ def test_mp3_h264_roundtrip_property():
     run_h264()
 
 
+def _ipcm_planes(did, w, h):
+    import numpy as np
+
+    w16, h16 = ((w + 15) // 16) * 16, ((h + 15) // 16) * 16
+    yy, xx = np.mgrid[0:h16, 0:w16]
+    luma = ((did * 31 + yy * 5 + xx * 3) % 256).astype(np.uint8)
+    cy, cx = np.mgrid[0 : h16 // 2, 0 : w16 // 2]
+    cb = ((did * 17 + cy * 7 + cx * 11) % 256).astype(np.uint8)
+    cr = ((did * 13 + cy * 3 + cx * 5) % 256).astype(np.uint8)
+    return luma, cb, cr
+
+
+def test_h264_ipcm_pixel_roundtrip_exact():
+    """encode → decode recovers every sample byte-for-byte, including the
+    SPS-crop path (dims not MB multiples) and the emulation-prevention storm
+    an all-zero plane produces (raw 00 00 runs force 03 insertion)."""
+    import numpy as np
+
+    for w, h in [(28, 20), (32, 32), (78, 52), (16, 16)]:
+        luma, cb, cr = _ipcm_planes(9, w, h)
+        s = multimodal.encode_h264_ipcm_stream(w, h, luma, cb, cr)
+        d = multimodal.parse_h264_ipcm_pixels(s)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["n_mbs"] == ((w + 15) // 16) * ((h + 15) // 16)
+        assert np.array_equal(d["luma"], luma[:h, :w])
+        assert np.array_equal(d["cb"], cb[: h // 2, : w // 2])
+        assert np.array_equal(d["cr"], cr[: h // 2, : w // 2])
+        # the metadata parser agrees on the same stream
+        info = multimodal.parse_h264_info(s)
+        assert (info["width"], info["height"], info["n_nals"], info["n_idr"]) == (
+            w, h, 3, 1,
+        )
+    z = np.zeros((32, 32), np.uint8)
+    zc = np.zeros((16, 16), np.uint8)
+    s = multimodal.encode_h264_ipcm_stream(32, 32, z, zc, zc)
+    assert len(s) > 32 * 32 + 2 * 16 * 16  # emulation bytes actually inserted
+    d = multimodal.parse_h264_ipcm_pixels(s)
+    assert int(d["luma"].sum()) == 0 and int(d["cb"].sum()) == 0
+
+
+def test_h264_ipcm_typed_errors():
+    """Out-of-subset streams fail with TYPED errors naming the boundary."""
+    import numpy as np
+
+    import pytest as _pt
+
+    luma, cb, cr = _ipcm_planes(3, 16, 16)
+    good = multimodal.encode_h264_ipcm_stream(16, 16, luma, cb, cr)
+    # a predicted (non-I_PCM) macroblock: same header, mb_type ue(0)
+    w = multimodal._ExpGolombWriter()
+    w.ue(0); w.ue(7); w.ue(0)
+    w.bits(0, 4); w.ue(0); w.bits(0, 4)
+    w.bit(0); w.bit(0); w.se(0)
+    w.ue(0)  # mb_type 0 = I_4x4 → needs CAVLC residuals
+    nals = good.rsplit(b"\x00\x00\x00\x01", 1)[0]
+    bad = nals + b"\x00\x00\x00\x01" + bytes([0x65]) + w.rbsp()
+    with _pt.raises(NotImplementedError, match="I_PCM"):
+        multimodal.parse_h264_ipcm_pixels(bad)
+    # CABAC PPS
+    p = multimodal._ExpGolombWriter()
+    p.ue(0); p.ue(0); p.bit(1)  # entropy_coding_mode_flag = CABAC
+    with _pt.raises(NotImplementedError, match="CABAC"):
+        multimodal._parse_pps(p.rbsp())
+    # truncated PCM payload
+    with _pt.raises(ValueError, match="truncated"):
+        multimodal.parse_h264_ipcm_pixels(good[: len(good) - 40])
+    # coded slice before SPS/PPS
+    idr_only = b"\x00\x00\x00\x01" + good.rsplit(b"\x00\x00\x00\x01", 1)[1]
+    with _pt.raises(ValueError, match="before SPS"):
+        multimodal.parse_h264_ipcm_pixels(idr_only)
+    # wrong (unpadded) plane shape
+    with _pt.raises(ValueError, match="padded"):
+        multimodal.encode_h264_ipcm_stream(28, 20, luma[:20, :28], cb, cr)
+
+
+def test_h264_ipcm_roundtrip_property():
+    """Hypothesis: arbitrary even dims + arbitrary random planes round-trip
+    losslessly through the full bitstream (alignment, emulation prevention,
+    crop arithmetic — the whole parameter space, not the doc_id slice)."""
+    import numpy as np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(8, 40).map(lambda v: v * 2),
+           st.integers(8, 30).map(lambda v: v * 2),
+           st.integers(0, 2**32 - 1))
+    def run(w, h, seed):
+        rng = np.random.default_rng(seed)
+        w16, h16 = ((w + 15) // 16) * 16, ((h + 15) // 16) * 16
+        luma = rng.integers(0, 256, (h16, w16), dtype=np.uint8)
+        cb = rng.integers(0, 256, (h16 // 2, w16 // 2), dtype=np.uint8)
+        cr = rng.integers(0, 256, (h16 // 2, w16 // 2), dtype=np.uint8)
+        d = multimodal.parse_h264_ipcm_pixels(
+            multimodal.encode_h264_ipcm_stream(w, h, luma, cb, cr)
+        )
+        assert np.array_equal(d["luma"], luma[:h, :w])
+        assert np.array_equal(d["cb"], cb[: h // 2, : w // 2])
+        assert np.array_equal(d["cr"], cr[: h // 2, : w // 2])
+
+    run()
+
+
 def test_mp3_spectral_roundtrip_property():
     """Hypothesis over the Layer III spectral subset: arbitrary per-granule
     (nnz, gain, scalefac_compress) specs encode to real side-info +

@@ -357,7 +357,8 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "embedding_quantize_int8", "multimodal_audio_energy",
         "multimodal_features_real", "multimodal_flac_energy",
         "multimodal_frame_sample",
-        "multimodal_h264_info", "multimodal_image_stats",
+        "multimodal_h264_info", "multimodal_h264_pixels",
+        "multimodal_image_stats",
         "multimodal_jpeg_stats", "multimodal_mp3_energy",
         "multimodal_mp3_info",
         "multimodal_progressive_stats", "multimodal_resize",
