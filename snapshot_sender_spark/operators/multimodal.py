@@ -2594,6 +2594,10 @@ def parse_h264_ipcm_pixels(data: bytes) -> dict:
         elif typ in (1, 5):
             if sps is None or pps is None:
                 raise ValueError("coded slice before SPS/PPS")
+            if planes is not None:
+                # decoding only one picture and silently dropping the rest
+                # would misreport multi-frame video as a still
+                raise NotImplementedError("multiple coded pictures in stream")
             planes = _decode_ipcm_slice(nal, sps, pps)
     if planes is None:
         raise ValueError("no coded slice in stream")

@@ -1458,6 +1458,10 @@ def test_h264_ipcm_typed_errors():
     # wrong (unpadded) plane shape
     with _pt.raises(ValueError, match="padded"):
         multimodal.encode_h264_ipcm_stream(28, 20, luma[:20, :28], cb, cr)
+    # two coded pictures: decoding one and dropping the other would misreport
+    idr_nal = b"\x00\x00\x00\x01" + good.rsplit(b"\x00\x00\x00\x01", 1)[1]
+    with _pt.raises(NotImplementedError, match="multiple coded pictures"):
+        multimodal.parse_h264_ipcm_pixels(good + idr_nal)
 
 
 def test_h264_ipcm_roundtrip_property():
