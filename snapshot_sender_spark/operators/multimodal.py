@@ -2422,25 +2422,9 @@ def h264_stream_info(
 # =============================================================================
 
 
-def encode_h264_ipcm_stream(
-    width: int, height: int, luma, cb, cr, level_idc: int = 30
-) -> bytes:
-    """Fixture writer: SPS + PPS + one IDR slice where EVERY macroblock is
-    I_PCM. ``luma`` must be the PADDED (mbs_h·16, mbs_w·16) uint8 plane;
-    ``cb``/``cr`` the padded (mbs_h·8, mbs_w·8) chroma planes. The PPS here
-    is fully spec-parseable (unlike the metadata fixture's byte-simple one)
-    because the pixel decoder walks it for real."""
-    import numpy as np
-
-    mbs_w = (width + 15) // 16
-    mbs_h = (height + 15) // 16
-    luma = np.asarray(luma, dtype=np.uint8)
-    cb = np.asarray(cb, dtype=np.uint8)
-    cr = np.asarray(cr, dtype=np.uint8)
-    if luma.shape != (mbs_h * 16, mbs_w * 16):
-        raise ValueError(f"luma plane must be padded to {(mbs_h*16, mbs_w*16)}")
-    if cb.shape != (mbs_h * 8, mbs_w * 8) or cr.shape != (mbs_h * 8, mbs_w * 8):
-        raise ValueError(f"chroma planes must be padded to {(mbs_h*8, mbs_w*8)}")
+def _h264_ipcm_parameter_sets(width: int, height: int, level_idc: int = 30) -> bytes:
+    """SPS + a fully spec-parseable PPS (unlike the metadata fixture's
+    byte-simple one) — the pixel decoder walks the PPS for real."""
     sps = _h264_sps_nal(width, height, 66, level_idc)
     p = _ExpGolombWriter()
     p.ue(0)  # pic_parameter_set_id
@@ -2459,12 +2443,32 @@ def encode_h264_ipcm_stream(
     p.bit(0)  # constrained_intra_pred_flag
     p.bit(0)  # redundant_pic_cnt_present_flag
     pps = b"\x00\x00\x00\x01" + bytes([0x68]) + p.rbsp()
+    return sps + pps
+
+
+def _h264_ipcm_idr_nal(
+    width: int, height: int, luma, cb, cr, idr_pic_id: int = 0
+) -> bytes:
+    """One IDR slice NAL where EVERY macroblock is I_PCM. ``luma`` must be
+    the PADDED (mbs_h·16, mbs_w·16) uint8 plane; ``cb``/``cr`` the padded
+    (mbs_h·8, mbs_w·8) chroma planes."""
+    import numpy as np
+
+    mbs_w = (width + 15) // 16
+    mbs_h = (height + 15) // 16
+    luma = np.asarray(luma, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    if luma.shape != (mbs_h * 16, mbs_w * 16):
+        raise ValueError(f"luma plane must be padded to {(mbs_h*16, mbs_w*16)}")
+    if cb.shape != (mbs_h * 8, mbs_w * 8) or cr.shape != (mbs_h * 8, mbs_w * 8):
+        raise ValueError(f"chroma planes must be padded to {(mbs_h*8, mbs_w*8)}")
     s = _ExpGolombWriter()
     s.ue(0)  # first_mb_in_slice
     s.ue(7)  # slice_type = 7 (I, all slices of the picture)
     s.ue(0)  # pic_parameter_set_id
-    s.bits(0, 4)  # frame_num: u(log2_max_frame_num_minus4 + 4) = u(4)
-    s.ue(0)  # idr_pic_id (nal_unit_type 5)
+    s.bits(0, 4)  # frame_num: u(log2_max_frame_num_minus4 + 4) = u(4); 0 for IDR
+    s.ue(idr_pic_id)  # idr_pic_id (nal_unit_type 5)
     s.bits(0, 4)  # pic_order_cnt_lsb: u(4) (poc_type 0)
     s.bit(0)  # dec_ref_pic_marking: no_output_of_prior_pics_flag
     s.bit(0)  # long_term_reference_flag
@@ -2476,8 +2480,16 @@ def encode_h264_ipcm_stream(
         s.raw_bytes(luma[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].reshape(-1))
         s.raw_bytes(cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].reshape(-1))
         s.raw_bytes(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].reshape(-1))
-    idr = b"\x00\x00\x00\x01" + bytes([0x65]) + s.rbsp()
-    return sps + pps + idr
+    return b"\x00\x00\x00\x01" + bytes([0x65]) + s.rbsp()
+
+
+def encode_h264_ipcm_stream(
+    width: int, height: int, luma, cb, cr, level_idc: int = 30
+) -> bytes:
+    """Fixture writer: SPS + PPS + one IDR slice where every MB is I_PCM."""
+    return _h264_ipcm_parameter_sets(width, height, level_idc) + _h264_ipcm_idr_nal(
+        width, height, luma, cb, cr
+    )
 
 
 def _parse_pps(payload: bytes) -> dict:
@@ -2616,6 +2628,58 @@ def parse_h264_ipcm_pixels(data: bytes) -> dict:
     }
 
 
+def encode_h264_ipcm_video(width: int, height: int, frames) -> bytes:
+    """Fixture writer: an all-intra VIDEO — SPS + PPS + one all-I_PCM IDR
+    slice per frame (the AVC-Intra pattern: every picture self-contained,
+    frame_num = 0 as the spec requires for IDR, idr_pic_id alternating so
+    consecutive IDRs are distinguishable). ``frames`` is a list of padded
+    (luma, cb, cr) plane triples."""
+    if not frames:
+        raise ValueError("video needs at least one frame")
+    out = [_h264_ipcm_parameter_sets(width, height)]
+    for f, (luma, cb, cr) in enumerate(frames):
+        out.append(_h264_ipcm_idr_nal(width, height, luma, cb, cr, idr_pic_id=f % 2))
+    return b"".join(out)
+
+
+def parse_h264_ipcm_video(data: bytes) -> dict:
+    """REAL H.264 video decode for the all-I_PCM subset: every coded picture
+    in the stream is reconstructed (cropped planes, stream order). Returns
+    {width, height, n_frames, frames: [(luma, cb, cr), ...]}."""
+    nals = _split_annexb(data)
+    sps = pps = None
+    frames = []
+    for nal in nals:
+        typ = nal[0] & 0x1F
+        if typ == 7 and sps is None:
+            sps = _parse_sps(nal[1:])
+        elif typ == 8 and pps is None:
+            pps = _parse_pps(nal[1:])
+        elif typ in (1, 5):
+            if sps is None or pps is None:
+                raise ValueError("coded slice before SPS/PPS")
+            frames.append(_decode_ipcm_slice(nal, sps, pps))
+    if not frames:
+        raise ValueError("no coded slice in stream")
+    w, h = sps["width"], sps["height"]
+    crop_l, _cr, crop_t, _cb = sps["crop"]
+    cux, cuy = sps["crop_units"]
+    x0, y0 = cux * crop_l, cuy * crop_t
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "frames": [
+            (
+                luma[y0 : y0 + h, x0 : x0 + w],
+                cbp[y0 // 2 : y0 // 2 + h // 2, x0 // 2 : x0 // 2 + w // 2],
+                crp[y0 // 2 : y0 // 2 + h // 2, x0 // 2 : x0 // 2 + w // 2],
+            )
+            for luma, cbp, crp in frames
+        ],
+    }
+
+
 H264_PIXEL_SCHEMA = (
     "media_id long, width int, height int, n_mbs int, luma_sum bigint, "
     "luma_sq_sum bigint, luma_pos_hash bigint, cb_sum bigint, cr_sum bigint"
@@ -2658,6 +2722,57 @@ def h264_ipcm_pixel_stats(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=H264_PIXEL_SCHEMA)
+
+
+H264_FRAME_SCHEMA = (
+    "media_id long, frame_no int, width int, height int, "
+    "luma_sum bigint, luma_pos_hash bigint, cb_sum bigint"
+)
+
+
+def h264_video_frame_stats(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL video frame sampling (mapInPandas): decode every coded picture of
+    an all-I_PCM H.264 stream, keep every ``every``-th frame (frame_no %
+    every == 0 — the deterministic stride sampler a training pipeline uses
+    to thin video into image examples), and reduce each kept frame to exact
+    integer stats. One output row per SAMPLED frame; bytes never shuffle."""
+    import numpy as np
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_no", "width", "height",
+            "luma_sum", "luma_pos_hash", "cb_sum",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                v = parse_h264_ipcm_video(bytes(buf or b""))
+                for f in range(0, v["n_frames"], every):
+                    luma, cbp, _crp = v["frames"][f]
+                    y = luma.astype(np.int64).reshape(-1)
+                    idx = np.arange(1, y.size + 1, dtype=np.int64)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_no": f,
+                            "width": v["width"],
+                            "height": v["height"],
+                            "luma_sum": int(y.sum()),
+                            "luma_pos_hash": int((idx * y).sum()),
+                            "cb_sum": int(cbp.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=H264_FRAME_SCHEMA)
 
 
 # =============================================================================

@@ -1477,6 +1477,100 @@ def multimodal_h264_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_framesample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 28 + (doc_id % 3) * 16 AS w, 20 + (doc_id % 2) * 16 AS h,
+             1 + doc_id % 4 AS n_frames
+      FROM documents WHERE doc_id < 100
+    ),
+    fr AS (
+      SELECT doc_id, w, h, CAST(t.f AS INT) AS frame_no
+      FROM p, UNNEST(range(0, n_frames)) AS t(f)
+      WHERE t.f % 2 = 0
+    ),
+    y AS (
+      SELECT doc_id, frame_no, CAST(t.i AS BIGINT) AS i,
+             (doc_id * 31 + frame_no * 97 + (t.i // w) * 5 + (t.i % w) * 3) % 256 AS v
+      FROM fr, UNNEST(range(0, w * h)) AS t(i)
+    ),
+    c AS (
+      SELECT doc_id, frame_no,
+             (doc_id * 17 + frame_no * 29 + (t.i // (w // 2)) * 7
+                + (t.i % (w // 2)) * 11) % 256 AS cbv
+      FROM fr, UNNEST(range(0, (w // 2) * (h // 2))) AS t(i)
+    ),
+    ya AS (
+      SELECT doc_id, frame_no, SUM(v) AS luma_sum, SUM((i + 1) * v) AS luma_pos_hash
+      FROM y GROUP BY doc_id, frame_no
+    ),
+    ca AS (
+      SELECT doc_id, frame_no, SUM(cbv) AS cb_sum FROM c GROUP BY doc_id, frame_no
+    )
+    SELECT fr.doc_id AS media_id, fr.frame_no,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(luma_sum AS BIGINT) AS luma_sum,
+           CAST(luma_pos_hash AS BIGINT) AS luma_pos_hash,
+           CAST(cb_sum AS BIGINT) AS cb_sum
+    FROM fr JOIN ya USING (doc_id, frame_no) JOIN ca USING (doc_id, frame_no)
+    """,
+    category="llm-multimodal",
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO frame sampling that is NOT a fake-decoder op: per document a
+    real multi-frame all-intra H.264 stream is synthesized (the AVC-Intra
+    pattern — SPS + PPS + one all-I_PCM IDR slice per frame, 1 + doc_id % 4
+    frames at doc_id-derived cropped dims), decoded frame-by-frame by the
+    real subset decoder (operators/multimodal.py:parse_h264_ipcm_video),
+    thinned with the deterministic stride sampler (every 2nd frame — how a
+    training pipeline turns video into image examples), and each kept frame
+    reduced to exact integer stats (luma sum, position-weighted Σ(i+1)·v,
+    chroma sum). The oracle recomputes every sampled frame's aggregates
+    from the doc_id·frame pixel formulas in integer SQL, pinning the
+    per-picture slice walk, frame ordering, and the sampler in one check."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 28 + (did % 3) * 16
+                h = 20 + (did % 2) * 16
+                w16 = ((w + 15) // 16) * 16
+                h16 = ((h + 15) // 16) * 16
+                yy, xx = np.mgrid[0:h16, 0:w16]
+                cy, cx = np.mgrid[0 : h16 // 2, 0 : w16 // 2]
+                frames = []
+                for f in range(1 + did % 4):
+                    luma = ((did * 31 + f * 97 + yy * 5 + xx * 3) % 256).astype(
+                        np.uint8
+                    )
+                    cb = ((did * 17 + f * 29 + cy * 7 + cx * 11) % 256).astype(
+                        np.uint8
+                    )
+                    cr = ((did * 13 + f * 41 + cy * 3 + cx * 5) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append((luma, cb, cr))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_ipcm_video(w, h, frames),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.h264_video_frame_stats(media, every=2)
+
+
+@query(
     "multimodal_flac_energy",
     oracle="""
     WITH h AS (
@@ -1562,7 +1656,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas frame-sampling plumbing over binary content (decode is the
     documented stub; the byte-slice hashes are oracle-checked — the documents
     text is ASCII, so VARCHAR slices in the oracle equal the byte slices the
-    kernel hashes)."""
+    kernel hashes). For frame sampling over a REAL decoded codec see
+    multimodal_video_framesample (all-I_PCM H.264)."""
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
     )

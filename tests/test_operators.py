@@ -1464,6 +1464,40 @@ def test_h264_ipcm_typed_errors():
         multimodal.parse_h264_ipcm_pixels(good + idr_nal)
 
 
+def test_h264_ipcm_video_roundtrip_and_stride(spark):
+    """Multi-frame all-IDR video: every picture round-trips in stream order,
+    and the distributed stride sampler keeps exactly frames 0, every, 2·every…"""
+    import numpy as np
+
+    w, h = 28, 20
+    frames = [_ipcm_planes(did, w, h) for did in (1, 2, 3, 4, 5)]
+    s = multimodal.encode_h264_ipcm_video(w, h, frames)
+    v = multimodal.parse_h264_ipcm_video(s)
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, 5)
+    for f, (luma, cb, cr) in enumerate(frames):
+        assert np.array_equal(v["frames"][f][0], luma[:h, :w])
+        assert np.array_equal(v["frames"][f][1], cb[: h // 2, : w // 2])
+        assert np.array_equal(v["frames"][f][2], cr[: h // 2, : w // 2])
+    df = spark.createDataFrame([(1, bytearray(s))], "media_id long, content binary")
+    for every, expect in ((1, [0, 1, 2, 3, 4]), (2, [0, 2, 4]), (3, [0, 3])):
+        got = sorted(
+            r["frame_no"]
+            for r in multimodal.h264_video_frame_stats(df, every=every).collect()
+        )
+        assert got == expect, (every, got)
+    # per-frame stats are the frame's own pixels, not a mix
+    row = {r["frame_no"]: r for r in
+           multimodal.h264_video_frame_stats(df, every=2).collect()}[2]
+    luma2 = frames[2][0][:h, :w].astype(np.int64)
+    assert row["luma_sum"] == int(luma2.sum())
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one frame"):
+        multimodal.encode_h264_ipcm_video(w, h, [])
+    with _pt.raises(ValueError, match="every"):
+        multimodal.h264_video_frame_stats(df, every=0)
+
+
 def test_h264_ipcm_roundtrip_property():
     """Hypothesis: arbitrary even dims + arbitrary random planes round-trip
     losslessly through the full bitstream (alignment, emulation prevention,
