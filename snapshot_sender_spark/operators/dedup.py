@@ -1223,12 +1223,19 @@ def _positional_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> D
 
     All-JVM: split → transform(sequence) builds the k-gram at each start
     position → posexplode. Docs shorter than k tokens produce no rows (the
-    sequence guard keeps ``sequence(0, n-k)`` from running descending)."""
+    sequence guard keeps ``sequence(0, n-k)`` from running descending).
+
+    The key is md5 UNHEXed to 16-byte binary: the positional-shingle stream
+    is the dominant exchange of both span plans (one row per token), so
+    halving the key vs the 32-char hex string halves its shuffle width while
+    keeping 128-bit collision safety (a 64-bit hash would see birthday
+    collisions at ~10^10 distinct shingles — real at the 100 TB corpus
+    tier — and a collision silently marks a span duplicated)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
-        lambda i: F.md5(F.array_join(F.slice(words, i + 1, k), " ")),
+        lambda i: F.unhex(F.md5(F.array_join(F.slice(words, i + 1, k), " "))),
     )
     return (
         df.filter(n >= k)
