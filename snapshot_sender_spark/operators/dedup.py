@@ -1298,6 +1298,61 @@ def duplicate_span_stats(
     )
 
 
+def chunk_level_dedup(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """C4/Dolma-style LINE-level dedup at fixed k-token chunk granularity:
+    the corpus keeps only the FIRST occurrence (ordered by doc id, then
+    chunk position) of every distinct chunk and each document is rewritten
+    from its surviving chunks. Line/paragraph dedup in the public pipelines
+    (C4 removed repeated 3-sentence spans; Dolma dedups paragraphs) uses
+    newline units; this corpus is single-line, so the unit is the
+    positional k-token chunk — same first-occurrence-wins semantics.
+
+    Returns (doc_id, n_units, kept_units, clean_hash) for every input doc;
+    fully-deduplicated docs get clean_hash = md5('').
+
+    Scale: the winner window partitions on the 16-byte binary md5 of the
+    chunk (not the raw text — same key-width argument as the span plans);
+    chunk text crosses that exchange once and the per-doc reassembly
+    groupBy once, both keyed shuffles. No driver-side state, no UDFs."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_units = F.ceil(F.size(words) / F.lit(float(k)))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_units - 1),
+        lambda i: F.array_join(F.slice(words, (i * k + 1).cast("int"), k), " "),
+    )
+    units = df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("pos", "unit")
+    )
+    w = Window.partitionBy(F.unhex(F.md5("unit"))).orderBy("id", "pos")
+    kept = units.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per_doc = kept.groupBy("id").agg(
+        F.count("*").alias("kept_units"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), n_units.cast("int").alias("n_units")
+    )
+    joined = base.join(per_doc, base.doc_id == per_doc.id, "left")
+    return joined.select(
+        "doc_id",
+        "n_units",
+        F.coalesce(F.col("kept_units").cast("int"), F.lit(0)).alias("kept_units"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, min_count: int = 2
 ) -> DataFrame:

@@ -678,6 +678,94 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_spans(d, "text", "doc_id", k=5, min_count=2)
 
 
+@query(
+    "dedup_chunk_level",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST(t.i AS INT) AS pos,
+             array_to_string(list_slice(ws, t.i * 8 + 1, t.i * 8 + 8), ' ') AS u
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ),
+    rn AS (
+      SELECT doc_id, pos, u,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS kept_units,
+             md5(STRING_AGG(u, ' ' ORDER BY pos)) AS clean_hash
+      FROM rn WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(ws) / 8.0) AS INT) AS n_units,
+           CAST(COALESCE(kept_units, 0) AS INT) AS kept_units,
+           COALESCE(clean_hash, md5('')) AS clean_hash
+    FROM w LEFT JOIN agg USING (doc_id)
+    """,
+    category="llm-dedup",
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level dedup (C4 §2.2 / Dolma paragraph dedup) at fixed 8-token
+    chunk granularity: the corpus keeps only the first occurrence — ordered
+    by (doc_id, position) — of every distinct chunk, and each document is
+    rewritten from its surviving chunks (md5-pinned byte-for-byte by the
+    oracle's ordered STRING_AGG rebuild). Complements the exact-substring
+    spans (sliding windows, any alignment) with the cheaper fixed-alignment
+    granularity real pipelines run first. The winner window partitions on
+    16-byte binary chunk hashes; text crosses two keyed exchanges (winner
+    window, per-doc reassembly) and never enters a driver loop."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.chunk_level_dedup(d, "text", "doc_id", k=8)
+
+
+@query(
+    "decontam_substring_hits",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source, CAST(t.i AS INT) AS pos,
+             array_to_string(list_slice(ws, t.i + 1, t.i + 5), ' ') AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+           UNNEST(range(0, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+    SELECT g.doc_id, g.pos, g.gram
+    FROM g JOIN bench USING (gram)
+    WHERE g.source <> 'src0'
+    """,
+    category="llm-text",
+)
+def decontam_substring_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination LOCALIZATION: where decontam_ngram_overlap counts how
+    many benchmark 5-grams a training document shares, this returns the
+    exact (doc_id, token position, gram) of every hit — what an eval-leakage
+    audit needs to excise or inspect the overlapping span rather than drop
+    the whole document. The benchmark side (source='src0') is distinct-ed
+    and broadcast (eval suites are MBs); the corpus side streams its
+    positional grams map-side, so there is NO shuffle at all before the
+    broadcast hash join — the gram text rides only to label the output."""
+    d = load(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 5),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 5)),
+    )
+    pos_grams = d.select(
+        "doc_id", "source", F.posexplode(grams).alias("pos", "gram")
+    )
+    bench = (
+        pos_grams.filter(F.col("source") == "src0").select("gram").distinct()
+    )
+    return (
+        pos_grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "pos", "gram")
+    )
+
+
 # =============================================================================
 # Similarity search
 # =============================================================================

@@ -1791,6 +1791,46 @@ def test_remove_duplicate_spans_id_col_named_id(spark):
     assert got == {1: 1, 2: 1}  # shared 5-gram removed, one token survives
 
 
+def test_chunk_level_dedup_matches_bruteforce(spark):
+    """First-occurrence-wins at (doc_id, pos) order, short trailing chunks,
+    within-doc repeats, and the fully-deduplicated-doc edge."""
+    import hashlib as _h
+
+    k = 3
+    rows = [
+        (1, "a b c d e f"),            # chunks: "a b c", "d e f"
+        (2, "a b c x y z"),            # first chunk dup of doc1's → removed
+        (3, "d e f d e f d e f"),      # within-doc repeats; first is dup of doc1's
+        (4, "a b c d e f"),            # exact dup of doc 1 → fully removed
+        (5, "q r"),                    # single short chunk
+    ]
+    grams = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        for p in range((len(ws) + k - 1) // k):
+            u = " ".join(ws[p * k : p * k + k])
+            grams.setdefault(u, (i, p))
+    expect = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        n = (len(ws) + k - 1) // k
+        keep = []
+        for p in range(n):
+            u = " ".join(ws[p * k : p * k + k])
+            if grams[u] == (i, p):
+                keep.append(u)
+        expect[i] = (n, len(keep), _h.md5(" ".join(keep).encode()).hexdigest())
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_units"], r["kept_units"], r["clean_hash"])
+        for r in dedup.chunk_level_dedup(df, "text", "doc_id", k=k).collect()
+    }
+    assert got == expect
+    assert got[4] == (2, 0, _h.md5(b"").hexdigest())  # fully deduplicated
+    assert got[3][1] == 0  # every chunk of doc3 is "d e f", owned by doc1
+
+
 def test_duplicate_span_stats_no_duplicates_at_all(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "g h i j k l")], ["doc_id", "text"]
@@ -1804,7 +1844,12 @@ def test_substring_span_queries_stay_jvm_side(spark, sf_dir):
     BatchEvalPython / ArrowEvalPython / mapInPandas stages."""
     from snapshot_sender_spark.queries import all_queries
 
-    for name in ("dedup_substring_spans", "dedup_substring_removal"):
+    for name in (
+        "dedup_substring_spans",
+        "dedup_substring_removal",
+        "dedup_chunk_level",
+        "decontam_substring_hits",
+    ):
         plan = all_queries()[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert bad not in plan, f"{name} crossed to Python: {bad}"
