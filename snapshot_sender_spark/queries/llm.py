@@ -1659,6 +1659,94 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_scenes",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 2 + doc_id % 5 AS n_frames
+      FROM documents WHERE doc_id < 100
+    ),
+    fr AS (
+      SELECT doc_id, CAST(t.f AS INT) AS f,
+             CAST(t.f AS INT) - CAST(SUM(CASE WHEN t.f > 0 AND (doc_id + t.f) % 3 = 0
+                                              THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY t.f) AS INT) AS b
+      FROM p, UNNEST(range(0, n_frames)) AS t(f)
+    ),
+    tr AS (
+      SELECT a.doc_id, a.f AS frame_no, a.b AS b1, pr.b AS b0
+      FROM fr a JOIN fr pr ON a.doc_id = pr.doc_id AND pr.f = a.f - 1
+    ),
+    px AS (
+      SELECT doc_id, frame_no,
+             ABS(((doc_id * 31 + b1 * 97 + (t.i // 44) * 5 + (t.i % 44) * 3) % 256)
+               - ((doc_id * 31 + b0 * 97 + (t.i // 44) * 5 + (t.i % 44) * 3) % 256)
+             ) AS dv
+      FROM tr, UNNEST(range(0, 44 * 20)) AS t(i)
+      WHERE b1 <> b0
+    ),
+    s AS (
+      SELECT doc_id, frame_no, SUM(dv) AS sad FROM px GROUP BY doc_id, frame_no
+    )
+    SELECT tr.doc_id AS media_id, tr.frame_no,
+           CAST(COALESCE(s.sad, 0) AS BIGINT) AS sum_abs_delta,
+           COALESCE(s.sad, 0) > 8800 AS is_cut
+    FROM tr LEFT JOIN s USING (doc_id, frame_no)
+    """,
+    category="llm-multimodal",
+)
+def multimodal_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video: per document a
+    44×20 all-I_PCM stream of 2 + doc_id % 5 frames is synthesized where
+    frame f REPEATS frame f−1 whenever (doc_id + f) % 3 == 0 (a static shot)
+    and otherwise advances the scene (pixel formula shifts by 97 per scene
+    index); the real subset decoder reconstructs every picture and the cut
+    detector scores each transition by the exact integer sum of absolute
+    luma differences (operators/multimodal.py:h264_scene_changes), flagging
+    deltas above threshold 8800 (= w·h·10 — repeats score exactly 0, scene
+    changes average ≥97/pixel). The oracle re-derives the scene index per
+    frame with a window sum over the repeat rule, recomputes both frames'
+    pixels, and checks delta AND flag per transition — pinning decode,
+    frame ordering, and the detector in one integer check."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 44, 20
+                w16, h16 = 48, 32
+                yy, xx = np.mgrid[0:h16, 0:w16]
+                cy, cx = np.mgrid[0 : h16 // 2, 0 : w16 // 2]
+                cb = ((did * 17 + cy * 7 + cx * 11) % 256).astype(np.uint8)
+                cr = ((did * 13 + cy * 3 + cx * 5) % 256).astype(np.uint8)
+                frames = []
+                b = 0
+                for f in range(2 + did % 5):
+                    if f > 0 and (did + f) % 3 != 0:
+                        b += 1
+                    luma = ((did * 31 + b * 97 + yy * 5 + xx * 3) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append((luma, cb, cr))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_ipcm_video(w, h, frames),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.h264_scene_changes(media, threshold=8800)
+
+
+@query(
     "multimodal_flac_energy",
     oracle="""
     WITH h AS (

@@ -1498,6 +1498,28 @@ def test_h264_ipcm_video_roundtrip_and_stride(spark):
         multimodal.h264_video_frame_stats(df, every=0)
 
 
+def test_h264_scene_changes_exact(spark):
+    """Cut detector: repeated frames score exactly 0 (no cut); scene changes
+    score the numpy-exact sum of absolute luma deltas over the cropped plane."""
+    import numpy as np
+
+    w, h = 28, 20
+    a = _ipcm_planes(1, w, h)
+    b = _ipcm_planes(2, w, h)
+    s = multimodal.encode_h264_ipcm_video(w, h, [a, a, b, b])
+    expect_delta = int(
+        np.abs(
+            b[0][:h, :w].astype(np.int64) - a[0][:h, :w].astype(np.int64)
+        ).sum()
+    )
+    df = spark.createDataFrame([(1, bytearray(s))], "media_id long, content binary")
+    got = {
+        r["frame_no"]: (r["sum_abs_delta"], r["is_cut"])
+        for r in multimodal.h264_scene_changes(df, threshold=100).collect()
+    }
+    assert got == {1: (0, False), 2: (expect_delta, True), 3: (0, False)}
+
+
 def test_h264_ipcm_roundtrip_property():
     """Hypothesis: arbitrary even dims + arbitrary random planes round-trip
     losslessly through the full bitstream (alignment, emulation prevention,
