@@ -1257,11 +1257,9 @@ def duplicate_span_stats(
     Returns (doc_id, n_tokens, n_spans, dup_tokens, dup_fraction) for EVERY
     input doc (zero-span docs included via the left join).
 
-    Scale: the only wide exchanges are the shingle-hash groupBy/join (32-char
-    md5 keys, never text) and one per-doc window; hot shingles behave like the
-    stopword-shingle skew in the Jaccard plans (AQE skew-split applies)."""
-    from pyspark.sql import Window
-
+    Scale: the only wide exchanges are the shingle-hash groupBy/join (16-byte
+    binary keys, never text) and one per-doc window; hot shingles behave like
+    the stopword-shingle skew in the Jaccard plans (AQE skew-split applies)."""
     pos = _positional_shingles(df, text_col, id_col, k)
     dup_hashes = (
         pos.groupBy("shingle_hash")
@@ -1269,8 +1267,18 @@ def duplicate_span_stats(
         .filter(F.col("occ") >= min_count)
         .select("shingle_hash")
     )
-    dup_pos = pos.join(dup_hashes, "shingle_hash").select("id", "pos")
+    return _span_stats(pos, dup_hashes, df, text_col, id_col, k)
 
+
+def _span_stats(
+    pos: DataFrame, dup_hashes: DataFrame, docs: DataFrame,
+    text_col: str, id_col: str, k: int,
+) -> DataFrame:
+    """Shared tail of the span plans: duplicated positions → maximal-span
+    islands → per-doc stats, zero-span docs included via the left join."""
+    from pyspark.sql import Window
+
+    dup_pos = pos.join(dup_hashes, "shingle_hash").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     islands = dup_pos.withColumn(
         "new_span",
@@ -1285,7 +1293,7 @@ def duplicate_span_stats(
         F.count("*").alias("n_spans"),
         F.sum(F.col("end") - F.col("start")).alias("dup_tokens"),
     )
-    base = df.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
     )
     joined = base.join(per_doc, base.doc_id == per_doc.id, "left")
@@ -1296,6 +1304,42 @@ def duplicate_span_stats(
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
         (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_fraction"),
     )
+
+
+def incremental_span_stats(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-set exact-substring dedup: per BATCH document, the duplicated
+    k-token spans counting occurrences across the batch (``min_count``+
+    within the batch) OR anywhere in the standing corpus (one corpus hit
+    suffices — the corpus is the already-kept history). Same output shape as
+    ``duplicate_span_stats``, restricted to batch docs.
+
+    Scale: the corpus side collapses to DISTINCT shingle hashes (no
+    positions) with map-side partial distinct — this is the substring
+    analog of the service's posting index and is what you'd persist as a
+    bucketed table for epoch-over-epoch reuse; the batch side is one
+    positional-shingle stream. Both exchanges carry 16-byte keys, never
+    text."""
+    pos = _positional_shingles(batch, text_col, id_col, k)
+    batch_dup = (
+        pos.groupBy("shingle_hash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("shingle_hash")
+    )
+    corpus_hashes = (
+        _positional_shingles(corpus, text_col, id_col, k)
+        .select("shingle_hash")
+        .distinct()
+    )
+    dup_hashes = batch_dup.union(corpus_hashes).distinct()
+    return _span_stats(pos, dup_hashes, batch, text_col, id_col, k)
 
 
 def chunk_level_dedup(

@@ -679,6 +679,78 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_incremental",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, t.i AS pos,
+             array_to_string(list_slice(ws, t.i + 1, t.i + 5), ' ') AS shingle
+      FROM words, UNNEST(range(0, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    ),
+    batch_dup AS (
+      SELECT shingle FROM sh WHERE source = 'src1'
+      GROUP BY shingle HAVING COUNT(*) >= 2
+    ),
+    corpus_h AS (SELECT DISTINCT shingle FROM sh WHERE source <> 'src1'),
+    dup AS (SELECT shingle FROM batch_dup UNION SELECT shingle FROM corpus_h),
+    dpos AS (
+      SELECT doc_id, pos FROM sh
+      WHERE source = 'src1' AND shingle IN (SELECT shingle FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dpos
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+      FROM isl2 GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / len(string_split(d.text, ' ')) AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    WHERE d.source = 'src1'
+    """,
+    category="llm-dedup",
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL shape of exact-substring dedup — the span analog of
+    dedup_incremental_batch: a new epoch (source='src1' plays the batch) is
+    scored against the standing corpus (every other source), where a window
+    is duplicated if it occurs ≥2 times within the batch OR anywhere in the
+    corpus (one hit suffices — the corpus is already-kept history). The
+    corpus side collapses to DISTINCT 16-byte shingle hashes with map-side
+    partial distinct — the persistable substring index — and only batch
+    docs pay the islands window. Oracle mirrors the union rule longhand."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.incremental_span_stats(
+        d.filter(F.col("source") == "src1"),
+        d.filter(F.col("source") != "src1"),
+        "text",
+        "doc_id",
+        k=5,
+        min_count=2,
+    )
+
+
+@query(
     "dedup_chunk_level",
     oracle="""
     WITH w AS (

@@ -1813,6 +1813,34 @@ def test_remove_duplicate_spans_id_col_named_id(spark):
     assert got == {1: 1, 2: 1}  # shared 5-gram removed, one token survives
 
 
+def test_incremental_span_stats_union_rule(spark):
+    """A batch window is duplicated if it repeats within the batch (≥2) OR
+    occurs ANYWHERE in the corpus (a single hit suffices)."""
+    batch = spark.createDataFrame(
+        [
+            (1, "c1 c2 c3 c4 c5 u1 u2 u3 u4 u5"),  # first 5-gram hits corpus
+            (2, "b1 b2 b3 b4 b5 x1 x2 x3 x4 x5"),  # shares a 5-gram with doc 3
+            (3, "b1 b2 b3 b4 b5 y1 y2 y3 y4 y5"),
+            (4, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(100, "k0 c1 c2 c3 c4 c5 k1 k2 k3 k4")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"])
+        for r in dedup.incremental_span_stats(
+            batch, corpus, "text", "doc_id"
+        ).collect()
+    }
+    # doc 1: window at pos 0 only (corpus hit) → one 5-token span
+    # docs 2,3: window at pos 0 (batch pair) → one 5-token span each
+    # doc 4: clean; corpus docs never appear in the output
+    assert got == {1: (10, 1, 5), 2: (10, 1, 5), 3: (10, 1, 5), 4: (10, 0, 0)}
+    assert 100 not in got
+
+
 def test_chunk_level_dedup_matches_bruteforce(spark):
     """First-occurrence-wins at (doc_id, pos) order, short trailing chunks,
     within-doc repeats, and the fully-deduplicated-doc edge."""
@@ -1869,6 +1897,7 @@ def test_substring_span_queries_stay_jvm_side(spark, sf_dir):
     for name in (
         "dedup_substring_spans",
         "dedup_substring_removal",
+        "dedup_substring_incremental",
         "dedup_chunk_level",
         "decontam_substring_hits",
     ):
