@@ -1861,6 +1861,87 @@ def multimodal_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, length(text) AS nb
+      FROM documents WHERE doc_id < 200
+    ),
+    samples AS (
+      SELECT doc_id, i,
+             ('0x' || substr(hx, 4*i + 3, 2))::INTEGER * 256
+               + ('0x' || substr(hx, 4*i + 1, 2))::INTEGER AS u16
+      FROM h, UNNEST(range(0, nb // 2)) AS t(i)
+    ),
+    w AS (
+      SELECT doc_id, CAST(i // 8 AS INT) AS window_no,
+             SUM(CASE WHEN u16 >= 32768 THEN (u16 - 65536) * (u16 - 65536)
+                      ELSE u16 * u16 END) AS energy
+      FROM samples GROUP BY doc_id, i // 8
+    ),
+    quiet AS (SELECT doc_id, window_no, energy FROM w WHERE energy < 4600000000),
+    isl AS (
+      SELECT doc_id, window_no, energy,
+             CASE WHEN LAG(window_no) OVER (PARTITION BY doc_id ORDER BY window_no)
+                       IS NULL
+                    OR window_no - LAG(window_no)
+                       OVER (PARTITION BY doc_id ORDER BY window_no) > 1
+                  THEN 1 ELSE 0 END AS new_seg
+      FROM quiet
+    ),
+    isl2 AS (
+      SELECT doc_id, window_no, energy,
+             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY window_no) AS seg
+      FROM isl
+    )
+    SELECT doc_id AS media_id,
+           CAST(MIN(window_no) AS INT) AS start_window,
+           CAST(MAX(window_no) AS INT) AS end_window,
+           CAST(COUNT(*) AS INT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM isl2 GROUP BY doc_id, seg
+    """,
+    category="llm-multimodal",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO segmentation (VAD-style) over the REAL FLAC decode: each
+    document's bytes round-trip the from-scratch FLAC subset codec, the
+    decoder's exact windowed energies classify windows below 4.6e9 as quiet
+    (~25% of this corpus), and consecutive quiet windows merge into maximal
+    segments (the islands rule on window adjacency) — the structure a speech
+    pipeline uses to split recordings at pauses before transcription or
+    per-segment sampling. Decode runs in mapInPandas; the classification and
+    segmentation are pure JVM window/agg over the (media_id, window_no,
+    energy) rows — bytes never shuffle, only the tiny energy table does.
+    The oracle re-derives every sample from document hex and mirrors the
+    islands longhand, so codec, threshold, and segment merge are pinned in
+    one integer check."""
+    from pyspark.sql import Window as W
+
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    energy = multimodal.flac_window_energy(multimodal.encode_as_flac(media))
+    quiet = energy.filter(F.col("energy") < 4_600_000_000)
+    w = W.partitionBy("media_id").orderBy("window_no")
+    isl = quiet.withColumn(
+        "new_seg",
+        F.when(F.lag("window_no").over(w).isNull(), 1)
+        .when(F.col("window_no") - F.lag("window_no").over(w) > 1, 1)
+        .otherwise(0),
+    ).withColumn("seg", F.sum("new_seg").over(w))
+    return isl.groupBy("media_id", "seg").agg(
+        F.min("window_no").cast("int").alias("start_window"),
+        F.max("window_no").cast("int").alias("end_window"),
+        F.count("*").cast("int").alias("n_windows"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    ).drop("seg")
+
+
+@query(
     "multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id, 32 AS width, 32 AS height,

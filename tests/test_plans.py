@@ -355,6 +355,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "dedup_embedding_pairs", "dedup_ngram_jaccard", "dedup_simhash",
         "dedup_simhash_pairs",
         "embedding_quantize_int8", "multimodal_audio_energy",
+        "multimodal_audio_segments",
         "multimodal_features_real", "multimodal_flac_energy",
         "multimodal_frame_sample",
         "multimodal_h264_info", "multimodal_h264_pixels",
