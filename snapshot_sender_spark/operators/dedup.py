@@ -1185,6 +1185,18 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     Signatures come from the numpy-vectorized kernel (``simhash64_np``, the
     measured-fastest of the three bit-identical implementations)."""
     sig = df.select(F.col(id_col).alias("id"), simhash64_np(F.col(text_col)).alias("sig"))
+    return banded_hamming_pairs(sig, max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ max_hamming over 64-bit
+    signatures — any signature family (SimHash text, aHash images, …).
+    Input: (id, sig) with sig a signed 64-bit long. Blocked on 16-bit
+    bands (a pair within hamming 3 of 64 bits must agree on ≥1 of 4 bands —
+    pigeonhole, so the blocking is EXACT for max_hamming ≤ 3); the join is
+    band-equality, never an all-pairs product."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     bands = sig.select(
         "id",
         "sig",

@@ -1861,6 +1861,150 @@ def multimodal_flac_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+    px AS (
+      SELECT doc_id,
+             ((t.i // 32) // 4) * 8 + ((t.i % 32) // 4) AS blk,
+             (doc_id * 7 + (t.i // 32) * 3 + (t.i % 32) * 5) % 256
+             + (doc_id * 11 + (t.i // 32) * 5 + (t.i % 32) * 7) % 256
+             + (doc_id * 13 + (t.i // 32) * 7 + (t.i % 32) * 11) % 256 AS v
+      FROM p, UNNEST(range(0, 1024)) AS t(i)
+    ),
+    b AS (SELECT doc_id, blk, SUM(v) AS bs FROM px GROUP BY doc_id, blk),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM b GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, blk, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM b JOIN tot USING (doc_id)
+    ),
+    bytes AS (
+      SELECT doc_id, blk // 8 AS byte_no,
+             SUM(bit * CASE blk % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bits GROUP BY doc_id, blk // 8
+    )
+    SELECT doc_id AS media_id, 32 AS width, 32 AS height,
+           STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                      ORDER BY byte_no) AS ahash
+    FROM bytes GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing over the REAL PNG decode: per document a
+    32×32 RGB image is synthesized from doc_id pixel formulas, encoded
+    through the from-scratch PNG writer (all five row filters), decoded by
+    the real chunk-walk/inflate/unfilter decoder, and reduced to the exact
+    integer 64-bit aHash (8×8 block sums of the RGB channel sums; bit i set
+    iff 64·block ≥ total — cross-multiplied so no float mean exists). The
+    oracle rebuilds every pixel from the formulas and renders the same
+    MSB-first hex, pinning decode, block averaging, tie semantics, and bit
+    order in one check."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = np.mgrid[0:32, 0:32]
+                px = np.stack(
+                    [
+                        (did * 7 + yy * 3 + xx * 5) % 256,
+                        (did * 11 + yy * 5 + xx * 7) % 256,
+                        (did * 13 + yy * 7 + xx * 11) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.image_ahash(media).drop("sig")
+
+
+@query(
+    "dedup_image_near",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+    FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+    GROUP BY a.doc_id, c.doc_id
+    HAVING SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    category="llm-dedup",
+)
+def dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate mining — the multimodal sibling of the SimHash
+    text pairs: 100 block-patterned 32×32 PNGs (doc_id%50 picks a quadratic
+    high/low block mask; doc_id//50==1 re-renders the SAME base image with
+    exactly two blocks flipped — a retouched near-duplicate) go through real
+    PNG decode → exact aHash → 4×16-bit banded hamming join
+    (operators/dedup.py:banded_hamming_pairs, shared with dedup_simhash_pairs
+    — exact for hamming ≤ 3 by pigeonhole). Every engineered (b, b+50) pair
+    surfaces at hamming 2 alongside whatever base masks legitimately collide;
+    the oracle recomputes each image's 64 bits from the block formulas and
+    brute-forces all pairs, so blocking exactness is checked, not assumed."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    sigs = multimodal.image_ahash(media).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    return dedup_ops.banded_hamming_pairs(sigs, max_hamming=3)
+
+
+@query(
     "multimodal_audio_segments",
     oracle="""
     WITH h AS (

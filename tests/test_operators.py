@@ -1397,6 +1397,49 @@ def _ipcm_planes(did, w, h):
     return luma, cb, cr
 
 
+def test_ahash64_exact_and_banded_image_pairs(spark):
+    """aHash bit semantics by hand (1px per block: bit = 64·v ≥ Σv incl. the
+    ≥ tie), PNG round trip, and the banded pair mining end-to-end."""
+    import numpy as np
+
+    # 8×8 image, one pixel per block: values 0..63 per channel → bit i set
+    # iff 64·(3i) >= 3·Σ0..63 = 3·2016 ⇔ i >= 31.5 ⇔ i >= 32
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    px = np.stack([g, g, g], axis=2)
+    v = multimodal.ahash64(px)
+    assert f"{v:016x}" == "00000000ffffffff"
+    # uniform image: every block ties the mean → all bits set
+    assert multimodal.ahash64(np.full((8, 8, 3), 7, np.uint8)) == (1 << 64) - 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="multiples of 8"):
+        multimodal.ahash64(np.zeros((9, 8, 3), np.uint8))
+
+    # near-dup pair through the real codec + banded join: two 16×16 images
+    # differing in exactly one block
+    base = np.kron(
+        np.where(np.add.outer(np.arange(8), np.arange(8)) % 2 == 0, 40, 20),
+        np.ones((2, 2)),
+    ).astype(np.uint8)
+    var = base.copy()
+    var[0:2, 0:2] = 20 if base[0, 0] == 40 else 40  # flip block (0,0)
+    rows = [
+        (1, bytearray(multimodal.encode_png_rgb8(np.stack([base] * 3, axis=2)))),
+        (2, bytearray(multimodal.encode_png_rgb8(np.stack([var] * 3, axis=2)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashed = multimodal.image_ahash(df)
+    sigs = hashed.select(F.col("media_id").alias("id"), "sig")
+    got = dedup.banded_hamming_pairs(sigs, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 1)]
+    # hex rendering and signed long carry the same 64 bits
+    for r in hashed.collect():
+        u = r["sig"] + (1 << 64) if r["sig"] < 0 else r["sig"]
+        assert f"{u:016x}" == r["ahash"]
+    with _pt.raises(ValueError, match="max_hamming"):
+        dedup.banded_hamming_pairs(sigs, max_hamming=4)
+
+
 def test_h264_ipcm_pixel_roundtrip_exact():
     """encode → decode recovers every sample byte-for-byte, including the
     SPS-crop path (dims not MB multiples) and the emulation-prevention storm

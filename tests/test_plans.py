@@ -352,14 +352,15 @@ def test_declared_surface_plan_audit(spark, sf_dir):
     SKIP_CATEGORIES = {"streaming", "pipeline", "llm-pipeline"}
     EXPECTED_BATCH_PY = {"text_chunk_udtf", "udtf_table_arg_gaps"}
     EXPECTED_ARROW = {
-        "dedup_embedding_pairs", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_embedding_pairs", "dedup_image_near", "dedup_ngram_jaccard",
+        "dedup_simhash",
         "dedup_simhash_pairs",
         "embedding_quantize_int8", "multimodal_audio_energy",
         "multimodal_audio_segments",
         "multimodal_features_real", "multimodal_flac_energy",
         "multimodal_frame_sample",
         "multimodal_h264_info", "multimodal_h264_pixels",
-        "multimodal_image_stats",
+        "multimodal_image_ahash", "multimodal_image_stats",
         "multimodal_jpeg_stats", "multimodal_mp3_energy",
         "multimodal_mp3_info",
         "multimodal_progressive_stats", "multimodal_resize",
