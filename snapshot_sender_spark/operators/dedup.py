@@ -1188,16 +1188,36 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     return banded_hamming_pairs(sig, max_hamming=max_hamming)
 
 
-def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by hamming distance ≤ max_hamming over 64-bit
-    signatures — any signature family (SimHash text, aHash images, …).
-    Input: (id, sig) with sig a signed 64-bit long. Blocked on 16-bit
-    bands (a pair within hamming 3 of 64 bits must agree on ≥1 of 4 bands —
-    pigeonhole, so the blocking is EXACT for max_hamming ≤ 3); the join is
-    band-equality, never an all-pairs product."""
+def banded_hamming_pairs_cross(
+    batch: DataFrame, corpus: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Cross-set banded hamming: every (batch, corpus) pair within
+    ``max_hamming`` of 64 bits — the incremental shape where a new epoch's
+    signatures probe the standing signature index instead of self-joining.
+    Inputs: (id, sig) each; output (batch_id, corpus_id, hamming). Same
+    4×16-bit pigeonhole blocking as ``banded_hamming_pairs`` (exact ≤ 3);
+    the corpus side is exploded once per band, which is what you'd persist
+    bucketed by band for epoch-over-epoch reuse."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
-    bands = sig.select(
+    a = _sig_bands(batch).select(
+        F.col("id").alias("batch_id"), F.col("sig").alias("sig_a"), "band"
+    )
+    b = _sig_bands(corpus).select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band"
+    )
+    pairs = (
+        a.join(b, "band").select("batch_id", "corpus_id", "sig_a", "sig_b").distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("batch_id", "corpus_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def _sig_bands(sig: DataFrame) -> DataFrame:
+    """Explode (id, sig) into its 4 labelled 16-bit bands."""
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -1209,6 +1229,18 @@ def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("band"),
     )
+
+
+def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ max_hamming over 64-bit
+    signatures — any signature family (SimHash text, aHash images, …).
+    Input: (id, sig) with sig a signed 64-bit long. Blocked on 16-bit
+    bands (a pair within hamming 3 of 64 bits must agree on ≥1 of 4 bands —
+    pigeonhole, so the blocking is EXACT for max_hamming ≤ 3); the join is
+    band-equality, never an all-pairs product."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
+    bands = _sig_bands(sig)
     a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band")
     b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band")
     pairs = (

@@ -2005,6 +2005,79 @@ def dedup_image_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_image_incremental",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, v, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, v, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    )
+    SELECT a.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+    FROM bits a JOIN bits c ON a.i = c.i AND a.v = 1 AND c.v = 0
+    GROUP BY a.doc_id, c.doc_id
+    HAVING SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    category="llm-dedup",
+)
+def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL shape of perceptual image dedup: a new epoch of
+    images (the retouched variants, doc_id ≥ 50) probes the standing
+    signature corpus (the originals, doc_id < 50) through the cross-set
+    banded hamming join (operators/dedup.py:banded_hamming_pairs_cross) —
+    no batch self-pairs, no corpus re-hash: the corpus side is exactly the
+    per-band signature table a service would persist bucketed by band.
+    Every retouched image finds its original at hamming 2 plus whatever
+    base masks legitimately collide; same fixtures and brute-force oracle
+    as dedup_image_near, restricted to cross-set pairs."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    sigs = multimodal.image_ahash(media).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    return dedup_ops.banded_hamming_pairs_cross(
+        sigs.filter(F.col("id") >= 50), sigs.filter(F.col("id") < 50), max_hamming=3
+    )
+
+
+@query(
     "multimodal_audio_segments",
     oracle="""
     WITH h AS (

@@ -1440,6 +1440,23 @@ def test_ahash64_exact_and_banded_image_pairs(spark):
         dedup.banded_hamming_pairs(sigs, max_hamming=4)
 
 
+def test_banded_hamming_pairs_cross_excludes_within_set(spark):
+    """Cross-set mining returns only (batch, corpus) pairs — identical
+    signatures WITHIN a set must not pair, and direction is batch→corpus."""
+    batch = spark.createDataFrame([(10, 5), (11, 5)], ["id", "sig"])  # twins in batch
+    corpus = spark.createDataFrame([(1, 5), (2, 4), (3, 1 << 40)], ["id", "sig"])
+    got = sorted(
+        (r["batch_id"], r["corpus_id"], r["hamming"])
+        for r in dedup.banded_hamming_pairs_cross(batch, corpus).collect()
+    )
+    # 5^5=0; 5^4=0b001 → 1; 5^(1<<40) → bits {0,2,40} → 3 (inside the cutoff);
+    # the batch twins (10,11) never pair with each other
+    assert got == [
+        (10, 1, 0), (10, 2, 1), (10, 3, 3),
+        (11, 1, 0), (11, 2, 1), (11, 3, 3),
+    ]
+
+
 def test_h264_ipcm_pixel_roundtrip_exact():
     """encode → decode recovers every sample byte-for-byte, including the
     SPS-crop path (dims not MB multiples) and the emulation-prevention storm
