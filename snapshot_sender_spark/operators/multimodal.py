@@ -343,19 +343,21 @@ def decode_png(data: bytes):
 
 
 def ahash64(pixels) -> int:
-    """64-bit average hash (aHash) of an (h, w, 3|4) uint8 image, EXACT
-    integer arithmetic: the per-pixel RGB channel sums collapse to an 8×8
-    grid of block sums and bit i (MSB-first, raster block order) is set iff
-    64·block_sum ≥ total_sum — the classic perceptual thumbprint, with the
-    float mean replaced by an equivalent cross-multiplication so two engines
-    can agree bit-for-bit. Alpha is ignored. Dims must be multiples of 8."""
+    """64-bit average hash (aHash) of an (h, w[, 3|4]) uint8 image, EXACT
+    integer arithmetic: the per-pixel RGB channel sums (grayscale: the value
+    itself — the hash is homogeneous, so channel count cancels) collapse to
+    an 8×8 grid of block sums and bit i (MSB-first, raster block order) is
+    set iff 64·block_sum ≥ total_sum — the classic perceptual thumbprint,
+    with the float mean replaced by an equivalent cross-multiplication so
+    two engines can agree bit-for-bit. Alpha is ignored. Dims must be
+    multiples of 8."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.int64)
-    h, w, _c = px.shape
+    h, w = px.shape[:2]
     if h % 8 or w % 8:
         raise ValueError("aHash needs dims that are multiples of 8")
-    plane = px[:, :, :3].sum(axis=2)
+    plane = px if px.ndim == 2 else px[:, :, :3].sum(axis=2)
     blocks = plane.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
     total = int(blocks.sum())
     v = 0
@@ -371,8 +373,9 @@ IMAGE_AHASH_SCHEMA = "media_id long, width int, height int, ahash string, sig lo
 def image_ahash(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """Distributed perceptual image hashing (mapInPandas): REAL PNG decode →
-    exact integer aHash per image. ``ahash`` is the 16-hex-char MSB-first
+    """Distributed perceptual image hashing (mapInPandas): REAL decode (PNG
+    or baseline/progressive JPEG, dispatched on the magic bytes) → exact
+    integer aHash per image. ``ahash`` is the 16-hex-char MSB-first
     rendering (oracle-comparable); ``sig`` is the same 64 bits as a signed
     long for the banded hamming pair mining downstream. Bytes never shuffle —
     only (id, 8-byte hash) rows leave the stage."""
@@ -382,7 +385,13 @@ def image_ahash(
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                px = decode_png(bytes(buf or b""))
+                data = bytes(buf or b"")
+                if data[:8] == PNG_MAGIC:
+                    px = decode_png(data)
+                elif data[:2] == b"\xff\xd8":
+                    px = decode_jpeg(data)
+                else:
+                    raise ValueError("unrecognized image magic (PNG/JPEG only)")
                 v = ahash64(px)
                 rows.append(
                     {

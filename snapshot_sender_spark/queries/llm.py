@@ -1933,6 +1933,67 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_ahash_jpeg",
+    oracle="""
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+    blk AS (
+      SELECT doc_id, t.i AS i, (doc_id * 29 + t.i * 17) % 256 AS v
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, i, CASE WHEN 64 * v >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    ),
+    bytes AS (
+      SELECT doc_id, i // 8 AS byte_no,
+             SUM(bit * CASE i % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bits GROUP BY doc_id, i // 8
+    )
+    SELECT doc_id AS media_id, 64 AS width, 64 AS height,
+           STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                      ORDER BY byte_no) AS ahash
+    FROM bytes GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_image_ahash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash over the REAL JPEG decode path (the same perceptual hash,
+    different codec): per document a 64×64 grayscale baseline JPEG of flat
+    8×8 blocks (block i constant at (doc_id·29 + i·17) % 256 — flat blocks
+    survive the all-8s quant table bit-for-bit, the property the JPEG
+    oracle family builds on) is Huffman-encoded and decoded by the real
+    SOF0 decoder; each aHash cell then covers exactly one JPEG block, so
+    the oracle reduces to bit i = 64·v(i) ≥ Σv — pinning the full Huffman →
+    dequant → IDCT pipeline AND the hash in one hex compare. The image
+    dispatch sniffs magic bytes, so PNG and JPEG ride the same operator."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                i = np.arange(64)
+                vals = ((did * 29 + i * 17) % 256).astype(np.uint8).reshape(8, 8)
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_jpeg(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.image_ahash(media).drop("sig")
+
+
+@query(
     "dedup_image_near",
     oracle="""
     WITH p AS (
