@@ -1441,6 +1441,66 @@ def chunk_level_dedup(
     )
 
 
+def incremental_chunk_dedup(
+    batch: DataFrame, corpus: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Cross-set chunk-level dedup: rewrite each BATCH document keeping a
+    chunk only if it is absent from the standing corpus AND it is the
+    batch's own first occurrence (ordered by doc id, position) — the
+    epoch-over-epoch form of ``chunk_level_dedup``, matching the ingestion
+    services' keeper semantics (the corpus is already-kept history, so one
+    corpus hit kills a chunk outright).
+
+    Same output shape as ``chunk_level_dedup``; scale shape: the corpus
+    collapses to DISTINCT 16-byte chunk hashes (the persistable chunk
+    index) probed with a left_anti join; only batch chunks pay the winner
+    window and the reassembly groupBy."""
+    from pyspark.sql import Window
+
+    def units_of(df: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        n_units = F.ceil(F.size(words) / F.lit(float(k)))
+        chunks = F.transform(
+            F.sequence(F.lit(0).cast("long"), n_units - 1),
+            lambda i: F.array_join(F.slice(words, (i * k + 1).cast("int"), k), " "),
+        )
+        return df.select(
+            F.col(id_col).alias("id"), F.posexplode(chunks).alias("pos", "unit")
+        )
+
+    corpus_hashes = (
+        units_of(corpus).select(F.unhex(F.md5("unit")).alias("h")).distinct()
+    )
+    units = units_of(batch).withColumn("h", F.unhex(F.md5("unit")))
+    fresh = units.join(corpus_hashes, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    kept = fresh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per_doc = kept.groupBy("id").agg(
+        F.count("*").alias("kept_units"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    words = F.split(F.col(text_col), " ")
+    base = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.ceil(F.size(words) / F.lit(float(k))).cast("int").alias("n_units"),
+    )
+    joined = base.join(per_doc, base.doc_id == per_doc.id, "left")
+    return joined.select(
+        "doc_id",
+        "n_units",
+        F.coalesce(F.col("kept_units").cast("int"), F.lit(0)).alias("kept_units"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, min_count: int = 2
 ) -> DataFrame:

@@ -679,6 +679,60 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_chunk_incremental",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, CAST(t.i AS INT) AS pos,
+             array_to_string(list_slice(ws, t.i * 8 + 1, t.i * 8 + 8), ' ') AS u
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ),
+    corpus_u AS (SELECT DISTINCT u FROM ch WHERE source <> 'src1'),
+    fresh AS (
+      SELECT doc_id, pos, u FROM ch
+      WHERE source = 'src1' AND u NOT IN (SELECT u FROM corpus_u)
+    ),
+    rn AS (
+      SELECT doc_id, pos, u,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+      FROM fresh
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS kept_units,
+             md5(STRING_AGG(u, ' ' ORDER BY pos)) AS clean_hash
+      FROM rn WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(ws) / 8.0) AS INT) AS n_units,
+           CAST(COALESCE(kept_units, 0) AS INT) AS kept_units,
+           COALESCE(clean_hash, md5('')) AS clean_hash
+    FROM w LEFT JOIN agg USING (doc_id)
+    WHERE w.source = 'src1'
+    """,
+    category="llm-dedup",
+)
+def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL shape of chunk-level (line) dedup: a new epoch
+    (source='src1') is rewritten against the standing corpus — a chunk
+    survives only if absent from the corpus AND it is the batch's own first
+    occurrence, the ingestion services' keeper semantics at chunk
+    granularity. The corpus collapses to DISTINCT 16-byte chunk hashes (the
+    persistable chunk index) probed with a left_anti join; only batch
+    chunks pay the winner window and reassembly. Cleaned text md5-pinned by
+    the oracle's ordered rebuild."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.incremental_chunk_dedup(
+        d.filter(F.col("source") == "src1"),
+        d.filter(F.col("source") != "src1"),
+        "text",
+        "doc_id",
+        k=8,
+    )
+
+
+@query(
     "dedup_substring_incremental",
     oracle="""
     WITH words AS (

@@ -1941,6 +1941,32 @@ def test_chunk_level_dedup_matches_bruteforce(spark):
     assert got[3][1] == 0  # every chunk of doc3 is "d e f", owned by doc1
 
 
+def test_incremental_chunk_dedup_keeper_semantics(spark):
+    """A batch chunk survives only if absent from the corpus AND it is the
+    batch's first occurrence; corpus docs never appear in the output."""
+    import hashlib as _h
+
+    k = 3
+    batch = spark.createDataFrame(
+        [
+            (10, "a b c x y z"),   # "a b c" in corpus → cut; "x y z" fresh
+            (11, "x y z q r s"),   # "x y z" already doc10's (first occ) → cut here
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_units"], r["kept_units"], r["clean_hash"])
+        for r in dedup.incremental_chunk_dedup(
+            batch, corpus, "text", "doc_id", k=k
+        ).collect()
+    }
+    assert got == {
+        10: (2, 1, _h.md5(b"x y z").hexdigest()),
+        11: (2, 1, _h.md5(b"q r s").hexdigest()),
+    }
+
+
 def test_duplicate_span_stats_no_duplicates_at_all(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "g h i j k l")], ["doc_id", "text"]
@@ -1959,6 +1985,7 @@ def test_substring_span_queries_stay_jvm_side(spark, sf_dir):
         "dedup_substring_removal",
         "dedup_substring_incremental",
         "dedup_chunk_level",
+        "dedup_chunk_incremental",
         "decontam_substring_hits",
     ):
         plan = all_queries()[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
