@@ -2840,6 +2840,38 @@ def h264_video_frame_stats(
     return df.mapInPandas(run, schema=H264_FRAME_SCHEMA)
 
 
+VIDEO_FRAME_AHASH_SCHEMA = "media_id long, frame_no int, ahash string"
+
+
+def video_frame_ahash(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-frame perceptual fingerprints of an all-I_PCM H.264 video: decode
+    every picture and aHash its LUMA plane (the grayscale path — chroma
+    carries no extra structure for near-dup purposes). One (media_id,
+    frame_no, 16-hex ahash) row per frame; downstream set-Jaccard over the
+    distinct hashes turns this into video near-dup mining with the same
+    posting-join machinery the text operators use. Bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_no", "ahash"]
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                v = parse_h264_ipcm_video(bytes(buf or b""))
+                for f, (luma, _cb, _cr) in enumerate(v["frames"]):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_no": f,
+                            "ahash": f"{ahash64(luma):016x}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=VIDEO_FRAME_AHASH_SCHEMA)
+
+
 H264_SCENE_SCHEMA = (
     "media_id long, frame_no int, sum_abs_delta bigint, is_cut boolean"
 )

@@ -2193,6 +2193,126 @@ def dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_video_near",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 30 AS b, doc_id // 30 AS v
+      FROM documents WHERE doc_id < 60
+    ),
+    blk AS (
+      SELECT doc_id, t.f AS f, u.i AS i,
+             CASE WHEN (((b * 37 + t.f * 53 + u.i * u.i * 13 + u.i * 7) % 64) < 32)
+                       <> (v = 1 AND t.f = 3)
+                  THEN 4 * 40 ELSE 4 * 20 END AS bs
+      FROM p, UNNEST(range(0, 4)) AS t(f), UNNEST(range(0, 64)) AS u(i)
+    ),
+    tot AS (SELECT doc_id, f, SUM(bs) AS ts FROM blk GROUP BY doc_id, f),
+    bits AS (
+      SELECT doc_id, f, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id, f)
+    ),
+    bytes AS (
+      SELECT doc_id, f, i // 8 AS byte_no,
+             SUM(bit * CASE i % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bits GROUP BY doc_id, f, i // 8
+    ),
+    hashes AS (
+      SELECT doc_id, f,
+             STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                        ORDER BY byte_no) AS h
+      FROM bytes GROUP BY doc_id, f
+    ),
+    vh AS (SELECT DISTINCT doc_id, h FROM hashes),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM vh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM vh a JOIN vh c ON a.h = c.h AND a.doc_id < c.doc_id
+      GROUP BY a.doc_id, c.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_shared AS INT) AS n_shared,
+           n_shared / (sa.s + sb.s - n_shared) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE n_shared / (sa.s + sb.s - n_shared) >= 0.5
+    """,
+    category="llm-dedup",
+)
+def dedup_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate mining: each video reduces to its SET of
+    per-frame perceptual fingerprints (real I_PCM decode → luma aHash per
+    picture — operators/multimodal.py:video_frame_ahash), and two videos are
+    near-duplicates when the exact Jaccard of those hash sets clears 0.5 —
+    re-edits that swap a frame still match on the rest, the same posting-join
+    set-similarity the text operators use, with frame hashes playing the
+    token role. Fixtures: 60 four-frame block-patterned videos where
+    doc_id//30==1 re-renders doc_id%30's video with the LAST frame inverted —
+    every such pair shares 3 of its 4 frame hashes (Jaccard 3/5 = 0.6). The
+    oracle recomputes all 64 bits of every frame from the block formulas,
+    renders the same hex, and brute-forces the set-Jaccard — decode, hash,
+    and similarity pinned in one check. After the hash stage everything is
+    JVM: distinct → self-join on the 16-hex key → two tiny aggregates."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 30, did // 30
+                i = np.arange(64)
+                frames = []
+                cb = np.full((8, 8), 128, np.uint8)
+                for f in range(4):
+                    high = ((b * 37 + f * 53 + i * i * 13 + i * 7) % 64) < 32
+                    if v == 1 and f == 3:
+                        high = ~high
+                    vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                    luma = np.kron(vals, np.ones((2, 2), np.uint8))
+                    frames.append((luma, cb, cb))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_ipcm_video(16, 16, frames),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    vh = multimodal.video_frame_ahash(media).select("media_id", "ahash").distinct()
+    sz = vh.groupBy("media_id").agg(F.count("*").alias("s"))
+    a = vh.select(F.col("media_id").alias("id_a"), "ahash")
+    c = vh.select(F.col("media_id").alias("id_b"), "ahash")
+    inter = (
+        a.join(c, "ahash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sz.select(F.col("media_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sz.select(F.col("media_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.col("n_shared") / (F.col("sa") + F.col("sb") - F.col("n_shared"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
     "multimodal_audio_segments",
     oracle="""
     WITH h AS (

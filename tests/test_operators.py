@@ -1440,6 +1440,37 @@ def test_ahash64_exact_and_banded_image_pairs(spark):
         dedup.banded_hamming_pairs(sigs, max_hamming=4)
 
 
+def test_video_frame_ahash_per_frame(spark):
+    """Per-frame fingerprints: identical frames hash identically across
+    videos, a changed frame changes only its own row."""
+    import numpy as np
+
+    w = h = 16
+    f0, f1 = _ipcm_planes(1, w, h), _ipcm_planes(2, w, h)
+    # brightness-shifted copy of f1 (same gradient +31): aHash is
+    # brightness-invariant BY DESIGN, so this must hash identically…
+    fb = (f1[0].astype(np.int64) + 31).clip(0, 255).astype(np.uint8), f1[1], f1[2]
+    # …whereas a structural change (vertical flip) must not
+    f2 = np.flipud(f1[0]).copy(), f1[1], f1[2]
+    va = multimodal.encode_h264_ipcm_video(w, h, [f0, f1])
+    vb = multimodal.encode_h264_ipcm_video(w, h, [f0, f2])
+    vc = multimodal.encode_h264_ipcm_video(w, h, [f0, fb])
+    df = spark.createDataFrame(
+        [(1, bytearray(va)), (2, bytearray(vb)), (3, bytearray(vc))],
+        "media_id long, content binary",
+    )
+    got = {
+        (r["media_id"], r["frame_no"]): r["ahash"]
+        for r in multimodal.video_frame_ahash(df).collect()
+    }
+    assert len(got) == 6
+    assert got[(1, 0)] == got[(2, 0)] == got[(3, 0)]  # shared frame
+    assert got[(1, 1)] != got[(2, 1)]  # structural change → new fingerprint
+    assert got[(1, 1)] == got[(3, 1)]  # brightness shift → same fingerprint
+    # fingerprint equals the still-image hash of the same luma plane
+    assert got[(1, 0)] == f"{multimodal.ahash64(f0[0][:h, :w]):016x}"
+
+
 def test_banded_hamming_pairs_cross_excludes_within_set(spark):
     """Cross-set mining returns only (batch, corpus) pairs — identical
     signatures WITHIN a set must not pair, and direction is batch→corpus."""
