@@ -3329,6 +3329,54 @@ def flac_window_energy(
     ).mapInPandas(gen, schema=AUDIO_ENERGY_SCHEMA)
 
 
+AUDIO_AHASH_SCHEMA = "media_id long, n_samples int, ahash string, sig long"
+
+
+def audio_energy_ahash(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """64-bit ENERGY-PROFILE fingerprint of FLAC audio (the audio analog of
+    the image aHash): decode the stream with the real subset codec, square
+    every sample, bucket sample i into bin ⌊i·64/n⌋ (64 equal time slices
+    regardless of duration), and set bit j iff 64·bin_j ≥ total — exact
+    integer cross-multiplication, no float mean. The fingerprint is
+    loudness-invariant (a uniform gain g scales both comparison sides by
+    g²) and local edits move only the touched bins, so banded hamming
+    mining finds re-mastered / tail-edited recordings. Needs ≥ 64 samples
+    (every bin nonempty). ``ahash`` = 16-hex MSB-first; ``sig`` = the same
+    bits as a signed long for banded_hamming_pairs."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "n_samples", "ahash", "sig"]
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                s = np.array(decode_flac(bytes(buf or b"")), dtype=np.int64)
+                n = int(s.size)
+                if n < 64:
+                    raise ValueError("audio fingerprint needs >= 64 samples")
+                sq = s * s
+                bins = np.zeros(64, np.int64)
+                np.add.at(bins, (np.arange(n) * 64) // n, sq)
+                total = int(sq.sum())
+                v = 0
+                for j in range(64):
+                    if 64 * int(bins[j]) >= total:
+                        v |= 1 << (63 - j)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": n,
+                        "ahash": f"{v:016x}",
+                        "sig": v - (1 << 64) if v >= (1 << 63) else v,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=AUDIO_AHASH_SCHEMA)
+
+
 def encode_as_flac(
     df: DataFrame, id_col: str = "media_id", content_col: str = "content",
     block_size: int = 64,

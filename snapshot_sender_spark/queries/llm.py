@@ -2313,6 +2313,83 @@ def dedup_video_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_audio_near",
+    oracle="""
+    WITH d0 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 80 AND length(text) >= 136
+    ),
+    m AS (
+      SELECT doc_id AS media_id, text FROM d0
+      UNION ALL
+      SELECT doc_id + 1000, substr(text, 1, length(text) - 4) || 'zzzz' FROM d0
+    ),
+    h AS (SELECT media_id, hex(encode(text)) AS hx, length(text) AS nb FROM m),
+    samples AS (
+      SELECT media_id, t.i AS i, nb // 2 AS n,
+             ('0x' || substr(hx, 4*t.i + 3, 2))::INTEGER * 256
+               + ('0x' || substr(hx, 4*t.i + 1, 2))::INTEGER AS u16
+      FROM h, UNNEST(range(0, nb // 2)) AS t(i)
+    ),
+    sq AS (
+      SELECT media_id, (i * 64) // n AS bin,
+             CASE WHEN u16 >= 32768 THEN (u16 - 65536) * (u16 - 65536)
+                  ELSE u16 * u16 END AS e
+      FROM samples
+    ),
+    b AS (SELECT media_id, bin, SUM(e) AS be FROM sq GROUP BY media_id, bin),
+    tot AS (SELECT media_id, SUM(be) AS te FROM b GROUP BY media_id),
+    bits AS (
+      SELECT media_id, bin, CASE WHEN 64 * be >= te THEN 1 ELSE 0 END AS bit
+      FROM b JOIN tot USING (media_id)
+    )
+    SELECT a.media_id AS id_a, c.media_id AS id_b,
+           CAST(SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+    FROM bits a JOIN bits c ON a.bin = c.bin AND a.media_id < c.media_id
+    GROUP BY a.media_id, c.media_id
+    HAVING SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    category="llm-dedup",
+)
+def dedup_audio_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate mining — near-dup now spans every modality
+    (text shingles/SimHash, embeddings, images, video, audio): each
+    recording reduces to a 64-bit energy-profile fingerprint over the REAL
+    FLAC decode (operators/multimodal.py:audio_energy_ahash — 64 equal time
+    slices, bit j iff 64·bin_j ≥ total, loudness-invariant by construction)
+    and pairs within hamming 3 surface through the same banded join as the
+    text/image signatures. Fixtures: each long-enough document becomes an
+    original AND a tail-edited re-master (last 4 chars → 'zzzz', built
+    JVM-side with substring/concat); the edit touches only the final time
+    slices, so the pair lands inside the hamming budget unless the total
+    shift flips marginal bins — which the oracle reproduces exactly, since
+    it re-derives every sample, bin, and bit from the document hex."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import multimodal
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 80) & (F.length("text") >= 136))
+        .select("doc_id", "text")
+    )
+    edited = F.concat(
+        F.substring(F.col("text"), 1, F.length("text") - 4), F.lit("zzzz")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    ).unionAll(
+        d.select(
+            (F.col("doc_id") + 1000).alias("media_id"),
+            F.encode(edited, "UTF-8").alias("content"),
+        )
+    )
+    sigs = multimodal.audio_energy_ahash(multimodal.encode_as_flac(media)).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    return dedup_ops.banded_hamming_pairs(sigs, max_hamming=3)
+
+
+@query(
     "multimodal_audio_segments",
     oracle="""
     WITH h AS (

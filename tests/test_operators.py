@@ -1471,6 +1471,40 @@ def test_video_frame_ahash_per_frame(spark):
     assert got[(1, 0)] == f"{multimodal.ahash64(f0[0][:h, :w]):016x}"
 
 
+def test_audio_energy_ahash_properties(spark):
+    """Loudness invariance is EXACT (gain g scales both comparison sides by
+    g²), local edits move only their time slices, short audio is refused."""
+    import numpy as np
+
+    import pytest as _pt
+
+    # 64 bins × 4 samples: first half loud (2000), second half quiet (100) —
+    # bins sit decisively on either side of total/64, so edits are readable
+    base = np.array([2000] * 128 + [100] * 128, dtype=np.int16)
+    louder = (base.astype(np.int64) * 2).astype(np.int16)
+    edited = base.copy()
+    edited[-4:] = 2000  # make exactly the LAST time slice loud
+    rows = [
+        (1, bytearray(multimodal.encode_flac(base.tolist()))),
+        (2, bytearray(multimodal.encode_flac(louder.tolist()))),
+        (3, bytearray(multimodal.encode_flac(edited.tolist()))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in multimodal.audio_energy_ahash(df).collect()}
+    assert got[1]["ahash"] == got[2]["ahash"]  # exact loudness invariance
+    assert got[1]["ahash"] == "ffffffff00000000"  # loud half → high bits
+    u1 = int(got[1]["ahash"], 16)
+    u3 = int(got[3]["ahash"], 16)
+    assert u1 ^ u3 == 1  # exactly the last slice's bit flipped
+    assert got[1]["n_samples"] == 256
+    with _pt.raises(Exception, match="64 samples"):
+        short = spark.createDataFrame(
+            [(9, bytearray(multimodal.encode_flac([100] * 32)))],
+            "media_id long, content binary",
+        )
+        multimodal.audio_energy_ahash(short).collect()
+
+
 def test_banded_hamming_pairs_cross_excludes_within_set(spark):
     """Cross-set mining returns only (batch, corpus) pairs — identical
     signatures WITHIN a set must not pair, and direction is batch→corpus."""

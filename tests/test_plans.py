@@ -352,6 +352,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
     SKIP_CATEGORIES = {"streaming", "pipeline", "llm-pipeline"}
     EXPECTED_BATCH_PY = {"text_chunk_udtf", "udtf_table_arg_gaps"}
     EXPECTED_ARROW = {
+        "dedup_audio_near",
         "dedup_embedding_pairs", "dedup_image_incremental", "dedup_image_near",
         "dedup_ngram_jaccard", "dedup_video_near",
         "dedup_simhash",
