@@ -2048,6 +2048,78 @@ def multimodal_image_ahash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_dhash",
+    oracle="""
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+    px AS (
+      SELECT doc_id,
+             (t.i // 36) // 4 AS r, (t.i % 36) // 4 AS c,
+             (doc_id * 7 + (t.i // 36) * 3 + (t.i % 36) * 5) % 256
+             + (doc_id * 11 + (t.i // 36) * 5 + (t.i % 36) * 7) % 256
+             + (doc_id * 13 + (t.i // 36) * 7 + (t.i % 36) * 11) % 256 AS v
+      FROM p, UNNEST(range(0, 32 * 36)) AS t(i)
+    ),
+    b AS (SELECT doc_id, r, c, SUM(v) AS bs FROM px GROUP BY doc_id, r, c),
+    bits AS (
+      SELECT l.doc_id, l.r * 8 + l.c AS i,
+             CASE WHEN l.bs > rt.bs THEN 1 ELSE 0 END AS bit
+      FROM b l JOIN b rt ON l.doc_id = rt.doc_id AND l.r = rt.r
+                        AND rt.c = l.c + 1
+      WHERE l.c < 8
+    ),
+    bytes AS (
+      SELECT doc_id, i // 8 AS byte_no,
+             SUM(bit * CASE i % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bits GROUP BY doc_id, i // 8
+    )
+    SELECT doc_id AS media_id, 36 AS width, 32 AS height,
+           STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                      ORDER BY byte_no) AS dhash
+    FROM bytes GROUP BY doc_id
+    """,
+    category="llm-multimodal",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference hash (dHash) over the REAL PNG decode — the
+    brightness-AND-contrast-invariant sibling of multimodal_image_ahash
+    (each bit compares an 8×9-grid block to its right neighbor on exact
+    integer block sums, so a·x+b transforms with a>0 can never change it —
+    pinned as a property test). 36×32 RGB fixtures from doc_id formulas;
+    the oracle rebuilds every pixel, recomputes the 72 block sums and the
+    64 strict comparisons, and renders the same MSB-first hex."""
+    from ..operators import multimodal
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = np.mgrid[0:32, 0:36]
+                px = np.stack(
+                    [
+                        (did * 7 + yy * 3 + xx * 5) % 256,
+                        (did * 11 + yy * 5 + xx * 7) % 256,
+                        (did * 13 + yy * 7 + xx * 11) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    return multimodal.image_dhash(media).drop("sig")
+
+
+@query(
     "dedup_image_near",
     oracle="""
     WITH p AS (

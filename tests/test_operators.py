@@ -1471,6 +1471,28 @@ def test_video_frame_ahash_per_frame(spark):
     assert got[(1, 0)] == f"{multimodal.ahash64(f0[0][:h, :w]):016x}"
 
 
+def test_dhash64_invariance_properties():
+    """dHash is invariant to ANY positive-affine pixel transform a·x+b
+    (strict block-sum comparisons can't change), flips under structural
+    change, and rejects wrong dims."""
+    import numpy as np
+
+    import pytest as _pt
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(10, 60, (32, 36), dtype=np.int64)
+    base = g.astype(np.uint8)
+    affine = (g * 3 + 40).astype(np.uint8)  # max 3*59+40 = 217, no clip
+    v0 = multimodal.dhash64(base)
+    assert multimodal.dhash64(affine) == v0
+    flipped = np.fliplr(base).copy()
+    assert multimodal.dhash64(flipped) != v0
+    # RGB stacking of the same plane hashes identically (channel sums scale)
+    assert multimodal.dhash64(np.stack([base] * 3, axis=2)) == v0
+    with _pt.raises(ValueError, match="dHash"):
+        multimodal.dhash64(np.zeros((32, 32), np.uint8))
+
+
 def test_audio_energy_ahash_properties(spark):
     """Loudness invariance is EXACT (gain g scales both comparison sides by
     g²), local edits move only their time slices, short audio is refused."""

@@ -363,7 +363,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "multimodal_frame_sample",
         "multimodal_h264_info", "multimodal_h264_pixels",
         "multimodal_image_ahash", "multimodal_image_ahash_jpeg",
-        "multimodal_image_stats",
+        "multimodal_image_dhash", "multimodal_image_stats",
         "multimodal_jpeg_stats", "multimodal_mp3_energy",
         "multimodal_mp3_info",
         "multimodal_progressive_stats", "multimodal_resize",
