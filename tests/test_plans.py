@@ -199,6 +199,24 @@ def test_round2_query_plan_shapes(spark, sf_dir):
     assert plan.count("Exchange") <= 3  # bucketed partials, one shuffle per agg level
 
 
+def test_round6_dedup_plan_shapes(spark, sf_dir):
+    """Scale shapes of the round-6 dedup family: the chunk-level winner
+    window gets WindowGroupLimit on BOTH sides of its exchange (each map
+    task forwards at most one candidate per chunk hash — the shuffle carries
+    survivors, not the corpus), and the fingerprint miners keep their Arrow
+    stages stacked with no exchange between them (bytes move worker-locally;
+    only 8-byte signatures reach a shuffle)."""
+    plan = plan_of(spark, sf_dir, "dedup_chunk_level")
+    assert plan.count("WindowGroupLimit") >= 2, "map-side winner pruning lost"
+
+    plan = plan_of(spark, sf_dir, "dedup_image_near")
+    pre_exchange = plan.split("Exchange")[-1]  # deepest segment, after all exchanges
+    assert pre_exchange.count("MapInPandas") >= 2, (
+        "synth and hash stages must stack below every exchange — an exchange "
+        "between them would shuffle image bytes"
+    )
+
+
 def test_cbo_column_statistics_drive_estimates(spark, sf_dir):
     """ANALYZE TABLE column statistics feed the cost-based optimizer: the
     equality-filter cardinality estimate uses the column's distinct count
