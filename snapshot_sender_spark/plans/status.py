@@ -122,27 +122,51 @@ def write_success_indicator(output_dir: str, topic: str) -> str:
     return path
 
 
+# SendingCompletionStatus.kt:3-7 — enum constant → description string
+COMPLETION_DESCRIPTIONS = {
+    "COMPLETED_SUCCESSFULLY": "success",
+    "COMPLETED_UNSUCCESSFULLY": "failed",
+    "NOT_COMPLETED": "in progress",
+}
+
+
+def monitoring_severity(completion_status: str) -> str:
+    """SnsServiceImpl.kt:53-61: COMPLETED_SUCCESSFULLY → Critical, else High."""
+    return "Critical" if completion_status == "COMPLETED_SUCCESSFULLY" else "High"
+
+
+def monitoring_notification_type(completion_status: str) -> str:
+    """SnsServiceImpl.kt:63-71: COMPLETED_UNSUCCESSFULLY → Error, else Information."""
+    return "Error" if completion_status == "COMPLETED_UNSUCCESSFULLY" else "Information"
+
+
 def monitoring_message(
     correlation_id: str,
     export_date: str,
     snapshot_type: str,
     status: str,
-    severity: str = "Critical",
-    notification_type: str = "Information",
 ) -> str:
-    """SNS monitoring JSON payload (SnsServiceImpl.kt:41-51); skipped upstream
-    when export_date == 'NIFI_HEARTBEAT' (JobCompletionNotificationListener.kt:60-75)."""
-    title = f"Crown delivery {status.replace('_', ' ').lower().capitalize()}"
+    """SNS monitoring JSON payload, field-for-field the reference's
+    (SnsServiceImpl.kt:41-51): severity/notification_type derived from the
+    completion status (:53-70), slack_username "Snapshot Sender", title
+    "{SnapshotType} - All files sent - {status description}", and exactly two
+    custom elements (Export date, Correlation Id). Skipped upstream when
+    export_date == 'NIFI_HEARTBEAT' (JobCompletionNotificationListener.kt:60-75).
+
+    Kotlin's String.capitalize() uppercases only the first char and leaves the
+    rest intact ("full"→"Full", "fullExport"→"FullExport"); Python's
+    str.capitalize() would lowercase the tail, so slice explicitly."""
+    snapshot_cap = snapshot_type[:1].upper() + snapshot_type[1:]
+    description = COMPLETION_DESCRIPTIONS[status]
     return json.dumps(
         {
-            "severity": severity,
-            "notification_type": notification_type,
-            "slack_username": "Crown Export Poller",
-            "title_text": title,
+            "severity": monitoring_severity(status),
+            "notification_type": monitoring_notification_type(status),
+            "slack_username": "Snapshot Sender",
+            "title_text": f"{snapshot_cap} - All files sent - {description}",
             "custom_elements": [
                 {"key": "Export date", "value": export_date},
                 {"key": "Correlation Id", "value": correlation_id},
-                {"key": "Snapshot type", "value": snapshot_type},
             ],
         }
     )

