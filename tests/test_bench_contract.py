@@ -19,15 +19,19 @@ def _fake_timings():
 
 
 def test_compact_line_fits_tail_budget():
-    t = _fake_timings()
-    line = bench.format_line(t, t, t, 0.1)
+    med = _fake_timings()
+    best = {n: v - 2.0 for n, v in med.items()}  # min <= median by construction
+    line = bench.format_line(med, best, med, 0.1)
     assert len(line) < 1024, len(line)
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_sec"
     assert parsed["unit"] == "sec"
     assert parsed["detail"] == "BENCH_DETAIL.json"
-    assert set(parsed["queries"]) == set(t)
-    assert parsed["value"] == round(sum(t.values()), 3)
+    assert set(parsed["queries"]) == set(best)
+    # round-7 methodology: the headline value IS the best-of-laps total
+    assert parsed["value"] == round(sum(best.values()), 3)
+    assert parsed["value"] == parsed["best_total_sec"]
+    assert parsed["median_total_sec"] == round(sum(med.values()), 3)
 
 
 def test_oversized_medians_fall_back_to_totals_only():
