@@ -690,17 +690,33 @@ def compact_dedup_index(
     from the service (``compact_after``) or any context that retries on
     failure.
     """
+    return _fold_epoch_partitions(
+        spark,
+        [(table, ["id", "h"]), (table + "_sizes", ["id", "set_size"])],
+        epochs,
+        target_epoch,
+        write_tasks,
+    )
+
+
+def _fold_epoch_partitions(
+    spark, tables_cols, epochs, target_epoch, write_tasks
+) -> int:
+    """Shared fold core of ``compact_dedup_index`` / ``compact_hash_index``:
+    move the listed epochs' rows of every (table, key_cols) pair into the
+    target partition, dedup by key (crash-curative), drop the sources.
+    Returns the row count folded in the FIRST table."""
     epochs = sorted({int(e) for e in epochs})
     if int(target_epoch) in epochs:
         raise ValueError("target_epoch cannot be in the epochs to fold")
     # fold only partitions that EXIST: committed_epochs markers outlive
     # their folded partitions, so a service cycle with nothing new must be
     # a no-op, not an O(corpus) rewrite of the compacted partition. The
-    # union over BOTH tables covers a crash between the posting fold and
-    # the sizes fold (the sizes table may still hold an epoch the posting
-    # table already dropped — re-running must finish folding it).
+    # union over ALL tables covers a crash between the folds (a later table
+    # may still hold an epoch an earlier table already dropped — re-running
+    # must finish folding it).
     live = set()
-    for t in (table, table + "_sizes"):
+    for t, _ in tables_cols:
         for row in spark.sql(f"SHOW PARTITIONS {t}").collect():
             live.add(int(row[0].split("=", 1)[1]))
     epochs = [e for e in epochs if e in live]
@@ -708,10 +724,8 @@ def compact_dedup_index(
         return 0
     fold = epochs + [int(target_epoch)]
     moved = 0
-    for t, cols in (
-        (table, ["id", "h"]),
-        (table + "_sizes", ["id", "set_size"]),
-    ):
+    first_table = tables_cols[0][0]
+    for t, cols in tables_cols:
         src = spark.table(t).filter(F.col("epoch").isin(fold))
         # materialize BEFORE touching partitions: the write below replaces
         # the very files this plan would otherwise lazily re-read. The
@@ -732,7 +746,7 @@ def compact_dedup_index(
             .repartition(max(1, int(write_tasks)))
             .localCheckpoint()
         )
-        if t == table:
+        if t == first_table:
             moved = merged.count()
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1266,8 +1280,11 @@ def _positional_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> D
     """(id, pos, shingle_hash) for every k-token window, 0-based pos.
 
     All-JVM: split → transform(sequence) builds the k-gram at each start
-    position → posexplode. Docs shorter than k tokens produce no rows (the
-    sequence guard keeps ``sequence(0, n-k)`` from running descending).
+    position → posexplode. Docs shorter than k tokens produce no rows — the
+    LOAD-BEARING guard is the ``df.filter(n >= k)`` below, NOT the sequence
+    expression: Spark's ``sequence(start, stop)`` defaults to step -1 when
+    stop < start and would happily emit bogus negative positions, so a
+    refactor must never drop that filter.
 
     The key is md5 UNHEXed to 16-byte binary: the positional-shingle stream
     is the dominant exchange of both span plans (one row per token), so
@@ -1320,9 +1337,18 @@ def _span_stats(
 ) -> DataFrame:
     """Shared tail of the span plans: duplicated positions → maximal-span
     islands → per-doc stats, zero-span docs included via the left join."""
+    dup_pos = pos.join(dup_hashes, "shingle_hash").select("id", "pos")
+    return _span_stats_from_dup_pos(dup_pos, docs, text_col, id_col, k)
+
+
+def _span_stats_from_dup_pos(
+    dup_pos: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Island stage of the span plans, entered directly by the persisted-index
+    probe (which builds ``dup_pos`` from two semi-joins instead of one hash
+    join): duplicated (id, pos) → maximal spans → per-doc stats."""
     from pyspark.sql import Window
 
-    dup_pos = pos.join(dup_hashes, "shingle_hash").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     islands = dup_pos.withColumn(
         "new_span",
@@ -1386,6 +1412,20 @@ def incremental_span_stats(
     return _span_stats(pos, dup_hashes, batch, text_col, id_col, k)
 
 
+def _chunk_units(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, pos, unit) — the fixed k-token chunk decomposition shared by the
+    chunk-dedup family (batch, incremental, and the persisted chunk index)."""
+    words = F.split(F.col(text_col), " ")
+    n_units = F.ceil(F.size(words) / F.lit(float(k)))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_units - 1),
+        lambda i: F.array_join(F.slice(words, (i * k + 1).cast("int"), k), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("pos", "unit")
+    )
+
+
 def chunk_level_dedup(
     df: DataFrame, text_col: str, id_col: str, k: int = 8
 ) -> DataFrame:
@@ -1406,15 +1446,7 @@ def chunk_level_dedup(
     groupBy once, both keyed shuffles. No driver-side state, no UDFs."""
     from pyspark.sql import Window
 
-    words = F.split(F.col(text_col), " ")
-    n_units = F.ceil(F.size(words) / F.lit(float(k)))
-    chunks = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_units - 1),
-        lambda i: F.array_join(F.slice(words, (i * k + 1).cast("int"), k), " "),
-    )
-    units = df.select(
-        F.col(id_col).alias("id"), F.posexplode(chunks).alias("pos", "unit")
-    )
+    units = _chunk_units(df, text_col, id_col, k)
     w = Window.partitionBy(F.unhex(F.md5("unit"))).orderBy("id", "pos")
     kept = units.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     per_doc = kept.groupBy("id").agg(
@@ -1430,7 +1462,10 @@ def chunk_level_dedup(
         ).alias("clean_hash"),
     )
     base = df.select(
-        F.col(id_col).alias("doc_id"), n_units.cast("int").alias("n_units")
+        F.col(id_col).alias("doc_id"),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(float(k)))
+        .cast("int")
+        .alias("n_units"),
     )
     joined = base.join(per_doc, base.doc_id == per_doc.id, "left")
     return joined.select(
@@ -1457,21 +1492,14 @@ def incremental_chunk_dedup(
     window and the reassembly groupBy."""
     from pyspark.sql import Window
 
-    def units_of(df: DataFrame) -> DataFrame:
-        words = F.split(F.col(text_col), " ")
-        n_units = F.ceil(F.size(words) / F.lit(float(k)))
-        chunks = F.transform(
-            F.sequence(F.lit(0).cast("long"), n_units - 1),
-            lambda i: F.array_join(F.slice(words, (i * k + 1).cast("int"), k), " "),
-        )
-        return df.select(
-            F.col(id_col).alias("id"), F.posexplode(chunks).alias("pos", "unit")
-        )
-
     corpus_hashes = (
-        units_of(corpus).select(F.unhex(F.md5("unit")).alias("h")).distinct()
+        _chunk_units(corpus, text_col, id_col, k)
+        .select(F.unhex(F.md5("unit")).alias("h"))
+        .distinct()
     )
-    units = units_of(batch).withColumn("h", F.unhex(F.md5("unit")))
+    units = _chunk_units(batch, text_col, id_col, k).withColumn(
+        "h", F.unhex(F.md5("unit"))
+    )
     fresh = units.join(corpus_hashes, "h", "left_anti")
     w = Window.partitionBy("h").orderBy("id", "pos")
     kept = fresh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -1544,4 +1572,206 @@ def remove_duplicate_spans(
         F.col(id_col).alias("doc_id"),
         F.size(kept).alias("kept_tokens"),
         F.md5(clean).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted distinct-hash index (round 7): the substring/chunk analog of the
+# jaccard family's posting index. The incremental span/chunk operators above
+# take the standing corpus as a DataFrame OF TEXT and re-hash it every epoch —
+# correct, but a full corpus re-scan per epoch at 100 TB. These give the two
+# newest dedup families the same build/append/compact/probe lifecycle the
+# jaccard index has had since round 3: pay the shingle/chunk hashing once per
+# epoch, persist only DISTINCT 16-byte hashes bucketed on the probe key, and
+# read them bucket-aligned (no Exchange, no sort on the corpus side) forever.
+# ---------------------------------------------------------------------------
+
+
+def substring_index_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """An epoch's contribution to the persisted substring index: the DISTINCT
+    16-byte positional-shingle hashes (column ``h``). Positions and doc ids
+    are deliberately dropped — the cross-set span rule needs only membership
+    (one corpus hit marks a batch window duplicated), so the index stores the
+    smallest sufficient statistic."""
+    return (
+        _positional_shingles(df, text_col, id_col, k)
+        .select(F.col("shingle_hash").alias("h"))
+        .distinct()
+    )
+
+
+def chunk_index_hashes(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """An epoch's contribution to the persisted chunk index: DISTINCT 16-byte
+    chunk-text hashes (column ``h``). Appending ALL of an epoch's chunk hashes
+    (not only kept ones) is equivalent for every future probe: a chunk that
+    lost within-epoch still has its first occurrence kept somewhere, and a
+    chunk killed by a corpus hit is already in the index."""
+    return (
+        _chunk_units(df, text_col, id_col, k)
+        .select(F.unhex(F.md5("unit")).alias("h"))
+        .distinct()
+    )
+
+
+def append_hash_index_epoch(
+    spark,
+    table: str,
+    hashes: DataFrame,
+    epoch: int,
+    n_buckets: int = 8,
+) -> None:
+    """REPLAY-IDEMPOTENT per-epoch append to a persisted distinct-hash index:
+    schema (h binary, epoch int), bucketed+sorted by ``h`` and partitioned by
+    ``epoch``. Re-running an epoch dynamically overwrites its own partition
+    (never double-appends); probes read corpus buckets in place with no
+    Exchange and exclude the current epoch for crash-replay safety — the
+    exact contract of ``append_dedup_index_epoch``, minus the sizes table
+    (membership needs no per-doc statistics)."""
+    out = hashes.select("h", F.lit(int(epoch)).alias("epoch"))
+    if not spark.catalog.tableExists(table):
+        _drop_stale_table_location(spark, table)
+        (
+            out.write.bucketBy(n_buckets, "h")
+            .sortBy("h")
+            .partitionBy("epoch")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_hash_index(
+    spark,
+    table: str,
+    epochs: list[int],
+    target_epoch: int = COMPACTED_EPOCH,
+    write_tasks: int = 1,
+) -> int:
+    """Fold committed epoch partitions of a distinct-hash index into the
+    reserved ``epoch = COMPACTED_EPOCH`` partition — same durability and
+    crash-recovery contract as ``compact_dedup_index`` (the fold dedups by
+    ``h``, so re-running after a crash is curative; cross-epoch duplicate
+    hashes — legal, since distinctness is per-epoch — also collapse here,
+    shrinking the standing index). Returns hash rows folded."""
+    return _fold_epoch_partitions(
+        spark, [(table, ["h"])], epochs, target_epoch, write_tasks
+    )
+
+
+def _index_hashes(spark, table: str, exclude_epoch: int | None) -> DataFrame:
+    idx = spark.table(table)
+    if exclude_epoch is not None:
+        if "epoch" not in idx.columns:
+            raise ValueError(
+                f"exclude_epoch requires an epoch-partitioned index; "
+                f"table {table!r} has no epoch column"
+            )
+        idx = idx.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
+    return idx.select("h")
+
+
+def incremental_span_stats_against_index(
+    spark,
+    table: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_count: int = 2,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """``incremental_span_stats`` with the standing corpus read from the
+    persisted substring index instead of re-shingled text — result-identical
+    when the index holds the corpus's distinct shingle hashes (pinned by
+    test). Physical difference: the corpus side is a bucket-aligned scan of
+    16-byte hashes (no Exchange, no sort — the sort-merge semi join reads
+    corpus buckets in place); per-epoch cost is shingling the BATCH only.
+
+    The duplicated-position set is built from two semi joins (within-batch
+    ``min_count``+ OR corpus membership) instead of one join against a
+    unioned hash set — a union+distinct would re-shuffle the corpus hashes,
+    defeating the bucket layout. The union of the two hit sets repartitions
+    on ``id`` once: hash(id) clusters (id, pos), so the dedup AND the islands
+    window both reuse that single exchange."""
+    pos = _positional_shingles(batch, text_col, id_col, k)
+    batch_dup = (
+        pos.groupBy("shingle_hash")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("shingle_hash")
+    )
+    idx = _index_hashes(spark, table, exclude_epoch).withColumnRenamed(
+        "h", "shingle_hash"
+    )
+    batch_hits = pos.join(batch_dup, "shingle_hash", "left_semi").select("id", "pos")
+    corpus_hits = (
+        pos.hint("merge")
+        .join(idx.hint("merge"), "shingle_hash", "left_semi")
+        .select("id", "pos")
+    )
+    dup_pos = (
+        batch_hits.union(corpus_hits)
+        .repartition("id")
+        .dropDuplicates(["id", "pos"])
+    )
+    return _span_stats_from_dup_pos(dup_pos, batch, text_col, id_col, k)
+
+
+def incremental_chunk_dedup_against_index(
+    spark,
+    table: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """``incremental_chunk_dedup`` with the standing corpus read from the
+    persisted chunk index — result-identical when the index holds the
+    corpus's distinct chunk hashes (pinned by test). The left_anti probe
+    sort-merges against pre-sorted corpus buckets (no Exchange on the index
+    side); only batch chunks pay the winner window and reassembly."""
+    from pyspark.sql import Window
+
+    idx = _index_hashes(spark, table, exclude_epoch)
+    units = _chunk_units(batch, text_col, id_col, k).withColumn(
+        "h", F.unhex(F.md5("unit"))
+    )
+    fresh = units.hint("merge").join(idx.hint("merge"), "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    kept = fresh.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per_doc = kept.groupBy("id").agg(
+        F.count("*").alias("kept_units"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                    lambda s: s["unit"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    base = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.ceil(F.size(F.split(F.col(text_col), " ")) / F.lit(float(k)))
+        .cast("int")
+        .alias("n_units"),
+    )
+    joined = base.join(per_doc, base.doc_id == per_doc.id, "left")
+    return joined.select(
+        "doc_id",
+        "n_units",
+        F.coalesce(F.col("kept_units").cast("int"), F.lit(0)).alias("kept_units"),
+        F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
     )

@@ -2592,3 +2592,223 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("content")
     )
     return multimodal.frame_sample(d, every_n_bytes=64, max_frames=4)
+
+
+def _span_index_epochs_oracle(n_epochs: int = 3) -> str:
+    """Epoch-by-epoch DuckDB simulation of the persisted substring index
+    service: for epoch k a window is duplicated if it occurs >=2 times
+    WITHIN the epoch or its shingle exists in ANY earlier epoch (the
+    standing index). Longhand CTEs, one stage per epoch, shared islands
+    tail — the substring analog of _stream_epochs_oracle."""
+    parts = [
+        f"""base AS (
+      SELECT doc_id, text, CAST(doc_id % {n_epochs} AS INT) AS ep FROM documents
+    ),
+    words AS (SELECT doc_id, ep, string_split(text, ' ') AS ws FROM base),
+    sh AS (
+      SELECT doc_id, ep, t.i AS pos,
+             array_to_string(list_slice(ws, t.i + 1, t.i + 5), ' ') AS shingle
+      FROM words, UNNEST(range(0, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5
+    )"""
+    ]
+    for k in range(n_epochs):
+        corp = (
+            f"OR shingle IN (SELECT DISTINCT shingle FROM sh WHERE ep < {k})"
+            if k
+            else ""
+        )
+        parts.append(
+            f"""e{k}_dup AS (
+      SELECT shingle FROM sh WHERE ep = {k}
+      GROUP BY shingle HAVING COUNT(*) >= 2
+    ),
+    e{k}_dpos AS (
+      SELECT doc_id, pos FROM sh
+      WHERE ep = {k} AND (shingle IN (SELECT shingle FROM e{k}_dup) {corp})
+    )"""
+        )
+    dpos_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, pos FROM e{j}_dpos" for j in range(n_epochs)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    dpos AS (
+      {dpos_union}
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dpos
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+      FROM isl2 GROUP BY doc_id, span_id
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(string_split(b.text, ' ')) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / len(string_split(b.text, ' ')) AS dup_fraction,
+           b.ep AS epoch
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
+    )
+
+
+@query(
+    "dedup_substring_index_epochs",
+    oracle=_span_index_epochs_oracle(3),
+    category="llm-dedup",
+)
+def dedup_substring_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted substring index in MULTI-EPOCH service shape (round-7
+    closure of the r6 verdict's last 100-TB gap): documents arrive as 3
+    epochs (doc_id % 3); each epoch APPENDS its distinct shingle hashes to
+    the bucketed epoch-partitioned index FIRST (replay-safe order), then
+    probes with exclude_epoch=k — so the standing corpus is never
+    re-shingled, only its 16-byte hashes are read bucket-aligned. Epochs 0+1
+    are COMPACTED into the reserved epoch=-1 partition before epoch 2 runs,
+    so the oracle also verifies fold-then-probe. Per-epoch results are
+    materialized eagerly (the index mutates between probes); DuckDB
+    simulates the same lifecycle longhand."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        append_hash_index_epoch,
+        compact_hash_index,
+        incremental_span_stats_against_index,
+        substring_index_hashes,
+    )
+
+    table = "t_q_span_idx_epochs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="span_idx_epochs_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    out = os.path.join(work, "stats")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for k in range(3):
+        batch = docs.filter((F.col("doc_id") % 3) == k)
+        append_hash_index_epoch(
+            spark, table, substring_index_hashes(batch, "text", "doc_id", k=5),
+            epoch=k,
+        )
+        stats = incremental_span_stats_against_index(
+            spark, table, batch, "text", "doc_id", k=5, min_count=2,
+            exclude_epoch=k,
+        ).withColumn("epoch", F.lit(k).cast("int"))
+        # materialize NOW: the next iteration mutates the index this lazy
+        # plan reads (and compaction rewrites its files)
+        stats.write.mode("append").parquet(out)
+        if k == 1:
+            compact_hash_index(spark, table, [0, 1])
+    return spark.read.parquet(out)
+
+
+def _chunk_index_epochs_oracle(n_epochs: int = 3) -> str:
+    """Epoch-by-epoch simulation of the persisted chunk index service: a
+    chunk survives epoch k iff absent from ALL earlier epochs' chunks and it
+    is epoch k's own first occurrence (doc id, then position)."""
+    parts = [
+        f"""base AS (
+      SELECT doc_id, text, CAST(doc_id % {n_epochs} AS INT) AS ep FROM documents
+    ),
+    w AS (SELECT doc_id, ep, string_split(text, ' ') AS ws FROM base),
+    ch AS (
+      SELECT doc_id, ep, CAST(t.i AS INT) AS pos,
+             array_to_string(list_slice(ws, t.i * 8 + 1, t.i * 8 + 8), ' ') AS u
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    )"""
+    ]
+    for k in range(n_epochs):
+        fresh_where = (
+            f"AND u NOT IN (SELECT DISTINCT u FROM ch WHERE ep < {k})" if k else ""
+        )
+        parts.append(
+            f"""e{k}_rn AS (
+      SELECT doc_id, pos, u,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+      FROM ch WHERE ep = {k} {fresh_where}
+    )"""
+        )
+    kept_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, pos, u FROM e{j}_rn WHERE rn = 1" for j in range(n_epochs)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    kept AS (
+      {kept_union}
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS kept_units,
+             md5(STRING_AGG(u, ' ' ORDER BY pos)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(ceil(len(string_split(b.text, ' ')) / 8.0) AS INT) AS n_units,
+           CAST(COALESCE(a.kept_units, 0) AS INT) AS kept_units,
+           COALESCE(a.clean_hash, md5('')) AS clean_hash,
+           b.ep AS epoch
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """
+    )
+
+
+@query(
+    "dedup_chunk_index_epochs",
+    oracle=_chunk_index_epochs_oracle(3),
+    category="llm-dedup",
+)
+def dedup_chunk_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted chunk index in MULTI-EPOCH service shape: 3 epochs
+    (doc_id % 3), each appending its distinct chunk hashes before probing
+    with exclude_epoch=k (replay-safe), epochs 0+1 compacted before epoch 2
+    probes — the chunk analog of dedup_substring_index_epochs. The corpus
+    side of every probe is a bucket-aligned anti join against 16-byte
+    hashes; chunk text is never re-read from earlier epochs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        append_hash_index_epoch,
+        chunk_index_hashes,
+        compact_hash_index,
+        incremental_chunk_dedup_against_index,
+    )
+
+    table = "t_q_chunk_idx_epochs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="chunk_idx_epochs_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    out = os.path.join(work, "stats")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for k in range(3):
+        batch = docs.filter((F.col("doc_id") % 3) == k)
+        append_hash_index_epoch(
+            spark, table, chunk_index_hashes(batch, "text", "doc_id", k=8), epoch=k
+        )
+        stats = incremental_chunk_dedup_against_index(
+            spark, table, batch, "text", "doc_id", k=8, exclude_epoch=k
+        ).withColumn("epoch", F.lit(k).cast("int"))
+        stats.write.mode("append").parquet(out)
+        if k == 1:
+            compact_hash_index(spark, table, [0, 1])
+    return spark.read.parquet(out)
