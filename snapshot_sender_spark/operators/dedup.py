@@ -1211,7 +1211,13 @@ def banded_hamming_pairs_cross(
     Inputs: (id, sig) each; output (batch_id, corpus_id, hamming). Same
     4×16-bit pigeonhole blocking as ``banded_hamming_pairs`` (exact ≤ 3);
     the corpus side is exploded once per band, which is what you'd persist
-    bucketed by band for epoch-over-epoch reuse."""
+    bucketed by band for epoch-over-epoch reuse.
+
+    Same-id pairs are dropped: if a caller's id spaces overlap (e.g. a
+    replayed epoch probing a corpus it was already folded into), every such
+    signature would otherwise pair with itself at hamming 0. Two DIFFERENT
+    media sharing one id across the sets is caller error — ids are assumed
+    globally unique, as everywhere in the dedup family."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     a = _sig_bands(batch).select(
@@ -1221,7 +1227,10 @@ def banded_hamming_pairs_cross(
         F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band"
     )
     pairs = (
-        a.join(b, "band").select("batch_id", "corpus_id", "sig_a", "sig_b").distinct()
+        a.join(b, "band")
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id", "sig_a", "sig_b")
+        .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("batch_id", "corpus_id", hamming.alias("hamming")).filter(
@@ -1774,4 +1783,107 @@ def incremental_chunk_dedup_against_index(
         "n_units",
         F.coalesce(F.col("kept_units").cast("int"), F.lit(0)).alias("kept_units"),
         F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted per-band SIGNATURE index (round 7): the media analog of the
+# distinct-hash index above. Perceptual signatures (image aHash, video frame
+# hashes, audio energy fingerprints, text SimHash) are 64-bit longs probed by
+# banded hamming join on 16-bit bands; a media ingestion service persists the
+# corpus side EXPLODED per band, bucketed on the band key, so each epoch's
+# probe reads corpus bands in place — the keeper/append/compact lifecycle the
+# text families already have.
+# ---------------------------------------------------------------------------
+
+
+def append_sig_index_epoch(
+    spark,
+    table: str,
+    sigs: DataFrame,
+    epoch: int,
+    n_buckets: int = 8,
+) -> None:
+    """REPLAY-IDEMPOTENT per-epoch append to a persisted signature index:
+    schema (id long, sig long, band string), bucketed+sorted by ``band`` and
+    partitioned by ``epoch`` — each signature stored once per 16-bit band
+    (×4). ``sigs``: (id, sig). Same dynamic-partition-overwrite contract as
+    ``append_hash_index_epoch``."""
+    out = _sig_bands(sigs).select("id", "sig", "band", F.lit(int(epoch)).alias("epoch"))
+    if not spark.catalog.tableExists(table):
+        _drop_stale_table_location(spark, table)
+        (
+            out.write.bucketBy(n_buckets, "band")
+            .sortBy("band")
+            .partitionBy("epoch")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_sig_index(
+    spark,
+    table: str,
+    epochs: list[int],
+    target_epoch: int = COMPACTED_EPOCH,
+    write_tasks: int = 1,
+) -> int:
+    """Fold committed epoch partitions of a signature index into the reserved
+    ``epoch = COMPACTED_EPOCH`` partition — the (id, sig, band) rows are
+    globally unique by key (one epoch per media id, distinct bands per sig),
+    so the fold's key-dedup is crash-curative exactly as in
+    ``compact_dedup_index``. Returns band rows folded."""
+    return _fold_epoch_partitions(
+        spark, [(table, ["id", "sig", "band"])], epochs, target_epoch, write_tasks
+    )
+
+
+def banded_hamming_pairs_against_index(
+    spark,
+    table: str,
+    batch: DataFrame,
+    max_hamming: int = 3,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """``banded_hamming_pairs_cross`` with the corpus side read from the
+    persisted signature index — result-identical when the index holds the
+    corpus signatures (pinned by test). The batch explodes to 4 band rows
+    and exchanges once on the band key; the corpus bands sort-merge in place
+    (no Exchange, no sort). Same-id pairs are dropped, as in the cross form:
+    a replayed epoch probing a corpus it was folded into must not self-match
+    (``exclude_epoch`` already prunes the epoch's own partition — the id
+    guard covers ids re-ingested under a later epoch)."""
+    idx = spark.table(table)
+    if exclude_epoch is not None:
+        if "epoch" not in idx.columns:
+            raise ValueError(
+                f"exclude_epoch requires an epoch-partitioned index; "
+                f"table {table!r} has no epoch column"
+            )
+        idx = idx.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
+    a = _sig_bands(batch).select(
+        F.col("id").alias("batch_id"), F.col("sig").alias("sig_a"), "band"
+    )
+    b = idx.select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band"
+    )
+    pairs = (
+        a.hint("merge")
+        .join(b.hint("merge"), "band")
+        .filter(F.col("batch_id") != F.col("corpus_id"))
+        .select("batch_id", "corpus_id", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("batch_id", "corpus_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
     )

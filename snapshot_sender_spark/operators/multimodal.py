@@ -371,10 +371,13 @@ def dhash64(pixels) -> int:
     """64-bit difference hash (dHash): block means over an 8-row × 9-column
     grid, bit (r,c) = left block strictly brighter than its right neighbor —
     equal-size blocks make the comparison exact on integer block SUMS, no
-    division. Invariant to brightness (+b adds equally to both sides) AND
-    contrast (a·x with a>0 preserves order) — the robustness complement to
-    ``ahash64``'s mean threshold. Height must be a multiple of 8, width of
-    9. Grayscale or RGB (channel sums)."""
+    division. Invariant to brightness (+b adds equally to both sides) and to
+    contrast (a·x with a>0 preserves order) — but ONLY for transforms that
+    keep every pixel inside [0, 255] without clipping or wrapping: a clipped
+    a·x+b can reorder block sums and flip bits (uint8 saturation is not
+    order-preserving). The robustness complement to ``ahash64``'s mean
+    threshold. Height must be a multiple of 8, width of 9. Grayscale or RGB
+    (channel sums)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.int64)
@@ -2768,14 +2771,18 @@ def encode_h264_ipcm_video(width: int, height: int, frames) -> bytes:
     return b"".join(out)
 
 
-def parse_h264_ipcm_video(data: bytes) -> dict:
-    """REAL H.264 video decode for the all-I_PCM subset: every coded picture
-    in the stream is reconstructed (cropped planes, stream order). Returns
-    {width, height, n_frames, frames: [(luma, cb, cr), ...]}."""
-    nals = _split_annexb(data)
+def iter_h264_ipcm_frames(data: bytes):
+    """Streaming H.264 all-I_PCM video decode: yields one
+    (frame_no, width, height, luma, cb, cr) tuple per coded picture, in
+    stream order, decoding lazily so PER-TASK MEMORY IS BOUNDED BY ONE FRAME
+    — I_PCM pictures are uncompressed (~1.5 bytes/px), so materializing a
+    long video's frame list would OOM an executor even though every consumer
+    here reduces with at most two frames live (r6 advisory). Raises on an
+    empty stream only when iterated to exhaustion, so callers that need the
+    eager error use ``parse_h264_ipcm_video``."""
     sps = pps = None
-    frames = []
-    for nal in nals:
+    n = 0
+    for nal in _split_annexb(data):
         typ = nal[0] & 0x1F
         if typ == 7 and sps is None:
             sps = _parse_sps(nal[1:])
@@ -2784,26 +2791,35 @@ def parse_h264_ipcm_video(data: bytes) -> dict:
         elif typ in (1, 5):
             if sps is None or pps is None:
                 raise ValueError("coded slice before SPS/PPS")
-            frames.append(_decode_ipcm_slice(nal, sps, pps))
-    if not frames:
-        raise ValueError("no coded slice in stream")
-    w, h = sps["width"], sps["height"]
-    crop_l, _cr, crop_t, _cb = sps["crop"]
-    cux, cuy = sps["crop_units"]
-    x0, y0 = cux * crop_l, cuy * crop_t
-    return {
-        "width": w,
-        "height": h,
-        "n_frames": len(frames),
-        "frames": [
-            (
+            luma, cbp, crp = _decode_ipcm_slice(nal, sps, pps)
+            w, h = sps["width"], sps["height"]
+            crop_l, _cr, crop_t, _cb = sps["crop"]
+            cux, cuy = sps["crop_units"]
+            x0, y0 = cux * crop_l, cuy * crop_t
+            yield (
+                n,
+                w,
+                h,
                 luma[y0 : y0 + h, x0 : x0 + w],
                 cbp[y0 // 2 : y0 // 2 + h // 2, x0 // 2 : x0 // 2 + w // 2],
                 crp[y0 // 2 : y0 // 2 + h // 2, x0 // 2 : x0 // 2 + w // 2],
             )
-            for luma, cbp, crp in frames
-        ],
-    }
+            n += 1
+    if n == 0:
+        raise ValueError("no coded slice in stream")
+
+
+def parse_h264_ipcm_video(data: bytes) -> dict:
+    """REAL H.264 video decode for the all-I_PCM subset: every coded picture
+    in the stream is reconstructed (cropped planes, stream order). Returns
+    {width, height, n_frames, frames: [(luma, cb, cr), ...]} — the EAGER
+    form; the distributed operators fold ``iter_h264_ipcm_frames`` instead
+    so they never hold a whole stream's decoded frames."""
+    frames = []
+    w = h = None
+    for _n, w, h, luma, cbp, crp in iter_h264_ipcm_frames(data):
+        frames.append((luma, cbp, crp))
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
 
 
 H264_PIXEL_SCHEMA = (
@@ -2880,17 +2896,20 @@ def h264_video_frame_stats(
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                v = parse_h264_ipcm_video(bytes(buf or b""))
-                for f in range(0, v["n_frames"], every):
-                    luma, cbp, _crp = v["frames"][f]
+                # streamed decode: one frame live at a time (r6 advisory)
+                for f, w, h, luma, cbp, _crp in iter_h264_ipcm_frames(
+                    bytes(buf or b"")
+                ):
+                    if f % every:
+                        continue
                     y = luma.astype(np.int64).reshape(-1)
                     idx = np.arange(1, y.size + 1, dtype=np.int64)
                     rows.append(
                         {
                             "media_id": int(mid),
                             "frame_no": f,
-                            "width": v["width"],
-                            "height": v["height"],
+                            "width": w,
+                            "height": h,
                             "luma_sum": int(y.sum()),
                             "luma_pos_hash": int((idx * y).sum()),
                             "cb_sum": int(cbp.astype(np.int64).sum()),
@@ -2919,8 +2938,10 @@ def video_frame_ahash(
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                v = parse_h264_ipcm_video(bytes(buf or b""))
-                for f, (luma, _cb, _cr) in enumerate(v["frames"]):
+                # streamed decode: one frame live at a time (r6 advisory)
+                for f, _w, _h, luma, _cb, _cr in iter_h264_ipcm_frames(
+                    bytes(buf or b"")
+                ):
                     rows.append(
                         {
                             "media_id": int(mid),
@@ -2959,9 +2980,11 @@ def h264_scene_changes(
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                v = parse_h264_ipcm_video(bytes(buf or b""))
                 prev = None
-                for f, (luma, _cb, _cr) in enumerate(v["frames"]):
+                # streamed decode: two frames live at a time (r6 advisory)
+                for f, _w, _h, luma, _cb, _cr in iter_h264_ipcm_frames(
+                    bytes(buf or b"")
+                ):
                     cur = luma.astype(np.int64)
                     if prev is not None:
                         delta = int(np.abs(cur - prev).sum())

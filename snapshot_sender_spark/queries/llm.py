@@ -2812,3 +2812,115 @@ def dedup_chunk_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k == 1:
             compact_hash_index(spark, table, [0, 1])
     return spark.read.parquet(out)
+
+
+@query(
+    "dedup_image_index_epochs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v,
+             CAST(doc_id % 3 AS INT) AS ep
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, ep, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, ep, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    ),
+    ham AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.ep AS ea, c.ep AS ec,
+             CAST(SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+      GROUP BY a.doc_id, c.doc_id, a.ep, c.ep
+      HAVING SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+    )
+    SELECT CASE WHEN ec >= ea THEN id_b ELSE id_a END AS batch_id,
+           CASE WHEN ec >= ea THEN id_a ELSE id_b END AS corpus_id,
+           hamming,
+           GREATEST(ea, ec) AS epoch
+    FROM ham
+    """,
+    category="llm-dedup",
+)
+def dedup_image_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup through the PERSISTED per-band signature index
+    in MULTI-EPOCH service shape (round-7 closure of r6 verdict #6): the 100
+    block-patterned PNGs of dedup_image_near arrive as 3 epochs (doc_id % 3);
+    each epoch decodes + aHashes ONLY its own media, APPENDS its (id, sig,
+    band) rows to the bucketed epoch-partitioned index first (replay-safe
+    order), mines within-epoch pairs with the banded self-join and
+    cross-epoch pairs by probing the index with exclude_epoch=k — the
+    standing corpus's signatures are read bucket-aligned, its media NEVER
+    re-decoded. Epochs 0+1 are compacted into epoch=-1 before epoch 2 probes.
+    A pair is attributed to the later member's epoch (batch_id); same-epoch
+    pairs keep the id order. The oracle recomputes every bit from the block
+    formulas and brute-forces all pairs with the same epoch attribution."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import dedup as dedup_ops
+    from ..operators import multimodal
+
+    table = "t_q_img_sig_idx_epochs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="img_sig_idx_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    out = os.path.join(work, "pairs")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    for k in range(3):
+        epoch_media = (
+            d.filter((F.col("doc_id") % 3) == k)
+            .select("doc_id")
+            .mapInPandas(synth, "media_id long, content binary")
+        )
+        sigs = multimodal.image_ahash(epoch_media).select(
+            F.col("media_id").alias("id"), "sig"
+        )
+        dedup_ops.append_sig_index_epoch(spark, table, sigs, epoch=k)
+        within = dedup_ops.banded_hamming_pairs(sigs, max_hamming=3).select(
+            F.col("id_b").alias("batch_id"),
+            F.col("id_a").alias("corpus_id"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        cross = dedup_ops.banded_hamming_pairs_against_index(
+            spark, table, sigs, max_hamming=3, exclude_epoch=k
+        ).select(
+            "batch_id", "corpus_id", F.col("hamming").cast("int").alias("hamming")
+        )
+        pairs = within.unionByName(cross).withColumn("epoch", F.lit(k).cast("int"))
+        pairs.write.mode("append").parquet(out)  # materialize before mutation
+        if k == 1:
+            dedup_ops.compact_sig_index(spark, table, [0, 1])
+    return spark.read.parquet(out)

@@ -169,3 +169,61 @@ def test_compact_hash_index_probe_identical(spark, documents, fresh_tables):
     assert healed == distinct_h
     assert spark.table(table).count() == distinct_h
     assert probe()[0] == before
+
+
+def test_sig_index_probe_matches_cross_form(spark, fresh_tables):
+    """The persisted per-band signature index probe is result-identical to
+    banded_hamming_pairs_cross, replay-idempotent, epoch-excludable, and
+    compactable — the media analog of the text index tests above."""
+    spark.sql("DROP TABLE IF EXISTS t_sig_idx_test")
+    try:
+        corpus = spark.createDataFrame(
+            [(1, 0x0F0F0F0F0F0F0F0F), (2, 0x123456789ABCDEF0), (3, -42)],
+            "id long, sig long",
+        )
+        batch = spark.createDataFrame(
+            # 10 pairs with 1 at hamming 1; 11 far from everything
+            [(10, 0x0F0F0F0F0F0F0F0E), (11, 0x5555AAAA5555AAAA)],
+            "id long, sig long",
+        )
+        expected = _rows(
+            D.banded_hamming_pairs_cross(batch, corpus, max_hamming=3)
+        )
+        assert expected, "fixture must produce at least one cross pair"
+        D.append_sig_index_epoch(spark, "t_sig_idx_test", corpus, epoch=0)
+        got = D.banded_hamming_pairs_against_index(
+            spark, "t_sig_idx_test", batch, max_hamming=3
+        )
+        assert _rows(got) == expected
+        plan = _final_plan(got)
+        assert "Bucketed: true" in plan  # corpus bands read in place
+
+        # replay idempotence + epoch exclusion
+        D.append_sig_index_epoch(spark, "t_sig_idx_test", corpus, epoch=0)
+        assert spark.table("t_sig_idx_test").count() == 3 * 4
+        D.append_sig_index_epoch(spark, "t_sig_idx_test", batch, epoch=1)
+        self_seen = D.banded_hamming_pairs_against_index(
+            spark, "t_sig_idx_test", batch, max_hamming=3
+        )
+        # own epoch visible: id guard still drops the self-pair rows
+        assert all(r["batch_id"] != r["corpus_id"] for r in self_seen.collect())
+        hidden = D.banded_hamming_pairs_against_index(
+            spark, "t_sig_idx_test", batch, max_hamming=3, exclude_epoch=1
+        )
+        assert _rows(hidden) == expected
+
+        # compaction: fold both epochs, probe of epoch-1 sigs unchanged
+        moved = D.compact_sig_index(spark, "t_sig_idx_test", [0, 1])
+        assert moved == 5 * 4
+        parts = {r[0] for r in spark.sql("SHOW PARTITIONS t_sig_idx_test").collect()}
+        assert parts == {"epoch=-1"}
+        after = D.banded_hamming_pairs_against_index(
+            spark, "t_sig_idx_test", batch, max_hamming=3
+        )
+        # the folded index now also contains the batch's own sigs; the id
+        # guard keeps self-pairs out, so expected cross pairs all survive
+        got_pairs = _rows(after.select("batch_id", "corpus_id", "hamming"))
+        for row in expected:
+            assert row in got_pairs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sig_idx_test")
