@@ -491,13 +491,21 @@ def build_ivf_index(
     index_dir: str,
     n_centroids: int = 16,
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> None:
     """Persist an IVF index instead of re-clustering per query: centroids to
     ``<dir>/centroids.parquet`` (tiny — driver-readable), vectors to
     ``<dir>/vectors/`` PARTITIONED BY bucket. Probing then reads only the
     probed buckets' directories — parquet partition pruning IS the IVF cost
     model (n_probe/n_centroids of the data per query), and the index is
-    shared across queries/jobs like any table."""
+    shared across queries/jobs like any table.
+
+    ``train_fraction`` < 1 fits the coarse quantizer on a seeded sample and
+    then assigns EVERY vector in one transform pass — the standard IVF
+    practice (FAISS trains on ~30-256 points per centroid): quantizer
+    quality needs a representative sample, not the corpus, while a full-
+    corpus k-means at 10^9 vectors would dominate the build. Recall impact
+    is measured, not assumed (tools/ann_recall.py, 2M-vector tier)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -505,9 +513,10 @@ def build_ivf_index(
     feats = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
     ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
+    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="features", predictionCol="bucket"
-    ).fit(feats)
+    ).fit(train)
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

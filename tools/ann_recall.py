@@ -30,16 +30,17 @@ from snapshot_sender_spark.session import get_spark  # noqa: E402
 
 TIERS = {
     "1x": "/root/testdata/sf0.1",
-    "10x": "/tmp/scale/sf1",
-    "100x": "/tmp/scale/sf10",
+    "10x": "/tmp/scale/x10",
+    "100x": "/tmp/scale/x100",
     # 2M vectors: 1000 key-offset copies of sf0.1 with IDENTICAL embeddings
     # per copy — every vector has a 1000-wide exact-duplicate tie class, the
     # hardest case for a fixed over-retrieve budget and exactly what the
-    # auto budget (max(k·20, 200, n/1000)) must absorb. ivf/batch are
-    # skipped at this tier (KMeans fit and the 32-query similarity join are
-    # tool-budget-prohibitive locally; both are measured through 100×); a
-    # fixed-budget lsh row is added instead to show the failure the auto
-    # dial prevents.
+    # auto budget (max(k·20, 200, n/1000)) must absorb. Round 7 extends the
+    # tier to ALL THREE approximate APIs: ivf builds its coarse quantizer on
+    # a 2% seeded sample (train_fraction — the FAISS practice; a full-corpus
+    # k-means would dominate the build) and batch runs the one-join panel at
+    # N_BATCH_1000X queries. A fixed-budget lsh row shows the failure the
+    # auto dial prevents.
     "1000x": "/tmp/scale/sf100_emb",
 }
 K = 10
@@ -89,29 +90,35 @@ def main():
         sys.stdout.flush()
 
         probes = []
-        if name != "1000x":
-            # IVF through the PERSISTED index (the scale path: cluster once,
-            # partition-pruned probes per query). Centroid count grows with
-            # the corpus (√n rule of thumb), probe fraction held at 1/4.
-            n_cent = max(16, 2 ** int(math.log2(max(16, int(math.sqrt(n))))))
-            n_probe = max(4, n_cent // 4)
-            index_dir = f"/tmp/ann_recall_index_{name}"
-            t0 = time.monotonic()
-            similarity.build_ivf_index(
-                corpus, "embedding", "vec_id", index_dir, n_centroids=n_cent
+        # IVF through the PERSISTED index (the scale path: cluster once,
+        # partition-pruned probes per query). Centroid count grows with
+        # the corpus (√n rule of thumb), probe fraction held at 1/4. At the
+        # 2M tier the coarse quantizer trains on a 2% seeded sample
+        # (train_fraction — the FAISS practice); every vector is still
+        # assigned, so only quantizer QUALITY rides on the sample, and the
+        # recall row measures exactly that.
+        n_cent = max(16, 2 ** int(math.log2(max(16, int(math.sqrt(n))))))
+        n_probe = max(4, n_cent // 4)
+        train_frac = 0.02 if name == "1000x" else 1.0
+        index_dir = f"/tmp/ann_recall_index_{name}"
+        t0 = time.monotonic()
+        similarity.build_ivf_index(
+            corpus, "embedding", "vec_id", index_dir, n_centroids=n_cent,
+            train_fraction=train_frac,
+        )
+        build_sec = time.monotonic() - t0
+        train_note = f", train={train_frac:g}" if train_frac < 1.0 else ""
+        print(f"| {name} | {n} | ivf-build | c={n_cent}{train_note}, once per corpus | — | {build_sec:.1f} |")
+        sys.stdout.flush()
+        probes.append(
+            (
+                "ivf",
+                f"c={n_cent} probe={n_probe}{train_note}",
+                lambda q: similarity.ivf_search_index(
+                    spark, index_dir, q, k=K, n_probe=n_probe
+                ),
             )
-            build_sec = time.monotonic() - t0
-            print(f"| {name} | {n} | ivf-build | c={n_cent}, once per corpus | — | {build_sec:.1f} |")
-            sys.stdout.flush()
-            probes.append(
-                (
-                    "ivf",
-                    f"c={n_cent} probe={n_probe}",
-                    lambda q: similarity.ivf_search_index(
-                        spark, index_dir, q, k=K, n_probe=n_probe
-                    ),
-                )
-            )
+        )
         probes.append(
             (
                 "lsh",
@@ -146,24 +153,34 @@ def main():
             print(f"| {name} | {n} | {api} | {params} ×{N_SINGLE} | {hits / total:.3f} | {sec:.1f} |")
             sys.stdout.flush()
 
-        if name == "1000x":
-            emb.unpersist()
-            corpus.unpersist()
-            continue
-        queries_df = emb.filter(F.col("vec_id").isin(panel_ids)).select(
+        # batch: one approxSimilarityJoin for the whole panel. At the 2M
+        # tier the panel is the N_SINGLE ground-truthed queries (ground
+        # truth is the expensive part — 2M-row brute-force scans — not the
+        # join itself), and the join needs its DISTANCE dial: the default
+        # max_distance=10.0 admits nearly every bucket collision — an 8×2M
+        # candidate stream that GC-killed the local JVM. The 1000-wide
+        # exact-duplicate tie classes sit at Euclidean distance 0, so a
+        # tight cut (0.5) keeps every true neighbor while pruning the
+        # stream BEFORE the shuffle — max_distance is the batch API's
+        # recall/cost dial exactly as num_candidates is the single-query
+        # API's.
+        batch_ids = panel_ids[:N_SINGLE] if name == "1000x" else panel_ids
+        max_dist = 0.5 if name == "1000x" else 10.0
+        queries_df = emb.filter(F.col("vec_id").isin(batch_ids)).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         t0 = time.monotonic()
         batch = similarity.lsh_batch_topk(
-            corpus, queries_df, "embedding", "vec_id", "query_id", k=K
+            corpus, queries_df, "embedding", "vec_id", "query_id", k=K,
+            max_distance=max_dist,
         ).collect()
         sec = time.monotonic() - t0
         by_q: dict = {}
         for r in batch:
             by_q.setdefault(r["query_id"], set()).add(r["id"])
-        hits = sum(len(by_q.get(qid, set()) & exact[qid]) for qid in panel_ids)
+        hits = sum(len(by_q.get(qid, set()) & exact[qid]) for qid in batch_ids)
         print(
-            f"| {name} | {n} | batch | one join ×{N_BATCH} | {hits / (K * N_BATCH):.3f} | {sec:.1f} |"
+            f"| {name} | {n} | batch | one join ×{len(batch_ids)}, d≤{max_dist:g} | {hits / (K * len(batch_ids)):.3f} | {sec:.1f} |"
         )
         sys.stdout.flush()
         emb.unpersist()
