@@ -2924,3 +2924,171 @@ def dedup_image_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k == 1:
             dedup_ops.compact_sig_index(spark, table, [0, 1])
     return spark.read.parquet(out)
+
+
+def _image_stream_epochs_oracle(n_epochs: int = 3, max_h: int = 3) -> str:
+    """Epoch-by-epoch DuckDB simulation of the streaming MEDIA dedup service
+    (streaming/media_dedup_stream.py): per epoch, drop the higher id of
+    every within-batch signature pair inside the hamming budget, then drop
+    survivors within the budget of ANYTHING accepted in earlier epochs.
+    Signatures are recomputed from the image block formulas bit by bit."""
+    parts = [
+        f"""p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v,
+             CAST(doc_id % {n_epochs} AS INT) AS ep
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT blk.doc_id, p.ep, i,
+             CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id) JOIN p USING (doc_id)
+    )"""
+    ]
+    for k in range(n_epochs):
+        parts.append(
+            f"""e{k}_near AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+        WHERE a.ep = {k} AND c.ep = {k}
+        GROUP BY a.doc_id, c.doc_id
+      ) t WHERE h <= {max_h}
+    ),
+    e{k}_surv AS (
+      SELECT doc_id FROM p WHERE ep = {k}
+        AND doc_id NOT IN (SELECT doc_id FROM e{k}_near)
+    )"""
+        )
+        if k == 0:
+            parts.append("e0_acc AS (SELECT doc_id FROM e0_surv)")
+        else:
+            prev_union = "\n        UNION ALL ".join(
+                f"SELECT doc_id FROM e{j}_acc" for j in range(k)
+            )
+            parts.append(
+                f"""e{k}_prev AS (
+      {prev_union}
+    ),
+    e{k}_cross AS (
+      SELECT DISTINCT id_s AS doc_id FROM (
+        SELECT s.doc_id AS id_s, c.doc_id AS id_c,
+               SUM(CASE WHEN s.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits s JOIN bits c ON s.i = c.i
+        WHERE s.doc_id IN (SELECT doc_id FROM e{k}_surv)
+          AND c.doc_id IN (SELECT doc_id FROM e{k}_prev)
+        GROUP BY s.doc_id, c.doc_id
+      ) t WHERE h <= {max_h}
+    ),
+    e{k}_acc AS (
+      SELECT doc_id FROM e{k}_surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM e{k}_cross)
+    )"""
+            )
+    acc_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id FROM e{j}_acc" for j in range(n_epochs)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT p.doc_id AS media_id, p.ep AS epoch FROM p
+    WHERE p.doc_id IN (
+      {acc_union}
+    )
+    """
+    )
+
+
+@query(
+    "stream_image_dedup_epochs",
+    oracle=_image_stream_epochs_oracle(3),
+    category="llm-dedup",
+)
+def stream_image_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MEDIA ingestion-dedup SERVICE in multi-epoch steady
+    state, oracle-checked end-to-end: the 100 block-patterned PNGs arrive as
+    3 mtime-ordered files (doc_id % 3) delivered as 3 micro-batches
+    (maxFilesPerTrigger=1); each epoch decodes + aHashes its own media ONCE,
+    drops the higher id of every within-batch pair at hamming ≤ 3, drops
+    survivors within 3 of anything accepted earlier (probed through the
+    persisted per-band signature index with the current epoch excluded),
+    appends accepted signatures to corpus + index, and commits its marker.
+    compact_after folds all committed epoch partitions when the stream
+    terminates. The DuckDB oracle recomputes every signature bit from the
+    block formulas and simulates the keeper lifecycle epoch by epoch — the
+    media mirror of stream_ingestion_dedup_epochs."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators import multimodal
+    from ..streaming.media_dedup_stream import run_streaming_media_dedup
+
+    table = "t_q_media_dedup_ep_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="media_dedup_ep_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = os.path.join(work, "input")
+    os.makedirs(inp)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    now = _time.time()
+    for k in range(3):
+        tmp = os.path.join(work, f"part{k}")
+        (
+            d.filter((F.col("doc_id") % 3) == k)
+            .select("doc_id")
+            .mapInPandas(synth, "media_id long, content binary")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"epoch_{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 100 * k, now - 300 + 100 * k))
+    run_streaming_media_dedup(
+        spark,
+        inp,
+        table,
+        os.path.join(work, "accepted"),
+        os.path.join(work, "ckpt"),
+        max_hamming=3,
+        max_files_per_trigger=1,
+        compact_after=True,
+    )
+    return spark.read.parquet(os.path.join(work, "accepted", "data")).select(
+        "media_id", F.col("epoch").cast("int").alias("epoch")
+    )

@@ -1,0 +1,174 @@
+"""Continuous MEDIA ingestion dedup service: a stream of (media_id, content)
+binary blobs is perceptually deduped per micro-batch against the persisted
+per-band signature index (operators/dedup.py:append_sig_index_epoch), and
+each batch's surviving (novel) media are appended to BOTH the accepted
+corpus and the index inside the same epoch — the media mirror of
+streaming/dedup_stream.py, with 64-bit perceptual signatures playing the
+role the shingle posting list plays for text.
+
+Dedup semantics are SIGNATURE-level throughout: a within-batch pair inside
+``max_hamming`` drops the higher id (exact duplicates land at hamming 0, so
+a separate content-hash stage would be subsumed); a batch survivor within
+``max_hamming`` of ANY accepted signature is dropped (the corpus is
+already-kept history). Media bytes are decoded ONCE per epoch (the
+signature stage's mapInPandas) and never re-decoded: the standing corpus
+participates only as (id, sig, band) rows read bucket-aligned.
+
+Scale shape: after the signature stage only (id, 8-byte sig) rows exist;
+within-batch mining is the 4×16-bit banded self-join (exact for hamming ≤ 3
+by pigeonhole) and the cross-set probe sort-merges against pre-sorted index
+band buckets in place — no Exchange, no sort, no decode on the corpus side.
+Epoch markers + input fingerprints give the same replay-idempotence and
+collision-detection contract as the text service; ``compact_after`` folds
+committed epoch partitions into the reserved epoch=-1 partition.
+
+Generalization beyond the reference: the reference never parses payloads
+(HttpWriter.kt:75 ships bytes); this implements the north-star multimodal
+dedup requirement as a first-class streaming service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators import multimodal
+from .dedup_stream import _marker_path, committed_epochs  # shared marker scheme
+
+MEDIA_SCHEMA = "media_id long, content binary"
+
+__all__ = ["run_streaming_media_dedup", "committed_epochs", "MEDIA_SCHEMA"]
+
+
+def _media_fingerprint(batch: DataFrame) -> dict:
+    """Order-insensitive fingerprint of a media micro-batch (row count + XOR
+    of per-row (id, content) hashes) — same epoch-collision guard as the
+    text service's _batch_fingerprint, over binary content."""
+    row = batch.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(hash(media_id, content))").cast("long"), F.lit(0)
+        ).alias("x"),
+    ).first()
+    return {"n": row["n"], "x": int(row["x"])}
+
+
+def run_streaming_media_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_table: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+    compact_after: bool = False,
+    signature=None,
+) -> list[int]:
+    """Drive media ingestion dedup to completion over currently-available
+    input (Trigger.AvailableNow). Returns the processed epoch ids.
+
+    Per micro-batch: (1) decode + signature once (``signature``: a callable
+    DataFrame → (media_id, sig); default ``multimodal.image_ahash`` — real
+    PNG/JPEG decode → 64-bit aHash); (2) within-batch near-dup (banded
+    hamming pairs ≤ ``max_hamming``, drop the higher id of every pair);
+    (3) cross-set probe of the survivors against the standing signature
+    index with the CURRENT epoch excluded (crash between index append and
+    marker must not self-match on replay — same exclusion the text service
+    uses); (4) append accepted (media_id, sig) rows to ``accepted_dir`` and
+    their band rows to the index, then commit the epoch marker. Replayed
+    epochs fast-skip on the marker after verifying the input fingerprint."""
+    sig_fn = signature if signature is not None else multimodal.image_ahash
+    os.makedirs(accepted_dir, exist_ok=True)
+    epochs_dir = os.path.join(accepted_dir, "_epochs")
+    os.makedirs(epochs_dir, exist_ok=True)
+    data_dir = os.path.join(accepted_dir, "data")
+    epochs: list[int] = []
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        marker = _marker_path(epochs_dir, epoch_id)
+        fp = _media_fingerprint(batch)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                committed = fh.read()
+            if committed:
+                prev = json.loads(committed)
+                if prev != fp:
+                    raise RuntimeError(
+                        f"epoch {epoch_id} marker exists but its committed input "
+                        f"fingerprint {prev} != this batch's {fp}: epoch ids have "
+                        "collided across checkpoint generations. Refusing to "
+                        "silently skip new data or overwrite the committed epoch."
+                    )
+            return
+        epochs.append(epoch_id)
+        sess = batch.sparkSession
+        # (1) ONE decode pass for the epoch: everything downstream works on
+        # (id, sig) rows. Checkpointed — the within-batch join, the cross-set
+        # probe, the corpus write and the index append all reuse it, and
+        # without the checkpoint each would re-decode the batch's media.
+        sigs = (
+            sig_fn(batch)
+            .select(F.col("media_id").alias("id"), "sig")
+            .localCheckpoint()
+        )
+        # (2) within-batch near-dup: drop the higher id of every pair (the
+        # text service's rule at signature granularity; hamming 0 ==
+        # identical signature, so exact duplicates are subsumed)
+        near = (
+            dedup.banded_hamming_pairs(sigs, max_hamming=max_hamming)
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        survivors = sigs.join(near, "id", "left_anti")
+        # (3) cross-set vs the standing index (absent on the first epoch),
+        # current epoch excluded for crash-replay safety
+        if sess.catalog.tableExists(index_table):
+            sess.catalog.refreshTable(index_table)
+            dups = (
+                dedup.banded_hamming_pairs_against_index(
+                    sess, index_table, survivors, max_hamming=max_hamming,
+                    exclude_epoch=epoch_id,
+                )
+                .select(F.col("batch_id").alias("id"))
+                .distinct()
+            )
+            accepted = survivors.join(dups, "id", "left_anti")
+        else:
+            accepted = survivors
+        # (4) publish replay-idempotently: overwrite the epoch's corpus dir,
+        # dynamic-partition-overwrite the epoch's index partition, then
+        # commit the marker (fast-skip only — the writes converge on replay
+        # with or without it, exactly as in the text service)
+        accepted = accepted.localCheckpoint()
+        accepted.select(F.col("id").alias("media_id"), "sig").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(data_dir, f"epoch={epoch_id}"))
+        dedup.append_sig_index_epoch(
+            sess, index_table, accepted, epoch=epoch_id, n_buckets=n_buckets
+        )
+        with open(marker, "w") as f:
+            f.write(json.dumps(fp))
+
+    reader = spark.readStream.schema(MEDIA_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    if spark.catalog.tableExists(index_table):
+        spark.catalog.refreshTable(index_table)
+        if compact_after:
+            dedup.compact_sig_index(
+                spark, index_table, committed_epochs(accepted_dir)
+            )
+    return epochs
