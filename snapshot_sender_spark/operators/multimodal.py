@@ -1993,7 +1993,7 @@ def encode_mp3_spectral(
     return bytes(out)
 
 
-def parse_mp3_spectra(data: bytes) -> list[dict]:
+def parse_mp3_spectra(data: bytes, keep_lines: bool = False) -> list[dict]:
     """REAL Layer III spectral decode for the documented subset: walks every
     frame, parses the 17-byte mono side info field by field, reads the
     scalefactors, Huffman-decodes the big_values region per REGION (table 0
@@ -2003,6 +2003,8 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
     2^((global_gain−210)/4 − mult·(scalefac+preflag·pretab)). Returns one
     dict per granule: frame_no, granule, global_gain, nnz (nonzero lines)
     and energy = Σ xr² (exact for the ±2^m subset; float otherwise).
+    ``keep_lines`` adds ``xr``: the full 576-line requantized vector (list
+    of floats) — the input the IMDCT stage (``mp3_subband_samples``) needs.
 
     The BIT RESERVOIR is supported (it is structural, not tabular): the
     decoder keeps the last 511 bytes of main_data regions seen so far, and
@@ -2145,6 +2147,7 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
             gain = 2.0 ** ((side["global_gain"] - 210) / 4.0)
             energy = 0.0
             nnz = 0
+            lines = [0.0] * 576 if keep_lines else None
             for i, v in enumerate(values):
                 if v == 0:
                     continue
@@ -2153,17 +2156,22 @@ def parse_mp3_spectra(data: bytes) -> list[dict]:
                 xr = (abs(v) ** (4.0 / 3.0)) * gain * 2.0 ** (
                     -mult * (sf + side["preflag"] * MP3_PRETAB[min(sfb, 20)])
                 )
+                if v < 0:
+                    xr = -xr
                 energy += xr * xr
                 nnz += 1
-            out.append(
-                {
-                    "frame_no": frame_no,
-                    "granule": g,
-                    "global_gain": side["global_gain"],
-                    "nnz": nnz,
-                    "energy": energy,
-                }
-            )
+                if lines is not None:
+                    lines[i] = xr
+            rec = {
+                "frame_no": frame_no,
+                "granule": g,
+                "global_gain": side["global_gain"],
+                "nnz": nnz,
+                "energy": energy,
+            }
+            if lines is not None:
+                rec["xr"] = lines
+            out.append(rec)
         reservoir = (reservoir + region)[-511:]  # 9-bit pointer ceiling
         pos += size
         frame_no += 1
@@ -2218,6 +2226,173 @@ def mp3_spectral_energy(
             )
 
     return df.mapInPandas(run, schema=MP3_SPECTRAL_SCHEMA)
+
+
+# -----------------------------------------------------------------------------
+# Layer III hybrid filterbank, the FORMULAIC half (round 7): alias reduction
+# (8 rotation butterflies per subband boundary, coefficients from the spec's
+# published ci list), the 18→36 long-block IMDCT (pure cosine formula), the
+# sine window sin(π/36·(i+0.5)), 50% overlap-add, and the odd-subband
+# frequency inversion — everything between requantized spectral lines and
+# time-domain SUBBAND samples, none of it needing tabulated constants. What
+# remains out of scope is exactly the final polyphase synthesis to PCM: its
+# 512-coefficient window (ISO 11172-3 Table B.3) is a numerically-designed
+# prototype with no closed form, so it cannot be derived from public formulas
+# — only transcribed — and the container ships no codec to transcribe or
+# verify against. mp3_synthesize_pcm raises the typed NotImplementedError
+# naming that table. The machinery here is verified mathematically instead:
+# the alias butterflies are exact rotations (inverse-applied round-trip), and
+# the window/IMDCT/overlap-add chain satisfies perfect reconstruction against
+# a test-side forward MDCT (Princen–Bradley: sin² + cos² = 1), pinned in
+# tests/test_operators.py.
+# -----------------------------------------------------------------------------
+
+# alias-reduction coefficients ci (ISO 11172-3 2.4.3.4.10.1 / Table B.9)
+MP3_ALIAS_C = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+
+
+def _alias_coeffs():
+    import numpy as np
+
+    c = np.asarray(MP3_ALIAS_C)
+    cs = 1.0 / np.sqrt(1.0 + c * c)
+    ca = c / np.sqrt(1.0 + c * c)
+    return cs, ca
+
+
+def alias_reduce(xr, inverse: bool = False):
+    """Alias-reduction butterflies over the 576-line granule: at each of the
+    31 long-block subband boundaries, 8 rotations mix line (18·sb−1−i) of the
+    lower subband with line (18·sb+i) of the upper one. cs²+ca²=1, so each
+    butterfly is an exact rotation; ``inverse=True`` applies the transpose
+    (the encoder side), making round-trip identity testable to float
+    precision."""
+    import numpy as np
+
+    cs, ca = _alias_coeffs()
+    out = np.asarray(xr, dtype=np.float64).copy()
+    if out.shape != (576,):
+        raise ValueError("alias_reduce expects one 576-line granule")
+    for sb in range(1, 32):
+        lo = out[18 * sb - 1 - np.arange(8)]
+        hi = out[18 * sb + np.arange(8)]
+        if inverse:
+            out[18 * sb - 1 - np.arange(8)] = lo * cs + hi * ca
+            out[18 * sb + np.arange(8)] = hi * cs - lo * ca
+        else:
+            out[18 * sb - 1 - np.arange(8)] = lo * cs - hi * ca
+            out[18 * sb + np.arange(8)] = hi * cs + lo * ca
+    return out
+
+
+def _imdct18_matrix():
+    import numpy as np
+
+    i = np.arange(36)[:, None]
+    k = np.arange(18)[None, :]
+    return np.cos(np.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+
+
+def imdct18(X):
+    """Long-block IMDCT (ISO 11172-3 2.4.3.4.12): 18 spectral lines → 36
+    time samples, x_i = Σ_k X_k · cos(π/72 · (2i+1+18) · (2k+1))."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    if X.shape != (18,):
+        raise ValueError("imdct18 expects 18 spectral lines")
+    return _imdct18_matrix() @ X
+
+
+def mp3_long_window():
+    """Long-block synthesis window w_i = sin(π/36 · (i+0.5)) — satisfies
+    Princen–Bradley (w_i² + w_{i+18}² = sin²+cos² = 1), which is what makes
+    the 50% overlap-add below perfectly reconstructing."""
+    import numpy as np
+
+    return np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
+
+
+def mp3_subband_samples(data: bytes) -> list[dict]:
+    """Decode an MP3 stream (the documented spectral subset) through the
+    hybrid filterbank's formulaic half: per granule, alias-reduce the 576
+    requantized lines, IMDCT each of the 32 subbands' 18 lines to 36 time
+    samples, window, 50%-overlap-add with the decoder's per-subband state,
+    and apply the odd-subband frequency inversion (every odd time sample of
+    every odd subband negated — the polyphase-compensation step that
+    precedes synthesis). Returns one dict per granule:
+    {frame_no, granule, samples: float64 (18, 32)} — 18 time steps × 32
+    subbands, the exact input the (out-of-scope) polyphase filterbank would
+    consume."""
+    import numpy as np
+
+    w = mp3_long_window()
+    state = np.zeros((32, 18))
+    out = []
+    for g in parse_mp3_spectra(data, keep_lines=True):
+        xar = alias_reduce(np.asarray(g["xr"]))
+        samples = np.empty((18, 32))
+        for sb in range(32):
+            z = imdct18(xar[18 * sb : 18 * sb + 18]) * w
+            samples[:, sb] = z[:18] + state[sb]
+            state[sb] = z[18:]
+        # frequency inversion: odd time samples of odd subbands negated
+        samples[1::2, 1::2] = -samples[1::2, 1::2]
+        out.append(
+            {"frame_no": g["frame_no"], "granule": g["granule"], "samples": samples}
+        )
+    return out
+
+
+def mp3_synthesize_pcm(data: bytes):
+    """PCM synthesis is the one Layer III stage that genuinely needs a
+    tabulated constant set: the polyphase filterbank's 512-coefficient
+    window (ISO 11172-3 Table B.3) is a numerically-optimized prototype
+    filter with no closed form — it can only be transcribed from the spec or
+    a codec, neither of which ships in this container. Everything upstream
+    (side info, scalefactors, Huffman, requantization, bit reservoir, alias
+    reduction, IMDCT, windowing, overlap-add, frequency inversion) is real
+    — see ``mp3_subband_samples``."""
+    raise NotImplementedError(
+        "polyphase synthesis window (ISO 11172-3 Table B.3, 512 tabulated "
+        "coefficients) — no closed form to derive it from"
+    )
+
+
+MP3_SUBBAND_SCHEMA = (
+    "media_id long, frame_no int, granule int, subband int, energy double"
+)
+
+
+def mp3_subband_energy(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed hybrid-filterbank decode (mapInPandas, bytes never
+    shuffle): one row per (granule, subband) with the time-domain energy
+    Σ s² over the granule's 18 overlap-added samples. Zero-energy subbands
+    are kept — the row count (granules × 32) is part of the contract."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_no", "granule", "subband", "energy"]
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                for g in mp3_subband_samples(bytes(buf or b"")):
+                    e = (g["samples"] * g["samples"]).sum(axis=0)
+                    for sb in range(32):
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_no": g["frame_no"],
+                                "granule": g["granule"],
+                                "subband": sb,
+                                "energy": float(e[sb]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=MP3_SUBBAND_SCHEMA)
 
 
 # =============================================================================

@@ -46,6 +46,11 @@ def golden_oracle(name: str) -> str:
     list_transform. A sentinel (-1, NULL…) row keeps the VALUES clause valid
     while a tier is still ungenerated; tier_rows = -1 never matches a COUNT.
     """
+    if name not in GOLDEN_DATA:
+        # declared before its first gen_goldens run: a never-matching oracle
+        # (0 rows vs the query's real rows) — a LOUD mismatch until the
+        # golden is generated, never a silent pass
+        return "SELECT 1 AS ungenerated_golden WHERE FALSE"
     spec = GOLDEN_DATA[name]
     cols = spec["columns"]
     value_rows = ["(-1" + ", NULL" * len(cols) + ")"]
