@@ -192,6 +192,104 @@ def measure_dedup(sf_dir: str, n_epochs: int = 5, threshold: float = 0.3) -> dic
     }
 
 
+def measure_media(n_media: int, n_epochs: int = 5) -> dict:
+    """Media streaming-dedup steady state (round 7): a 90% standing
+    signature corpus (untimed index append under a high epoch id) and the
+    remaining 10% streamed as ``n_epochs`` mtime-ordered files of real PNGs
+    (maxFilesPerTrigger=1), after an untimed small-slice warm-up against a
+    throwaway table. Media are seeded-random 8×8-block patterns with one
+    retouched near-duplicate per id pair (the perceptual_scale fixture), so
+    the expected drop structure is known and the accepted count sanity-
+    checks the run."""
+    import numpy as np
+
+    from snapshot_sender_spark.operators import multimodal
+    from snapshot_sender_spark.streaming.media_dedup_stream import (
+        run_streaming_media_dedup,
+    )
+
+    spark = get_spark(app_name="service_scale_media")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                base, v = did // 2, did % 2
+                rng = np.random.default_rng(base)
+                high = rng.integers(0, 2, 64).astype(bool)
+                if v == 1:
+                    for flip in (base % 64, (base + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = spark.range(n_media).mapInPandas(synth, "media_id long, content binary")
+    cut = int(n_media * 0.9)
+    corpus = media.filter(F.col("media_id") < cut)
+    batch = media.filter(F.col("media_id") >= cut)
+
+    work = tempfile.mkdtemp(prefix="svc_media_")
+    table = "t_svc_scale_media_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t0 = time.perf_counter()
+    corpus_sigs = multimodal.image_ahash(corpus).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    dedup_ops.append_sig_index_epoch(spark, table, corpus_sigs, epoch=10**6)
+    index_build = round(time.perf_counter() - t0, 2)
+
+    warm_tbl = table + "_warmup"
+    spark.sql(f"DROP TABLE IF EXISTS {warm_tbl}")
+    winp = os.path.join(work, "warm_input")
+    batch.limit(max(20, n_media // 100)).coalesce(1).write.parquet(winp)
+    run_streaming_media_dedup(
+        spark, winp, warm_tbl,
+        os.path.join(work, "warm_accepted"), os.path.join(work, "warm_ckpt"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {warm_tbl}")
+
+    inp = os.path.join(work, "input")
+    os.makedirs(inp)
+    now = time.time()
+    for k in range(n_epochs):
+        part = os.path.join(work, f"part{k}")
+        batch.filter(F.pmod(F.col("media_id"), n_epochs) == k).coalesce(1).write.parquet(part)
+        src = glob.glob(os.path.join(part, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"epoch_{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 600 + 60 * k,) * 2)
+
+    t0 = time.perf_counter()
+    epochs = run_streaming_media_dedup(
+        spark, inp, table,
+        os.path.join(work, "accepted"), os.path.join(work, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    total = round(time.perf_counter() - t0, 2)
+    accepted = spark.read.parquet(os.path.join(work, "accepted", "data")).count()
+    shutil.rmtree(work, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return {
+        "service": "media_dedup",
+        "corpus_media": cut,
+        "batch_media": n_media - cut,
+        "n_epochs": len(epochs),
+        "index_build_sec": index_build,
+        "steady_total_sec": total,
+        "per_epoch_sec": round(total / max(1, len(epochs)), 2),
+        "accepted": accepted,
+    }
+
+
 def main() -> None:
     mode = sys.argv[1]
     if mode == "delivery":
@@ -202,6 +300,10 @@ def main() -> None:
         sf_dir = sys.argv[2]
         n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
         print(json.dumps(measure_dedup(sf_dir, n_epochs)))
+    elif mode == "media":
+        n_media = int(sys.argv[2])
+        n_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+        print(json.dumps(measure_media(n_media, n_epochs)))
     else:
         sys.exit(f"unknown mode {mode!r}")
 
