@@ -1853,13 +1853,20 @@ def banded_hamming_pairs_against_index(
     exclude_epoch: int | None = None,
 ) -> DataFrame:
     """``banded_hamming_pairs_cross`` with the corpus side read from the
-    persisted signature index — result-identical when the index holds the
-    corpus signatures (pinned by test). The batch explodes to 4 band rows
-    and exchanges once on the band key; the corpus bands sort-merge in place
-    (no Exchange, no sort). Same-id pairs are dropped, as in the cross form:
-    a replayed epoch probing a corpus it was folded into must not self-match
-    (``exclude_epoch`` already prunes the epoch's own partition — the id
-    guard covers ids re-ingested under a later epoch)."""
+    persisted signature index — result-identical on disjoint id spaces
+    (pinned by test). The batch explodes to 4 band rows and exchanges once
+    on the band key; the corpus bands sort-merge in place (no Exchange, no
+    sort).
+
+    UNLIKE the cross form, same-id pairs are NOT dropped here: an id
+    re-delivered in a later epoch (same media re-ingested under its
+    original id) must match its own indexed signature at hamming 0 and be
+    deduplicated — exactly the text service's behavior for re-delivered
+    content. Crash-replay safety does not need an id guard: the service
+    passes ``exclude_epoch`` (the current epoch's partition is pruned) and
+    its epoch markers fast-skip committed replays, so a probe can only see
+    its own id when the id genuinely arrived before — which IS a
+    duplicate."""
     idx = spark.table(table)
     if exclude_epoch is not None:
         if "epoch" not in idx.columns:
@@ -1879,7 +1886,6 @@ def banded_hamming_pairs_against_index(
     pairs = (
         a.hint("merge")
         .join(b.hint("merge"), "band")
-        .filter(F.col("batch_id") != F.col("corpus_id"))
         .select("batch_id", "corpus_id", "sig_a", "sig_b")
         .distinct()
     )

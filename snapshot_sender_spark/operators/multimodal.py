@@ -2100,6 +2100,13 @@ def parse_mp3_spectra(data: bytes, keep_lines: bool = False) -> list[dict]:
             # region0_count+1, region1 at band +region1_count+1 more, all
             # clipped to the big_values line span
             bv_lines = side["big_values"] * 2
+            if bv_lines > 576:
+                # 2.4.2.7: big_values <= 288 — more would address spectral
+                # lines past 575. Malformed, not out-of-subset; the guard
+                # keeps keep_lines' fixed 576-slot vector in range too.
+                raise ValueError(
+                    f"big_values {side['big_values']} addresses lines past 575"
+                )
             r0 = min(MP3_SFB_LONG_44100[min(side["region0_count"] + 1, 22)], bv_lines)
             r1 = min(
                 MP3_SFB_LONG_44100[
@@ -2285,12 +2292,20 @@ def alias_reduce(xr, inverse: bool = False):
     return out
 
 
-def _imdct18_matrix():
-    import numpy as np
+_IMDCT18_CACHE = None
 
-    i = np.arange(36)[:, None]
-    k = np.arange(18)[None, :]
-    return np.cos(np.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+
+def _imdct18_matrix():
+    # cached: mp3_subband_samples calls imdct18 32x per granule — rebuilding
+    # the constant 36x18 cosine matrix each call is pure waste
+    global _IMDCT18_CACHE
+    if _IMDCT18_CACHE is None:
+        import numpy as np
+
+        i = np.arange(36)[:, None]
+        k = np.arange(18)[None, :]
+        _IMDCT18_CACHE = np.cos(np.pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
+    return _IMDCT18_CACHE
 
 
 def imdct18(X):

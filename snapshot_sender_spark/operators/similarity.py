@@ -513,7 +513,16 @@ def build_ivf_index(
     feats = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
     ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
-    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError("train_fraction must be in (0, 1]")
+    train = feats
+    if train_fraction < 1.0:
+        train = feats.sample(train_fraction, seed=seed)
+        # the quantizer needs at least n_centroids training points; a small
+        # corpus with an aggressive fraction falls back to full-corpus fit
+        # (cheap there by definition) instead of failing or degrading
+        if train.limit(n_centroids).count() < n_centroids:
+            train = feats
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="features", predictionCol="bucket"
     ).fit(train)

@@ -47,10 +47,11 @@ def golden_oracle(name: str) -> str:
     while a tier is still ungenerated; tier_rows = -1 never matches a COUNT.
     """
     if name not in GOLDEN_DATA:
-        # declared before its first gen_goldens run: a never-matching oracle
-        # (0 rows vs the query's real rows) — a LOUD mismatch until the
-        # golden is generated, never a silent pass
-        return "SELECT 1 AS ungenerated_golden WHERE FALSE"
+        # declared before its first gen_goldens run: a ONE-ROW sentinel with
+        # a schema no real query produces — a LOUD mismatch until the golden
+        # is generated, even against a query that happens to return 0 rows
+        # (a WHERE FALSE fallback would silently pass that case)
+        return "SELECT 'UNGENERATED GOLDEN (run tools/gen_goldens.py --add)' AS ungenerated_golden"
     spec = GOLDEN_DATA[name]
     cols = spec["columns"]
     value_rows = ["(-1" + ", NULL" * len(cols) + ")"]

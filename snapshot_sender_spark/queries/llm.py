@@ -2905,8 +2905,14 @@ def dedup_image_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
             .mapInPandas(synth, "media_id long, content binary")
         )
-        sigs = multimodal.image_ahash(epoch_media).select(
-            F.col("media_id").alias("id"), "sig"
+        # decode ONCE per epoch: the index append, the within-epoch
+        # self-join (two scans) and the cross probe all reuse these rows —
+        # without the checkpoint each would re-synthesize + re-decode the
+        # PNGs (same reason the media service checkpoints its sigs)
+        sigs = (
+            multimodal.image_ahash(epoch_media)
+            .select(F.col("media_id").alias("id"), "sig")
+            .localCheckpoint()
         )
         dedup_ops.append_sig_index_epoch(spark, table, sigs, epoch=k)
         within = dedup_ops.banded_hamming_pairs(sigs, max_hamming=3).select(

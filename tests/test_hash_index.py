@@ -205,8 +205,16 @@ def test_sig_index_probe_matches_cross_form(spark, fresh_tables):
         self_seen = D.banded_hamming_pairs_against_index(
             spark, "t_sig_idx_test", batch, max_hamming=3
         )
-        # own epoch visible: id guard still drops the self-pair rows
-        assert all(r["batch_id"] != r["corpus_id"] for r in self_seen.collect())
+        # an id whose signature is already indexed MUST self-match at
+        # hamming 0 — that is how a re-delivered media gets deduplicated
+        # (the probe deliberately has NO same-id guard, unlike the cross
+        # form); crash-replay safety comes from exclude_epoch instead:
+        selfs = {
+            (r["batch_id"], r["corpus_id"], r["hamming"])
+            for r in self_seen.collect()
+            if r["batch_id"] == r["corpus_id"]
+        }
+        assert selfs == {(10, 10, 0), (11, 11, 0)}
         hidden = D.banded_hamming_pairs_against_index(
             spark, "t_sig_idx_test", batch, max_hamming=3, exclude_epoch=1
         )
@@ -220,8 +228,9 @@ def test_sig_index_probe_matches_cross_form(spark, fresh_tables):
         after = D.banded_hamming_pairs_against_index(
             spark, "t_sig_idx_test", batch, max_hamming=3
         )
-        # the folded index now also contains the batch's own sigs; the id
-        # guard keeps self-pairs out, so expected cross pairs all survive
+        # the folded index now also contains the batch's own sigs, which
+        # correctly self-match (re-delivery semantics); every expected
+        # cross pair must still survive alongside them
         got_pairs = _rows(after.select("batch_id", "corpus_id", "hamming"))
         for row in expected:
             assert row in got_pairs

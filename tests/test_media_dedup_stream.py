@@ -160,3 +160,23 @@ def test_media_marker_fingerprint_roundtrip(spark, dirs):
     marker = os.path.join(dirs["accepted"], "_epochs", "epoch_0.committed")
     fp = json.loads(open(marker).read())
     assert fp["n"] == 1 and isinstance(fp["x"], int)
+
+
+def test_media_redelivered_id_is_deduplicated(spark, dirs):
+    """An id re-delivered in a LATER epoch (same media re-ingested — a new
+    input file, not a crash replay) must be dropped by its own indexed
+    signature at hamming 0, matching the text service's behavior for
+    re-delivered content. This is why the index probe has no same-id guard
+    (the r7 review finding): crash replays are covered by exclude_epoch +
+    markers, so a visible self-match always means a genuine duplicate."""
+    png = _png_bits(_pattern(41))
+    _land_epoch(spark, dirs, 0, [(0, png)])
+    _land_epoch(spark, dirs, 1, [(0, png), (1, _png_bits(_pattern(42)))])
+    run_streaming_media_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"],
+        max_hamming=3, max_files_per_trigger=1,
+    )
+    # id 0 accepted ONCE (epoch 0); its epoch-1 re-delivery dropped
+    assert _accepted_ids(spark, dirs) == {(0, 0), (1, 1)}
+    # index holds one signature row set per accepted media, no duplicates
+    assert spark.table(TABLE).count() == 2 * 4

@@ -72,9 +72,10 @@ def main():
         corpus = emb.filter(~F.col("vec_id").isin(panel_ids)).cache()
         corpus.count()
 
-        # at the 1000x tier only the single-query probes run (batch is
-        # skipped below), so ground truth is needed for N_SINGLE queries —
-        # not 32 brute-force scans of a 2M-vector corpus
+        # at the 1000x tier every API runs, but the batch panel shrinks to
+        # the N_SINGLE ground-truthed queries — ground truth is the
+        # expensive part (brute-force scans of a 2M-vector corpus), not the
+        # approximate runs
         gt_ids = panel_ids[:N_SINGLE] if name == "1000x" else panel_ids
         exact = {}
         t0 = time.monotonic()
