@@ -383,7 +383,8 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "multimodal_image_ahash", "multimodal_image_ahash_jpeg",
         "multimodal_image_dhash", "multimodal_image_stats",
         "multimodal_jpeg_stats", "multimodal_mp3_energy",
-        "multimodal_mp3_info", "multimodal_mp3_subband",
+        "multimodal_mp3_info", "multimodal_mp3_segments",
+        "multimodal_mp3_subband",
         "multimodal_progressive_stats", "multimodal_resize",
         "multimodal_video_framesample", "multimodal_video_scenes",
         "sim_label_centroid_arrow", "text_chunk_arrow_udtf",
