@@ -236,3 +236,68 @@ def test_sig_index_probe_matches_cross_form(spark, fresh_tables):
             assert row in got_pairs
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sig_idx_test")
+
+
+def test_concurrent_same_epoch_hash_append_no_duplicates(spark, fresh_tables):
+    """Two concurrent attempts of the SAME epoch's append (zombie-attempt
+    shape) must converge to exactly one copy of the epoch's hashes — the
+    dynamic-partition-overwrite contract the text posting index pins in
+    test_streaming_dedup, mirrored for the round-7 hash index."""
+    import threading
+
+    table = fresh_tables[0]
+    base = _docs(spark, [(1, "one two three four five six seven")])
+    D.append_hash_index_epoch(
+        spark, table, D.substring_index_hashes(base, "text", "doc_id", k=5), epoch=0
+    )
+    batch = _docs(spark, [(10, "eight nine ten eleven twelve thirteen")])
+    hashes = D.substring_index_hashes(batch, "text", "doc_id", k=5)
+    expected = hashes.count()  # 6 tokens → 2 distinct 5-gram hashes
+    errs = []
+
+    def attempt():
+        try:
+            D.append_hash_index_epoch(spark, table, hashes, epoch=1)
+        except Exception as e:  # a loser MAY fail; it must not corrupt
+            errs.append(e)
+
+    threads = [threading.Thread(target=attempt) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(errs) < 2
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).filter(F.col("epoch") == 1).count() == expected
+    # epoch 0 untouched by the race
+    assert spark.table(table).filter(F.col("epoch") == 0).count() == 3
+
+
+def test_concurrent_same_epoch_sig_append_no_duplicates(spark):
+    import threading
+
+    spark.sql("DROP TABLE IF EXISTS t_sig_idx_race")
+    try:
+        base = spark.createDataFrame([(1, 111)], "id long, sig long")
+        D.append_sig_index_epoch(spark, "t_sig_idx_race", base, epoch=0)
+        batch = spark.createDataFrame([(10, 222), (11, 333)], "id long, sig long")
+        errs = []
+
+        def attempt():
+            try:
+                D.append_sig_index_epoch(spark, "t_sig_idx_race", batch, epoch=1)
+            except Exception as e:
+                errs.append(e)
+
+        threads = [threading.Thread(target=attempt) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(errs) < 2
+        spark.catalog.refreshTable("t_sig_idx_race")
+        got = spark.table("t_sig_idx_race").filter(F.col("epoch") == 1)
+        assert got.count() == 2 * 4  # one band-row set per sig, no doubles
+        assert spark.table("t_sig_idx_race").filter(F.col("epoch") == 0).count() == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sig_idx_race")
