@@ -3276,3 +3276,348 @@ def multimodal_mp3_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t").cast("int").alias("seg_end"),
         F.count("*").cast("int").alias("n_granules"),
     ).drop("seg")
+
+
+def _hamming_epochs_tail(n_epochs: int = 3, max_h: int = 3) -> str:
+    """Per-epoch keeper-lifecycle CTE chain over a prelude defining
+    ``p(media_id, ep)`` and ``bits(media_id, ep, i, bit)``: within-epoch
+    pairs inside the hamming budget drop the higher id; survivors within
+    the budget of anything accepted earlier are dropped. Shared by the
+    signature-family streaming-service oracles."""
+    parts = []
+    for k in range(n_epochs):
+        parts.append(
+            f"""e{k}_near AS (
+      SELECT DISTINCT id_b AS media_id FROM (
+        SELECT a.media_id AS id_a, c.media_id AS id_b,
+               SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits a JOIN bits c ON a.i = c.i AND a.media_id < c.media_id
+        WHERE a.ep = {k} AND c.ep = {k}
+        GROUP BY a.media_id, c.media_id
+      ) t WHERE h <= {max_h}
+    ),
+    e{k}_surv AS (
+      SELECT media_id FROM p WHERE ep = {k}
+        AND media_id NOT IN (SELECT media_id FROM e{k}_near)
+    )"""
+        )
+        if k == 0:
+            parts.append("e0_acc AS (SELECT media_id FROM e0_surv)")
+        else:
+            prev_union = "\n        UNION ALL ".join(
+                f"SELECT media_id FROM e{j}_acc" for j in range(k)
+            )
+            parts.append(
+                f"""e{k}_prev AS (
+      {prev_union}
+    ),
+    e{k}_cross AS (
+      SELECT DISTINCT id_s AS media_id FROM (
+        SELECT s.media_id AS id_s, c.media_id AS id_c,
+               SUM(CASE WHEN s.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits s JOIN bits c ON s.i = c.i
+        WHERE s.media_id IN (SELECT media_id FROM e{k}_surv)
+          AND c.media_id IN (SELECT media_id FROM e{k}_prev)
+        GROUP BY s.media_id, c.media_id
+      ) t WHERE h <= {max_h}
+    ),
+    e{k}_acc AS (
+      SELECT media_id FROM e{k}_surv
+      WHERE media_id NOT IN (SELECT media_id FROM e{k}_cross)
+    )"""
+            )
+    acc_union = "\n      UNION ALL ".join(
+        f"SELECT media_id FROM e{j}_acc" for j in range(n_epochs)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT p.media_id, p.ep AS epoch FROM p
+    WHERE p.media_id IN (
+      {acc_union}
+    )
+    """
+    )
+
+
+_AUDIO_BITS_PRELUDE = """d0 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 80 AND length(text) >= 136
+    ),
+    m AS (
+      SELECT doc_id AS media_id, text FROM d0
+      UNION ALL
+      SELECT doc_id + 1000, substr(text, 1, length(text) - 4) || 'zzzz' FROM d0
+    ),
+    p AS (SELECT media_id, CAST(media_id % 3 AS INT) AS ep FROM m),
+    h AS (SELECT media_id, hex(encode(text)) AS hx, length(text) AS nb FROM m),
+    samples AS (
+      SELECT media_id, t.i AS i, nb // 2 AS n,
+             ('0x' || substr(hx, 4*t.i + 3, 2))::INTEGER * 256
+               + ('0x' || substr(hx, 4*t.i + 1, 2))::INTEGER AS u16
+      FROM h, UNNEST(range(0, nb // 2)) AS t(i)
+    ),
+    sq AS (
+      SELECT media_id, (i * 64) // n AS bin,
+             CASE WHEN u16 >= 32768 THEN (u16 - 65536) * (u16 - 65536)
+                  ELSE u16 * u16 END AS e
+      FROM samples
+    ),
+    b AS (SELECT media_id, bin, SUM(e) AS be FROM sq GROUP BY media_id, bin),
+    tot AS (SELECT media_id, SUM(be) AS te FROM b GROUP BY media_id),
+    bits AS (
+      SELECT b.media_id, p.ep, bin AS i,
+             CASE WHEN 64 * be >= te THEN 1 ELSE 0 END AS bit
+      FROM b JOIN tot USING (media_id) JOIN p ON p.media_id = b.media_id
+    )"""
+
+
+@query(
+    "stream_audio_dedup_epochs",
+    oracle="\n    WITH " + _AUDIO_BITS_PRELUDE + ",\n    " + _hamming_epochs_tail(3),
+    category="llm-dedup",
+)
+def stream_audio_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming media ingestion-dedup service driven by a DIFFERENT
+    modality through its pluggable signature stage: raw PCM recordings
+    (each long-enough document's bytes, plus a tail-edited re-master under
+    id+1000 — landing in the NEXT epoch by construction, so every
+    engineered pair is cross-epoch) round-trip the real FLAC codec and
+    reduce to 64-bit energy fingerprints inside the service
+    (signature = audio_energy_ahash ∘ encode_as_flac); everything else —
+    banded within-batch mining, the persisted per-band signature index,
+    epoch exclusion, markers, compaction — is the same machinery
+    stream_image_dedup_epochs verifies for images. The oracle re-derives
+    every sample, bin and bit from document hex and simulates the keeper
+    lifecycle epoch by epoch."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators import multimodal
+    from ..streaming.media_dedup_stream import run_streaming_media_dedup
+
+    table = "t_q_audio_dedup_ep_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="audio_dedup_ep_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = os.path.join(work, "input")
+    os.makedirs(inp)
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 80) & (F.length("text") >= 136))
+        .select("doc_id", "text")
+    )
+    edited = F.concat(
+        F.substring(F.col("text"), 1, F.length("text") - 4), F.lit("zzzz")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    ).unionAll(
+        d.select(
+            (F.col("doc_id") + 1000).alias("media_id"),
+            F.encode(edited, "UTF-8").alias("content"),
+        )
+    )
+    now = _time.time()
+    for k in range(3):
+        tmp = os.path.join(work, f"part{k}")
+        media.filter((F.col("media_id") % 3) == k).coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"epoch_{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 100 * k, now - 300 + 100 * k))
+
+    def audio_signature(df):
+        return multimodal.audio_energy_ahash(multimodal.encode_as_flac(df))
+
+    run_streaming_media_dedup(
+        spark,
+        inp,
+        table,
+        os.path.join(work, "accepted"),
+        os.path.join(work, "ckpt"),
+        max_hamming=3,
+        max_files_per_trigger=1,
+        compact_after=True,
+        signature=audio_signature,
+    )
+    return spark.read.parquet(os.path.join(work, "accepted", "data")).select(
+        "media_id", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+@query(
+    "dedup_video_index_epochs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 30 AS b, doc_id // 30 AS v,
+             CAST((doc_id + doc_id // 30) % 3 AS INT) AS ep
+      FROM documents WHERE doc_id < 60
+    ),
+    blk AS (
+      SELECT doc_id, t.f AS f, u.i AS i,
+             CASE WHEN (((b * 37 + t.f * 53 + u.i * u.i * 13 + u.i * 7) % 64) < 32)
+                       <> (v = 1 AND t.f = 3)
+                  THEN 4 * 40 ELSE 4 * 20 END AS bs
+      FROM p, UNNEST(range(0, 4)) AS t(f), UNNEST(range(0, 64)) AS u(i)
+    ),
+    tot AS (SELECT doc_id, f, SUM(bs) AS ts FROM blk GROUP BY doc_id, f),
+    bits AS (
+      SELECT doc_id, f, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id, f)
+    ),
+    bytes AS (
+      SELECT doc_id, f, i // 8 AS byte_no,
+             SUM(bit * CASE i % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bits GROUP BY doc_id, f, i // 8
+    ),
+    hashes AS (
+      SELECT doc_id, f,
+             STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                        ORDER BY byte_no) AS h
+      FROM bytes GROUP BY doc_id, f
+    ),
+    vh AS (SELECT DISTINCT doc_id, h FROM hashes),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM vh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM vh a JOIN vh c ON a.h = c.h AND a.doc_id < c.doc_id
+      GROUP BY a.doc_id, c.doc_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, n_shared / (sa.s + sb.s - n_shared) AS jaccard,
+             pa.ep AS ea, pb.ep AS eb
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      JOIN p pa ON pa.doc_id = id_a
+      JOIN p pb ON pb.doc_id = id_b
+      WHERE n_shared / (sa.s + sb.s - n_shared) >= 0.5
+    )
+    SELECT CASE WHEN eb >= ea THEN id_b ELSE id_a END AS batch_id,
+           CASE WHEN eb >= ea THEN id_a ELSE id_b END AS corpus_id,
+           jaccard,
+           GREATEST(ea, eb) AS epoch
+    FROM scored
+    """,
+    category="llm-dedup",
+)
+def dedup_video_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup mining through the PERSISTED jaccard posting index —
+    the frame-fingerprint sets reuse the TEXT dedup family's index machinery
+    verbatim, with per-frame aHashes playing the shingle role: each epoch
+    decodes only its own videos (real streamed I_PCM decode → per-frame
+    luma aHash → distinct 64-bit frame hashes), appends its (id, hash)
+    posting list + set sizes to the bucketed epoch-partitioned index
+    (``append_dedup_index_epoch(posting=...)``), mines within-epoch pairs
+    with the set-Jaccard equi-join and cross-epoch pairs with
+    ``incremental_jaccard_against_index(posting=..., exclude_epoch=k)`` —
+    the standing corpus's videos are NEVER re-decoded; only their 8-byte
+    posting hashes are read bucket-aligned. Epochs 0+1 compact into
+    epoch=-1 before epoch 2 probes. Epoch assignment (doc_id + doc_id//30)
+    % 3 puts every engineered re-edit one epoch after its base, so all 30
+    planted pairs exercise the cross-epoch path; pairs are attributed to
+    the later member's epoch. The oracle brute-forces all set-Jaccard
+    pairs from the block formulas with the same attribution."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators import dedup as dedup_ops
+    from ..operators import multimodal
+
+    table = "t_q_video_idx_epochs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_sizes")
+    work = tempfile.mkdtemp(prefix="video_idx_epochs_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    out = os.path.join(work, "pairs")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    ep = F.expr("CAST((doc_id + doc_id DIV 30) % 3 AS INT)")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 30, did // 30
+                i = np.arange(64)
+                frames = []
+                cb = np.full((8, 8), 128, np.uint8)
+                for f in range(4):
+                    high = ((b * 37 + f * 53 + i * i * 13 + i * 7) % 64) < 32
+                    if v == 1 and f == 3:
+                        high = ~high
+                    vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                    luma = np.kron(vals, np.ones((2, 2), np.uint8))
+                    frames.append((luma, cb, cb))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_ipcm_video(16, 16, frames),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    for k in range(3):
+        media = (
+            d.filter(ep == k)
+            .select("doc_id")
+            .mapInPandas(synth, "media_id long, content binary")
+        )
+        # decode ONCE per epoch; every downstream consumer reuses these rows
+        vh = (
+            multimodal.video_frame_ahash(media)
+            .select("media_id", "ahash")
+            .distinct()
+            .localCheckpoint()
+        )
+        posting = vh.select(
+            F.col("media_id").alias("id"), F.xxhash64("ahash").alias("h")
+        )
+        dedup_ops.append_dedup_index_epoch(
+            spark, table, None, "", "", epoch=k, posting=posting
+        )
+        sz = vh.groupBy("media_id").agg(F.count("*").alias("s"))
+        a = vh.select(F.col("media_id").alias("id_a"), "ahash")
+        c = vh.select(F.col("media_id").alias("id_b"), "ahash")
+        inter = (
+            a.join(c, "ahash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        sa = sz.select(F.col("media_id").alias("id_a"), F.col("s").alias("sa"))
+        sb = sz.select(F.col("media_id").alias("id_b"), F.col("s").alias("sb"))
+        jac = F.col("n_shared") / (F.col("sa") + F.col("sb") - F.col("n_shared"))
+        within = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                F.col("id_b").alias("batch_id"),
+                F.col("id_a").alias("corpus_id"),
+                jac.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+        )
+        cross = dedup_ops.incremental_jaccard_against_index(
+            spark, table, None, "", "", threshold=0.5,
+            exclude_epoch=k, posting=posting,
+        ).select(
+            F.col("id_new").alias("batch_id"),
+            F.col("id_existing").alias("corpus_id"),
+            "jaccard",
+        )
+        pairs = within.unionByName(cross).withColumn("epoch", F.lit(k).cast("int"))
+        pairs.write.mode("append").parquet(out)  # materialize before mutation
+        if k == 1:
+            dedup_ops.compact_dedup_index(spark, table, [0, 1])
+    return spark.read.parquet(out)
