@@ -492,6 +492,7 @@ def build_ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     train_fraction: float = 1.0,
+    epoch: int | None = None,
 ) -> None:
     """Persist an IVF index instead of re-clustering per query: centroids to
     ``<dir>/centroids.parquet`` (tiny — driver-readable), vectors to
@@ -505,7 +506,14 @@ def build_ivf_index(
     practice (FAISS trains on ~30-256 points per centroid): quantizer
     quality needs a representative sample, not the corpus, while a full-
     corpus k-means at 10^9 vectors would dominate the build. Recall impact
-    is measured, not assumed (tools/ann_recall.py, 2M-vector tier)."""
+    is measured, not assumed (tools/ann_recall.py, 2M-vector tier).
+
+    ``epoch`` (not None) lays the vectors out partitioned by (bucket,
+    epoch) instead of bucket alone — the CONTINUOUS-INGESTION layout:
+    later epochs are added with ``append_ivf_index_epoch`` under the same
+    frozen centroids, probes still prune on the leading bucket key, and an
+    in-flight epoch can be excluded for crash-replay safety exactly as in
+    the text/signature indexes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -532,9 +540,70 @@ def build_ivf_index(
     spark.createDataFrame(centers, "bucket int, center array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
-    model.transform(feats).select("id", "arr", "bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{index_dir}/vectors")
+    assigned = model.transform(feats).select("id", "arr", "bucket")
+    if epoch is None:
+        assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{index_dir}/vectors"
+        )
+    else:
+        assigned.withColumn("epoch", F.lit(int(epoch))).write.mode(
+            "overwrite"
+        ).partitionBy("bucket", "epoch").parquet(f"{index_dir}/vectors")
+
+
+def append_ivf_index_epoch(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    epoch: int,
+) -> None:
+    """REPLAY-IDEMPOTENT per-epoch append to a persisted IVF index built
+    with an epoch layout (``build_ivf_index(epoch=...)``) — the standard IVF
+    "add" path: the coarse quantizer is FROZEN (centroids unchanged; only
+    the build trains), each new vector is assigned to its single nearest
+    centroid via a broadcast join against the tiny centroid table
+    (deterministic tie-break on bucket id), and the epoch's rows land under
+    vectors/bucket=*/epoch=k via dynamic partition overwrite — a replayed
+    epoch replaces its own partitions, never double-appends. Probes keep
+    pruning on the leading bucket directory; ``exclude_epoch`` on
+    ``ivf_batch_near_dup`` prunes an in-flight epoch."""
+    from pyspark.sql import Window
+
+    vec_schema = spark.read.parquet(f"{index_dir}/vectors").schema
+    if "epoch" not in vec_schema.fieldNames():
+        raise ValueError(
+            "append_ivf_index_epoch needs an epoch-partitioned index "
+            "(build_ivf_index(epoch=...)); this index has no epoch column"
+        )
+    centroids = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    newq = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("arr"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("arr").cast("array<double>"),
+            F.col("center"),
+            lambda a, c: (a - c) * (a - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    by_dist = Window.partitionBy("id").orderBy("d2", "bucket")
+    assigned = (
+        newq.join(F.broadcast(centroids), how="cross")
+        .withColumn("d2", d2)
+        .withColumn("rk", F.row_number().over(by_dist))
+        .filter(F.col("rk") == 1)
+        .select("id", "arr", "bucket", F.lit(int(epoch)).alias("epoch"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        assigned.write.mode("overwrite").partitionBy("bucket", "epoch").parquet(
+            f"{index_dir}/vectors"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def ivf_search_index(
@@ -567,6 +636,7 @@ def ivf_batch_near_dup(
     id_col: str,
     threshold: float,
     n_probe: int = 4,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Cross-set embedding near-dup of an incoming batch against a persisted
     IVF index (the embedding analog of the text-side
@@ -613,9 +683,18 @@ def ivf_batch_near_dup(
     probed_buckets = [
         int(r["bucket"]) for r in probes.select("bucket").distinct().collect()
     ]
+    corpus = spark.read.parquet(f"{index_dir}/vectors")
+    if exclude_epoch is not None:
+        # epoch-layout indexes only (build_ivf_index(epoch=...) + appends):
+        # prune the in-flight epoch's partitions for crash-replay safety
+        if "epoch" not in corpus.columns:
+            raise ValueError(
+                "exclude_epoch requires an epoch-partitioned IVF index; "
+                f"{index_dir}/vectors has no epoch column"
+            )
+        corpus = corpus.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
     vectors = (
-        spark.read.parquet(f"{index_dir}/vectors")
-        .filter(F.col("bucket").isin(probed_buckets))
+        corpus.filter(F.col("bucket").isin(probed_buckets))
         .select(F.col("id").alias("id_existing"), F.col("arr").alias("arr_old"), "bucket")
     )
 

@@ -320,3 +320,70 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id").agg(
         F.count("*").alias("n_clicks"), F.min("click_id").alias("first_click")
     )
+
+
+@query(
+    "dedup_embedding_index_epochs",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, CAST(vec_id % 3 AS INT) AS ep,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * {similarity.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, ep, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS n2
+      FROM q
+    )
+    SELECT a.vec_id AS id_new, b.vec_id AS id_existing,
+           CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine,
+           a.ep AS epoch
+    FROM n a JOIN n b ON a.ep > b.ep
+    WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.35
+    """,
+    category="llm-dedup",
+)
+def dedup_embedding_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING near-dup through the persisted IVF index in MULTI-EPOCH
+    service shape — the round-7 closure that gives the LAST index family
+    (after jaccard text, substring/chunk hashes, media signatures, video
+    frame postings) the same continuous-ingestion lifecycle: epoch 0 BUILDS
+    the index with an epoch layout (vectors partitioned by (bucket, epoch),
+    coarse quantizer trained once and then FROZEN); each later epoch
+    APPENDS its vectors under the frozen centroids first (replay-safe
+    order — ``append_ivf_index_epoch``'s dynamic partition overwrite), then
+    probes with exclude_epoch=k (in-flight partitions pruned) at n_probe =
+    n_centroids, which is EXHAUSTIVE — so the IVF result equals the
+    brute-force cross-set pairs and the whole lifecycle is oracle-checked
+    exactly on the shared integer-quantized grid (partial probes are the
+    recall/cost dial; their quality is measured in tools/ann_recall.py,
+    not asserted here). Standing vectors are never re-read beyond the
+    probed bucket partitions; nothing corpus-sized broadcasts."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ep = (F.col("vec_id") % 3).cast("int")
+    work = tempfile.mkdtemp(prefix="emb_idx_epochs_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    index_dir = os.path.join(work, "ivf")
+    out = os.path.join(work, "pairs")
+    similarity.build_ivf_index(
+        emb.filter(ep == 0), "embedding", "vec_id", index_dir,
+        n_centroids=8, epoch=0,
+    )
+    for k in (1, 2):
+        batch = emb.filter(ep == k)
+        similarity.append_ivf_index_epoch(
+            spark, index_dir, batch, "embedding", "vec_id", epoch=k
+        )
+        pairs = similarity.ivf_batch_near_dup(
+            spark, index_dir, batch, "embedding", "vec_id",
+            threshold=0.35, n_probe=8, exclude_epoch=k,
+        ).withColumn("epoch", F.lit(k).cast("int"))
+        pairs.write.mode("append").parquet(out)  # materialize before append
+    return spark.read.parquet(out)

@@ -202,3 +202,91 @@ def test_compact_zorder_files_selective_on_both_columns(spark, tmp_path):
     # axis per file ideally; allow generous slack)
     assert coverage(zdst, "x") < 0.55
     assert coverage(zdst, "y") < 0.55
+
+
+def test_ivf_epoch_append_lifecycle(spark, sf_dir, tmp_path):
+    """Epoch layout + append under frozen centroids (round 7): a replayed
+    append replaces its own partitions (never double-appends), exclude_epoch
+    prunes the in-flight epoch, centroids are untouched by appends, and the
+    full-probe cross-set result over an appended index equals the
+    brute-force quantized pairs — the same lifecycle contract as the text /
+    signature indexes, for the last index family."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ep = (F.col("vec_id") % 3).cast("int")
+    index_dir = str(tmp_path / "ivf_ep")
+    similarity.build_ivf_index(
+        emb.filter(ep == 0), "embedding", "vec_id", index_dir,
+        n_centroids=4, epoch=0,
+    )
+    centroids_before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    )
+    n0 = spark.read.parquet(f"{index_dir}/vectors").count()
+    batch1 = emb.filter(ep == 1)
+    similarity.append_ivf_index_epoch(
+        spark, index_dir, batch1, "embedding", "vec_id", epoch=1
+    )
+    n01 = spark.read.parquet(f"{index_dir}/vectors").count()
+    assert n01 == n0 + batch1.count()
+    # crash replay: same epoch appended again — partitions replaced, not doubled
+    similarity.append_ivf_index_epoch(
+        spark, index_dir, batch1, "embedding", "vec_id", epoch=1
+    )
+    assert spark.read.parquet(f"{index_dir}/vectors").count() == n01
+    # frozen quantizer: appends never touch the centroid table
+    centroids_after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    )
+    assert centroids_after == centroids_before
+
+    # exclude_epoch prunes the in-flight epoch: a batch probing an index
+    # that already holds its own vectors would self-match at cosine 1.0
+    seen = similarity.ivf_batch_near_dup(
+        spark, index_dir, batch1, "embedding", "vec_id",
+        threshold=0.999, n_probe=4,
+    )
+    assert any(
+        r["id_new"] == r["id_existing"] for r in seen.collect()
+    )  # self-matches visible without exclusion
+    hidden = similarity.ivf_batch_near_dup(
+        spark, index_dir, batch1, "embedding", "vec_id",
+        threshold=0.999, n_probe=4, exclude_epoch=1,
+    )
+    assert all(r["id_new"] != r["id_existing"] for r in hidden.collect())
+
+    # full probe over the appended index == brute-force quantized pairs
+    batch2 = emb.filter(ep == 2)
+    got = {
+        (r["id_new"], r["id_existing"], round(r["cosine"], 9))
+        for r in similarity.ivf_batch_near_dup(
+            spark, index_dir, batch2, "embedding", "vec_id",
+            threshold=0.35, n_probe=4,
+        ).collect()
+    }
+    corpus = emb.filter(ep < 2)
+    # brute force via the exact cross-set: quantized cosine of every
+    # (batch2, corpus) pair — computed with the same grid
+    qv = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x.cast("double") * similarity.QUANT).cast("long")
+    )
+    a = batch2.select(F.col("vec_id").alias("id_new"), qv("embedding").alias("qa"))
+    b = corpus.select(F.col("vec_id").alias("id_existing"), qv("embedding").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    brute = {
+        (r["id_new"], r["id_existing"], round(r["cosine"], 9))
+        for r in a.crossJoin(b)
+        .select(
+            "id_new", "id_existing",
+            (dot.cast("double") / (F.sqrt(n2(F.col("qa")).cast("double"))
+                                   * F.sqrt(n2(F.col("qb")).cast("double")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .collect()
+    }
+    assert got == brute
