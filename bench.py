@@ -101,6 +101,11 @@ def format_line(medians: dict, best: dict, cold: dict, sf) -> str:
         "metric": "headline_queries_total_sec",
         "value": round(sum(best.values()), 3),
         "unit": "sec",
+        # methodology marker (round-8 ADVICE): `value` switched from
+        # median-of-5-laps (r5-r6) to min-of-5-laps in r7 under the same
+        # metric name; "stat" lets downstream parsers detect that
+        # mechanically instead of misreading the change as a perf delta.
+        "stat": "min5",
         "queries": best,
         "best_total_sec": round(sum(best.values()), 3),
         "median_total_sec": round(sum(medians.values()), 3),

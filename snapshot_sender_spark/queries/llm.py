@@ -3381,8 +3381,10 @@ def stream_audio_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming media ingestion-dedup service driven by a DIFFERENT
     modality through its pluggable signature stage: raw PCM recordings
     (each long-enough document's bytes, plus a tail-edited re-master under
-    id+1000 — landing in the NEXT epoch by construction, so every
-    engineered pair is cross-epoch) round-trip the real FLAC codec and
+    id+1000 — every engineered pair is CROSS-epoch: the re-master lands one
+    epoch later mod 3, so for a base in epoch 2 the re-master arrives FIRST
+    in epoch 0 and it is the base that gets dropped) round-trip the real
+    FLAC codec and
     reduce to 64-bit energy fingerprints inside the service
     (signature = audio_energy_ahash ∘ encode_as_flac); everything else —
     banded within-batch mining, the persisted per-band signature index,
@@ -3520,9 +3522,10 @@ def dedup_video_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standing corpus's videos are NEVER re-decoded; only their 8-byte
     posting hashes are read bucket-aligned. Epochs 0+1 compact into
     epoch=-1 before epoch 2 probes. Epoch assignment (doc_id + doc_id//30)
-    % 3 puts every engineered re-edit one epoch after its base, so all 30
-    planted pairs exercise the cross-epoch path; pairs are attributed to
-    the later member's epoch. The oracle brute-forces all set-Jaccard
+    % 3 makes every engineered pair CROSS-epoch (the re-edit lands one
+    epoch later mod 3 — so for a base in epoch 2 the re-edit arrives FIRST
+    in epoch 0); all 30 planted pairs exercise the cross-epoch path, and
+    pairs are attributed to the later member's epoch. The oracle brute-forces all set-Jaccard
     pairs from the block formulas with the same attribution."""
     import atexit
     import shutil
