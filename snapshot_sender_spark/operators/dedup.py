@@ -1278,6 +1278,83 @@ def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def collapse_identical_sigs(sigs: DataFrame) -> DataFrame:
+    """HOT-BAND GUARD stage 1: collapse identical 64-bit signatures to one
+    representative — (sig, id = min member id, n_members). One shuffle on the
+    8-byte sig with map-side partial aggregation; the output is bounded by
+    the number of DISTINCT signatures, which is what makes the banded join
+    downstream immune to degenerate corpora (millions of blank pages / black
+    frames / silent clips collapsing to ONE signature would otherwise flood
+    one 16-bit band and make the band-equality join's candidate mass
+    quadratic in the hot-band population — AQE can split the partitions but
+    cannot shrink the logical pair mass)."""
+    return sigs.groupBy("sig").agg(
+        F.min("id").alias("id"), F.count("*").alias("n_members")
+    )
+
+
+def banded_hamming_dropped(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Ids DROPPED under the keeper rule "drop the higher id of every pair
+    within ``max_hamming``" — the decision every dedup service actually
+    needs — computed with the HOT-BAND GUARD: identical signatures collapse
+    to their min-id representative BEFORE banding, so the banded self-join
+    runs over DISTINCT signatures only and a corpus of N identical media
+    costs one aggregation plus a 1-signature band join instead of an
+    N²-candidate explosion. Returns a single-column (id) frame.
+
+    EXACT — result-identical to
+    ``banded_hamming_pairs(sigs).select(id_b).distinct()`` by this argument:
+      * every non-representative member m pairs with its group's rep at
+        hamming 0 with rep = min(group) < m, so m is dropped in both forms;
+      * a representative r is dropped in the unguarded form iff some x < r
+        exists with hamming(sig_x, sig_r) <= h; x's group rep min(G_x) <= x
+        < r witnesses the same signature pair, so checking REP pairs only
+        (distinct sigs) reaches the identical drop set — hamming depends
+        only on the signature values, never on which member carries them;
+      * r is never dropped by its own group (r is the group minimum).
+    Pinned by tests/test_hotband.py's brute-force equivalence test."""
+    reps = collapse_identical_sigs(sigs)
+    non_reps = (
+        sigs.join(reps.select("sig", F.col("id").alias("rep_id")), "sig")
+        .filter(F.col("id") != F.col("rep_id"))
+        .select("id")
+    )
+    dropped_reps = banded_hamming_pairs(
+        reps.select("id", "sig"), max_hamming=max_hamming
+    ).select(F.col("id_b").alias("id"))
+    return non_reps.unionByName(dropped_reps).distinct()
+
+
+def banded_hamming_survivors(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Keeper rows of ``sigs`` under the drop-higher-id rule, via the
+    hot-band-guarded ``banded_hamming_dropped``. Survivors carry DISTINCT
+    signatures by construction (every duplicate signature's non-min members
+    are dropped at hamming 0), so downstream index probes are already
+    collapsed on the batch side."""
+    return sigs.join(
+        banded_hamming_dropped(sigs, max_hamming=max_hamming), "id", "left_anti"
+    )
+
+
+def sig_index_band_stats(spark, table: str, top: int = 20) -> DataFrame:
+    """TELEMETRY for the persisted signature index: per-band population,
+    hottest first — (band, band_df, n_distinct_sigs). The service-built
+    index is pairwise > max_hamming apart by construction (an accepted
+    signature never lands within the budget of an earlier one), so band_df
+    > n_distinct_sigs is impossible there; on a hand-built index this is
+    how you spot a hot band before probing it."""
+    idx = spark.table(table)
+    return (
+        idx.groupBy("band")
+        .agg(
+            F.count("*").alias("band_df"),
+            F.countDistinct("sig").alias("n_distinct_sigs"),
+        )
+        .orderBy(F.desc("band_df"), "band")
+        .limit(top)
+    )
+
+
 # =============================================================================
 # Exact substring (duplicated k-token span) dedup — Lee et al., "Deduplicating
 # Training Data Makes Language Models Better" (ACL 2022), re-expressed as a
@@ -1851,6 +1928,7 @@ def banded_hamming_pairs_against_index(
     batch: DataFrame,
     max_hamming: int = 3,
     exclude_epoch: int | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """``banded_hamming_pairs_cross`` with the corpus side read from the
     persisted signature index — result-identical on disjoint id spaces
@@ -1866,7 +1944,19 @@ def banded_hamming_pairs_against_index(
     passes ``exclude_epoch`` (the current epoch's partition is pruned) and
     its epoch markers fast-skip committed replays, so a probe can only see
     its own id when the id genuinely arrived before — which IS a
-    duplicate."""
+    duplicate.
+
+    ``max_band_df`` (default None = exact): DOCUMENTED APPROXIMATION — the
+    signature analog of the text family's ``max_shingle_df`` stopword cut.
+    When set, corpus bands whose population exceeds the threshold are
+    dropped from blocking, bounding per-band candidate mass on adversarial
+    indexes (a hand-built index with many near-identical signatures sharing
+    one 16-bit band). A pair agreeing ONLY on a cut band is then missed, so
+    results are a subset of the exact answer. The SERVICE-built index never
+    needs this: accepted signatures are pairwise > max_hamming apart by
+    construction (see ``sig_index_band_stats`` for telemetry), and
+    identical-signature floods are collapsed batch-side by the hot-band
+    guard (``banded_hamming_survivors``) before they can reach the index."""
     idx = spark.table(table)
     if exclude_epoch is not None:
         if "epoch" not in idx.columns:
@@ -1875,6 +1965,14 @@ def banded_hamming_pairs_against_index(
                 f"table {table!r} has no epoch column"
             )
         idx = idx.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
+    if max_band_df is not None:
+        hot = (
+            idx.groupBy("band")
+            .agg(F.count("*").alias("band_df"))
+            .filter(F.col("band_df") > max_band_df)
+            .select("band")
+        )
+        idx = idx.join(F.broadcast(hot), "band", "left_anti")
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     a = _sig_bands(batch).select(

@@ -3101,6 +3101,95 @@ def stream_image_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_sig_hotband_guard",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 12 AS g, (doc_id % 12) % 6 AS b,
+             (doc_id % 12) // 6 AS v
+      FROM documents WHERE doc_id < 120
+    ),
+    blk AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b OR t.i = b + 17))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    ),
+    ham AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+      GROUP BY a.doc_id, c.doc_id
+      HAVING SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+    ),
+    grp AS (SELECT g, COUNT(*) AS n FROM p GROUP BY g)
+    SELECT p.doc_id AS media_id, CAST(grp.n AS INT) AS n_members
+    FROM p JOIN grp USING (g)
+    WHERE p.doc_id NOT IN (SELECT id_b FROM ham)
+    """,
+    category="llm-dedup",
+)
+def dedup_sig_hotband_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-BAND GUARD result identity on a DEGENERATE corpus (round-8
+    verdict #1): 120 PNGs collapse to just 12 distinct signatures — 12
+    groups of 10 pixel-identical images (the blank-page/black-frame shape
+    that floods one 16-bit band and makes the unguarded banded join's
+    candidate mass quadratic) — where each v=1 group is a 2-block retouch
+    of its v=0 base (hamming 2). The Spark side runs the GUARDED keeper
+    path: real PNG decode → aHash → collapse identical signatures to the
+    min-id representative (``collapse_identical_sigs``) → banded hamming
+    over the 12 reps only (48 band rows, not 480) →
+    ``banded_hamming_survivors``. The DuckDB oracle brute-forces the
+    UNGUARDED drop-higher-id-of-every-pair rule over all 120 ids from the
+    block formulas, proving the guard is result-identical, not an
+    approximation. Expected keepers: the 6 v=0 group minima (ids 0-5),
+    each reporting its 10-member signature group."""
+    from ..operators import dedup as dedup_ops
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 12
+                b, v = g % 6, g // 6
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b, b + 17):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    sigs = (
+        multimodal.image_ahash(media)
+        .select(F.col("media_id").alias("id"), "sig")
+        .localCheckpoint()
+    )
+    reps = dedup_ops.collapse_identical_sigs(sigs)
+    surv = dedup_ops.banded_hamming_survivors(sigs, max_hamming=3)
+    return surv.join(reps.select("sig", "n_members"), "sig").select(
+        F.col("id").alias("media_id"),
+        F.col("n_members").cast("int").alias("n_members"),
+    )
+
+
+@query(
     "multimodal_mp3_subband",
     oracle=golden_oracle("multimodal_mp3_subband"),
     category="llm-multimodal",

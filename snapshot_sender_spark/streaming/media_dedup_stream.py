@@ -16,8 +16,15 @@ participates only as (id, sig, band) rows read bucket-aligned.
 
 Scale shape: after the signature stage only (id, 8-byte sig) rows exist;
 within-batch mining is the 4×16-bit banded self-join (exact for hamming ≤ 3
-by pigeonhole) and the cross-set probe sort-merges against pre-sorted index
-band buckets in place — no Exchange, no sort, no decode on the corpus side.
+by pigeonhole) run over DISTINCT signatures only — the hot-band guard
+(operators/dedup.py:banded_hamming_survivors) collapses identical
+signatures to one representative first, so adversarial batches (millions of
+blank pages / black frames / silence with ONE shared signature) cost a
+sig-keyed aggregation, never a quadratic band join — and the cross-set
+probe sort-merges against pre-sorted index band buckets in place — no
+Exchange, no sort, no decode on the corpus side. The index itself stays
+hot-band-free by construction: accepted signatures are pairwise more than
+max_hamming apart, so no two index rows ever share a full signature.
 Epoch markers + input fingerprints give the same replay-idempotence and
 collision-detection contract as the text service; ``compact_after`` folds
 committed epoch partitions into the reserved epoch=-1 partition.
@@ -118,13 +125,16 @@ def run_streaming_media_dedup(
         )
         # (2) within-batch near-dup: drop the higher id of every pair (the
         # text service's rule at signature granularity; hamming 0 ==
-        # identical signature, so exact duplicates are subsumed)
-        near = (
-            dedup.banded_hamming_pairs(sigs, max_hamming=max_hamming)
-            .select(F.col("id_b").alias("id"))
-            .distinct()
-        )
-        survivors = sigs.join(near, "id", "left_anti")
+        # identical signature, so exact duplicates are subsumed). HOT-BAND
+        # GUARDED (round 8): identical signatures collapse to their min-id
+        # representative BEFORE banding, so a degenerate batch (10⁶ blank
+        # pages / black frames / silent clips sharing ONE signature) costs
+        # one sig-keyed aggregation instead of a quadratic band join —
+        # result-identical to the unguarded rule (equivalence proof on
+        # banded_hamming_dropped, pinned by tests/test_hotband.py).
+        # Survivors carry DISTINCT signatures by construction, so the index
+        # probe's batch side is already collapsed too.
+        survivors = dedup.banded_hamming_survivors(sigs, max_hamming=max_hamming)
         # (3) cross-set vs the standing index (absent on the first epoch),
         # current epoch excluded for crash-replay safety
         if sess.catalog.tableExists(index_table):
