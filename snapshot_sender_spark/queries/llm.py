@@ -3713,3 +3713,203 @@ def dedup_video_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if k == 1:
             dedup_ops.compact_dedup_index(spark, table, [0, 1])
     return spark.read.parquet(out)
+
+
+_VIDEO_SETS_PRELUDE = """p AS (
+      SELECT doc_id, doc_id % 30 AS b, doc_id // 30 AS v,
+             CAST((doc_id + doc_id // 30) % 3 AS INT) AS ep
+      FROM documents WHERE doc_id < 60
+    ),
+    blk AS (
+      SELECT doc_id, t.f AS f, u.i AS i,
+             CASE WHEN (((b * 37 + t.f * 53 + u.i * u.i * 13 + u.i * 7) % 64) < 32)
+                       <> (v = 1 AND t.f = 3)
+                  THEN 4 * 40 ELSE 4 * 20 END AS bs
+      FROM p, UNNEST(range(0, 4)) AS t(f), UNNEST(range(0, 64)) AS u(i)
+    ),
+    tot AS (SELECT doc_id, f, SUM(bs) AS ts FROM blk GROUP BY doc_id, f),
+    bits AS (
+      SELECT doc_id, f, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id, f)
+    ),
+    bytes AS (
+      SELECT doc_id, f, i // 8 AS byte_no,
+             SUM(bit * CASE i % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bits GROUP BY doc_id, f, i // 8
+    ),
+    hashes AS (
+      SELECT doc_id, f,
+             STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                        ORDER BY byte_no) AS h
+      FROM bytes GROUP BY doc_id, f
+    ),
+    vh AS (SELECT DISTINCT doc_id, h FROM hashes),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM vh GROUP BY doc_id)"""
+
+
+def _jaccard_epochs_tail(n_epochs: int = 3, thr: float = 0.5) -> str:
+    """Per-epoch keeper-lifecycle CTE chain over a prelude defining
+    ``p(doc_id, ep)``, ``vh(doc_id, h)`` (distinct per-frame fingerprints)
+    and ``sz(doc_id, s)``: within-epoch set-Jaccard pairs at or above the
+    threshold drop the higher id; survivors at or above the threshold
+    against anything accepted earlier are dropped — the posting-mode
+    (video) mirror of ``_hamming_epochs_tail``."""
+    parts = []
+    for k in range(n_epochs):
+        parts.append(
+            f"""e{k}_near AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b, COUNT(*) AS n
+        FROM vh a JOIN vh c ON a.h = c.h AND a.doc_id < c.doc_id
+        JOIN p pa ON pa.doc_id = a.doc_id
+        JOIN p pc ON pc.doc_id = c.doc_id
+        WHERE pa.ep = {k} AND pc.ep = {k}
+        GROUP BY a.doc_id, c.doc_id
+      ) t JOIN sz s1 ON s1.doc_id = t.id_a JOIN sz s2 ON s2.doc_id = t.id_b
+      WHERE n / (s1.s + s2.s - n) >= {thr}
+    ),
+    e{k}_surv AS (
+      SELECT doc_id FROM p WHERE ep = {k}
+        AND doc_id NOT IN (SELECT doc_id FROM e{k}_near)
+    )"""
+        )
+        if k == 0:
+            parts.append("e0_acc AS (SELECT doc_id FROM e0_surv)")
+        else:
+            prev_union = "\n        UNION ALL ".join(
+                f"SELECT doc_id FROM e{j}_acc" for j in range(k)
+            )
+            parts.append(
+                f"""e{k}_prev AS (
+      {prev_union}
+    ),
+    e{k}_cross AS (
+      SELECT DISTINCT id_s AS doc_id FROM (
+        SELECT s.doc_id AS id_s, c.doc_id AS id_c, COUNT(*) AS n
+        FROM vh s JOIN vh c ON s.h = c.h
+        WHERE s.doc_id IN (SELECT doc_id FROM e{k}_surv)
+          AND c.doc_id IN (SELECT doc_id FROM e{k}_prev)
+        GROUP BY s.doc_id, c.doc_id
+      ) t JOIN sz s1 ON s1.doc_id = t.id_s JOIN sz s2 ON s2.doc_id = t.id_c
+      WHERE n / (s1.s + s2.s - n) >= {thr}
+    ),
+    e{k}_acc AS (
+      SELECT doc_id FROM e{k}_surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM e{k}_cross)
+    )"""
+            )
+    acc_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id FROM e{j}_acc" for j in range(n_epochs)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT p.doc_id AS media_id, CAST(sz.s AS INT) AS n_frames, p.ep AS epoch
+    FROM p JOIN sz USING (doc_id)
+    WHERE p.doc_id IN (
+      {acc_union}
+    )
+    """
+    )
+
+
+@query(
+    "stream_video_dedup_epochs",
+    oracle="\n    WITH "
+    + _VIDEO_SETS_PRELUDE
+    + ",\n    "
+    + _jaccard_epochs_tail(3),
+    category="llm-dedup",
+)
+def stream_video_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming media ingestion-dedup service in its SET-signature
+    (posting) mode, oracle-checked end-to-end (round-8 verdict #6): video
+    near-dup is set-Jaccard over per-frame fingerprints, so the service
+    routes through the TEXT family's posting-index machinery with frame
+    hashes playing the shingle role — the streaming form of
+    dedup_video_index_epochs. The 60 block-patterned H.264 I_PCM videos (30
+    bases + 30 one-frame re-edits, every engineered pair cross-epoch via
+    the +1-mod-3 assignment — for a base in epoch 2 the re-edit arrives
+    FIRST) arrive as 3 mtime-ordered files delivered as 3 micro-batches;
+    each epoch streams the real I_PCM decode ONCE into per-frame luma
+    aHashes, drops the higher id of every within-batch pair at Jaccard ≥
+    0.5, drops survivors at ≥ 0.5 against anything accepted earlier
+    (probed through the persisted bucketed posting index with the current
+    epoch excluded), appends accepted postings + sizes, and commits its
+    marker; compact_after folds committed epochs into the reserved
+    partition. The DuckDB oracle recomputes every frame hash from the
+    block formulas and simulates the keeper lifecycle epoch by epoch."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.media_dedup_stream import run_streaming_video_dedup
+
+    table = "t_q_video_dedup_ep_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_sizes")
+    work = tempfile.mkdtemp(prefix="video_dedup_ep_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = os.path.join(work, "input")
+    os.makedirs(inp)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    ep = F.expr("CAST((doc_id + doc_id DIV 30) % 3 AS INT)")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 30, did // 30
+                i = np.arange(64)
+                frames = []
+                cb = np.full((8, 8), 128, np.uint8)
+                for f in range(4):
+                    high = ((b * 37 + f * 53 + i * i * 13 + i * 7) % 64) < 32
+                    if v == 1 and f == 3:
+                        high = ~high
+                    vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                    luma = np.kron(vals, np.ones((2, 2), np.uint8))
+                    frames.append((luma, cb, cb))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": multimodal.encode_h264_ipcm_video(16, 16, frames),
+                    }
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    now = _time.time()
+    for k in range(3):
+        tmp = os.path.join(work, f"part{k}")
+        (
+            d.filter(ep == k)
+            .select("doc_id")
+            .mapInPandas(synth, "media_id long, content binary")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"epoch_{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 100 * k, now - 300 + 100 * k))
+    run_streaming_video_dedup(
+        spark,
+        inp,
+        table,
+        os.path.join(work, "accepted"),
+        os.path.join(work, "ckpt"),
+        threshold=0.5,
+        max_files_per_trigger=1,
+        compact_after=True,
+    )
+    return spark.read.parquet(os.path.join(work, "accepted", "data")).select(
+        "media_id", "n_frames", F.col("epoch").cast("int").alias("epoch")
+    )

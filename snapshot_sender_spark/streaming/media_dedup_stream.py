@@ -48,7 +48,12 @@ from .dedup_stream import _marker_path, committed_epochs  # shared marker scheme
 
 MEDIA_SCHEMA = "media_id long, content binary"
 
-__all__ = ["run_streaming_media_dedup", "committed_epochs", "MEDIA_SCHEMA"]
+__all__ = [
+    "run_streaming_media_dedup",
+    "run_streaming_video_dedup",
+    "committed_epochs",
+    "MEDIA_SCHEMA",
+]
 
 
 def _media_fingerprint(batch: DataFrame) -> dict:
@@ -179,6 +184,163 @@ def run_streaming_media_dedup(
         spark.catalog.refreshTable(index_table)
         if compact_after:
             dedup.compact_sig_index(
+                spark, index_table, committed_epochs(accepted_dir)
+            )
+    return epochs
+
+
+def run_streaming_video_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_table: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+    compact_after: bool = False,
+    frame_hashes=None,
+) -> list[int]:
+    """The SET-signature (posting) mode of the media ingestion-dedup
+    service — VIDEO near-dup is set-Jaccard over per-frame fingerprints,
+    not a single 64-bit signature, so it routes through the TEXT family's
+    posting-index machinery (``append_dedup_index_epoch`` /
+    ``incremental_jaccard_against_index``) with frame hashes playing the
+    shingle role, exactly as the batch query ``dedup_video_index_epochs``
+    does — this is its streaming-service form (round-8 verdict #6).
+
+    Per micro-batch: (1) decode ONCE — ``frame_hashes`` (a callable
+    DataFrame → (media_id, h): one row per DISTINCT frame fingerprint;
+    default: real streamed H.264 I_PCM decode → per-frame luma aHash →
+    xxhash64) produces the batch posting list, localCheckpointed so the
+    within-batch join, the cross-set probe, the corpus write and the index
+    append all reuse it; (2) within-batch near-dup — exact set-Jaccard ≥
+    ``threshold`` via the frame-hash equi-join, drop the higher id of
+    every pair (identical videos land at Jaccard 1.0, so exact dedup is
+    subsumed); (3) cross-set — survivors probe the standing posting index
+    with the CURRENT epoch excluded (crash between index append and marker
+    must not self-match at Jaccard 1.0 on replay — the text service's
+    exclusion contract verbatim); (4) publish replay-idempotently:
+    overwrite the epoch's corpus dir with (media_id, n_frames), append the
+    accepted posting rows per-epoch (dynamic partition overwrite), commit
+    the marker. Replayed epochs fast-skip on the marker after verifying
+    the input fingerprint. ``compact_after`` folds committed epochs via
+    ``compact_dedup_index`` (postings + sizes tables).
+
+    Scale shape: after the decode stage only (id, 8-byte frame hash) rows
+    exist; the standing corpus participates as pre-sorted bucket-aligned
+    posting rows read in place — videos are NEVER re-decoded after their
+    ingest epoch."""
+    if frame_hashes is None:
+        def frame_hashes(df):  # real H.264 decode path
+            return (
+                multimodal.video_frame_ahash(df)
+                .select("media_id", "ahash")
+                .distinct()
+                .select("media_id", F.xxhash64("ahash").alias("h"))
+            )
+    os.makedirs(accepted_dir, exist_ok=True)
+    epochs_dir = os.path.join(accepted_dir, "_epochs")
+    os.makedirs(epochs_dir, exist_ok=True)
+    data_dir = os.path.join(accepted_dir, "data")
+    epochs: list[int] = []
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        marker = _marker_path(epochs_dir, epoch_id)
+        fp = _media_fingerprint(batch)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                committed = fh.read()
+            if committed:
+                prev = json.loads(committed)
+                if prev != fp:
+                    raise RuntimeError(
+                        f"epoch {epoch_id} marker exists but its committed input "
+                        f"fingerprint {prev} != this batch's {fp}: epoch ids have "
+                        "collided across checkpoint generations. Refusing to "
+                        "silently skip new data or overwrite the committed epoch."
+                    )
+            return
+        epochs.append(epoch_id)
+        sess = batch.sparkSession
+        # (1) ONE decode pass for the epoch
+        posting = (
+            frame_hashes(batch)
+            .select(F.col("media_id").alias("id"), "h")
+            .localCheckpoint()
+        )
+        sizes = posting.groupBy("id").agg(F.count("*").alias("s"))
+        # (2) within-batch set-Jaccard: drop the higher id of every pair
+        a = posting.select(F.col("id").alias("id_a"), "h")
+        c = posting.select(F.col("id").alias("id_b"), "h")
+        inter = (
+            a.join(c, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+        jac = F.col("n_shared") / (F.col("sa") + F.col("sb") - F.col("n_shared"))
+        near = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(jac >= threshold)
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        survivors = sizes.select("id", "s").join(near, "id", "left_anti")
+        # (3) cross-set vs the standing posting index (absent on the first
+        # epoch), current epoch excluded for crash-replay safety. The probe
+        # uses the FULL batch posting list (already checkpointed) — a
+        # within-batch-dropped id that also matches the corpus only adds a
+        # drop-row the anti join below no longer carries, same as the text
+        # service.
+        if sess.catalog.tableExists(index_table):
+            sess.catalog.refreshTable(index_table)
+            sess.catalog.refreshTable(index_table + "_sizes")
+            dups = (
+                dedup.incremental_jaccard_against_index(
+                    sess, index_table, None, "", "", threshold,
+                    exclude_epoch=epoch_id, posting=posting,
+                )
+                .select(F.col("id_new").alias("id"))
+                .distinct()
+            )
+            accepted = survivors.join(dups, "id", "left_anti")
+        else:
+            accepted = survivors
+        # (4) publish replay-idempotently, then commit the marker
+        accepted = accepted.localCheckpoint()
+        accepted.select(
+            F.col("id").alias("media_id"), F.col("s").cast("int").alias("n_frames")
+        ).write.mode("overwrite").parquet(
+            os.path.join(data_dir, f"epoch={epoch_id}")
+        )
+        accepted_posting = posting.join(accepted.select("id"), "id", "semi")
+        dedup.append_dedup_index_epoch(
+            sess, index_table, None, "", "", epoch_id,
+            n_buckets=n_buckets, posting=accepted_posting,
+        )
+        with open(marker, "w") as f:
+            f.write(json.dumps(fp))
+
+    reader = spark.readStream.schema(MEDIA_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    if spark.catalog.tableExists(index_table):
+        spark.catalog.refreshTable(index_table)
+        spark.catalog.refreshTable(index_table + "_sizes")
+        if compact_after:
+            dedup.compact_dedup_index(
                 spark, index_table, committed_epochs(accepted_dir)
             )
     return epochs
