@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import index_lifecycle
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per distinct content hash (md5 over the raw text).
@@ -560,31 +562,12 @@ def build_dedup_index(
     sizes.write.mode(mode).saveAsTable(table + "_sizes")
 
 
-def _drop_stale_table_location(spark, table: str) -> None:
-    """Remove a managed table's warehouse directory when the CATALOG has no
-    such table. With the default in-memory catalog, a table created by a
-    previous process leaves its location on disk while the new process's
-    catalog starts empty — `DROP TABLE IF EXISTS` is then a no-op and
-    CREATE fails with LOCATION_ALREADY_EXISTS. A persistent metastore
-    doesn't have this problem (the table survives and `tableExists` guards
-    creation); this guard only fires for locations the current catalog
-    cannot see, which are unreachable garbage by definition."""
-    if spark.catalog.tableExists(table):
-        return
-    # resolve the FULL managed location: a db-qualified table lives under
-    # <warehouse>/<db>.db/<name> (default db: <warehouse>/<name>) — building
-    # the path from the bare name alone would miss qualified tables and
-    # could delete an unrelated default-db table of the same short name
-    parts = table.lower().split(".")
-    name = parts[-1]
-    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase().lower()
-    rel = name if db == "default" else f"{db}.db/{name}"
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(wh, rel)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p):
-        fs.delete(p, True)
+# Shared epoch-lifecycle core (round 8): create / dynamic-overwrite append /
+# crash-curative fold live ONCE in operators/index_lifecycle.py; the
+# per-family functions below are thin wrappers. The private aliases keep
+# every pre-round-8 internal call site and test import working unchanged.
+_drop_stale_table_location = index_lifecycle.drop_stale_table_location
+_fold_epoch_partitions = index_lifecycle.fold_epoch_partitions
 
 
 def append_dedup_index_epoch(
@@ -618,35 +601,15 @@ def append_dedup_index_epoch(
             )
             .select("id", F.xxhash64("s").alias("h"), F.lit(int(epoch)).alias("epoch"))
         )
-    sizes = (
-        posting.groupBy("id")
-        .agg(F.count("*").alias("set_size"))
-        .select("id", "set_size", F.lit(int(epoch)).alias("epoch"))
+    sizes = posting.select("id").groupBy("id").agg(F.count("*").alias("set_size"))
+    index_lifecycle.append_epoch_partition(
+        spark, table, posting.select("id", "h"), epoch,
+        bucket_cols=["h"], n_buckets=n_buckets,
     )
-    if not spark.catalog.tableExists(table):
-        _drop_stale_table_location(spark, table)
-        _drop_stale_table_location(spark, table + "_sizes")
-        (
-            posting.write.bucketBy(n_buckets, "h")
-            .sortBy("h")
-            .partitionBy("epoch")
-            .mode("overwrite")
-            .saveAsTable(table)
-        )
-        sizes.write.partitionBy("epoch").mode("overwrite").saveAsTable(table + "_sizes")
-        return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        posting.write.insertInto(table, overwrite=True)
-        sizes.write.insertInto(table + "_sizes", overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    index_lifecycle.append_epoch_partition(spark, table + "_sizes", sizes, epoch)
 
 
-COMPACTED_EPOCH = -1  # reserved partition id for folded epochs (streamed
-#                       epoch ids are >= 0, so it never collides and the
-#                       service's exclude_epoch equality never prunes it)
+COMPACTED_EPOCH = index_lifecycle.COMPACTED_EPOCH  # re-export (see there)
 
 
 def compact_dedup_index(
@@ -697,69 +660,6 @@ def compact_dedup_index(
         target_epoch,
         write_tasks,
     )
-
-
-def _fold_epoch_partitions(
-    spark, tables_cols, epochs, target_epoch, write_tasks
-) -> int:
-    """Shared fold core of ``compact_dedup_index`` / ``compact_hash_index``:
-    move the listed epochs' rows of every (table, key_cols) pair into the
-    target partition, dedup by key (crash-curative), drop the sources.
-    Returns the row count folded in the FIRST table."""
-    epochs = sorted({int(e) for e in epochs})
-    if int(target_epoch) in epochs:
-        raise ValueError("target_epoch cannot be in the epochs to fold")
-    # fold only partitions that EXIST: committed_epochs markers outlive
-    # their folded partitions, so a service cycle with nothing new must be
-    # a no-op, not an O(corpus) rewrite of the compacted partition. The
-    # union over ALL tables covers a crash between the folds (a later table
-    # may still hold an epoch an earlier table already dropped — re-running
-    # must finish folding it).
-    live = set()
-    for t, _ in tables_cols:
-        for row in spark.sql(f"SHOW PARTITIONS {t}").collect():
-            live.add(int(row[0].split("=", 1)[1]))
-    epochs = [e for e in epochs if e in live]
-    if not epochs:
-        return 0
-    fold = epochs + [int(target_epoch)]
-    moved = 0
-    first_table = tables_cols[0][0]
-    for t, cols in tables_cols:
-        src = spark.table(t).filter(F.col("epoch").isin(fold))
-        # materialize BEFORE touching partitions: the write below replaces
-        # the very files this plan would otherwise lazily re-read. The
-        # dropDuplicates is the crash-recovery dedup described above — free
-        # when no crash happened (rows are already unique by key).
-        # ``write_tasks`` bounds the output layout: the bucketed V1 writer
-        # emits one file per (task, bucket), so the compacted partition has
-        # at most write_tasks x n_buckets files — write_tasks=1 (default)
-        # gives the canonical one-file-per-bucket layout; pass more for
-        # indexes whose standing corpus is too large for single-task I/O.
-        # (A repartition on the bucket column does NOT work here: the scan
-        # already reports the bucket hash-partitioning, the exchange is
-        # elided, and the writer inherits the scan's file-binpacked task
-        # layout — observed as 2x the files instead of fewer.)
-        merged = (
-            src.select(*cols)
-            .dropDuplicates(cols)
-            .repartition(max(1, int(write_tasks)))
-            .localCheckpoint()
-        )
-        if t == first_table:
-            moved = merged.count()
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.select(
-                *cols, F.lit(int(target_epoch)).alias("epoch")
-            ).write.insertInto(t, overwrite=True)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for e in epochs:
-            spark.sql(f"ALTER TABLE {t} DROP IF EXISTS PARTITION (epoch={e})")
-        spark.catalog.refreshTable(t)
-    return moved
 
 
 def incremental_jaccard_against_index(
@@ -1717,23 +1617,10 @@ def append_hash_index_epoch(
     Exchange and exclude the current epoch for crash-replay safety — the
     exact contract of ``append_dedup_index_epoch``, minus the sizes table
     (membership needs no per-doc statistics)."""
-    out = hashes.select("h", F.lit(int(epoch)).alias("epoch"))
-    if not spark.catalog.tableExists(table):
-        _drop_stale_table_location(spark, table)
-        (
-            out.write.bucketBy(n_buckets, "h")
-            .sortBy("h")
-            .partitionBy("epoch")
-            .mode("overwrite")
-            .saveAsTable(table)
-        )
-        return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.insertInto(table, overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    index_lifecycle.append_epoch_partition(
+        spark, table, hashes.select("h"), epoch,
+        bucket_cols=["h"], n_buckets=n_buckets,
+    )
 
 
 def compact_hash_index(
@@ -1886,23 +1773,10 @@ def append_sig_index_epoch(
     partitioned by ``epoch`` — each signature stored once per 16-bit band
     (×4). ``sigs``: (id, sig). Same dynamic-partition-overwrite contract as
     ``append_hash_index_epoch``."""
-    out = _sig_bands(sigs).select("id", "sig", "band", F.lit(int(epoch)).alias("epoch"))
-    if not spark.catalog.tableExists(table):
-        _drop_stale_table_location(spark, table)
-        (
-            out.write.bucketBy(n_buckets, "band")
-            .sortBy("band")
-            .partitionBy("epoch")
-            .mode("overwrite")
-            .saveAsTable(table)
-        )
-        return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.insertInto(table, overwrite=True)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    index_lifecycle.append_epoch_partition(
+        spark, table, _sig_bands(sigs).select("id", "sig", "band"), epoch,
+        bucket_cols=["band"], n_buckets=n_buckets,
+    )
 
 
 def compact_sig_index(

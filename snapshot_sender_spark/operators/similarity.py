@@ -21,6 +21,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import index_lifecycle
+
 QUANT = 1_000_000  # 1e6 quantization — see module docstring
 
 
@@ -596,14 +598,10 @@ def append_ivf_index_epoch(
         .filter(F.col("rk") == 1)
         .select("id", "arr", "bucket", F.lit(int(epoch)).alias("epoch"))
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with index_lifecycle.dynamic_partition_overwrite(spark):
         assigned.write.mode("overwrite").partitionBy("bucket", "epoch").parquet(
             f"{index_dir}/vectors"
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def ivf_search_index(

@@ -26,7 +26,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
+from ..operators import dedup, index_lifecycle
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -58,22 +58,9 @@ def committed_epochs(accepted_dir: str) -> list[int]:
 
 
 def _batch_fingerprint(batch: DataFrame) -> dict:
-    """Order-insensitive fingerprint of a micro-batch: row count + XOR of the
-    per-row (id, text) hashes — one cheap aggregate. Stored inside the epoch
-    marker so a replayed epoch can prove it carries the SAME input: epoch ids
-    restart at 0 under a fresh checkpoint, so a marker from a previous
-    checkpoint generation may collide with a batch of entirely different
-    content (e.g. ops lost the checkpoint dir but kept the accepted dir) —
-    silently fast-skipping would then DROP the new files, and silently
-    reprocessing would overwrite the old epoch's corpus partition. A
-    fingerprint mismatch turns both into a loud, actionable error."""
-    row = batch.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.expr("bit_xor(hash(doc_id, text))").cast("long"), F.lit(0)
-        ).alias("x"),
-    ).first()
-    return {"n": row["n"], "x": int(row["x"])}
+    """Epoch-collision guard over (doc_id, text) — the shared scheme lives
+    in operators/index_lifecycle.py:batch_fingerprint (rationale there)."""
+    return index_lifecycle.batch_fingerprint(batch, "doc_id", "text")
 
 
 def run_streaming_ingestion_dedup(

@@ -42,8 +42,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup
-from ..operators import multimodal
+from ..operators import dedup, index_lifecycle, multimodal
 from .dedup_stream import _marker_path, committed_epochs  # shared marker scheme
 
 MEDIA_SCHEMA = "media_id long, content binary"
@@ -57,16 +56,9 @@ __all__ = [
 
 
 def _media_fingerprint(batch: DataFrame) -> dict:
-    """Order-insensitive fingerprint of a media micro-batch (row count + XOR
-    of per-row (id, content) hashes) — same epoch-collision guard as the
-    text service's _batch_fingerprint, over binary content."""
-    row = batch.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.expr("bit_xor(hash(media_id, content))").cast("long"), F.lit(0)
-        ).alias("x"),
-    ).first()
-    return {"n": row["n"], "x": int(row["x"])}
+    """Epoch-collision guard over (media_id, content) — the shared scheme
+    lives in operators/index_lifecycle.py:batch_fingerprint."""
+    return index_lifecycle.batch_fingerprint(batch, "media_id", "content")
 
 
 def run_streaming_media_dedup(
