@@ -169,9 +169,17 @@ def fold_epoch_partitions(
                 *cols, F.lit(int(target_epoch)).alias("epoch")
             ).write.insertInto(t, overwrite=True)
         for e in epochs:
-            spark.sql(f"ALTER TABLE {t} DROP IF EXISTS PARTITION (epoch={e})")
+            _drop_partition(spark, t, e)
         spark.catalog.refreshTable(t)
     return moved
+
+
+def _drop_partition(spark, table: str, epoch: int) -> None:
+    """The fold's source-partition drop — a separate seam so the
+    crash-mid-compaction tests can kill the fold BETWEEN the target-partition
+    write and the source drops (the window where folded rows exist in both
+    places and only the key-dedup on re-run makes recovery curative)."""
+    spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (epoch={int(epoch)})")
 
 
 def batch_fingerprint(batch: DataFrame, *cols: str) -> dict:
