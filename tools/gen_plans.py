@@ -34,6 +34,106 @@ HEADER = [
     "whole-surface audit (`test_declared_surface_plan_audit`) pins Python",
     "crossings and nested-loop usage for every declared query.",
     "",
+    "The multi-epoch index/service queries execute a full lifecycle and",
+    "return a parquet re-read, so their load-bearing plans are shown at the",
+    "OPERATOR level below (built against a freshly-appended index, exactly",
+    "the shape each epoch's probe executes inside the service loop).",
+    "",
+]
+
+
+def _span_probe(spark, sf):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators import dedup as D
+
+    table = "t_plans_span_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    D.append_hash_index_epoch(
+        spark, table, D.substring_index_hashes(corpus, "text", "doc_id", k=5), epoch=0
+    )
+    return D.incremental_span_stats_against_index(
+        spark, table, batch, "text", "doc_id", k=5, min_count=2
+    )
+
+
+def _sig_probe(spark, sf):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators import dedup as D
+
+    table = "t_plans_sig_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    corpus = spark.range(1000).select(
+        F.col("id"), F.xxhash64("id").alias("sig")
+    )
+    D.append_sig_index_epoch(spark, table, corpus, epoch=0)
+    batch = spark.range(100).select(
+        (F.col("id") + 10_000).alias("id"), F.xxhash64(F.col("id") + 7).alias("sig")
+    )
+    return D.banded_hamming_pairs_against_index(spark, table, batch, max_hamming=3)
+
+
+def _hotband_keeper(spark, sf):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators import dedup as D
+
+    sigs = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 3 * 1024).cast("long").alias("sig")
+    )
+    return D.banded_hamming_dropped(sigs, max_hamming=3)
+
+
+def _video_posting_probe(spark, sf):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators import dedup as D
+
+    table = "t_plans_vidpost_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_sizes")
+    corpus_posting = spark.range(4000).select(
+        (F.col("id") % 1000).alias("id"), F.xxhash64("id").alias("h")
+    )
+    D.append_dedup_index_epoch(
+        spark, table, None, "", "", epoch=0, posting=corpus_posting
+    )
+    batch_posting = spark.range(400).select(
+        ((F.col("id") % 100) + 10_000).alias("id"),
+        F.xxhash64(F.col("id") + 3).alias("h"),
+    )
+    return D.incremental_jaccard_against_index(
+        spark, table, None, "", "", threshold=0.5, posting=batch_posting
+    )
+
+
+# Operator-level picks: (name, note, builder). Builders may create their own
+# t_plans_* tables (dropped on rerun) — the explain below never executes them.
+OPERATOR_PICKS = [
+    (
+        "incremental_span_stats_against_index (round 7 probe)",
+        "Substring-index probe — the per-epoch service shape: every Exchange is BATCH-side — node 26 is the probe side of the anti join, partitioned on the 16-byte shingle_hash into exactly the index's 8 buckets; nodes 15/35 are batch-internal aggregations (within-batch dup counts, per-doc stats). The INDEX side (nodes 28-31) reaches the sort-merge join straight from the bucketed scan with NO Exchange (tests/test_hash_index.py pins Bucketed:true + the one-h-Exchange contract on the chunk sibling); the local Sort above the scan exists because Spark honors bucket sortedness only at one file per bucket and an epoch append leaves several — compaction's write_tasks=1 layout restores the one-file-per-bucket, sort-free scan. Corpus text is never re-read: the index stores only distinct 16-byte hashes.",
+        _span_probe,
+    ),
+    (
+        "banded_hamming_pairs_against_index (round 7 probe)",
+        "Signature-index probe — the media service's cross-set stage: the batch explodes to 4 labelled 16-bit bands and exchanges once on the band key (node 6, the plan's only join-input Exchange); the index side (nodes 8-11) feeds the sort-merge join straight from the bucketed scan with NO Exchange (same local-Sort caveat as the span probe: multi-file buckets until compaction). Downstream only (batch_id, corpus_id, 8-byte sigs) rows exist; the hamming filter is JVM bit_count on the XOR.",
+        _sig_probe,
+    ),
+    (
+        "banded_hamming_dropped (round 8 hot-band guard)",
+        "The guarded keeper decision: a sig-keyed HashAggregate (partial+final — map-side combine absorbs identical-signature floods) collapses the corpus to distinct signatures BEFORE the band explode, so the band self-join's input is bounded by distinct sigs regardless of hot-band population; non-representative members rejoin by sig equality (hash join), never through the band join. Result-identical to the unguarded rule (tests/test_hotband.py).",
+        _hotband_keeper,
+    ),
+    (
+        "incremental_jaccard_against_index, posting mode (round 8 video service)",
+        "The streaming VIDEO service's cross-set stage: per-frame-hash posting rows (id, 8-byte h) play the shingle role; the batch posting exchanges once on h, the corpus posting + sizes tables scan bucket-aligned and sort-merge in place, and the pair counts aggregate two-phase. Video bytes never appear — the corpus was decoded once at its ingest epoch.",
+        _video_posting_probe,
+    ),
 ]
 
 
@@ -50,9 +150,22 @@ def main():
         )
         tree = plan.split("\n\n")[0]
         out += [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+    out += ["# Operator-level plans (index probes and guards)", ""]
+    for name, note, builder in OPERATOR_PICKS:
+        df = builder(spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        out += [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+    for t in ("t_plans_span_idx", "t_plans_sig_idx", "t_plans_vidpost_idx",
+              "t_plans_vidpost_idx_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     with open("PLANS.md", "w") as fh:
         fh.write("\n".join(out))
-    print(f"PLANS.md regenerated ({len(PICKS)} queries)")
+    print(
+        f"PLANS.md regenerated ({len(PICKS)} queries + {len(OPERATOR_PICKS)} operators)"
+    )
 
 
 if __name__ == "__main__":

@@ -86,7 +86,14 @@ def measure(spark, sf_dir: str, family: str, fixed_batch: bool = False) -> dict:
         )
 
     probe_cold, probe_warm = _timed(probe)
-    rescan_cold, rescan_warm = _timed(rescan)
+    if os.environ.get("HASH_SCALE_RESCAN_COLD_ONLY"):
+        # 1000x tier: the re-scan takes minutes per lap and only serves as
+        # the pre-round-7 contrast — one cold lap is the honest (and
+        # conservative: cold > warm) comparison point
+        rescan_cold = _lap(rescan())
+        rescan_warm = rescan_cold
+    else:
+        rescan_cold, rescan_warm = _timed(rescan)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     return {
         "family": family,
