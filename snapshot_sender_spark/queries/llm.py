@@ -3913,3 +3913,92 @@ def stream_video_dedup_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "accepted", "data")).select(
         "media_id", "n_frames", F.col("epoch").cast("int").alias("epoch")
     )
+
+
+@query(
+    "dedup_sig_band_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    ),
+    sig AS (
+      SELECT doc_id, SUM(bit * (1::HUGEINT << (63 - i))) AS s FROM bits GROUP BY doc_id
+    ),
+    bandv AS (
+      -- ahash64 packs block i MSB-first: sig bit position = 63 - i
+      SELECT doc_id, (63 - i) // 16 AS bi,
+             SUM(bit * (1::BIGINT << ((63 - i) % 16))) AS v
+      FROM bits GROUP BY doc_id, (63 - i) // 16
+    ),
+    bands AS (
+      SELECT b.doc_id, CAST(b.bi AS VARCHAR) || ':' || upper(to_hex(b.v)) AS band,
+             sig.s AS s
+      FROM bandv b JOIN sig USING (doc_id)
+    ),
+    stats AS (
+      SELECT band, COUNT(*) AS band_df, COUNT(DISTINCT s) AS n_distinct_sigs
+      FROM bands GROUP BY band
+    )
+    SELECT band, band_df, n_distinct_sigs
+    FROM stats ORDER BY band_df DESC, band LIMIT 20
+    """,
+    category="llm-dedup",
+)
+def dedup_sig_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-band TELEMETRY oracle-checked (round 8): the 100 block-patterned
+    PNGs' aHashes build a persisted per-band signature index; the
+    ``sig_index_band_stats`` report (the tool an operator reads BEFORE
+    setting the ``max_band_df`` cut on a hand-built index) returns the 20
+    hottest bands with their populations and distinct-signature counts —
+    real decode on the Spark side, every band value recomputed bit-by-bit
+    from the block formulas on the DuckDB side (Spark ``conv(...,10,16)``
+    and DuckDB ``upper(to_hex(...))`` agree: uppercase, no zero padding).
+    The total order (band_df DESC, band ASC; band values are unique after
+    the group-by) makes the LIMIT subset deterministic."""
+    from ..operators import dedup as dedup_ops
+
+    table = "t_q_sig_band_stats_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    media = d.select("doc_id").mapInPandas(synth, "media_id long, content binary")
+    sigs = multimodal.image_ahash(media).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    dedup_ops.append_sig_index_epoch(spark, table, sigs, epoch=0)
+    return dedup_ops.sig_index_band_stats(spark, table, top=20)
