@@ -592,19 +592,18 @@ def append_dedup_index_epoch(
     posting list (exploded ``hashed_shingle_sets``); when given,
     ``df``/``text_col``/``id_col`` are ignored and text is not re-shingled."""
     if posting is not None:
-        posting = posting.select("id", "h", F.lit(int(epoch)).alias("epoch"))
+        posting = posting.select("id", "h")
     else:
         posting = (
             df.select(
                 F.col(id_col).alias("id"),
                 F.explode(F.array_distinct(word_bigrams(F.col(text_col)))).alias("s"),
             )
-            .select("id", F.xxhash64("s").alias("h"), F.lit(int(epoch)).alias("epoch"))
+            .select("id", F.xxhash64("s").alias("h"))
         )
-    sizes = posting.select("id").groupBy("id").agg(F.count("*").alias("set_size"))
+    sizes = posting.groupBy("id").agg(F.count("*").alias("set_size"))
     index_lifecycle.append_epoch_partition(
-        spark, table, posting.select("id", "h"), epoch,
-        bucket_cols=["h"], n_buckets=n_buckets,
+        spark, table, posting, epoch, bucket_cols=["h"], n_buckets=n_buckets
     )
     index_lifecycle.append_epoch_partition(spark, table + "_sizes", sizes, epoch)
 
@@ -1211,7 +1210,10 @@ def banded_hamming_dropped(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         < r witnesses the same signature pair, so checking REP pairs only
         (distinct sigs) reaches the identical drop set — hamming depends
         only on the signature values, never on which member carries them;
-      * r is never dropped by its own group (r is the group minimum).
+      * r is never dropped by its own group (r is the group minimum);
+      * NULL signatures survive in both forms — null keys match nothing in
+        the equi-joins here exactly as null bands match nothing in the
+        unguarded band join (pinned by test).
     Pinned by tests/test_hotband.py's brute-force equivalence test."""
     reps = collapse_identical_sigs(sigs)
     non_reps = (

@@ -184,3 +184,27 @@ def test_max_band_df_cut_documented_approximation(spark):
     ).collect()
     assert all(not (r["corpus_id"] == 1001) for r in cut)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_null_sigs_survive_in_both_forms(spark):
+    """NULL signatures (e.g. simhash of a null text) must pass through the
+    keeper decision untouched in BOTH forms: the unguarded band join never
+    matches a null band, and the guard's equi-joins never match a null sig
+    key — so neither form drops them, and the equivalence holds."""
+    rows = [(0, 7), (1, 7), (2, None), (3, None), (4, 1024)]
+    sigs = spark.createDataFrame(rows, "id long, sig long")
+    unguarded = {
+        r["id"]
+        for r in dedup.banded_hamming_pairs(sigs, max_hamming=3)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .collect()
+    }
+    guarded = {r["id"] for r in dedup.banded_hamming_dropped(sigs, max_hamming=3).collect()}
+    # sig 7 duplicates drop id 1; sig 1024 is hamming 4 from 7 (> budget) so
+    # id 4 survives; the two null-sig ids survive everywhere
+    assert guarded == unguarded == {1}
+    survivors = {
+        r["id"] for r in dedup.banded_hamming_survivors(sigs, max_hamming=3).collect()
+    }
+    assert survivors == {0, 2, 3, 4}
