@@ -1153,16 +1153,36 @@ def _sig_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def banded_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+def banded_hamming_pairs(
+    sig: DataFrame, max_hamming: int = 3, max_band_df: int | None = None
+) -> DataFrame:
     """Near-dup pairs by hamming distance ≤ max_hamming over 64-bit
     signatures — any signature family (SimHash text, aHash images, …).
     Input: (id, sig) with sig a signed 64-bit long. Blocked on 16-bit
     bands (a pair within hamming 3 of 64 bits must agree on ≥1 of 4 bands —
     pigeonhole, so the blocking is EXACT for max_hamming ≤ 3); the join is
-    band-equality, never an all-pairs product."""
+    band-equality, never an all-pairs product.
+
+    ``max_band_df`` (default None = exact): DOCUMENTED APPROXIMATION for
+    adversarial corpora of DISTINCT signatures crowding one 16-bit band
+    while sitting pairwise beyond the budget — the residual the hot-band
+    guard's identical-sig collapse cannot touch. Bands whose population
+    exceeds the threshold are dropped from blocking, bounding candidate
+    mass at df² per surviving band; a pair agreeing ONLY on a cut band is
+    missed (results are a subset of the exact answer). The same knob and
+    semantics as the index probe's cut and the text family's
+    ``max_shingle_df``."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     bands = _sig_bands(sig)
+    if max_band_df is not None:
+        hot = (
+            bands.groupBy("band")
+            .agg(F.count("*").alias("band_df"))
+            .filter(F.col("band_df") > max_band_df)
+            .select("band")
+        )
+        bands = bands.join(F.broadcast(hot), "band", "left_anti")
     a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band")
     b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band")
     pairs = (
@@ -1192,7 +1212,9 @@ def collapse_identical_sigs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def banded_hamming_dropped(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def banded_hamming_dropped(
+    sigs: DataFrame, max_hamming: int = 3, max_band_df: int | None = None
+) -> DataFrame:
     """Ids DROPPED under the keeper rule "drop the higher id of every pair
     within ``max_hamming``" — the decision every dedup service actually
     needs — computed with the HOT-BAND GUARD: identical signatures collapse
@@ -1221,20 +1243,27 @@ def banded_hamming_dropped(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("id") != F.col("rep_id"))
         .select("id")
     )
+    # max_band_df applies at the REP level: identical-sig floods are
+    # already collapsed, so the cut only fires on DISTINCT signatures
+    # crowding a band (documented approximation; None = exact)
     dropped_reps = banded_hamming_pairs(
-        reps.select("id", "sig"), max_hamming=max_hamming
+        reps.select("id", "sig"), max_hamming=max_hamming, max_band_df=max_band_df
     ).select(F.col("id_b").alias("id"))
     return non_reps.unionByName(dropped_reps).distinct()
 
 
-def banded_hamming_survivors(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def banded_hamming_survivors(
+    sigs: DataFrame, max_hamming: int = 3, max_band_df: int | None = None
+) -> DataFrame:
     """Keeper rows of ``sigs`` under the drop-higher-id rule, via the
     hot-band-guarded ``banded_hamming_dropped``. Survivors carry DISTINCT
     signatures by construction (every duplicate signature's non-min members
     are dropped at hamming 0), so downstream index probes are already
     collapsed on the batch side."""
     return sigs.join(
-        banded_hamming_dropped(sigs, max_hamming=max_hamming), "id", "left_anti"
+        banded_hamming_dropped(sigs, max_hamming=max_hamming, max_band_df=max_band_df),
+        "id",
+        "left_anti",
     )
 
 

@@ -208,3 +208,51 @@ def test_null_sigs_survive_in_both_forms(spark):
         r["id"] for r in dedup.banded_hamming_survivors(sigs, max_hamming=3).collect()
     }
     assert survivors == {0, 2, 3, 4}
+
+
+def test_max_band_df_on_self_join_family(spark):
+    """The DISTINCT-signature band flood (the residual the identical-sig
+    collapse cannot touch): 60 pairwise-distant sigs sharing band 0 while
+    their bands 1-3 stay unique. With the cut, band 0 leaves blocking —
+    pairs agreeing ONLY there are missed (documented subset), a pair
+    agreeing on cold bands survives, and the keeper decision threads the
+    knob through the rep level."""
+    # sig_j: band 0 = 0xBEEF for all (hot, df 60+), bands 1-3 = j (unique)
+    rows = [
+        (j, 0xBEEF | (j << 20) | (j << 36) | (j << 52)) for j in range(60)
+    ]
+    # engineered only-hot-band pair: flip one bit in each of bands 1-3 of
+    # sig_0 -> hamming 3 vs id 0, agreement only on the hot band 0
+    rows.append((100, rows[0][1] ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)))
+    # cold-band pair: hamming 1, agrees on bands 1-3 (each df 2 <= cut)
+    X = 0x1111222233334444
+    rows += [(200, X), (201, X ^ 1)]
+    sigs = _sigs_df(spark, rows)
+    exact = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.banded_hamming_pairs(sigs, max_hamming=3).collect()
+    }
+    # hamming(sig_j, sig_k) = 3*popcount(j^k): one-bit-apart j,k pairs are
+    # in budget and agree ONLY on the hot band
+    assert {(0, 100, 3), (200, 201, 1), (0, 1, 3)} <= exact
+    cut = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.banded_hamming_pairs(
+            sigs, max_hamming=3, max_band_df=10
+        ).collect()
+    }
+    assert cut == {(200, 201, 1)}  # everything hot-band-only is missed
+    # keeper decision threads the knob: under the cut only 201 is dropped
+    surv_cut = {
+        r["id"]
+        for r in dedup.banded_hamming_survivors(
+            sigs, max_hamming=3, max_band_df=10
+        ).collect()
+    }
+    surv_exact = {
+        r["id"]
+        for r in dedup.banded_hamming_survivors(sigs, max_hamming=3).collect()
+    }
+    assert surv_cut == set(dict(rows)) - {201}
+    assert surv_exact <= surv_cut  # the cut only ADDS survivors
+    assert 100 in surv_cut and 100 not in surv_exact
