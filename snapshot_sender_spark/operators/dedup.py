@@ -1896,3 +1896,28 @@ def banded_hamming_pairs_against_index(
     return pairs.select("batch_id", "corpus_id", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def takedown_dedup_index(spark, table: str, ids: DataFrame) -> int:
+    """TAKEDOWN for the jaccard posting index family (GDPR / data-removal):
+    delete every posting and size row of the given ids — both the ``table``
+    postings and the ``table_sizes`` side table — rewriting only the
+    affected epoch partitions (``index_lifecycle.remove_ids_from_epoch_table``;
+    convergent on crash re-run). After a takedown, re-submitting the SAME
+    content under a NEW id is ACCEPTED by the services — the removed
+    member's fingerprints are gone, which is exactly the demanded
+    semantics. Returns posting rows removed. The caller owns removing the
+    id from its accepted-corpus store (the services' epoch-partitioned
+    parquet dirs rewrite the same way)."""
+    removed = index_lifecycle.remove_ids_from_epoch_table(spark, table, ids)
+    index_lifecycle.remove_ids_from_epoch_table(spark, table + "_sizes", ids)
+    return removed
+
+
+def takedown_sig_index(spark, table: str, ids: DataFrame) -> int:
+    """TAKEDOWN for the per-band signature index: delete the 4 band rows of
+    every given id, rewriting only affected epoch partitions. Same contract
+    and re-submission semantics as ``takedown_dedup_index``. Returns band
+    rows removed. (The substring/chunk DISTINCT-HASH index deliberately has
+    no takedown — it stores no ids; see remove_ids_from_epoch_table.)"""
+    return index_lifecycle.remove_ids_from_epoch_table(spark, table, ids)

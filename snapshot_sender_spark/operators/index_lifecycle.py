@@ -42,6 +42,7 @@ __all__ = [
     "append_epoch_partition",
     "fold_epoch_partitions",
     "batch_fingerprint",
+    "remove_ids_from_epoch_table",
 ]
 
 
@@ -200,3 +201,59 @@ def batch_fingerprint(batch: DataFrame, *cols: str) -> dict:
         ).alias("x"),
     ).first()
     return {"n": row["n"], "x": int(row["x"])}
+
+
+def remove_ids_from_epoch_table(spark, table: str, ids: DataFrame) -> int:
+    """TAKEDOWN (GDPR / data-removal requests): delete every row carrying
+    one of the given ids from an id-carrying epoch-partitioned index table,
+    rewriting ONLY the partitions that contain them. ``ids``: a one-column
+    (id) DataFrame. Returns rows removed.
+
+    Mechanics: a semi join finds the affected epochs; those partitions are
+    rewritten without the ids via dynamic partition overwrite; a partition
+    left EMPTY by the takedown is dropped explicitly (dynamic overwrite
+    only replaces partitions present in the write, so an empty rewrite
+    would otherwise silently retain the old files). CONVERGENT on re-run
+    after a crash: every step is delete-only and idempotent — a partition
+    already rewritten simply has nothing left to remove.
+
+    Scope: id-CARRYING indexes only (jaccard postings/sizes, signature
+    bands, IVF vectors). The substring/chunk DISTINCT-HASH index stores no
+    ids by design — a shingle hash may be shared by many documents, so
+    removing one document's hashes would corrupt membership for the others;
+    takedown there requires a rebuild from the retained corpus (or a
+    refcounted index, deliberately not built: the 16-byte set is the
+    smallest sufficient statistic and rebuilds are cheap at epoch
+    granularity)."""
+    idx = spark.table(table)
+    if "id" not in idx.columns:
+        raise ValueError(
+            f"takedown needs an id-carrying index; table {table!r} has no id "
+            "column (the distinct-hash indexes store no ids by design — "
+            "rebuild from the retained corpus instead)"
+        )
+    ids = ids.select("id").distinct().localCheckpoint()
+    affected = {
+        int(r["epoch"])
+        for r in idx.join(ids, "id", "semi").select("epoch").distinct().collect()
+    }
+    if not affected:
+        return 0
+    victim_rows = idx.filter(F.col("epoch").isin(sorted(affected))).join(
+        ids, "id", "semi"
+    )
+    removed = victim_rows.count()
+    cleaned = (
+        idx.filter(F.col("epoch").isin(sorted(affected)))
+        .join(ids, "id", "left_anti")
+        .localCheckpoint()  # materialize BEFORE replacing the files it reads
+    )
+    survivors = {
+        int(r["epoch"]) for r in cleaned.select("epoch").distinct().collect()
+    }
+    with dynamic_partition_overwrite(spark):
+        cleaned.write.insertInto(table, overwrite=True)
+    for e in sorted(affected - survivors):
+        _drop_partition(spark, table, e)
+    spark.catalog.refreshTable(table)
+    return removed

@@ -815,3 +815,57 @@ def semantic_dedup(
             "id", F.coalesce(F.col("component"), F.col("id")).alias("keeper_id")
         )
     )
+
+
+def takedown_ivf_index(spark, index_dir: str, ids: DataFrame) -> int:
+    """TAKEDOWN for the persisted IVF index (GDPR / data-removal): delete
+    the given ids' vector rows, rewriting ONLY the (bucket[, epoch])
+    partitions that contain them via dynamic partition overwrite — the
+    path-based mirror of ``index_lifecycle.remove_ids_from_epoch_table``.
+    Partitions left empty are removed on the filesystem (dynamic overwrite
+    only replaces partitions present in the write). Convergent on crash
+    re-run: every step is delete-only. Centroids are untouched — the
+    coarse quantizer is frozen by contract, and a thinner partition only
+    speeds probes. Returns vector rows removed."""
+    from . import index_lifecycle
+
+    vec_path = f"{index_dir}/vectors"
+    vectors = spark.read.parquet(vec_path)
+    pcols = [c for c in ("bucket", "epoch") if c in vectors.columns]
+    ids = ids.select("id").distinct().localCheckpoint()
+    affected = {
+        tuple(int(r[c]) for c in pcols)
+        for r in vectors.join(ids, "id", "semi").select(*pcols).distinct().collect()
+    }
+    if not affected:
+        return 0
+
+    def _in_affected(df):
+        cond = None
+        for part in affected:
+            c = None
+            for col, val in zip(pcols, part):
+                e = F.col(col) == F.lit(val)
+                c = e if c is None else (c & e)
+            cond = c if cond is None else (cond | c)
+        return df.filter(cond)
+
+    removed = _in_affected(vectors).join(ids, "id", "semi").count()
+    cleaned = _in_affected(vectors).join(ids, "id", "left_anti").localCheckpoint()
+    survivors = {
+        tuple(int(r[c]) for c in pcols)
+        for r in cleaned.select(*pcols).distinct().collect()
+    }
+    with index_lifecycle.dynamic_partition_overwrite(spark):
+        cleaned.write.mode("overwrite").partitionBy(*pcols).parquet(vec_path)
+    emptied = affected - survivors
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for part in emptied:
+            rel = "/".join(f"{c}={v}" for c, v in zip(pcols, part))
+            p = jvm.org.apache.hadoop.fs.Path(f"{vec_path}/{rel}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+    return removed

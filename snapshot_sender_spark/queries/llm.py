@@ -4002,3 +4002,112 @@ def dedup_sig_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup_ops.append_sig_index_epoch(spark, table, sigs, epoch=0)
     return dedup_ops.sig_index_band_stats(spark, table, top=20)
+
+
+@query(
+    "dedup_sig_takedown",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id FROM documents WHERE doc_id < 50
+    ),
+    cb AS (  -- corpus bits: base pattern, b = doc_id
+      SELECT doc_id, t.i AS i,
+             CASE WHEN ((doc_id * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    ct AS (SELECT doc_id, SUM(bs) AS ts FROM cb GROUP BY doc_id),
+    cbits AS (
+      SELECT doc_id, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM cb JOIN ct USING (doc_id)
+    ),
+    bb AS (  -- batch bits: the 2-block retouch of every base, id + 1000
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((doc_id * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (t.i = doc_id % 64 OR t.i = (doc_id + 17) % 64)
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    bt AS (SELECT doc_id, SUM(bs) AS ts FROM bb GROUP BY doc_id),
+    bbits AS (
+      SELECT doc_id, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM bb JOIN bt USING (doc_id)
+    )
+    SELECT b.doc_id + 1000 AS batch_id, c.doc_id AS corpus_id,
+           CAST(SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END) AS INT)
+             AS hamming
+    FROM bbits b JOIN cbits c ON b.i = c.i
+    WHERE c.doc_id % 5 <> 2  -- the taken-down ids are GONE from the index
+    GROUP BY b.doc_id, c.doc_id
+    HAVING SUM(CASE WHEN b.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    category="llm-dedup",
+)
+def dedup_sig_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN end-to-end, oracle-checked (round 8): 50 base images build
+    the persisted per-band signature index as two epochs (doc_id % 2);
+    a GDPR-style removal then deletes every id with doc_id % 5 == 2
+    (``takedown_sig_index`` — only affected epoch partitions rewritten);
+    finally a probe batch of 2-block retouches (ids + 1000, hamming 2 from
+    their bases) mines pairs against the post-takedown index. The DuckDB
+    oracle brute-forces every batch×corpus pair from the block formulas
+    with the taken-down corpus ids EXCLUDED — so any row Spark emits for a
+    removed id, or fails to emit for a retained one, breaks the match."""
+    from ..operators import dedup as dedup_ops
+
+    table = "t_q_sig_takedown_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def synth(retouch):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd_
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    i = np.arange(64)
+                    high = ((did * 37 + i * i * 13 + i * 7) % 64) < 32
+                    if retouch:
+                        for flip in (did % 64, (did + 17) % 64):
+                            high[flip] = ~high[flip]
+                    vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                    gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                    px = np.stack([gray, gray, gray], axis=2)
+                    rows.append(
+                        {
+                            "media_id": did + (1000 if retouch else 0),
+                            "content": multimodal.encode_png_rgb8(px),
+                        }
+                    )
+                yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+        return gen
+
+    for k in range(2):
+        corpus = (
+            d.filter((F.col("doc_id") % 2) == k)
+            .select("doc_id")
+            .mapInPandas(synth(False), "media_id long, content binary")
+        )
+        sigs = multimodal.image_ahash(corpus).select(
+            F.col("media_id").alias("id"), "sig"
+        )
+        dedup_ops.append_sig_index_epoch(spark, table, sigs, epoch=k)
+    victims = d.filter((F.col("doc_id") % 5) == 2).select(
+        F.col("doc_id").alias("id")
+    )
+    dedup_ops.takedown_sig_index(spark, table, victims)
+    batch = d.select("doc_id").mapInPandas(
+        synth(True), "media_id long, content binary"
+    )
+    probe = multimodal.image_ahash(batch).select(
+        F.col("media_id").alias("id"), "sig"
+    )
+    return dedup_ops.banded_hamming_pairs_against_index(
+        spark, table, probe, max_hamming=3
+    ).select(
+        "batch_id", "corpus_id", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -1,0 +1,163 @@
+"""TAKEDOWN (GDPR / data-removal requests, round 8): delete ids from the
+persisted id-carrying indexes — jaccard postings+sizes, signature bands,
+IVF vectors — rewriting only affected epoch partitions, convergent on
+re-run; after a takedown, re-submitting the same content (even under a new
+id) is ACCEPTED by the services because the removed fingerprints are gone.
+The distinct-hash indexes refuse takedown by design (no ids stored)."""
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators import dedup, index_lifecycle, similarity
+
+POST = "t_takedown_posting_idx"
+SIG = "t_takedown_sig_idx"
+HASH = "t_takedown_hash_idx"
+
+
+@pytest.fixture(autouse=True)
+def clean_tables(spark):
+    for t in (POST, POST + "_sizes", SIG, HASH):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    yield
+    for t in (POST, POST + "_sizes", SIG, HASH):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "id long")
+
+
+def test_posting_index_takedown(spark):
+    # epoch 0: docs 1, 2; epoch 1: doc 3 alone (emptied by the takedown)
+    p0 = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 21), (2, 22), (2, 23)], "id long, h long"
+    )
+    p1 = spark.createDataFrame([(3, 31), (3, 32)], "id long, h long")
+    dedup.append_dedup_index_epoch(spark, POST, None, "", "", epoch=0, posting=p0)
+    dedup.append_dedup_index_epoch(spark, POST, None, "", "", epoch=1, posting=p1)
+    assert spark.table(POST).count() == 7
+
+    removed = dedup.takedown_dedup_index(spark, POST, _ids(spark, [1, 3, 99]))
+    assert removed == 4  # 2 postings of id 1 + 2 of id 3; 99 unknown
+    assert {r["id"] for r in spark.table(POST).collect()} == {2}
+    assert {r["id"] for r in spark.table(POST + "_sizes").collect()} == {2}
+    # epoch 1 was emptied -> its partition is gone, not silently retained
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {POST}").collect()}
+    assert parts == {"epoch=0"}
+    # convergent re-run: nothing left to remove
+    assert dedup.takedown_dedup_index(spark, POST, _ids(spark, [1, 3])) == 0
+    # probes no longer see the removed ids
+    probe = spark.createDataFrame([(50, 11), (50, 12), (50, 21)], "id long, h long")
+    got = dedup.incremental_jaccard_against_index(
+        spark, POST, None, "", "", threshold=0.1, posting=probe
+    ).collect()
+    assert {r["id_existing"] for r in got} == {2}
+
+
+def test_sig_index_takedown_bands(spark):
+    sigs = spark.createDataFrame(
+        [(10, 7), (11, 1 << 40), (12, -5)], "id long, sig long"
+    )
+    dedup.append_sig_index_epoch(spark, SIG, sigs, epoch=0)
+    assert spark.table(SIG).count() == 12
+    assert dedup.takedown_sig_index(spark, SIG, _ids(spark, [11])) == 4
+    assert {r["id"] for r in spark.table(SIG).collect()} == {10, 12}
+    # a probe at the removed signature finds nothing; others still match
+    batch = spark.createDataFrame([(100, 1 << 40), (101, 7)], "id long, sig long")
+    got = dedup.banded_hamming_pairs_against_index(spark, SIG, batch, max_hamming=0)
+    assert {(r["batch_id"], r["corpus_id"]) for r in got.collect()} == {(101, 10)}
+
+
+def test_hash_index_refuses_takedown(spark):
+    h = spark.createDataFrame([("ab",)], "s string").select(
+        F.unhex(F.md5("s")).alias("h")
+    )
+    dedup.append_hash_index_epoch(spark, HASH, h, epoch=0)
+    with pytest.raises(ValueError, match="no id column"):
+        index_lifecycle.remove_ids_from_epoch_table(spark, HASH, _ids(spark, [1]))
+
+
+def test_ivf_takedown(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    similarity.build_ivf_index(vecs, "vec", "id", idx, n_centroids=4, epoch=0)
+    similarity.append_ivf_index_epoch(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(100 + i, [float(i % 4), 0.5, 1.0]) for i in range(8)],
+            "id long, vec array<double>",
+        ),
+        "vec",
+        "id",
+        epoch=1,
+    )
+    before = spark.read.parquet(f"{idx}/vectors").count()
+    removed = similarity.takedown_ivf_index(
+        spark, idx, _ids(spark, [0, 1, 100, 999])
+    )
+    assert removed == 3
+    after = spark.read.parquet(f"{idx}/vectors")
+    assert after.count() == before - 3
+    assert not {0, 1, 100} & {r["id"] for r in after.select("id").collect()}
+    # convergent re-run
+    assert similarity.takedown_ivf_index(spark, idx, _ids(spark, [0, 1, 100])) == 0
+    # searches never return removed ids (full probe = exact over the rest)
+    got = similarity.ivf_search_index(spark, idx, [0.0, 0.0, 1.0], k=50, n_probe=4)
+    assert not {0, 1, 100} & {r["id"] for r in got.collect()}
+
+
+def test_service_resubmission_after_takedown(spark, tmp_path):
+    """The demanded end-to-end semantics: content whose id was taken down is
+    ACCEPTED when re-submitted (same bytes, new id) in a later epoch —
+    while untouched corpus content keeps deduplicating."""
+    from snapshot_sender_spark.streaming.media_dedup_stream import (
+        run_streaming_media_dedup,
+    )
+
+    table = "t_takedown_media_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    now = time.time()
+
+    def land(k, rows):
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        tmp = str(tmp_path / f"stage{k}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"e{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 60 * k,) * 2)
+
+    def sig_fn(df):  # deterministic stand-in: sig = hash of the content
+        return df.select("media_id", F.xxhash64("content").alias("sig"))
+
+    land(0, [(1, b"alpha"), (2, b"bravo")])
+    run_streaming_media_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ckpt"),
+        signature=sig_fn,
+    )
+    assert dedup.takedown_sig_index(spark, table, _ids(spark, [1])) == 4
+    # epoch 1: re-submission of the taken-down content under a new id is
+    # accepted; a duplicate of the retained content is still dropped
+    land(1, [(10, b"alpha"), (11, b"bravo")])
+    run_streaming_media_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ckpt"),
+        signature=sig_fn,
+    )
+    acc = {
+        (r["media_id"], int(r["epoch"]))
+        for r in spark.read.parquet(str(tmp_path / "acc" / "data")).collect()
+    }
+    assert (10, 1) in acc and not any(m == 11 for m, _ in acc)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
