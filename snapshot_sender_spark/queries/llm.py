@@ -4111,3 +4111,140 @@ def dedup_sig_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "batch_id", "corpus_id", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+def _video_takedown_sets(tag: str, flip: bool) -> str:
+    """Frame-fingerprint-set CTE chain for the takedown oracle: distinct
+    per-frame hash strings for the 30 base videos (``flip=False``) or their
+    frame-3 re-edits (``flip=True``), bit-exact to video_frame_ahash."""
+    flip_expr = "<> (t.f = 3)" if flip else "<> FALSE"
+    return f"""b_{tag} AS (
+      SELECT doc_id, t.f AS f, u.i AS i,
+             CASE WHEN (((doc_id * 37 + t.f * 53 + u.i * u.i * 13 + u.i * 7)
+                         % 64) < 32) {flip_expr}
+                  THEN 4 * 40 ELSE 4 * 20 END AS bs
+      FROM p, UNNEST(range(0, 4)) AS t(f), UNNEST(range(0, 64)) AS u(i)
+    ),
+    t_{tag} AS (SELECT doc_id, f, SUM(bs) AS ts FROM b_{tag} GROUP BY doc_id, f),
+    bit_{tag} AS (
+      SELECT doc_id, f, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM b_{tag} JOIN t_{tag} USING (doc_id, f)
+    ),
+    by_{tag} AS (
+      SELECT doc_id, f, i // 8 AS byte_no,
+             SUM(bit * CASE i % 8 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+                       WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2
+                       ELSE 1 END) AS bv
+      FROM bit_{tag} GROUP BY doc_id, f, i // 8
+    ),
+    hx_{tag} AS (
+      SELECT doc_id, f,
+             STRING_AGG(lower(lpad(to_hex(CAST(bv AS INT)), 2, '0')), ''
+                        ORDER BY byte_no) AS h
+      FROM by_{tag} GROUP BY doc_id, f
+    ),
+    vh_{tag} AS (SELECT DISTINCT doc_id, h FROM hx_{tag}),
+    sz_{tag} AS (SELECT doc_id, COUNT(*) AS s FROM vh_{tag} GROUP BY doc_id)"""
+
+
+@query(
+    "dedup_video_takedown",
+    oracle="""
+    WITH p AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+    """
+    + _video_takedown_sets("c", False)
+    + ",\n    "
+    + _video_takedown_sets("q", True)
+    + """
+    SELECT t.id_q + 1000 AS batch_id, t.id_c AS corpus_id,
+           t.n / (s1.s + s2.s - t.n) AS jaccard
+    FROM (
+      SELECT q.doc_id AS id_q, c.doc_id AS id_c, COUNT(*) AS n
+      FROM vh_q q JOIN vh_c c ON q.h = c.h
+      WHERE c.doc_id % 5 <> 1  -- taken-down corpus ids are GONE
+      GROUP BY q.doc_id, c.doc_id
+    ) t
+    JOIN sz_q s1 ON s1.doc_id = t.id_q
+    JOIN sz_c s2 ON s2.doc_id = t.id_c
+    WHERE t.n / (s1.s + s2.s - t.n) >= 0.5
+    """,
+    category="llm-dedup",
+)
+def dedup_video_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN for the POSTING family, oracle-checked (round 8): 30 base
+    videos build the persisted jaccard posting index (frame hashes as
+    shingles) as two epochs (doc_id % 2); ``takedown_dedup_index`` then
+    removes every id with doc_id % 5 == 1 from postings AND sizes; a probe
+    batch of frame-3 re-edits (ids + 1000, Jaccard 0.6 vs their bases)
+    mines pairs against the post-takedown index. The DuckDB oracle
+    recomputes every frame hash from the block formulas and brute-forces
+    the set-Jaccard with the removed corpus ids excluded."""
+    from ..operators import dedup as dedup_ops
+
+    table = "t_q_video_takedown_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_sizes")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+
+    def synth(flip, offset):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd_
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    i = np.arange(64)
+                    frames = []
+                    cb = np.full((8, 8), 128, np.uint8)
+                    for f in range(4):
+                        high = ((did * 37 + f * 53 + i * i * 13 + i * 7) % 64) < 32
+                        if flip and f == 3:
+                            high = ~high
+                        vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                        luma = np.kron(vals, np.ones((2, 2), np.uint8))
+                        frames.append((luma, cb, cb))
+                    rows.append(
+                        {
+                            "media_id": did + offset,
+                            "content": multimodal.encode_h264_ipcm_video(
+                                16, 16, frames
+                            ),
+                        }
+                    )
+                yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+        return gen
+
+    def frame_posting(media):
+        return (
+            multimodal.video_frame_ahash(media)
+            .select("media_id", "ahash")
+            .distinct()
+            .select(F.col("media_id").alias("id"), F.xxhash64("ahash").alias("h"))
+        )
+
+    for k in range(2):
+        corpus = (
+            d.filter((F.col("doc_id") % 2) == k)
+            .select("doc_id")
+            .mapInPandas(synth(False, 0), "media_id long, content binary")
+        )
+        dedup_ops.append_dedup_index_epoch(
+            spark, table, None, "", "", epoch=k, posting=frame_posting(corpus)
+        )
+    victims = d.filter((F.col("doc_id") % 5) == 1).select(
+        F.col("doc_id").alias("id")
+    )
+    dedup_ops.takedown_dedup_index(spark, table, victims)
+    batch = d.select("doc_id").mapInPandas(
+        synth(True, 1000), "media_id long, content binary"
+    )
+    return dedup_ops.incremental_jaccard_against_index(
+        spark, table, None, "", "", threshold=0.5, posting=frame_posting(batch)
+    ).select(
+        F.col("id_new").alias("batch_id"),
+        F.col("id_existing").alias("corpus_id"),
+        "jaccard",
+    )

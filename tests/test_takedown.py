@@ -161,3 +161,22 @@ def test_service_resubmission_after_takedown(spark, tmp_path):
     }
     assert (10, 1) in acc and not any(m == 11 for m, _ in acc)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_takedown_reaches_compacted_partition(spark):
+    """Takedown after compaction: the removed ids' rows live in the reserved
+    epoch=-1 partition — the rewrite must reach it like any other epoch
+    (and drop it if emptied)."""
+    sigs0 = spark.createDataFrame([(1, 7), (2, 99)], "id long, sig long")
+    sigs1 = spark.createDataFrame([(3, -1)], "id long, sig long")
+    dedup.append_sig_index_epoch(spark, SIG, sigs0, epoch=0)
+    dedup.append_sig_index_epoch(spark, SIG, sigs1, epoch=1)
+    dedup.compact_sig_index(spark, SIG, [0, 1])
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {SIG}").collect()}
+    assert parts == {"epoch=-1"}
+    assert dedup.takedown_sig_index(spark, SIG, _ids(spark, [1, 3])) == 8
+    assert {r["id"] for r in spark.table(SIG).collect()} == {2}
+    # emptying the compacted partition entirely drops it too
+    assert dedup.takedown_sig_index(spark, SIG, _ids(spark, [2])) == 4
+    assert spark.sql(f"SHOW PARTITIONS {SIG}").count() == 0
+    assert spark.table(SIG).count() == 0
