@@ -50,6 +50,7 @@ MEDIA_SCHEMA = "media_id long, content binary"
 __all__ = [
     "run_streaming_media_dedup",
     "run_streaming_video_dedup",
+    "takedown_accepted_media",
     "committed_epochs",
     "MEDIA_SCHEMA",
 ]
@@ -336,3 +337,46 @@ def run_streaming_video_dedup(
                 spark, index_table, committed_epochs(accepted_dir)
             )
     return epochs
+
+
+def takedown_accepted_media(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_table: str,
+    ids: DataFrame,
+) -> int:
+    """Service-level TAKEDOWN (GDPR / data-removal): remove the given media
+    ids from BOTH halves of the service's state — the persisted signature
+    index (``dedup.takedown_sig_index``: only affected epoch partitions
+    rewritten) and the accepted-corpus store (the epoch-partitioned parquet
+    under ``accepted_dir/data``, rewritten per affected epoch). Returns
+    corpus rows removed. Convergent on crash re-run — every step is
+    delete-only; a crash between the index and corpus halves leaves the id
+    unmatchable (index already clean) and the corpus re-run finishes the
+    cleanup. Epoch markers are NOT touched: they fingerprint the INPUT
+    batches (replay/collision protection), not the retained output, and a
+    takedown must never make a crashed epoch replayable. After a takedown
+    the same content re-submitted under a new id is accepted — the service
+    semantics demanded by removal requests (pinned in test_takedown.py
+    for the index half; the corpus half here keeps storage in step)."""
+    dedup.takedown_sig_index(spark, index_table, ids)  # index half first
+    data_dir = os.path.join(accepted_dir, "data")
+    ids = ids.select("id").distinct().localCheckpoint()
+    corpus = spark.read.parquet(data_dir)
+    affected = {
+        int(r["epoch"])
+        for r in corpus.join(ids, corpus["media_id"] == ids["id"], "semi")
+        .select("epoch")
+        .distinct()
+        .collect()
+    }
+    removed = 0
+    for e in sorted(affected):
+        path = os.path.join(data_dir, f"epoch={e}")
+        part = spark.read.parquet(path)
+        keep = part.join(
+            ids, part["media_id"] == ids["id"], "left_anti"
+        ).localCheckpoint()  # materialize before replacing the files it reads
+        removed += part.count() - keep.count()
+        keep.write.mode("overwrite").parquet(path)
+    return removed

@@ -180,3 +180,60 @@ def test_takedown_reaches_compacted_partition(spark):
     assert dedup.takedown_sig_index(spark, SIG, _ids(spark, [2])) == 4
     assert spark.sql(f"SHOW PARTITIONS {SIG}").count() == 0
     assert spark.table(SIG).count() == 0
+
+
+def test_service_corpus_takedown(spark, tmp_path):
+    """takedown_accepted_media removes the ids from the index AND the
+    accepted corpus store, leaving other epochs' files untouched; a re-run
+    is a no-op and re-submission is accepted."""
+    from snapshot_sender_spark.streaming.media_dedup_stream import (
+        run_streaming_media_dedup,
+        takedown_accepted_media,
+    )
+
+    table = "t_takedown_media_full_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    now = time.time()
+
+    def land(k, rows):
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        tmp = str(tmp_path / f"stage{k}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"e{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 60 * k,) * 2)
+
+    def sig_fn(df):
+        return df.select("media_id", F.xxhash64("content").alias("sig"))
+
+    land(0, [(1, b"alpha"), (2, b"bravo")])
+    land(1, [(3, b"charlie")])
+    run_streaming_media_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, signature=sig_fn,
+    )
+    acc_dir = str(tmp_path / "acc")
+    removed = takedown_accepted_media(spark, acc_dir, table, _ids(spark, [1, 99]))
+    assert removed == 1
+    left = {
+        (r["media_id"], int(r["epoch"]))
+        for r in spark.read.parquet(os.path.join(acc_dir, "data")).collect()
+    }
+    assert left == {(2, 0), (3, 1)}
+    assert {r["id"] for r in spark.table(table).collect()} == {2, 3}
+    # convergent re-run
+    assert takedown_accepted_media(spark, acc_dir, table, _ids(spark, [1])) == 0
+    # re-submission of the removed content under a new id is accepted
+    land(2, [(20, b"alpha")])
+    run_streaming_media_dedup(
+        spark, inp, table, acc_dir, str(tmp_path / "ckpt"), signature=sig_fn,
+    )
+    acc = {
+        (r["media_id"], int(r["epoch"]))
+        for r in spark.read.parquet(os.path.join(acc_dir, "data")).collect()
+    }
+    assert (20, 2) in acc
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
