@@ -1102,7 +1102,10 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
 
 
 def banded_hamming_pairs_cross(
-    batch: DataFrame, corpus: DataFrame, max_hamming: int = 3
+    batch: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 3,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Cross-set banded hamming: every (batch, corpus) pair within
     ``max_hamming`` of 64 bits — the incremental shape where a new epoch's
@@ -1116,7 +1119,13 @@ def banded_hamming_pairs_cross(
     replayed epoch probing a corpus it was already folded into), every such
     signature would otherwise pair with itself at hamming 0. Two DIFFERENT
     media sharing one id across the sets is caller error — ids are assumed
-    globally unique, as everywhere in the dedup family."""
+    globally unique, as everywhere in the dedup family.
+
+    ``max_band_df`` (default None = exact): same opt-in hot-band cut as
+    ``banded_hamming_pairs`` — bands whose CORPUS-side population exceeds
+    the threshold leave blocking (candidate mass per band is df_batch ×
+    df_corpus, and the corpus is the unbounded side); a pair agreeing only
+    on a cut band is missed (documented subset semantics)."""
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     a = _sig_bands(batch).select(
@@ -1125,6 +1134,14 @@ def banded_hamming_pairs_cross(
     b = _sig_bands(corpus).select(
         F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band"
     )
+    if max_band_df is not None:
+        hot = (
+            b.groupBy("band")
+            .agg(F.count("*").alias("band_df"))
+            .filter(F.col("band_df") > max_band_df)
+            .select("band")
+        )
+        b = b.join(F.broadcast(hot), "band", "left_anti")
     pairs = (
         a.join(b, "band")
         .filter(F.col("batch_id") != F.col("corpus_id"))

@@ -256,3 +256,34 @@ def test_max_band_df_on_self_join_family(spark):
     assert surv_cut == set(dict(rows)) - {201}
     assert surv_exact <= surv_cut  # the cut only ADDS survivors
     assert 100 in surv_cut and 100 not in surv_exact
+
+
+def test_max_band_df_on_cross_form(spark):
+    """Cross-form symmetry: the corpus-side hot band is cut; a batch sig
+    agreeing with a corpus sig only there is missed, agreement on a cold
+    band still matches."""
+    corpus = _sigs_df(
+        spark, [(j, 0xBEEF | (j << 20) | (j << 36) | (j << 52)) for j in range(40)]
+    )
+    batch = _sigs_df(
+        spark,
+        [
+            # agrees with corpus 0 ONLY on hot band 0 (one flip per band 1-3)
+            (500, (0xBEEF) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)),
+            # exact copy of corpus 5: agrees on its (cold) bands 1-3 too
+            (501, 0xBEEF | (5 << 20) | (5 << 36) | (5 << 52)),
+        ],
+    )
+    exact = {
+        (r["batch_id"], r["corpus_id"], r["hamming"])
+        for r in dedup.banded_hamming_pairs_cross(batch, corpus).collect()
+    }
+    assert {(500, 0, 3), (501, 5, 0)} <= exact
+    cut = {
+        (r["batch_id"], r["corpus_id"], r["hamming"])
+        for r in dedup.banded_hamming_pairs_cross(
+            batch, corpus, max_band_df=10
+        ).collect()
+    }
+    assert (500, 0, 3) not in cut and (501, 5, 0) in cut
+    assert cut <= exact
