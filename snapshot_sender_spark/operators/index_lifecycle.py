@@ -43,6 +43,7 @@ __all__ = [
     "fold_epoch_partitions",
     "batch_fingerprint",
     "remove_ids_from_epoch_table",
+    "remove_ids_from_partitioned_dir",
 ]
 
 
@@ -256,4 +257,36 @@ def remove_ids_from_epoch_table(spark, table: str, ids: DataFrame) -> int:
     for e in sorted(affected - survivors):
         _drop_partition(spark, table, e)
     spark.catalog.refreshTable(table)
+    return removed
+
+
+def remove_ids_from_partitioned_dir(
+    spark, data_dir: str, id_col: str, ids: DataFrame
+) -> int:
+    """TAKEDOWN for an epoch-partitioned parquet DIRECTORY store (the
+    services' accepted-corpus dirs, ``data_dir/epoch=K/``): rewrite each
+    affected epoch directory without the given ids. ``ids``: one-column
+    (id). Returns rows removed. Delete-only and per-epoch, so a crash
+    mid-way is cured by re-running — same contract as
+    ``remove_ids_from_epoch_table`` for the table-backed indexes."""
+    ids = ids.select("id").distinct().localCheckpoint()
+    corpus = spark.read.parquet(data_dir)
+    affected = {
+        int(r["epoch"])
+        for r in corpus.join(ids, corpus[id_col] == ids["id"], "semi")
+        .select("epoch")
+        .distinct()
+        .collect()
+    }
+    removed = 0
+    import os as _os
+
+    for e in sorted(affected):
+        path = _os.path.join(data_dir, f"epoch={e}")
+        part = spark.read.parquet(path)
+        keep = part.join(
+            ids, part[id_col] == ids["id"], "left_anti"
+        ).localCheckpoint()  # materialize before replacing the files it reads
+        removed += part.count() - keep.count()
+        keep.write.mode("overwrite").parquet(path)
     return removed

@@ -223,3 +223,29 @@ def run_streaming_ingestion_dedup(
                 spark, index_table, committed_epochs(accepted_dir)
             )
     return epochs
+
+
+def takedown_accepted_docs(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_table: str,
+    ids: DataFrame,
+) -> int:
+    """Service-level TAKEDOWN for the TEXT ingestion-dedup service (GDPR /
+    data-removal): remove the given doc ids from BOTH halves of the
+    service's state — the persisted posting index + sizes table
+    (``dedup.takedown_dedup_index``: only affected epoch partitions
+    rewritten) and the accepted-corpus store (the epoch-partitioned parquet
+    under ``accepted_dir/data``). Returns corpus rows removed. Same
+    contract as the media service's ``takedown_accepted_media``: delete-only
+    and convergent on crash re-run; epoch markers untouched (they
+    fingerprint INPUT batches — a takedown must never make a crashed epoch
+    replayable); the same text re-submitted under a new id is ACCEPTED
+    afterwards because its postings are gone."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import index_lifecycle
+
+    dedup_ops.takedown_dedup_index(spark, index_table, ids)
+    return index_lifecycle.remove_ids_from_partitioned_dir(
+        spark, os.path.join(accepted_dir, "data"), "doc_id", ids
+    )

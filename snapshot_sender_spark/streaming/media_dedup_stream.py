@@ -360,23 +360,6 @@ def takedown_accepted_media(
     semantics demanded by removal requests (pinned in test_takedown.py
     for the index half; the corpus half here keeps storage in step)."""
     dedup.takedown_sig_index(spark, index_table, ids)  # index half first
-    data_dir = os.path.join(accepted_dir, "data")
-    ids = ids.select("id").distinct().localCheckpoint()
-    corpus = spark.read.parquet(data_dir)
-    affected = {
-        int(r["epoch"])
-        for r in corpus.join(ids, corpus["media_id"] == ids["id"], "semi")
-        .select("epoch")
-        .distinct()
-        .collect()
-    }
-    removed = 0
-    for e in sorted(affected):
-        path = os.path.join(data_dir, f"epoch={e}")
-        part = spark.read.parquet(path)
-        keep = part.join(
-            ids, part["media_id"] == ids["id"], "left_anti"
-        ).localCheckpoint()  # materialize before replacing the files it reads
-        removed += part.count() - keep.count()
-        keep.write.mode("overwrite").parquet(path)
-    return removed
+    return index_lifecycle.remove_ids_from_partitioned_dir(
+        spark, os.path.join(accepted_dir, "data"), "media_id", ids
+    )

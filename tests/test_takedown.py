@@ -237,3 +237,55 @@ def test_service_corpus_takedown(spark, tmp_path):
     }
     assert (20, 2) in acc
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_text_service_takedown(spark, tmp_path):
+    """The TEXT service's takedown: index postings + sizes + accepted corpus
+    all cleaned; the removed text re-submitted under a new id is accepted
+    while retained content keeps deduplicating."""
+    from snapshot_sender_spark.streaming.dedup_stream import (
+        run_streaming_ingestion_dedup,
+        takedown_accepted_docs,
+    )
+
+    table = "t_takedown_text_idx"
+    for t in (table, table + "_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    now = time.time()
+
+    def land(k, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = str(tmp_path / f"stage{k}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"e{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 60 * k,) * 2)
+
+    land(0, [(1, "alpha beta gamma delta"), (2, "one two three four five")])
+    run_streaming_ingestion_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    removed = takedown_accepted_docs(
+        spark, str(tmp_path / "acc"), table, _ids(spark, [1])
+    )
+    assert removed == 1
+    assert {r["id"] for r in spark.table(table).collect()} == {2}
+    assert {r["id"] for r in spark.table(table + "_sizes").collect()} == {2}
+    # re-submission of the removed text under a new id is accepted; a dup
+    # of the retained text is still dropped
+    land(1, [(10, "alpha beta gamma delta"), (11, "one two three four five")])
+    run_streaming_ingestion_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    acc = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "acc" / "data")).collect()
+    }
+    assert acc == {2, 10}
+    for t in (table, table + "_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
