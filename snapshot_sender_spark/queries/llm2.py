@@ -387,3 +387,72 @@ def dedup_embedding_index_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("epoch", F.lit(k).cast("int"))
         pairs.write.mode("append").parquet(out)  # materialize before append
     return spark.read.parquet(out)
+
+
+@query(
+    "sim_ann_takedown",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * {similarity.QUANT}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS n2
+      FROM q
+    ),
+    probe AS (
+      SELECT vec_id + 100000 AS id_new, qv, n2 FROM n WHERE vec_id % 3 = 0
+    ),
+    corpus AS (
+      SELECT vec_id AS id_existing, qv, n2 FROM n WHERE vec_id % 7 <> 3
+    )
+    SELECT a.id_new, b.id_existing,
+           CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+    FROM probe a JOIN corpus b
+      ON CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.9
+    """,
+    category="llm-similarity",
+)
+def sim_ann_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN for the EMBEDDING (IVF) family, oracle-checked (round 8):
+    the embeddings build the persisted IVF index as two epochs (vec_id % 2;
+    frozen coarse quantizer), takedown_ivf_index then removes every
+    vec_id % 7 == 3 (affected (bucket, epoch) partitions rewritten, emptied
+    ones deleted), and a probe batch (every vec_id % 3 == 0 vector
+    re-submitted under id + 100000) runs the exhaustive cross-set near-dup
+    (n_probe = n_centroids ≡ brute force) at cosine ≥ 0.9 — each probe must
+    hit its own source vector at cosine 1.0 iff the source survived the
+    takedown. The DuckDB oracle brute-forces the cross pairs on the shared
+    integer-quantized grid with the removed ids excluded."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ann_takedown_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    index_dir = os.path.join(work, "ivf")
+    similarity.build_ivf_index(
+        emb.filter((F.col("vec_id") % 2) == 0), "embedding", "vec_id",
+        index_dir, n_centroids=8, epoch=0,
+    )
+    similarity.append_ivf_index_epoch(
+        spark, index_dir, emb.filter((F.col("vec_id") % 2) == 1),
+        "embedding", "vec_id", epoch=1,
+    )
+    victims = emb.filter((F.col("vec_id") % 7) == 3).select(
+        F.col("vec_id").alias("id")
+    )
+    similarity.takedown_ivf_index(spark, index_dir, victims)
+    probe = emb.filter((F.col("vec_id") % 3) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return similarity.ivf_batch_near_dup(
+        spark, index_dir, probe, "embedding", "vec_id",
+        threshold=0.9, n_probe=8,
+    ).select("id_new", "id_existing", "cosine")
