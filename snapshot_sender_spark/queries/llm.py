@@ -4103,8 +4103,12 @@ def dedup_sig_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.select("doc_id").mapInPandas(
         synth(True), "media_id long, content binary"
     )
-    probe = multimodal.image_ahash(batch).select(
-        F.col("media_id").alias("id"), "sig"
+    # decode ONCE: the returned probe plan is the pure index join (the
+    # whole-surface plan audit pins Arrow stages to the declared set)
+    probe = (
+        multimodal.image_ahash(batch)
+        .select(F.col("media_id").alias("id"), "sig")
+        .localCheckpoint()
     )
     return dedup_ops.banded_hamming_pairs_against_index(
         spark, table, probe, max_hamming=3
@@ -4241,8 +4245,11 @@ def dedup_video_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.select("doc_id").mapInPandas(
         synth(True, 1000), "media_id long, content binary"
     )
+    # decode ONCE: the returned probe plan is the pure posting join (the
+    # whole-surface plan audit pins Arrow stages to the declared set)
+    probe_posting = frame_posting(batch).localCheckpoint()
     return dedup_ops.incremental_jaccard_against_index(
-        spark, table, None, "", "", threshold=0.5, posting=frame_posting(batch)
+        spark, table, None, "", "", threshold=0.5, posting=probe_posting
     ).select(
         F.col("id_new").alias("batch_id"),
         F.col("id_existing").alias("corpus_id"),
