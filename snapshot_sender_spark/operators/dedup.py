@@ -1135,13 +1135,7 @@ def banded_hamming_pairs_cross(
         F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band"
     )
     if max_band_df is not None:
-        hot = (
-            b.groupBy("band")
-            .agg(F.count("*").alias("band_df"))
-            .filter(F.col("band_df") > max_band_df)
-            .select("band")
-        )
-        b = b.join(F.broadcast(hot), "band", "left_anti")
+        b = _cut_hot_bands(b, max_band_df)
     pairs = (
         a.join(b, "band")
         .filter(F.col("batch_id") != F.col("corpus_id"))
@@ -1152,6 +1146,20 @@ def banded_hamming_pairs_cross(
     return pairs.select("batch_id", "corpus_id", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def _cut_hot_bands(bands: DataFrame, max_band_df: int) -> DataFrame:
+    """The ONE implementation of the opt-in ``max_band_df`` hot-band cut
+    shared by the self-join, cross, and index-probe forms (documented
+    subset semantics at each caller): bands whose population in ``bands``
+    exceeds the threshold leave blocking."""
+    hot = (
+        bands.groupBy("band")
+        .agg(F.count("*").alias("band_df"))
+        .filter(F.col("band_df") > max_band_df)
+        .select("band")
+    )
+    return bands.join(F.broadcast(hot), "band", "left_anti")
 
 
 def _sig_bands(sig: DataFrame) -> DataFrame:
@@ -1193,13 +1201,7 @@ def banded_hamming_pairs(
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     bands = _sig_bands(sig)
     if max_band_df is not None:
-        hot = (
-            bands.groupBy("band")
-            .agg(F.count("*").alias("band_df"))
-            .filter(F.col("band_df") > max_band_df)
-            .select("band")
-        )
-        bands = bands.join(F.broadcast(hot), "band", "left_anti")
+        bands = _cut_hot_bands(bands, max_band_df)
     a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band")
     b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band")
     pairs = (
@@ -1888,13 +1890,7 @@ def banded_hamming_pairs_against_index(
             )
         idx = idx.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
     if max_band_df is not None:
-        hot = (
-            idx.groupBy("band")
-            .agg(F.count("*").alias("band_df"))
-            .filter(F.col("band_df") > max_band_df)
-            .select("band")
-        )
-        idx = idx.join(F.broadcast(hot), "band", "left_anti")
+        idx = _cut_hot_bands(idx, max_band_df)
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is exact only for max_hamming <= 3")
     a = _sig_bands(batch).select(

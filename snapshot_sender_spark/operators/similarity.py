@@ -827,8 +827,6 @@ def takedown_ivf_index(spark, index_dir: str, ids: DataFrame) -> int:
     re-run: every step is delete-only. Centroids are untouched — the
     coarse quantizer is frozen by contract, and a thinner partition only
     speeds probes. Returns vector rows removed."""
-    from . import index_lifecycle
-
     vec_path = f"{index_dir}/vectors"
     vectors = spark.read.parquet(vec_path)
     pcols = [c for c in ("bucket", "epoch") if c in vectors.columns]
@@ -839,16 +837,16 @@ def takedown_ivf_index(spark, index_dir: str, ids: DataFrame) -> int:
     }
     if not affected:
         return 0
+    # partition-key SEMI JOIN, not a per-partition OR chain: a long-lived
+    # service accretes unbounded (bucket, epoch) partitions and a wide
+    # takedown would otherwise build a thousands-deep Or tree (Catalyst
+    # stack depth / planning time), where a tiny broadcast join is flat
+    keys = spark.createDataFrame(
+        sorted(affected), ", ".join(f"{c} int" for c in pcols)
+    )
 
     def _in_affected(df):
-        cond = None
-        for part in affected:
-            c = None
-            for col, val in zip(pcols, part):
-                e = F.col(col) == F.lit(val)
-                c = e if c is None else (c & e)
-            cond = c if cond is None else (cond | c)
-        return df.filter(cond)
+        return df.join(F.broadcast(keys), pcols, "semi")
 
     removed = _in_affected(vectors).join(ids, "id", "semi").count()
     cleaned = _in_affected(vectors).join(ids, "id", "left_anti").localCheckpoint()

@@ -242,10 +242,7 @@ def takedown_accepted_docs(
     fingerprint INPUT batches — a takedown must never make a crashed epoch
     replayable); the same text re-submitted under a new id is ACCEPTED
     afterwards because its postings are gone."""
-    from ..operators import dedup as dedup_ops
-    from ..operators import index_lifecycle
-
-    dedup_ops.takedown_dedup_index(spark, index_table, ids)
+    dedup.takedown_dedup_index(spark, index_table, ids)
     return index_lifecycle.remove_ids_from_partitioned_dir(
         spark, os.path.join(accepted_dir, "data"), "doc_id", ids
     )

@@ -51,6 +51,7 @@ __all__ = [
     "run_streaming_media_dedup",
     "run_streaming_video_dedup",
     "takedown_accepted_media",
+    "takedown_accepted_video",
     "committed_epochs",
     "MEDIA_SCHEMA",
 ]
@@ -262,7 +263,19 @@ def run_streaming_video_dedup(
             .select(F.col("media_id").alias("id"), "h")
             .localCheckpoint()
         )
-        sizes = posting.groupBy("id").agg(F.count("*").alias("s"))
+        # sizes derive from the BATCH ids, not the posting rows: media whose
+        # frame stage yields zero fingerprints (header-only stream, custom
+        # frame_hashes filtering) must still flow through accept/publish —
+        # an empty set matches nothing (Jaccard undefined -> no pair), so
+        # they are accepted with n_frames = 0 and index nothing, exactly as
+        # the text service accepts shingle-less docs. Silently vanishing
+        # would be data loss.
+        sizes = (
+            batch.select(F.col("media_id").alias("id"))
+            .distinct()
+            .join(posting.groupBy("id").agg(F.count("*").alias("s")), "id", "left")
+            .fillna(0, subset=["s"])
+        )
         # (2) within-batch set-Jaccard: drop the higher id of every pair
         a = posting.select(F.col("id").alias("id_a"), "h")
         c = posting.select(F.col("id").alias("id_b"), "h")
@@ -359,7 +372,33 @@ def takedown_accepted_media(
     the same content re-submitted under a new id is accepted — the service
     semantics demanded by removal requests (pinned in test_takedown.py
     for the index half; the corpus half here keeps storage in step)."""
+    if "sig" not in spark.table(index_table).columns:
+        raise ValueError(
+            f"takedown_accepted_media expects the SIGNATURE-mode index "
+            f"(id, sig, band); table {index_table!r} has no sig column — "
+            "for a run_streaming_video_dedup (posting-mode) service use "
+            "takedown_accepted_video, which also cleans the _sizes table"
+        )
     dedup.takedown_sig_index(spark, index_table, ids)  # index half first
+    return index_lifecycle.remove_ids_from_partitioned_dir(
+        spark, os.path.join(accepted_dir, "data"), "media_id", ids
+    )
+
+
+def takedown_accepted_video(
+    spark: SparkSession,
+    accepted_dir: str,
+    index_table: str,
+    ids: DataFrame,
+) -> int:
+    """Service-level TAKEDOWN for the VIDEO (posting-mode) service: removes
+    the given media ids from the posting index AND its ``_sizes`` side
+    table (``dedup.takedown_dedup_index`` — the sig-mode wrapper would
+    silently leave per-id size rows behind) and from the accepted-corpus
+    store. Same contract as ``takedown_accepted_media``: delete-only,
+    convergent on crash re-run, markers untouched, re-submission under a
+    new id accepted afterwards. Returns corpus rows removed."""
+    dedup.takedown_dedup_index(spark, index_table, ids)
     return index_lifecycle.remove_ids_from_partitioned_dir(
         spark, os.path.join(accepted_dir, "data"), "media_id", ids
     )

@@ -289,3 +289,60 @@ def test_text_service_takedown(spark, tmp_path):
     assert acc == {2, 10}
     for t in (table, table + "_sizes"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_video_service_takedown_cleans_sizes(spark, tmp_path):
+    """The video (posting-mode) service's takedown must clean postings,
+    the _sizes side table, AND the corpus; the sig-mode wrapper refuses the
+    posting index loudly instead of leaving per-id size rows behind."""
+    from snapshot_sender_spark.streaming.media_dedup_stream import (
+        run_streaming_video_dedup,
+        takedown_accepted_media,
+        takedown_accepted_video,
+    )
+
+    table = "t_takedown_video_full_idx"
+    for t in (table, table + "_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    now = time.time()
+
+    def land(k, rows):
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        tmp = str(tmp_path / f"stage{k}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"e{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 60 * k,) * 2)
+
+    def two_hashes(df):  # frame stage stand-in: 2 content-derived hashes
+        return df.select(
+            F.col("media_id").alias("m"), F.col("content").alias("c")
+        ).selectExpr(
+            "m as media_id", "stack(2, xxhash64(c), xxhash64(c, 7)) as h"
+        ).selectExpr("media_id", "h")
+
+    land(0, [(1, b"alpha"), (2, b"bravo")])
+    run_streaming_video_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ckpt"),
+        frame_hashes=lambda df: two_hashes(df).selectExpr(
+            "media_id", "h"
+        ),
+    )
+    # sig-mode wrapper refuses the posting-mode index loudly
+    with pytest.raises(ValueError, match="takedown_accepted_video"):
+        takedown_accepted_media(spark, str(tmp_path / "acc"), table, _ids(spark, [1]))
+    removed = takedown_accepted_video(
+        spark, str(tmp_path / "acc"), table, _ids(spark, [1])
+    )
+    assert removed == 1
+    assert {r["id"] for r in spark.table(table).collect()} == {2}
+    assert {r["id"] for r in spark.table(table + "_sizes").collect()} == {2}
+    assert {
+        r["media_id"]
+        for r in spark.read.parquet(str(tmp_path / "acc" / "data")).collect()
+    } == {2}
+    for t in (table, table + "_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -192,3 +192,30 @@ def test_video_redelivered_id_is_deduplicated(spark, dirs):
     )
     assert _accepted(spark, dirs) == {(0, 0, 4), (1, 1, 4)}
     assert spark.table(TABLE).count() == 2 * 4
+
+
+def test_zero_frame_media_is_accepted_not_lost(spark, dirs):
+    """Media whose frame stage yields zero fingerprints must be ACCEPTED
+    with n_frames = 0 (empty sets match nothing), not silently vanish —
+    the text service's shingle-less-doc behavior."""
+    from pyspark.sql import functions as F
+
+    _land_epoch(spark, dirs, 0, [(0, _vid([A, B])), (1, _vid([C]))])
+
+    def dropping_frames(df):
+        # a frame stage that yields nothing for media_id 1
+        return (
+            multimodal.video_frame_ahash(df)
+            .filter(F.col("media_id") != 1)
+            .select("media_id", "ahash")
+            .distinct()
+            .select("media_id", F.xxhash64("ahash").alias("h"))
+        )
+
+    run_streaming_video_dedup(
+        spark, dirs["input"], TABLE, dirs["accepted"], dirs["ckpt"],
+        frame_hashes=dropping_frames,
+    )
+    assert _accepted(spark, dirs) == {(0, 0, 2), (1, 0, 0)}
+    # the empty set contributed nothing to the index
+    assert {r["id"] for r in spark.table(TABLE).collect()} == {0}

@@ -142,22 +142,20 @@ def main():
     spark = get_spark(app_name="gen_plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+
+    def render(name, note, df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0]
+        return [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+
     out = list(HEADER)
     for name, note in PICKS:
-        df = qs[name].fn(spark, sf)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        tree = plan.split("\n\n")[0]
-        out += [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+        out += render(name, note, qs[name].fn(spark, sf))
     out += ["# Operator-level plans (index probes and guards)", ""]
     for name, note, builder in OPERATOR_PICKS:
-        df = builder(spark, sf)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        tree = plan.split("\n\n")[0]
-        out += [f"## {name}", "", note, "", "```", tree.rstrip(), "```", ""]
+        out += render(name, note, builder(spark, sf))
     for t in ("t_plans_span_idx", "t_plans_sig_idx", "t_plans_vidpost_idx",
               "t_plans_vidpost_idx_sizes"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

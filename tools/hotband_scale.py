@@ -11,9 +11,10 @@ signatures. Measures the within-batch keeper decision:
   (1 + 1000) signatures regardless of N.
 * ``unguarded`` — the pre-round-8 form (banded_hamming_pairs → distinct
   id_b): the hot band stages ~N²/2 × 4 candidate rows, quadratic in the
-  hot population. Measured only while tractable (N ≤ 10^4 — at 10^5 it
-  would stage ~2×10^10 candidate rows); larger tiers carry a documented
-  skip instead of a number.
+  hot population. Measured cold+warm while cheap (N ≤ 10^4), ONE COLD LAP
+  at N ≤ 10^5 (~2×10^10 staged candidates — the SCALE.md 89.7 s number is
+  measured, not extrapolated), and skipped with a documented candidate
+  estimate above that.
 
 Timed cold + best-of-2 warm through the noop sink. Prints ONE JSON line
 per tier; results feed SCALE.md's round-8 table.
