@@ -4255,3 +4255,200 @@ def dedup_video_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_existing").alias("corpus_id"),
         "jaccard",
     )
+
+
+def _image_takedown_epochs_oracle(max_h: int = 3) -> str:
+    """Epoch-by-epoch DuckDB simulation of the media service WITH a
+    mid-lifecycle TAKEDOWN: epochs 0 and 1 run the normal keeper
+    lifecycle; ids with doc_id % 10 == 0 are then removed from the
+    accepted store AND the index; epoch 2's cross-set check therefore
+    sees (e0 ∪ e1 accepted) MINUS the removed set, and the final corpus
+    is the cleaned survivors plus epoch 2's accepts."""
+    return """
+    WITH p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v,
+             CAST(doc_id % 3 AS INT) AS ep
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT blk.doc_id, p.ep, i,
+             CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id) JOIN p USING (doc_id)
+    ),
+    e0_near AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+        WHERE a.ep = 0 AND c.ep = 0 GROUP BY a.doc_id, c.doc_id
+      ) t WHERE h <= {H}
+    ),
+    e0_acc AS (
+      SELECT doc_id FROM p WHERE ep = 0
+        AND doc_id NOT IN (SELECT doc_id FROM e0_near)
+    ),
+    e1_near AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+        WHERE a.ep = 1 AND c.ep = 1 GROUP BY a.doc_id, c.doc_id
+      ) t WHERE h <= {H}
+    ),
+    e1_surv AS (
+      SELECT doc_id FROM p WHERE ep = 1
+        AND doc_id NOT IN (SELECT doc_id FROM e1_near)
+    ),
+    e1_cross AS (
+      SELECT DISTINCT id_s AS doc_id FROM (
+        SELECT s.doc_id AS id_s,
+               SUM(CASE WHEN s.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits s JOIN bits c ON s.i = c.i
+        WHERE s.doc_id IN (SELECT doc_id FROM e1_surv)
+          AND c.doc_id IN (SELECT doc_id FROM e0_acc)
+        GROUP BY s.doc_id, c.doc_id
+      ) t WHERE h <= {H}
+    ),
+    e1_acc AS (
+      SELECT doc_id FROM e1_surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM e1_cross)
+    ),
+    -- TAKEDOWN between epoch 1 and epoch 2: doc_id % 10 == 0 removed
+    kept AS (
+      SELECT doc_id FROM e0_acc WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id FROM e1_acc WHERE doc_id % 10 <> 0
+    ),
+    e2_near AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+        WHERE a.ep = 2 AND c.ep = 2 GROUP BY a.doc_id, c.doc_id
+      ) t WHERE h <= {H}
+    ),
+    e2_surv AS (
+      SELECT doc_id FROM p WHERE ep = 2
+        AND doc_id NOT IN (SELECT doc_id FROM e2_near)
+    ),
+    e2_cross AS (
+      SELECT DISTINCT id_s AS doc_id FROM (
+        SELECT s.doc_id AS id_s,
+               SUM(CASE WHEN s.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits s JOIN bits c ON s.i = c.i
+        WHERE s.doc_id IN (SELECT doc_id FROM e2_surv)
+          AND c.doc_id IN (SELECT doc_id FROM kept)
+        GROUP BY s.doc_id, c.doc_id
+      ) t WHERE h <= {H}
+    ),
+    e2_acc AS (
+      SELECT doc_id FROM e2_surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM e2_cross)
+    )
+    SELECT p.doc_id AS media_id, p.ep AS epoch FROM p
+    WHERE p.doc_id IN (SELECT doc_id FROM kept)
+       OR p.doc_id IN (SELECT doc_id FROM e2_acc)
+    """.replace("{H}", str(max_h))
+
+
+@query(
+    "stream_image_takedown_epochs",
+    oracle=_image_takedown_epochs_oracle(3),
+    category="llm-dedup",
+)
+def stream_image_takedown_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN interleaved with the STREAMING media service's lifecycle,
+    oracle-checked end-to-end (round 8): the 100 block-patterned PNGs
+    arrive as 3 mtime-ordered files; the service ingests epochs 0 and 1
+    (decode-once, hot-band-guarded within-batch, index probe with epoch
+    exclusion); ``takedown_accepted_media`` then removes every id with
+    doc_id % 10 == 0 from BOTH the accepted corpus and the signature
+    index; the service resumes on the SAME checkpoint and ingests epoch 2,
+    whose cross-set check now sees only the cleaned corpus — so a removed
+    image's near-duplicate arriving in epoch 2 is ACCEPTED (its only drop
+    witness is gone), which is exactly the removal semantics. The DuckDB
+    oracle simulates the keeper lifecycle epoch by epoch with the takedown
+    applied between epochs 1 and 2."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.media_dedup_stream import (
+        run_streaming_media_dedup,
+        takedown_accepted_media,
+    )
+
+    table = "t_q_media_takedown_ep_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="media_takedown_ep_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = os.path.join(work, "input")
+    os.makedirs(inp)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    now = _time.time()
+
+    def land(k):
+        tmp = os.path.join(work, f"part{k}")
+        (
+            d.filter((F.col("doc_id") % 3) == k)
+            .select("doc_id")
+            .mapInPandas(synth, "media_id long, content binary")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(inp, f"epoch_{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 100 * k, now - 300 + 100 * k))
+
+    acc = os.path.join(work, "accepted")
+    ckpt = os.path.join(work, "ckpt")
+    land(0)
+    land(1)
+    run_streaming_media_dedup(
+        spark, inp, table, acc, ckpt, max_hamming=3, max_files_per_trigger=1
+    )
+    victims = d.filter((F.col("doc_id") % 10) == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    takedown_accepted_media(spark, acc, table, victims)
+    land(2)
+    run_streaming_media_dedup(
+        spark, inp, table, acc, ckpt, max_hamming=3, max_files_per_trigger=1
+    )
+    return spark.read.parquet(os.path.join(acc, "data")).select(
+        "media_id", F.col("epoch").cast("int").alias("epoch")
+    )
