@@ -26,6 +26,7 @@ oracle queries).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -37,6 +38,7 @@ COMPACTED_EPOCH = -1  # reserved partition id for folded epochs (streamed
 
 __all__ = [
     "COMPACTED_EPOCH",
+    "DYNAMIC_OVERWRITE",
     "dynamic_partition_overwrite",
     "drop_stale_table_location",
     "append_epoch_partition",
@@ -47,19 +49,49 @@ __all__ = [
 ]
 
 
+# The per-write DataFrameWriter option form (honored for PATH-based saves,
+# e.g. the IVF parquet dirs — but NOT for insertInto on catalog tables,
+# which only reads the session conf):
+DYNAMIC_OVERWRITE = {"partitionOverwriteMode": "dynamic"}
+
+# Refcounted scope state for the session-conf form: insertInto writes must
+# flip spark.sql.sources.partitionOverwriteMode, and a naive set/restore
+# races across threads — thread A's restore could land "static" while
+# thread B's insertInto was still planning, silently turning B into a
+# FULL-TABLE overwrite (observed as a flaky concurrent same-epoch append).
+# The refcount keeps the conf "dynamic" until the LAST concurrent scope in
+# that session exits.
+_dpo_lock = threading.RLock()
+_dpo_state: dict[int, list] = {}  # id(session) -> [depth, prev_value]
+
+
 @contextmanager
 def dynamic_partition_overwrite(spark):
-    """Scope ``spark.sql.sources.partitionOverwriteMode=dynamic`` — the
-    setting that turns ``insertInto(..., overwrite=True)`` / partitioned
-    parquet overwrite into replace-only-the-epochs-being-written. Restores
-    the previous mode even on failure (a leaked ``dynamic`` would silently
-    change unrelated writers' overwrite semantics)."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    """Scope ``spark.sql.sources.partitionOverwriteMode=dynamic`` for an
+    ``insertInto`` (the write-option form does not apply there) —
+    THREAD-SAFE: nested/concurrent scopes on the same session refcount, so
+    the previous value is restored only when the outermost scope exits."""
+    key = id(spark)
+    with _dpo_lock:
+        st = _dpo_state.get(key)
+        if st is None:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            _dpo_state[key] = st = [0, prev]
+        st[0] += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with _dpo_lock:
+            st = _dpo_state[key]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", st[1]
+                )
+                del _dpo_state[key]
 
 
 def drop_stale_table_location(spark, table: str) -> None:

@@ -598,10 +598,9 @@ def append_ivf_index_epoch(
         .filter(F.col("rk") == 1)
         .select("id", "arr", "bucket", F.lit(int(epoch)).alias("epoch"))
     )
-    with index_lifecycle.dynamic_partition_overwrite(spark):
-        assigned.write.mode("overwrite").partitionBy("bucket", "epoch").parquet(
-            f"{index_dir}/vectors"
-        )
+    assigned.write.options(**index_lifecycle.DYNAMIC_OVERWRITE).mode(
+        "overwrite"
+    ).partitionBy("bucket", "epoch").parquet(f"{index_dir}/vectors")
 
 
 def ivf_search_index(
@@ -854,8 +853,9 @@ def takedown_ivf_index(spark, index_dir: str, ids: DataFrame) -> int:
         tuple(int(r[c]) for c in pcols)
         for r in cleaned.select(*pcols).distinct().collect()
     }
-    with index_lifecycle.dynamic_partition_overwrite(spark):
-        cleaned.write.mode("overwrite").partitionBy(*pcols).parquet(vec_path)
+    cleaned.write.options(**index_lifecycle.DYNAMIC_OVERWRITE).mode(
+        "overwrite"
+    ).partitionBy(*pcols).parquet(vec_path)
     emptied = affected - survivors
     if emptied:
         jvm = spark._jvm
