@@ -4452,3 +4452,122 @@ def stream_image_takedown_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(acc, "data")).select(
         "media_id", F.col("epoch").cast("int").alias("epoch")
     )
+
+
+@query(
+    "stream_takedown_requests",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 50 AS b, doc_id // 50 AS v
+      FROM documents WHERE doc_id < 100
+    ),
+    blk AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN (((b * 37 + t.i * t.i * 13 + t.i * 7) % 64) < 32)
+                       <> (v = 1 AND (t.i = b % 64 OR t.i = (b + 17) % 64))
+                  THEN 48 * 120 ELSE 48 * 60 END AS bs
+      FROM p, UNNEST(range(0, 64)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id, i, CASE WHEN 64 * bs >= ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot USING (doc_id)
+    ),
+    near AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS h
+        FROM bits a JOIN bits c ON a.i = c.i AND a.doc_id < c.doc_id
+        GROUP BY a.doc_id, c.doc_id
+      ) t WHERE h <= 3
+    )
+    SELECT doc_id AS media_id FROM p
+    WHERE doc_id NOT IN (SELECT doc_id FROM near)
+      AND doc_id % 10 NOT IN (0, 5)  -- the two streamed request batches
+    """,
+    category="llm-dedup",
+)
+def stream_takedown_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS takedown service, oracle-checked (round 8): removal
+    requests arrive as a STREAM (streaming/takedown_stream.py) — two
+    mtime-ordered request files (ids % 10 == 0, then == 5) processed as two
+    micro-batches, each removing its ids from the signature index AND the
+    accepted corpus and committing an audit manifest. The corpus is the
+    100-image set ingested as one epoch by the media service first. The
+    DuckDB oracle runs the single-epoch keeper lifecycle from the block
+    formulas and excludes both request batches' ids — so any id the
+    service fails to remove, or removes beyond the requests, breaks the
+    match. Manifests are additionally asserted in-test
+    (tests/test_takedown.py::test_streaming_takedown_service)."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.media_dedup_stream import run_streaming_media_dedup
+    from ..streaming.takedown_stream import run_streaming_takedown
+
+    table = "t_q_stream_takedown_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    work = tempfile.mkdtemp(prefix="stream_takedown_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    inp = os.path.join(work, "input")
+    req = os.path.join(work, "requests")
+    os.makedirs(inp)
+    os.makedirs(req)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                b, v = did % 50, did // 50
+                i = np.arange(64)
+                high = ((b * 37 + i * i * 13 + i * 7) % 64) < 32
+                if v == 1:
+                    for flip in (b % 64, (b + 17) % 64):
+                        high[flip] = ~high[flip]
+                vals = np.where(high, 40, 20).astype(np.uint8).reshape(8, 8)
+                gray = np.kron(vals, np.ones((4, 4), np.uint8))
+                px = np.stack([gray, gray, gray], axis=2)
+                rows.append(
+                    {"media_id": did, "content": multimodal.encode_png_rgb8(px)}
+                )
+            yield pd_.DataFrame(rows, columns=["media_id", "content"])
+
+    now = _time.time()
+    tmp = os.path.join(work, "media_stage")
+    (
+        d.select("doc_id")
+        .mapInPandas(synth, "media_id long, content binary")
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(src, os.path.join(inp, "epoch_0.parquet"))
+    acc = os.path.join(work, "accepted")
+    run_streaming_media_dedup(
+        spark, inp, table, acc, os.path.join(work, "ing_ckpt"), max_hamming=3
+    )
+    for k, mod in enumerate((0, 5)):
+        tmp = os.path.join(work, f"req_stage{k}")
+        (
+            d.filter((F.col("doc_id") % 10) == mod)
+            .select(F.col("doc_id").alias("id"))
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(req, f"req_{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 200 + 60 * k,) * 2)
+    run_streaming_takedown(
+        spark, req, acc, table, os.path.join(work, "td_ckpt"),
+        kind="media", max_files_per_trigger=1,
+    )
+    return spark.read.parquet(os.path.join(acc, "data")).select("media_id")

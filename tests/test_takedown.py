@@ -346,3 +346,77 @@ def test_video_service_takedown_cleans_sizes(spark, tmp_path):
     } == {2}
     for t in (table, table + "_sizes"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_takedown_service(spark, tmp_path):
+    """Removal requests as a STREAM: per-batch takedown of index + corpus
+    with audit manifests; replay with the same checkpoint is a no-op; a
+    fingerprint mismatch on a collided batch id fails loudly; unknown ids
+    remove nothing but are still manifested."""
+    from snapshot_sender_spark.streaming.media_dedup_stream import (
+        run_streaming_media_dedup,
+    )
+    from snapshot_sender_spark.streaming.takedown_stream import (
+        run_streaming_takedown,
+        takedown_manifests,
+    )
+
+    table = "t_takedown_stream_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    inp = str(tmp_path / "input")
+    req = str(tmp_path / "requests")
+    os.makedirs(inp)
+    os.makedirs(req)
+    now = time.time()
+
+    def land(base, k, rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        tmp = str(tmp_path / f"stage_{os.path.basename(base)}_{k}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(base, f"f{k}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (now - 300 + 60 * k,) * 2)
+
+    def sig_fn(df):
+        return df.select("media_id", F.xxhash64("content").alias("sig"))
+
+    land(inp, 0, [(1, b"alpha"), (2, b"bravo"), (3, b"charlie")],
+         "media_id long, content binary")
+    run_streaming_media_dedup(
+        spark, inp, table, str(tmp_path / "acc"), str(tmp_path / "ing_ckpt"),
+        signature=sig_fn,
+    )
+    # two request batches: ids {1}, then {3, 999 (unknown)}
+    land(req, 0, [(1,)], "id long")
+    land(req, 1, [(3,), (999,)], "id long")
+    got = run_streaming_takedown(
+        spark, req, str(tmp_path / "acc"), table, str(tmp_path / "td_ckpt"),
+        kind="media", max_files_per_trigger=1,
+    )
+    assert got == [0, 1]
+    assert {r["id"] for r in spark.table(table).collect()} == {2}
+    assert {
+        r["media_id"]
+        for r in spark.read.parquet(str(tmp_path / "acc" / "data")).collect()
+    } == {2}
+    man = takedown_manifests(str(tmp_path / "acc"))
+    assert man[0]["corpus_rows_removed"] == 1 and man[0]["distinct_ids"] == 1
+    assert man[1]["corpus_rows_removed"] == 1 and man[1]["distinct_ids"] == 2
+    assert all(m["kind"] == "media" for m in man.values())
+
+    # replay with the SAME checkpoint: nothing new, manifests unchanged
+    again = run_streaming_takedown(
+        spark, req, str(tmp_path / "acc"), table, str(tmp_path / "td_ckpt"),
+        kind="media",
+    )
+    assert again == [] and takedown_manifests(str(tmp_path / "acc")) == man
+
+    # fresh checkpoint + retained manifests + same requests: batch-id
+    # collision (both files in one batch 0) must fail loudly
+    with pytest.raises(Exception, match="fingerprint|collided"):
+        run_streaming_takedown(
+            spark, req, str(tmp_path / "acc"), table,
+            str(tmp_path / "td_ckpt_fresh"), kind="media",
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
