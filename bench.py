@@ -90,13 +90,20 @@ HEADLINE = [
 WARM_LAPS = 5
 
 
-def format_line(medians: dict, best: dict, cold: dict, sf) -> str:
+def format_line(medians: dict, best: dict, cold: dict, sf, load=None) -> str:
     """The ONE printed JSON line. MUST stay well under the driver's ~2 KB
     tail-capture budget (round 5's oversized line made BENCH_r05.json record
     "parsed": null). If per-query numbers ever push it past 1.9 KB, they are
     dropped — the totals and the detail-file pointer always survive.
     ``value`` is the best-of-laps total (see module docstring, round-7
-    methodology); medians stay visible as ``median_total_sec``."""
+    methodology); medians stay visible as ``median_total_sec``.
+
+    ``load`` (round-9 verdict #4): the 1-min /proc/loadavg at bench start
+    and end, IN the printed line, so each BENCH_r{N}.json is
+    self-adjudicating for machine noise (round 8's driver artifact looked
+    like a +17% regression and only the sidecar's loadavg 2.3->5.45 laps
+    proved co-tenant load). Key order and the ``stat`` marker are unchanged
+    for cross-round comparability; the load keys are appended at the end."""
     payload = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(best.values()), 3),
@@ -113,6 +120,15 @@ def format_line(medians: dict, best: dict, cold: dict, sf) -> str:
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
+    if load is not None:
+        start, end = load.get("start") or [], load.get("end") or []
+        if start:
+            payload["load1_start"] = start[0]
+        if end:
+            payload["load1_end"] = end[0]
+        lap_loads = [s[0] for s in load.get("laps", []) if s]
+        if lap_loads:
+            payload["load1_lap_max"] = max(lap_loads)
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         del payload["queries"]
@@ -235,7 +251,7 @@ def main():
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
     # ONE compact line (<1 KB) — the driver's tail capture is ~2 KB.
-    print(format_line(medians, best, cold, sf))
+    print(format_line(medians, best, cold, sf, load=load_samples))
 
 
 if __name__ == "__main__":

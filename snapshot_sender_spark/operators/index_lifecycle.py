@@ -70,7 +70,17 @@ def dynamic_partition_overwrite(spark):
     """Scope ``spark.sql.sources.partitionOverwriteMode=dynamic`` for an
     ``insertInto`` (the write-option form does not apply there) —
     THREAD-SAFE: nested/concurrent scopes on the same session refcount, so
-    the previous value is restored only when the outermost scope exits."""
+    the previous value is restored only when the outermost scope exits.
+
+    INVERTED HAZARD (the refcount's flip side): the session conf stays
+    ``dynamic`` for the WHOLE refcounted scope, so an unrelated concurrent
+    ``insertInto(overwrite=True)`` on the SAME session that expects STATIC
+    full-table-overwrite semantics would silently become a dynamic
+    partition overwrite while any of these scopes is open. No such caller
+    exists in this repo (every overwrite-mode insertInto routes through
+    this scope on purpose); a future static-overwrite caller on a shared
+    session must either use its own SparkSession (``spark.newSession()``
+    confs are independent) or avoid overlapping with these scopes."""
     key = id(spark)
     with _dpo_lock:
         st = _dpo_state.get(key)
@@ -257,7 +267,13 @@ def remove_ids_from_epoch_table(spark, table: str, ids: DataFrame) -> int:
     takedown there requires a rebuild from the retained corpus (or a
     refcounted index, deliberately not built: the 16-byte set is the
     smallest sufficient statistic and rebuilds are cheap at epoch
-    granularity)."""
+    granularity).
+
+    A takedown arriving BEFORE any ingestion (the index table does not
+    exist yet) is a no-op returning 0 — the id trivially isn't indexed;
+    removal requests routinely outlive (or precede) the data."""
+    if not spark.catalog.tableExists(table):
+        return 0
     idx = spark.table(table)
     if "id" not in idx.columns:
         raise ValueError(
@@ -300,9 +316,25 @@ def remove_ids_from_partitioned_dir(
     affected epoch directory without the given ids. ``ids``: one-column
     (id). Returns rows removed. Delete-only and per-epoch, so a crash
     mid-way is cured by re-running — same contract as
-    ``remove_ids_from_epoch_table`` for the table-backed indexes."""
+    ``remove_ids_from_epoch_table`` for the table-backed indexes.
+
+    A takedown arriving BEFORE any ingestion (``data_dir`` absent or empty)
+    is a no-op returning 0 — the id trivially isn't stored. An epoch
+    directory EMPTIED by the takedown is deleted outright (mirroring the
+    table form's ``_drop_partition``): writing an empty dataset instead
+    would leave a data-less directory that breaks schema inference on the
+    next ``spark.read.parquet(data_dir)``."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return 0
     ids = ids.select("id").distinct().localCheckpoint()
-    corpus = spark.read.parquet(data_dir)
+    try:
+        corpus = spark.read.parquet(data_dir)
+    except Exception:  # no data files yet (e.g. dir holds only markers)
+        return 0
     affected = {
         int(r["epoch"])
         for r in corpus.join(ids, corpus[id_col] == ids["id"], "semi")
@@ -319,6 +351,10 @@ def remove_ids_from_partitioned_dir(
         keep = part.join(
             ids, part[id_col] == ids["id"], "left_anti"
         ).localCheckpoint()  # materialize before replacing the files it reads
-        removed += part.count() - keep.count()
-        keep.write.mode("overwrite").parquet(path)
+        n_keep = keep.count()
+        removed += part.count() - n_keep
+        if n_keep == 0:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        else:
+            keep.write.mode("overwrite").parquet(path)
     return removed

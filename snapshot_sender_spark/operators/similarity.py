@@ -825,8 +825,13 @@ def takedown_ivf_index(spark, index_dir: str, ids: DataFrame) -> int:
     only replaces partitions present in the write). Convergent on crash
     re-run: every step is delete-only. Centroids are untouched — the
     coarse quantizer is frozen by contract, and a thinner partition only
-    speeds probes. Returns vector rows removed."""
+    speeds probes. Returns vector rows removed. A takedown arriving before
+    the index exists is a no-op returning 0 (the unknown-id contract, same
+    as the table-backed families)."""
     vec_path = f"{index_dir}/vectors"
+    _p = spark._jvm.org.apache.hadoop.fs.Path(vec_path)
+    if not _p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(_p):
+        return 0
     vectors = spark.read.parquet(vec_path)
     pcols = [c for c in ("bucket", "epoch") if c in vectors.columns]
     ids = ids.select("id").distinct().localCheckpoint()

@@ -371,8 +371,12 @@ def takedown_accepted_media(
     takedown must never make a crashed epoch replayable. After a takedown
     the same content re-submitted under a new id is accepted — the service
     semantics demanded by removal requests (pinned in test_takedown.py
-    for the index half; the corpus half here keeps storage in step)."""
-    if "sig" not in spark.table(index_table).columns:
+    for the index half; the corpus half here keeps storage in step).
+    A takedown arriving before ANY ingestion (no index table yet) is a
+    no-op returning 0 — the unknown-id contract, not an error."""
+    if spark.catalog.tableExists(index_table) and "sig" not in spark.table(
+        index_table
+    ).columns:
         raise ValueError(
             f"takedown_accepted_media expects the SIGNATURE-mode index "
             f"(id, sig, band); table {index_table!r} has no sig column — "

@@ -15,6 +15,18 @@ existed or were already removed — takedown of an unknown id is a no-op by
 design, not an error, because removal requests routinely outlive the
 data).
 
+MANIFEST SCHEMA NOTE — ``corpus_rows_removed`` is REPLAY-SENSITIVE: it is
+measured at commit-attempt time, so if the process crashes AFTER the
+removals but BEFORE the marker write, the replayed batch re-runs against
+already-cleaned state and commits 0 for a takedown that actually removed
+rows. The REMOVAL itself is exactly-once-equivalent either way (delete-only
+and convergent); only the audit COUNT can under-report under that crash
+window. Counting matches before removing in the same run is inherently racy
+(rows can be removed between the count and the delete), so instead every
+manifest carries ``"rows_removed_semantics": "as-of-this-run"`` to make the
+caveat machine-readable; auditors needing exact counts should reconcile
+against the pre-takedown corpus snapshot.
+
 Three kinds, matching the ingestion services:
   "docs"   text service   — posting index (+sizes), corpus keyed doc_id
   "media"  signature mode — per-band sig index, corpus keyed media_id
@@ -110,6 +122,10 @@ def run_streaming_takedown(
                     "kind": kind,
                     "distinct_ids": ids.count(),
                     "corpus_rows_removed": int(removed),
+                    # replay-sensitivity marker — see module docstring: a
+                    # crash after the removals but before this write replays
+                    # the batch against cleaned state and records 0 here
+                    "rows_removed_semantics": "as-of-this-run",
                 },
                 fh,
             )

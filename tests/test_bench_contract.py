@@ -50,3 +50,32 @@ def test_line_is_single_line_json():
     line = bench.format_line(t, t, t, 0.01)
     assert "\n" not in line
     json.loads(line)  # round-trips
+
+
+def test_line_carries_self_adjudicating_load():
+    """Round-9 verdict #4: the printed line itself records start/end/lap-max
+    1-min loadavg so a load-polluted round is visible WITHOUT the sidecar —
+    and still fits the tail budget with every query present."""
+    med = _fake_timings()
+    best = {n: v - 2.0 for n, v in med.items()}
+    load = {
+        "start": [0.06, 0.1, 0.2],
+        "end": [5.45, 3.2, 1.9],
+        "laps": [[2.3, 1.0, 0.5], [5.45, 3.0, 1.5], []],
+        "delivery_laps": [[1.0, 0.9, 0.8]],
+    }
+    line = bench.format_line(med, best, med, 0.1, load=load)
+    assert len(line) < 1200, len(line)
+    parsed = json.loads(line)
+    assert parsed["load1_start"] == 0.06
+    assert parsed["load1_end"] == 5.45
+    assert parsed["load1_lap_max"] == 5.45
+    # unreadable /proc/loadavg (non-Linux) degrades to no load keys, no crash
+    bare = json.loads(
+        bench.format_line(med, best, med, 0.1, load={"start": [], "end": [], "laps": []})
+    )
+    assert "load1_start" not in bare and "load1_lap_max" not in bare
+    # key ORDER of the pre-existing fields is unchanged (cross-round parsers)
+    keys = list(parsed)
+    assert keys[:4] == ["metric", "value", "unit", "stat"]
+    assert keys[-3:] == ["load1_start", "load1_end", "load1_lap_max"]

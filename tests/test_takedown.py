@@ -420,3 +420,90 @@ def test_streaming_takedown_service(spark, tmp_path):
             str(tmp_path / "td_ckpt_fresh"), kind="media",
         )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_takedown_before_any_ingestion_is_noop(spark, tmp_path):
+    """Round-9 advice: a removal request arriving BEFORE any ingestion must
+    be a no-op returning 0 at every level — epoch table, partitioned dir,
+    IVF dir, and the three service wrappers — not an AnalysisException.
+    Removal requests routinely precede (or outlive) the data."""
+    from snapshot_sender_spark.streaming.dedup_stream import takedown_accepted_docs
+    from snapshot_sender_spark.streaming.media_dedup_stream import (
+        takedown_accepted_media,
+        takedown_accepted_video,
+    )
+
+    ids = _ids(spark, [1, 2])
+    missing = "t_takedown_never_created_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {missing}")
+    assert index_lifecycle.remove_ids_from_epoch_table(spark, missing, ids) == 0
+    assert dedup.takedown_dedup_index(spark, missing, ids) == 0
+    assert dedup.takedown_sig_index(spark, missing, ids) == 0
+    assert (
+        index_lifecycle.remove_ids_from_partitioned_dir(
+            spark, str(tmp_path / "no_such_dir"), "doc_id", ids
+        )
+        == 0
+    )
+    assert similarity.takedown_ivf_index(spark, str(tmp_path / "no_ivf"), ids) == 0
+    # service wrappers: missing index table AND missing accepted corpus
+    acc = str(tmp_path / "acc_never_ingested")
+    assert takedown_accepted_docs(spark, acc, missing, ids) == 0
+    assert takedown_accepted_media(spark, acc, missing, ids) == 0
+    assert takedown_accepted_video(spark, acc, missing, ids) == 0
+    # and the streaming service end-to-end on the empty state
+    from snapshot_sender_spark.streaming.takedown_stream import (
+        run_streaming_takedown,
+        takedown_manifests,
+    )
+
+    req = str(tmp_path / "requests")
+    os.makedirs(req)
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    stage = str(tmp_path / "stage_req")
+    df.coalesce(1).write.parquet(stage)
+    shutil.move(
+        glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+        os.path.join(req, "f0.parquet"),
+    )
+    got = run_streaming_takedown(
+        spark, req, acc, missing, str(tmp_path / "ckpt"), kind="media"
+    )
+    assert got == [0]
+    man = takedown_manifests(acc)
+    assert man[0]["corpus_rows_removed"] == 0
+    assert man[0]["rows_removed_semantics"] == "as-of-this-run"
+
+
+def test_partitioned_dir_emptied_epoch_removed(spark, tmp_path):
+    """Round-9 advice: an epoch directory EMPTIED by a takedown is deleted
+    (mirroring the table form's partition drop), never rewritten as an
+    empty dataset — and emptying EVERY epoch leaves no data-less dirs that
+    would break later schema inference."""
+    data = str(tmp_path / "data")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "doc_id long, epoch int"
+    )
+    df.write.partitionBy("epoch").parquet(data)
+    removed = index_lifecycle.remove_ids_from_partitioned_dir(
+        spark, data, "doc_id", _ids(spark, [3])
+    )
+    assert removed == 1
+    assert not os.path.exists(os.path.join(data, "epoch=1"))
+    back = spark.read.parquet(data)
+    assert {r["doc_id"] for r in back.collect()} == {1, 2}
+    # empty the remaining epoch too: the dir holds no epoch dirs at all
+    assert (
+        index_lifecycle.remove_ids_from_partitioned_dir(
+            spark, data, "doc_id", _ids(spark, [1, 2])
+        )
+        == 2
+    )
+    assert not os.path.exists(os.path.join(data, "epoch=0"))
+    # a takedown against the now-empty store is a clean no-op
+    assert (
+        index_lifecycle.remove_ids_from_partitioned_dir(
+            spark, data, "doc_id", _ids(spark, [1])
+        )
+        == 0
+    )
