@@ -1,0 +1,274 @@
+"""Deterministic byte-pair-encoding (BPE) tokenizer family — round-9
+verdict #1: upgrade every token-budget operator from whitespace proxies to
+REAL subword tokens.
+
+The model is the classic Sennrich et al. (2016) BPE trained on a
+word-frequency table, with tiktoken-style greedy application, made fully
+deterministic so the learned merge table golden-pins per tier and token
+application replays EXACTLY in the DuckDB oracle (a recursive CTE applies
+the committed merge table longhand — model parameters pinned, application
+re-derived cross-engine).
+
+Determinism contract (every tie broken totally):
+  pre-tokenize   Python str.split() semantics — the repo's pinned
+                 ``(?U)[\\s\\x1c-\\x1f]+`` class (operators/dedup.py:983),
+                 empties dropped; merges never cross word boundaries; no
+                 end-of-word marker (documented simplification — the corpus
+                 carries no punctuation to disambiguate).
+  train          word-frequency table capped to the ``max_words`` most
+                 frequent words, ties by word ASC (binary order); each
+                 round learns the adjacent pair with the HIGHEST total
+                 frequency, ties by pair (left, right) ASC, then merges
+                 ALL its occurrences left-to-right in the training words.
+  encode         tiktoken semantics: repeatedly merge the SINGLE leftmost
+                 occurrence of the lowest-rank adjacent pair until no
+                 adjacent pair is in the merge table. (This differs from
+                 merge-all-occurrences batching on adversarial inputs —
+                 e.g. merges [("ab","a"),("a","b")] on "abab" — and the
+                 one-surgery-per-step form is what a SQL recursive CTE
+                 replays naturally; the divergence case is pinned in
+                 tests/test_bpe.py.)
+  token ids      base characters (sorted, over ALL distinct corpus words —
+                 the cap only limits TRAINING) get ids 0..B-1; the token
+                 string created by merge rank r gets id B+r; if two merges
+                 produce the same string the EARLIEST id wins; a symbol
+                 unseen at train time encodes as UNK_ID (-1).
+
+Scale shape (the whole point of the factoring): the expensive Python work —
+training and per-word greedy encoding — runs once per DISTINCT WORD, never
+per occurrence. Training collects only the capped word-frequency table to
+the driver (a model artifact, like the IVF coarse quantizer's sampled
+centroids); encoding runs as one Arrow-batched ``mapInPandas`` over the
+distinct-word table and broadcast-joins back to the exploded corpus, so a
+100 TB corpus pays JVM-side explode/join/window costs while Python touches
+only the vocabulary. The reference never tokenizes (HttpWriter.kt:75 treats
+payloads as opaque); this generalizes the engine's "BPE-ish regex" token
+counting (queries/llm.py) into a real trained tokenizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Python str.split() separator semantics for the JVM: (?U) makes \s the
+# Unicode White_Space set; \x1c-\x1f adds the C0 separators str.split()
+# also breaks on. Same class the SimHash JVM plan pins (dedup.py:983).
+PY_SPLIT_WS_JAVA = r"(?U)[\s\x1c-\x1f]+"
+
+UNK_ID = -1
+
+__all__ = [
+    "PY_SPLIT_WS_JAVA",
+    "UNK_ID",
+    "BpeModel",
+    "word_frequencies",
+    "train_bpe",
+    "encode_word",
+    "bpe_tokenize",
+]
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """A trained BPE tokenizer: ordered merge list + base character vocab.
+
+    ``merges[r]`` is the pair learned at rank r. ``base_vocab`` is the
+    sorted distinct-character list token ids 0..B-1 map to; merge rank r's
+    token string gets id B+r (earliest id wins on duplicate strings)."""
+
+    merges: tuple[tuple[str, str], ...]
+    base_vocab: tuple[str, ...]
+    _ranks: dict = field(default=None, compare=False, repr=False)
+    _ids: dict = field(default=None, compare=False, repr=False)
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        if self._ranks is None:
+            object.__setattr__(
+                self, "_ranks", {p: r for r, p in enumerate(self.merges)}
+            )
+        return self._ranks
+
+    @property
+    def token_ids(self) -> dict[str, int]:
+        """Token string -> id. Base chars first (sorted), then merge
+        products in rank order; setdefault keeps the EARLIEST id when a
+        later merge reproduces an existing token string."""
+        if self._ids is None:
+            ids: dict[str, int] = {}
+            for i, c in enumerate(self.base_vocab):
+                ids[c] = i
+            b = len(self.base_vocab)
+            for r, (l, rgt) in enumerate(self.merges):
+                ids.setdefault(l + rgt, b + r)
+            object.__setattr__(self, "_ids", ids)
+        return self._ids
+
+    def encode_word(self, word: str) -> list[str]:
+        return encode_word(word, self.ranks)
+
+    def encode_word_ids(self, word: str) -> list[int]:
+        ids = self.token_ids
+        return [ids.get(t, UNK_ID) for t in self.encode_word(word)]
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — one distributed explode + groupBy
+    (partial aggregation map-side; the result is vocabulary-sized)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), PY_SPLIT_WS_JAVA)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe(
+    spark,
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 60,
+    max_words: int = 100_000,
+) -> BpeModel:
+    """Train a deterministic BPE merge table on the corpus.
+
+    Distributed part: the word-frequency aggregation and the distinct
+    base-character set (both vocabulary-sized outputs). Driver part: the
+    merge loop over the capped word table — O(max_words · avg_len) per
+    merge, corpus-size-INDEPENDENT, the same control-plane footprint as
+    sample-trained IVF centroids. ``max_words`` is the honest scale dial:
+    real trainers cap or sample the word table too; the cap takes the most
+    frequent words (ties by word ASC) so it is deterministic at any scale.
+    """
+    wf = word_frequencies(docs, text_col)
+    # base vocab from ALL words (cheap distinct-char agg), training from the
+    # capped table — encode never meets an unknown char from its own corpus
+    base = sorted(
+        r["c"]
+        # (?!^) splits between every char; Spark's split keeps a TRAILING
+        # empty (limit=-1 semantics), so filter '' out
+        for r in wf.select(F.explode(F.split("word", "(?!^)")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    capped = [
+        (r["word"], int(r["freq"]))
+        for r in wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_words).collect()
+    ]
+    words = [(list(w), f) for w, f in capped]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # highest total frequency; ties by pair ASC — a total order
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        for k, (syms, f) in enumerate(words):
+            if len(syms) < 2:
+                continue
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[k] = (out, f)
+    return BpeModel(merges=tuple(merges), base_vocab=tuple(base))
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """tiktoken-style greedy application: one surgery per step — merge the
+    LEFTMOST occurrence of the lowest-rank adjacent pair, rescan, stop when
+    no adjacent pair is ranked. Pure function of (word, ranks); the DuckDB
+    oracle replays exactly this loop as a recursive CTE."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        best_i = None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i  # strict < keeps the leftmost on tie
+        if best_i is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_tokenize(
+    spark,
+    docs: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained model → (id_col, token_ids
+    array<long>, n_tokens long).
+
+    Plan: posexplode the whitespace words (JVM), encode each DISTINCT word
+    once in an Arrow-batched ``mapInPandas`` (the only Python crossing —
+    O(vocabulary), not O(corpus)), broadcast-join the tiny word→ids table
+    back, reassemble per document with sort_array(collect_list(struct)) —
+    order restored by word position, no global sort. NULL text stays NULL
+    (token_ids NULL, n_tokens NULL); token-less text (empty/whitespace)
+    yields an empty array and n_tokens 0 — the SimHash family's NULL
+    contract."""
+    ranks = model.ranks
+    ids_map = model.token_ids
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                [ids_map.get(t, UNK_ID) for t in encode_word(w, ranks)]
+                for w in pdf["word"]
+            ]
+            yield pd.DataFrame({"word": pdf["word"], "ids": toks})
+
+    wpos = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), PY_SPLIT_WS_JAVA)).alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    dw = wpos.select("word").distinct()
+    encoded = dw.mapInPandas(_encode, "word string, ids array<long>")
+    assembled = (
+        wpos.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    has_text = F.col(text_col).isNotNull()
+    return (
+        docs.select(id_col, text_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                has_text, F.coalesce("token_ids", F.array().cast("array<long>"))
+            ).alias("token_ids"),
+            F.when(has_text, F.coalesce(F.size("token_ids"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryDef]:
     # import side-effect: modules register into REGISTRY
     from . import (  # noqa: F401
         analytics_q,
+        bpe_q,
         codec_q,
         corrupt_q,
         coverage2_q,

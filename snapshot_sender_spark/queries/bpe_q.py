@@ -1,0 +1,341 @@
+"""BPE tokenizer queries (round-9 verdict #1): a real trained subword
+tokenizer as a first-class operator family, upgrading the engine's
+token-budget operators from whitespace proxies to real token counts.
+
+Oracle strategy — the two-layer model-replay pattern:
+
+* ``text_bpe_vocab`` (the learned MERGE TABLE) is golden-pinned per tier:
+  training is fully deterministic (frequency-ranked pair merging, total
+  tie-breaks — operators/bpe.py docstring), so the golden regenerates
+  byte-identically; cross-engine re-derivation would need the iterative
+  training loop DuckDB SQL cannot express in one query.
+* Every OTHER query re-derives its answer CROSS-ENGINE from that committed
+  model artifact: the DuckDB oracle replays greedy merge application
+  longhand — a recursive CTE performs exactly one tiktoken-style surgery
+  per step (merge the leftmost occurrence of the lowest-rank adjacent
+  pair) until fixpoint, per DISTINCT WORD, then reassembles per-document
+  token streams positionally. Model parameters pinned, application
+  re-derived — the same trust structure as replaying any trained model.
+
+The reference never tokenizes (HttpWriter.kt:75 — payloads are opaque);
+this family generalizes the engine's own "BPE-ish regex" token counting
+(queries/llm.py:1101) into the real thing, per the round-8 verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import bpe
+from ..tables import load
+from . import query
+from .goldens import golden_oracle
+from .goldens_data import GOLDEN_DATA
+
+NUM_MERGES = 60
+MAX_WORDS = 100_000
+
+# DuckDB regex class equal to Python str.split() separators — the same
+# class the SimHash oracles pin (queries/llm.py:_PY_SPLIT_WS).
+_WS = (
+    r"[\t\n\x0B\x0C\r\x1C-\x1F "
+    r"\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+# sentinel rank for "no adjacent pair is ranked" — far above any real rank
+_INF = 4611686018427387904  # 2^62
+
+_MODEL_CACHE: dict[str, bpe.BpeModel] = {}
+
+
+def _model(spark: SparkSession, sf_dir: str) -> bpe.BpeModel:
+    """Train-once-per-process memo: every BPE query shares one model per
+    tier (training is deterministic, so this is a pure cache)."""
+    if sf_dir not in _MODEL_CACHE:
+        _MODEL_CACHE[sf_dir] = bpe.train_bpe(
+            spark, load(spark, sf_dir, "documents"),
+            num_merges=NUM_MERGES, max_words=MAX_WORDS,
+        )
+    return _MODEL_CACHE[sf_dir]
+
+
+def _merges_values_sql() -> str | None:
+    """VALUES rows (tier_rows, rank, l, r) from the COMMITTED text_bpe_vocab
+    golden — the tokenize-family oracles replay application against the
+    pinned model, selecting their tier by lineitem count exactly like
+    golden_oracle(). None while the golden is ungenerated (callers emit the
+    loud sentinel)."""
+    spec = GOLDEN_DATA.get("text_bpe_vocab")
+    if not spec or not spec.get("tiers"):
+        return None
+    cols = [c for c, _ in spec["columns"]]
+    if not {"rank", "left_sym", "right_sym"} <= set(cols):
+        return None  # stale/ungenerated golden → loud sentinel downstream
+    i_rank, i_l, i_r = cols.index("rank"), cols.index("left_sym"), cols.index("right_sym")
+    rows = ["(-1, NULL, NULL, NULL)"]
+    for tier in sorted(spec["tiers"]):
+        for row in spec["tiers"][tier]:
+            l = str(row[i_l]).replace("'", "''")
+            r = str(row[i_r]).replace("'", "''")
+            rows.append(f"({tier}, {row[i_rank]}, '{l}', '{r}')")
+    return ",\n      ".join(rows)
+
+
+def _bpe_counts_ctes() -> str | None:
+    """The shared oracle CTE chain ``vocab_golden .. dtoks``: distinct-word
+    greedy BPE application (recursive CTE, one merge per step) + per-doc
+    positional reassembly. Ends with ``dtoks(doc_id, ids)``; callers append
+    their own final SELECT. None while the vocab golden is ungenerated."""
+    merges_values = _merges_values_sql()
+    if merges_values is None:
+        return None
+    return f"""
+    vocab_golden(tier_rows, rank, l, r) AS (VALUES
+      {merges_values}
+    ),
+    merges AS (
+      SELECT CAST(rank AS BIGINT) AS rank, l, r FROM vocab_golden
+      WHERE tier_rows = (SELECT COUNT(*) FROM lineitem)
+    ),
+    mm AS (SELECT map(list(l || chr(1) || r ORDER BY rank),
+                      list(rank ORDER BY rank)) AS m FROM merges),
+    words AS (SELECT DISTINCT w FROM (
+        SELECT unnest(regexp_split_to_array(text, '{_WS}')) AS w FROM documents
+      ) WHERE w <> ''),
+    init AS (SELECT w,
+                    list_transform(range(1, length(w)+1),
+                                   i -> substring(w, CAST(i AS INT), 1)) AS parts,
+                    0 AS it
+             FROM words),
+    steps AS (
+      SELECT w, parts, it FROM init
+      UNION ALL
+      SELECT w,
+             parts[1:CAST(best[2] AS INT)-1]
+               || [parts[CAST(best[2] AS INT)] || parts[CAST(best[2] AS INT)+1]]
+               || parts[CAST(best[2] AS INT)+2:],
+             it + 1
+      FROM (
+        SELECT w, parts, it,
+               list_sort(list_transform(range(1, CAST(len(parts) AS BIGINT)),
+                 i -> [coalesce(m[parts[CAST(i AS INT)] || chr(1)
+                                  || parts[CAST(i AS INT)+1]][1], {_INF}), i]))[1]
+                 AS best
+        FROM steps, mm
+      ) WHERE best IS NOT NULL AND best[1] < {_INF}
+    ),
+    final AS (SELECT w, max_by(parts, it) AS parts FROM steps GROUP BY w),
+    base AS (SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id
+             FROM (SELECT DISTINCT unnest(list_transform(range(1, length(w)+1),
+                          i -> substring(w, CAST(i AS INT), 1))) AS c FROM words)),
+    tokmap AS (
+      SELECT tok, MIN(id) AS id FROM (
+        SELECT c AS tok, id FROM base
+        UNION ALL
+        SELECT l || r, rank + (SELECT COUNT(*) FROM base) FROM merges
+      ) GROUP BY tok),
+    wtoks AS (SELECT w, i, parts[CAST(i AS INT)] AS tok
+              FROM final, UNNEST(range(1, len(parts)+1)) AS t(i)),
+    wids AS (SELECT w, list(coalesce(tm.id, -1) ORDER BY i) AS ids
+             FROM wtoks LEFT JOIN tokmap tm USING (tok) GROUP BY w),
+    dwords AS (
+      SELECT doc_id, i AS wpos, arr[CAST(i AS INT)] AS w
+      FROM (SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS arr
+            FROM documents WHERE text IS NOT NULL) d,
+           UNNEST(range(1, len(arr)+1)) AS t(i)),
+    dtoks AS (
+      SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
+      FROM (SELECT dw.doc_id, dw.wpos, wi.ids
+            FROM dwords dw JOIN wids wi USING (w) WHERE dw.w <> '')
+      GROUP BY doc_id)"""
+
+
+_UNGENERATED = (
+    "SELECT 'UNGENERATED GOLDEN text_bpe_vocab (run tools/gen_goldens.py "
+    "--add text_bpe_vocab)' AS ungenerated_golden"
+)
+
+
+def _tokenize_oracle() -> str:
+    ctes = _bpe_counts_ctes()
+    if ctes is None:
+        return _UNGENERATED
+    return f"""
+    WITH RECURSIVE{ctes},
+    dig AS (SELECT doc_id, CAST(SUM(i * (ids[CAST(i AS INT)] + 7)) AS BIGINT) AS s
+            FROM dtoks, UNNEST(range(1, len(ids)+1)) AS u(i) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(len(t.ids), 0) AS BIGINT) END AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(g.s, 0) END AS token_digest
+    FROM documents d
+    LEFT JOIN dtoks t USING (doc_id)
+    LEFT JOIN dig g USING (doc_id)
+    """
+
+
+def _pack_oracle() -> str:
+    ctes = _bpe_counts_ctes()
+    if ctes is None:
+        return _UNGENERATED
+    return f"""
+    WITH RECURSIVE{ctes},
+    counts AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(len(t.ids), 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN dtoks t USING (doc_id)),
+    pos AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+      FROM counts)
+    SELECT doc_id, source, n_tokens, start_pos,
+           CAST(FLOOR(start_pos / 256) AS BIGINT) AS seq_id,
+           CAST(FLOOR((start_pos + n_tokens - 1) / 256) AS BIGINT)
+             <> CAST(FLOOR(start_pos / 256) AS BIGINT) AS spans_boundary
+    FROM pos
+    """
+
+
+def _budget_oracle() -> str:
+    ctes = _bpe_counts_ctes()
+    if ctes is None:
+        return _UNGENERATED
+    return f"""
+    WITH RECURSIVE{ctes},
+    sized AS (
+      SELECT d.doc_id, d.source,
+             CAST(coalesce(len(t.ids), 0) AS BIGINT) AS toks,
+             SUM(CAST(coalesce(len(t.ids), 0) AS BIGINT)) OVER (
+               PARTITION BY d.source ORDER BY md5(d.text), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+      FROM documents d LEFT JOIN dtoks t USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS tokens_used
+    FROM sized WHERE cum_toks <= 1500
+    GROUP BY source
+    """
+
+
+@query(
+    "text_bpe_vocab",
+    oracle=golden_oracle("text_bpe_vocab"),
+    category="llm-text",
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table: (rank, left_sym, right_sym, token,
+    token_id) — symbol columns suffixed because left/right are SQL keywords.
+    GOLDEN-PINNED (determinism class: the training loop is a pure function
+    of the word-frequency table with total tie-breaks — frequency DESC then
+    pair ASC per merge, word-cap ties by word ASC; see operators/bpe.py).
+    Cross-engine re-derivation would require the iterative merge-count loop,
+    which single-statement SQL cannot express; every downstream BPE query
+    instead re-derives its answer from THIS pinned artifact cross-engine."""
+    model = _model(spark, sf_dir)
+    ids = model.token_ids
+    nb = len(model.base_vocab)
+    rows = [
+        (r, l, rt, l + rt, ids.get(l + rt, nb + r))
+        for r, (l, rt) in enumerate(model.merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left_sym string, right_sym string, token string, token_id long"
+    )
+
+
+@query("text_bpe_tokenize", oracle=_tokenize_oracle(), category="llm-text")
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subword tokenization of the corpus: per doc the BPE token count
+    and an order-sensitive integer digest sum(i * (id_i + 7)) over 1-based
+    positions — pinning every token id AND its position cross-engine.
+
+    Spark plan: posexplode words (JVM) → encode DISTINCT words once in one
+    Arrow-batched mapInPandas (O(vocabulary) Python, the declared crossing)
+    → broadcast join back → per-doc positional reassembly via
+    sort_array(collect_list(struct)) — no global sort, text never shuffles
+    (only words and int arrays move). The DuckDB oracle replays greedy
+    application longhand from the committed merge golden: a recursive CTE
+    does one leftmost-lowest-rank merge per step to fixpoint per distinct
+    word — the tiktoken semantics pinned in tests/test_bpe.py."""
+    model = _model(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    tok = bpe.bpe_tokenize(spark, docs, model)
+    digest = F.expr(
+        "aggregate(transform(token_ids, (x, i) -> (cast(i as bigint) + 1) * (x + 7)),"
+        " cast(0 as bigint), (a, b) -> a + b)"
+    )
+    return tok.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("token_ids").isNotNull(), F.coalesce(digest, F.lit(0)))
+        .cast("long")
+        .alias("token_digest"),
+    )
+
+
+@query("pack_training_sequences_bpe", oracle=_pack_oracle(), category="llm-curation")
+def pack_training_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pack_training_sequences`` retrofitted to REAL token counts (the
+    round-8 verdict's ask): concatenate each source's docs in doc_id order
+    into one BPE-token stream and cut fixed 256-token sequences — per doc
+    its start offset, owning sequence id, and whether it straddles a
+    boundary. Same one-window-cumsum shape as the whitespace form
+    (queries/curation_q.py pack_training_sequences); only the count source
+    changed, which is the point — token-budget operators are
+    count-parametric."""
+    model = _model(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    counts = bpe.bpe_tokenize(spark, docs, model).select("doc_id", "n_tokens")
+    toks = docs.select("doc_id", "source").join(counts, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = toks.withColumn(
+        "start_pos", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return pos.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_pos",
+        F.floor(F.col("start_pos") / 256).cast("long").alias("seq_id"),
+        (
+            F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / 256)
+            != F.floor(F.col("start_pos") / 256)
+        ).alias("spans_boundary"),
+    )
+
+
+@query("curation_token_budget_bpe", oracle=_budget_oracle(), category="llm-curation")
+def curation_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curation_token_budget_mix`` retrofitted to REAL token counts: docs
+    taken per source in deterministic seedless-shuffle order (md5(text),
+    doc_id) until the running BPE-token total hits the budget (1500). The
+    whitespace form's ceil(chars/4) proxy misprices short-word-heavy docs;
+    with a trained tokenizer the budget is in the unit training actually
+    consumes. Same window shape; counts broadcast-join in."""
+    model = _model(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    counts = bpe.bpe_tokenize(spark, docs, model).select(
+        "doc_id", F.col("n_tokens").alias("toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", F.md5("text").alias("shuffle_key"))
+        .join(counts, "doc_id")
+        .withColumn("cum_toks", F.sum("toks").over(w))
+        .filter(F.col("cum_toks") <= 1500)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("tokens_used"))
+    )

@@ -1,0 +1,152 @@
+"""BPE tokenizer family (round-9): deterministic training, tiktoken-style
+greedy application semantics (pinned including the batch-vs-single-merge
+divergence case), token-id assignment, the NULL/empty contract, and the
+distinct-word-only Python crossing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators import bpe
+
+
+# ---------------------------------------------------------------- encode
+
+
+def test_encode_merges_lowest_rank_first():
+    # rank order decides, not left-to-right pair position
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe.encode_word("abc", ranks) == ["a", "bc"]
+    # after the rank-0 merge nothing matches ("a","b") anymore
+
+
+def test_encode_leftmost_on_equal_rank():
+    # same pair at two sites: leftmost merges first, then the next
+    ranks = {("a", "a"): 0}
+    assert bpe.encode_word("aaa", ranks) == ["aa", "a"]
+    assert bpe.encode_word("aaaa", ranks) == ["aa", "aa"]
+
+
+def test_encode_single_surgery_semantics_divergence_case():
+    """THE contract pin: tiktoken-style one-merge-per-step differs from
+    merge-all-occurrences batching. With merges [("ab","a") rank 0,
+    ("a","b") rank 1] on "abab": batching both ("a","b") sites first gives
+    [ab, ab]; one-at-a-time merges the left site, then the newly-formed
+    ("ab","a") outranks the remaining ("a","b") → [aba, b]. The engine and
+    the DuckDB oracle both implement the one-surgery form."""
+    ranks = {("ab", "a"): 0, ("a", "b"): 1}
+    assert bpe.encode_word("abab", ranks) == ["aba", "b"]
+
+
+def test_encode_no_ranked_pairs_returns_chars():
+    assert bpe.encode_word("xyz", {}) == ["x", "y", "z"]
+    assert bpe.encode_word("a", {("a", "a"): 0}) == ["a"]
+    assert bpe.encode_word("", {}) == []
+
+
+# ----------------------------------------------------------------- train
+
+
+def _mini_docs(spark, rows):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                                 "doc_id long, text string")
+
+
+def test_train_frequency_then_pair_tiebreak(spark):
+    # "ab" x3, "cd" x3: pair counts tie at 3 — ("a","b") < ("c","d") wins
+    docs = _mini_docs(spark, ["ab cd ab", "cd ab cd"])
+    m = bpe.train_bpe(spark, docs, num_merges=2)
+    assert m.merges[0] == ("a", "b")
+    assert m.merges[1] == ("c", "d")
+    assert m.base_vocab == ("a", "b", "c", "d")
+
+
+def test_train_merge_applies_left_to_right_in_corpus(spark):
+    # one word "aaa" x5: first merge ("a","a") leaves [aa, a] per word, so
+    # the second round counts ("aa","a") — never ("a","aa")
+    docs = _mini_docs(spark, ["aaa aaa aaa aaa aaa"])
+    m = bpe.train_bpe(spark, docs, num_merges=2)
+    assert m.merges == (("a", "a"), ("aa", "a"))
+
+
+def test_train_deterministic_across_runs(spark):
+    docs = _mini_docs(spark, ["the quick brown fox", "the slow brown dog",
+                              "the the quick dog"])
+    m1 = bpe.train_bpe(spark, docs, num_merges=10)
+    m2 = bpe.train_bpe(spark, docs, num_merges=10)
+    assert m1.merges == m2.merges and m1.base_vocab == m2.base_vocab
+
+
+def test_train_max_words_cap_is_deterministic(spark):
+    # cap keeps most-frequent words, ties by word ASC: with max_words=1 and
+    # freqs {aa:2, bb:2}, "aa" is kept → merges learn only from "aa"
+    docs = _mini_docs(spark, ["aa bb aa bb"])
+    m = bpe.train_bpe(spark, docs, num_merges=4, max_words=1)
+    assert m.merges == (("a", "a"),)
+    # base vocab still covers ALL corpus chars (cap limits training only)
+    assert m.base_vocab == ("a", "b")
+
+
+def test_token_ids_earliest_wins_on_duplicate_strings():
+    # merges 0 and 2 both produce "abc" → the string keeps id B+0
+    m = bpe.BpeModel(merges=(("ab", "c"), ("b", "c"), ("a", "bc")),
+                     base_vocab=("a", "b", "c"))
+    ids = m.token_ids
+    assert ids["abc"] == 3  # B=3, rank 0
+    assert ids["bc"] == 4
+    assert len(ids) == 5  # 3 base + 2 distinct merge strings
+
+
+# ----------------------------------------------------------- tokenize df
+
+
+def test_bpe_tokenize_null_and_empty_contract(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab b"), (1, ""), (2, None), (3, "   "), (4, " 　")],
+        "doc_id long, text string",
+    )
+    m = bpe.train_bpe(spark, docs, num_merges=1)
+    assert m.merges == (("a", "b"),)
+    got = {r["doc_id"]: r for r in bpe.bpe_tokenize(spark, docs, m).collect()}
+    ab_id = m.token_ids["ab"]
+    b_id = m.token_ids["b"]
+    assert got[0]["token_ids"] == [ab_id, ab_id, b_id]
+    assert got[0]["n_tokens"] == 3
+    for empty in (1, 3, 4):  # empty / whitespace / unicode-space only
+        assert got[empty]["token_ids"] == [] and got[empty]["n_tokens"] == 0
+    assert got[2]["token_ids"] is None and got[2]["n_tokens"] is None
+
+
+def test_bpe_tokenize_unknown_symbols_are_unk(spark):
+    train = _mini_docs(spark, ["ab ab"])
+    m = bpe.train_bpe(spark, train, num_merges=1)
+    new = _mini_docs(spark, ["ab zq"])
+    got = {r["doc_id"]: r for r in bpe.bpe_tokenize(spark, new, m).collect()}
+    assert got[0]["token_ids"] == [m.token_ids["ab"], bpe.UNK_ID, bpe.UNK_ID]
+
+
+def test_bpe_tokenize_matches_pure_python_reference(spark, sf_dir):
+    """End-to-end distributed parity: the Spark plan (distinct-word encode +
+    broadcast join + positional reassembly) reproduces a doc-by-doc driver
+    loop exactly, order included."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    m = bpe.train_bpe(spark, docs, num_merges=25)
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in bpe.bpe_tokenize(spark, docs, m).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        want = []
+        for w in row["text"].split():
+            want.extend(m.encode_word_ids(w))
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_bpe_tokenize_python_crossing_is_distinct_words_only(spark):
+    """The scale contract: the ONLY Python crossing in the tokenize plan is
+    the mapInPandas over DISTINCT WORDS — the corpus-side explode, join and
+    reassembly stay JVM-side (no BatchEvalPython, exactly one MapInPandas,
+    and it sits under the distinct-word aggregate, not the corpus scan)."""
+    docs = _mini_docs(spark, ["ab cd ab", "cd ab cd"] * 50)
+    m = bpe.train_bpe(spark, docs, num_merges=2)
+    plan = bpe.bpe_tokenize(spark, docs, m)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan

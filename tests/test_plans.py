@@ -370,6 +370,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
     SKIP_CATEGORIES = {"streaming", "pipeline", "llm-pipeline"}
     EXPECTED_BATCH_PY = {"text_chunk_udtf", "udtf_table_arg_gaps"}
     EXPECTED_ARROW = {
+        "curation_token_budget_bpe",  # BPE encode of DISTINCT words only
         "dedup_audio_near",
         "dedup_embedding_pairs", "dedup_image_incremental", "dedup_image_near",
         "dedup_ngram_jaccard", "dedup_video_near",
@@ -387,7 +388,9 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "multimodal_mp3_subband",
         "multimodal_progressive_stats", "multimodal_resize",
         "multimodal_video_framesample", "multimodal_video_scenes",
-        "sim_label_centroid_arrow", "text_chunk_arrow_udtf",
+        "pack_training_sequences_bpe",   # BPE encode of DISTINCT words only
+        "sim_label_centroid_arrow", "text_bpe_tokenize",  # same
+        "text_chunk_arrow_udtf",
         "text_fingerprint_rolling", "text_stats_arrow_udf",
     }
     EXPECTED_NLJ = {
