@@ -40,6 +40,7 @@ __all__ = [
     "COMPACTED_EPOCH",
     "DYNAMIC_OVERWRITE",
     "dynamic_partition_overwrite",
+    "table_mutation_lock",
     "drop_stale_table_location",
     "append_epoch_partition",
     "fold_epoch_partitions",
@@ -102,6 +103,46 @@ def dynamic_partition_overwrite(spark):
                     "spark.sql.sources.partitionOverwriteMode", st[1]
                 )
                 del _dpo_state[key]
+
+
+# Per-table mutation locks (round-9 verdict #2): READ-MODIFY-WRITE index
+# mutations — takedown (scan affected partitions → rewrite without ids) and
+# compaction (read source epochs → write folded target → drop sources) —
+# are individually crash-convergent but NOT mutually atomic. Two concrete
+# lost-update interleavings:
+#   * takedown ∥ compaction on the same table: the takedown rewrites
+#     epoch K without the id AFTER the fold already copied K's rows
+#     (id included) into the compacted partition → the id SURVIVES in
+#     epoch -1 until some later takedown re-runs;
+#   * takedown ∥ takedown of DIFFERENT ids hitting the SAME partition:
+#     both read the original files, each rewrites without only its own
+#     ids → the last writer resurrects the other's removed rows.
+# Plain epoch APPENDS need no lock: a new epoch's partition is disjoint
+# from every partition a takedown or fold touches (takedown only rewrites
+# partitions that already contain the ids; the fold only touches epochs
+# listed as committed), and dynamic overwrite replaces only partitions
+# present in the write — concurrency of append with either is proven in
+# tests/test_takedown_concurrency.py rather than serialized away.
+#
+# SCOPE CONTRACT: the lock is per-PROCESS (a threading lock keyed by lowered
+# table name). In this repo that is sufficient — each service owns its index
+# table single-writer, and compaction/takedown run from that service's
+# process (the streaming foreachBatch driver). Multi-process writers would
+# need an external coordinator (a metastore lock / object-store lease);
+# deliberately not built — same single-writer stance as the epoch markers.
+_table_locks_guard = threading.Lock()
+_table_locks: dict[str, threading.RLock] = {}
+
+
+@contextmanager
+def table_mutation_lock(table: str):
+    """Serialize read-modify-write mutations (takedown, compaction fold) of
+    one index table within this process. Reentrant per thread; see the
+    lost-update interleavings documented above."""
+    with _table_locks_guard:
+        lock = _table_locks.setdefault(table.lower(), threading.RLock())
+    with lock:
+        yield
 
 
 def drop_stale_table_location(spark, table: str) -> None:
@@ -185,36 +226,46 @@ def fold_epoch_partitions(
     fold = epochs + [int(target_epoch)]
     moved = 0
     first_table = tables_cols[0][0]
+    # Each table's read-src → write-target → drop-sources step runs under
+    # that table's mutation lock: this is the window where a concurrent
+    # takedown's partition rewrite would be lost (the fold copies the
+    # pre-takedown rows into the target — see the lock contract above).
+    # Per-TABLE locking is enough: the postings and sizes tables are
+    # independent delete-only states, so a takedown slotting between the
+    # two folds still converges (pinned in tests/test_takedown_concurrency.py).
     for t, cols in tables_cols:
-        src = spark.table(t).filter(F.col("epoch").isin(fold))
-        # materialize BEFORE touching partitions: the write below replaces
-        # the very files this plan would otherwise lazily re-read. The
-        # dropDuplicates is the crash-recovery dedup described above — free
-        # when no crash happened (rows are already unique by key).
-        # ``write_tasks`` bounds the output layout: the bucketed V1 writer
-        # emits one file per (task, bucket), so the compacted partition has
-        # at most write_tasks x n_buckets files — write_tasks=1 (default)
-        # gives the canonical one-file-per-bucket layout; pass more for
-        # indexes whose standing corpus is too large for single-task I/O.
-        # (A repartition on the bucket column does NOT work here: the scan
-        # already reports the bucket hash-partitioning, the exchange is
-        # elided, and the writer inherits the scan's file-binpacked task
-        # layout — observed as 2x the files instead of fewer.)
-        merged = (
-            src.select(*cols)
-            .dropDuplicates(cols)
-            .repartition(max(1, int(write_tasks)))
-            .localCheckpoint()
-        )
-        if t == first_table:
-            moved = merged.count()
-        with dynamic_partition_overwrite(spark):
-            merged.select(
-                *cols, F.lit(int(target_epoch)).alias("epoch")
-            ).write.insertInto(t, overwrite=True)
-        for e in epochs:
-            _drop_partition(spark, t, e)
-        spark.catalog.refreshTable(t)
+        with table_mutation_lock(t):
+            src = spark.table(t).filter(F.col("epoch").isin(fold))
+            # materialize BEFORE touching partitions: the write below
+            # replaces the very files this plan would otherwise lazily
+            # re-read. The dropDuplicates is the crash-recovery dedup
+            # described above — free when no crash happened (rows are
+            # already unique by key). ``write_tasks`` bounds the output
+            # layout: the bucketed V1 writer emits one file per
+            # (task, bucket), so the compacted partition has at most
+            # write_tasks x n_buckets files — write_tasks=1 (default) gives
+            # the canonical one-file-per-bucket layout; pass more for
+            # indexes whose standing corpus is too large for single-task
+            # I/O. (A repartition on the bucket column does NOT work here:
+            # the scan already reports the bucket hash-partitioning, the
+            # exchange is elided, and the writer inherits the scan's
+            # file-binpacked task layout — observed as 2x the files
+            # instead of fewer.)
+            merged = (
+                src.select(*cols)
+                .dropDuplicates(cols)
+                .repartition(max(1, int(write_tasks)))
+                .localCheckpoint()
+            )
+            if t == first_table:
+                moved = merged.count()
+            with dynamic_partition_overwrite(spark):
+                merged.select(
+                    *cols, F.lit(int(target_epoch)).alias("epoch")
+                ).write.insertInto(t, overwrite=True)
+            for e in epochs:
+                _drop_partition(spark, t, e)
+            spark.catalog.refreshTable(t)
     return moved
 
 
@@ -271,9 +322,21 @@ def remove_ids_from_epoch_table(spark, table: str, ids: DataFrame) -> int:
 
     A takedown arriving BEFORE any ingestion (the index table does not
     exist yet) is a no-op returning 0 — the id trivially isn't indexed;
-    removal requests routinely outlive (or precede) the data."""
+    removal requests routinely outlive (or precede) the data.
+
+    Runs under the table's mutation lock: a concurrent compaction fold (or
+    another takedown of different ids touching the same partition) would
+    otherwise resurrect removed rows — the documented lost-update
+    interleavings at ``table_mutation_lock``. Concurrency with plain epoch
+    APPENDS needs no lock (disjoint partitions) and is proven live in
+    tests/test_takedown_concurrency.py."""
     if not spark.catalog.tableExists(table):
         return 0
+    with table_mutation_lock(table):
+        return _remove_ids_locked(spark, table, ids)
+
+
+def _remove_ids_locked(spark, table: str, ids: DataFrame) -> int:
     idx = spark.table(table)
     if "id" not in idx.columns:
         raise ValueError(
@@ -323,7 +386,16 @@ def remove_ids_from_partitioned_dir(
     directory EMPTIED by the takedown is deleted outright (mirroring the
     table form's ``_drop_partition``): writing an empty dataset instead
     would leave a data-less directory that breaks schema inference on the
-    next ``spark.read.parquet(data_dir)``."""
+    next ``spark.read.parquet(data_dir)``.
+
+    Serialized per data_dir by the same mutation-lock registry as the
+    table form — two concurrent takedowns of different ids rewriting the
+    same epoch DIRECTORY would otherwise last-writer-win."""
+    with table_mutation_lock(data_dir):
+        return _remove_ids_from_dir_locked(spark, data_dir, id_col, ids)
+
+
+def _remove_ids_from_dir_locked(spark, data_dir, id_col, ids) -> int:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(data_dir)
