@@ -1,0 +1,373 @@
+"""Pure-Python Apache Avro OBJECT CONTAINER FILE codec (documented subset).
+
+Round-9 verdict #3 asked for an Avro scan; neither the spark-avro jar nor
+any Python avro package is in the image, so — like the repo's PNG / JPEG /
+FLAC / MP3 / H.264 codecs — the format is implemented from the PUBLIC spec
+(Apache Avro 1.11 specification, "Object Container Files" + "Binary
+Encoding") rather than stubbed:
+
+* binary encoding: zigzag-varint int/long, IEEE-754 little-endian
+  float/double, length-prefixed bytes/string, boolean, null, records
+  (field order), arrays (block form with end marker 0), and the common
+  nullable union ``["null", T]`` (zigzag branch index + value);
+* container format: magic ``Obj\\x01``, file-metadata map (avro.schema
+  JSON + avro.codec), 16-byte sync marker, then data blocks
+  ``<count long><byte-size long><serialized objects><sync>``;
+* codecs: ``null`` and ``deflate`` (raw RFC-1951 DEFLATE, no zlib header —
+  per spec).
+
+Out-of-subset features raise typed errors naming the missing piece
+(snappy/zstandard codecs need external libs; enum/fixed/map/recursive
+types are not needed by any fixture): the same honest-stub contract as the
+media codecs.
+
+SPLIT CONTRACT (the 100 TB part): Avro files split at sync markers. A
+byte-range reader [lo, hi) owns every block whose first byte q (the
+position immediately after a sync occurrence) satisfies lo <= q < hi; it
+finds its first block by scanning for the sync pattern from lo-16 (a block
+starting exactly at lo has its sync in the previous range), then walks
+blocks sequentially — after the first sync hit no further scanning is
+needed because every block ends with the sync. The header itself ends
+with the sync marker, so the first data block is discovered by the same
+rule with no special case. Exactly-once coverage across arbitrary split
+points is pinned in tests/test_avro.py. (A sync-valued byte string inside
+block data could fool the scan — the spec accepts this 2^-128 event; real
+readers do the same.)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+class AvroError(ValueError):
+    """Malformed container/encoding."""
+
+
+class AvroUnsupported(NotImplementedError):
+    """Valid Avro outside the implemented subset (spec section named)."""
+
+
+# --------------------------------------------------------------- encoding
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    u &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    u = 0
+    while True:
+        if pos >= len(buf):
+            raise AvroError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise AvroError("varint longer than 64 bits")
+    n = (u >> 1) ^ -(u & 1)
+    return n, pos
+
+
+def _norm_schema(schema):
+    """Parse/normalize a schema: JSON string → object; bare primitive names
+    stay strings; {"type": "<primitive>"} collapses to the name."""
+    if isinstance(schema, str) and schema not in _PRIMITIVES:
+        schema = json.loads(schema)
+    if isinstance(schema, dict) and schema.get("type") in _PRIMITIVES and set(
+        schema
+    ) == {"type"}:
+        return schema["type"]
+    return schema
+
+
+def _encode_value(schema, v, out: bytearray) -> None:
+    schema = _norm_schema(schema)
+    if isinstance(schema, list):  # union — subset: ["null", T]
+        if len(schema) != 2 or _norm_schema(schema[0]) != "null":
+            raise AvroUnsupported(
+                "only nullable unions ['null', T] are implemented "
+                "(Avro spec 'Unions'); got " + json.dumps(schema)
+            )
+        if v is None:
+            out += _zigzag_encode(0)
+        else:
+            out += _zigzag_encode(1)
+            _encode_value(schema[1], v, out)
+        return
+    if schema == "null":
+        if v is not None:
+            raise AvroError("null schema with non-null value")
+        return
+    if schema == "boolean":
+        out.append(1 if v else 0)
+        return
+    if schema in ("int", "long"):
+        out += _zigzag_encode(int(v))
+        return
+    if schema == "float":
+        out += struct.pack("<f", float(v))
+        return
+    if schema == "double":
+        out += struct.pack("<d", float(v))
+        return
+    if schema == "bytes":
+        b = bytes(v)
+        out += _zigzag_encode(len(b))
+        out += b
+        return
+    if schema == "string":
+        b = str(v).encode("utf-8")
+        out += _zigzag_encode(len(b))
+        out += b
+        return
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        for f in schema["fields"]:
+            _encode_value(f["type"], v[f["name"]], out)
+        return
+    if isinstance(schema, dict) and schema.get("type") == "array":
+        items = list(v)
+        if items:  # one block + end marker (spec 'Arrays')
+            out += _zigzag_encode(len(items))
+            for item in items:
+                _encode_value(schema["items"], item, out)
+        out += _zigzag_encode(0)
+        return
+    raise AvroUnsupported(
+        f"schema type {json.dumps(schema)} not in the implemented subset "
+        "(null/boolean/int/long/float/double/bytes/string/record/array/"
+        "nullable-union; enum/fixed/map need no fixture here)"
+    )
+
+
+def _decode_value(schema, buf: bytes, pos: int):
+    schema = _norm_schema(schema)
+    if isinstance(schema, list):
+        if len(schema) != 2 or _norm_schema(schema[0]) != "null":
+            raise AvroUnsupported(
+                "only nullable unions ['null', T] are implemented"
+            )
+        idx, pos = _zigzag_decode(buf, pos)
+        if idx == 0:
+            return None, pos
+        if idx == 1:
+            return _decode_value(schema[1], buf, pos)
+        raise AvroError(f"union branch {idx} out of range")
+    if schema == "null":
+        return None, pos
+    if schema == "boolean":
+        if pos >= len(buf):
+            raise AvroError("truncated boolean")
+        return buf[pos] != 0, pos + 1
+    if schema in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if schema == "float":
+        if pos + 4 > len(buf):
+            raise AvroError("truncated float")
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if schema == "double":
+        if pos + 8 > len(buf):
+            raise AvroError("truncated double")
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if schema in ("bytes", "string"):
+        n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise AvroError("truncated bytes/string body")
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if schema == "string" else bytes(raw)), pos + n
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode_value(f["type"], buf, pos)
+        return rec, pos
+    if isinstance(schema, dict) and schema.get("type") == "array":
+        items = []
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # negative count form: followed by byte size (spec)
+                n = -n
+                _, pos = _zigzag_decode(buf, pos)
+            for _ in range(n):
+                item, pos = _decode_value(schema["items"], buf, pos)
+                items.append(item)
+        return items, pos
+    raise AvroUnsupported(f"schema type {json.dumps(schema)} not implemented")
+
+
+# -------------------------------------------------------------- container
+
+
+def write_avro_file(
+    path: str,
+    schema,
+    rows,
+    codec: str = "null",
+    sync: bytes | None = None,
+    block_rows: int = 1000,
+) -> int:
+    """Write an object container file; returns rows written. ``sync`` may
+    be pinned for deterministic fixtures (16 bytes); default derives one
+    from the path (still deterministic — no RNG in this repo's fixtures)."""
+    schema = _norm_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise AvroUnsupported(
+            f"codec {codec!r}: only null/deflate are implemented (snappy/"
+            "zstandard need external libraries, absent from this image)"
+        )
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(path.encode()).digest()
+    if len(sync) != SYNC_SIZE:
+        raise AvroError("sync marker must be 16 bytes")
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray()
+    out += MAGIC
+    out += _zigzag_encode(len(meta))
+    for k in sorted(meta):  # sorted → byte-deterministic files
+        kb = k.encode()
+        out += _zigzag_encode(len(kb))
+        out += kb
+        out += _zigzag_encode(len(meta[k]))
+        out += meta[k]
+    out += _zigzag_encode(0)  # metadata map end marker
+    out += sync
+    n = 0
+    rows = list(rows)
+    for i in range(0, len(rows), block_rows):
+        chunk = rows[i : i + block_rows]
+        body = bytearray()
+        for r in chunk:
+            _encode_value(schema, r, body)
+        data = bytes(body)
+        if codec == "deflate":
+            data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
+        out += _zigzag_encode(len(chunk))
+        out += _zigzag_encode(len(data))
+        out += data
+        out += sync
+        n += len(chunk)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(out)
+    os.replace(tmp, path)
+    return n
+
+
+def read_header(fh) -> tuple[object, str, bytes, int]:
+    """(schema, codec, sync, header_end_pos) from an open binary file."""
+    fh.seek(0)
+    head = fh.read(1 << 16)
+    if head[:4] != MAGIC:
+        raise AvroError(f"not an Avro container (magic {head[:4]!r})")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _zigzag_decode(head, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative block-count form
+            n = -n
+            _, pos = _zigzag_decode(head, pos)
+        for _ in range(n):
+            klen, pos = _zigzag_decode(head, pos)
+            k = head[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _zigzag_decode(head, pos)
+            meta[k] = head[pos : pos + vlen]
+            pos += vlen
+    sync = head[pos : pos + SYNC_SIZE]
+    if len(sync) != SYNC_SIZE:
+        raise AvroError("truncated header sync marker")
+    pos += SYNC_SIZE
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise AvroUnsupported(f"codec {codec!r}: only null/deflate implemented")
+    schema = _norm_schema(meta["avro.schema"].decode())
+    return schema, codec, sync, pos
+
+
+def _decode_block(schema, codec, data: bytes, count: int):
+    if codec == "deflate":
+        data = zlib.decompress(data, wbits=-15)
+    pos = 0
+    for _ in range(count):
+        rec, pos = _decode_value(schema, data, pos)
+        yield rec
+    if pos != len(data):
+        raise AvroError(f"block decoded {pos} of {len(data)} bytes")
+
+
+def iter_avro_range(path: str, lo: int, hi: int):
+    """Yield the rows of every block owned by byte range [lo, hi) — the
+    split contract in the module docstring. iter_avro_range(path, 0, size)
+    reads the whole file; disjoint covering ranges read each row exactly
+    once (pinned in tests/test_avro.py)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        schema, codec, sync, _ = read_header(fh)
+        # find the first sync whose END q is >= lo (scan from lo-16: a
+        # block starting exactly at lo has its sync in the previous range)
+        scan_from = max(0, lo - SYNC_SIZE)
+        fh.seek(scan_from)
+        window = fh.read(min(size - scan_from, hi - scan_from + SYNC_SIZE + 1))
+        off = 0
+        q = None
+        while True:
+            s = window.find(sync, off)
+            if s < 0:
+                return
+            cand = scan_from + s + SYNC_SIZE
+            if cand >= lo:
+                q = cand
+                break
+            off = s + 1
+        while q is not None and lo <= q < hi and q < size:
+            fh.seek(q)
+            # a block header is two varints (<=10 bytes each)
+            head = fh.read(20)
+            if not head:
+                return
+            count, p = _zigzag_decode(head, 0)
+            nbytes, p = _zigzag_decode(head, p)
+            fh.seek(q + p)
+            data = fh.read(nbytes)
+            if len(data) != nbytes:
+                raise AvroError("truncated block body")
+            got_sync = fh.read(SYNC_SIZE)
+            if got_sync != sync:
+                raise AvroError("sync marker mismatch after block")
+            yield from _decode_block(schema, codec, data, count)
+            q = q + p + nbytes + SYNC_SIZE  # next block start
+
+
+def iter_avro_file(path: str):
+    yield from iter_avro_range(path, 0, os.path.getsize(path))

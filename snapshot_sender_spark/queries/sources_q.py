@@ -68,6 +68,84 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_avro_roundtrip",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n, {SQL_DSUM('s_acctbal')} AS total_bal,
+           CAST(COUNT(*) FILTER (WHERE s_suppkey % 7 = 0) AS BIGINT) AS n_commented
+    FROM supplier GROUP BY s_nationkey
+    """,
+    category="source",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → AVRO object container files (deflate codec) → distributed
+    range-split scan → aggregate. Neither the spark-avro jar nor a Python
+    avro package is in the image, so both halves are the repo's pure-spec
+    implementation (functions/avro_codec.py + the ``avrofile`` Python
+    DataSource): the scan cuts each file into byte-range partitions and
+    finds block starts by sync-marker scan — the real Avro split algorithm,
+    so giant files fan out across tasks (exactly-once coverage pinned in
+    tests/test_avro.py). A nullable-union column exercises the ["null", T]
+    branch encoding. The fixture writer is driver-side by design (fixture
+    generation, cached once); the SCAN is the distributed operator."""
+    from ..functions import avro_codec
+    from ..sources import avro_pyds
+
+    d = _roundtrip_dir(sf_dir, "avro")
+    schema = {
+        "type": "record",
+        "name": "supplier",
+        "fields": [
+            {"name": "s_suppkey", "type": "long"},
+            {"name": "s_name", "type": "string"},
+            {"name": "s_nationkey", "type": "int"},
+            {"name": "s_acctbal", "type": "double"},
+            # nullable union: every 7th supplier carries a comment
+            {"name": "s_comment", "type": ["null", "string"]},
+        ],
+    }
+
+    def write_fixture(tmp: str) -> None:
+        rows = [
+            {
+                "s_suppkey": r["s_suppkey"],
+                "s_name": r["s_name"],
+                "s_nationkey": r["s_nationkey"],
+                "s_acctbal": r["s_acctbal"],
+                "s_comment": f"note-{r['s_suppkey']}" if r["s_suppkey"] % 7 == 0 else None,
+            }
+            for r in load(spark, sf_dir, "supplier")
+            .orderBy("s_suppkey")
+            .collect()
+        ]
+        os.makedirs(tmp, exist_ok=True)
+        n_files = 4
+        per = (len(rows) + n_files - 1) // n_files
+        for k in range(n_files):
+            chunk = rows[k * per : (k + 1) * per]
+            if chunk:
+                avro_codec.write_avro_file(
+                    os.path.join(tmp, f"part-{k:02d}.avro"),
+                    schema, chunk, codec="deflate", block_rows=64,
+                )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    _write_once(d, write_fixture)
+    avro_pyds.register(spark)
+    # small split_bytes forces MULTI-RANGE reads per file — the scan path
+    # a 100 TB directory would take, not the one-partition-per-file one
+    s = (
+        spark.read.format("avrofile")
+        .option("split_bytes", 8192)
+        .load(d)
+    )
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum(_money(F.col("s_acctbal"))).cast("double").alias("total_bal"),
+        F.count("s_comment").alias("n_commented"),
+    )
+
+
+@query(
     "source_jsonl_gzip_roundtrip",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

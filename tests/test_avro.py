@@ -1,0 +1,194 @@
+"""Pure-spec Avro container codec + the ``avrofile`` range-split DataSource
+(round-9): binary-encoding round trips, deflate codec, the exactly-once
+byte-range split contract (per-byte boundary sweep), typed subset errors,
+and the distributed scan end to end."""
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snapshot_sender_spark.functions import avro_codec as A
+
+SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "bal", "type": "double"},
+        {"name": "frac", "type": "float"},
+        {"name": "tags", "type": {"type": "array", "items": "int"}},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "blob", "type": "bytes"},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
+
+
+def _rows(n):
+    return [
+        {
+            "id": (i - n // 2) * 977,  # negative and positive zigzag paths
+            "name": f"n{i}éあ",  # multi-byte utf-8
+            "bal": i / 7.0,
+            "frac": float(i),
+            "tags": [i, -i, i * 2][: i % 4],
+            "note": None if i % 3 == 0 else f"x{i}",
+            "blob": bytes([i % 256, 255, 0]),
+            "ok": i % 2 == 0,
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_all_types(tmp_path, codec):
+    rows = _rows(300)
+    p = str(tmp_path / f"t_{codec}.avro")
+    n = A.write_avro_file(p, SCHEMA, rows, codec=codec, block_rows=37)
+    assert n == 300
+    got = list(A.iter_avro_file(p))
+    # float32 loses precision by type, not by codec: compare via struct repack
+    import struct
+
+    for g, r in zip(got, rows):
+        assert g["frac"] == struct.unpack("<f", struct.pack("<f", r["frac"]))[0]
+        g.pop("frac"), r.pop("frac")
+    assert got == rows
+
+
+def test_zigzag_int64_edges():
+    for v in (0, -1, 1, 2**62, -(2**63), 2**63 - 1, 63, -64):
+        buf = A._zigzag_encode(v)
+        dec, pos = A._zigzag_decode(buf, 0)
+        assert dec == v and pos == len(buf)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.text(max_size=20),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.one_of(st.none(), st.text(max_size=5)),
+            st.binary(max_size=16),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_roundtrip_property(tmp_path_factory, rows):
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": ["null", "string"]},
+            {"name": "e", "type": "bytes"},
+        ],
+    }
+    dicts = [dict(zip("abcde", r)) for r in rows]
+    p = str(tmp_path_factory.mktemp("avro") / "prop.avro")
+    A.write_avro_file(p, schema, dicts, codec="deflate", block_rows=7)
+    assert list(A.iter_avro_file(p)) == dicts
+
+
+def test_range_split_exactly_once(tmp_path):
+    """THE distributed contract: disjoint covering byte ranges read every
+    row exactly once for ANY split points — including a per-byte sweep
+    across the first blocks (boundaries inside sync markers, inside block
+    headers, inside data)."""
+    rows = _rows(500)
+    p = str(tmp_path / "split.avro")
+    A.write_avro_file(p, SCHEMA, rows, block_rows=23)
+    size = os.path.getsize(p)
+    for nsplit in (1, 2, 3, 5, 8):
+        got = []
+        bounds = [round(size * k / nsplit) for k in range(nsplit + 1)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            got.extend(r["id"] for r in A.iter_avro_range(p, lo, hi))
+        assert sorted(got) == sorted(r["id"] for r in rows), nsplit
+    for b in range(0, 600):  # per-byte sweep over header + first blocks
+        n1 = sum(1 for _ in A.iter_avro_range(p, 0, b))
+        n2 = sum(1 for _ in A.iter_avro_range(p, b, size))
+        assert n1 + n2 == 500, b
+
+
+def test_typed_errors(tmp_path):
+    p = str(tmp_path / "x.avro")
+    with pytest.raises(A.AvroUnsupported, match="snappy|codec"):
+        A.write_avro_file(p, SCHEMA, [], codec="snappy")
+    with pytest.raises(A.AvroUnsupported, match="nullable unions"):
+        A.write_avro_file(p, {"type": "record", "name": "u", "fields": [
+            {"name": "x", "type": ["int", "string"]}]}, [{"x": 1}])
+    with pytest.raises(A.AvroUnsupported, match="subset"):
+        A.write_avro_file(p, {"type": "record", "name": "m", "fields": [
+            {"name": "x", "type": {"type": "map", "values": "int"}}]}, [{"x": {}}])
+    bad = str(tmp_path / "bad.avro")
+    with open(bad, "wb") as fh:
+        fh.write(b"PAR1not-avro-at-all")
+    with pytest.raises(A.AvroError, match="magic"):
+        with open(bad, "rb") as fh:
+            A.read_header(fh)
+    # corrupt a block's sync marker -> loud mismatch
+    A.write_avro_file(p, SCHEMA, _rows(50), block_rows=10)
+    data = bytearray(open(p, "rb").read())
+    data[-1] ^= 0xFF  # last byte of the final sync
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(A.AvroError, match="sync"):
+        list(A.iter_avro_file(p))
+
+
+def test_deflate_is_raw_rfc1951(tmp_path):
+    """The spec requires RAW deflate (no zlib wrapper): the block body must
+    start with a deflate bit pattern, not the 0x78 zlib header."""
+    import zlib
+
+    p = str(tmp_path / "d.avro")
+    A.write_avro_file(p, SCHEMA, _rows(100), codec="deflate", block_rows=100)
+    with open(p, "rb") as fh:
+        _, codec, sync, hdr_end = A.read_header(fh)
+        fh.seek(hdr_end)
+        buf = fh.read(40)
+    _, pos = A._zigzag_decode(buf, 0)  # count
+    nbytes, pos = A._zigzag_decode(buf, pos)  # size
+    body = open(p, "rb").read()[hdr_end + pos : hdr_end + pos + nbytes]
+    assert body[:1] != b"\x78"  # not zlib-wrapped
+    zlib.decompress(body, wbits=-15)  # raw inflate succeeds
+
+
+def test_avrofile_datasource_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    rows = _rows(800)
+    for k in range(3):
+        A.write_avro_file(
+            str(tmp_path / f"f{k}.avro"), SCHEMA,
+            rows[k * 300 : (k + 1) * 300], codec="deflate", block_rows=29,
+        )
+    df = spark.read.format("avrofile").option("split_bytes", 2048).load(str(tmp_path))
+    assert df.schema.simpleString() == (
+        "struct<id:bigint,name:string,bal:double,frac:float,"
+        "tags:array<int>,note:string,blob:binary,ok:boolean>"
+    )
+    got = df.agg(
+        F.count("*").alias("n"),
+        F.sum("id").alias("s"),
+        F.count("note").alias("notes"),
+        F.sum(F.size("tags")).alias("tagn"),
+    ).first()
+    assert got["n"] == len(rows)
+    assert got["s"] == sum(r["id"] for r in rows)
+    assert got["notes"] == sum(1 for r in rows if r["note"] is not None)
+    assert got["tagn"] == sum(len(r["tags"]) for r in rows)
+    # the range splitter actually fanned out (many ranges per file)
+    reader = avro_pyds.AvroFileReader({"path": str(tmp_path), "split_bytes": "2048"})
+    assert len(reader.partitions()) > 3
