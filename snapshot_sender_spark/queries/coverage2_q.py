@@ -718,6 +718,200 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curation_takedown_e2e",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_words
+      FROM (
+        SELECT *, length(text) AS n_chars,
+               len(string_split(text, ' ')) AS nw,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+      )
+      WHERE n_chars BETWEEN 120 AND 450 AND nw >= 25 AND uniq_ratio >= 0.30
+    ),
+    exact AS (
+      SELECT * FROM quality q
+      WHERE doc_id = (SELECT MIN(doc_id) FROM quality q2
+                      WHERE md5(lower(trim(q2.text))) = md5(lower(trim(q.text))))
+    ),
+    corpus AS (SELECT * FROM exact WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM exact WHERE doc_id % 2 = 1),
+    retained AS (SELECT * FROM corpus WHERE doc_id % 10 <> 0),
+    sh_ret AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM retained),
+           UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sh_bat AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+           UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    sz_ret AS (SELECT doc_id, COUNT(*) AS n FROM sh_ret GROUP BY doc_id),
+    sz_bat AS (SELECT doc_id, COUNT(*) AS n FROM sh_bat GROUP BY doc_id),
+    cross_drop AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM (SELECT b.doc_id AS id_b, r.doc_id AS id_r, COUNT(*) AS shared
+            FROM sh_bat b JOIN sh_ret r ON b.shingle = r.shingle
+            GROUP BY 1, 2) p
+      JOIN sz_bat sb ON sb.doc_id = p.id_b
+      JOIN sz_ret sr ON sr.doc_id = p.id_r
+      WHERE CAST(p.shared AS DOUBLE)
+            / CAST(sb.n + sr.n - p.shared AS DOUBLE) >= 0.5
+    ),
+    within_drop AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+            FROM sh_bat a JOIN sh_bat b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+      JOIN sz_bat sa ON sa.doc_id = p.id_a
+      JOIN sz_bat sb ON sb.doc_id = p.id_b
+      WHERE CAST(p.shared AS DOUBLE)
+            / CAST(sa.n + sb.n - p.shared AS DOUBLE) >= 0.5
+    ),
+    accepted AS (
+      SELECT * FROM retained
+      UNION ALL
+      SELECT * FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)
+        AND doc_id NOT IN (SELECT doc_id FROM within_drop)
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] AS gram
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM accepted),
+           UNNEST(range(1, len(ws) - 3)) AS t(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE source <> 'src0' AND gram IN (SELECT gram FROM bench)
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM accepted
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY split, lang
+    """,
+    category="llm-pipeline",
+)
+def pipeline_curation_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 verdict #5: the curation pipeline COMPOSED WITH TAKEDOWN —
+    quality gates → exact dedup → build the PERSISTED posting index from the
+    standing corpus (even doc_ids, epoch 0) → GDPR TAKEDOWN mid-pipeline
+    (ids ≡ 0 mod 10: ``takedown_dedup_index`` rewrites only affected index
+    partitions; the corpus store drops the same ids) → the incoming batch
+    (odd doc_ids) probes the POST-TAKEDOWN index (cross-set Jaccard ≥ 0.5,
+    bucket-aligned, no corpus Exchange) plus within-batch near-dup →
+    decontamination → bench-source drop → hash split → per-(split, lang)
+    audit.
+
+    The payoff the oracle proves: a batch document whose ONLY near-duplicate
+    was taken down is ACCEPTED — removal semantics compose through the whole
+    chain (index probe, corpus union, decontam, split), not just per-index.
+    Non-vacuous at both driver tiers: exactly one batch doc's sole drop
+    witness is in the removal set at sf0.001 AND sf0.01 (verified against a
+    brute-force cross-join), so a takedown that silently failed to reach the
+    index would hash-mismatch here.
+    Every stage is deterministic, so the composition hash-matches end to end
+    against a DuckDB replay whose retained-corpus set applies the same
+    removal rule longhand."""
+    from ..operators import dedup as _dedup
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    quality = docs.select(
+        "doc_id", "lang", "source", "text", F.size(words).alias("n_words")
+    ).filter(
+        F.length("text").between(120, 450)
+        & (F.size(words) >= 25)
+        & ((F.size(F.array_distinct(words)).cast("double") / F.size(words)) >= 0.30)
+    )
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w_fp = Window.partitionBy(fp).orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()  # computed once; feeds index build, probe, audit
+    )
+    corpus = exact.filter(F.col("doc_id") % 2 == 0)
+    batch = exact.filter(F.col("doc_id") % 2 == 1)
+
+    table = "t_q_curation_takedown_idx"
+    for t in (table, table + "_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _dedup.append_dedup_index_epoch(spark, table, corpus, "text", "doc_id", epoch=0)
+
+    # --- TAKEDOWN mid-pipeline: the real removal operators, both halves ---
+    removal_ids = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    _dedup.takedown_dedup_index(spark, table, removal_ids)
+    retained = corpus.join(
+        removal_ids.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+    )
+
+    # --- batch probes the POST-takedown index (near-dups of removed docs
+    # no longer block acceptance) + within-batch near-dup ---
+    cross_drop = (
+        _dedup.incremental_jaccard_against_index(
+            spark, table, batch, "text", "doc_id", threshold=0.5
+        )
+        .select(F.col("id_new").alias("doc_id"))
+        .distinct()
+    )
+    within_drop = (
+        _dedup.ngram_jaccard_pairs(batch, "text", "doc_id", threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    accepted = retained.unionByName(
+        batch.join(cross_drop, "doc_id", "left_anti")
+        .join(within_drop, "doc_id", "left_anti")
+    ).localCheckpoint()  # frozen post-takedown corpus; feeds decontam + audit
+
+    ws = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 4),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+    )
+    exploded = accepted.filter(F.size(ws) >= 5).select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    bench = exploded.filter(F.col("source") == "src0").select("gram").distinct()
+    contaminated = (
+        exploded.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    final = accepted.filter(F.col("source") != "src0").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(nib <= "b", "train").when(nib <= "d", "valid").otherwise("test")
+    return (
+        final.select(split.alias("split"), "lang", "n_words")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )
+
+
+@query(
     "window_time_range_frame",
     oracle="""
     SELECT event_id, user_id,
