@@ -557,3 +557,216 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("permille").alias("permille"),
         )
     )
+
+
+# =============================================================================
+# Host/URL-level curation (C4 / CCNet lineage, round 9)
+# =============================================================================
+
+# Messy crawl-style URL synthesized deterministically from document metadata
+# (the provenance column every web corpus carries; the fixture tables have
+# no URL, so — like string_url_parse — the construction is the ground truth
+# the oracle re-derives). Deliberately dirty: mixed-case scheme/host,
+# default and explicit ports, tracking parameters on either side of the
+# real one, fragments, trailing slashes.
+def _messy_url():
+    did = F.col("doc_id")
+    scheme = (
+        F.when(did % 3 == 0, "HTTPS").when(did % 3 == 1, "https").otherwise("http")
+    )
+    host = F.when(
+        did % 2 == 0,
+        F.concat(F.col("lang"), F.lit("."), F.upper("source"), F.lit(".Example.COM")),
+    ).otherwise(
+        F.concat(F.col("lang"), F.lit("."), F.col("source"), F.lit(".example.com"))
+    )
+    port = (
+        F.when((did % 5 == 0) & (did % 3 != 2), ":443")
+        .when((did % 5 == 0) & (did % 3 == 2), ":80")
+        .when(did % 5 == 1, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/corpus/"), F.col("lang"), F.when(did % 7 == 0, "/").otherwise("")
+    )
+    doc_param = F.concat(F.lit("doc="), did.cast("string"))
+    q = (
+        F.when(did % 4 == 0, F.concat(F.lit("utm_source=feed&"), doc_param))
+        .when(did % 4 == 1, F.concat(doc_param, F.lit("&fbclid=x"), did.cast("string")))
+        .when(did % 4 == 2, F.concat(F.lit("gclid=g&"), doc_param, F.lit("&utm_campaign=c")))
+        .otherwise(doc_param)
+    )
+    frag = F.when(did % 6 == 0, "#section-2").otherwise("")
+    return F.concat(scheme, F.lit("://"), host, port, path, F.lit("?"), q, frag)
+
+
+def _canonical_parts(url):
+    """Real URL surgery on the STRING (the operator under test — the oracle
+    re-derives the result from the construction formula instead): lowercase
+    scheme+host, strip default ports (443/https, 80/http), drop the
+    fragment, drop tracking params (utm_*, fbclid, gclid) preserving the
+    order of the rest, strip one trailing slash off a non-root path."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.parse_url(url, F.lit("AUTHORITY"))
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    port = F.when(
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+        | (port == ""),
+        "",
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.parse_url(url, F.lit("PATH"))
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, "/$", ""),
+    ).otherwise(path)
+    query = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: ~(
+                p.startswith("utm_") | p.startswith("fbclid=") | p.startswith("gclid=")
+            )
+            & (p != ""),
+        ),
+        "&",
+    )
+    return scheme, host, port, path, query
+
+
+def _canonical_url_cols(docs: DataFrame) -> DataFrame:
+    url = _messy_url()
+    scheme, host, port, path, query = _canonical_parts(F.col("url"))
+    base = docs.withColumn("url", url)
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        F.col("_path"),
+        F.when(F.col("_q") != "", F.concat(F.lit("?"), F.col("_q"))).otherwise(""),
+    )
+    return (
+        base.withColumn("_path", path)
+        .withColumn("_q", query)
+        .withColumn("host", host)
+        .withColumn("url_canonical", canon)
+        .drop("_path", "_q")
+    )
+
+
+@query(
+    "curation_url_canonicalize",
+    oracle="""
+    SELECT doc_id,
+           lang || '.' || source || '.example.com' AS host,
+           (CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END)
+           || '://' || lang || '.' || source || '.example.com'
+           || (CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+           || '/corpus/' || lang
+           || '?doc=' || CAST(doc_id AS VARCHAR) AS url_canonical
+    FROM documents
+    """,
+    category="llm-curation",
+)
+def curation_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (C4/CCNet provenance hygiene): lowercase
+    scheme+host, strip default ports and fragments, drop tracking params
+    (utm_*/fbclid/gclid) keeping the remaining query order, trim the
+    trailing slash — pure JVM string surgery (regexp + parse_url + array
+    filter) on deliberately messy synthesized URLs. The oracle re-derives
+    every canonical form from the construction formula, so the whole
+    surgery chain is pinned: any case/port/param/slash the canonicalizer
+    misses hash-mismatches."""
+    docs = load(spark, sf_dir, "documents")
+    return _canonical_url_cols(docs).select("doc_id", "host", "url_canonical")
+
+
+@query(
+    "curation_host_cap",
+    oracle="""
+    WITH hosted AS (
+      SELECT doc_id, text, n_chars,
+             lang || '.' || source || '.example.com' AS host
+      FROM documents
+    ),
+    ranked AS (
+      SELECT host, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM hosted
+    )
+    SELECT host,
+           CAST(COUNT(*) FILTER (WHERE rk <= 8) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rk > 8) AS BIGINT) AS n_dropped,
+           CAST(SUM((n_chars + 3) // 4) FILTER (WHERE rk <= 8) AS BIGINT)
+             AS toks_kept
+    FROM ranked GROUP BY host
+    """,
+    category="llm-curation",
+)
+def curation_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST document cap (the domain-balance rule web corpora apply so
+    a single crawl-heavy site cannot dominate training): host comes from
+    the CANONICALIZED url — the composition with curation_source_cap's
+    md5-ranked deterministic shuffle, K=8 per host. One window over the
+    host-partitioned shuffle; no global sort, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    hosted = _canonical_url_cols(docs)
+    w = Window.partitionBy("host").orderBy(F.md5("text"), "doc_id")
+    toks = F.expr("(n_chars + 3) div 4")
+    return (
+        hosted.withColumn("rk", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.count(F.when(F.col("rk") <= 8, 1)).alias("n_kept"),
+            F.count(F.when(F.col("rk") > 8, 1)).alias("n_dropped"),
+            F.sum(F.when(F.col("rk") <= 8, toks)).cast("long").alias("toks_kept"),
+        )
+    )
+
+
+@query(
+    "curation_host_dedup",
+    oracle="""
+    WITH hosted AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp,
+             lang || '.' || source || '.example.com' AS host
+      FROM documents
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN is_keeper THEN doc_id ELSE 0 END) AS BIGINT)
+             AS keeper_id_sum
+    FROM (
+      SELECT host, doc_id, fp,
+             doc_id = MIN(doc_id) OVER (PARTITION BY host, fp) AS is_keeper
+      FROM hosted
+    ) GROUP BY host
+    """,
+    category="llm-curation",
+)
+def curation_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-scoped exact dedup (site boilerplate collapse: the same page
+    mirrored across one site keeps its first copy, while legitimate
+    cross-site duplicates survive for the global pass to arbitrate): keeper
+    = min doc_id per (canonical host, content fingerprint). Per host:
+    doc count, survivor count, and the keeper-id checksum pinning WHICH
+    docs won, not just how many."""
+    docs = load(spark, sf_dir, "documents")
+    hosted = _canonical_url_cols(docs)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("host", "fp")
+    return (
+        hosted.withColumn("fp", fp)
+        .withColumn("is_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_kept"),
+            F.sum(F.when(F.col("is_keeper"), F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("keeper_id_sum"),
+        )
+    )
