@@ -2,11 +2,18 @@
 entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
 row-count + column names + order-insensitive values.
 
-Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [--sample N --seed R]
+                                    [sf_dir] [query_name ...]
 
 --json writes the per-query result table (name, status, rows, seconds) as a
 reviewable artifact — SELFCHECK_r{N}.json in the repo root is the committed
 full-suite run the judge can spot-audit instead of re-deriving.
+
+--sample N --seed R (round-9 verdict #7): run a DETERMINISTIC random
+subsample of the declared surface — N names drawn without replacement from
+the sorted query list with random.Random(R). The driver re-samples the same
+50 queries every round, so per-round NOTES cite a fresh seeded sample the
+judge can reproduce with the identical command (e.g. --sample 12 --seed 9).
 """
 
 from __future__ import annotations
@@ -66,6 +73,18 @@ def main():
             sys.exit("usage: check_oracle.py [--json OUT.json] [sf_dir] [query ...]")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    sample_n = seed = None
+    for flag in ("--sample", "--seed"):
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 >= len(args):
+                sys.exit(f"{flag} needs a value")
+            val = int(args[i + 1])
+            if flag == "--sample":
+                sample_n = val
+            else:
+                seed = val
+            args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -73,6 +92,15 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    if sample_n is not None:
+        if only:
+            sys.exit("--sample and explicit query names are mutually exclusive")
+        import random
+
+        names = sorted(qs)  # sorted universe → same draw for everyone
+        only = sorted(random.Random(seed or 0).sample(names, min(sample_n, len(names))))
+        print(f"sample(n={sample_n}, seed={seed or 0}): {' '.join(only)}")
 
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # simulate the driver's untuned session (default confs, 200 shuffle
