@@ -143,7 +143,10 @@ def train_bpe(
     real trainers cap or sample the word table too; the cap takes the most
     frequent words (ties by word ASC) so it is deterministic at any scale.
     """
-    wf = word_frequencies(docs, text_col)
+    # materialize the word-frequency table ONCE: both the base-vocab char
+    # aggregate and the capped top-K collect consume it, and an unmaterialized
+    # plan would re-run the full corpus explode+groupBy for each
+    wf = word_frequencies(docs, text_col).localCheckpoint()
     # base vocab from ALL words (cheap distinct-char agg), training from the
     # capped table — encode never meets an unknown char from its own corpus
     base = sorted(

@@ -402,11 +402,22 @@ def _remove_ids_from_dir_locked(spark, data_dir, id_col, ids) -> int:
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
         return 0
-    ids = ids.select("id").distinct().localCheckpoint()
-    try:
-        corpus = spark.read.parquet(data_dir)
-    except Exception:  # no data files yet (e.g. dir holds only markers)
+    # no-op ONLY when the store verifiably holds no data files (dir exists
+    # but carries just markers/_takedowns) — probed explicitly, never by
+    # swallowing read errors: a takedown that turned a transient corpus-read
+    # failure into "0 removed" would commit a success manifest for a GDPR
+    # removal that never happened. Real read failures propagate and the
+    # stream batch replays.
+    it = fs.listFiles(root, True)
+    has_data = False
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_data = True
+            break
+    if not has_data:
         return 0
+    ids = ids.select("id").distinct().localCheckpoint()
+    corpus = spark.read.parquet(data_dir)
     affected = {
         int(r["epoch"])
         for r in corpus.join(ids, corpus[id_col] == ids["id"], "semi")

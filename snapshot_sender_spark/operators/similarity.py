@@ -827,11 +827,20 @@ def takedown_ivf_index(spark, index_dir: str, ids: DataFrame) -> int:
     coarse quantizer is frozen by contract, and a thinner partition only
     speeds probes. Returns vector rows removed. A takedown arriving before
     the index exists is a no-op returning 0 (the unknown-id contract, same
-    as the table-backed families)."""
+    as the table-backed families). Serialized per index_dir by the shared
+    mutation-lock registry — two concurrent takedowns of different ids
+    rewriting the same (bucket, epoch) partition would otherwise
+    last-writer-win, the documented lost-update at
+    ``index_lifecycle.table_mutation_lock``."""
     vec_path = f"{index_dir}/vectors"
     _p = spark._jvm.org.apache.hadoop.fs.Path(vec_path)
     if not _p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(_p):
         return 0
+    with index_lifecycle.table_mutation_lock(index_dir):
+        return _takedown_ivf_locked(spark, vec_path, ids)
+
+
+def _takedown_ivf_locked(spark, vec_path: str, ids) -> int:
     vectors = spark.read.parquet(vec_path)
     pcols = [c for c in ("bucket", "epoch") if c in vectors.columns]
     ids = ids.select("id").distinct().localCheckpoint()

@@ -211,7 +211,7 @@ def _budget_oracle() -> str:
       SELECT d.doc_id, d.source,
              CAST(coalesce(len(t.ids), 0) AS BIGINT) AS toks,
              SUM(CAST(coalesce(len(t.ids), 0) AS BIGINT)) OVER (
-               PARTITION BY d.source ORDER BY md5(d.text), d.doc_id
+               PARTITION BY d.source ORDER BY md5(d.text) NULLS LAST, d.doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
       FROM documents d LEFT JOIN dtoks t USING (doc_id))
     SELECT source,
@@ -290,7 +290,11 @@ def pack_training_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-parametric."""
     model = _model(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
-    counts = bpe.bpe_tokenize(spark, docs, model).select("doc_id", "n_tokens")
+    # NULL-text docs pack as zero-length (coalesce) — matching the oracle's
+    # coalesce(len(ids), 0); bpe_tokenize itself keeps NULL for NULL text
+    counts = bpe.bpe_tokenize(spark, docs, model).select(
+        "doc_id", F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")
+    )
     toks = docs.select("doc_id", "source").join(counts, "doc_id")
     w = (
         Window.partitionBy("source")
@@ -324,11 +328,13 @@ def curation_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _model(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     counts = bpe.bpe_tokenize(spark, docs, model).select(
-        "doc_id", F.col("n_tokens").alias("toks")
+        "doc_id", F.coalesce("n_tokens", F.lit(0)).alias("toks")
     )
+    # NULLS LAST explicitly: Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    # LAST — md5(NULL text) would order differently between engines
     w = (
         Window.partitionBy("source")
-        .orderBy("shuffle_key", "doc_id")
+        .orderBy(F.col("shuffle_key").asc_nulls_last(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

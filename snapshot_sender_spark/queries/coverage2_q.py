@@ -558,13 +558,13 @@ def string_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source, text,
              len(string_split(text, ' ')) AS n_words
       FROM (
-        SELECT *, length(text) AS n_chars,
+        SELECT *, length(text) AS real_chars,
                len(string_split(text, ' ')) AS nw,
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS uniq_ratio
         FROM documents
       )
-      WHERE n_chars BETWEEN 120 AND 450 AND nw >= 25 AND uniq_ratio >= 0.30
+      WHERE real_chars BETWEEN 120 AND 450 AND nw >= 25 AND uniq_ratio >= 0.30
     ),
     exact AS (
       SELECT * FROM quality q
@@ -724,13 +724,13 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source, text,
              len(string_split(text, ' ')) AS n_words
       FROM (
-        SELECT *, length(text) AS n_chars,
+        SELECT *, length(text) AS real_chars,
                len(string_split(text, ' ')) AS nw,
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS uniq_ratio
         FROM documents
       )
-      WHERE n_chars BETWEEN 120 AND 450 AND nw >= 25 AND uniq_ratio >= 0.30
+      WHERE real_chars BETWEEN 120 AND 450 AND nw >= 25 AND uniq_ratio >= 0.30
     ),
     exact AS (
       SELECT * FROM quality q

@@ -77,7 +77,7 @@ class _RangePartition(InputPartition):
 
 
 class AvroFileReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, spark_schema=None):
         self.path = options.get("path")
         if not self.path:
             raise avro_codec.AvroError("avrofile source needs a path")
@@ -87,7 +87,23 @@ class AvroFileReader(DataSourceReader):
             raise avro_codec.AvroError(f"no .avro files under {self.path!r}")
         with open(files[0], "rb") as fh:
             schema, _, _, _ = avro_codec.read_header(fh)
-        _, self.field_order = spark_ddl_for(schema)
+        _, writer_order = spark_ddl_for(schema)
+        # Spark binds yielded tuples to the READ schema positionally, so a
+        # user-supplied .schema(...) must drive the projection BY NAME — a
+        # rename/reorder that silently misbound columns would ship wrong
+        # data with no diagnostic. Unknown names fail loudly instead.
+        if spark_schema is not None:
+            wanted = list(spark_schema.fieldNames())
+            missing = [n for n in wanted if n not in writer_order]
+            if missing:
+                raise avro_codec.AvroUnsupported(
+                    f"requested columns {missing} not in the Avro writer "
+                    f"schema {writer_order} — the avrofile reader projects "
+                    "by field name (no positional rebinding, no casts)"
+                )
+            self.field_order = wanted
+        else:
+            self.field_order = writer_order
         self.files = files
 
     def partitions(self):
@@ -126,7 +142,7 @@ class AvroFileDataSource(DataSource):
         return ddl
 
     def reader(self, schema) -> AvroFileReader:
-        return AvroFileReader(self.options)
+        return AvroFileReader(self.options, spark_schema=schema)
 
 
 def register(spark) -> None:

@@ -114,7 +114,12 @@ def run_streaming_takedown(
         sess = batch.sparkSession
         ids = batch.select("id").distinct().localCheckpoint()
         removed = takedown(sess, accepted_dir, index_table, ids)
-        with open(marker, "w") as fh:
+        # ATOMIC commit (tmp + rename): a crash mid-write must leave either
+        # no marker (replay re-runs the convergent removals) or a complete
+        # one — a truncated marker would make every replay die in json.load
+        # instead of taking the designed fingerprint-verify path
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(
                 {
                     "n": fp["n"],
@@ -129,6 +134,7 @@ def run_streaming_takedown(
                 },
                 fh,
             )
+        os.replace(tmp, marker)
 
     reader = spark.readStream.schema(REQUEST_SCHEMA)
     if max_files_per_trigger is not None:

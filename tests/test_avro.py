@@ -192,3 +192,22 @@ def test_avrofile_datasource_end_to_end(spark, tmp_path):
     # the range splitter actually fanned out (many ranges per file)
     reader = avro_pyds.AvroFileReader({"path": str(tmp_path), "split_bytes": "2048"})
     assert len(reader.partitions()) > 3
+
+
+def test_avrofile_user_schema_projects_by_name(spark, tmp_path):
+    """Round-9 review: a user-supplied .schema(...) must bind by FIELD NAME,
+    never positionally — a reordered schema gets reordered values, an
+    unknown column fails loudly."""
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    A.write_avro_file(str(tmp_path / "f.avro"), SCHEMA, _rows(10), block_rows=5)
+    df = (
+        spark.read.format("avrofile")
+        .schema("name string, id bigint")  # reordered subset
+        .load(str(tmp_path))
+    )
+    got = {r["id"]: r["name"] for r in df.collect()}
+    assert got == {(i - 5) * 977: f"n{i}éあ" for i in range(10)}
+    with pytest.raises(Exception, match="not in the Avro writer schema"):
+        spark.read.format("avrofile").schema("nope int").load(str(tmp_path)).collect()

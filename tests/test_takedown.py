@@ -507,3 +507,26 @@ def test_partitioned_dir_emptied_epoch_removed(spark, tmp_path):
         )
         == 0
     )
+
+
+def test_partitioned_dir_noop_is_probed_not_swallowed(spark, tmp_path):
+    """Round-9 review: the before-ingestion no-op must come from an explicit
+    no-data-files probe, never from swallowing read errors — a dir holding
+    only marker files is a clean 0; a dir with actual (corrupt) parquet
+    RAISES instead of committing a phantom 'removed 0' success."""
+    data = str(tmp_path / "data")
+    os.makedirs(os.path.join(data, "_takedowns"))
+    open(os.path.join(data, "_takedowns", "batch_0.json"), "w").write("{}")
+    assert (
+        index_lifecycle.remove_ids_from_partitioned_dir(
+            spark, data, "doc_id", _ids(spark, [1])
+        )
+        == 0
+    )
+    os.makedirs(os.path.join(data, "epoch=0"))
+    with open(os.path.join(data, "epoch=0", "part-0.parquet"), "wb") as fh:
+        fh.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        index_lifecycle.remove_ids_from_partitioned_dir(
+            spark, data, "doc_id", _ids(spark, [1])
+        )

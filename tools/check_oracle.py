@@ -93,14 +93,18 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    if seed is not None and sample_n is None:
+        sys.exit("--seed needs --sample (a seed without a sample size would "
+                 "silently run the full suite)")
     if sample_n is not None:
         if only:
             sys.exit("--sample and explicit query names are mutually exclusive")
         import random
 
+        seed = 0 if seed is None else seed  # explicit --seed 0 is honored
         names = sorted(qs)  # sorted universe → same draw for everyone
-        only = sorted(random.Random(seed or 0).sample(names, min(sample_n, len(names))))
-        print(f"sample(n={sample_n}, seed={seed or 0}): {' '.join(only)}")
+        only = sorted(random.Random(seed).sample(names, min(sample_n, len(names))))
+        print(f"sample(n={sample_n}, seed={seed}): {' '.join(only)}")
 
     if os.environ.get("SPARK_GRAFT_VANILLA"):
         # simulate the driver's untuned session (default confs, 200 shuffle
