@@ -111,6 +111,20 @@ def _video_posting_probe(spark, sf):
     )
 
 
+def _bpe_tokenize_plan(spark, sf):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators import bpe as B
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta doc"),
+                 (F.col("id") % 97).cast("string")).alias("text"),
+    )
+    model = B.train_bpe(spark, docs, num_merges=20)
+    return B.bpe_tokenize(spark, docs, model)
+
+
 # Operator-level picks: (name, note, builder). Builders may create their own
 # t_plans_* tables (dropped on rerun) — the explain below never executes them.
 OPERATOR_PICKS = [
@@ -128,6 +142,11 @@ OPERATOR_PICKS = [
         "banded_hamming_dropped (round 8 hot-band guard)",
         "The guarded keeper decision: a sig-keyed HashAggregate (partial+final — map-side combine absorbs identical-signature floods) collapses the corpus to distinct signatures BEFORE the band explode, so the band self-join's input is bounded by distinct sigs regardless of hot-band population; non-representative members rejoin by sig equality (hash join), never through the band join. Result-identical to the unguarded rule (tests/test_hotband.py).",
         _hotband_keeper,
+    ),
+    (
+        "bpe_tokenize (round 9 tokenizer)",
+        "REAL-token tokenization with Python bounded to the vocabulary: the corpus side posexplodes whitespace words fully JVM-side; the ONLY Python crossing is one MapInPandas sitting above the DISTINCT-word HashAggregate (partial+final), so Arrow ships each distinct word once, never the corpus; the encoded (word -> ids) table broadcast-joins back (BroadcastHashJoin) and per-doc order is restored by sort_array(collect_list(struct(wpos, ids))) inside a doc_id-keyed two-phase aggregate — no global sort. The final left join restores NULL/token-less docs. Plan gate: tests/test_bpe.py pins exactly one MapInPandas and zero BatchEvalPython.",
+        _bpe_tokenize_plan,
     ),
     (
         "incremental_jaccard_against_index, posting mode (round 8 video service)",
