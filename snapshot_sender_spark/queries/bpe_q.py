@@ -345,3 +345,91 @@ def curation_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("tokens_used"))
     )
+
+
+def _roundtrip_oracle() -> str:
+    if _bpe_counts_ctes() is None:
+        return _UNGENERATED
+    return f"""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_filter(regexp_split_to_array(text, '{_WS}'), w -> w <> ''),
+             ' ')) AS normalized_md5,
+           TRUE AS roundtrip_ok
+    FROM documents WHERE text IS NOT NULL
+    """
+
+
+@query("text_bpe_roundtrip", oracle=_roundtrip_oracle(), category="llm-text")
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETOKENIZATION losslessness: ids → token strings (vocab join) →
+    per-word concatenation → single-space word join must reproduce the
+    whitespace-NORMALIZED original exactly (md5-pinned). This pins the two
+    properties that make BPE token ids a faithful corpus representation:
+    the base vocab covers every corpus character (no UNK on own corpus) and
+    greedy segmentation partitions each word (no overlap, no loss).
+    ``roundtrip_ok`` is computed by the ENGINE as equality between the
+    reconstruction and the normalized source; the oracle independently
+    derives the md5 from the source text, so a reconstruction bug fails
+    both columns."""
+    model = _model(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # invert the id map (engine-side model artifact, broadcast via literal map)
+    items = []
+    for tok, i in sorted(model.token_ids.items(), key=lambda kv: kv[1]):
+        items.append(F.lit(i))
+        items.append(F.lit(tok))
+    id_to_tok = F.create_map(*items)
+    # token ids carry no word boundaries, so reconstruct per WORD: re-derive
+    # each distinct word's ids, map ids -> strings, concat — then join words
+    wpos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", bpe.PY_SPLIT_WS_JAVA)).alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    dw = wpos.select("word").distinct()
+    ranks, ids_map = model.ranks, model.token_ids
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "ids": [
+                    [ids_map.get(t, bpe.UNK_ID) for t in bpe.encode_word(w, ranks)]
+                    for w in pdf["word"]
+                ],
+            })
+
+    enc = dw.mapInPandas(_enc, "word string, ids array<long>")
+    rebuilt_word = F.array_join(
+        F.transform(F.col("ids"), lambda i: F.element_at(id_to_tok, i)), ""
+    )
+    rebuilt = (
+        wpos.join(F.broadcast(enc), "word")
+        .select("doc_id", "wpos", rebuilt_word.alias("w2"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("wpos", "w2"))),
+                    lambda s: s["w2"],
+                ),
+                " ",
+            ).alias("reconstructed")
+        )
+    )
+    normalized = F.array_join(
+        F.filter(F.split("text", bpe.PY_SPLIT_WS_JAVA), lambda w: w != ""), " "
+    )
+    return (
+        docs.select("doc_id", normalized.alias("norm"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.md5("norm").alias("normalized_md5"),
+            (F.coalesce("reconstructed", F.lit("")) == F.col("norm")).alias(
+                "roundtrip_ok"
+            ),
+        )
+    )

@@ -389,7 +389,8 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "multimodal_progressive_stats", "multimodal_resize",
         "multimodal_video_framesample", "multimodal_video_scenes",
         "pack_training_sequences_bpe",   # BPE encode of DISTINCT words only
-        "sim_label_centroid_arrow", "text_bpe_tokenize",  # same
+        "sim_label_centroid_arrow", "text_bpe_roundtrip",  # same
+        "text_bpe_tokenize",  # same
         "text_chunk_arrow_udtf",
         "text_fingerprint_rolling", "text_stats_arrow_udf",
     }
