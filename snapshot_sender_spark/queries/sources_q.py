@@ -146,6 +146,48 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_avro_write_roundtrip",
+    oracle="""
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(p_size) AS BIGINT) AS total_size
+    FROM part GROUP BY p_type
+    """,
+    category="source",
+)
+def source_avro_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → DISTRIBUTED Avro write (``df.write.format("avrofile")``: one
+    container file staged per task, all-or-nothing commit via the
+    staging + _MANIFEST protocol — the write-path complement of
+    ``source_avro_roundtrip``'s range-split scan) → scan → aggregate.
+    Both halves are the pure-spec implementation; the writer's nullable
+    fields land as ["null", T] unions."""
+    from ..sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = _roundtrip_dir(sf_dir, "avro_w")
+
+    def write_fixture(tmp: str) -> None:
+        (
+            load(spark, sf_dir, "part")
+            .select("p_partkey", "p_type", "p_retailprice", "p_size")
+            .repartition(4)
+            .write.format("avrofile")
+            .mode("overwrite")
+            .save(tmp)
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    _write_once(d, write_fixture)
+    p = spark.read.format("avrofile").option("split_bytes", 65536).load(d)
+    return p.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_money(F.col("p_retailprice"))).cast("double").alias("total_price"),
+        F.sum("p_size").cast("long").alias("total_size"),
+    )
+
+
+@query(
     "source_jsonl_gzip_roundtrip",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -16,9 +16,10 @@ registered as ``avrofile``:
 * the Spark schema derives from the writer schema in the FIRST file's
   header (one tiny driver-side header read, like parquet footer sampling).
 
-Write path: ``avro_codec.write_avro_file`` (driver-side, used by fixtures
-and tests); a distributed writer would ride the repo's existing DSv2 sink
-protocol (sources/pyds_sink.py) and is not needed by any query.
+Write path: DISTRIBUTED — ``df.write.format("avrofile")`` stages one
+container file per task and commits all-or-nothing via the repo's DSv2
+staging+manifest protocol (see the write-path section below);
+``avro_codec.write_avro_file`` remains the driver-side fixture writer.
 """
 
 from __future__ import annotations
@@ -144,6 +145,133 @@ class AvroFileDataSource(DataSource):
     def reader(self, schema) -> AvroFileReader:
         return AvroFileReader(self.options, spark_schema=schema)
 
+    def writer(self, schema, overwrite: bool):
+        return AvroFileWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(AvroFileDataSource)
+
+
+# --------------------------------------------------------------- write path
+#
+# Distributed Avro WRITE with the repo's DSv2 commit protocol
+# (sources/pyds_sink.py precedent): every task stages one container file
+# under <path>/_staging/ and returns a WriterCommitMessage; commit()
+# (driver, after ALL tasks succeed) moves staged files into place and
+# publishes _MANIFEST.json as the commit point; abort() discards the
+# staging. Readers glob *.avro in the root, so uncommitted staged files are
+# invisible by construction. Overwrite replaces the previous commit
+# wholesale (data files, manifest, stale staging). At 100 TB this is the
+# standard object-store staging+rename commit; each task encodes only its
+# own partition.
+
+import json as _json
+import shutil as _shutil
+import uuid as _uuid
+from dataclasses import dataclass, field as _field
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+def avro_schema_for(spark_schema, name: str = "row") -> dict:
+    """Inverse of spark_ddl_for: a record writer schema for a Spark struct.
+    Nullable fields become ["null", T] unions (every value Spark hands a
+    writer may be None); out-of-subset Spark types raise typed errors."""
+    from pyspark.sql import types as T
+
+    def conv(dt):
+        m = {
+            T.BooleanType: "boolean",
+            T.IntegerType: "int",
+            T.ShortType: "int",
+            T.ByteType: "int",
+            T.LongType: "long",
+            T.FloatType: "float",
+            T.DoubleType: "double",
+            T.StringType: "string",
+            T.BinaryType: "bytes",
+        }
+        for t, s in m.items():
+            if isinstance(dt, t):
+                return s
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType)}
+        raise avro_codec.AvroUnsupported(
+            f"no Avro mapping for Spark type {dt.simpleString()}"
+        )
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": ["null", conv(f.dataType)] if f.nullable else conv(f.dataType),
+            }
+            for f in spark_schema.fields
+        ],
+    }
+
+
+@dataclass
+class _StagedAvro(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class AvroFileWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        self.block_rows = int(options.get("block_rows", "5000"))
+        self.schema = avro_schema_for(schema)
+        self.names = [f["name"] for f in self.schema["fields"]]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{_uuid.uuid4().hex}.avro")
+        rows = [
+            {n: (bytes(v) if isinstance(v, bytearray) else v)
+             for n, v in zip(self.names, (row[n] for n in self.names))}
+            for row in iterator
+        ]
+        n = avro_codec.write_avro_file(
+            staged, self.schema, rows, codec=self.codec, block_rows=self.block_rows
+        )
+        return _StagedAvro(staged=staged, rows=n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            live = {os.path.basename(m.staged) for m in messages if m is not None}
+            for f in os.listdir(self.path):
+                if f.endswith(".avro") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+            staging = os.path.join(self.path, "_staging")
+            if os.path.isdir(staging):
+                for f in os.listdir(staging):  # crashed prior runs' leftovers
+                    if f not in live:
+                        os.remove(os.path.join(staging, f))
+        entries = []
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+                continue
+            final = os.path.join(self.path, os.path.basename(m.staged))
+            _shutil.move(m.staged, final)
+            entries.append({"file": os.path.basename(final), "rows": m.rows})
+        tmp = os.path.join(self.path, "._MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {"files": entries, "total_rows": sum(e["rows"] for e in entries)},
+                fh,
+            )
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

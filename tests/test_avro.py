@@ -211,3 +211,55 @@ def test_avrofile_user_schema_projects_by_name(spark, tmp_path):
     assert got == {(i - 5) * 977: f"n{i}éあ" for i in range(10)}
     with pytest.raises(Exception, match="not in the Avro writer schema"):
         spark.read.format("avrofile").schema("nope int").load(str(tmp_path)).collect()
+
+
+def test_avrofile_distributed_write_commit_protocol(spark, tmp_path):
+    """Distributed write path: one staged container per task, visible only
+    after the all-or-nothing commit (_MANIFEST.json); overwrite replaces the
+    previous commit wholesale INCLUDING a crashed run's staging leftovers;
+    data round-trips exactly."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "out")
+    df = spark.range(5000).select(
+        "id",
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") / 7.0).alias("bal"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id").cast("string"))
+        .alias("note"),
+    )
+    df.repartition(5).write.format("avrofile").mode("overwrite").save(d)
+    files = [f for f in os.listdir(d) if f.endswith(".avro")]
+    assert len(files) == 5
+    import json
+
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert man["total_rows"] == 5000
+    assert sorted(e["file"] for e in man["files"]) == sorted(files)
+    back = spark.read.format("avrofile").load(d)
+    got = back.agg(
+        F.count("*").alias("n"), F.sum("id").alias("s"), F.count("note").alias("k")
+    ).first()
+    assert (got["n"], got["s"], got["k"]) == (5000, 5000 * 4999 // 2, 3333)
+    # plant a fake crashed-run leftover; overwrite must clear it + old data
+    open(os.path.join(d, "_staging", "part-deadbeef.avro"), "wb").write(b"junk")
+    df.limit(70).repartition(2).write.format("avrofile").mode("overwrite").save(d)
+    assert spark.read.format("avrofile").load(d).count() == 70
+    assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 2
+    assert os.listdir(os.path.join(d, "_staging")) == []
+    assert json.load(open(os.path.join(d, "_MANIFEST.json")))["total_rows"] == 70
+
+
+def test_avrofile_write_rejects_unsupported_spark_types(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    df = spark.range(3).select(F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    with pytest.raises(Exception, match="no Avro mapping"):
+        df.write.format("avrofile").mode("overwrite").save(str(tmp_path / "x"))
