@@ -232,7 +232,14 @@ def write_avro_file(
 ) -> int:
     """Write an object container file; returns rows written. ``sync`` may
     be pinned for deterministic fixtures (16 bytes); default derives one
-    from the path (still deterministic — no RNG in this repo's fixtures)."""
+    from the path (still deterministic — no RNG in this repo's fixtures).
+
+    STREAMS block by block: ``rows`` may be any iterable (the distributed
+    writer hands a partition iterator) and memory is bounded by one encoded
+    block, never the whole partition — the shape a multi-hundred-MB task
+    partition needs."""
+    import itertools
+
     schema = _norm_schema(schema)
     if codec not in ("null", "deflate"):
         raise AvroUnsupported(
@@ -249,35 +256,37 @@ def write_avro_file(
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
-    out = bytearray()
-    out += MAGIC
-    out += _zigzag_encode(len(meta))
+    header = bytearray()
+    header += MAGIC
+    header += _zigzag_encode(len(meta))
     for k in sorted(meta):  # sorted → byte-deterministic files
         kb = k.encode()
-        out += _zigzag_encode(len(kb))
-        out += kb
-        out += _zigzag_encode(len(meta[k]))
-        out += meta[k]
-    out += _zigzag_encode(0)  # metadata map end marker
-    out += sync
+        header += _zigzag_encode(len(kb))
+        header += kb
+        header += _zigzag_encode(len(meta[k]))
+        header += meta[k]
+    header += _zigzag_encode(0)  # metadata map end marker
+    header += sync
     n = 0
-    rows = list(rows)
-    for i in range(0, len(rows), block_rows):
-        chunk = rows[i : i + block_rows]
-        body = bytearray()
-        for r in chunk:
-            _encode_value(schema, r, body)
-        data = bytes(body)
-        if codec == "deflate":
-            data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
-        out += _zigzag_encode(len(chunk))
-        out += _zigzag_encode(len(data))
-        out += data
-        out += sync
-        n += len(chunk)
+    it = iter(rows)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        fh.write(out)
+        fh.write(header)
+        while True:
+            chunk = list(itertools.islice(it, block_rows))
+            if not chunk:
+                break
+            body = bytearray()
+            for r in chunk:
+                _encode_value(schema, r, body)
+            data = bytes(body)
+            if codec == "deflate":
+                data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
+            fh.write(_zigzag_encode(len(chunk)))
+            fh.write(_zigzag_encode(len(data)))
+            fh.write(data)
+            fh.write(sync)
+            n += len(chunk)
     os.replace(tmp, path)
     return n
 

@@ -68,6 +68,8 @@ __all__ = [
     "train_bpe",
     "encode_word",
     "bpe_tokenize",
+    "save_bpe_model",
+    "load_bpe_model",
 ]
 
 
@@ -275,3 +277,35 @@ def bpe_tokenize(
             .alias("n_tokens"),
         )
     )
+
+
+def save_bpe_model(spark, model: BpeModel, path: str) -> None:
+    """Persist the trained tokenizer as parquet (merges ranked + base chars
+    indexed) — the FROZEN-VOCAB artifact a reproducible pipeline versions
+    alongside its dedup indexes: token budgets, packing boundaries, and
+    digests stay comparable across runs only if every run tokenizes with
+    the same merges. Atomic publish: stage dir + marker last."""
+    merges = spark.createDataFrame(
+        [(r, l, rt) for r, (l, rt) in enumerate(model.merges)] or [(-1, "", "")],
+        "rank long, left_sym string, right_sym string",
+    )
+    base = spark.createDataFrame(
+        list(enumerate(model.base_vocab)), "id long, ch string"
+    )
+    merges.coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    base.coalesce(1).write.mode("overwrite").parquet(f"{path}/base")
+
+
+def load_bpe_model(spark, path: str) -> BpeModel:
+    """Inverse of save_bpe_model: rebuild the exact model (merge ORDER from
+    rank, base vocab from id order); encodings are bit-identical to the
+    trained original (pinned in tests/test_bpe.py)."""
+    mrows = spark.read.parquet(f"{path}/merges").collect()
+    merges = tuple(
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(mrows, key=lambda r: r["rank"])
+        if r["rank"] >= 0
+    )
+    brows = spark.read.parquet(f"{path}/base").collect()
+    base = tuple(r["ch"] for r in sorted(brows, key=lambda r: r["id"]))
+    return BpeModel(merges=merges, base_vocab=base)

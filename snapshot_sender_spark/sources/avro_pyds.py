@@ -233,11 +233,13 @@ class AvroFileWriter(DataSourceWriter):
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"part-{_uuid.uuid4().hex}.avro")
-        rows = [
+        names = self.names
+        rows = (
             {n: (bytes(v) if isinstance(v, bytearray) else v)
-             for n, v in zip(self.names, (row[n] for n in self.names))}
+             for n, v in zip(names, (row[n] for n in names))}
             for row in iterator
-        ]
+        )  # generator: write_avro_file streams block by block — memory is
+        #    bounded by one encoded block, never the whole task partition
         n = avro_codec.write_avro_file(
             staged, self.schema, rows, codec=self.codec, block_rows=self.block_rows
         )
@@ -255,9 +257,18 @@ class AvroFileWriter(DataSourceWriter):
                     if f not in live:
                         os.remove(os.path.join(staging, f))
         entries = []
-        for m in messages:
-            if m is None or m.rows == 0:
-                if m is not None and os.path.exists(m.staged):
+        staged_files = [m for m in messages if m is not None]
+        for i, m in enumerate(staged_files):
+            # publish every non-empty file; if EVERY partition was empty,
+            # publish exactly one header-only container so the committed
+            # dataset stays readable with its schema (parquet writes an
+            # empty part file for the same reason) instead of leaving a
+            # directory the reader rejects as having no .avro files
+            keep = m.rows > 0 or (
+                i == 0 and all(x.rows == 0 for x in staged_files)
+            )
+            if not keep:
+                if os.path.exists(m.staged):
                     os.remove(m.staged)
                 continue
             final = os.path.join(self.path, os.path.basename(m.staged))

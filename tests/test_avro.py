@@ -263,3 +263,20 @@ def test_avrofile_write_rejects_unsupported_spark_types(spark, tmp_path):
     df = spark.range(3).select(F.create_map(F.lit("k"), F.col("id")).alias("m"))
     with pytest.raises(Exception, match="no Avro mapping"):
         df.write.format("avrofile").mode("overwrite").save(str(tmp_path / "x"))
+
+
+def test_avrofile_write_empty_dataframe_round_trips(spark, tmp_path):
+    """An all-empty write must commit a readable dataset (one header-only
+    container carrying the schema), mirroring parquet's empty-part
+    behavior — not a directory the reader rejects."""
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "empty")
+    df = spark.range(10).filter("id < 0").select(
+        "id", (1.0 * __import__("pyspark").sql.functions.col("id")).alias("v")
+    )
+    df.write.format("avrofile").mode("overwrite").save(d)
+    back = spark.read.format("avrofile").load(d)
+    assert back.count() == 0
+    assert back.schema.simpleString() == "struct<id:bigint,v:double>"

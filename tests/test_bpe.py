@@ -150,3 +150,30 @@ def test_bpe_tokenize_python_crossing_is_distinct_words_only(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_model_save_load_roundtrip(spark, tmp_path):
+    """The frozen-vocab artifact: save → load rebuilds the EXACT model —
+    merge order, base vocab, token ids, and every encoding bit-identical —
+    so token budgets and digests stay comparable across runs/processes
+    (the same versioned-artifact stance as the persisted indexes)."""
+    docs = _mini_docs(spark, ["the quick brown fox", "the slow brown dog",
+                              "aaa the the quick dog"])
+    m = bpe.train_bpe(spark, docs, num_merges=12)
+    bpe.save_bpe_model(spark, m, str(tmp_path / "model"))
+    m2 = bpe.load_bpe_model(spark, str(tmp_path / "model"))
+    assert m2.merges == m.merges and m2.base_vocab == m.base_vocab
+    assert m2.token_ids == m.token_ids
+    for w in ("the", "quick", "aaa", "unseenword", "dog"):
+        assert m2.encode_word_ids(w) == m.encode_word_ids(w)
+    # tokenizing with the LOADED model reproduces the original exactly
+    a = {r["doc_id"]: list(r["token_ids"])
+         for r in bpe.bpe_tokenize(spark, docs, m).collect()}
+    b = {r["doc_id"]: list(r["token_ids"])
+         for r in bpe.bpe_tokenize(spark, docs, m2).collect()}
+    assert a == b
+    # zero-merge model round-trips too (the rank=-1 sentinel row)
+    empty = bpe.BpeModel(merges=(), base_vocab=("a", "b"))
+    bpe.save_bpe_model(spark, empty, str(tmp_path / "model0"))
+    e2 = bpe.load_bpe_model(spark, str(tmp_path / "model0"))
+    assert e2.merges == () and e2.base_vocab == ("a", "b")
