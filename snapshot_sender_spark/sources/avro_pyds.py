@@ -229,6 +229,24 @@ class AvroFileWriter(DataSourceWriter):
         self.names = [f["name"] for f in self.schema["fields"]]
         self.overwrite = overwrite
 
+    def _existing_schema_guard(self):
+        """APPEND mode against an existing dataset: the reader derives its
+        schema from the first file's header, so appending files with a
+        DIFFERENT writer schema would silently misread one cohort — refuse
+        up front instead."""
+        existing = _list_files(self.path) if os.path.isdir(self.path) else []
+        if not existing:
+            return
+        with open(existing[0], "rb") as fh:
+            prev, _, _, _ = avro_codec.read_header(fh)
+        if prev != self.schema:
+            raise avro_codec.AvroUnsupported(
+                "append schema differs from the dataset's existing writer "
+                f"schema:\n  existing: {prev}\n  appending: {self.schema}\n"
+                "(the avrofile reader derives its schema from the first "
+                "file; no schema evolution is implemented)"
+            )
+
     def write(self, iterator):
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
@@ -246,6 +264,8 @@ class AvroFileWriter(DataSourceWriter):
         return _StagedAvro(staged=staged, rows=n)
 
     def commit(self, messages):
+        if not self.overwrite:
+            self._existing_schema_guard()
         if self.overwrite:
             live = {os.path.basename(m.staged) for m in messages if m is not None}
             for f in os.listdir(self.path):
@@ -256,16 +276,30 @@ class AvroFileWriter(DataSourceWriter):
                 for f in os.listdir(staging):  # crashed prior runs' leftovers
                     if f not in live:
                         os.remove(os.path.join(staging, f))
+        # APPEND keeps the record of prior commits: merge the previous
+        # manifest's entries for data files still on disk (overwrite just
+        # cleared them), so _MANIFEST.json always describes the WHOLE
+        # committed dataset, not only the last write
         entries = []
+        prev_manifest = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(prev_manifest):
+            with open(prev_manifest) as fh:
+                entries = [
+                    e for e in _json.load(fh)["files"]
+                    if os.path.exists(os.path.join(self.path, e["file"]))
+                ]
         staged_files = [m for m in messages if m is not None]
         for i, m in enumerate(staged_files):
-            # publish every non-empty file; if EVERY partition was empty,
-            # publish exactly one header-only container so the committed
-            # dataset stays readable with its schema (parquet writes an
-            # empty part file for the same reason) instead of leaving a
-            # directory the reader rejects as having no .avro files
+            # publish every non-empty file; if EVERY partition was empty AND
+            # the dataset holds nothing yet, publish exactly one header-only
+            # container so the committed dataset stays readable with its
+            # schema (parquet writes an empty part file for the same reason)
+            # instead of leaving a directory the reader rejects
             keep = m.rows > 0 or (
-                i == 0 and all(x.rows == 0 for x in staged_files)
+                i == 0
+                and not entries
+                and all(x.rows == 0 for x in staged_files)
+                and not _glob.glob(os.path.join(self.path, "*.avro"))
             )
             if not keep:
                 if os.path.exists(m.staged):

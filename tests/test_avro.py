@@ -280,3 +280,36 @@ def test_avrofile_write_empty_dataframe_round_trips(spark, tmp_path):
     back = spark.read.format("avrofile").load(d)
     assert back.count() == 0
     assert back.schema.simpleString() == "struct<id:bigint,v:double>"
+
+
+def test_avrofile_append_merges_manifest_and_guards_schema(spark, tmp_path):
+    """APPEND semantics: new task files join the dataset, _MANIFEST.json
+    describes the WHOLE committed dataset (not just the last write), and an
+    append with a different writer schema is refused up front — the reader
+    derives its schema from the first file, so a silent mixed-schema
+    dataset would misread one cohort."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "ds")
+    df = spark.range(100).select("id", (F.col("id") * 2.0).alias("v"))
+    df.repartition(2).write.format("avrofile").mode("overwrite").save(d)
+    spark.range(100, 150).select("id", (F.col("id") * 2.0).alias("v")) \
+        .repartition(1).write.format("avrofile").mode("append").save(d)
+    back = spark.read.format("avrofile").load(d)
+    assert back.count() == 150
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert man["total_rows"] == 150
+    assert len(man["files"]) == 3
+    # schema-mismatched append refused
+    bad = spark.range(5).select("id", F.col("id").cast("string").alias("v"))
+    with pytest.raises(Exception, match="append schema differs"):
+        bad.write.format("avrofile").mode("append").save(d)
+    # an all-empty append adds nothing and keeps the manifest intact
+    df.filter("id < 0").write.format("avrofile").mode("append").save(d)
+    assert spark.read.format("avrofile").load(d).count() == 150
+    assert json.load(open(os.path.join(d, "_MANIFEST.json")))["total_rows"] == 150
