@@ -126,7 +126,12 @@ def format_line(medians: dict, best: dict, cold: dict, sf, load=None) -> str:
             payload["load1_start"] = start[0]
         if end:
             payload["load1_end"] = end[0]
-        lap_loads = [s[0] for s in load.get("laps", []) if s]
+        lap_loads = [
+            s[0]
+            for key in ("laps", "delivery_laps")
+            for s in load.get(key, [])
+            if s
+        ]
         if lap_loads:
             payload["load1_lap_max"] = max(lap_loads)
     line = json.dumps(payload, separators=(",", ":"))

@@ -62,14 +62,14 @@ def test_line_carries_self_adjudicating_load():
         "start": [0.06, 0.1, 0.2],
         "end": [5.45, 3.2, 1.9],
         "laps": [[2.3, 1.0, 0.5], [5.45, 3.0, 1.5], []],
-        "delivery_laps": [[1.0, 0.9, 0.8]],
+        "delivery_laps": [[6.7, 0.9, 0.8]],  # delivery laps count too
     }
     line = bench.format_line(med, best, med, 0.1, load=load)
     assert len(line) < 1200, len(line)
     parsed = json.loads(line)
     assert parsed["load1_start"] == 0.06
     assert parsed["load1_end"] == 5.45
-    assert parsed["load1_lap_max"] == 5.45
+    assert parsed["load1_lap_max"] == 6.7  # max over warm AND delivery laps
     # unreadable /proc/loadavg (non-Linux) degrades to no load keys, no crash
     bare = json.loads(
         bench.format_line(med, best, med, 0.1, load={"start": [], "end": [], "laps": []})

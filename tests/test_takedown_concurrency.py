@@ -192,3 +192,43 @@ def test_concurrent_distinct_id_takedowns_same_partition(spark):
     spark.catalog.refreshTable(T)
     assert {r["id"] for r in spark.table(T).select("id").collect()} == {3, 4}
     assert spark.table(T).count() == 6
+
+
+def test_concurrent_distinct_id_ivf_takedowns(spark, tmp_path):
+    """The IVF (path-based) takedown has the same read-modify-write shape as
+    the table form and takes the same per-index mutation lock (round-9
+    review finding): two concurrent takedowns of different ids hitting the
+    same bucket partitions must both survive."""
+    from snapshot_sender_spark.operators import similarity
+
+    idx = str(tmp_path / "ivf")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    similarity.build_ivf_index(vecs, "vec", "id", idx, n_centroids=2, epoch=0)
+    barrier = threading.Barrier(2)
+    removed = {}
+    errs = []
+
+    def takedown(name, ids):
+        try:
+            barrier.wait(timeout=30)
+            removed[name] = similarity.takedown_ivf_index(
+                spark, idx, _ids(spark, ids)
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=takedown, args=("a", [0, 1])),
+        threading.Thread(target=takedown, args=("b", [2, 3])),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert removed == {"a": 2, "b": 2}
+    left = {r["id"] for r in spark.read.parquet(f"{idx}/vectors").select("id").collect()}
+    assert left == set(range(4, 40))
