@@ -270,23 +270,32 @@ def write_avro_file(
     n = 0
     it = iter(rows)
     tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(header)
-        while True:
-            chunk = list(itertools.islice(it, block_rows))
-            if not chunk:
-                break
-            body = bytearray()
-            for r in chunk:
-                _encode_value(schema, r, body)
-            data = bytes(body)
-            if codec == "deflate":
-                data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
-            fh.write(_zigzag_encode(len(chunk)))
-            fh.write(_zigzag_encode(len(data)))
-            fh.write(data)
-            fh.write(sync)
-            n += len(chunk)
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(header)
+            while True:
+                chunk = list(itertools.islice(it, block_rows))
+                if not chunk:
+                    break
+                body = bytearray()
+                for r in chunk:
+                    _encode_value(schema, r, body)
+                data = bytes(body)
+                if codec == "deflate":
+                    data = zlib.compress(data, 6)[2:-4]  # raw DEFLATE per spec
+                fh.write(_zigzag_encode(len(chunk)))
+                fh.write(_zigzag_encode(len(data)))
+                fh.write(data)
+                fh.write(sync)
+                n += len(chunk)
+    except BaseException:
+        # no litter on failure: a bad row mid-stream must not strand a
+        # partial .tmp (retried distributed tasks would accumulate orphans)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, path)
     return n
 

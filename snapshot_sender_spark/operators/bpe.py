@@ -284,7 +284,20 @@ def save_bpe_model(spark, model: BpeModel, path: str) -> None:
     indexed) — the FROZEN-VOCAB artifact a reproducible pipeline versions
     alongside its dedup indexes: token budgets, packing boundaries, and
     digests stay comparable across runs only if every run tokenizes with
-    the same merges. Atomic publish: stage dir + marker last."""
+    the same merges.
+
+    TORN-SAVE protection (marker-last protocol): the ``_MODEL_OK`` marker is
+    deleted FIRST and re-written LAST with the expected table sizes, so a
+    crash between the two parquet writes — which would otherwise pair new
+    merges with an old base vocab and silently shift every token id —
+    leaves a marker-less (or size-mismatched) model that load_bpe_model
+    refuses loudly."""
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(path, "_MODEL_OK")
+    if _os.path.exists(marker):
+        _os.remove(marker)
     merges = spark.createDataFrame(
         [(r, l, rt) for r, (l, rt) in enumerate(model.merges)] or [(-1, "", "")],
         "rank long, left_sym string, right_sym string",
@@ -294,12 +307,29 @@ def save_bpe_model(spark, model: BpeModel, path: str) -> None:
     )
     merges.coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
     base.coalesce(1).write.mode("overwrite").parquet(f"{path}/base")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"n_merges": len(model.merges), "n_base": len(model.base_vocab)}, fh)
+    _os.replace(tmp, marker)
 
 
 def load_bpe_model(spark, path: str) -> BpeModel:
     """Inverse of save_bpe_model: rebuild the exact model (merge ORDER from
     rank, base vocab from id order); encodings are bit-identical to the
-    trained original (pinned in tests/test_bpe.py)."""
+    trained original (pinned in tests/test_bpe.py). Refuses a torn save
+    (missing/mismatched ``_MODEL_OK`` marker)."""
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(path, "_MODEL_OK")
+    if not _os.path.exists(marker):
+        raise ValueError(
+            f"no _MODEL_OK marker under {path!r}: the model save did not "
+            "complete (a torn save could pair new merges with an old base "
+            "vocab and silently shift every token id) — re-save the model"
+        )
+    with open(marker) as fh:
+        expect = _json.load(fh)
     mrows = spark.read.parquet(f"{path}/merges").collect()
     merges = tuple(
         (r["left_sym"], r["right_sym"])
@@ -308,4 +338,10 @@ def load_bpe_model(spark, path: str) -> BpeModel:
     )
     brows = spark.read.parquet(f"{path}/base").collect()
     base = tuple(r["ch"] for r in sorted(brows, key=lambda r: r["id"]))
+    if len(merges) != expect["n_merges"] or len(base) != expect["n_base"]:
+        raise ValueError(
+            f"model tables under {path!r} do not match the _MODEL_OK marker "
+            f"(expected {expect}, found n_merges={len(merges)} "
+            f"n_base={len(base)}): torn or tampered save — re-save the model"
+        )
     return BpeModel(merges=merges, base_vocab=base)

@@ -67,7 +67,26 @@ def spark_ddl_for(avro_schema) -> tuple[str, list[str]]:
 
 
 def _list_files(path: str) -> list[str]:
+    """Files of a dataset. A directory carrying ``_MANIFEST.json`` is a
+    COMMITTED dataset: only the manifested files are read (the manifest
+    rename is the commit point — files a crashed or in-flight commit left
+    in the root are invisible, which is what makes the writer's overwrite
+    all-or-nothing). Manifest-less directories (hand-built fixtures, plain
+    file dumps) fall back to globbing *.avro."""
     if os.path.isdir(path):
+        manifest = os.path.join(path, "_MANIFEST.json")
+        if os.path.exists(manifest):
+            import json
+
+            with open(manifest) as fh:
+                names = [e["file"] for e in json.load(fh)["files"]]
+            files = [os.path.join(path, n) for n in names]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise avro_codec.AvroError(
+                    f"_MANIFEST.json names missing data files: {missing}"
+                )
+            return sorted(files)
         return sorted(_glob.glob(os.path.join(path, "*.avro")))
     return sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
 
@@ -160,16 +179,17 @@ def register(spark) -> None:
 # under <path>/_staging/ and returns a WriterCommitMessage; commit()
 # (driver, after ALL tasks succeed) moves staged files into place and
 # publishes _MANIFEST.json as the commit point; abort() discards the
-# staging. Readers glob *.avro in the root, so uncommitted staged files are
-# invisible by construction. Overwrite replaces the previous commit
-# wholesale (data files, manifest, stale staging). At 100 TB this is the
-# standard object-store staging+rename commit; each task encodes only its
-# own partition.
+# staging. Readers resolve a manifested dataset THROUGH the manifest (see
+# _list_files), so a commit flips atomically at the manifest rename and
+# uncommitted/orphaned files are invisible. Overwrite garbage-collects the
+# previous commit's files AFTER the flip. At 100 TB this is the standard
+# object-store staging+manifest commit; each task encodes only its own
+# partition.
 
 import json as _json
 import shutil as _shutil
 import uuid as _uuid
-from dataclasses import dataclass, field as _field
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
@@ -196,7 +216,14 @@ def avro_schema_for(spark_schema, name: str = "row") -> dict:
             if isinstance(dt, t):
                 return s
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": conv(dt.elementType)}
+            items = conv(dt.elementType)
+            # Spark arrays default containsNull=True: null elements must be
+            # a ["null", T] union or the encoder would corrupt them (str(None)
+            # -> the literal string 'None') or crash mid-task
+            return {
+                "type": "array",
+                "items": ["null", items] if dt.containsNull else items,
+            }
         raise avro_codec.AvroUnsupported(
             f"no Avro mapping for Spark type {dt.simpleString()}"
         )
@@ -228,6 +255,10 @@ class AvroFileWriter(DataSourceWriter):
         self.schema = avro_schema_for(schema)
         self.names = [f["name"] for f in self.schema["fields"]]
         self.overwrite = overwrite
+        if not overwrite:
+            # fail BEFORE any task launches — commit() re-checks under the
+            # lock, but a doomed append must not pay a full cluster encode
+            self._existing_schema_guard()
 
     def _existing_schema_guard(self):
         """APPEND mode against an existing dataset: the reader derives its
@@ -264,24 +295,35 @@ class AvroFileWriter(DataSourceWriter):
         return _StagedAvro(staged=staged, rows=n)
 
     def commit(self, messages):
+        """Driver-side commit, serialized per dataset path by the shared
+        mutation-lock registry (concurrent appends would otherwise race the
+        manifest read-merge-write and last-writer-wins drop entries — the
+        same in-process single-writer stance as the index lifecycle).
+
+        ORDER MATTERS for atomicity: (1) move the new task files into the
+        root (uuid names never collide with committed files), (2) rename
+        the merged _MANIFEST.json — THE commit point: readers resolve the
+        dataset through the manifest, so before the rename they see exactly
+        the old commit and after it exactly the new one, (3) only then, on
+        overwrite, garbage-collect data files the new manifest does not own
+        plus crashed-run staging leftovers. A crash before (2) leaves the
+        old dataset fully intact (new files are manifest-invisible
+        orphans); a crash after (2) leaves the new dataset committed with
+        old files as orphans — either way the next overwrite's GC sweeps
+        the garbage."""
+        from ..operators import index_lifecycle
+
+        with index_lifecycle.table_mutation_lock(self.path):
+            self._commit_locked(messages)
+
+    def _commit_locked(self, messages):
         if not self.overwrite:
             self._existing_schema_guard()
-        if self.overwrite:
-            live = {os.path.basename(m.staged) for m in messages if m is not None}
-            for f in os.listdir(self.path):
-                if f.endswith(".avro") or f == "_MANIFEST.json":
-                    os.remove(os.path.join(self.path, f))
-            staging = os.path.join(self.path, "_staging")
-            if os.path.isdir(staging):
-                for f in os.listdir(staging):  # crashed prior runs' leftovers
-                    if f not in live:
-                        os.remove(os.path.join(staging, f))
+        prev_manifest = os.path.join(self.path, "_MANIFEST.json")
         # APPEND keeps the record of prior commits: merge the previous
-        # manifest's entries for data files still on disk (overwrite just
-        # cleared them), so _MANIFEST.json always describes the WHOLE
+        # manifest's entries so _MANIFEST.json always describes the WHOLE
         # committed dataset, not only the last write
         entries = []
-        prev_manifest = os.path.join(self.path, "_MANIFEST.json")
         if not self.overwrite and os.path.exists(prev_manifest):
             with open(prev_manifest) as fh:
                 entries = [
@@ -289,17 +331,18 @@ class AvroFileWriter(DataSourceWriter):
                     if os.path.exists(os.path.join(self.path, e["file"]))
                 ]
         staged_files = [m for m in messages if m is not None]
+        dataset_empty_after = not entries and (
+            self.overwrite or not _list_files(self.path)
+        )
         for i, m in enumerate(staged_files):
-            # publish every non-empty file; if EVERY partition was empty AND
-            # the dataset holds nothing yet, publish exactly one header-only
-            # container so the committed dataset stays readable with its
-            # schema (parquet writes an empty part file for the same reason)
-            # instead of leaving a directory the reader rejects
+            # publish every non-empty file; if the committed dataset would
+            # otherwise hold nothing, publish one header-only container so
+            # it stays readable with its schema (parquet writes an empty
+            # part file for the same reason)
             keep = m.rows > 0 or (
                 i == 0
-                and not entries
+                and dataset_empty_after
                 and all(x.rows == 0 for x in staged_files)
-                and not _glob.glob(os.path.join(self.path, "*.avro"))
             )
             if not keep:
                 if os.path.exists(m.staged):
@@ -314,7 +357,16 @@ class AvroFileWriter(DataSourceWriter):
                 {"files": entries, "total_rows": sum(e["rows"] for e in entries)},
                 fh,
             )
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        os.replace(tmp, prev_manifest)  # THE commit point
+        if self.overwrite:
+            manifested = {e["file"] for e in entries}
+            for f in os.listdir(self.path):
+                if f.endswith(".avro") and f not in manifested:
+                    os.remove(os.path.join(self.path, f))
+            staging = os.path.join(self.path, "_staging")
+            if os.path.isdir(staging):
+                for f in os.listdir(staging):  # crashed-run leftovers
+                    os.remove(os.path.join(staging, f))
 
     def abort(self, messages):
         for m in messages:

@@ -313,3 +313,109 @@ def test_avrofile_append_merges_manifest_and_guards_schema(spark, tmp_path):
     df.filter("id < 0").write.format("avrofile").mode("append").save(d)
     assert spark.read.format("avrofile").load(d).count() == 150
     assert json.load(open(os.path.join(d, "_MANIFEST.json")))["total_rows"] == 150
+
+
+def test_avrofile_null_array_elements_roundtrip(spark, tmp_path):
+    """Round-9 second-review: Spark arrays default containsNull=True, so a
+    null element must survive the write (the unfixed encoder stringified it
+    to the literal 'None')."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "narr")
+    df = spark.createDataFrame(
+        [(0, ["a", None, "c"]), (1, [None]), (2, [])],
+        "id long, xs array<string>",
+    )
+    df.write.format("avrofile").mode("overwrite").save(d)
+    got = {r["id"]: r["xs"] for r in spark.read.format("avrofile").load(d).collect()}
+    assert got == {0: ["a", None, "c"], 1: [None], 2: []}
+
+
+def test_avrofile_reader_resolves_through_manifest(spark, tmp_path):
+    """The manifest IS the commit point: a data file in the root that the
+    manifest does not own (a crashed commit's orphan) is invisible to
+    readers; a manifest naming a missing file fails loudly."""
+    import json
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "ds")
+    spark.range(50).write.format("avrofile").mode("overwrite").save(d)
+    # orphan: a file from a hypothetical crashed commit
+    A.write_avro_file(
+        os.path.join(d, "part-orphan.avro"),
+        {"type": "record", "name": "row",
+         "fields": [{"name": "id", "type": ["null", "long"]}]},
+        [{"id": 999}],
+    )
+    assert spark.read.format("avrofile").load(d).count() == 50  # orphan unseen
+    # manifest naming a missing file -> loud error
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    man["files"].append({"file": "part-gone.avro", "rows": 1})
+    json.dump(man, open(os.path.join(d, "_MANIFEST.json"), "w"))
+    with pytest.raises(Exception, match="missing data files"):
+        spark.read.format("avrofile").load(d).count()
+
+
+def test_avrofile_concurrent_appends_merge_manifest(spark, tmp_path):
+    """Two concurrent appends to one dataset: the per-path mutation lock
+    serializes the manifest read-merge-write, so BOTH jobs' entries survive
+    (unlocked, last-writer-wins dropped one side's files from the
+    manifest)."""
+    import json
+    import threading
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "ds")
+    spark.range(10).write.format("avrofile").mode("overwrite").save(d)
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def append(lo):
+        try:
+            # a fresh Python thread maps to a JVM thread with NO active
+            # session, and the Python DataSource registry is session-scoped
+            # (lookup falls back to the classpath and dies with
+            # ClassNotFoundException: avrofile.DefaultSource) — pin it
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            barrier.wait(timeout=30)
+            spark.range(lo, lo + 20).repartition(1).write.format(
+                "avrofile"
+            ).mode("append").save(d)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [threading.Thread(target=append, args=(100,)),
+          threading.Thread(target=append, args=(200,))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs, errs
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert man["total_rows"] == 50
+    assert spark.read.format("avrofile").load(d).count() == 50
+
+
+def test_write_avro_file_no_tmp_litter_on_encode_failure(tmp_path):
+    """A bad row mid-stream must not strand a partial .tmp (retried
+    distributed tasks would accumulate orphans in _staging)."""
+    p = str(tmp_path / "x.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+
+    def rows():
+        yield {"a": 1}
+        yield {"a": "not-an-int-and-not-coercible" + "x"}
+
+    with pytest.raises(Exception):
+        A.write_avro_file(p, schema, rows(), block_rows=1)
+    assert os.listdir(str(tmp_path)) == []

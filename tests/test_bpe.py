@@ -177,3 +177,28 @@ def test_bpe_model_save_load_roundtrip(spark, tmp_path):
     bpe.save_bpe_model(spark, empty, str(tmp_path / "model0"))
     e2 = bpe.load_bpe_model(spark, str(tmp_path / "model0"))
     assert e2.merges == () and e2.base_vocab == ("a", "b")
+
+
+def test_bpe_model_load_refuses_torn_save(spark, tmp_path):
+    """Marker-last protocol: a save that did not complete (missing or
+    size-mismatched _MODEL_OK) must be refused loudly — a torn model pairing
+    new merges with an old base vocab would silently shift every token id."""
+    import json
+    import os
+
+    docs = _mini_docs(spark, ["ab ab cd"])
+    m = bpe.train_bpe(spark, docs, num_merges=2)
+    path = str(tmp_path / "model")
+    bpe.save_bpe_model(spark, m, path)
+    marker = os.path.join(path, "_MODEL_OK")
+    os.remove(marker)  # simulate a crash before the marker write
+    with pytest.raises(ValueError, match="_MODEL_OK"):
+        bpe.load_bpe_model(spark, path)
+    # size mismatch (marker from a different save) also refused
+    with open(marker, "w") as fh:
+        json.dump({"n_merges": 99, "n_base": 1}, fh)
+    with pytest.raises(ValueError, match="torn or tampered"):
+        bpe.load_bpe_model(spark, path)
+    # a clean re-save recovers
+    bpe.save_bpe_model(spark, m, path)
+    assert bpe.load_bpe_model(spark, path).merges == m.merges

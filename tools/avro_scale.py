@@ -40,7 +40,7 @@ def main() -> None:
     path = os.path.join(d, "big.avro")
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
-        rows = [
+        rows = (
             {
                 "id": i,
                 # low-redundancy payloads so deflate cannot collapse the file
@@ -50,7 +50,7 @@ def main() -> None:
                 "note": None if i % 5 == 0 else f"{(i * 1099511628211) & 0xFFFFFFFFFF:010x}",
             }
             for i in range(n_rows)
-        ]
+        )  # generator: the streaming writer keeps memory at one block
         t0 = time.perf_counter()
         avro_codec.write_avro_file(path, SCHEMA, rows, codec="deflate",
                                    block_rows=10_000)
