@@ -83,14 +83,33 @@ def _merges_values_sql() -> str | None:
     return ",\n      ".join(rows)
 
 
-def _bpe_counts_ctes() -> str | None:
+def _bpe_counts_ctes(text_expr: str = "text") -> str | None:
     """The shared oracle CTE chain ``vocab_golden .. dtoks``: distinct-word
     greedy BPE application (recursive CTE, one merge per step) + per-doc
     positional reassembly. Ends with ``dtoks(doc_id, ids)``; callers append
-    their own final SELECT. None while the vocab golden is ungenerated."""
+    their own final SELECT. None while the vocab golden is ungenerated.
+
+    ``text_expr``: the SQL expression tokenized (default the raw column) —
+    the held-out-character query passes a transformed expression while the
+    BASE VOCAB always derives from the ORIGINAL corpus text (the model's
+    frozen-vocab contract: training never saw the transformed input).
+
+    Token-id scheme (mirrors operators/bpe.py round-10): ids 0..255 are the
+    byte-fallback lane; base chars get 256+row_number-1; merge rank r gets
+    256+B+r; a token absent from the vocab map expands to its UTF-8 bytes
+    (hex-digit arithmetic — DuckDB has no blob-byte accessor)."""
     merges_values = _merges_values_sql()
     if merges_values is None:
         return None
+    # UTF-8 bytes of an unseen token via hex(encode(tok)): byte i is two hex
+    # digits; strpos over the digit alphabet converts each (1-based → -1)
+    byte_ids = (
+        "list_transform(range(1, octet_length(encode(tok)) + 1), "
+        "b -> CAST((strpos('0123456789ABCDEF', "
+        "substring(hex(encode(tok)), 2*CAST(b AS INT)-1, 1)) - 1) * 16 "
+        "+ strpos('0123456789ABCDEF', "
+        "substring(hex(encode(tok)), 2*CAST(b AS INT), 1)) - 1 AS BIGINT))"
+    )
     return f"""
     vocab_golden(tier_rows, rank, l, r) AS (VALUES
       {merges_values}
@@ -102,6 +121,9 @@ def _bpe_counts_ctes() -> str | None:
     mm AS (SELECT map(list(l || chr(1) || r ORDER BY rank),
                       list(rank ORDER BY rank)) AS m FROM merges),
     words AS (SELECT DISTINCT w FROM (
+        SELECT unnest(regexp_split_to_array({text_expr}, '{_WS}')) AS w FROM documents
+      ) WHERE w <> ''),
+    train_words AS (SELECT DISTINCT w FROM (
         SELECT unnest(regexp_split_to_array(text, '{_WS}')) AS w FROM documents
       ) WHERE w <> ''),
     init AS (SELECT w,
@@ -127,23 +149,25 @@ def _bpe_counts_ctes() -> str | None:
       ) WHERE best IS NOT NULL AND best[1] < {_INF}
     ),
     final AS (SELECT w, max_by(parts, it) AS parts FROM steps GROUP BY w),
-    base AS (SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS BIGINT) AS id
+    base AS (SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 + 256 AS BIGINT) AS id
              FROM (SELECT DISTINCT unnest(list_transform(range(1, length(w)+1),
-                          i -> substring(w, CAST(i AS INT), 1))) AS c FROM words)),
+                          i -> substring(w, CAST(i AS INT), 1))) AS c FROM train_words)),
     tokmap AS (
       SELECT tok, MIN(id) AS id FROM (
         SELECT c AS tok, id FROM base
         UNION ALL
-        SELECT l || r, rank + (SELECT COUNT(*) FROM base) FROM merges
+        SELECT l || r, rank + 256 + (SELECT COUNT(*) FROM base) FROM merges
       ) GROUP BY tok),
     wtoks AS (SELECT w, i, parts[CAST(i AS INT)] AS tok
               FROM final, UNNEST(range(1, len(parts)+1)) AS t(i)),
-    wids AS (SELECT w, list(coalesce(tm.id, -1) ORDER BY i) AS ids
+    wids AS (SELECT w, flatten(list(
+               CASE WHEN tm.id IS NOT NULL THEN [tm.id]
+                    ELSE {byte_ids} END ORDER BY i)) AS ids
              FROM wtoks LEFT JOIN tokmap tm USING (tok) GROUP BY w),
     dwords AS (
       SELECT doc_id, i AS wpos, arr[CAST(i AS INT)] AS w
-      FROM (SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS arr
-            FROM documents WHERE text IS NOT NULL) d,
+      FROM (SELECT doc_id, regexp_split_to_array({text_expr}, '{_WS}') AS arr
+            FROM documents WHERE {text_expr} IS NOT NULL) d,
            UNNEST(range(1, len(arr)+1)) AS t(i)),
     dtoks AS (
       SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS ids
@@ -188,10 +212,13 @@ def _pack_oracle() -> str:
              CAST(coalesce(len(t.ids), 0) AS BIGINT) AS n_tokens
       FROM documents d LEFT JOIN dtoks t USING (doc_id)),
     pos AS (
+      -- CAST: DuckDB's SUM(BIGINT) window yields HUGEINT, which pandas
+      -- renders as float64 and the driver's hasher sees as "162.0" vs
+      -- Spark's int64 "162" (round-9 driver hash-fail root cause)
       SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_pos
       FROM counts)
     SELECT doc_id, source, n_tokens, start_pos,
            CAST(FLOOR(start_pos / 256) AS BIGINT) AS seq_id,
@@ -238,7 +265,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead re-derives its answer from THIS pinned artifact cross-engine."""
     model = _model(spark, sf_dir)
     ids = model.token_ids
-    nb = len(model.base_vocab)
+    nb = bpe.BYTE_VOCAB + len(model.base_vocab)  # merge ids start after byte lane + base
     rows = [
         (r, l, rt, l + rt, ids.get(l + rt, nb + r))
         for r, (l, rt) in enumerate(model.merges)
@@ -347,6 +374,72 @@ def curation_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# held-out characters injected at QUERY time (never seen at train time):
+# Ω/δ/é/№ are multi-byte (2,2,2,3 UTF-8 bytes); "theΩcat" mixes seen chars
+# (vocab-lane ids) with an unseen one (byte-lane ids) inside ONE word
+_HELDOUT_SUFFIX = " Ωδé№ theΩcat"
+
+
+def _byte_fallback_oracle() -> str:
+    sfx = _HELDOUT_SUFFIX.replace("'", "''")
+    ctes = _bpe_counts_ctes(text_expr=f"text || '{sfx}'")
+    if ctes is None:
+        return _UNGENERATED
+    return f"""
+    WITH RECURSIVE{ctes},
+    dig AS (SELECT doc_id, CAST(SUM(i * (ids[CAST(i AS INT)] + 7)) AS BIGINT) AS s
+            FROM dtoks, UNNEST(range(1, len(ids)+1)) AS u(i) GROUP BY doc_id),
+    fb AS (SELECT doc_id, CAST(len(list_filter(ids, x -> x < 256)) AS BIGINT) AS nf
+           FROM dtoks)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(len(t.ids), 0) AS BIGINT) END AS n_tokens,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(fb.nf, 0) AS BIGINT) END AS n_fallback,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(g.s, 0) END AS token_digest
+    FROM documents d
+    LEFT JOIN dtoks t USING (doc_id)
+    LEFT JOIN fb USING (doc_id)
+    LEFT JOIN dig g USING (doc_id)
+    """
+
+
+@query("text_bpe_byte_fallback", oracle=_byte_fallback_oracle(), category="llm-text")
+def text_bpe_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-VOCAB tokenization of text containing train-time-unseen
+    characters (round-9 verdict 'What's missing #1'): each doc gets a
+    held-out suffix — pure-unseen multi-byte words (Ω δ é №) and a word
+    mixing seen and unseen symbols — and the model trained on the ORIGINAL
+    corpus must tokenize it with byte-level fallback: an unseen symbol
+    encodes as its UTF-8 bytes (ids < 256), so nothing is UNK and token
+    budgets count correctly on fresh crawl. Cross-engine: the DuckDB oracle
+    replays greedy application from the pinned merge golden, deriving the
+    BASE vocab from the untransformed corpus (the frozen-vocab contract)
+    and expanding unmapped tokens to UTF-8 bytes via hex-digit arithmetic.
+    ``token_digest`` pins every id and position; ``n_fallback`` counts the
+    byte-lane tokens. NULL text stays NULL (concat with NULL is NULL on
+    both engines)."""
+    model = _model(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_HELDOUT_SUFFIX))
+    )
+    tok = bpe.bpe_tokenize(spark, docs, model)
+    digest = F.expr(
+        "aggregate(transform(token_ids, (x, i) -> (cast(i as bigint) + 1) * (x + 7)),"
+        " cast(0 as bigint), (a, b) -> a + b)"
+    )
+    n_fb = F.size(F.filter("token_ids", lambda x: x < 256))
+    return tok.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("token_ids").isNotNull(), n_fb).cast("long").alias("n_fallback"),
+        F.when(F.col("token_ids").isNotNull(), F.coalesce(digest, F.lit(0)))
+        .cast("long")
+        .alias("token_digest"),
+    )
+
+
 def _roundtrip_oracle() -> str:
     if _bpe_counts_ctes() is None:
         return _UNGENERATED
@@ -387,26 +480,14 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split("text", bpe.PY_SPLIT_WS_JAVA)).alias("wpos", "word"),
     ).filter(F.col("word") != "")
     dw = wpos.select("word").distinct()
-    ranks, ids_map = model.ranks, model.token_ids
-
-    def _enc(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            yield pd.DataFrame({
-                "word": pdf["word"],
-                "ids": [
-                    [ids_map.get(t, bpe.UNK_ID) for t in bpe.encode_word(w, ranks)]
-                    for w in pdf["word"]
-                ],
-            })
-
-    enc = dw.mapInPandas(_enc, "word string, ids array<long>")
+    enc = bpe.encode_distinct_words(dw, model)
+    # byte-lane ids (< 256) never occur here — the model was trained on this
+    # same corpus, so every char is in base_vocab and id_to_tok covers all ids
     rebuilt_word = F.array_join(
         F.transform(F.col("ids"), lambda i: F.element_at(id_to_tok, i)), ""
     )
     rebuilt = (
-        wpos.join(F.broadcast(enc), "word")
+        bpe.join_encoded_words(wpos, enc)
         .select("doc_id", "wpos", rebuilt_word.alias("w2"))
         .groupBy("doc_id")
         .agg(

@@ -526,7 +526,7 @@ def quality_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_int_funcs",
     oracle="""
     SELECT n_nationkey,
-           factorial(n_nationkey % 12) AS fact,
+           CAST(factorial(n_nationkey % 12) AS BIGINT) AS fact,  -- max 11! = 39,916,800: int64-safe
            bin(n_nationkey + 1) AS bits,
            CAST((n_nationkey >> 2) & 1 AS INT) AS bit2,
            CAST(CASE WHEN (n_nationkey * 37 + 50) % 100 > 50

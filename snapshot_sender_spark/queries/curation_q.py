@@ -443,10 +443,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     pos AS (
+      -- CAST: DuckDB SUM(BIGINT) window is HUGEINT -> float64 in pandas,
+      -- which the driver's value-hasher sees as "162.0" vs Spark's "162"
       SELECT doc_id, source, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_pos
       FROM toks
     )
     SELECT doc_id, source, n_tokens, start_pos,

@@ -623,7 +623,7 @@ _SUBSTR_SHINGLES_SQL = """
     SELECT d.doc_id,
            len(string_split(d.text, ' ')) AS n_tokens,
            COALESCE(p.n_spans, 0) AS n_spans,
-           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            COALESCE(p.dup_tokens, 0) / len(string_split(d.text, ' ')) AS dup_fraction
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
@@ -777,7 +777,7 @@ def dedup_chunk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            len(string_split(d.text, ' ')) AS n_tokens,
            COALESCE(p.n_spans, 0) AS n_spans,
-           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            COALESCE(p.dup_tokens, 0) / len(string_split(d.text, ' ')) AS dup_fraction
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     WHERE d.source = 'src1'
@@ -1211,7 +1211,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, UNNEST(range(0, 192)) AS t(i)
     )
     SELECT doc_id AS media_id,
-           8.0 AS f_w, 8.0 AS f_h, 3.0 AS f_c,
+           CAST(8.0 AS DOUBLE) AS f_w, CAST(8.0 AS DOUBLE) AS f_h,
+           CAST(3.0 AS DOUBLE) AS f_c,
            CAST(SUM(v) AS DOUBLE) / (192 * 255) AS f_mean,
            CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS DOUBLE)
              / (64 * 255) AS f_r,
@@ -2661,7 +2662,7 @@ def _span_index_epochs_oracle(n_epochs: int = 3) -> str:
     SELECT b.doc_id,
            len(string_split(b.text, ' ')) AS n_tokens,
            COALESCE(p.n_spans, 0) AS n_spans,
-           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
            COALESCE(p.dup_tokens, 0) / len(string_split(b.text, ' ')) AS dup_fraction,
            b.ep AS epoch
     FROM base b LEFT JOIN per_doc p USING (doc_id)
@@ -3204,6 +3205,11 @@ def multimodal_mp3_subband(spark: SparkSession, sf_dir: str) -> DataFrame:
     the granule count, the number of subbands carrying any signal, and the
     total time-domain energy, all computed in one fixed-order numpy pass
     per media (deterministic on any partitioning — per-row pure function).
+    total_energy is QUANTIZED to 9 significant digits: the raw sum drifts
+    in the last ulp across libm/SIMD implementations (observed between
+    round containers — r10), and a golden must survive a machine change;
+    9 digits is far above the ~1e-15 relative drift and far below any
+    value the decode mathematics distinguishes.
 
     GOLDEN-PINNED, not cross-engine: the IMDCT is a wall of cos(π/72·…)
     terms whose last-ulp values differ between libm implementations, so a
@@ -3239,6 +3245,11 @@ def multimodal_mp3_subband(spark: SparkSession, sf_dir: str) -> DataFrame:
                     total += float((s * s).sum())
                     nz = (s != 0.0).any(axis=0)
                     active = [a or bool(z) for a, z in zip(active, nz)]
+                if total != 0.0:
+                    import math as _m
+
+                    q = 10.0 ** (_m.floor(_m.log10(abs(total))) - 8)
+                    total = round(total / q) * q
                 rows.append(
                     {
                         "media_id": did,

@@ -251,7 +251,7 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((cum - tokens) // 512 AS BIGINT) AS bin,
            COUNT(*) AS n_docs,
-           SUM(tokens) AS total_tokens,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc
     FROM cum GROUP BY 1
     """,

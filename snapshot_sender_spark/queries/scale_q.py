@@ -82,8 +82,8 @@ _SALT_BUCKETS = 8
     dim AS (SELECT range AS k, range * 7 + 3 AS weight FROM range(97))
     SELECT f.event_type,
            COUNT(*) AS n,
-           SUM(f.cents * d.weight) AS weighted_cents,
-           SUM(CASE WHEN f.k = 0 THEN 1 ELSE 0 END) AS hot_rows
+           CAST(SUM(f.cents * d.weight) AS BIGINT) AS weighted_cents,
+           CAST(SUM(CASE WHEN f.k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hot_rows
     FROM fact f JOIN dim d ON f.k = d.k
     GROUP BY f.event_type
     """,

@@ -28,7 +28,7 @@ from .relational import SQL_DSUM, _cents, _from_cents
            COUNT(*) AS n,
            {SQL_DSUM('o_totalprice')} AS total_price,
            MAX(o_orderkey) AS max_id,
-           SUM(o_orderkey % 7) AS sum_mod
+           CAST(SUM(o_orderkey % 7) AS BIGINT) AS sum_mod
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -76,8 +76,8 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
            CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-           SUM(CASE WHEN ok THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-                    ELSE 0 END) AS sum_k
+           CAST(SUM(CASE WHEN ok THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_k
     FROM (
       SELECT event_id % 10 <> 0 AS ok, props FROM events
     )
@@ -144,7 +144,7 @@ def _set_pyds_oracle() -> None:
     sql = f"""
     SELECT topic, database, collection,
            COUNT(*) AS n_files,
-           SUM(size_bytes) AS total_bytes,
+           CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
            MAX(fileName) AS last_file
     FROM ({inner})
     GROUP BY topic, database, collection
@@ -227,7 +227,8 @@ def xml_from_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "xml_xpath_extract",
     oracle="""
-    SELECT o_orderstatus AS status, COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -299,7 +300,7 @@ def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_group_by_all",
     oracle="""
     SELECT n_regionkey, substring(n_name, 1, 1) AS initial,
-           COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+           COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation
     GROUP BY ALL
     """,
@@ -325,7 +326,8 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_null_safe_eq",
     oracle="""
     SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k,
-           COUNT(*) AS n_pairs, SUM(a.c_custkey + b.c_custkey) AS key_sum
+           COUNT(*) AS n_pairs,
+           CAST(SUM(a.c_custkey + b.c_custkey) AS BIGINT) AS key_sum
     FROM (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer WHERE c_custkey <= 300) a
     JOIN (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k FROM customer WHERE c_custkey <= 300) b
       ON a.k IS NOT DISTINCT FROM b.k

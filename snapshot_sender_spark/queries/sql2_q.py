@@ -25,7 +25,7 @@ from .relational import SQL_DSUM, _cents, _from_cents
     )
     SELECT m.m AS month,
            COUNT(o.o_orderkey) AS n_orders,
-           COALESCE(SUM(o.o_orderkey), 0) AS key_sum
+           CAST(COALESCE(SUM(o.o_orderkey), 0) AS BIGINT) AS key_sum
     FROM months m
     LEFT JOIN orders o ON CAST(month(o.o_orderdate) AS INT) = m.m
     GROUP BY m.m
@@ -204,8 +204,8 @@ def csv_from_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_union_by_name",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
-           COALESCE(SUM(o_custkey), 0) AS cust_sum,
-           COALESCE(SUM(prio_len), 0) AS prio_len_sum
+           CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS cust_sum,
+           CAST(COALESCE(SUM(prio_len), 0) AS BIGINT) AS prio_len_sum
     FROM (
       SELECT o_orderstatus, o_custkey, NULL::BIGINT AS prio_len
       FROM orders WHERE o_orderkey % 3 = 0
@@ -239,8 +239,8 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_schema_merge",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n,
-           COALESCE(SUM(s_suppkey), 0) AS key_sum,
-           COALESCE(SUM(extra_len), 0) AS extra_sum
+           CAST(COALESCE(SUM(s_suppkey), 0) AS BIGINT) AS key_sum,
+           CAST(COALESCE(SUM(extra_len), 0) AS BIGINT) AS extra_sum
     FROM (
       SELECT s_nationkey, s_suppkey, NULL::BIGINT AS extra_len
       FROM supplier WHERE s_suppkey % 2 = 0

@@ -87,12 +87,14 @@ def test_train_max_words_cap_is_deterministic(spark):
 
 
 def test_token_ids_earliest_wins_on_duplicate_strings():
-    # merges 0 and 2 both produce "abc" → the string keeps id B+0
+    # merges 0 and 2 both produce "abc" → the string keeps id 256+B+0
+    # (ids 0..255 are the byte-fallback lane)
     m = bpe.BpeModel(merges=(("ab", "c"), ("b", "c"), ("a", "bc")),
                      base_vocab=("a", "b", "c"))
     ids = m.token_ids
-    assert ids["abc"] == 3  # B=3, rank 0
-    assert ids["bc"] == 4
+    assert ids["a"] == 256 and ids["c"] == 258  # base chars start at 256
+    assert ids["abc"] == 256 + 3  # B=3, rank 0
+    assert ids["bc"] == 256 + 4
     assert len(ids) == 5  # 3 base + 2 distinct merge strings
 
 
@@ -116,12 +118,43 @@ def test_bpe_tokenize_null_and_empty_contract(spark):
     assert got[2]["token_ids"] is None and got[2]["n_tokens"] is None
 
 
-def test_bpe_tokenize_unknown_symbols_are_unk(spark):
+def test_bpe_tokenize_unknown_symbols_byte_fallback(spark):
+    """Round-10: train-time-unseen symbols encode as UTF-8 byte tokens
+    (id == byte value, always < 256) instead of UNK — the GPT-2/tiktoken
+    property that every input is encodable, so token budgets and packing
+    never miscount on fresh-crawl characters a frozen vocab never saw."""
     train = _mini_docs(spark, ["ab ab"])
     m = bpe.train_bpe(spark, train, num_merges=1)
-    new = _mini_docs(spark, ["ab zq"])
+    new = _mini_docs(spark, ["ab zq", "Ωé"])  # ASCII and multi-byte unseen
     got = {r["doc_id"]: r for r in bpe.bpe_tokenize(spark, new, m).collect()}
-    assert got[0]["token_ids"] == [m.token_ids["ab"], bpe.UNK_ID, bpe.UNK_ID]
+    assert got[0]["token_ids"] == [m.token_ids["ab"], ord("z"), ord("q")]
+    # Ω = 0xCE 0xA9, é = 0xC3 0xA9 — one token per UTF-8 byte
+    assert got[1]["token_ids"] == [0xCE, 0xA9, 0xC3, 0xA9]
+    assert got[1]["n_tokens"] == 4
+
+
+def test_encode_decode_no_unk_on_any_input():
+    """Property pin: encode_word_ids never emits a negative/UNK id and
+    decode_ids(encode_word_ids(w)) == w for ANY input — including words
+    mixing seen chars (vocab-lane ids ≥ 256) with unseen multi-byte chars
+    (byte-lane ids < 256)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    m = bpe.BpeModel(merges=(("a", "b"), ("ab", "c")), base_vocab=("a", "b", "c"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=1, max_size=12).filter(lambda w: not w.isspace()))
+    def prop(word):
+        ids = m.encode_word_ids(word)
+        assert all(i >= 0 for i in ids)
+        assert m.decode_ids(ids) == word
+
+    prop()
+    # the mixed case explicitly: "ab" merges (vocab id), Ω falls back (bytes)
+    ids = m.encode_word_ids("abΩc")
+    assert ids == [m.token_ids["ab"], 0xCE, 0xA9, m.token_ids["c"]]
+    assert m.decode_ids(ids) == "abΩc"
 
 
 def test_bpe_tokenize_matches_pure_python_reference(spark, sf_dir):
@@ -150,6 +183,30 @@ def test_bpe_tokenize_python_crossing_is_distinct_words_only(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_bpe_tokenize_broadcast_routing_both_forms(spark):
+    """Round-9 verdict's named scale-killer: the encoded distinct-word table
+    was broadcast UNGUARDED — tens of GB at web-corpus vocabulary (1e8–1e9
+    distinct words). The join now routes on the distinct-word count: below
+    the cap the plan broadcasts (small-dim form), above it the word join is
+    a keyed shuffle (no BroadcastExchange feeding the word join). Both forms
+    return identical rows."""
+    docs = _mini_docs(spark, ["ab cd ab ef gh", "cd ab ij kl"] * 20)
+    m = bpe.train_bpe(spark, docs, num_merges=2)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = bpe.bpe_tokenize(spark, docs, m)  # default cap ≫ vocab here
+    assert "BroadcastExchange" in plan_of(small)
+    big = bpe.bpe_tokenize(spark, docs, m, broadcast_max_words=2)
+    assert "BroadcastExchange" not in plan_of(big)
+    rows_small = {r["doc_id"]: (list(r["token_ids"] or []), r["n_tokens"])
+                  for r in small.collect()}
+    rows_big = {r["doc_id"]: (list(r["token_ids"] or []), r["n_tokens"])
+                for r in big.collect()}
+    assert rows_small == rows_big
 
 
 def test_bpe_model_save_load_roundtrip(spark, tmp_path):

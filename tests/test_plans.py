@@ -391,6 +391,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "pack_training_sequences_bpe",   # BPE encode of DISTINCT words only
         "sim_label_centroid_arrow", "text_bpe_roundtrip",  # same
         "text_bpe_tokenize",  # same
+        "text_bpe_byte_fallback",  # same (held-out chars, byte-lane encode)
         "text_chunk_arrow_udtf",
         "text_fingerprint_rolling", "text_stats_arrow_udf",
     }

@@ -31,6 +31,79 @@ from snapshot_sender_spark.session import get_spark  # noqa: E402
 from snapshot_sender_spark.tables import TABLE_NAMES  # noqa: E402
 
 
+def dtype_family(series) -> str:
+    """Canonical dtype family for cross-engine parity.
+
+    Round-9 driver hash-fail root cause: a DuckDB HUGEINT column reaches
+    pandas as float64 ("162.0") while Spark's stays int64 ("162") — values
+    are equal, the driver's hasher disagrees, and normalize()'s
+    integral-float canonicalization hid it from this checker. Families let
+    us assert oracle-side dtypes equal Spark-side dtypes while still
+    accepting representation-only differences (int32 vs int64,
+    datetime64[ns] vs object-of-date) that hash identically after canon.
+    int-vs-float is a REPORTED divergence: symmetric nullable-int widening
+    makes BOTH sides float64, so a one-sided float means the oracle's SQL
+    type is wrong (HUGEINT/DECIMAL/DOUBLE), not that pandas widened.
+    """
+    import datetime
+    import decimal
+
+    from pandas.api import types as pt
+
+    dt = series.dtype
+    if pt.is_bool_dtype(dt):
+        return "bool"
+    if pt.is_integer_dtype(dt):
+        return "int"
+    if pt.is_float_dtype(dt):
+        return "float"
+    if pt.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if dt == object:
+        v = next(
+            (x for x in series
+             if x is not None and not (isinstance(x, float) and math.isnan(x))),
+            None,
+        )
+        if v is None:
+            return "all-null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, datetime.datetime) or isinstance(v, datetime.date):
+            return "datetime"
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return "bytes"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "array"
+        if isinstance(v, dict):
+            return "map"
+        return type(v).__name__
+    return str(dt)
+
+
+def dtype_divergence(spd, opd) -> list[str]:
+    """Columns whose Spark-vs-oracle dtype families diverge (name-joined,
+    case-insensitive). 'all-null' matches anything — an empty/NULL column
+    carries no family evidence."""
+    sfam = {c.lower(): dtype_family(spd[c]) for c in spd.columns}
+    ofam = {c.lower(): dtype_family(opd[c]) for c in opd.columns}
+    out = []
+    for c in sorted(sfam):
+        sf, of = sfam[c], ofam.get(c)
+        if of is None or sf == of or "all-null" in (sf, of):
+            continue
+        out.append(f"{c}: spark={sf} oracle={of}")
+    return out
+
+
 def normalize(df_pandas):
     """Sort columns by name, canonicalize cell values, sort rows."""
     import pandas as pd
@@ -170,10 +243,19 @@ def main():
             print(f"    oracle: {orows[diff_i][:200]}")
             results[name] = {"status": "values_mismatch", "rows": len(srows),
                              "seconds": round(time.time() - t0, 2)}
+        elif (div := dtype_divergence(spd, opd)):
+            # values canonicalize equal but pandas dtypes diverge — exactly
+            # the class the driver's hasher fails on (r9 HUGEINT family)
+            failures.append((name, f"DTYPE: {'; '.join(div)}"))
+            print(f"✗ {name}: DTYPE {'; '.join(div)}")
+            results[name] = {"status": "dtype_mismatch", "rows": len(srows),
+                             "divergent": div,
+                             "seconds": round(time.time() - t0, 2)}
         else:
             passed.append(name)
             print(f"✓ {name}: {len(srows)} rows match  [{time.time()-t0:.1f}s]")
             results[name] = {"status": "match", "rows": len(srows),
+                             "dtype_parity": True,
                              "seconds": round(time.time() - t0, 2)}
 
     print(f"\n=== {len(passed)} matched, {len(rows_only)} rows-only, {len(failures)} failed ===")
