@@ -298,7 +298,12 @@ def join_encoded_words(
         n_words = _distinct_word_count(wpos.select("word").distinct())
     if n_words <= broadcast_max_words:
         return wpos.join(F.broadcast(encoded), "word")
-    return wpos.join(encoded, "word")
+    # force the shuffle-hash form (vocab side builds the per-partition map):
+    # Catalyst's size estimate of a mapInPandas output derives from the
+    # (often tiny) input estimate and can't see the encode fan-out, so with
+    # no hint it may still pick a broadcast our count-based model just ruled
+    # out — measured doing exactly that on the 3e6-word tier (bpe_scale.py)
+    return wpos.join(encoded.hint("shuffle_hash"), "word")
 
 
 def encode_distinct_words(dw: DataFrame, model: BpeModel) -> DataFrame:

@@ -551,10 +551,53 @@ def string_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pipeline_curation_e2e",
-    oracle="""
-    WITH quality AS (
+def _loaded_bpe_model(spark: SparkSession, sf_dir: str):
+    """Round-10 verdict #5: the e2e pipelines must exercise the FROZEN-VOCAB
+    artifact end-to-end — train (memoized) → save_bpe_model → load_bpe_model
+    → apply the LOADED model. The save is write-once per tier (the marker
+    doubles as the completeness probe: load_bpe_model refuses a torn save)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import bpe as _bpe
+    from ..util import write_once
+    from .bpe_q import _model
+
+    model = _model(spark, sf_dir)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "bpe_model_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    write_once(
+        d,
+        lambda tmp: _bpe.save_bpe_model(spark, model, tmp),
+        probe=os.path.join(d, "_MODEL_OK"),
+    )
+    return _bpe.load_bpe_model(spark, d)
+
+
+def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) over the full corpus with the SAVED-then-LOADED
+    model — the count source the pipelines' token audit joins in."""
+    from ..operators import bpe as _bpe
+
+    model = _loaded_bpe_model(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    return _bpe.bpe_tokenize(spark, docs, model).select(
+        "doc_id", F.coalesce("n_tokens", F.lit(0)).alias("bpe_tokens")
+    )
+
+
+def _pipeline_e2e_oracle() -> str:
+    from .bpe_q import _UNGENERATED, _bpe_counts_ctes
+
+    ctes = _bpe_counts_ctes()
+    if ctes is None:
+        return _UNGENERATED
+    return f"""
+    WITH RECURSIVE{ctes},
+    quality AS (
       SELECT doc_id, lang, source, text,
              len(string_split(text, ' ')) AS n_words
       FROM (
@@ -618,10 +661,16 @@ def string_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_words) AS BIGINT) AS total_words
-    FROM capped
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(coalesce(len(t.ids), 0)) AS BIGINT) AS total_bpe_tokens
+    FROM capped LEFT JOIN dtoks t USING (doc_id)
     GROUP BY split, lang
-    """,
+    """
+
+
+@query(
+    "pipeline_curation_e2e",
+    oracle=_pipeline_e2e_oracle(),
     category="llm-pipeline",
 )
 def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,7 +683,11 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/valid/test split → per-(split, lang) doc/token audit. Every stage
     is deterministic (hash ranks, integer counts, same-input float compares),
     so the composition hash-matches end to end — the proof the operators
-    compose into the actual LLM-data pipeline, not just pass in isolation."""
+    compose into the actual LLM-data pipeline, not just pass in isolation.
+    Round-10: the token audit is REAL — total_bpe_tokens counts with the
+    trained tokenizer after a save→load round-trip (the frozen-vocab
+    artifact exercised end-to-end), replayed cross-engine by the DuckDB
+    recursive-CTE application of the pinned merge golden."""
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     quality = docs.select(
@@ -707,20 +760,30 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     split = F.when(nib <= "b", "train").when(nib <= "d", "valid").otherwise("test")
+    counts = _bpe_token_counts(spark, sf_dir)
     return (
-        capped.select(split.alias("split"), "lang", "n_words")
+        capped.select("doc_id", split.alias("split"), "lang", "n_words")
+        .join(counts, "doc_id", "left")
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.coalesce("bpe_tokens", F.lit(0)))
+            .cast("long")
+            .alias("total_bpe_tokens"),
         )
     )
 
 
-@query(
-    "pipeline_curation_takedown_e2e",
-    oracle="""
-    WITH quality AS (
+def _pipeline_takedown_oracle() -> str:
+    from .bpe_q import _UNGENERATED, _bpe_counts_ctes
+
+    ctes = _bpe_counts_ctes()
+    if ctes is None:
+        return _UNGENERATED
+    return f"""
+    WITH RECURSIVE{ctes},
+    quality AS (
       SELECT doc_id, lang, source, text,
              len(string_split(text, ' ')) AS n_words
       FROM (
@@ -797,12 +860,19 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_words) AS BIGINT) AS total_words
-    FROM accepted
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(coalesce(t.ids_len, 0)) AS BIGINT) AS total_bpe_tokens
+    FROM accepted LEFT JOIN (SELECT doc_id, len(ids) AS ids_len FROM dtoks) t
+      USING (doc_id)
     WHERE source <> 'src0'
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     GROUP BY split, lang
-    """,
+    """
+
+
+@query(
+    "pipeline_curation_takedown_e2e",
+    oracle=_pipeline_takedown_oracle(),
     category="llm-pipeline",
 )
 def pipeline_curation_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,7 +895,9 @@ def pipeline_curation_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     index would hash-mismatch here.
     Every stage is deterministic, so the composition hash-matches end to end
     against a DuckDB replay whose retained-corpus set applies the same
-    removal rule longhand."""
+    removal rule longhand. Round-10: the audit's total_bpe_tokens counts
+    with the SAVED-then-LOADED tokenizer (frozen-vocab artifact end-to-end),
+    replayed cross-engine from the pinned merge golden."""
     from ..operators import dedup as _dedup
 
     docs = load(spark, sf_dir, "documents")
@@ -901,12 +973,17 @@ def pipeline_curation_takedown_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     )
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     split = F.when(nib <= "b", "train").when(nib <= "d", "valid").otherwise("test")
+    counts = _bpe_token_counts(spark, sf_dir)
     return (
-        final.select(split.alias("split"), "lang", "n_words")
+        final.select("doc_id", split.alias("split"), "lang", "n_words")
+        .join(counts, "doc_id", "left")
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.coalesce("bpe_tokens", F.lit(0)))
+            .cast("long")
+            .alias("total_bpe_tokens"),
         )
     )
 
