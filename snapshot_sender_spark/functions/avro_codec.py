@@ -301,31 +301,53 @@ def write_avro_file(
 
 
 def read_header(fh) -> tuple[object, str, bytes, int]:
-    """(schema, codec, sync, header_end_pos) from an open binary file."""
+    """(schema, codec, sync, header_end_pos) from an open binary file.
+
+    The buffer starts at 64 KiB and GROWS on demand (round-10 advice): a
+    valid container whose schema/metadata exceeds one chunk re-parses with
+    more bytes instead of failing with a misleading 'truncated varint'; only
+    a genuinely truncated FILE (no more bytes to read) raises."""
     fh.seek(0)
     head = fh.read(1 << 16)
     if head[:4] != MAGIC:
         raise AvroError(f"not an Avro container (magic {head[:4]!r})")
-    pos = 4
-    meta = {}
+
+    def _need(upto: int) -> None:
+        # raising the same truncation error the varint decoder uses lets the
+        # retry loop below treat both identically
+        if upto > len(head):
+            raise AvroError("truncated varint")
+
     while True:
-        n, pos = _zigzag_decode(head, pos)
-        if n == 0:
+        try:
+            pos = 4
+            meta = {}
+            while True:
+                n, pos = _zigzag_decode(head, pos)
+                if n == 0:
+                    break
+                if n < 0:  # negative block-count form
+                    n = -n
+                    _, pos = _zigzag_decode(head, pos)
+                for _ in range(n):
+                    klen, pos = _zigzag_decode(head, pos)
+                    _need(pos + klen)
+                    k = head[pos : pos + klen].decode()
+                    pos += klen
+                    vlen, pos = _zigzag_decode(head, pos)
+                    _need(pos + vlen)
+                    meta[k] = head[pos : pos + vlen]
+                    pos += vlen
+            sync = head[pos : pos + SYNC_SIZE]
+            if len(sync) != SYNC_SIZE:
+                raise AvroError("truncated header sync marker")
+            pos += SYNC_SIZE
             break
-        if n < 0:  # negative block-count form
-            n = -n
-            _, pos = _zigzag_decode(head, pos)
-        for _ in range(n):
-            klen, pos = _zigzag_decode(head, pos)
-            k = head[pos : pos + klen].decode()
-            pos += klen
-            vlen, pos = _zigzag_decode(head, pos)
-            meta[k] = head[pos : pos + vlen]
-            pos += vlen
-    sync = head[pos : pos + SYNC_SIZE]
-    if len(sync) != SYNC_SIZE:
-        raise AvroError("truncated header sync marker")
-    pos += SYNC_SIZE
+        except AvroError:
+            chunk = fh.read(1 << 16)
+            if not chunk:
+                raise  # the file really ends mid-header
+            head += chunk
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise AvroUnsupported(f"codec {codec!r}: only null/deflate implemented")
@@ -389,3 +411,29 @@ def iter_avro_range(path: str, lo: int, hi: int):
 
 def iter_avro_file(path: str):
     yield from iter_avro_range(path, 0, os.path.getsize(path))
+
+
+def count_avro_rows(path: str) -> int:
+    """Row count by BLOCK-HEADER SKIPPING: each container block leads with
+    (row_count, byte_size) varints, so the total is the sum of the counts
+    with every payload seeked over — O(blocks) I/O, no decode. Used to seed
+    a manifest for pre-existing manifest-less files on append (round-10
+    advice)."""
+    size = os.path.getsize(path)
+    total = 0
+    with open(path, "rb") as fh:
+        _, _, sync, pos = read_header(fh)
+        while pos < size:
+            fh.seek(pos)
+            head = fh.read(20)  # two varints, <=10 bytes each
+            if not head:
+                break
+            count, p = _zigzag_decode(head, 0)
+            nbytes, p = _zigzag_decode(head, p)
+            total += count
+            end = pos + p + nbytes + SYNC_SIZE
+            fh.seek(end - SYNC_SIZE)
+            if fh.read(SYNC_SIZE) != sync:
+                raise AvroError("sync marker mismatch after block")
+            pos = end
+    return total

@@ -133,7 +133,7 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition keeps only K rows before the final filter, no full sort of the
     corpus."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.md5("text").asc_nulls_last(), "doc_id")
     return (
         docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 7)
@@ -754,7 +754,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(neardup_drop, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
     )
-    w_cap = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    w_cap = Window.partitionBy("source").orderBy(F.md5("text").asc_nulls_last(), "doc_id")
     capped = (
         surviving.withColumn("rk", F.row_number().over(w_cap)).filter(F.col("rk") <= 5)
     )

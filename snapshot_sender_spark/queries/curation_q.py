@@ -712,10 +712,16 @@ def curation_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single crawl-heavy site cannot dominate training): host comes from
     the CANONICALIZED url — the composition with curation_source_cap's
     md5-ranked deterministic shuffle, K=8 per host. One window over the
-    host-partitioned shuffle; no global sort, no collect."""
+    host-partitioned shuffle; no global sort, no collect. NULLS LAST
+    pinned explicitly (round-10 advice): Spark ASC defaults NULLS FIRST,
+    DuckDB's ROW_NUMBER defaults NULLS LAST — md5(NULL text) would rank
+    differently cross-engine if fixtures ever gain NULL-text docs (same
+    pin as curation_token_budget_bpe)."""
     docs = load(spark, sf_dir, "documents")
     hosted = _canonical_url_cols(docs)
-    w = Window.partitionBy("host").orderBy(F.md5("text"), "doc_id")
+    w = Window.partitionBy("host").orderBy(
+        F.md5("text").asc_nulls_last(), "doc_id"
+    )
     toks = F.expr("(n_chars + 3) div 4")
     return (
         hosted.withColumn("rk", F.row_number().over(w))

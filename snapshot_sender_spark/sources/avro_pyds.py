@@ -72,7 +72,13 @@ def _list_files(path: str) -> list[str]:
     rename is the commit point — files a crashed or in-flight commit left
     in the root are invisible, which is what makes the writer's overwrite
     all-or-nothing). Manifest-less directories (hand-built fixtures, plain
-    file dumps) fall back to globbing *.avro."""
+    file dumps) fall back to globbing *.avro.
+
+    Concurrency contract (round-10 advice): the writer's mutation lock
+    serializes WRITERS only. A reader holds its resolved file list with no
+    lease; overwrite GC therefore keeps the just-replaced manifest's files
+    one generation (see AvroFileWriter.commit), so a reader is safe across
+    ONE concurrent overwrite and out of contract beyond that."""
     if os.path.isdir(path):
         manifest = os.path.join(path, "_MANIFEST.json")
         if os.path.exists(manifest):
@@ -305,12 +311,18 @@ class AvroFileWriter(DataSourceWriter):
         the merged _MANIFEST.json — THE commit point: readers resolve the
         dataset through the manifest, so before the rename they see exactly
         the old commit and after it exactly the new one, (3) only then, on
-        overwrite, garbage-collect data files the new manifest does not own
-        plus crashed-run staging leftovers. A crash before (2) leaves the
-        old dataset fully intact (new files are manifest-invisible
-        orphans); a crash after (2) leaves the new dataset committed with
-        old files as orphans — either way the next overwrite's GC sweeps
-        the garbage."""
+        overwrite, garbage-collect data files that NEITHER the new NOR the
+        just-replaced manifest owns (crashed-commit orphans), plus
+        crashed-run staging leftovers. The previous commit's own files are
+        kept ONE GENERATION (round-10 advice): the mutation lock serializes
+        writers only, not Spark read tasks, so a reader that resolved the
+        old manifest and is mid-scan keeps its files until the NEXT
+        overwrite sweeps them. A crash before (2) leaves the old dataset
+        fully intact (new files are manifest-invisible orphans); a crash
+        after (2) leaves the new dataset committed with old files as
+        orphans — either way a later overwrite's GC sweeps the garbage.
+        Readers older than one overwrite generation are out of contract
+        (same snapshot-retention stance as any table format's VACUUM)."""
         from ..operators import index_lifecycle
 
         with index_lifecycle.table_mutation_lock(self.path):
@@ -330,6 +342,21 @@ class AvroFileWriter(DataSourceWriter):
                     e for e in _json.load(fh)["files"]
                     if os.path.exists(os.path.join(self.path, e["file"]))
                 ]
+        elif not self.overwrite and os.path.isdir(self.path):
+            # appending onto a MANIFEST-LESS dataset (hand-built fixtures,
+            # plain *.avro dumps — a layout _existing_schema_guard already
+            # admits): seed the new manifest from the globbed existing files,
+            # else publishing only the staged files would make every
+            # pre-existing file silently invisible to subsequent reads
+            # (_list_files prefers the manifest). Rows are recounted by
+            # block-header skipping — O(blocks) I/O, no decode.
+            for f in sorted(_glob.glob(os.path.join(self.path, "*.avro"))):
+                entries.append(
+                    {
+                        "file": os.path.basename(f),
+                        "rows": avro_codec.count_avro_rows(f),
+                    }
+                )
         staged_files = [m for m in messages if m is not None]
         dataset_empty_after = not entries and (
             self.overwrite or not _list_files(self.path)
@@ -357,11 +384,21 @@ class AvroFileWriter(DataSourceWriter):
                 {"files": entries, "total_rows": sum(e["rows"] for e in entries)},
                 fh,
             )
+        # read the OLD manifest before the flip: its files get one
+        # generation of GC grace for in-flight readers (docstring above)
+        prev_owned: set[str] = set()
+        if self.overwrite and os.path.exists(prev_manifest):
+            with open(prev_manifest) as fh:
+                prev_owned = {e["file"] for e in _json.load(fh)["files"]}
         os.replace(tmp, prev_manifest)  # THE commit point
         if self.overwrite:
             manifested = {e["file"] for e in entries}
             for f in os.listdir(self.path):
-                if f.endswith(".avro") and f not in manifested:
+                if (
+                    f.endswith(".avro")
+                    and f not in manifested
+                    and f not in prev_owned
+                ):
                     os.remove(os.path.join(self.path, f))
             staging = os.path.join(self.path, "_staging")
             if os.path.isdir(staging):

@@ -245,13 +245,19 @@ def test_avrofile_distributed_write_commit_protocol(spark, tmp_path):
         F.count("*").alias("n"), F.sum("id").alias("s"), F.count("note").alias("k")
     ).first()
     assert (got["n"], got["s"], got["k"]) == (5000, 5000 * 4999 // 2, 3333)
-    # plant a fake crashed-run leftover; overwrite must clear it + old data
+    # plant a fake crashed-run leftover; overwrite must clear staging, keep
+    # the just-replaced generation ONE overwrite (in-flight-reader grace,
+    # round 10 — pinned in test_avrofile_overwrite_gc_keeps_one_generation)
     open(os.path.join(d, "_staging", "part-deadbeef.avro"), "wb").write(b"junk")
     df.limit(70).repartition(2).write.format("avrofile").mode("overwrite").save(d)
     assert spark.read.format("avrofile").load(d).count() == 70
-    assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 2
+    assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 7  # 2 new + 5 grace
     assert os.listdir(os.path.join(d, "_staging")) == []
     assert json.load(open(os.path.join(d, "_MANIFEST.json")))["total_rows"] == 70
+    # the NEXT overwrite sweeps the graced generation
+    df.limit(10).coalesce(1).write.format("avrofile").mode("overwrite").save(d)
+    assert len([f for f in os.listdir(d) if f.endswith(".avro")]) == 3  # 1 new + 2 grace
+    assert spark.read.format("avrofile").load(d).count() == 10
 
 
 def test_avrofile_write_rejects_unsupported_spark_types(spark, tmp_path):
@@ -419,3 +425,104 @@ def test_write_avro_file_no_tmp_litter_on_encode_failure(tmp_path):
     with pytest.raises(Exception):
         A.write_avro_file(p, schema, rows(), block_rows=1)
     assert os.listdir(str(tmp_path)) == []
+
+
+def test_count_avro_rows_block_skipping(tmp_path):
+    """count_avro_rows sums block-header counts without decoding payloads —
+    equal to the full iteration on both codecs and multi-block files."""
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"c_{codec}.avro")
+        A.write_avro_file(p, SCHEMA, _rows(157), codec=codec, block_rows=20)
+        assert A.count_avro_rows(p) == 157
+        assert sum(1 for _ in A.iter_avro_file(p)) == 157
+
+
+def test_read_header_grows_past_64kib(tmp_path):
+    """Round-10 advice: a valid container whose schema exceeds the 64 KiB
+    initial buffer must parse (the buffer grows), not die with a misleading
+    'truncated varint'."""
+    wide = {
+        "type": "record",
+        "name": "wide",
+        "fields": [
+            {"name": f"field_{i:06d}_padpadpadpadpad", "type": ["null", "long"]}
+            for i in range(2000)
+        ],
+    }
+    import json as _j
+
+    assert len(_j.dumps(wide)) > (1 << 16)  # the schema alone exceeds 64 KiB
+    p = str(tmp_path / "wide.avro")
+    row = {f"field_{i:06d}_padpadpadpadpad": (i if i % 7 == 0 else None)
+           for i in range(2000)}
+    A.write_avro_file(p, wide, [row])
+    with open(p, "rb") as fh:
+        schema, codec, sync, pos = A.read_header(fh)
+    assert len(schema["fields"]) == 2000 and pos > (1 << 16)
+    got = list(A.iter_avro_file(p))
+    assert got[0]["field_000000_padpadpadpadpad"] == 0
+    # a genuinely truncated header still fails loudly
+    with open(p, "rb") as fh:
+        head = fh.read(1000)
+    q = str(tmp_path / "trunc.avro")
+    with open(q, "wb") as fh:
+        fh.write(head)
+    with pytest.raises(A.AvroError):
+        with open(q, "rb") as fh:
+            A.read_header(fh)
+
+
+def test_avrofile_append_onto_manifestless_seeds_existing(spark, tmp_path):
+    """Round-10 advice (medium): appending onto a MANIFEST-LESS dataset
+    (hand-built *.avro fixtures) must publish a manifest that also names the
+    pre-existing files — before the fix, _list_files preferred the new
+    manifest and every pre-existing file went silently invisible."""
+    import json
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "ds")
+    os.makedirs(d)
+    # non-nullable id: matches spark.range's writer schema (the append path
+    # enforces writer-schema equality; evolution is out of scope)
+    schema = {"type": "record", "name": "row",
+              "fields": [{"name": "id", "type": "long"}]}
+    # two hand-built files, no manifest (the fixture layout the reader's
+    # glob fallback supports)
+    A.write_avro_file(os.path.join(d, "fix-a.avro"), schema,
+                      [{"id": i} for i in range(30)])
+    A.write_avro_file(os.path.join(d, "fix-b.avro"), schema,
+                      [{"id": i} for i in range(30, 50)])
+    assert spark.read.format("avrofile").load(d).count() == 50
+    spark.range(100, 110).write.format("avrofile").mode("append").save(d)
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    named = {e["file"] for e in man["files"]}
+    assert {"fix-a.avro", "fix-b.avro"} <= named
+    assert man["total_rows"] == 60
+    got = sorted(r["id"] for r in spark.read.format("avrofile").load(d).collect())
+    assert got == list(range(50)) + list(range(100, 110))
+
+
+def test_avrofile_overwrite_gc_keeps_one_generation(spark, tmp_path):
+    """Round-10 advice: overwrite GC must not delete the just-replaced
+    commit's files (a reader that resolved the OLD manifest may be
+    mid-scan); they survive ONE generation and the NEXT overwrite sweeps
+    them. Crashed-commit orphans (owned by neither manifest) still go
+    immediately."""
+    import json
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "ds")
+    spark.range(10).write.format("avrofile").mode("overwrite").save(d)
+    gen1 = {e["file"] for e in json.load(open(os.path.join(d, "_MANIFEST.json")))["files"]}
+    spark.range(20).write.format("avrofile").mode("overwrite").save(d)
+    on_disk = set(os.listdir(d))
+    assert gen1 <= on_disk  # gen1 kept for in-flight readers
+    assert spark.read.format("avrofile").load(d).count() == 20  # but invisible
+    spark.range(5).write.format("avrofile").mode("overwrite").save(d)
+    on_disk = set(os.listdir(d))
+    assert not (gen1 & on_disk)  # swept by the NEXT overwrite
+    assert spark.read.format("avrofile").load(d).count() == 5
