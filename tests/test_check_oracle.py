@@ -105,3 +105,33 @@ def test_all_null_column_matches_anything():
 )
 def test_dtype_family_table(values, family):
     assert dtype_family(pd.Series(values, dtype=object)) == family
+
+
+def test_no_hugeint_or_decimal_final_columns_in_any_oracle():
+    """Regression gate for the round-9 driver hash-fail class: DESCRIBE every
+    committed oracle on DuckDB and assert no final column is HUGEINT/
+    UHUGEINT/DECIMAL (the types pandas renders as float64/Decimal while
+    Spark emits int64/double — value-equal, hash-different). DESCRIBE binds
+    the parquet views but moves no data, so this sweeps all ~310 oracles in
+    seconds."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from snapshot_sender_spark.tables import TABLE_NAMES
+
+    sf_dir = "/root/testdata/sf0.001"
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    flagged = []
+    for name in sorted(oracles):
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        except Exception:
+            continue  # non-DESCRIBE-able oracles run live in check_oracle
+        for col, typ, *_ in desc:
+            u = str(typ).upper()
+            if u.startswith(("HUGEINT", "UHUGEINT", "DECIMAL")):
+                flagged.append(f"{name}.{col}: {u}")
+    assert flagged == [], flagged
