@@ -305,8 +305,13 @@ def read_header(fh) -> tuple[object, str, bytes, int]:
 
     The buffer starts at 64 KiB and GROWS on demand (round-10 advice): a
     valid container whose schema/metadata exceeds one chunk re-parses with
-    more bytes instead of failing with a misleading 'truncated varint'; only
-    a genuinely truncated FILE (no more bytes to read) raises."""
+    more bytes instead of failing with a misleading 'truncated varint'.
+    Only TRUNCATION-class errors retry — a corruption error (oversized
+    varint, bad magic) that more bytes can never fix re-raises immediately,
+    so a corrupt multi-GB file is not buffered whole with O(n²) reparses.
+    A 64 MiB hard cap bounds pathological headers with a typed
+    AvroUnsupported naming the limit."""
+    HEADER_CAP = 64 << 20
     fh.seek(0)
     head = fh.read(1 << 16)
     if head[:4] != MAGIC:
@@ -343,7 +348,14 @@ def read_header(fh) -> tuple[object, str, bytes, int]:
                 raise AvroError("truncated header sync marker")
             pos += SYNC_SIZE
             break
-        except AvroError:
+        except AvroError as e:
+            if "truncated" not in str(e):
+                raise  # corruption — more bytes can never fix it
+            if len(head) >= HEADER_CAP:
+                raise AvroUnsupported(
+                    f"header metadata exceeds the {HEADER_CAP >> 20} MiB "
+                    "implementation cap (or the varint stream is corrupt)"
+                ) from e
             chunk = fh.read(1 << 16)
             if not chunk:
                 raise  # the file really ends mid-header

@@ -285,51 +285,46 @@ def _distinct_word_count(dw: DataFrame) -> int:
 
 
 def join_encoded_words(
-    wpos: DataFrame,
-    encoded: DataFrame,
+    big: DataFrame,
+    small: DataFrame,
     broadcast_max_words: int = BROADCAST_MAX_WORDS,
     n_words: int | None = None,
+    key: str = "word",
 ) -> DataFrame:
-    """Join the per-position word table back to its encoded distinct-word
-    table, routing broadcast-vs-shuffle on the DISTINCT-WORD COUNT (a
-    count-only stats pass, memoized per plan). ``encoded`` must carry a
-    ``word`` column; ``wpos`` is corpus-sized and never broadcasts."""
+    """Join a corpus-sized table back to its VOCABULARY-sized companion
+    (encoded words, term document-frequencies, …), routing
+    broadcast-vs-shuffle on the distinct-key COUNT (a count-only stats
+    pass, memoized per plan). ``small`` must carry ``key``; ``big`` never
+    broadcasts. The single place the routing policy lives — every
+    vocabulary-sized join (BPE encode-back, roundtrip, TF-IDF df) calls
+    this."""
     if n_words is None:
-        n_words = _distinct_word_count(wpos.select("word").distinct())
+        n_words = _distinct_word_count(big.select(key).distinct())
     if n_words <= broadcast_max_words:
-        return wpos.join(F.broadcast(encoded), "word")
+        return big.join(F.broadcast(small), key)
     # force the shuffle-hash form (vocab side builds the per-partition map):
     # Catalyst's size estimate of a mapInPandas output derives from the
     # (often tiny) input estimate and can't see the encode fan-out, so with
     # no hint it may still pick a broadcast our count-based model just ruled
     # out — measured doing exactly that on the 3e6-word tier (bpe_scale.py)
-    return wpos.join(encoded.hint("shuffle_hash"), "word")
+    return big.join(small.hint("shuffle_hash"), key)
 
 
 def encode_distinct_words(dw: DataFrame, model: BpeModel) -> DataFrame:
     """Encode a distinct-word DataFrame (column ``word``) → (word, ids
     array<long>) in ONE Arrow-batched ``mapInPandas`` — the only Python
     crossing of the tokenize family, O(vocabulary) not O(corpus).
-    Train-time-unseen symbols expand to UTF-8 byte tokens (ids < 256)."""
-    ranks = model.ranks
-    ids_map = model.token_ids
+    The encoding rule is exactly ``BpeModel.encode_word_ids`` (the model is
+    captured in the closure — one implementation of the byte-fallback
+    contract, driver and executors can never disagree)."""
+    enc = model.encode_word_ids
 
     def _encode(batches):
         import pandas as pd
 
-        def word_ids(w):
-            out = []
-            for t in encode_word(w, ranks):
-                i = ids_map.get(t)
-                if i is not None:
-                    out.append(i)
-                else:
-                    out.extend(t.encode("utf-8"))
-            return out
-
         for pdf in batches:
             yield pd.DataFrame(
-                {"word": pdf["word"], "ids": [word_ids(w) for w in pdf["word"]]}
+                {"word": pdf["word"], "ids": [enc(w) for w in pdf["word"]]}
             )
 
     return dw.mapInPandas(_encode, "word string, ids array<long>")
@@ -362,7 +357,10 @@ def bpe_tokenize(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), PY_SPLIT_WS_JAVA)).alias("wpos", "word"),
     ).filter(F.col("word") != "")
-    dw = wpos.select("word").distinct()
+    # checkpoint the distinct-word table so the routing stats pass and the
+    # join consume ONE corpus explode+distinct, not two (the checkpoint is
+    # vocabulary-sized; eager=False materializes on the count)
+    dw = wpos.select("word").distinct().localCheckpoint(eager=False)
     n_words = _distinct_word_count(dw)
     encoded = encode_distinct_words(dw, model)
     assembled = (

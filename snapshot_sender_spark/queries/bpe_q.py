@@ -110,6 +110,15 @@ def _bpe_counts_ctes(text_expr: str = "text") -> str | None:
         "+ strpos('0123456789ABCDEF', "
         "substring(hex(encode(tok)), 2*CAST(b AS INT), 1)) - 1 AS BIGINT))"
     )
+    # when tokenizing the raw column, train_words ≡ words — alias instead of
+    # a second identical unnest+distinct scan of documents in every oracle
+    train_words = (
+        "train_words AS (SELECT w FROM words)"
+        if text_expr == "text"
+        else f"""train_words AS (SELECT DISTINCT w FROM (
+        SELECT unnest(regexp_split_to_array(text, '{_WS}')) AS w FROM documents
+      ) WHERE w <> '')"""
+    )
     return f"""
     vocab_golden(tier_rows, rank, l, r) AS (VALUES
       {merges_values}
@@ -123,9 +132,7 @@ def _bpe_counts_ctes(text_expr: str = "text") -> str | None:
     words AS (SELECT DISTINCT w FROM (
         SELECT unnest(regexp_split_to_array({text_expr}, '{_WS}')) AS w FROM documents
       ) WHERE w <> ''),
-    train_words AS (SELECT DISTINCT w FROM (
-        SELECT unnest(regexp_split_to_array(text, '{_WS}')) AS w FROM documents
-      ) WHERE w <> ''),
+    {train_words},
     init AS (SELECT w,
                     list_transform(range(1, length(w)+1),
                                    i -> substring(w, CAST(i AS INT), 1)) AS parts,
@@ -479,7 +486,9 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", bpe.PY_SPLIT_WS_JAVA)).alias("wpos", "word"),
     ).filter(F.col("word") != "")
-    dw = wpos.select("word").distinct()
+    # one explode+distinct feeds both the routing count and the encode/join
+    dw = wpos.select("word").distinct().localCheckpoint(eager=False)
+    n_words = bpe._distinct_word_count(dw)
     enc = bpe.encode_distinct_words(dw, model)
     # byte-lane ids (< 256) never occur here — the model was trained on this
     # same corpus, so every char is in base_vocab and id_to_tok covers all ids
@@ -487,7 +496,7 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("ids"), lambda i: F.element_at(id_to_tok, i)), ""
     )
     rebuilt = (
-        bpe.join_encoded_words(wpos, enc)
+        bpe.join_encoded_words(wpos, enc, n_words=n_words)
         .select("doc_id", "wpos", rebuilt_word.alias("w2"))
         .groupBy("doc_id")
         .agg(

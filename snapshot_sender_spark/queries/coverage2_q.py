@@ -565,12 +565,14 @@ def _loaded_bpe_model(spark: SparkSession, sf_dir: str):
     from .bpe_q import MAX_WORDS, NUM_MERGES, _model
 
     model = _model(spark, sf_dir)
-    # key the cached artifact on the training params too: a /tmp leftover
-    # from a run with different NUM_MERGES/MAX_WORDS must not be loaded
-    key = f"{sf_dir}:{NUM_MERGES}:{MAX_WORDS}"
+    # key the cached artifact on the MODEL CONTENT (merges + base vocab):
+    # a /tmp leftover from different training params OR a regenerated
+    # fixture corpus can never be loaded in place of the just-trained model
+    # (training is already memoized in-process, so the fingerprint is free)
+    key = f"{NUM_MERGES}:{MAX_WORDS}:{repr((model.merges, model.base_vocab))}"
     d = os.path.join(
         tempfile.gettempdir(),
-        "bpe_model_" + hashlib.md5(key.encode()).hexdigest()[:8],
+        "bpe_model_" + hashlib.md5(key.encode()).hexdigest()[:12],
     )
     write_once(
         d,

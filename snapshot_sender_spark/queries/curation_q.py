@@ -422,13 +422,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_terms = _bpe._distinct_word_count(df.select("term"))
-    side = (
-        F.broadcast(df)
-        if n_terms <= _bpe.BROADCAST_MAX_WORDS
-        else df.hint("shuffle_hash")  # vocab side builds the per-partition map
-    )
-    s = tf.join(side, "term").select(
+    # one routing policy for every vocabulary-sized join (operators/bpe.py)
+    s = _bpe.join_encoded_words(
+        tf, df, key="term", n_words=_bpe._distinct_word_count(df.select("term"))
+    ).select(
         "doc_id",
         "term",
         ((F.col("tf") * n_docs).cast("double") / F.col("df").cast("double")).alias("score"),

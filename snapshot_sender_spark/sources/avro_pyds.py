@@ -350,7 +350,18 @@ class AvroFileWriter(DataSourceWriter):
             # pre-existing file silently invisible to subsequent reads
             # (_list_files prefers the manifest). Rows are recounted by
             # block-header skipping — O(blocks) I/O, no decode.
+            # EXCLUDED: files matching THIS writer's own part-<32hex>.avro
+            # naming — in a manifest-less root those are a crashed commit's
+            # orphans (moved before the manifest flip), and seeding them
+            # would resurrect the crashed attempt's rows alongside the
+            # retry's (fixtures using that exact pattern are out of
+            # contract — documented here).
+            import re as _re
+
+            own = _re.compile(r"^part-[0-9a-f]{32}\.avro$")
             for f in sorted(_glob.glob(os.path.join(self.path, "*.avro"))):
+                if own.match(os.path.basename(f)):
+                    continue
                 entries.append(
                     {
                         "file": os.path.basename(f),

@@ -526,3 +526,47 @@ def test_avrofile_overwrite_gc_keeps_one_generation(spark, tmp_path):
     on_disk = set(os.listdir(d))
     assert not (gen1 & on_disk)  # swept by the NEXT overwrite
     assert spark.read.format("avrofile").load(d).count() == 5
+
+
+def test_read_header_corruption_fails_fast_without_buffering(tmp_path):
+    """A corruption error that more bytes can never fix (oversized varint)
+    must re-raise immediately — NOT retry-and-buffer the whole file (a
+    corrupt multi-GB header would otherwise be held in RAM with O(n²)
+    reparses)."""
+    p = str(tmp_path / "bad.avro")
+    # magic + a varint of 10 continuation bytes (>64 bits) + junk padding
+    with open(p, "wb") as fh:
+        fh.write(b"Obj\x01" + b"\xff" * 10 + b"\x00" * (1 << 17))
+    t0 = __import__("time").perf_counter()
+    with pytest.raises(A.AvroError, match="varint longer"):
+        with open(p, "rb") as fh:
+            A.read_header(fh)
+    assert __import__("time").perf_counter() - t0 < 1.0  # no reparse loop
+
+
+def test_avrofile_manifestless_seed_excludes_own_crashed_parts(spark, tmp_path):
+    """Finding pin: manifest-less seeding must NOT resurrect a crashed
+    commit's own part-<32hex>.avro orphans (moved before the manifest flip)
+    — only genuinely foreign fixture files seed."""
+    import json
+    import uuid
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    d = str(tmp_path / "ds")
+    os.makedirs(d)
+    schema = {"type": "record", "name": "row",
+              "fields": [{"name": "id", "type": "long"}]}
+    A.write_avro_file(os.path.join(d, "fixture.avro"), schema,
+                      [{"id": i} for i in range(5)])
+    # simulate a crashed prior append: our writer's own naming, no manifest
+    orphan = f"part-{uuid.uuid4().hex}.avro"
+    A.write_avro_file(os.path.join(d, orphan), schema, [{"id": 999}])
+    spark.range(100, 103).write.format("avrofile").mode("append").save(d)
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    named = {e["file"] for e in man["files"]}
+    assert "fixture.avro" in named
+    assert orphan not in named  # the crashed attempt's rows stay invisible
+    got = sorted(r["id"] for r in spark.read.format("avrofile").load(d).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]  # 999 not resurrected
