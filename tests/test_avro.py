@@ -570,3 +570,43 @@ def test_avrofile_manifestless_seed_excludes_own_crashed_parts(spark, tmp_path):
     assert orphan not in named  # the crashed attempt's rows stay invisible
     got = sorted(r["id"] for r in spark.read.format("avrofile").load(d).collect())
     assert got == [0, 1, 2, 3, 4, 100, 101, 102]  # 999 not resurrected
+
+
+def test_avrofile_datasource_reads_wide_schema_past_64kib(spark, tmp_path):
+    """The header-growth fix end-to-end through the DataSource: a container
+    whose schema alone exceeds the 64 KiB initial buffer must scan correctly
+    (spark_ddl_for + range planning + per-task read_header all reparse the
+    grown header)."""
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.sources import avro_pyds
+
+    avro_pyds.register(spark)
+    nf = 2000
+    wide = {
+        "type": "record",
+        "name": "wide",
+        "fields": [
+            {"name": f"field_{i:06d}_padpadpadpadpad", "type": ["null", "long"]}
+            for i in range(nf)
+        ],
+    }
+    rows = [
+        {f"field_{i:06d}_padpadpadpadpad": (r * nf + i if (i + r) % 5 == 0 else None)
+         for i in range(nf)}
+        for r in range(6)
+    ]
+    d = str(tmp_path)
+    A.write_avro_file(os.path.join(d, "wide.avro"), wide, rows, block_rows=2)
+    df = spark.read.format("avrofile").load(os.path.join(d, "wide.avro"))
+    assert len(df.schema.fields) == nf
+    got = df.agg(
+        F.count("*").alias("n"),
+        F.sum("field_000000_padpadpadpadpad").alias("s0"),
+        F.sum(f"field_{nf-1:06d}_padpadpadpadpad").alias("slast"),
+    ).first()
+    assert got["n"] == 6
+    assert got["s0"] == sum(r * nf for r in range(6) if r % 5 == 0)
+    assert got["slast"] == sum(
+        r * nf + (nf - 1) for r in range(6) if (nf - 1 + r) % 5 == 0
+    )
