@@ -125,6 +125,21 @@ def _bpe_tokenize_plan(spark, sf):
     return B.bpe_tokenize(spark, docs, model)
 
 
+def _bpe_tokenize_shuffle_plan(spark, sf):
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators import bpe as B
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta doc"),
+                 (F.col("id") % 97).cast("string")).alias("text"),
+    )
+    model = B.train_bpe(spark, docs, num_merges=20)
+    # the above-cap route: same plan with the word join forced shuffle-hash
+    return B.bpe_tokenize(spark, docs, model, broadcast_max_words=10)
+
+
 # Operator-level picks: (name, note, builder). Builders may create their own
 # t_plans_* tables (dropped on rerun) — the explain below never executes them.
 OPERATOR_PICKS = [
@@ -144,9 +159,14 @@ OPERATOR_PICKS = [
         _hotband_keeper,
     ),
     (
-        "bpe_tokenize (round 9 tokenizer)",
-        "REAL-token tokenization with Python bounded to the vocabulary: the corpus side posexplodes whitespace words fully JVM-side; the ONLY Python crossing is one MapInPandas sitting above the DISTINCT-word HashAggregate (partial+final), so Arrow ships each distinct word once, never the corpus; the encoded (word -> ids) table broadcast-joins back (BroadcastHashJoin) and per-doc order is restored by sort_array(collect_list(struct(wpos, ids))) inside a doc_id-keyed two-phase aggregate — no global sort. The final left join restores NULL/token-less docs. Plan gate: tests/test_bpe.py pins exactly one MapInPandas and zero BatchEvalPython.",
+        "bpe_tokenize (round 9 tokenizer, round 10 guarded join — broadcast form)",
+        "REAL-token tokenization with Python bounded to the vocabulary: the corpus side posexplodes whitespace words fully JVM-side; the ONLY Python crossing is one MapInPandas sitting above the DISTINCT-word HashAggregate (partial+final), so Arrow ships each distinct word once, never the corpus; the encoded (word -> ids) table joins back via a COUNT-ROUTED strategy (operators/bpe.py join_encoded_words): below BROADCAST_MAX_WORDS it broadcasts (this plan), and per-doc order is restored by sort_array(collect_list(struct(wpos, ids))) inside a doc_id-keyed two-phase aggregate — no global sort. The final left join restores NULL/token-less docs. Plan gate: tests/test_bpe.py pins exactly one MapInPandas and zero BatchEvalPython.",
         _bpe_tokenize_plan,
+    ),
+    (
+        "bpe_tokenize, above-cap shuffle form (round 10)",
+        "The SAME tokenize with the distinct-word count above BROADCAST_MAX_WORDS (forced here with a tiny cap): the word join becomes a ShuffledHashJoin with the vocabulary side as the per-partition build — pinned with an explicit shuffle_hash hint because Catalyst's size estimate of the MapInPandas output derives from the tiny input estimate and was measured still choosing broadcast on a 3e6-distinct-word corpus. Result-identical to the broadcast form (equality test in tests/test_bpe.py); at web-corpus vocabulary (1e8-1e9 distinct words) this is the only surviving form.",
+        _bpe_tokenize_shuffle_plan,
     ),
     (
         "incremental_jaccard_against_index, posting mode (round 8 video service)",
