@@ -421,8 +421,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()  # one tiny job; the scalar both engines agree on
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = w.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    # one routing policy for every vocabulary-sized join (operators/bpe.py)
+    # checkpoint the vocabulary-sized df table so the routing count and the
+    # join consume ONE exploded-term aggregation (same one-scan stance as
+    # bpe_tokenize); one routing policy for every vocabulary-sized join
+    df = (
+        w.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .localCheckpoint(eager=False)
+    )
     s = _bpe.join_encoded_words(
         tf, df, key="term", n_words=_bpe._distinct_word_count(df.select("term"))
     ).select(
