@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QueryDef]:
         spark41_q,
         sql2_q,
         streamingq,
+        table_q,
         tpch2_q,
         tpch_q,
     )

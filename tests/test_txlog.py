@@ -1,0 +1,302 @@
+"""Transactional table format (operators/txlog.py): commit atomicity,
+optimistic concurrency, snapshot isolation, copy-on-write delete, stats
+pruning, schema evolution, retention."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators.txlog import (
+    TxConflict,
+    TxError,
+    TxNotFound,
+    TxTable,
+)
+
+
+def _mk(spark, tmp_path, name):
+    return TxTable(spark, str(tmp_path / name))
+
+
+def test_append_read_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t1")
+    t.append(spark.range(0, 10).coalesce(1), ts=10.0)
+    t.append(spark.range(10, 25).coalesce(1), ts=20.0)
+    assert t.read().count() == 25
+    assert t.read(version=1).count() == 10
+    assert t.read(timestamp=15.0).count() == 10  # last commit at/before ts
+    assert t.read(timestamp=20.0).count() == 25
+    with pytest.raises(TxNotFound):
+        t.read(timestamp=5.0)
+    with pytest.raises(TxNotFound):
+        t.read(version=99)
+
+
+def test_empty_append_reads_back_empty_with_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_empty")
+    t.append(spark.range(0, 0).withColumn("x", F.lit("a")).coalesce(1), ts=1.0)
+    got = t.read()
+    assert got.count() == 0
+    assert got.columns == ["id", "x"]
+
+
+def test_schema_evolution_nulls_and_type_change_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_schema")
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    t.append(
+        spark.range(5, 8).withColumn("tag", F.lit("new")).coalesce(1), ts=2.0
+    )
+    got = t.read()
+    assert got.columns == ["id", "tag"]
+    assert got.where("tag IS NULL").count() == 5  # pre-evolution files backfill NULL
+    # appending with a MISSING column is fine (files simply lack it)
+    t.append(spark.range(8, 9).coalesce(1), ts=3.0)
+    assert t.read().where("tag IS NULL").count() == 6
+    with pytest.raises(TxError):
+        t.append(spark.range(0, 1).withColumn("tag", F.lit(7)).coalesce(1), ts=4.0)
+
+
+def test_delete_cow_rewrites_only_hit_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_del")
+    # two files with disjoint id ranges: the predicate hits only one
+    t.append(spark.range(0, 100).repartitionByRange(2, "id"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    assert len(before) == 2
+    t.delete_where("id < 10", ts=2.0)
+    after = set(t.snapshot().live_paths())
+    # exactly one original file survives untouched; one was rewritten
+    assert len(before & after) == 1
+    assert t.read().count() == 90
+    assert t.read().where("id < 10").count() == 0
+    # a predicate matching nothing commits no new version
+    v = t.latest_version()
+    assert t.delete_where("id > 10000", ts=3.0) == v
+    assert t.latest_version() == v
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_race")
+    t.append(spark.range(0, 1).coalesce(1), ts=1.0)
+    errs, done = [], []
+
+    def worker(lo, hi):
+        try:
+            done.append(t.append(spark.range(lo, hi).coalesce(1), ts=2.0))
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(10 * i, 10 * i + 10)) for i in range(1, 5)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert sorted(done) == [2, 3, 4, 5]  # every append claimed a distinct version
+    assert t.read().count() == 41
+
+
+def test_overwrite_race_recomputes_removes(spark, tmp_path):
+    """An append that lands between overwrite's snapshot and its commit must
+    NOT leak rows past the overwrite (the remove-set is recomputed)."""
+    t = _mk(spark, tmp_path, "t_ow")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    # replay overwrite's internals with a commit injected in the window
+    base, snap = t._current_base()
+    adds = t._stage(spark.range(100, 105).coalesce(1))
+    t.append(spark.range(50, 60).coalesce(1), ts=2.0)  # concurrent append wins v2
+    schema_json = json.dumps(json.loads(spark.range(0, 1).schema.json()))
+
+    def revalidate(new_snap):
+        return new_snap.live_paths(), schema_json
+
+    v = t._commit(
+        "overwrite", adds, snap.live_paths(), schema_json, 3.0, base, revalidate
+    )
+    assert v == 3
+    got = [r["id"] for r in t.read().collect()]
+    assert sorted(got) == [100, 101, 102, 103, 104]  # appended rows did not survive
+
+
+def test_delete_conflict_raises(spark, tmp_path):
+    """delete_where's predicate scan never saw a concurrent commit → conflict."""
+    t = _mk(spark, tmp_path, "t_delrace")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    snap = t.snapshot()
+    adds = t._stage(spark.range(5, 10).coalesce(1))
+
+    def revalidate(new_snap):
+        raise TxConflict("concurrent commit during delete_where")
+
+    t.append(spark.range(20, 30).coalesce(1), ts=2.0)  # wins the version
+    with pytest.raises(TxConflict):
+        t._commit(
+            "delete",
+            adds,
+            snap.live_paths(),
+            snap.schema_json,
+            3.0,
+            snap.version,
+            revalidate,
+        )
+
+
+def test_compact_conflict_when_input_removed(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_cmp")
+    t.append(spark.range(0, 50).repartitionByRange(2, "id"), ts=1.0)
+    snap = t.snapshot()
+    inputs = snap.live_paths()
+    adds = t._stage(t.read_files(inputs, snap.schema()).coalesce(1))
+    t.delete_where("id < 10", ts=2.0)  # removes one of compaction's inputs
+
+    def revalidate(new_snap):
+        gone = [p for p in inputs if p not in new_snap.files]
+        if gone:
+            raise TxConflict("inputs removed")
+        return inputs, snap.schema_json
+
+    with pytest.raises(TxConflict):
+        t._commit("compact", adds, inputs, snap.schema_json, 3.0, snap.version, revalidate)
+
+
+def test_compact_is_data_equivalent_and_history_preserving(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_hist")
+    t.append(spark.range(0, 40).repartitionByRange(4, "id"), ts=1.0)
+    t.append(spark.range(40, 60).repartitionByRange(2, "id"), ts=2.0)
+    pre = {r["id"] for r in t.read().collect()}
+    v = t.compact(target_files=1, ts=3.0)
+    snap = t.snapshot()
+    assert len(snap.live_paths()) == 1
+    assert {r["id"] for r in t.read().collect()} == pre
+    # pre-compaction versions still readable (files retained until vacuum)
+    assert t.read(version=v - 1).count() == 60
+    assert t.read(version=1).count() == 40
+
+
+def test_snapshot_isolation_reader_survives_overwrite(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_iso")
+    t.append(spark.range(0, 30).coalesce(1), ts=1.0)
+    pinned = t.read()  # file list fixed at plan time
+    t.overwrite(spark.range(100, 105).coalesce(1), ts=2.0)
+    assert pinned.count() == 30  # old files still on disk until vacuum
+    assert t.read().count() == 5
+
+
+def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_crash")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    # a crashed commit: files staged+moved, but no log entry ever written
+    t._stage(spark.range(99, 120).coalesce(1))
+    assert t.read().count() == 10  # orphan invisible: only the log makes files live
+    on_disk = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    assert len(on_disk) == 2
+    removed = t.vacuum(retain_versions=1)
+    assert len(removed) == 1  # exactly the orphan
+    assert t.read().count() == 10
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_vac")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    t.overwrite(spark.range(10, 15).coalesce(1), ts=2.0)
+    t.overwrite(spark.range(20, 22).coalesce(1), ts=3.0)
+    assert t.vacuum(retain_versions=2) != []  # v1's file goes
+    assert t.read(version=2).count() == 5  # retained snapshot intact
+    assert t.read(version=3).count() == 2
+    with pytest.raises(ValueError):
+        t.vacuum(retain_versions=0)
+
+
+def test_no_torn_or_tmp_log_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_tmp")
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    t.append(spark.range(5, 9).coalesce(1), ts=2.0)
+    names = os.listdir(t._log_dir)
+    assert sorted(names) == ["v00000000001.json", "v00000000002.json"]
+    # every log file parses completely (link publishes whole content)
+    for n in names:
+        lines = open(os.path.join(t._log_dir, n)).read().splitlines()
+        assert all(json.loads(ln) for ln in lines)
+
+
+def test_stats_pruning_boundaries_and_conservatism(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_prune")
+    t.append(
+        spark.range(0, 1000)
+        .withColumn("s", F.concat(F.lit("k"), F.col("id")))
+        .repartitionByRange(4, "id"),
+        ts=1.0,
+    )
+    allf = t.candidate_files()
+    assert len(allf) == 4
+    # inclusive boundaries: a predicate equal to a file's max keeps that file
+    snap = t.snapshot()
+    first = snap.files[os.path.basename(sorted(allf)[0])]
+    fmax = first["stats"]["id"]["max"]
+    kept = t.candidate_files(prune=[("id", fmax, fmax)])
+    assert os.path.join(t.path, first["path"]) in kept
+    # a tight range prunes to one file, and the pruned read equals the filter
+    kept = t.candidate_files(prune=[("id", 10, 20)])
+    assert len(kept) == 1
+    assert t.read(prune=[("id", 10, 20)]).where("id between 10 and 20").count() == 11
+    # unknown column → no pruning; incomparable bound type → conservative keep
+    assert len(t.candidate_files(prune=[("nope", 0, 1)])) == 4
+    assert len(t.candidate_files(prune=[("id", "a", "b")])) == 4
+    # half-open ranges
+    assert len(t.candidate_files(prune=[("id", 900, None)])) == 1
+    assert len(t.candidate_files(prune=[("id", None, 10)])) == 1
+
+
+def test_all_null_file_pruned_for_range_predicate(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_null")
+    t.append(
+        spark.range(0, 10).withColumn("v", F.lit(None).cast("long")).coalesce(1),
+        ts=1.0,
+    )
+    t.append(spark.range(0, 10).withColumn("v", F.col("id")).coalesce(1), ts=2.0)
+    kept = t.candidate_files(prune=[("v", 0, 100)])
+    assert len(kept) == 1  # the all-NULL file can never satisfy a range predicate
+    assert t.read(prune=[("v", 0, 100)]).where("v between 0 and 100").count() == 10
+
+
+def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
+    """new_state = old_state + agg(added) − agg(removed), folded over the
+    change feed, equals a full recompute after append/append/delete/compact."""
+    t = _mk(spark, tmp_path, "t_inc")
+    t.append(
+        spark.range(0, 60).withColumn("g", F.col("id") % 3).coalesce(1), ts=1.0
+    )
+    t.append(
+        spark.range(60, 100).withColumn("g", F.col("id") % 3).coalesce(1), ts=2.0
+    )
+    t.delete_where("id % 7 = 0", ts=3.0)
+    t.compact(target_files=1, ts=4.0)
+
+    snap = t.snapshot()
+    schema = snap.schema()
+    state: dict[int, list] = {}  # g -> [count, sum]
+    for _v, _op, added, removed in t.changes(0, snap.version):
+        for paths, sign in ((added, 1), (removed, -1)):
+            rels = [a["path"] if isinstance(a, dict) else a for a in paths]
+            rows = (
+                t.read_files(rels, schema)
+                .groupBy("g")
+                .agg(F.count("*").alias("c"), F.sum("id").alias("s"))
+                .collect()
+            )
+            for r in rows:
+                cur = state.setdefault(r["g"], [0, 0])
+                cur[0] += sign * r["c"]
+                cur[1] += sign * r["s"]
+    full = {
+        r["g"]: [r["c"], r["s"]]
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.count("*").alias("c"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert {g: v for g, v in state.items() if v[0] != 0} == full
