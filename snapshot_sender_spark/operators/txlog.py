@@ -394,6 +394,7 @@ class TxTable:
         base_version: int,
         revalidate,
         max_retries: int = 20,
+        txn: dict | None = None,
     ) -> int:
         """Claim the next version with a hard link (atomic: claims the number
         AND publishes complete content — a torn log file cannot exist). On
@@ -404,11 +405,10 @@ class TxTable:
         attempt_removes = list(removes)
         for _ in range(max_retries):
             target = base_version + 1
-            lines = [
-                json.dumps(
-                    {"meta": {"version": target, "op": op, "ts": ts, "schema": schema_json}}
-                )
-            ]
+            meta = {"version": target, "op": op, "ts": ts, "schema": schema_json}
+            if txn is not None:
+                meta["txn"] = txn
+            lines = [json.dumps({"meta": meta})]
             lines += [json.dumps({"add": a}) for a in adds]
             lines += [json.dumps({"remove": {"path": p}}) for p in attempt_removes]
             tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -434,19 +434,96 @@ class TxTable:
         snap = self.snapshot()
         return snap.version, snap
 
-    def append(self, df: DataFrame, ts: float | None = None) -> int:
+    def find_txn(self, txn: dict) -> int | None:
+        """Version that committed application transaction ``txn`` (an
+        arbitrary identity dict, e.g. {"app": ..., "batch": ...}), or None.
+        O(versions) metadata reads — never touches data files."""
+        for v in self._list_versions():
+            meta = self._read_version_actions(v)[0]["meta"]
+            if meta.get("txn") == txn:
+                return v
+        return None
+
+    def append(self, df: DataFrame, ts: float | None = None, txn: dict | None = None) -> int:
         """Blind append: stages files once, then wins any commit race by
         simply re-claiming the next number — it removes nothing, so no
-        concurrent commit can invalidate it."""
+        concurrent commit can invalidate it.
+
+        With ``txn`` set, the append is IDEMPOTENT on that identity: a replay
+        (same txn dict) returns the already-committed version without writing
+        — checked both up front and again on every commit race, so even two
+        concurrent replays of the same micro-batch commit exactly once. This
+        is the exactly-once contract a foreachBatch streaming sink needs:
+        key txn on (query id, batch id) and a restarted stream can re-run any
+        batch safely (the same ladder Delta's txn action implements)."""
+        if txn is not None:
+            prior = self.find_txn(txn)
+            if prior is not None:
+                return prior
         base, snap = self._current_base()
         schema_json = self._merge_schema(snap.schema_json if snap else None, df.schema)
         adds = self._stage(df)
 
+        class _AlreadyApplied(Exception):
+            def __init__(self, version: int):
+                self.version = version
+
         def revalidate(new_snap: TxSnapshot):
+            if txn is not None:
+                prior = self.find_txn(txn)
+                if prior is not None:
+                    raise _AlreadyApplied(prior)
             # append conflicts with nothing; but schema may have evolved under us
             return [], self._merge_schema(new_snap.schema_json, df.schema)
 
-        return self._commit("append", adds, [], schema_json, ts, base, revalidate)
+        try:
+            return self._commit(
+                "append", adds, [], schema_json, ts, base, revalidate, txn=txn
+            )
+        except _AlreadyApplied as dup:
+            for a in adds:  # our staged files lost the replay race: clean up now
+                try:
+                    os.unlink(os.path.join(self.path, a["path"]))
+                except FileNotFoundError:
+                    pass
+            return dup.version
+
+    def merge(self, source: DataFrame, keys: list[str], ts: float | None = None) -> int:
+        """Copy-on-write MERGE (upsert): rows whose key matches a source row
+        are REPLACED by the source row; unmatched source rows are INSERTED.
+        Only files that contain a matched key are rewritten — the hit list
+        comes from a semi-join + input_file_name() (O(files) control plane);
+        everything else is untouched, so a merge touching 0.1% of keys
+        rewrites ~0.1% of files, not the table. Conflict rule follows
+        delete_where: any concurrent commit invalidates the key scan."""
+        snap = self.snapshot()
+        schema = snap.schema()
+        schema_json = self._merge_schema(snap.schema_json, source.schema)
+        live = self.read(version=snap.version)
+        src_keys = source.select(*keys).distinct()
+        # input_file_name() must bind to a single source: attach it to the
+        # live side BEFORE the semi-join introduces a second one
+        hit_rows = (
+            live.select(*keys, F.input_file_name().alias("f"))
+            .join(src_keys, on=keys, how="left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+        hit_rel = sorted(os.path.basename(r["f"]) for r in hit_rows)
+        survivors = self.read_files(hit_rel, schema).join(
+            src_keys, on=keys, how="left_anti"
+        )
+        new_data = survivors.unionByName(source, allowMissingColumns=True)
+        adds = self._stage(new_data)
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict(
+                "concurrent commit during merge; re-run the merge "
+                "(its key scan did not see the new table state)"
+            )
+
+        return self._commit("merge", adds, hit_rel, schema_json, ts, snap.version, revalidate)
 
     def overwrite(self, df: DataFrame, ts: float | None = None) -> int:
         """Replace the table contents. The remove-set is recomputed against
@@ -511,6 +588,19 @@ class TxTable:
             return inputs, snap.schema_json
 
         return self._commit("compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate)
+
+    def stream_sink(self, app_id: str):
+        """foreachBatch sink with exactly-once semantics: each micro-batch
+        appends under txn identity (app_id, batch_id), so a restarted stream
+        replaying a batch whose commit already landed is a no-op. Commit ts
+        is the batch id — deterministic, monotone per stream."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(
+                batch_df, ts=float(batch_id), txn={"app": app_id, "batch": int(batch_id)}
+            )
+
+        return _sink
 
     # -- retention -----------------------------------------------------------
 

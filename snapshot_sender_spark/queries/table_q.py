@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..operators.txlog import TxTable
 from ..tables import load
 from . import query
-from .relational import SQL_DSUM, _money
+from .relational import SQL_DSUM, _cents, _money
 
 
 def _workdir(prefix: str) -> str:
@@ -216,6 +216,114 @@ def table_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.min("c_custkey").alias("min_key"),
             F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
+# =============================================================================
+# MERGE (upsert): matched keys replaced, new keys inserted, COW-scoped
+# =============================================================================
+
+
+@query(
+    "table_txlog_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acct_cents
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, c_mktsegment, acct_cents + 10000 AS acct_cents
+      FROM base WHERE c_custkey % 5 = 0
+    ), ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS c_mktsegment, acct_cents
+      FROM base WHERE c_custkey % 7 = 0
+    ), merged AS (
+      SELECT * FROM base WHERE c_custkey % 5 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(acct_cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY c_mktsegment
+    """,
+    category="table-format",
+)
+def table_txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as copy-on-write: source rows whose key exists replace the table
+    row (+100.00 to every 5th customer's balance); unmatched source keys
+    (shifted by 1e6) insert. Hit files are found with a semi-join on the key
+    + input_file_name(), so a merge touching a sliver of keys rewrites a
+    sliver of files — the upsert pattern CDC pipelines need at 100 TB."""
+    work = _workdir("txlog_merge_q_")
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("acct_cents"),
+    )
+    t = TxTable(spark, f"{work}/cust_tx")
+    t.append(base.repartitionByRange(4, "c_custkey"), ts=1.0)
+    upd = base.where(F.col("c_custkey") % 5 == 0).withColumn(
+        "acct_cents", F.col("acct_cents") + 10000
+    )
+    ins = base.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        "acct_cents",
+    )
+    t.merge(upd.unionByName(ins), keys=["c_custkey"], ts=2.0)
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("acct_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+# =============================================================================
+# exactly-once streaming ingestion (foreachBatch + idempotent txn commits)
+# =============================================================================
+
+
+@query(
+    "table_txlog_stream_ingest",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+    category="table-format",
+)
+def table_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingestion INTO the transactional table: documents
+    arrive as a file stream (AvailableNow, 2 files per micro-batch), each
+    micro-batch commits via stream_sink under txn identity (app, batch_id) —
+    so a crashed-and-restarted stream replaying a batch appends NOTHING the
+    second time (exactly-once; the replay no-op is pinned in
+    tests/test_txlog.py). The final table equals the source exactly."""
+    work = _workdir("txlog_stream_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(4).write.parquet(f"{work}/input")
+    t = TxTable(spark, f"{work}/docs_tx")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/input")
+    )
+    q = (
+        stream.writeStream.foreachBatch(t.stream_sink("txlog_stream_ingest"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
 

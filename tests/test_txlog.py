@@ -263,6 +263,66 @@ def test_all_null_file_pruned_for_range_predicate(spark, tmp_path):
     assert t.read(prune=[("v", 0, 100)]).where("v between 0 and 100").count() == 10
 
 
+def test_merge_upsert_replaces_and_inserts_cow_scoped(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_merge")
+    base = spark.range(0, 100).withColumn("v", F.lit(1))
+    t.append(base.repartitionByRange(4, "id"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    # update ids 0..9 (all inside the first range file) and insert 200..204
+    src = (
+        spark.range(0, 10).withColumn("v", F.lit(2))
+        .union(spark.range(200, 205).withColumn("v", F.lit(3)))
+    )
+    t.merge(src, keys=["id"], ts=2.0)
+    after = set(t.snapshot().live_paths())
+    assert len(before & after) == 3  # three range files untouched
+    got = t.read()
+    assert got.count() == 105
+    assert got.where("v = 2").count() == 10  # replaced, not duplicated
+    assert got.where("v = 3").count() == 5
+    assert got.where("id < 10 AND v = 1").count() == 0
+
+
+def test_merge_into_empty_table_is_insert(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_merge_empty")
+    t.append(spark.range(0, 0).withColumn("v", F.lit(0)).coalesce(1), ts=1.0)
+    t.merge(spark.range(5, 8).withColumn("v", F.lit(9)).coalesce(1), keys=["id"], ts=2.0)
+    assert sorted(r["id"] for r in t.read().collect()) == [5, 6, 7]
+
+
+def test_txn_append_is_idempotent_and_race_safe(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_txn")
+    df = spark.range(0, 10).coalesce(1)
+    txn = {"app": "ingest", "batch": 0}
+    v1 = t.append(df, ts=1.0, txn=txn)
+    v2 = t.append(df, ts=1.0, txn=txn)  # replay: must be a no-op
+    assert v1 == v2 == 1
+    assert t.read().count() == 10
+    # a DIFFERENT batch id commits normally
+    assert t.append(df, ts=2.0, txn={"app": "ingest", "batch": 1}) == 2
+    assert t.read().count() == 20
+    # replay race: the txn already landed when the commit claim fails — the
+    # loser must return the winner's version and leave no orphan live
+    base, snap = t._current_base()
+    adds = t._stage(df)
+    t.append(df, ts=3.0, txn={"app": "ingest", "batch": 2})  # winner
+    # simulate the loser's full append path for the same txn
+    v = t.append(df, ts=3.0, txn={"app": "ingest", "batch": 2})
+    assert v == 3
+    assert t.read().count() == 30
+
+
+def test_stream_sink_exactly_once(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_sink")
+    sink = t.stream_sink("appA")
+    b0 = spark.range(0, 7).coalesce(1)
+    sink(b0, 0)
+    sink(b0, 0)  # replayed micro-batch after a simulated restart
+    sink(spark.range(7, 12).coalesce(1), 1)
+    assert t.read().count() == 12
+    assert t.latest_version() == 2
+
+
 def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
     """new_state = old_state + agg(added) − agg(removed), folded over the
     change feed, equals a full recompute after append/append/delete/compact."""
