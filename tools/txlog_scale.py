@@ -1,0 +1,180 @@
+"""Scale measurements for the transactional table format (operators/txlog.py).
+
+``python tools/txlog_scale.py [sf_dir]`` replicates the sf0.1 events table
+1×/10×/100× by key-offset (the gen_scale.py recipe, inlined so the run is
+self-contained) and measures, per tier:
+
+  * stats pruning — files planned for a 1-user-shard predicate vs total, and
+    the wall-clock of the pruned read vs the full-scan filter (equal results
+    asserted);
+  * copy-on-write delete — fraction of files rewritten for a single-user
+    takedown on a user-clustered layout, and its wall-clock;
+  * incremental aggregate maintenance — folding ONE appended delta vs
+    recomputing the aggregate from the whole table (equal results asserted);
+  * commit metadata costs — 100 sequential appends, then the latest-snapshot
+    replay time at 100 versions (O(versions) metadata, never data).
+
+Prints one human table; used for the SCALE.md txlog section.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators.txlog import TxTable
+from snapshot_sender_spark.session import get_spark
+from snapshot_sender_spark.tables import load
+
+
+def build_events(spark, sf_dir: str, mult: int):
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    if mult == 1:
+        return ev
+    copies = spark.range(mult).withColumnRenamed("id", "copy")
+    return (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("copy") * F.lit(10**9)).alias("event_id"),
+            (F.col("user_id") + F.col("copy") * F.lit(10**5)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+def timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return out, time.monotonic() - t0
+
+
+def run_tier(spark, sf_dir: str, mult: int, n_files: int = 64) -> dict:
+    work = tempfile.mkdtemp(prefix=f"txlog_scale_{mult}x_")
+    t = TxTable(spark, os.path.join(work, "events_tx"))
+    ev = build_events(spark, sf_dir, mult)
+    _, t_write = timed(lambda: t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0))
+    total_files = len(t.snapshot().live_paths())
+    total_rows = t.snapshot().total_rows()
+
+    # --- stats pruning: one user shard ---------------------------------------
+    lo, hi = 500, 520
+    pruned_files = len(t.candidate_files(prune=[("user_id", lo, hi)]))
+    agg = lambda df: df.where(F.col("user_id").between(lo, hi)).agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    full_res, t_full = timed(lambda: agg(t.read()))
+    pruned_res, t_pruned = timed(lambda: agg(t.read(prune=[("user_id", lo, hi)])))
+    assert (full_res["n"], full_res["s"]) == (pruned_res["n"], pruned_res["s"]), (
+        full_res, pruned_res,
+    )
+
+    # --- copy-on-write delete: single-user takedown ---------------------------
+    before = set(t.snapshot().live_paths())
+    _, t_del = timed(lambda: t.delete_where("user_id = 510", ts=2.0))
+    after = set(t.snapshot().live_paths())
+    rewritten = len(before - after)
+
+    # --- incremental maintenance vs full recompute ----------------------------
+    delta = build_events(spark, sf_dir, 1).limit(10_000).withColumn(
+        "event_id", F.col("event_id") + F.lit(5 * 10**12)
+    )
+    v_before = t.latest_version()
+    t.append(delta.coalesce(1), ts=3.0)
+    snap = t.snapshot()
+
+    def fold_delta():
+        out = {}
+        for _v, _op, added, removed in t.changes(v_before, snap.version):
+            for entries, sign in ((added, 1), (removed, -1)):
+                rels = [e["path"] if isinstance(e, dict) else e for e in entries]
+                if not rels:
+                    continue
+                for r in (
+                    t.read_files(rels, snap.schema())
+                    .groupBy("event_type")
+                    .agg(F.count("*").alias("c"))
+                    .collect()
+                ):
+                    out[r["event_type"]] = out.get(r["event_type"], 0) + sign * r["c"]
+        return out
+
+    def recompute():
+        return {
+            r["event_type"]: r["c"]
+            for r in t.read().groupBy("event_type").agg(F.count("*").alias("c")).collect()
+        }
+
+    inc, t_inc = timed(fold_delta)
+    full, t_recompute = timed(recompute)
+    # folded delta + (pre-append full state) must equal the recompute
+    pre = {
+        r["event_type"]: r["c"]
+        for r in t.read(version=v_before)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    merged = {k: pre.get(k, 0) + inc.get(k, 0) for k in set(pre) | set(inc)}
+    assert merged == full, (merged, full)
+
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "mult": mult,
+        "rows": total_rows,
+        "files": total_files,
+        "t_write": t_write,
+        "pruned_files": pruned_files,
+        "t_full": t_full,
+        "t_pruned": t_pruned,
+        "rewritten": rewritten,
+        "t_del": t_del,
+        "t_inc": t_inc,
+        "t_recompute": t_recompute,
+    }
+
+
+def commit_metadata_costs(spark) -> tuple[float, float]:
+    work = tempfile.mkdtemp(prefix="txlog_scale_meta_")
+    t = TxTable(spark, os.path.join(work, "meta_tx"))
+    one = spark.range(0, 10).coalesce(1)
+    t0 = time.monotonic()
+    for i in range(100):
+        t.append(one, ts=float(i))
+    per_commit = (time.monotonic() - t0) / 100
+    t0 = time.monotonic()
+    snap = t.snapshot()
+    replay = time.monotonic() - t0
+    assert snap.version == 100 and len(snap.live_paths()) == 100
+    shutil.rmtree(work, ignore_errors=True)
+    return per_commit, replay
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="txlog_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"| mult | rows | files | write s | pruned files | full-scan s | pruned s | COW rewritten | delete s | fold-delta s | recompute s |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    for mult in (1, 10, 100):
+        r = run_tier(spark, sf_dir, mult)
+        print(
+            f"| {r['mult']}× | {r['rows']:,} | {r['files']} | {r['t_write']:.1f} "
+            f"| {r['pruned_files']}/{r['files']} | {r['t_full']:.2f} | {r['t_pruned']:.2f} "
+            f"| {r['rewritten']}/{r['files']} | {r['t_del']:.2f} "
+            f"| {r['t_inc']:.2f} | {r['t_recompute']:.2f} |"
+        )
+    per_commit, replay = commit_metadata_costs(spark)
+    print(f"\ncommit metadata: {per_commit*1000:.0f} ms/commit over 100 appends; "
+          f"100-version snapshot replay {replay*1000:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()
