@@ -463,6 +463,7 @@ class TxTable:
         base, snap = self._current_base()
         schema_json = self._merge_schema(snap.schema_json if snap else None, df.schema)
         adds = self._stage(df)
+        self._enforce_on_staged(adds, schema_json)
 
         class _AlreadyApplied(Exception):
             def __init__(self, version: int):
@@ -516,6 +517,7 @@ class TxTable:
         )
         new_data = survivors.unionByName(source, allowMissingColumns=True)
         adds = self._stage(new_data)
+        self._enforce_on_staged(adds, schema_json)
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict(
@@ -532,6 +534,7 @@ class TxTable:
         base, snap = self._current_base()
         schema_json = json.dumps(json.loads(df.schema.json()))  # overwrite resets schema
         adds = self._stage(df)
+        self._enforce_on_staged(adds, schema_json)
         removes = snap.live_paths() if snap else []
 
         def revalidate(new_snap: TxSnapshot):
@@ -588,6 +591,134 @@ class TxTable:
             return inputs, snap.schema_json
 
         return self._commit("compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate)
+
+    def restore(self, version: int, ts: float | None = None) -> int:
+        """Metadata-only rollback: commit a new version whose live set IS the
+        old snapshot's — no data movement (the old files still exist unless
+        vacuum already aged them out, which raises before committing). History
+        keeps moving forward, so the bad interval stays auditable; this is
+        Delta's RESTORE, priced at one log write."""
+        target = self.snapshot(version=version)
+        missing = [p for p in target.live_paths()
+                   if not os.path.exists(os.path.join(self.path, p))]
+        if missing:
+            raise TxNotFound(
+                f"cannot restore v{version}: {len(missing)} file(s) already "
+                f"vacuumed (first: {missing[0]!r})"
+            )
+        snap = self.snapshot()
+        adds = [target.files[p] for p in target.live_paths() if p not in snap.files]
+        removes = [p for p in snap.live_paths() if p not in target.files]
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during restore; re-run")
+
+        return self._commit(
+            "restore", adds, removes, target.schema_json, ts, snap.version, revalidate
+        )
+
+    def row_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level change data feed derived from the file-level log:
+        for each version in (from, to], inserted rows = (rows of added files)
+        EXCEPT ALL (rows of removed files) and deleted rows the converse —
+        multiset difference, so a copy-on-write rewrite (delete/merge/compact)
+        reports exactly the rows that changed, not the rows that were merely
+        copied to a new file. Compactions therefore contribute nothing.
+        Output: the table columns + _change_type ('insert'|'delete') +
+        _commit_version."""
+        schema = self.snapshot(version=to_version).schema()
+        parts: list[DataFrame] = []
+        for v, _op, added, removed in self.changes(from_version, to_version):
+            add_rels = [a["path"] for a in added]
+            # historical files may predate columns: read under the CURRENT
+            # schema so every slice unions cleanly
+            a_df = self.read_files(add_rels, schema)
+            r_df = self.read_files(removed, schema)
+            ins = a_df.exceptAll(r_df)
+            del_ = r_df.exceptAll(a_df)
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+            parts.append(
+                del_.withColumn("_change_type", F.lit("delete")).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+        if not parts:
+            empty = self.spark.createDataFrame([], schema)
+            return (
+                empty.withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0))
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- constraints -----------------------------------------------------------
+
+    def set_constraint(self, name: str, check_sql: str, ts: float | None = None) -> int:
+        """Register a CHECK constraint (a boolean SQL expression over the
+        table's columns). Registration validates EXISTING rows first — a
+        constraint the current data violates is refused, like Delta's
+        ALTER TABLE ADD CONSTRAINT. Constraints are stored in commit metadata
+        and re-checked by every subsequent append/overwrite/merge (one extra
+        aggregate over the staged data, refusing the commit on violation)."""
+        n_bad = self.read().where(~F.expr(check_sql)).limit(1).count()
+        if n_bad:
+            raise TxError(
+                f"cannot add constraint {name!r}: existing rows violate {check_sql!r}"
+            )
+        snap = self.snapshot()
+        cons = dict(self.constraints())
+        cons[name] = check_sql
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during set_constraint; re-run")
+
+        return self._commit(
+            "set_constraint", [], [], snap.schema_json, ts, snap.version,
+            revalidate, txn={"constraints": cons},
+        )
+
+    def constraints(self) -> dict[str, str]:
+        """Current CHECK constraints (latest set_constraint commit wins)."""
+        out: dict[str, str] = {}
+        for v in self._list_versions():
+            meta = self._read_version_actions(v)[0]["meta"]
+            txn = meta.get("txn")
+            if meta["op"] == "set_constraint" and isinstance(txn, dict):
+                out = dict(txn.get("constraints", {}))
+        return out
+
+    def _enforce_on_staged(self, adds: list[dict], schema_json: str) -> None:
+        """Check every registered constraint against freshly STAGED files (so
+        the input plan never recomputes) under the post-commit schema —
+        a column this commit doesn't carry reads as NULL, and NULL fails a
+        CHECK (coalesce-to-false, the SQL constraint convention). On
+        violation the staged files are unlinked and the commit refused."""
+        cons = self.constraints()
+        if not cons or not adds:
+            return
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        staged = self.read_files([a["path"] for a in adds], schema)
+        whole = F.lit(True)
+        for expr in cons.values():
+            whole = whole & F.coalesce(F.expr(expr), F.lit(False))
+        bad = staged.where(~whole).limit(1).collect()
+        if bad:
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(self.path, a["path"]))
+                except FileNotFoundError:
+                    pass
+            raise TxError(
+                f"constraint violation (checks: {sorted(cons)}); "
+                f"first bad row: {bad[0].asDict()}"
+            )
 
     def stream_sink(self, app_id: str):
         """foreachBatch sink with exactly-once semantics: each micro-batch

@@ -329,6 +329,155 @@ def table_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# row-level change data feed (CDF) derived from the file-level log
+# =============================================================================
+
+
+@query(
+    "table_txlog_change_feed",
+    oracle="""
+    WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+           COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM a
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM b
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM (SELECT doc_id FROM a UNION ALL SELECT doc_id FROM b) u
+    WHERE doc_id % 5 = 0
+    """,
+    category="table-format",
+)
+def table_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDF from the file-level log: inserts/deletes per commit are
+    the MULTISET difference between added-file rows and removed-file rows, so
+    a copy-on-write delete reports only the rows that actually vanished (the
+    27/30 merely copied to the rewrite don't appear) and the final compaction
+    contributes nothing at all — the property that makes downstream CDC
+    consumers incremental instead of re-diffing snapshots."""
+    work = _workdir("txlog_cdf_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.where(F.col("doc_id") % 3 == 0).repartition(2), ts=1.0)
+    t.append(docs.where(F.col("doc_id") % 3 == 1).repartition(2), ts=2.0)
+    t.delete_where("doc_id % 5 = 0", ts=3.0)
+    t.compact(target_files=1, ts=4.0)
+    return (
+        t.row_changes(0, t.latest_version())
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("bigint").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+    )
+
+
+# =============================================================================
+# RESTORE: metadata-only rollback of a bad deploy
+# =============================================================================
+
+
+@query(
+    "table_txlog_restore",
+    oracle=f"""
+    SELECT 'restored' AS as_of, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT 'bad' AS as_of, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+    """,
+    category="table-format",
+)
+def table_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as one log write: a bad overwrite is rolled back by committing
+    a new version whose live set IS the old snapshot's — zero data movement,
+    and the bad interval stays readable for the post-mortem (audited here as
+    the 'bad' row)."""
+    work = _workdir("txlog_restore_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TxTable(spark, f"{work}/orders_tx")
+
+    def subset(status: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderstatus") == status) & (F.col("o_orderkey") % 10 == 0)
+        ).drop("o_orderstatus")
+
+    t.append(subset("F").repartition(2), ts=1.0)
+    t.overwrite(subset("O").repartition(2), ts=2.0)  # the bad deploy
+    t.restore(1, ts=3.0)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        ).select(F.lit(label).alias("as_of"), "*")
+
+    return agg(t.read(), "restored").unionAll(agg(t.read(version=2), "bad"))
+
+
+# =============================================================================
+# CHECK constraints: the commit gate quarantines bad batches
+# =============================================================================
+
+
+@query(
+    "table_txlog_constraints_quarantine",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 7 IN (0, 1) AND CAST(l_quantity AS BIGINT) <= 45
+    GROUP BY l_returnflag
+    """,
+    category="table-format",
+)
+def table_txlog_constraints_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraints as the ingestion quality gate: a batch
+    containing ANY violating row is refused atomically (nothing lands, no
+    orphan files), and only the pre-filtered batch commits — the table can
+    never hold a row the constraint forbids, whatever the producer sends."""
+    from ..operators.txlog import TxError
+
+    work = _workdir("txlog_cons_q_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+    )
+    t = TxTable(spark, f"{work}/li_tx")
+    t.append(
+        li.where((F.col("l_orderkey") % 7 == 0) & (F.col("qty") <= 45)).repartition(2),
+        ts=1.0,
+    )
+    t.set_constraint("qty_cap", "qty <= 45", ts=2.0)
+    dirty = li.where(F.col("l_orderkey") % 7 == 1)
+    try:
+        t.append(dirty.repartition(2), ts=3.0)
+        raise AssertionError("constraint gate failed to refuse a dirty batch")
+    except TxError:
+        pass  # refused as designed: quarantine, re-submit clean
+    t.append(dirty.where(F.col("qty") <= 45).repartition(2), ts=4.0)
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+# =============================================================================
 # incremental view maintenance over the change feed
 # =============================================================================
 

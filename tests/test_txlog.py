@@ -323,6 +323,83 @@ def test_stream_sink_exactly_once(spark, tmp_path):
     assert t.latest_version() == 2
 
 
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_restore")
+    t.append(spark.range(0, 20).coalesce(1), ts=1.0)
+    t.overwrite(spark.range(100, 103).coalesce(1), ts=2.0)  # the bad deploy
+    n_files_before = len(
+        [f for f in os.listdir(t.path) if f.endswith(".parquet")]
+    )
+    v = t.restore(1, ts=3.0)
+    assert v == 3
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(20))
+    # no data moved: the restore only wrote a log entry
+    n_files_after = len([f for f in os.listdir(t.path) if f.endswith(".parquet")])
+    assert n_files_after == n_files_before
+    # the bad interval stays auditable
+    assert t.read(version=2).count() == 3
+    # restoring to a vacuumed version refuses loudly
+    t.overwrite(spark.range(0, 1).coalesce(1), ts=4.0)
+    t.vacuum(retain_versions=1)
+    with pytest.raises(TxNotFound):
+        t.restore(1, ts=5.0)
+
+
+def test_row_changes_reports_only_real_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_cdf")
+    t.append(spark.range(0, 30).coalesce(1), ts=1.0)
+    t.delete_where("id % 10 = 0", ts=2.0)  # COW rewrite: copies 27, deletes 3
+    t.compact(target_files=1, ts=3.0)  # copies everything, changes nothing
+    cdf = t.row_changes(1, 3)
+    rows = [(r["_commit_version"], r["_change_type"], r["id"]) for r in cdf.collect()]
+    assert sorted(rows) == [(2, "delete", 0), (2, "delete", 10), (2, "delete", 20)]
+    # the full feed from zero includes the initial inserts
+    feed0 = t.row_changes(0, 3)
+    assert feed0.where("_change_type = 'insert'").count() == 30
+    assert feed0.where("_change_type = 'delete'").count() == 3
+
+
+def test_row_changes_duplicate_rows_multiset_semantics(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_cdf_dup")
+    dup = spark.range(0, 3).union(spark.range(0, 3)).coalesce(1)
+    t.append(dup, ts=1.0)  # each id twice
+    t.delete_where("id = 1", ts=2.0)  # removes BOTH copies
+    cdf = t.row_changes(1, 2)
+    assert sorted(r["id"] for r in cdf.where("_change_type='delete'").collect()) == [1, 1]
+
+
+def test_constraints_enforced_on_append_and_merge(spark, tmp_path):
+    from snapshot_sender_spark.operators.txlog import TxError
+
+    t = _mk(spark, tmp_path, "t_cons")
+    t.append(spark.range(1, 10).withColumn("v", F.lit(5)).coalesce(1), ts=1.0)
+    t.set_constraint("positive_id", "id > 0", ts=2.0)
+    t.set_constraint("v_not_null", "v IS NOT NULL", ts=2.5)
+    assert set(t.constraints()) == {"positive_id", "v_not_null"}
+    # violating append refused, no partial state, no orphan data files
+    live_before = set(t.snapshot().live_paths())
+    with pytest.raises(TxError, match="constraint violation"):
+        t.append(spark.range(-2, 2).withColumn("v", F.lit(1)).coalesce(1), ts=3.0)
+    assert set(t.snapshot().live_paths()) == live_before
+    on_disk = {f for f in os.listdir(t.path) if f.endswith(".parquet")}
+    assert on_disk == live_before
+    # an append MISSING column v reads v as NULL under the merged schema → refused
+    with pytest.raises(TxError, match="constraint violation"):
+        t.append(spark.range(20, 22).coalesce(1), ts=3.5)
+    # clean append passes; merge enforces too
+    t.append(spark.range(10, 12).withColumn("v", F.lit(7)).coalesce(1), ts=4.0)
+    with pytest.raises(TxError, match="constraint violation"):
+        t.merge(
+            spark.range(5, 6).withColumn("v", F.lit(None).cast("int")).coalesce(1),
+            keys=["id"],
+            ts=5.0,
+        )
+    assert t.read().where("v IS NULL").count() == 0
+    # registering a constraint the CURRENT data violates is refused
+    with pytest.raises(TxError, match="existing rows violate"):
+        t.set_constraint("impossible", "id > 100", ts=6.0)
+
+
 def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
     """new_state = old_state + agg(added) − agg(removed), folded over the
     change feed, equals a full recompute after append/append/delete/compact."""
