@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QueryDef]:
         graph_q,
         llm,
         llm2,
+        quality_q,
         relational,
         relational2,
         scalar3_q,
