@@ -169,6 +169,57 @@ def table_txlog_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# Z-order clustering × footer-stats pruning: 2-D predicates prune files
+# =============================================================================
+
+
+@query(
+    "table_txlog_zorder_pruning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    WHERE user_id BETWEEN 3 AND 6 AND event_id BETWEEN 100 AND 5000
+    GROUP BY event_type
+    """,
+    category="table-format",
+)
+def table_txlog_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering composed with txlog stats pruning: events are
+    written range-clustered on a Morton key interleaving (user_id, event_id),
+    so every file covers a small RECTANGLE of the 2-D space and its footer
+    min/max constrain BOTH columns — a box predicate then prunes files on the
+    two dimensions at once, where a linear sort would only prune its leading
+    column (the superiority is pinned quantitatively in tests/test_txlog.py).
+    The pruned read still applies the filter, so the layout can never change
+    the answer."""
+    from ..queries.scale_q import _morton16
+
+    work = _workdir("txlog_z_q_")
+    zkey = _morton16("user_id % 65536", "event_id % 65536")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .withColumn("zkey", F.expr(zkey))
+    )
+    t = TxTable(spark, f"{work}/events_z_tx")
+    t.append(
+        ev.repartitionByRange(16, "zkey").sortWithinPartitions("zkey").drop("zkey"),
+        ts=1.0,
+    )
+    prune = [("user_id", 3, 6), ("event_id", 100, 5000)]
+    return (
+        t.read(prune=prune)
+        .where(F.col("user_id").between(3, 6) & F.col("event_id").between(100, 5000))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+    )
+
+
+# =============================================================================
 # additive schema evolution: old files surface new columns as NULL
 # =============================================================================
 

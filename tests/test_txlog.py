@@ -400,6 +400,48 @@ def test_constraints_enforced_on_append_and_merge(spark, tmp_path):
         t.set_constraint("impossible", "id > 100", ts=6.0)
 
 
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """On a 64×64 grid in 16 files: linear clustering on x prunes x-predicates
+    only (every file spans all of y); Morton clustering prunes BOTH
+    dimensions. Layout never changes results."""
+    from snapshot_sender_spark.queries.scale_q import _morton16
+
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    lin = _mk(spark, tmp_path, "t_linear")
+    lin.append(grid.repartitionByRange(16, "x").sortWithinPartitions("x"), ts=1.0)
+    zt = _mk(spark, tmp_path, "t_z")
+    zkey = _morton16("x", "y")
+    zt.append(
+        grid.withColumn("zk", F.expr(zkey))
+        .repartitionByRange(16, "zk")
+        .sortWithinPartitions("zk")
+        .drop("zk"),
+        ts=1.0,
+    )
+    y_pred = [("y", 0, 7)]
+    assert len(lin.candidate_files(prune=y_pred)) == 16  # no help at all
+    assert len(zt.candidate_files(prune=y_pred)) <= 8  # half the curve or less
+    x_pred = [("x", 0, 7)]
+    assert len(lin.candidate_files(prune=x_pred)) <= 4
+    assert len(zt.candidate_files(prune=x_pred)) <= 8
+    box = [("x", 10, 13), ("y", 10, 13)]
+    assert len(zt.candidate_files(prune=box)) <= 2
+    # layout and pruning never change the answer
+    for t in (lin, zt):
+        got = (
+            t.read(prune=box)
+            .where("x BETWEEN 10 AND 13 AND y BETWEEN 10 AND 13")
+            .count()
+        )
+        assert got == 16
+
+
 def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
     """new_state = old_state + agg(added) − agg(removed), folded over the
     change feed, equals a full recompute after append/append/delete/compact."""
