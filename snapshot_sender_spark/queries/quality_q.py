@@ -102,6 +102,47 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_metrics_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT COUNT(*) AS n_days, CAST(SUM(n) AS BIGINT) AS total FROM d
+    )
+    SELECT d.day, CAST(d.n AS BIGINT) AS n_events,
+           (5 * d.n * t.n_days > 6 * t.total)
+             OR (6 * d.n * t.n_days < 5 * t.total) AS is_anomaly
+    FROM d, t
+    """,
+    category="data-quality",
+)
+def quality_metrics_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric anomaly detection over time (the other half of the Deequ
+    design): the per-day row-count metric series is computed in one pass and
+    each day is flagged when it deviates more than ±20% from the all-days
+    mean — expressed as pure integer cross-multiplication
+    (5·n·days > 6·total), so the verdicts are bit-deterministic cross-engine.
+    At scale this runs per ingest batch against a persisted metric history;
+    here the history is derived in the same plan."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    t = d.agg(
+        F.count("*").alias("n_days"), F.sum("n").cast("bigint").alias("total")
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            (F.lit(5) * F.col("n") * F.col("n_days") > F.lit(6) * F.col("total"))
+            | (F.lit(6) * F.col("n") * F.col("n_days") < F.lit(5) * F.col("total"))
+        ).alias("is_anomaly"),
+    )
+
+
+@query(
     "quality_gate_on_txlog_ingest",
     oracle="""
     WITH uniq AS (
