@@ -62,10 +62,15 @@ def compliance(name: str, predicate_sql: str, min_ratio: float = 1.0) -> _AggChe
     (NULL predicate counts as non-compliant, the SQL CHECK convention)."""
     ok, tot = f"{name}__ok", f"{name}__tot"
     cond = F.coalesce(F.expr(predicate_sql), F.lit(False)).cast("int")
+
+    def verdict(r: dict) -> CheckResult:
+        n_ok = r[ok] or 0  # SUM over zero rows is NULL: empty input complies
+        return CheckResult(name, n_ok, r[tot], n_ok >= min_ratio * r[tot])
+
     return _AggCheck(
         name,
         {ok: F.sum(cond).cast("bigint"), tot: F.count(F.lit(1)).cast("bigint")},
-        lambda r: CheckResult(name, r[ok], r[tot], r[ok] >= min_ratio * r[tot]),
+        verdict,
     )
 
 

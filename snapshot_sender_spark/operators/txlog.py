@@ -53,6 +53,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -176,12 +177,17 @@ def _ranges_overlap(lo, hi, smin, smax) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _txn_key(txn: dict) -> str:
+    return json.dumps(txn, sort_keys=True)
+
+
 @dataclass(frozen=True)
 class TxSnapshot:
     version: int
     schema_json: str | None
     files: dict[str, dict]  # relative path -> add-action payload
-    op_by_version: dict[int, str] = field(default_factory=dict)
+    txns: dict[str, int] = field(default_factory=dict)  # txn key -> version
+    constraints: dict[str, str] = field(default_factory=dict)
 
     def schema(self) -> T.StructType:
         if self.schema_json is None:
@@ -239,7 +245,10 @@ class TxTable:
             eligible = []
             for v in versions:
                 meta = self._read_version_actions(v)[0]["meta"]
-                if meta["ts"] <= timestamp:
+                # a commit without a recorded ts can never match a timestamp
+                # query (writers default to wall-clock, so this only happens
+                # for explicitly ts-less commits)
+                if meta["ts"] is not None and meta["ts"] <= timestamp:
                     eligible.append(v)
             if not eligible:
                 raise TxNotFound(f"no commit at or before ts={timestamp}")
@@ -251,22 +260,27 @@ class TxTable:
 
         files: dict[str, dict] = {}
         schema_json = None
-        op_by_version: dict[int, str] = {}
+        txns: dict[str, int] = {}
+        constraints: dict[str, str] = {}
         for v in versions:
             if v > version:
                 break
             for action in self._read_version_actions(v):
                 if "meta" in action:
-                    op_by_version[v] = action["meta"]["op"]
-                    if action["meta"].get("schema") is not None:
-                        schema_json = action["meta"]["schema"]
+                    meta = action["meta"]
+                    if meta.get("schema") is not None:
+                        schema_json = meta["schema"]
+                    if meta.get("txn") is not None:
+                        txns[_txn_key(meta["txn"])] = v
+                    if meta.get("constraints") is not None:
+                        constraints = dict(meta["constraints"])
                 elif "add" in action:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
         return TxSnapshot(
             version=version, schema_json=schema_json, files=files,
-            op_by_version=op_by_version,
+            txns=txns, constraints=constraints,
         )
 
     # -- read path -----------------------------------------------------------
@@ -320,8 +334,9 @@ class TxTable:
         return self.spark.read.schema(schema).parquet(*files)
 
     def changes(self, from_version: int, to_version: int):
-        """Yield ``(version, op, added, removed)`` per committed version in
-        (from_version, to_version] — the change feed that makes downstream
+        """Yield ``(version, op, added_paths, removed_paths)`` per committed
+        version in (from_version, to_version] — both sides as relative path
+        lists (one symmetric shape) — the change feed that makes downstream
         aggregates incrementally maintainable."""
         for v in self._list_versions():
             if not (from_version < v <= to_version):
@@ -331,7 +346,7 @@ class TxTable:
                 if "meta" in action:
                     op = action["meta"]["op"]
                 elif "add" in action:
-                    added.append(action["add"])
+                    added.append(action["add"]["path"])
                 elif "remove" in action:
                     removed.append(action["remove"]["path"])
             yield v, op, added, removed
@@ -395,6 +410,7 @@ class TxTable:
         revalidate,
         max_retries: int = 20,
         txn: dict | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Claim the next version with a hard link (atomic: claims the number
         AND publishes complete content — a torn log file cannot exist). On
@@ -402,12 +418,16 @@ class TxTable:
         possibly-updated ``(removes, schema_json)`` pair (retry) or raises
         TxConflict."""
         os.makedirs(self._log_dir, exist_ok=True)
+        if ts is None:
+            ts = time.time()  # timestamp travel must always have a value
         attempt_removes = list(removes)
         for _ in range(max_retries):
             target = base_version + 1
             meta = {"version": target, "op": op, "ts": ts, "schema": schema_json}
             if txn is not None:
                 meta["txn"] = txn
+            if constraints is not None:
+                meta["constraints"] = constraints
             lines = [json.dumps({"meta": meta})]
             lines += [json.dumps({"add": a}) for a in adds]
             lines += [json.dumps({"remove": {"path": p}}) for p in attempt_removes]
@@ -437,12 +457,11 @@ class TxTable:
     def find_txn(self, txn: dict) -> int | None:
         """Version that committed application transaction ``txn`` (an
         arbitrary identity dict, e.g. {"app": ..., "batch": ...}), or None.
-        O(versions) metadata reads — never touches data files."""
-        for v in self._list_versions():
-            meta = self._read_version_actions(v)[0]["meta"]
-            if meta.get("txn") == txn:
-                return v
-        return None
+        One log replay — never touches data files."""
+        versions = self._list_versions()
+        if not versions:
+            return None
+        return self.snapshot().txns.get(_txn_key(txn))
 
     def append(self, df: DataFrame, ts: float | None = None, txn: dict | None = None) -> int:
         """Blind append: stages files once, then wins any commit race by
@@ -450,20 +469,22 @@ class TxTable:
         concurrent commit can invalidate it.
 
         With ``txn`` set, the append is IDEMPOTENT on that identity: a replay
-        (same txn dict) returns the already-committed version without writing
-        — checked both up front and again on every commit race, so even two
-        concurrent replays of the same micro-batch commit exactly once. This
+        (same txn dict) returns the already-committed version without writing.
+        The txn check reads the SAME snapshot that fixes the base version, so
+        a competing replay that commits after this read necessarily collides
+        on the version claim — where revalidate re-checks the txn — and even
+        two concurrent replays of one micro-batch commit exactly once. This
         is the exactly-once contract a foreachBatch streaming sink needs:
         key txn on (query id, batch id) and a restarted stream can re-run any
         batch safely (the same ladder Delta's txn action implements)."""
-        if txn is not None:
-            prior = self.find_txn(txn)
+        base, snap = self._current_base()
+        if txn is not None and snap is not None:
+            prior = snap.txns.get(_txn_key(txn))
             if prior is not None:
                 return prior
-        base, snap = self._current_base()
         schema_json = self._merge_schema(snap.schema_json if snap else None, df.schema)
         adds = self._stage(df)
-        self._enforce_on_staged(adds, schema_json)
+        self._enforce_on_staged(adds, schema_json, snap.constraints if snap else {})
 
         class _AlreadyApplied(Exception):
             def __init__(self, version: int):
@@ -471,7 +492,7 @@ class TxTable:
 
         def revalidate(new_snap: TxSnapshot):
             if txn is not None:
-                prior = self.find_txn(txn)
+                prior = new_snap.txns.get(_txn_key(txn))
                 if prior is not None:
                     raise _AlreadyApplied(prior)
             # append conflicts with nothing; but schema may have evolved under us
@@ -517,7 +538,7 @@ class TxTable:
         )
         new_data = survivors.unionByName(source, allowMissingColumns=True)
         adds = self._stage(new_data)
-        self._enforce_on_staged(adds, schema_json)
+        self._enforce_on_staged(adds, schema_json, snap.constraints)
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict(
@@ -534,7 +555,7 @@ class TxTable:
         base, snap = self._current_base()
         schema_json = json.dumps(json.loads(df.schema.json()))  # overwrite resets schema
         adds = self._stage(df)
-        self._enforce_on_staged(adds, schema_json)
+        self._enforce_on_staged(adds, schema_json, snap.constraints if snap else {})
         removes = snap.live_paths() if snap else []
 
         def revalidate(new_snap: TxSnapshot):
@@ -562,7 +583,11 @@ class TxTable:
         )
         if not hit_rel:
             return snap.version  # nothing matched: no new version needed
-        survivors = self.read_files(hit_rel, schema).where(~F.expr(predicate_sql))
+        # SQL DELETE semantics: only rows where the predicate is TRUE go;
+        # NULL-evaluating rows survive (plain ~expr would silently drop them)
+        survivors = self.read_files(hit_rel, schema).where(
+            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+        )
         adds = self._stage(survivors) if survivors.take(1) else []
 
         def revalidate(new_snap: TxSnapshot):
@@ -625,14 +650,41 @@ class TxTable:
         reports exactly the rows that changed, not the rows that were merely
         copied to a new file. Compactions therefore contribute nothing.
         Output: the table columns + _change_type ('insert'|'delete') +
-        _commit_version."""
-        schema = self.snapshot(version=to_version).schema()
+        _commit_version.
+
+        Preconditions, both checked up front: every referenced file must
+        still exist (vacuum with a short retention destroys CDF history —
+        TxNotFound names the file), and no commit in the interval may have
+        TYPE-changed a column vs the target schema (an overwrite legitimately
+        resets the schema; replaying rows across such a reset has no single
+        schema to read under — TxError)."""
+        target_snap = self.snapshot(version=to_version)
+        schema = target_snap.schema()
+        target_types = {f.name: f.dataType for f in schema.fields}
+        feed = list(self.changes(from_version, to_version))
+        for v, _op, added, removed in feed:
+            meta = self._read_version_actions(v)[0]["meta"]
+            if meta.get("schema") is not None:
+                hist = T.StructType.fromJson(json.loads(meta["schema"]))
+                for fld in hist.fields:
+                    tgt = target_types.get(fld.name)
+                    if tgt is not None and tgt != fld.dataType:
+                        raise TxError(
+                            f"row_changes across a schema reset: column "
+                            f"{fld.name!r} was {fld.dataType.simpleString()} at "
+                            f"v{v} but {tgt.simpleString()} at v{to_version}"
+                        )
+            for rel in [*added, *removed]:
+                if not os.path.exists(os.path.join(self.path, rel)):
+                    raise TxNotFound(
+                        f"row_changes needs {rel!r} (v{v}) but vacuum already "
+                        f"removed it — keep a longer retention for CDF readers"
+                    )
         parts: list[DataFrame] = []
-        for v, _op, added, removed in self.changes(from_version, to_version):
-            add_rels = [a["path"] for a in added]
-            # historical files may predate columns: read under the CURRENT
-            # schema so every slice unions cleanly
-            a_df = self.read_files(add_rels, schema)
+        for v, _op, added, removed in feed:
+            # historical files may predate columns: read under the TARGET
+            # schema so every slice unions cleanly (type stability checked above)
+            a_df = self.read_files(added, schema)
             r_df = self.read_files(removed, schema)
             ins = a_df.exceptAll(r_df)
             del_ = r_df.exceptAll(a_df)
@@ -664,16 +716,24 @@ class TxTable:
         """Register a CHECK constraint (a boolean SQL expression over the
         table's columns). Registration validates EXISTING rows first — a
         constraint the current data violates is refused, like Delta's
-        ALTER TABLE ADD CONSTRAINT. Constraints are stored in commit metadata
-        and re-checked by every subsequent append/overwrite/merge (one extra
-        aggregate over the staged data, refusing the commit on violation)."""
-        n_bad = self.read().where(~F.expr(check_sql)).limit(1).count()
+        ALTER TABLE ADD CONSTRAINT. Constraints live in commit metadata
+        (replayed into every snapshot) and are re-checked by every subsequent
+        append/overwrite/merge: one extra aggregate over the STAGED data,
+        refusing the commit on violation. NULL convention matches SQL CHECK
+        everywhere: a constraint evaluating to UNKNOWN passes — write
+        ``x IS NOT NULL AND x > 0`` to also forbid NULLs."""
+        snap = self.snapshot()
+        n_bad = (
+            self.read(version=snap.version)
+            .where(~F.coalesce(F.expr(check_sql), F.lit(True)))
+            .limit(1)
+            .count()
+        )
         if n_bad:
             raise TxError(
                 f"cannot add constraint {name!r}: existing rows violate {check_sql!r}"
             )
-        snap = self.snapshot()
-        cons = dict(self.constraints())
+        cons = dict(snap.constraints)
         cons[name] = check_sql
 
         def revalidate(new_snap: TxSnapshot):
@@ -681,33 +741,31 @@ class TxTable:
 
         return self._commit(
             "set_constraint", [], [], snap.schema_json, ts, snap.version,
-            revalidate, txn={"constraints": cons},
+            revalidate, constraints=cons,
         )
 
     def constraints(self) -> dict[str, str]:
         """Current CHECK constraints (latest set_constraint commit wins)."""
-        out: dict[str, str] = {}
-        for v in self._list_versions():
-            meta = self._read_version_actions(v)[0]["meta"]
-            txn = meta.get("txn")
-            if meta["op"] == "set_constraint" and isinstance(txn, dict):
-                out = dict(txn.get("constraints", {}))
-        return out
+        if not self._list_versions():
+            return {}
+        return dict(self.snapshot().constraints)
 
-    def _enforce_on_staged(self, adds: list[dict], schema_json: str) -> None:
-        """Check every registered constraint against freshly STAGED files (so
-        the input plan never recomputes) under the post-commit schema —
-        a column this commit doesn't carry reads as NULL, and NULL fails a
-        CHECK (coalesce-to-false, the SQL constraint convention). On
+    def _enforce_on_staged(
+        self, adds: list[dict], schema_json: str, cons: dict[str, str]
+    ) -> None:
+        """Check the snapshot's constraints against freshly STAGED files (so
+        the input plan never recomputes) under the post-commit schema. SQL
+        CHECK NULL semantics — UNKNOWN passes — identical to set_constraint's
+        existing-row validation, so a row that was admissible when written
+        can never make a later rewrite of its file uncommittable. On
         violation the staged files are unlinked and the commit refused."""
-        cons = self.constraints()
         if not cons or not adds:
             return
         schema = T.StructType.fromJson(json.loads(schema_json))
         staged = self.read_files([a["path"] for a in adds], schema)
         whole = F.lit(True)
         for expr in cons.values():
-            whole = whole & F.coalesce(F.expr(expr), F.lit(False))
+            whole = whole & F.coalesce(F.expr(expr), F.lit(True))
         bad = staged.where(~whole).limit(1).collect()
         if bad:
             for a in adds:
@@ -735,14 +793,20 @@ class TxTable:
 
     # -- retention -----------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 2) -> list[str]:
+    def vacuum(self, retain_versions: int = 2, min_age_s: float = 3600.0) -> list[str]:
         """Physically delete data files unreachable from the newest
         ``retain_versions`` snapshots — including orphans from crashed
         commits. This is the ONLY deleter of data bytes; until it runs, every
         retained snapshot (and any reader pinned to one) stays intact. It is
         also the second half of a real takedown: delete_where() removes rows
         from the LIVE snapshot, vacuum() with a finite retention actually
-        destroys the bytes once history ages out."""
+        destroys the bytes once history ages out.
+
+        ``min_age_s`` protects IN-FLIGHT commits: a writer that has moved
+        staged files into the root but not yet linked its log entry looks
+        exactly like a crashed orphan, so only files (and staging dirs) older
+        than the window are touched — the same grace Delta's VACUUM default
+        gives. Tests pass 0 on tables they know are quiescent."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         versions = self._list_versions()
@@ -751,12 +815,26 @@ class TxTable:
         keep: set[str] = set()
         for v in versions[-retain_versions:]:
             keep.update(self.snapshot(version=v).files)
+        cutoff = time.time() - min_age_s
         removed = []
         for name in sorted(os.listdir(self.path)):
-            if name.endswith(".parquet") and name not in keep:
-                os.unlink(os.path.join(self.path, name))
-                removed.append(name)
+            if not name.endswith(".parquet") or name in keep:
+                continue
+            full = os.path.join(self.path, name)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight commit's file
+                os.unlink(full)
+            except FileNotFoundError:
+                continue
+            removed.append(name)
         staging_root = os.path.join(self.path, _STAGING_DIR)
         if os.path.isdir(staging_root):
-            shutil.rmtree(staging_root, ignore_errors=True)
+            for sub in os.listdir(staging_root):
+                full = os.path.join(staging_root, sub)
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        shutil.rmtree(full, ignore_errors=True)
+                except FileNotFoundError:
+                    continue
         return removed

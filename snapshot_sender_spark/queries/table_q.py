@@ -572,8 +572,7 @@ def table_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     schema = snap.schema()
     state: dict[str, list[int]] = {}  # flag -> [count, sum_qty]; O(groups) driver state
     for _v, _op, added, removed in t.changes(0, snap.version):
-        for entries, sign in ((added, 1), (removed, -1)):
-            rels = [e["path"] if isinstance(e, dict) else e for e in entries]
+        for rels, sign in ((added, 1), (removed, -1)):
             if not rels:
                 continue
             rows = (

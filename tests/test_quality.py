@@ -71,6 +71,13 @@ def test_value_in_range_bounds_and_null(spark):
     assert rep["min_null"]["observed"] is None and not rep["min_null"]["passed"]
 
 
+def test_compliance_on_empty_input_reports_instead_of_crashing(spark):
+    empty = spark.createDataFrame([], "q int")
+    rep = _report(spark, empty, [compliance("c", "q > 0")])
+    assert (rep["c"]["observed"], rep["c"]["total"]) == (0, 0)
+    assert rep["c"]["passed"]  # vacuously compliant, like completeness
+
+
 def test_primary_key_duplicates_and_nulls(spark):
     ok = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], "a int, b int")
     rep = _report(spark, ok, [primary_key("pk", "a", "b")])

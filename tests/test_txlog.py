@@ -194,7 +194,7 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tmp_path):
     assert t.read().count() == 10  # orphan invisible: only the log makes files live
     on_disk = [f for f in os.listdir(t.path) if f.endswith(".parquet")]
     assert len(on_disk) == 2
-    removed = t.vacuum(retain_versions=1)
+    removed = t.vacuum(retain_versions=1, min_age_s=0)
     assert len(removed) == 1  # exactly the orphan
     assert t.read().count() == 10
 
@@ -204,11 +204,11 @@ def test_vacuum_respects_retention(spark, tmp_path):
     t.append(spark.range(0, 10).coalesce(1), ts=1.0)
     t.overwrite(spark.range(10, 15).coalesce(1), ts=2.0)
     t.overwrite(spark.range(20, 22).coalesce(1), ts=3.0)
-    assert t.vacuum(retain_versions=2) != []  # v1's file goes
+    assert t.vacuum(retain_versions=2, min_age_s=0) != []  # v1's file goes
     assert t.read(version=2).count() == 5  # retained snapshot intact
     assert t.read(version=3).count() == 2
     with pytest.raises(ValueError):
-        t.vacuum(retain_versions=0)
+        t.vacuum(retain_versions=0, min_age_s=0)
 
 
 def test_no_torn_or_tmp_log_files(spark, tmp_path):
@@ -340,7 +340,7 @@ def test_restore_is_metadata_only_rollback(spark, tmp_path):
     assert t.read(version=2).count() == 3
     # restoring to a vacuumed version refuses loudly
     t.overwrite(spark.range(0, 1).coalesce(1), ts=4.0)
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, min_age_s=0)
     with pytest.raises(TxNotFound):
         t.restore(1, ts=5.0)
 
@@ -398,6 +398,91 @@ def test_constraints_enforced_on_append_and_merge(spark, tmp_path):
     # registering a constraint the CURRENT data violates is refused
     with pytest.raises(TxError, match="existing rows violate"):
         t.set_constraint("impossible", "id > 100", ts=6.0)
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL stay
+    (a plain ~expr rewrite would silently drop them — review finding)."""
+    t = _mk(spark, tmp_path, "t_delnull")
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 3)], "id int, x int").coalesce(1)
+    t.append(df, ts=1.0)
+    t.delete_where("x > 5", ts=2.0)
+    got = {(r["id"], r["x"]) for r in t.read().collect()}
+    assert got == {(2, None), (3, 3)}  # the NULL-x row survived
+
+
+def test_timestamp_travel_with_tsless_commits(spark, tmp_path):
+    """Commits default ts to wall-clock, and an explicitly ts-less log entry
+    never breaks timestamp travel."""
+    t = _mk(spark, tmp_path, "t_tsless")
+    t.append(spark.range(0, 3).coalesce(1))  # wall-clock ts recorded
+    t.append(spark.range(3, 5).coalesce(1), ts=9e12)
+    import time as _time
+
+    assert t.read(timestamp=_time.time() + 60).count() == 3
+    assert t.read(timestamp=9e12).count() == 5
+    # a hand-written ts-null entry (legacy table) is skipped, not a crash
+    actions = t._read_version_actions(2)
+    actions[0]["meta"]["ts"] = None
+    with open(t._version_file(2), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert t.read(timestamp=9e12).count() == 3  # v2 invisible to ts travel
+    assert t.read(version=2).count() == 5  # still reachable by version
+
+
+def test_vacuum_min_age_protects_inflight_commit(spark, tmp_path):
+    """A moved-but-not-yet-committed file inside the grace window must
+    survive vacuum (it is indistinguishable from an in-flight commit)."""
+    t = _mk(spark, tmp_path, "t_vacage")
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    adds = t._stage(spark.range(5, 9).coalesce(1))  # in-flight: staged, no log yet
+    assert t.vacuum(retain_versions=1) == []  # default 1h grace: nothing deleted
+    # the in-flight commit can still complete and read back
+    v = t._commit(
+        "append", adds, [], t.snapshot().schema_json, 2.0, 1, lambda s: ([], s.schema_json)
+    )
+    assert v == 2 and t.read().count() == 9
+
+
+def test_constraint_null_semantics_match_sql_check(spark, tmp_path):
+    """UNKNOWN passes a CHECK on both the registration scan and the staged
+    scan, so a row admissible when written can never block a later rewrite
+    of its file (review finding: the two paths previously disagreed)."""
+    t = _mk(spark, tmp_path, "t_consnull")
+    df = spark.createDataFrame([(1, None), (2, 7)], "id int, x int").coalesce(1)
+    t.append(df, ts=1.0)
+    t.set_constraint("pos_x", "x > 0", ts=2.0)  # NULL x passes (UNKNOWN)
+    # merge on an unrelated key rewrites the file containing the NULL row:
+    # must succeed under the same NULL convention
+    t.merge(
+        spark.createDataFrame([(2, 9)], "id int, x int").coalesce(1),
+        keys=["id"],
+        ts=3.0,
+    )
+    got = {(r["id"], r["x"]) for r in t.read().collect()}
+    assert got == {(1, None), (2, 9)}
+    # a genuinely FALSE row is still refused
+    from snapshot_sender_spark.operators.txlog import TxError
+
+    with pytest.raises(TxError, match="constraint violation"):
+        t.append(spark.createDataFrame([(3, -1)], "id int, x int").coalesce(1), ts=4.0)
+
+
+def test_row_changes_guards_vacuum_and_schema_reset(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_cdf_guard")
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    t.overwrite(
+        spark.range(0, 3).select(F.col("id").cast("string").alias("id")).coalesce(1),
+        ts=2.0,
+    )
+    with pytest.raises(TxError, match="schema reset"):
+        t.row_changes(0, 2)
+    t2 = _mk(spark, tmp_path, "t_cdf_guard2")
+    t2.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    t2.overwrite(spark.range(5, 7).coalesce(1), ts=2.0)
+    t2.vacuum(retain_versions=1, min_age_s=0)
+    with pytest.raises(TxNotFound, match="vacuum"):
+        t2.row_changes(0, 2)
 
 
 def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
@@ -459,8 +544,7 @@ def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
     schema = snap.schema()
     state: dict[int, list] = {}  # g -> [count, sum]
     for _v, _op, added, removed in t.changes(0, snap.version):
-        for paths, sign in ((added, 1), (removed, -1)):
-            rels = [a["path"] if isinstance(a, dict) else a for a in paths]
+        for rels, sign in ((added, 1), (removed, -1)):
             rows = (
                 t.read_files(rels, schema)
                 .groupBy("g")

@@ -93,8 +93,7 @@ def run_tier(spark, sf_dir: str, mult: int, n_files: int = 64) -> dict:
     def fold_delta():
         out = {}
         for _v, _op, added, removed in t.changes(v_before, snap.version):
-            for entries, sign in ((added, 1), (removed, -1)):
-                rels = [e["path"] if isinstance(e, dict) else e for e in entries]
+            for rels, sign in ((added, 1), (removed, -1)):
                 if not rels:
                     continue
                 for r in (
