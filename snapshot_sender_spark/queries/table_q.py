@@ -380,6 +380,58 @@ def table_txlog_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# the table as a STREAM SOURCE: offsets are commit versions
+# =============================================================================
+
+
+@query(
+    "table_txlog_stream_source",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+    category="table-format",
+)
+def table_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM the transactional table (the other direction of
+    table_txlog_stream_ingest): the txlog_stream Python DataSource uses the
+    COMMIT VERSION as the stream offset — each micro-batch replays exactly
+    the versions in (start, end], one input partition per added file, Arrow
+    batches under the table's stored schema. Three appends land first; the
+    AvailableNow pass streams the full history into a file sink, and the
+    streamed rows equal the source table exactly (restart-delta and
+    non-append semantics are pinned in tests/test_txlog_stream.py)."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_src_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    for i in range(3):
+        t.append(docs.where(F.col("doc_id") % 3 == i).repartition(2), ts=float(i + 1))
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# =============================================================================
 # row-level change data feed (CDF) derived from the file-level log
 # =============================================================================
 
