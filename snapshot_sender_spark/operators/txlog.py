@@ -233,9 +233,71 @@ class TxTable:
         with open(self._version_file(version), "r", encoding="utf-8") as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    # -- log checkpointing -----------------------------------------------------
+
+    CHECKPOINT_INTERVAL = 20  # commits between checkpoints (Delta defaults 10)
+
+    def _checkpoint_file(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"ckpt-v{version:0{_VERSION_DIGITS}d}.json")
+
+    def _list_checkpoints(self) -> list[int]:
+        if not os.path.isdir(self._log_dir):
+            return []
+        return sorted(
+            int(n[6:-5])
+            for n in os.listdir(self._log_dir)
+            if n.startswith("ckpt-v") and n.endswith(".json")
+        )
+
+    def _write_checkpoint(self, snap: TxSnapshot) -> None:
+        """Persist a replayed snapshot so later reads replay only the log
+        TAIL — O(1 checkpoint + interval) instead of O(versions); without
+        this a long-lived streaming table pays O(V) per commit, O(V²)
+        cumulative. Written via the same tmp+link claim as commits (atomic,
+        never torn; a concurrent writer checkpointing the same version
+        produces identical content, either claim wins). Best-effort: a
+        failed checkpoint write only costs replay speed, never correctness."""
+        payload = json.dumps(
+            {
+                "version": snap.version,
+                "schema": snap.schema_json,
+                "files": snap.files,
+                "txns": snap.txns,
+                "constraints": snap.constraints,
+            }
+        )
+        tmp = os.path.join(self._log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._checkpoint_file(snap.version))
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+
+    def _load_checkpoint(self, version: int) -> TxSnapshot:
+        with open(self._checkpoint_file(version), "r", encoding="utf-8") as fh:
+            d = json.load(fh)
+        return TxSnapshot(
+            version=d["version"],
+            schema_json=d["schema"],
+            files=d["files"],
+            txns=d["txns"],
+            constraints=d["constraints"],
+        )
+
+    def _maybe_checkpoint(self, committed_version: int) -> None:
+        if committed_version % self.CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(self.snapshot(version=committed_version))
+
     def snapshot(self, version: int | None = None, timestamp: float | None = None) -> TxSnapshot:
         """Replay the log up to ``version`` (default: latest), or up to the
-        last version whose commit timestamp is <= ``timestamp``."""
+        last version whose commit timestamp is <= ``timestamp``. Replay
+        starts from the newest checkpoint at or below the target, so the
+        cost is O(log tail), not O(all versions)."""
         versions = self._list_versions()
         if not versions:
             raise TxNotFound(f"no txlog table at {self.path!r}")
@@ -262,7 +324,18 @@ class TxTable:
         schema_json = None
         txns: dict[str, int] = {}
         constraints: dict[str, str] = {}
+        start_after = 0
+        usable_ckpts = [c for c in self._list_checkpoints() if c <= version]
+        if usable_ckpts:
+            base = self._load_checkpoint(usable_ckpts[-1])
+            files = dict(base.files)
+            schema_json = base.schema_json
+            txns = dict(base.txns)
+            constraints = dict(base.constraints)
+            start_after = base.version
         for v in versions:
+            if v <= start_after:
+                continue
             if v > version:
                 break
             for action in self._read_version_actions(v):
@@ -438,6 +511,7 @@ class TxTable:
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, self._version_file(target))
+                self._maybe_checkpoint(target)
                 return target
             except FileExistsError:
                 snap = self.snapshot()  # someone else won this version
@@ -837,4 +911,11 @@ class TxTable:
                         shutil.rmtree(full, ignore_errors=True)
                 except FileNotFoundError:
                     continue
+        # stale checkpoints: keep the newest two (replay falls back to a full
+        # log walk for older time travel, which version files still support)
+        for c in self._list_checkpoints()[:-2]:
+            try:
+                os.unlink(self._checkpoint_file(c))
+            except FileNotFoundError:
+                pass
         return removed

@@ -485,7 +485,45 @@ def test_row_changes_guards_vacuum_and_schema_reset(spark, tmp_path):
         t2.row_changes(0, 2)
 
 
-def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+def test_log_checkpointing_equivalence_and_gc(spark, tmp_path):
+    """Snapshots replayed through a checkpoint equal a full log walk; old
+    checkpoints are GC'd by vacuum; history below the oldest checkpoint
+    still replays from the raw log."""
+    t = _mk(spark, tmp_path, "t_ckpt")
+    one = spark.range(0, 4).coalesce(1)
+    for i in range(1, 45):
+        if i == 10:
+            t.delete_where("id = 0", ts=float(i))
+        else:
+            t.append(one, ts=float(i))
+    assert t._list_checkpoints() == [20, 40]
+    snap = t.snapshot()
+    # ground truth: replay with checkpoints hidden
+    for c in list(t._list_checkpoints()):
+        os.rename(t._checkpoint_file(c), t._checkpoint_file(c) + ".hidden")
+    raw = t.snapshot()
+    assert raw.files == snap.files
+    assert raw.txns == snap.txns and raw.constraints == snap.constraints
+    for c in (20, 40):
+        os.rename(t._checkpoint_file(c) + ".hidden", t._checkpoint_file(c))
+    # mid-history snapshot (below newest ckpt) uses the older one, equal too
+    assert t.snapshot(version=25).total_rows() == raw.total_rows() - 19 * 4
+    # vacuum keeps the newest two checkpoints (both here), historical reads OK
+    t.vacuum(retain_versions=44, min_age_s=0)
+    assert t._list_checkpoints() == [20, 40]
+    assert t.snapshot(version=5).total_rows() == 5 * 4  # below oldest ckpt
+    # no torn tmp files linger in the log dir
+    assert not [n for n in os.listdir(t._log_dir) if n.startswith(".tmp")]
+
+
+def test_checkpointed_snapshot_drives_reads_and_txns(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_ckpt2")
+    for i in range(1, 22):
+        t.append(spark.range(i, i + 1).coalesce(1), ts=float(i), txn={"b": i})
+    assert t._list_checkpoints() == [20]
+    # txn idempotence must see txns THROUGH the checkpoint
+    assert t.append(spark.range(0, 1).coalesce(1), ts=5.0, txn={"b": 5}) == 5
+    assert t.read().count() == 21
     """On a 64×64 grid in 16 files: linear clustering on x prunes x-predicates
     only (every file spans all of y); Morton clustering prunes BOTH
     dimensions. Layout never changes results."""
