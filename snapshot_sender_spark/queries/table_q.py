@@ -432,6 +432,83 @@ def table_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# medallion pipeline: stream into bronze, stream bronze -> silver, both txlog
+# =============================================================================
+
+
+@query(
+    "table_txlog_medallion_pipeline",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE n_chars >= 100 AND lang IS NOT NULL
+    GROUP BY lang
+    """,
+    category="table-format",
+)
+def table_txlog_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse medallion shape end to end, every hop transactional and
+    exactly-once: raw document files stream INTO the bronze txlog table
+    (foreachBatch + txn commits), bronze then streams OUT through the
+    version-offset source, a quality transform (non-null lang, ≥100 chars)
+    runs on the stream, and the survivors land in the silver txlog table
+    under its CHECK constraints — which the bronze stream cannot violate
+    because the transform enforced them. Silver's final state equals the
+    declarative filter over the source, which is exactly the oracle. A
+    replayed micro-batch anywhere in the chain is a no-op (txn identity on
+    both sinks)."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_medal_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(4).write.parquet(f"{work}/landing")
+    bronze = TxTable(spark, f"{work}/bronze")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/landing")
+        .writeStream.foreachBatch(bronze.stream_sink("medallion_bronze"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt_bronze")
+        .start()
+    )
+    q.awaitTermination()
+
+    silver = TxTable(spark, f"{work}/silver")
+    silver.append(docs.limit(0).coalesce(1), ts=0.0)  # schema-only v1
+    silver.set_constraint("lang_known", "lang IS NOT NULL", ts=0.5)
+    silver.set_constraint("long_enough", "n_chars >= 100", ts=0.6)
+    sink = silver.stream_sink("medallion_silver")
+
+    def refine(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            batch_df.where(F.col("lang").isNotNull() & (F.col("n_chars") >= 100)),
+            batch_id,
+        )
+
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", bronze.path)
+        .load()
+        .writeStream.foreachBatch(refine)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt_silver")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        silver.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# =============================================================================
 # row-level change data feed (CDF) derived from the file-level log
 # =============================================================================
 

@@ -402,6 +402,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
         "tpch_q11_important_stock",       # scalar-subquery threshold
         "tpch_q22_global_sales_opportunity",  # scalar-subquery avg balance
         "quality_referential_audit",      # cross join of two 1-row aggregates
+        "quality_metrics_anomaly",        # day series × broadcast 1-row totals
     }
     batch_py, arrow_py, nlj = set(), set(), set()
     for name, qd in sorted(all_queries().items()):
