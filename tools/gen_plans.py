@@ -22,6 +22,7 @@ PICKS = [
     ("dedup_simhash_pairs", "SimHash near-dup mining: signatures from the vectorized Arrow kernel, then the 16-bit-band self-join — candidate pairs share a band (shuffle keyed on the band value), never an all-pairs product; the hamming filter runs on the already-tiny candidate set. Exact for hamming ≤ 3 by pigeonhole (oracle-checked)."),
     ("dedup_substring_spans", "Exact substring dedup (round 6): the positional-shingle stream (one row per token) exchanges only (16-byte binary md5, id, pos) — document text never shuffles; the duplicated-window groupBy is two-phase partial agg (Exchange 14 carries post-HAVING hashes only), and the islands pass is one per-doc window (Exchange 21). At this tier the small dup-hash set and per-doc stats BROADCAST (joins 19/32); at corpus scale AQE falls back to the same joins shuffled on the 16-byte key — either way the probe side never re-shuffles text because the text column was pruned at the scan."),
     ("dedup_chunk_level", "C4-style line/chunk dedup (round 6): the winner window partitions on the 16-byte binary chunk hash and row_number picks the first (id, pos) occurrence — and Spark inserts WindowGroupLimit on BOTH sides of the exchange (7 before, 10 after), so each map task forwards at most one candidate per chunk hash and the shuffle carries survivors, not the corpus. Chunk text crosses that exchange and the per-doc reassembly groupBy — exactly two text-bearing exchanges, no driver state."),
+    ("table_txlog_stats_pruning", "Transactional-table stats pruning (round 10): the parquet scan in this plan enumerates ONLY the files whose footer min/max intersect the predicate — the txlog read resolved 16 range-clustered files down to the 1-2 overlapping [3,9] on user_id BEFORE Spark planned the scan, so the FileScan's file list (and at object-store scale, every LIST/GET for the other files) is already pruned; the residual filter still runs, so pruning can never change the answer."),
     ("dedup_image_near", "Perceptual image dedup (round 6): the synth and decode+aHash MapInPandas stages stack back-to-back with NO exchange between them (plan nodes 3-4) — image bytes move worker-locally between the Python runners and never cross an exchange; after the hash stage only (id, 8-byte sig) rows exist, and the band explode, band-equality join, and hamming filter are all JVM. The same shape serves the audio and video fingerprint miners."),
 ]
 
