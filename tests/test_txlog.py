@@ -565,6 +565,71 @@ def test_checkpointed_snapshot_drives_reads_and_txns(spark, tmp_path):
         assert got == 16
 
 
+def test_mixed_writer_stress_invariants(spark, tmp_path):
+    """Concurrent appends, deletes, and compactions with conflict retries:
+    whatever interleaving happens, (a) every appended row not explicitly
+    deleted is present exactly once, (b) every live file exists on disk,
+    (c) the log replays cleanly at every version."""
+    t = _mk(spark, tmp_path, "t_stress")
+    t.append(spark.range(0, 100).coalesce(1), ts=0.0)
+    errs = []
+
+    def appender(lo):
+        try:
+            t.append(spark.range(lo, lo + 50).coalesce(2), ts=1.0)
+        except Exception as e:  # pragma: no cover
+            errs.append(("append", e))
+
+    def deleter():
+        for _ in range(5):
+            try:
+                t.delete_where("id % 100 = 7", ts=2.0)
+                return
+            except TxConflict:
+                continue
+        errs.append(("delete", "never converged"))  # pragma: no cover
+
+    def compactor():
+        for _ in range(5):
+            try:
+                t.compact(target_files=2, ts=3.0)
+                return
+            except TxConflict:
+                continue
+        # compaction may legitimately stay contended; that's not an error
+
+    threads = [
+        threading.Thread(target=appender, args=(1000,)),
+        threading.Thread(target=appender, args=(2000,)),
+        threading.Thread(target=deleter),
+        threading.Thread(target=compactor),
+        threading.Thread(target=appender, args=(3000,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    snap = t.snapshot()
+    # (b) every live file exists
+    for rel in snap.live_paths():
+        assert os.path.exists(os.path.join(t.path, rel))
+    # (a) all appended ids present exactly once, modulo the delete
+    got = [r["id"] for r in t.read().collect()]
+    assert len(got) == len(set(got))  # no duplicates from any interleaving
+    expected = set(range(0, 100)) | set(range(1000, 1050)) | set(range(2000, 2050)) | set(range(3000, 3050))
+    deleted = {i for i in expected if i % 100 == 7}
+    missing = (expected - deleted) - set(got)
+    extra = set(got) - expected
+    assert not extra, sorted(extra)[:5]
+    # the delete may have landed before some appends; rows it never saw stay
+    assert missing <= deleted or not missing, sorted(missing)[:5]
+    # (c) every historical version replays and its live files are consistent
+    for v in range(1, snap.version + 1):
+        s = t.snapshot(version=v)
+        assert all(isinstance(a["rows"], int) for a in s.files.values())
+
+
 def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
     """new_state = old_state + agg(added) − agg(removed), folded over the
     change feed, equals a full recompute after append/append/delete/compact."""
