@@ -156,10 +156,47 @@ def commit_metadata_costs(spark) -> tuple[float, float]:
     return per_commit, replay
 
 
+def stream_source_throughput(spark, sf_dir: str, mult: int = 10) -> None:
+    """rows/s through the txlog_stream Python DataSource (AvailableNow full
+    history into a file sink) — the Python-decode tradeoff documented the
+    same way as the Avro source's."""
+    from snapshot_sender_spark.sources.txlog_stream import register
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="txlog_stream_scale_")
+    t = TxTable(spark, os.path.join(work, "tab"))
+    ev = build_events(spark, sf_dir, mult)
+    t.append(ev.repartition(32), ts=1.0)
+    rows = t.snapshot().total_rows()
+    t0 = time.monotonic()
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(work, "out"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.monotonic() - t0
+    got = spark.read.parquet(os.path.join(work, "out")).count()
+    assert got == rows, (got, rows)
+    print(
+        f"stream source: {rows:,} rows / 32 files in {dt:.1f}s "
+        f"({rows/dt/1000:.0f}k rows/s, one partition per file)"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="txlog_scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--stream" in sys.argv:
+        stream_source_throughput(spark, sf_dir)
+        return
     print(f"| mult | rows | files | write s | pruned files | full-scan s | pruned s | COW rewritten | delete s | fold-delta s | recompute s |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
     for mult in (1, 10, 100):
