@@ -327,12 +327,16 @@ class TxTable:
         start_after = 0
         usable_ckpts = [c for c in self._list_checkpoints() if c <= version]
         if usable_ckpts:
-            base = self._load_checkpoint(usable_ckpts[-1])
-            files = dict(base.files)
-            schema_json = base.schema_json
-            txns = dict(base.txns)
-            constraints = dict(base.constraints)
-            start_after = base.version
+            try:
+                base = self._load_checkpoint(usable_ckpts[-1])
+            except FileNotFoundError:
+                base = None  # concurrent vacuum GC'd it; raw log still serves
+            if base is not None:
+                files = dict(base.files)
+                schema_json = base.schema_json
+                txns = dict(base.txns)
+                constraints = dict(base.constraints)
+                start_after = base.version
         for v in versions:
             if v <= start_after:
                 continue
@@ -343,10 +347,15 @@ class TxTable:
                     meta = action["meta"]
                     if meta.get("schema") is not None:
                         schema_json = meta["schema"]
-                    if meta.get("txn") is not None:
-                        txns[_txn_key(meta["txn"])] = v
+                    txn = meta.get("txn")
                     if meta.get("constraints") is not None:
                         constraints = dict(meta["constraints"])
+                    elif meta["op"] == "set_constraint" and isinstance(txn, dict):
+                        # pre-dedicated-key log entries stored the table under txn
+                        constraints = dict(txn.get("constraints", {}))
+                        txn = None
+                    if txn is not None:
+                        txns[_txn_key(txn)] = v
                 elif "add" in action:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
@@ -511,7 +520,14 @@ class TxTable:
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, self._version_file(target))
-                self._maybe_checkpoint(target)
+                # the commit is durable once linked; checkpointing after it
+                # is best-effort (a failure costs replay speed, never the
+                # commit — letting it raise here would report a SUCCEEDED
+                # commit as failed and invite a duplicating retry)
+                try:
+                    self._maybe_checkpoint(target)
+                except Exception:
+                    pass
                 return target
             except FileExistsError:
                 snap = self.snapshot()  # someone else won this version
@@ -735,19 +751,28 @@ class TxTable:
         target_snap = self.snapshot(version=to_version)
         schema = target_snap.schema()
         target_types = {f.name: f.dataType for f in schema.fields}
+
+        def _check_types(schema_json: str | None, at: str) -> None:
+            if schema_json is None:
+                return
+            hist = T.StructType.fromJson(json.loads(schema_json))
+            for fld in hist.fields:
+                tgt = target_types.get(fld.name)
+                if tgt is not None and tgt != fld.dataType:
+                    raise TxError(
+                        f"row_changes across a schema reset: column "
+                        f"{fld.name!r} was {fld.dataType.simpleString()} at "
+                        f"{at} but {tgt.simpleString()} at v{to_version}"
+                    )
+
+        # removed files inside the interval may have been WRITTEN before it —
+        # they were live (hence readable) under from_version's schema, so
+        # checking that base schema plus every interval meta covers them
+        if from_version > 0:
+            _check_types(self.snapshot(version=from_version).schema_json, f"v{from_version}")
         feed = list(self.changes(from_version, to_version))
         for v, _op, added, removed in feed:
-            meta = self._read_version_actions(v)[0]["meta"]
-            if meta.get("schema") is not None:
-                hist = T.StructType.fromJson(json.loads(meta["schema"]))
-                for fld in hist.fields:
-                    tgt = target_types.get(fld.name)
-                    if tgt is not None and tgt != fld.dataType:
-                        raise TxError(
-                            f"row_changes across a schema reset: column "
-                            f"{fld.name!r} was {fld.dataType.simpleString()} at "
-                            f"v{v} but {tgt.simpleString()} at v{to_version}"
-                        )
+            _check_types(self._read_version_actions(v)[0]["meta"].get("schema"), f"v{v}")
             for rel in [*added, *removed]:
                 if not os.path.exists(os.path.join(self.path, rel)):
                     raise TxNotFound(

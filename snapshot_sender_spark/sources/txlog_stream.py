@@ -36,6 +36,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
+from ..operators.txlog import _LOG_DIR, _VERSION_DIGITS
+
 
 class _AddedFilePartition(InputPartition):
     def __init__(self, path: str, schema_json: str):
@@ -44,17 +46,19 @@ class _AddedFilePartition(InputPartition):
 
 
 class _TxlogStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema_json: str | None = None):
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("txlog_stream requires option path=<table dir>")
         self.ignore_changes = str(options.get("ignore_changes", "false")).lower() == "true"
         self.start_version = int(options.get("starting_version", "0"))
-        # the STREAM schema is fixed at reader construction (the engine fixed
-        # it at load() via DataSource.schema()): every emitted batch uses it,
-        # older files backfill NULL, and columns evolved AFTER the stream
-        # started surface only on restart — the Delta streaming stance
-        self.schema_json = self._latest_schema_json()
+        # the STREAM schema is fixed for the reader's lifetime: every emitted
+        # batch uses it, older files backfill NULL, and columns evolved AFTER
+        # the stream started surface only on restart — the Delta streaming
+        # stance. streamReader() passes the ENGINE's schema through so batches
+        # can never diverge from the analyzed plan, even when a commit lands
+        # between schema() and streamReader().
+        self.schema_json = schema_json or self._latest_schema_json()
 
     def _latest_schema_json(self) -> str:
         schema_json = None
@@ -69,7 +73,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
     # -- log access (driver side; mirrors TxTable's layout contract) ---------
 
     def _log_dir(self) -> str:
-        return os.path.join(self.table_path, "_txlog")
+        return os.path.join(self.table_path, _LOG_DIR)
 
     def _versions(self) -> list[int]:
         d = self._log_dir()
@@ -80,7 +84,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
         )
 
     def _actions(self, v: int) -> list[dict]:
-        f = os.path.join(self._log_dir(), f"v{v:011d}.json")
+        f = os.path.join(self._log_dir(), f"v{v:0{_VERSION_DIGITS}d}.json")
         with open(f, "r", encoding="utf-8") as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
@@ -98,12 +102,12 @@ class _TxlogStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[_AddedFilePartition] = []
         for v in self._versions():
+            if v <= lo:  # before reading anything: a micro-batch costs O(tail)
+                continue
             if v > hi:
                 break
             actions = self._actions(v)
             meta = actions[0]["meta"]
-            if v <= lo:
-                continue
             if meta["op"] not in ("append", "set_constraint"):
                 if self.ignore_changes:
                     continue
@@ -114,12 +118,15 @@ class _TxlogStreamReader(DataSourceStreamReader):
                 )
             for action in actions[1:]:
                 if "add" in action:
-                    parts.append(
-                        _AddedFilePartition(
-                            os.path.join(self.table_path, action["add"]["path"]),
-                            self.schema_json,
+                    full = os.path.join(self.table_path, action["add"]["path"])
+                    if not os.path.exists(full):
+                        raise FileNotFoundError(
+                            f"txlog_stream: v{v} file {action['add']['path']!r} "
+                            "was already vacuumed — keep a longer retention for "
+                            "streaming readers, or start from a newer "
+                            "starting_version"
                         )
-                    )
+                    parts.append(_AddedFilePartition(full, self.schema_json))
         return parts
 
     def read(self, part: _AddedFilePartition):
@@ -163,7 +170,11 @@ class TxlogStreamDataSource(DataSource):
         )
 
     def streamReader(self, schema: T.StructType):
-        return _TxlogStreamReader(self.options)
+        # pass the ENGINE's schema through: batches must match the analyzed
+        # plan even if a commit evolved the table after schema() was called
+        return _TxlogStreamReader(
+            self.options, schema_json=json.dumps(schema.jsonValue())
+        )
 
 
 def register(spark) -> None:

@@ -477,6 +477,10 @@ def test_row_changes_guards_vacuum_and_schema_reset(spark, tmp_path):
     )
     with pytest.raises(TxError, match="schema reset"):
         t.row_changes(0, 2)
+    # also when the pre-reset commit sits BEFORE the interval: the removed
+    # files were written under the base schema, which must be type-checked too
+    with pytest.raises(TxError, match="schema reset"):
+        t.row_changes(1, 2)
     t2 = _mk(spark, tmp_path, "t_cdf_guard2")
     t2.append(spark.range(0, 5).coalesce(1), ts=1.0)
     t2.overwrite(spark.range(5, 7).coalesce(1), ts=2.0)
@@ -524,6 +528,9 @@ def test_checkpointed_snapshot_drives_reads_and_txns(spark, tmp_path):
     # txn idempotence must see txns THROUGH the checkpoint
     assert t.append(spark.range(0, 1).coalesce(1), ts=5.0, txn={"b": 5}) == 5
     assert t.read().count() == 21
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
     """On a 64×64 grid in 16 files: linear clustering on x prunes x-predicates
     only (every file spans all of y); Morton clustering prunes BOTH
     dimensions. Layout never changes results."""
@@ -563,6 +570,42 @@ def test_checkpointed_snapshot_drives_reads_and_txns(spark, tmp_path):
             .count()
         )
         assert got == 16
+
+
+def test_legacy_constraint_log_entries_still_enforced(spark, tmp_path):
+    """Log entries from the pre-dedicated-key format (constraints stored
+    under meta.txn) replay into the constraints table and never pollute the
+    txn-identity map."""
+    t = _mk(spark, tmp_path, "t_legacy")
+    t.append(spark.range(1, 5).coalesce(1), ts=1.0)
+    # hand-write a legacy-format set_constraint entry as v2
+    legacy = {
+        "meta": {
+            "version": 2, "op": "set_constraint", "ts": 2.0,
+            "schema": t.snapshot().schema_json,
+            "txn": {"constraints": {"pos": "id > 0"}},
+        }
+    }
+    with open(t._version_file(2), "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(legacy) + "\n")
+    assert t.constraints() == {"pos": "id > 0"}
+    assert t.snapshot().txns == {}  # not misread as a txn identity
+    with pytest.raises(TxError, match="constraint violation"):
+        t.append(spark.range(-1, 0).coalesce(1), ts=3.0)
+
+
+def test_checkpoint_write_failure_never_fails_the_commit(spark, tmp_path, monkeypatch):
+    t = _mk(spark, tmp_path, "t_ckptfail")
+    one = spark.range(0, 2).coalesce(1)
+    for i in range(1, 20):
+        t.append(one, ts=float(i))
+    monkeypatch.setattr(
+        type(t), "_write_checkpoint", lambda self, snap: (_ for _ in ()).throw(OSError("disk full"))
+    )
+    assert t.append(one, ts=20.0) == 20  # the 20th commit succeeds anyway
+    monkeypatch.undo()
+    assert t._list_checkpoints() == []  # no checkpoint, but no failure either
+    assert t.read().count() == 40
 
 
 def test_mixed_writer_stress_invariants(spark, tmp_path):

@@ -73,6 +73,13 @@ def test_non_append_commit_fails_unless_ignored(spark, tmp_path, table):
     assert spark.read.parquet(str(tmp_path / "out2")).count() == 25
 
 
+def test_vacuumed_history_fails_loudly_at_planning(spark, tmp_path, table):
+    table.overwrite(spark.range(0, 3).withColumn("g", F.lit(1).cast("long")).coalesce(1), ts=3.0)
+    table.vacuum(retain_versions=1, min_age_s=0)
+    with pytest.raises(Exception, match="vacuum"):
+        _run(spark, table, tmp_path / "out", tmp_path / "ckpt", ignore_changes="true")
+
+
 def test_starting_version_skips_history(spark, tmp_path, table):
     out, ckpt = tmp_path / "out", tmp_path / "ckpt"
     _run(spark, table, out, ckpt, starting_version="1")

@@ -191,7 +191,8 @@ def stream_source_throughput(spark, sf_dir: str, mult: int = 10) -> None:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
     spark = get_spark(app_name="txlog_scale")
     spark.sparkContext.setLogLevel("ERROR")
     if "--stream" in sys.argv:
