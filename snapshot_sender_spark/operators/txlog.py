@@ -688,15 +688,31 @@ class TxTable:
 
         return self._commit("delete", adds, hit_rel, snap.schema_json, ts, snap.version, revalidate)
 
-    def compact(self, target_files: int = 1, ts: float | None = None) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        ts: float | None = None,
+        cluster_expr: str | None = None,
+    ) -> int:
         """Data-equivalent rewrite of the live files into ``target_files``.
         Concurrent appends are tolerated on retry (their files are simply not
-        compacted this round); removal of any input file aborts."""
+        compacted this round); removal of any input file aborts.
+
+        ``cluster_expr`` (a SQL expression, e.g. a Morton key over two
+        columns) turns this into OPTIMIZE-with-clustering: the rewrite
+        range-partitions and sorts on the expression, so every output file's
+        footer stats cover a tight slice of the clustering space and later
+        reads prune on it — Delta's OPTIMIZE ZORDER BY, as one commit."""
         snap = self.snapshot()
         inputs = snap.live_paths()
         if not inputs:
             return snap.version
-        compacted = self.read_files(inputs, snap.schema()).coalesce(target_files)
+        data = self.read_files(inputs, snap.schema())
+        if cluster_expr is not None:
+            key = F.expr(cluster_expr)
+            compacted = data.repartitionByRange(target_files, key).sortWithinPartitions(key)
+        else:
+            compacted = data.coalesce(target_files)
         adds = self._stage(compacted)
 
         def revalidate(new_snap: TxSnapshot):

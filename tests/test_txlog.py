@@ -572,6 +572,28 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
         assert got == 16
 
 
+def test_compact_with_clustering_tightens_stats(spark, tmp_path):
+    """OPTIMIZE-with-clustering: scattered appends give useless per-file
+    stats; a clustered compaction makes a box predicate prunable — data
+    equivalence throughout."""
+    from snapshot_sender_spark.queries.scale_q import _morton16
+
+    t = _mk(spark, tmp_path, "t_opt")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    # scattered ingest: hash-partitioned appends → every file spans everything
+    t.append(grid.repartition(8), ts=1.0)
+    box = [("x", 10, 13), ("y", 10, 13)]
+    assert len(t.candidate_files(prune=box)) == 8  # nothing prunable
+    pre = t.read().count()
+    t.compact(target_files=16, ts=2.0, cluster_expr=_morton16("x", "y"))
+    assert len(t.snapshot().live_paths()) == 16
+    assert len(t.candidate_files(prune=box)) <= 2  # clustered: box prunes
+    got = t.read(prune=box).where("x BETWEEN 10 AND 13 AND y BETWEEN 10 AND 13")
+    assert got.count() == 16 and t.read().count() == pre
+
+
 def test_legacy_constraint_log_entries_still_enforced(spark, tmp_path):
     """Log entries from the pre-dedicated-key format (constraints stored
     under meta.txn) replay into the constraints table and never pollute the
