@@ -723,6 +723,36 @@ class TxTable:
 
         return self._commit("compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate)
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit — (version, op, ts,
+        n_files_added, n_files_removed, rows_added, rows_removed). Rows
+        removed is exact because remove actions are resolved against the
+        add payloads the log already carries; the whole thing is one log
+        replay, no data I/O — the audit surface a takedown/compliance
+        review reads."""
+        adds_by_path: dict[str, int] = {}
+        rows = []
+        for v in self._list_versions():
+            op, ts = None, None
+            n_add = n_rem = rows_add = rows_rem = 0
+            for action in self._read_version_actions(v):
+                if "meta" in action:
+                    op, ts = action["meta"]["op"], action["meta"]["ts"]
+                elif "add" in action:
+                    adds_by_path[action["add"]["path"]] = action["add"]["rows"]
+                    n_add += 1
+                    rows_add += action["add"]["rows"]
+                elif "remove" in action:
+                    n_rem += 1
+                    rows_rem += adds_by_path.get(action["remove"]["path"], 0)
+            rows.append((v, op, float(ts) if ts is not None else None,
+                         n_add, n_rem, rows_add, rows_rem))
+        return self.spark.createDataFrame(
+            rows,
+            "version bigint, op string, ts double, n_files_added bigint, "
+            "n_files_removed bigint, rows_added bigint, rows_removed bigint",
+        )
+
     def restore(self, version: int, ts: float | None = None) -> int:
         """Metadata-only rollback: commit a new version whose live set IS the
         old snapshot's — no data movement (the old files still exist unless

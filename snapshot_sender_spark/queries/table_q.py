@@ -559,6 +559,47 @@ def table_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# DESCRIBE HISTORY: the audit view of the commit log
+# =============================================================================
+
+
+@query(
+    "table_txlog_history",
+    oracle="""
+    WITH a AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 0),
+         b AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 = 1),
+         live AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 3 < 2),
+         kept AS (SELECT COUNT(*) AS n FROM documents
+                  WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0)
+    SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+           CAST(1.0 AS DOUBLE) AS ts,
+           CAST(a.n AS BIGINT) AS rows_added, CAST(0 AS BIGINT) AS rows_removed
+    FROM a
+    UNION ALL SELECT 2, 'append', CAST(2.0 AS DOUBLE), CAST(b.n AS BIGINT), 0 FROM b
+    UNION ALL SELECT 3, 'delete', CAST(3.0 AS DOUBLE), CAST(kept.n AS BIGINT),
+                     CAST(live.n AS BIGINT) FROM kept, live
+    UNION ALL SELECT 4, 'compact', CAST(4.0 AS DOUBLE), CAST(kept.n AS BIGINT),
+                     CAST(kept.n AS BIGINT) FROM kept
+    """,
+    category="table-format",
+)
+def table_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over a deterministic lifecycle (two appends, a COW
+    delete whose range-clustered files each contain a hit, a compaction):
+    per-commit rows added/removed derive purely from the base table, so the
+    audit view itself is oracle-checked — the compliance answer to 'what did
+    the takedown at v3 actually remove, and when'."""
+    work = _workdir("txlog_hist_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.where(F.col("doc_id") % 3 == 0).repartitionByRange(2, "doc_id"), ts=1.0)
+    t.append(docs.where(F.col("doc_id") % 3 == 1).repartitionByRange(2, "doc_id"), ts=2.0)
+    t.delete_where("doc_id % 5 = 0", ts=3.0)
+    t.compact(target_files=1, ts=4.0)
+    return t.history().select("version", "op", "ts", "rows_added", "rows_removed")
+
+
+# =============================================================================
 # RESTORE: metadata-only rollback of a bad deploy
 # =============================================================================
 
