@@ -1,0 +1,91 @@
+"""Model-based testing of the transactional table format: hypothesis drives
+random op sequences (append / delete / overwrite / compact / restore) against
+both the real TxTable and a trivial in-memory model (a list of (id, v) rows +
+a version history); after every op the table must equal the model, and time
+travel to any recorded version must equal the model's history."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from snapshot_sender_spark.operators.txlog import TxTable
+
+
+def _rows(df):
+    return sorted((r["id"], r["v"]) for r in df.collect())
+
+
+class _Model:
+    def __init__(self):
+        self.live: list[tuple[int, int]] = []
+        self.history: dict[int, list[tuple[int, int]]] = {}
+        self.version = 0
+
+    def snap(self):
+        self.version += 1
+        self.history[self.version] = sorted(self.live)
+
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.integers(0, 49), st.integers(1, 6)),
+    st.tuples(st.just("delete"), st.integers(0, 9), st.just(0)),
+    st.tuples(st.just("overwrite"), st.integers(0, 49), st.integers(1, 4)),
+    st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    st.tuples(st.just("restore"), st.integers(1, 8), st.just(0)),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=7))
+def test_txlog_matches_model_under_random_op_sequences(spark, tmp_path_factory, ops):
+    t = TxTable(spark, str(tmp_path_factory.mktemp("model") / "tab"))
+    m = _Model()
+
+    def mk(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, (lo + i) % 7) for i in range(n)], "id long, v long"
+        ).coalesce(1)
+
+    t.append(mk(0, 5), ts=0.0)
+    m.live = [(i, i % 7) for i in range(5)]
+    m.snap()
+
+    for kind, a, b in ops:
+        ts = float(m.version + 1)
+        if kind == "append":
+            t.append(mk(a, b), ts=ts)
+            m.live += [(a + i, (a + i) % 7) for i in range(b)]
+            m.snap()
+        elif kind == "delete":
+            v_before = t.latest_version()
+            t.delete_where(f"id % 10 = {a}", ts=ts)
+            kept = [(i, v) for (i, v) in m.live if i % 10 != a]
+            if t.latest_version() != v_before:  # no-op deletes commit nothing
+                m.live = kept
+                m.snap()
+            else:
+                assert kept == sorted(m.live) or sorted(kept) == sorted(m.live)
+        elif kind == "overwrite":
+            t.overwrite(mk(a, b), ts=ts)
+            m.live = [(a + i, (a + i) % 7) for i in range(b)]
+            m.snap()
+        elif kind == "compact":
+            v_before = t.latest_version()
+            t.compact(target_files=1, ts=ts)
+            if t.latest_version() != v_before:
+                m.snap()  # contents unchanged
+        elif kind == "restore":
+            target = min(a, m.version)
+            t.restore(target, ts=ts)
+            m.live = list(m.history[target])
+            m.snap()
+        assert _rows(t.read()) == sorted(m.live), (kind, a, b)
+
+    # time travel across the whole recorded history (no vacuum ran)
+    for v, expected in m.history.items():
+        assert _rows(t.read(version=v)) == expected, f"time travel to v{v}"
