@@ -594,7 +594,18 @@ def table_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = TxTable(spark, f"{work}/docs_tx")
     t.append(docs.where(F.col("doc_id") % 3 == 0).repartitionByRange(2, "doc_id"), ts=1.0)
     t.append(docs.where(F.col("doc_id") % 3 == 1).repartitionByRange(2, "doc_id"), ts=2.0)
+    live_before = set(t.snapshot().live_paths())
     t.delete_where("doc_id % 5 = 0", ts=3.0)
+    # the oracle's v3 row assumes EVERY pre-delete file contained a hit (true
+    # for range-clustered files spanning >= 5 consecutive same-residue ids);
+    # fail loudly with the reason if a fixture change ever breaks that,
+    # instead of surfacing as an unexplained hash mismatch
+    survivors = live_before & set(t.snapshot().live_paths())
+    if survivors:
+        raise AssertionError(
+            f"history-oracle invariant broken: {len(survivors)} pre-delete "
+            "file(s) contained no doc_id % 5 = 0 row; re-derive the oracle"
+        )
     t.compact(target_files=1, ts=4.0)
     return t.history().select("version", "op", "ts", "rows_added", "rows_removed")
 

@@ -594,6 +594,23 @@ def test_compact_with_clustering_tightens_stats(spark, tmp_path):
     assert got.count() == 16 and t.read().count() == pre
 
 
+def test_history_accounts_overwrite_and_restore(spark, tmp_path):
+    """history()'s rows_removed resolves removes against the add payloads —
+    verified for the overwrite (removes all prior live) and restore (re-adds
+    old payloads, removes current) paths the query lifecycle doesn't hit."""
+    t = _mk(spark, tmp_path, "t_hist_or")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)  # v1: +10
+    t.overwrite(spark.range(0, 3).coalesce(1), ts=2.0)  # v2: +3 / -10
+    t.restore(1, ts=3.0)  # v3: +10 (re-add v1's payloads) / -3
+    t.delete_where("id < 2", ts=4.0)  # v4: +8 / -10 (the restored file)
+    h = {r["version"]: r for r in t.history().collect()}
+    assert (h[1]["rows_added"], h[1]["rows_removed"]) == (10, 0)
+    assert (h[2]["op"], h[2]["rows_added"], h[2]["rows_removed"]) == ("overwrite", 3, 10)
+    assert (h[3]["op"], h[3]["rows_added"], h[3]["rows_removed"]) == ("restore", 10, 3)
+    assert (h[4]["op"], h[4]["rows_added"], h[4]["rows_removed"]) == ("delete", 8, 10)
+    assert h[2]["n_files_removed"] == 1 and h[3]["n_files_added"] == 1
+
+
 def test_legacy_constraint_log_entries_still_enforced(spark, tmp_path):
     """Log entries from the pre-dedicated-key format (constraints stored
     under meta.txn) replay into the constraints table and never pollute the

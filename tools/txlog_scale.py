@@ -192,30 +192,29 @@ def stream_source_throughput(spark, sf_dir: str, mult: int = 10) -> None:
 
 def merge_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
     """COW MERGE cost at 10M rows: update one user shard (~0.03% of keys,
-    clustered into few files) and insert a handful of new keys — rewritten
-    file fraction + wall-clock, equal-results asserted."""
+    clustered into few files) and insert five deterministic new keys —
+    rewritten file fraction + wall-clock; the updated-row and inserted-row
+    counts are asserted EXACTLY (the source is deterministic: no LIMIT)."""
     work = tempfile.mkdtemp(prefix="txlog_merge_scale_")
     t = TxTable(spark, os.path.join(work, "tab"))
     ev = build_events(spark, sf_dir, mult)
     t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
     before = set(t.snapshot().live_paths())
-    src = (
-        build_events(spark, sf_dir, 1)
-        .where(F.col("user_id") == 510)
-        .withColumn("value", F.col("value") + 1000.0)
-        .union(
-            build_events(spark, sf_dir, 1).limit(5).withColumn(
-                "event_id", F.col("event_id") + F.lit(9 * 10**14)
-            )
-        )
+    base = build_events(spark, sf_dir, 1)
+    updates = base.where(F.col("user_id") == 510).withColumn(
+        "value", F.lit(10**6).cast("double")
     )
-    n_src = src.count()
-    _, dt = timed(lambda: t.merge(src, keys=["event_id"], ts=2.0))
+    inserts = base.where(F.col("event_id") < 5).withColumn(
+        "event_id", F.col("event_id") + F.lit(9 * 10**14)
+    )
+    n_upd, n_ins = updates.count(), inserts.count()
+    _, dt = timed(lambda: t.merge(updates.union(inserts), keys=["event_id"], ts=2.0))
     after = set(t.snapshot().live_paths())
     rewritten = len(before - after)
-    got = t.read().where(F.col("value") >= 1000.0).count()
-    exp = src.where(F.col("value") >= 1000.0).count()
-    assert got >= exp, (got, exp)
+    n_src = n_upd + n_ins
+    got_upd = t.read().where(F.col("value") == 10**6).count()
+    got_ins = t.read().where(F.col("event_id") >= 9 * 10**14).count()
+    assert (got_upd, got_ins) == (n_upd, n_ins), (got_upd, n_upd, got_ins, n_ins)
     print(
         f"merge: {n_src} source rows into {t.snapshot().total_rows():,} rows — "
         f"{rewritten}/{n_files} files rewritten in {dt:.1f}s"
