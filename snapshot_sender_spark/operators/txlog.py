@@ -106,6 +106,41 @@ def _dec_stat(v):
     return v
 
 
+STRING_STAT_PREFIX = 16  # chars/bytes of row content a stats entry may retain
+
+
+def _truncate_stat_bounds(vmin, vmax):
+    """Cap CONTENT LEAKAGE of string/bytes stats into the immutable log:
+    min truncates to a prefix (still a valid lower bound); max truncates
+    with its last unit incremented (still a valid upper bound — every full
+    value with that prefix sorts below the bumped prefix). If the bump
+    overflows, the bounds are dropped entirely (pruning stays conservative).
+    This is why a vacuumed takedown leaves at most a 16-char prefix in
+    metadata — exclude content columns from stats entirely (stats_exclude)
+    when even a prefix is sensitive."""
+    if isinstance(vmin, str) and isinstance(vmax, str):
+        if len(vmin) <= STRING_STAT_PREFIX and len(vmax) <= STRING_STAT_PREFIX:
+            return vmin, vmax
+        tmin = vmin[:STRING_STAT_PREFIX]
+        tmax = vmax[:STRING_STAT_PREFIX]
+        for i in range(len(tmax) - 1, -1, -1):
+            if ord(tmax[i]) < 0x10FFFF:
+                tmax = tmax[:i] + chr(ord(tmax[i]) + 1)
+                return tmin, tmax
+        return None, None
+    if isinstance(vmin, bytes) and isinstance(vmax, bytes):
+        if len(vmin) <= STRING_STAT_PREFIX and len(vmax) <= STRING_STAT_PREFIX:
+            return vmin, vmax
+        tmin = vmin[:STRING_STAT_PREFIX]
+        tmax = bytearray(vmax[:STRING_STAT_PREFIX])
+        for i in range(len(tmax) - 1, -1, -1):
+            if tmax[i] < 0xFF:
+                tmax[i] += 1
+                return tmin, bytes(tmax[: i + 1])
+        return None, None
+    return vmin, vmax
+
+
 def _footer_stats(local_path: str) -> tuple[int, int, dict]:
     """(rows, bytes, {col: {min,max,nulls}}) from one parquet footer.
 
@@ -150,11 +185,16 @@ def _footer_stats(local_path: str) -> tuple[int, int, dict]:
         # dropped rather than stored lossily. None (all-null column) is fine.
         return v is None or type(_dec_stat(_enc_stat(v))) is type(v)
 
-    stats = {
-        c: {"min": _enc_stat(e["min"]), "max": _enc_stat(e["max"]), "nulls": e["nulls"]}
-        for c, e in per_col.items()
-        if _roundtrips(e["min"]) and _roundtrips(e["max"])
-    }
+    stats = {}
+    for c, e in per_col.items():
+        if not (_roundtrips(e["min"]) and _roundtrips(e["max"])):
+            continue
+        vmin, vmax = e["min"], e["max"]
+        if vmin is not None:
+            vmin, vmax = _truncate_stat_bounds(vmin, vmax)
+            if vmin is None and e["min"] is not None:
+                continue  # untruncatable bounds: store no stat at all
+        stats[c] = {"min": _enc_stat(vmin), "max": _enc_stat(vmax), "nulls": e["nulls"]}
     return md.num_rows, os.path.getsize(local_path), stats
 
 
@@ -204,10 +244,14 @@ class TxSnapshot:
 class TxTable:
     """One transactional parquet table rooted at ``path`` (see module doc)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, stats_exclude: tuple[str, ...] = ()):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._log_dir = os.path.join(self.path, _LOG_DIR)
+        # columns whose footer stats must NOT enter the immutable log at all
+        # (content columns where even a 16-char prefix is sensitive); numeric
+        # key/partition columns keep stats, so pruning still works
+        self.stats_exclude = tuple(stats_exclude)
 
     # -- log primitives ------------------------------------------------------
 
@@ -457,6 +501,8 @@ class TxTable:
             dst = os.path.join(self.path, rel)
             os.rename(src, dst)
             rows, nbytes, stats = _footer_stats(dst)
+            for col in self.stats_exclude:
+                stats.pop(col, None)
             adds.append({"path": rel, "rows": rows, "bytes": nbytes, "stats": stats})
         shutil.rmtree(staging, ignore_errors=True)
         return adds

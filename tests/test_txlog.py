@@ -647,6 +647,73 @@ def test_checkpoint_write_failure_never_fails_the_commit(spark, tmp_path, monkey
     assert t.read().count() == 40
 
 
+def test_takedown_destroys_bytes_after_vacuum(spark, tmp_path):
+    """The full GDPR contract: delete_where removes the rows from every
+    subsequent read, history records what was removed, and once retention
+    ages the old version out, vacuum physically destroys the bytes — the
+    sentinel string must not survive in ANY file under the table dir."""
+    sentinel = "GDPR-SENTINEL-7f3a9c"
+    t = _mk(spark, tmp_path, "t_gdpr")
+    df = spark.createDataFrame(
+        [(1, "ordinary text"), (2, sentinel + " payload"), (3, "more text")],
+        "id int, body string",
+    ).coalesce(1)
+    t.append(df, ts=1.0)
+    t.delete_where(f"body LIKE '%{sentinel}%'", ts=2.0)
+    assert t.read().where(F.col("body").contains(sentinel)).count() == 0
+    h = {r["version"]: r for r in t.history().collect()}
+    assert h[2]["op"] == "delete" and h[2]["rows_removed"] == 3  # COW file had 3
+    # pre-vacuum the bytes still exist (time travel still serves v1)...
+    def _sentinel_on_disk() -> bool:
+        for root, _dirs, files in os.walk(t.path):
+            for name in files:
+                with open(os.path.join(root, name), "rb") as fh:
+                    if sentinel.encode() in fh.read():
+                        return True
+        return False
+
+    assert _sentinel_on_disk()
+    t.vacuum(retain_versions=1, min_age_s=0)
+    # ...post-vacuum they are GONE from every byte under the table — string
+    # stats are prefix-truncated, so the log never memorized the full value
+    assert not _sentinel_on_disk()
+    assert t.read().count() == 2
+    # with stats_exclude, not even a prefix of the content column is logged
+    t2 = TxTable(spark, str(tmp_path / "t_gdpr2"), stats_exclude=("body",))
+    t2.append(df, ts=1.0)
+    for add in t2.snapshot().files.values():
+        assert "body" not in add["stats"]
+        assert "id" in add["stats"]  # key columns keep stats for pruning
+
+
+def test_string_stat_truncation_bounds_stay_sound(spark, tmp_path):
+    """Truncated string stats must remain valid bounds: pruning with them
+    can never skip a file that contains a matching row."""
+    from snapshot_sender_spark.operators.txlog import _truncate_stat_bounds
+
+    cases = [
+        ("aaaaaaaaaaaaaaaaaaaaZ", "zzzzzzzzzzzzzzzzzzzzB"),
+        ("short", "also-short"),
+        ("prefix-equal-prefix-equal-A", "prefix-equal-prefix-equal-B"),
+        ("\U0010ffff" * 20, "\U0010ffff" * 21),  # max-side bump overflows
+    ]
+    for vmin, vmax in cases:
+        vmin, vmax = min(vmin, vmax), max(vmin, vmax)
+        tmin, tmax = _truncate_stat_bounds(vmin, vmax)
+        if tmin is None:
+            continue  # dropped entirely: conservative
+        assert tmin <= vmin and tmax >= vmax, (vmin, vmax, tmin, tmax)
+    # end-to-end: a long-string column still prunes correctly at boundaries
+    t = _mk(spark, tmp_path, "t_trunc")
+    long_a = "a" * 40
+    long_z = "z" * 40
+    t.append(spark.createDataFrame([(long_a,)], "s string").coalesce(1), ts=1.0)
+    t.append(spark.createDataFrame([(long_z,)], "s string").coalesce(1), ts=2.0)
+    kept = t.candidate_files(prune=[("s", long_z, long_z)])
+    assert len(kept) == 1  # the all-a file is prunable even with truncation
+    assert t.read(prune=[("s", long_z, long_z)]).where(F.col("s") == long_z).count() == 1
+
+
 def test_mixed_writer_stress_invariants(spark, tmp_path):
     """Concurrent appends, deletes, and compactions with conflict retries:
     whatever interleaving happens, (a) every appended row not explicitly
