@@ -238,7 +238,11 @@ class TxSnapshot:
         return sorted(self.files)
 
     def total_rows(self) -> int:
-        return sum(a["rows"] for a in self.files.values())
+        return sum(a["rows"] - len(a.get("dv", ())) for a in self.files.values())
+
+    def dv_map(self) -> dict[str, list[int]]:
+        """relative path -> sorted deleted row indices (merge-on-read)."""
+        return {p: a["dv"] for p, a in self.files.items() if a.get("dv")}
 
 
 class TxTable:
@@ -404,6 +408,14 @@ class TxTable:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
+                elif "dv" in action:  # merge-on-read delete: union row indices
+                    path = action["dv"]["path"]
+                    if path in files:
+                        ent = dict(files[path])  # never alias a cached payload
+                        ent["dv"] = sorted(
+                            set(ent.get("dv", ())) | set(action["dv"]["rows"])
+                        )
+                        files[path] = ent
         return TxSnapshot(
             version=version, schema_json=schema_json, files=files,
             txns=txns, constraints=constraints,
@@ -454,16 +466,17 @@ class TxTable:
         NULL — and the file list is fixed at plan time: snapshot isolation."""
         snap = self.snapshot(version=version, timestamp=timestamp)
         schema = snap.schema()
-        files = self.candidate_files(prune=prune, snap=snap)
-        if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        rels = [os.path.basename(f) for f in self.candidate_files(prune=prune, snap=snap)]
+        return self.read_files(rels, schema, dv_map=snap.dv_map())
 
     def changes(self, from_version: int, to_version: int):
         """Yield ``(version, op, added_paths, removed_paths)`` per committed
         version in (from_version, to_version] — both sides as relative path
-        lists (one symmetric shape) — the change feed that makes downstream
-        aggregates incrementally maintainable."""
+        lists (one symmetric shape) — the FILE-level change feed that makes
+        downstream aggregates incrementally maintainable. Merge-on-read
+        deletes change no files and so contribute nothing here; consumers of
+        MOR tables need the row-level feed (``row_changes``), which reports
+        deletion-vector rows exactly."""
         for v in self._list_versions():
             if not (from_version < v <= to_version):
                 continue
@@ -477,12 +490,56 @@ class TxTable:
                     removed.append(action["remove"]["path"])
             yield v, op, added, removed
 
-    def read_files(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
-        if not rel_paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
+    def _lineage_read(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
+        """Files read under ``schema`` plus row lineage columns __f (file
+        basename) and __ri (parquet row index) — what deletion vectors and
+        copy-on-write hit-detection key on."""
+        df = self.spark.read.schema(schema).parquet(
             *(os.path.join(self.path, p) for p in rel_paths)
         )
+        return df.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+
+    def read_files(
+        self,
+        rel_paths: list[str],
+        schema: T.StructType,
+        dv_map: dict[str, list[int]] | None = None,
+    ) -> DataFrame:
+        """Read files under the stored schema, applying any merge-on-read
+        deletion vectors: files with a DV are read with row lineage and the
+        deleted (file, row_index) pairs are anti-joined away (broadcast — DVs
+        are control-plane sized by the MOR cap). Files without a DV take the
+        plain JVM scan path."""
+        if not rel_paths:
+            return self.spark.createDataFrame([], schema)
+        dv_map = {p: v for p, v in (dv_map or {}).items() if p in set(rel_paths) and v}
+        plain = [p for p in rel_paths if p not in dv_map]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(
+                self.spark.read.schema(schema).parquet(
+                    *(os.path.join(self.path, p) for p in plain)
+                )
+            )
+        if dv_map:
+            dels = self.spark.createDataFrame(
+                [(p, int(i)) for p, idxs in dv_map.items() for i in idxs],
+                "__f string, __ri bigint",
+            )
+            kept = (
+                self._lineage_read(sorted(dv_map), schema)
+                .join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
+                .drop("__f", "__ri")
+            )
+            parts.append(kept)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- write path ----------------------------------------------------------
 
@@ -650,26 +707,35 @@ class TxTable:
         """Copy-on-write MERGE (upsert): rows whose key matches a source row
         are REPLACED by the source row; unmatched source rows are INSERTED.
         Only files that contain a matched key are rewritten — the hit list
-        comes from a semi-join + input_file_name() (O(files) control plane);
-        everything else is untouched, so a merge touching 0.1% of keys
-        rewrites ~0.1% of files, not the table. Conflict rule follows
-        delete_where: any concurrent commit invalidates the key scan."""
+        comes from a semi-join over the row-lineage scan (O(files) control
+        plane); everything else is untouched, so a merge touching 0.1% of
+        keys rewrites ~0.1% of files, not the table. MOR-deleted rows are
+        read through their deletion vectors, so they neither match keys nor
+        resurrect in the rewrite. Conflict rule follows delete_where: any
+        concurrent commit invalidates the key scan."""
         snap = self.snapshot()
         schema = snap.schema()
         schema_json = self._merge_schema(snap.schema_json, source.schema)
-        live = self.read(version=snap.version)
+        dv_map = snap.dv_map()
         src_keys = source.select(*keys).distinct()
-        # input_file_name() must bind to a single source: attach it to the
-        # live side BEFORE the semi-join introduces a second one
-        hit_rows = (
-            live.select(*keys, F.input_file_name().alias("f"))
-            .join(src_keys, on=keys, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        )
-        hit_rel = sorted(os.path.basename(r["f"]) for r in hit_rows)
-        survivors = self.read_files(hit_rel, schema).join(
+        hit_rel: list[str] = []
+        if snap.live_paths():
+            lineage = self._lineage_read(snap.live_paths(), schema)
+            if dv_map:
+                dels = self.spark.createDataFrame(
+                    [(p, int(i)) for p, idxs in dv_map.items() for i in idxs],
+                    "__f string, __ri bigint",
+                )
+                lineage = lineage.join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
+            hit_rows = (
+                lineage.select(*keys, "__f")
+                .join(src_keys, on=keys, how="left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+            hit_rel = sorted(r["__f"] for r in hit_rows)
+        survivors = self.read_files(hit_rel, schema, dv_map=dv_map).join(
             src_keys, on=keys, how="left_anti"
         )
         new_data = survivors.unionByName(source, allowMissingColumns=True)
@@ -699,32 +765,35 @@ class TxTable:
 
         return self._commit("overwrite", adds, removes, schema_json, ts, base, revalidate)
 
-    def delete_where(self, predicate_sql: str, ts: float | None = None) -> int:
-        """Copy-on-write row deletion: only files that actually CONTAIN a
-        matching row are rewritten (found with input_file_name() — an
-        O(distinct files) control-plane collect); everything else is
-        untouched. A concurrent commit that added or removed files raises
-        TxConflict, because this operation's predicate scan never saw them."""
+    MOR_MAX_INLINE_DV = 100_000  # deleted row indices one commit may inline
+
+    def delete_where(
+        self, predicate_sql: str, ts: float | None = None, mode: str = "cow"
+    ) -> int:
+        """Row deletion, two physical strategies:
+
+        * ``mode="cow"`` (copy-on-write): only files that actually CONTAIN a
+          matching row are rewritten (row-lineage scan — an O(matched files)
+          control-plane collect); everything else is untouched. Already-
+          deleted MOR rows are never resurrected (the rewrite reads through
+          the deletion vectors).
+        * ``mode="mor"`` (merge-on-read, a deletion vector): NO file is
+          rewritten — the commit records the matched (file, row_index) pairs
+          and every subsequent read anti-joins them away. Write cost is one
+          log entry regardless of file sizes; read cost is a broadcast
+          anti-join on the DV'd files only. Capped at MOR_MAX_INLINE_DV
+          indices per commit (a bigger takedown should be COW: at that point
+          rewriting beats carrying the vector). Compaction or a later COW
+          delete materializes the vectors away.
+
+        SQL DELETE NULL semantics in both modes: only predicate-TRUE rows go.
+        A concurrent commit raises TxConflict (the predicate scan never saw
+        the new state)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
         schema = snap.schema()
-        live = self.read(version=snap.version)
-        hit_rows = (
-            live.where(F.expr(predicate_sql))
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        )
-        hit_rel = sorted(
-            os.path.basename(r["f"].removeprefix("file:")) for r in hit_rows
-        )
-        if not hit_rel:
-            return snap.version  # nothing matched: no new version needed
-        # SQL DELETE semantics: only rows where the predicate is TRUE go;
-        # NULL-evaluating rows survive (plain ~expr would silently drop them)
-        survivors = self.read_files(hit_rel, schema).where(
-            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
-        )
-        adds = self._stage(survivors) if survivors.take(1) else []
+        dv_map = snap.dv_map()
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict(
@@ -732,7 +801,83 @@ class TxTable:
                 "(its predicate scan did not see the new table state)"
             )
 
+        if mode == "mor":
+            if not snap.live_paths():
+                return snap.version
+            hits = self._lineage_read(snap.live_paths(), schema)
+            dels = self.spark.createDataFrame(
+                [(p, int(i)) for p, idxs in dv_map.items() for i in idxs],
+                "__f string, __ri bigint",
+            ) if dv_map else None
+            matched = hits.where(F.coalesce(F.expr(predicate_sql), F.lit(False)))
+            if dels is not None:  # rows already MOR-deleted are not re-deleted
+                matched = matched.join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
+            rows = matched.select("__f", "__ri").limit(self.MOR_MAX_INLINE_DV + 1).collect()
+            if len(rows) > self.MOR_MAX_INLINE_DV:
+                raise TxError(
+                    f"merge-on-read delete matched more than "
+                    f"{self.MOR_MAX_INLINE_DV} rows; use mode='cow' (rewriting "
+                    "beats carrying a vector that large)"
+                )
+            if not rows:
+                return snap.version
+            by_file: dict[str, list[int]] = {}
+            for r in rows:
+                by_file.setdefault(r["__f"], []).append(int(r["__ri"]))
+            return self._commit_dv(by_file, snap, ts, revalidate)
+
+        live = self._lineage_read(snap.live_paths(), schema) if snap.live_paths() else None
+        if live is None:
+            return snap.version
+        hit_rows = (
+            live.where(F.coalesce(F.expr(predicate_sql), F.lit(False)))
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        hit_rel = sorted(r["__f"] for r in hit_rows)
+        if not hit_rel:
+            return snap.version  # nothing matched: no new version needed
+        # SQL DELETE semantics: only rows where the predicate is TRUE go;
+        # NULL-evaluating rows survive (plain ~expr would silently drop them).
+        # read_files applies the files' deletion vectors, so MOR-deleted rows
+        # cannot be resurrected by the rewrite.
+        survivors = self.read_files(hit_rel, schema, dv_map=dv_map).where(
+            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
+        )
+        adds = self._stage(survivors) if survivors.take(1) else []
         return self._commit("delete", adds, hit_rel, snap.schema_json, ts, snap.version, revalidate)
+
+    def _commit_dv(self, by_file: dict[str, list[int]], snap, ts, revalidate) -> int:
+        """Commit a deletion-vector-only delete: meta + one dv action per
+        touched file, no adds or removes."""
+        os.makedirs(self._log_dir, exist_ok=True)
+        if ts is None:
+            ts = time.time()
+        target = snap.version + 1
+        meta = {"version": target, "op": "delete", "ts": ts, "schema": snap.schema_json}
+        lines = [json.dumps({"meta": meta})]
+        lines += [
+            json.dumps({"dv": {"path": p, "rows": sorted(idxs)}})
+            for p, idxs in sorted(by_file.items())
+        ]
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._version_file(target))
+            try:
+                self._maybe_checkpoint(target)
+            except Exception:
+                pass
+            return target
+        except FileExistsError:
+            revalidate(self.snapshot())
+            raise TxConflict("unreachable")  # pragma: no cover
+        finally:
+            os.unlink(tmp)
 
     def compact(
         self,
@@ -753,7 +898,9 @@ class TxTable:
         inputs = snap.live_paths()
         if not inputs:
             return snap.version
-        data = self.read_files(inputs, snap.schema())
+        # reading through the deletion vectors materializes them: the rewrite
+        # holds only surviving rows and the new files carry no DV
+        data = self.read_files(inputs, snap.schema(), dv_map=snap.dv_map())
         if cluster_expr is not None:
             key = F.expr(cluster_expr)
             compacted = data.repartitionByRange(target_files, key).sortWithinPartitions(key)
@@ -791,6 +938,8 @@ class TxTable:
                 elif "remove" in action:
                     n_rem += 1
                     rows_rem += adds_by_path.get(action["remove"]["path"], 0)
+                elif "dv" in action:  # merge-on-read: rows go, files stay
+                    rows_rem += len(action["dv"]["rows"])
             rows.append((v, op, float(ts) if ts is not None else None,
                          n_add, n_rem, rows_add, rows_rem))
         return self.spark.createDataFrame(
@@ -863,9 +1012,13 @@ class TxTable:
         if from_version > 0:
             _check_types(self.snapshot(version=from_version).schema_json, f"v{from_version}")
         feed = list(self.changes(from_version, to_version))
+        dv_by_version: dict[int, list[dict]] = {}
         for v, _op, added, removed in feed:
-            _check_types(self._read_version_actions(v)[0]["meta"].get("schema"), f"v{v}")
-            for rel in [*added, *removed]:
+            actions = self._read_version_actions(v)
+            _check_types(actions[0]["meta"].get("schema"), f"v{v}")
+            dv_by_version[v] = [a["dv"] for a in actions if "dv" in a]
+            dv_rels = [d["path"] for d in dv_by_version[v]]
+            for rel in [*added, *removed, *dv_rels]:
                 if not os.path.exists(os.path.join(self.path, rel)):
                     raise TxNotFound(
                         f"row_changes needs {rel!r} (v{v}) but vacuum already "
@@ -874,9 +1027,13 @@ class TxTable:
         parts: list[DataFrame] = []
         for v, _op, added, removed in feed:
             # historical files may predate columns: read under the TARGET
-            # schema so every slice unions cleanly (type stability checked above)
+            # schema so every slice unions cleanly (type stability checked
+            # above). Removed files are read through their deletion-vector
+            # state AS OF v-1, so rows a MOR delete already reported are not
+            # reported again when a COW rewrite later drops the file.
             a_df = self.read_files(added, schema)
-            r_df = self.read_files(removed, schema)
+            prev_dv = self.snapshot(version=v - 1).dv_map() if removed else {}
+            r_df = self.read_files(removed, schema, dv_map=prev_dv)
             ins = a_df.exceptAll(r_df)
             del_ = r_df.exceptAll(a_df)
             parts.append(
@@ -889,6 +1046,21 @@ class TxTable:
                     "_commit_version", F.lit(v)
                 )
             )
+            if dv_by_version.get(v):  # merge-on-read deletes: row-exact by lineage
+                pairs = [
+                    (d["path"], int(i)) for d in dv_by_version[v] for i in d["rows"]
+                ]
+                dels_df = self.spark.createDataFrame(pairs, "__f string, __ri bigint")
+                dv_deleted = (
+                    self._lineage_read(sorted({p for p, _ in pairs}), schema)
+                    .join(F.broadcast(dels_df), on=["__f", "__ri"], how="left_semi")
+                    .drop("__f", "__ri")
+                )
+                parts.append(
+                    dv_deleted.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
         if not parts:
             empty = self.spark.createDataFrame([], schema)
             return (

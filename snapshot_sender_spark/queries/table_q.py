@@ -128,6 +128,42 @@ def table_txlog_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_txlog_delete_mor",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 13 <> 0
+    GROUP BY source
+    """,
+    category="table-format",
+)
+def table_txlog_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same deletion as table_txlog_delete_cow under the MERGE-ON-READ
+    strategy: the commit records a deletion vector of (file, row_index)
+    pairs — zero files rewritten, write cost one log entry — and reads
+    anti-join the vector away via parquet row lineage. Physical strategy
+    differs, answer identical: both queries share one oracle. Vector
+    mechanics (no-rewrite, merging, materialization by compaction/COW, CDF
+    exactness, the inline cap) are pinned in tests/test_txlog.py."""
+    work = _workdir("txlog_mor_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.repartitionByRange(4, "doc_id"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    t.delete_where("doc_id % 13 = 0", ts=2.0, mode="mor")
+    if set(t.snapshot().live_paths()) != before:
+        raise AssertionError("merge-on-read delete must not rewrite any file")
+    return (
+        t.read()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
 # =============================================================================
 # footer-stats file pruning: the pruned read equals the unpruned filter
 # =============================================================================

@@ -647,6 +647,90 @@ def test_checkpoint_write_failure_never_fails_the_commit(spark, tmp_path, monkey
     assert t.read().count() == 40
 
 
+def test_mor_delete_writes_no_files_and_reads_exclude(spark, tmp_path):
+    """Merge-on-read delete: one log entry, zero rewrites; reads anti-join
+    the vector away; a second MOR delete on the same file merges; total_rows
+    accounts for vectors; history counts the rows."""
+    t = _mk(spark, tmp_path, "t_mor")
+    t.append(spark.range(0, 100).repartitionByRange(2, "id"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    t.delete_where("id % 10 = 3", ts=2.0, mode="mor")
+    snap = t.snapshot()
+    assert set(snap.live_paths()) == before  # NO file rewritten
+    assert snap.total_rows() == 90
+    assert t.read().count() == 90
+    assert t.read().where("id % 10 = 3").count() == 0
+    # second vector on the same files merges; already-deleted rows not re-counted
+    t.delete_where("id % 10 IN (3, 7)", ts=3.0, mode="mor")
+    assert t.read().count() == 80
+    h = {r["version"]: r for r in t.history().collect()}
+    assert (h[2]["rows_removed"], h[2]["n_files_removed"]) == (10, 0)
+    assert h[3]["rows_removed"] == 10  # only the NEW matches
+    # time travel reads the PRE-vector state
+    assert t.read(version=1).count() == 100
+    assert t.read(version=2).count() == 90
+    # a no-match MOR delete commits nothing
+    v = t.latest_version()
+    assert t.delete_where("id > 1000000000", ts=4.0, mode="mor") == v
+
+
+def test_mor_then_cow_and_compact_materialize_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_mor_mat")
+    t.append(spark.range(0, 50).coalesce(1), ts=1.0)
+    t.delete_where("id < 5", ts=2.0, mode="mor")
+    # COW delete on the same file must not resurrect the MOR-deleted rows
+    t.delete_where("id >= 45", ts=3.0, mode="cow")
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == list(range(5, 45))
+    assert not t.snapshot().dv_map()  # the rewrite materialized the vector
+    # and compaction does the same
+    t2 = _mk(spark, tmp_path, "t_mor_cmp")
+    t2.append(spark.range(0, 30).coalesce(1), ts=1.0)
+    t2.delete_where("id % 3 = 0", ts=2.0, mode="mor")
+    t2.compact(target_files=1, ts=3.0)
+    assert not t2.snapshot().dv_map()
+    assert t2.read().count() == 20
+    assert t2.snapshot().total_rows() == 20
+
+
+def test_mor_merge_does_not_resurrect_deleted_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_mor_merge")
+    t.append(spark.range(0, 20).withColumn("v", F.lit(1)).coalesce(1), ts=1.0)
+    t.delete_where("id = 7", ts=2.0, mode="mor")
+    # merge updating id=3: rewrites the hit file; id=7 must STAY deleted
+    t.merge(
+        spark.createDataFrame([(3, 9)], "id long, v int").coalesce(1),
+        keys=["id"],
+        ts=3.0,
+    )
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert 7 not in got and got[3] == 9 and len(got) == 19
+
+
+def test_mor_row_changes_exact_and_no_double_report(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_mor_cdf")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    t.delete_where("id IN (2, 4)", ts=2.0, mode="mor")
+    t.delete_where("id = 8", ts=3.0, mode="cow")  # rewrites the DV'd file
+    cdf = t.row_changes(1, 3)
+    dels = sorted(
+        (r["_commit_version"], r["id"])
+        for r in cdf.where("_change_type = 'delete'").collect()
+    )
+    # v2 reports exactly the vector rows; v3 reports ONLY id=8 (the rows the
+    # MOR delete already reported are not re-reported by the rewrite)
+    assert dels == [(2, 2), (2, 4), (3, 8)]
+
+
+def test_mor_cap_raises_typed_error(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_mor_cap")
+    t.MOR_MAX_INLINE_DV = 5
+    t.append(spark.range(0, 20).coalesce(1), ts=1.0)
+    with pytest.raises(TxError, match="cow"):
+        t.delete_where("id >= 0", ts=2.0, mode="mor")
+    assert t.read().count() == 20  # nothing committed
+
+
 def test_takedown_destroys_bytes_after_vacuum(spark, tmp_path):
     """The full GDPR contract: delete_where removes the rows from every
     subsequent read, history records what was removed, and once retention
