@@ -222,6 +222,31 @@ def merge_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def mor_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
+    """Single-user takedown at 10M rows: merge-on-read (deletion vector)
+    vs copy-on-write — write cost and read overhead, equal results asserted."""
+    work = tempfile.mkdtemp(prefix="txlog_mor_scale_")
+    ev = build_events(spark, sf_dir, mult)
+    results = {}
+    for mode in ("mor", "cow"):
+        t = TxTable(spark, os.path.join(work, f"tab_{mode}"))
+        t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
+        before = set(t.snapshot().live_paths())
+        _, dt = timed(lambda: t.delete_where("user_id = 510", ts=2.0, mode=mode))
+        rewritten = len(before - set(t.snapshot().live_paths()))
+        _, t_read = timed(
+            lambda: t.read().agg(F.count("*"), F.sum("event_id")).collect()
+        )
+        results[mode] = (t.snapshot().total_rows(), dt, rewritten, t_read)
+    assert results["mor"][0] == results["cow"][0], results
+    for mode, (rows, dt, rewritten, t_read) in results.items():
+        print(
+            f"{mode}: delete in {dt:.2f}s ({rewritten}/{n_files} files rewritten), "
+            f"{rows:,} rows live, full-scan agg after: {t_read:.2f}s"
+        )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
@@ -232,6 +257,9 @@ def main():
         return
     if "--merge" in sys.argv:
         merge_tier(spark, sf_dir)
+        return
+    if "--mor" in sys.argv:
+        mor_tier(spark, sf_dir)
         return
     print(f"| mult | rows | files | write s | pruned files | full-scan s | pruned s | COW rewritten | delete s | fold-delta s | recompute s |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
