@@ -613,9 +613,12 @@ class TxTable:
                 meta["txn"] = txn
             if constraints is not None:
                 meta["constraints"] = constraints
+            # removes precede adds so a commit may remove AND re-add one path
+            # (restore's deletion-vector reset); replay applies actions in
+            # file order, so the re-add's payload wins
             lines = [json.dumps({"meta": meta})]
-            lines += [json.dumps({"add": a}) for a in adds]
             lines += [json.dumps({"remove": {"path": p}}) for p in attempt_removes]
+            lines += [json.dumps({"add": a}) for a in adds]
             tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(lines) + "\n")
@@ -677,7 +680,8 @@ class TxTable:
                 return prior
         schema_json = self._merge_schema(snap.schema_json if snap else None, df.schema)
         adds = self._stage(df)
-        self._enforce_on_staged(adds, schema_json, snap.constraints if snap else {})
+        enforced = dict(snap.constraints) if snap else {}
+        self._enforce_on_staged(adds, schema_json, enforced)
 
         class _AlreadyApplied(Exception):
             def __init__(self, version: int):
@@ -688,8 +692,17 @@ class TxTable:
                 prior = new_snap.txns.get(_txn_key(txn))
                 if prior is not None:
                     raise _AlreadyApplied(prior)
-            # append conflicts with nothing; but schema may have evolved under us
-            return [], self._merge_schema(new_snap.schema_json, df.schema)
+            # append conflicts with nothing; but schema may have evolved under
+            # us — and so may the CONSTRAINT set: a concurrent set_constraint
+            # must gate this batch too, so the staged files are re-checked
+            # against any checks not yet enforced (violation unlinks them and
+            # refuses the commit)
+            merged = self._merge_schema(new_snap.schema_json, df.schema)
+            if new_snap.constraints != enforced:
+                self._enforce_on_staged(adds, merged, new_snap.constraints)
+                enforced.clear()
+                enforced.update(new_snap.constraints)
+            return [], merged
 
         try:
             return self._commit(
@@ -757,10 +770,16 @@ class TxTable:
         base, snap = self._current_base()
         schema_json = json.dumps(json.loads(df.schema.json()))  # overwrite resets schema
         adds = self._stage(df)
-        self._enforce_on_staged(adds, schema_json, snap.constraints if snap else {})
+        enforced = dict(snap.constraints) if snap else {}
+        self._enforce_on_staged(adds, schema_json, enforced)
         removes = snap.live_paths() if snap else []
 
         def revalidate(new_snap: TxSnapshot):
+            # a concurrent set_constraint gates this batch too (see append)
+            if new_snap.constraints != enforced:
+                self._enforce_on_staged(adds, schema_json, new_snap.constraints)
+                enforced.clear()
+                enforced.update(new_snap.constraints)
             return new_snap.live_paths(), schema_json
 
         return self._commit("overwrite", adds, removes, schema_json, ts, base, revalidate)
@@ -924,6 +943,11 @@ class TxTable:
         replay, no data I/O — the audit surface a takedown/compliance
         review reads."""
         adds_by_path: dict[str, int] = {}
+        # per-file rows already reported removed via deletion vectors, so a
+        # later remove of the same file charges only its REMAINING live rows
+        # (a MOR delete then a COW rewrite/compact must not double-count),
+        # and cumulative rows_added − rows_removed always nets to live rows
+        dv_reported: dict[str, set[int]] = {}
         rows = []
         for v in self._list_versions():
             op, ts = None, None
@@ -932,14 +956,22 @@ class TxTable:
                 if "meta" in action:
                     op, ts = action["meta"]["op"], action["meta"]["ts"]
                 elif "add" in action:
-                    adds_by_path[action["add"]["path"]] = action["add"]["rows"]
+                    a = action["add"]
+                    adds_by_path[a["path"]] = a["rows"]
+                    # a restore re-add may carry a deletion vector in its
+                    # payload: only the LIVE rows (re-)enter the table
+                    dv_reported[a["path"]] = set(a.get("dv", ()))
                     n_add += 1
-                    rows_add += action["add"]["rows"]
+                    rows_add += a["rows"] - len(dv_reported[a["path"]])
                 elif "remove" in action:
+                    p = action["remove"]["path"]
                     n_rem += 1
-                    rows_rem += adds_by_path.get(action["remove"]["path"], 0)
+                    rows_rem += adds_by_path.get(p, 0) - len(dv_reported.pop(p, ()))
                 elif "dv" in action:  # merge-on-read: rows go, files stay
-                    rows_rem += len(action["dv"]["rows"])
+                    seen = dv_reported.setdefault(action["dv"]["path"], set())
+                    fresh = set(action["dv"]["rows"]) - seen
+                    rows_rem += len(fresh)
+                    seen |= fresh
             rows.append((v, op, float(ts) if ts is not None else None,
                          n_add, n_rem, rows_add, rows_rem))
         return self.spark.createDataFrame(
@@ -953,7 +985,15 @@ class TxTable:
         old snapshot's — no data movement (the old files still exist unless
         vacuum already aged them out, which raises before committing). History
         keeps moving forward, so the bad interval stays auditable; this is
-        Delta's RESTORE, priced at one log write."""
+        Delta's RESTORE, priced at one log write.
+
+        Files live in BOTH snapshots whose deletion-vector state differs get a
+        remove + re-add pair carrying the target's add payload: a plain log
+        replay would otherwise keep merge-on-read vectors committed AFTER the
+        restore point, leaving rows deleted that were live at the restored
+        version. The re-add resets the vector (replay applies removes before
+        adds within a commit), and the change feed reports the resurrected
+        rows as inserts — row-exact CDF across the restore."""
         target = self.snapshot(version=version)
         missing = [p for p in target.live_paths()
                    if not os.path.exists(os.path.join(self.path, p))]
@@ -963,8 +1003,17 @@ class TxTable:
                 f"vacuumed (first: {missing[0]!r})"
             )
         snap = self.snapshot()
-        adds = [target.files[p] for p in target.live_paths() if p not in snap.files]
-        removes = [p for p in snap.live_paths() if p not in target.files]
+        dv_differs = [
+            p for p in target.live_paths()
+            if p in snap.files
+            and list(snap.files[p].get("dv", [])) != list(target.files[p].get("dv", []))
+        ]
+        adds = [
+            target.files[p]
+            for p in target.live_paths()
+            if p not in snap.files or p in set(dv_differs)
+        ]
+        removes = [p for p in snap.live_paths() if p not in target.files] + dv_differs
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict("concurrent commit during restore; re-run")
@@ -1013,10 +1062,19 @@ class TxTable:
             _check_types(self.snapshot(version=from_version).schema_json, f"v{from_version}")
         feed = list(self.changes(from_version, to_version))
         dv_by_version: dict[int, list[dict]] = {}
+        # add payloads carrying a deletion vector (restore re-adds resetting
+        # MOR state): the added file's rows must be read THROUGH that vector,
+        # so only the target-live rows count as inserted
+        add_dv_by_version: dict[int, dict[str, list[int]]] = {}
         for v, _op, added, removed in feed:
             actions = self._read_version_actions(v)
             _check_types(actions[0]["meta"].get("schema"), f"v{v}")
             dv_by_version[v] = [a["dv"] for a in actions if "dv" in a]
+            add_dv_by_version[v] = {
+                a["add"]["path"]: a["add"]["dv"]
+                for a in actions
+                if "add" in a and a["add"].get("dv")
+            }
             dv_rels = [d["path"] for d in dv_by_version[v]]
             for rel in [*added, *removed, *dv_rels]:
                 if not os.path.exists(os.path.join(self.path, rel)):
@@ -1031,7 +1089,7 @@ class TxTable:
             # above). Removed files are read through their deletion-vector
             # state AS OF v-1, so rows a MOR delete already reported are not
             # reported again when a COW rewrite later drops the file.
-            a_df = self.read_files(added, schema)
+            a_df = self.read_files(added, schema, dv_map=add_dv_by_version.get(v))
             prev_dv = self.snapshot(version=v - 1).dv_map() if removed else {}
             r_df = self.read_files(removed, schema, dv_map=prev_dv)
             ins = a_df.exceptAll(r_df)

@@ -899,3 +899,94 @@ def test_changes_feed_supports_incremental_aggregation(spark, tmp_path):
         .collect()
     }
     assert {g: v for g, v in state.items() if v[0] != 0} == full
+
+
+def test_restore_resets_deletion_vectors(spark, tmp_path):
+    """Restoring across a merge-on-read delete must resurrect the DV'd rows:
+    the live set after RESTORE is exactly the target snapshot's, including
+    files whose deletion-vector state changed after the restore point."""
+    t = _mk(spark, tmp_path, "t_restore_dv")
+    t.append(spark.range(0, 30).coalesce(1), ts=1.0)       # v1
+    t.delete_where("id % 10 = 0", ts=2.0, mode="mor")      # v2: DV {0,10,20}
+    assert t.read().count() == 27
+    v = t.restore(1, ts=3.0)                               # back before the DV
+    assert v == 3
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(30))
+    assert not t.snapshot().dv_map()
+    # restore FORWARD to the DV'd version: the vector comes back
+    t.restore(2, ts=4.0)
+    assert t.read().count() == 27
+    assert t.read().where("id % 10 = 0").count() == 0
+    # CDF across the rollback reports the resurrected rows as inserts only
+    cdf = t.row_changes(2, 3)
+    ins = sorted(r["id"] for r in cdf.where("_change_type = 'insert'").collect())
+    assert ins == [0, 10, 20]
+    assert cdf.where("_change_type = 'delete'").count() == 0
+    # and across the forward restore, as deletes only
+    cdf2 = t.row_changes(3, 4)
+    dels = sorted(r["id"] for r in cdf2.where("_change_type = 'delete'").collect())
+    assert dels == [0, 10, 20]
+    assert cdf2.where("_change_type = 'insert'").count() == 0
+
+
+def test_history_nets_to_live_rows_across_mor_and_rewrites(spark, tmp_path):
+    """Cumulative rows_added - rows_removed == live rows at every version,
+    including MOR deletes followed by COW rewrites/compactions of the same
+    files (the double-count ADVICE case) and DV-resetting restores."""
+    t = _mk(spark, tmp_path, "t_hist_net")
+    t.append(spark.range(0, 40).coalesce(1), ts=1.0)
+    t.delete_where("id < 4", ts=2.0, mode="mor")
+    t.delete_where("id >= 36", ts=3.0, mode="cow")  # rewrites the DV'd file
+    t.compact(target_files=1, ts=4.0)
+    t.append(spark.range(100, 110).coalesce(1), ts=5.0)
+    t.delete_where("id >= 100", ts=6.0, mode="mor")
+    t.restore(5, ts=7.0)  # resurrect the 10 MOR-deleted rows
+    hist = sorted(
+        (r["version"], r["rows_added"], r["rows_removed"])
+        for r in t.history().collect()
+    )
+    net = 0
+    for v, ra, rr in hist:
+        net += ra - rr
+        assert net == t.snapshot(version=v).total_rows(), f"v{v}: {net}"
+        assert net == t.read(version=v).count()
+
+
+def test_concurrent_set_constraint_gates_racing_append(spark, tmp_path):
+    """An append that races with set_constraint must enforce the NEW
+    constraint on its staged batch at revalidate time — the batch cannot
+    sneak rows past a check registered before its commit landed."""
+    t = _mk(spark, tmp_path, "t_cons_race")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+
+    real_commit = t._commit
+    state = {"injected": False}
+
+    def racing_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw):
+        # inject a set_constraint AFTER the append staged+validated but
+        # BEFORE its version claim, stealing its version number
+        if op == "append" and not state["injected"]:
+            state["injected"] = True
+            other = TxTable(spark, t.path)
+            other.set_constraint("small", "id < 50", ts=1.5)
+        return real_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw)
+
+    t._commit = racing_commit
+    with pytest.raises(TxError, match="constraint violation"):
+        t.append(spark.range(90, 95).coalesce(1), ts=2.0)
+    t._commit = real_commit
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+    # a CLEAN racing batch still lands (constraint re-check passes)
+    state["injected"] = False
+
+    def racing_commit2(op, adds, removes, schema_json, ts, base_version, revalidate, **kw):
+        if op == "append" and not state["injected"]:
+            state["injected"] = True
+            other = TxTable(spark, t.path)
+            other.set_constraint("nonneg", "id >= 0", ts=2.5)
+        return real_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw)
+
+    t._commit = racing_commit2
+    t.append(spark.range(20, 25).coalesce(1), ts=3.0)
+    assert t.read().count() == 15
+    assert set(t.constraints()) == {"small", "nonneg"}
