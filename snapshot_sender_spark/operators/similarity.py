@@ -249,12 +249,22 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    canonical_fit: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (pyspark.ml, seeded) assigns
     every vector to a centroid bucket; the query probes only the ``n_probe``
     nearest centroids and exact-rescoring runs inside those buckets. At corpus
     scale the bucket assignment is a partition key, so a probe touches
-    n_probe/n_centroids of the data — the standard IVF recall/cost dial."""
+    n_probe/n_centroids of the data — the standard IVF recall/cost dial.
+
+    ``canonical_fit=True`` trains the quantizer on an id-ordered single
+    partition: k-means|| samples with per-partition seeded RNGs and sums
+    update vectors in partition order, so the CENTROIDS (and hence the whole
+    probe result) become a pure function of (data set, seed) — the
+    order-canonicalization lane that makes the query golden-pinnable.
+    Bucket assignment, probing and re-ranking stay fully distributed; only
+    the O(sample·iters) quantizer fit is serialized, which at real scale is
+    run on a sample anyway (the persisted-index path in ``ivf_index``)."""
     import math
 
     from pyspark.ml.clustering import KMeans
@@ -264,7 +274,8 @@ def ivf_topk(
         F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
     ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
     km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="bucket")
-    model = km.fit(feats)
+    fit_input = feats.orderBy("id").coalesce(1) if canonical_fit else feats
+    model = km.fit(fit_input)
     assigned = model.transform(feats)
     centers = model.clusterCenters()
     qd = [float(x) for x in query]
@@ -738,6 +749,7 @@ def semantic_dedup(
     threshold: float,
     n_clusters: int = 8,
     seed: int = 42,
+    canonical_fit: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): KMeans-cluster the embeddings, compute exact cosine pairs ONLY
@@ -762,9 +774,13 @@ def semantic_dedup(
     if n_clusters <= 1:  # exact mode: one cluster, no KMeans (k>1 required)
         clustered = feats.select("id", "arr", F.lit(0).alias("bucket"))
     else:
+        # canonical_fit: id-ordered single-partition training makes the
+        # centroids (hence clusters, pairs, components) a pure function of
+        # (data set, seed) — golden-pinnable; see ivf_topk
+        fit_input = feats.orderBy("id").coalesce(1) if canonical_fit else feats
         model = KMeans(
             k=n_clusters, seed=seed, featuresCol="features", predictionCol="bucket"
-        ).fit(feats)
+        ).fit(fit_input)
         clustered = model.transform(feats).select("id", "arr", "bucket")
 
     def qvec(col):

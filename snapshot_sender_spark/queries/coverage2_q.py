@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..tables import load
 from . import query
+from .goldens import golden_oracle
 
 
 @query(
@@ -1386,27 +1387,36 @@ def math_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_kll_quantile_sketch", oracle=None, category="aggregation")
+@query(
+    "agg_kll_quantile_sketch",
+    # GOLDEN-PINNED (goldens.py): the from-scratch SeededKLL draws its
+    # compaction coin from the seed alone and each group is canonically
+    # ordered inside the UDF by (value, event_id) — a total order — so the
+    # estimate is a pure function of the data SET on any partitioning
+    # (seeded randomness + order canonicalization, both documented lanes).
+    # Quantiles SELECT an ingested value (no float arithmetic, no libm), so
+    # the repr round-trip reproduces the double bit-exactly cross-container.
+    oracle=golden_oracle("agg_kll_quantile_sketch"),
+    category="aggregation",
+)
 def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantile sketches (Apache DataSketches, Spark 4.1): mergeable
-    streaming quantiles with bounded error. Unlike theta sketches the
-    compaction is sampling-based and ORDER-dependent, so estimates vary with
-    partitioning → rows-only (the exact siblings are `percentile_exact` /
-    `agg_percentile_within_group`; accuracy is pinned within tolerance in
-    tests/test_operators.py::test_kll_quantile_accuracy)."""
-    from ..tables import register_views
+    """KLL quantile sketch (Karnin-Lang-Liberty), reimplemented with a SEEDED
+    compaction coin (operators/sketch.py) so the estimate is reproducible and
+    hash-attestable — the built-in DataSketches kll_sketch_agg_double uses an
+    unseeded RNG and cannot be pinned. Accuracy (rank error ~1/k) and merge
+    mechanics are pinned in tests/test_operators.py; the exact siblings are
+    `percentile_exact` / `agg_percentile_within_group`."""
+    from ..operators.sketch import kll_group_quantiles
 
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT event_type,
-               kll_sketch_get_n_double(kll_sketch_agg_double(value)) AS n,
-               kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)
-                 AS p50_est,
-               kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.9)
-                 AS p90_est
-        FROM events GROUP BY event_type
-        """
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return kll_group_quantiles(
+        ev,
+        group_cols=["event_type"],
+        value_col="value",
+        order_cols=["value", "event_id"],
+        qs={"p50_est": 0.5, "p90_est": 0.9},
+        k=200,
+        seed=42,
     )
 
 

@@ -20,14 +20,22 @@ Three determinism classes earn a golden (each query's docstring says which):
 * order-canonicalized sketches — merge-order-dependent summaries pinned by
   canonicalizing the input first (orderBy unique key + coalesce(1), the
   ``sample_deterministic`` trick) so the sequential update order is total
-  (``agg_approx_quantile``, ``agg_histogram_numeric``).
+  (``agg_approx_quantile``, ``agg_histogram_numeric``,
+  ``agg_kll_quantile_sketch`` via the seeded from-scratch KLL in
+  operators/sketch.py, ``sim_ann_ivf``/``sim_semantic_dedup`` via
+  canonical_fit k-means training);
+* seed-fixed fixtures not derivable in SQL — the delivery pipeline's
+  encrypted fixtures are wholly determined by seed=42 and DuckDB cannot
+  decrypt AES-CTR, so the exact output is pinned instead of left rows-only
+  (``pipeline_delivery_e2e``).
 
 The committed data lives in ``goldens_data.py``, REGENERATED — never
 hand-edited — by ``tools/gen_goldens.py``, which runs the very ``queries()``
 entries it pins at every known tier and freezes their output. Stability across
 partition counts, core counts (local[8] vs local[32]) and repartitionings was
-verified before each query was admitted here; genuinely run-nondeterministic
-sketches (DataSketches KLL uses an unseeded compaction RNG) stay rows-only.
+verified before each query was admitted here. (The formerly rows-only
+DataSketches KLL — unseeded compaction RNG — was replaced in round 11 by the
+seeded reimplementation precisely so this lane could attest it.)
 """
 
 from __future__ import annotations

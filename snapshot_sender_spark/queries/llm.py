@@ -450,16 +450,28 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_semantic_dedup", oracle=None, category="llm-dedup")
+@query(
+    "sim_semantic_dedup",
+    # GOLDEN-PINNED (goldens.py): canonical_fit makes the k-means centroids
+    # a pure function of (data set, seed); the within-cluster pair graph and
+    # its connected components follow deterministically (integer-quantized
+    # dot products, min-id components). Verified bit-stable across
+    # repartitionings before pinning; the n_clusters=1 reduction to
+    # full-graph components over ``cosine_pairs`` stays exactly pinned in
+    # tests/test_operators.py.
+    oracle=golden_oracle("sim_semantic_dedup"),
+    category="llm-dedup",
+)
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (cluster → within-cluster exact cosine
-    pairs → connected components → keep min id). Rows-only: KMeans isn't
-    SQL-expressible; the n_clusters=1 reduction to full-graph components over
-    ``cosine_pairs`` is pinned exactly in tests (test_operators.py)."""
+    pairs → connected components → keep min id). Surfaces the DUPLICATE
+    mapping (rows whose keeper differs — uniques map to themselves and are
+    implied); oracle: committed golden of the canonically-fitted result
+    (see oracle comment)."""
     return similarity.semantic_dedup(
         load(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-        threshold=0.35, n_clusters=4,
-    )
+        threshold=0.35, n_clusters=4, canonical_fit=True,
+    ).where(F.col("id") != F.col("keeper_id"))
 
 
 @query(

@@ -79,3 +79,31 @@ def test_line_carries_self_adjudicating_load():
     keys = list(parsed)
     assert keys[:4] == ["metric", "value", "unit", "stat"]
     assert keys[-3:] == ["load1_start", "load1_end", "load1_lap_max"]
+
+
+def test_load_gate_waits_are_bounded_and_reported(monkeypatch):
+    """wait_for_quiet: sleeps only while load1 is above the threshold, spends
+    at most the shared budget, and the printed line reports total waited_s."""
+    med = {"q": 1.0}
+    # the line surfaces the wait total
+    load = {"start": [9.0, 1, 1], "end": [0.5, 1, 1],
+            "laps": [[0.5, 1, 1]], "waits": [["cold", 30.0, 0.7], ["warm0", 15.0, 0.6]]}
+    line = bench.format_line(med, med, med, 0.1, load=load)
+    assert json.loads(line)["waited_s"] == 45.0
+
+    # bounded: a never-quiet box stops at the budget, never spins forever
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setattr(bench, "loadavg", lambda: [99.0, 9, 9])
+    bench._wait_budget[0] = 45.0
+    samples = {}
+    bench.wait_for_quiet("t", samples)
+    assert sum(slept) == 45.0 and bench._wait_budget[0] == 0
+    assert samples["waits"][0][0] == "t"
+    # a quiet box never sleeps
+    slept.clear()
+    bench._wait_budget[0] = 100.0
+    monkeypatch.setattr(bench, "loadavg", lambda: [0.3, 1, 1])
+    bench.wait_for_quiet("t2", samples)
+    assert not slept
+    bench._wait_budget[0] = bench.MAX_WAIT_S
