@@ -3,12 +3,14 @@
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes the
 full declared operator surface (snapshot_sender_spark/queries/*) and
 ``oracle_sql()`` the matching DuckDB SQL for every deterministic query.
-Only 4 queries remain rows-only by documented design (unseeded-RNG KLL
-sketch, two KMeans-based float-order-sensitive operators, the AES e2e
-pipeline DuckDB cannot run); every other approximate operator is either
-cross-engine exact (SimHash, md5 MinHash banding) or GOLDEN-PINNED — the
-oracle replays a committed golden of Spark's own deterministic output
-(queries/goldens.py documents the determinism contract per query).
+As of round 11 EVERY declared query has an oracle: the four formerly
+rows-only cases were converted (seeded from-scratch KLL replaces the
+unseeded DataSketches aggregate; canonical_fit makes the two KMeans-based
+operators seed-deterministic; the AES e2e pipeline's seed-fixed output is
+pinned). Approximate operators are either cross-engine exact (SimHash, md5
+MinHash banding) or GOLDEN-PINNED — the oracle replays a committed golden
+of Spark's own deterministic output (queries/goldens.py documents the
+determinism contract per query).
 """
 
 from __future__ import annotations

@@ -228,6 +228,7 @@ class TxSnapshot:
     files: dict[str, dict]  # relative path -> add-action payload
     txns: dict[str, int] = field(default_factory=dict)  # txn key -> version
     constraints: dict[str, str] = field(default_factory=dict)
+    partition_by: tuple[str, ...] = ()  # fixed at the first commit
 
     def schema(self) -> T.StructType:
         if self.schema_json is None:
@@ -245,10 +246,67 @@ class TxSnapshot:
         return {p: a["dv"] for p, a in self.files.items() if a.get("dv")}
 
 
-class TxTable:
-    """One transactional parquet table rooted at ``path`` (see module doc)."""
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
-    def __init__(self, spark: SparkSession, path: str, stats_exclude: tuple[str, ...] = ()):
+
+def _parse_hive_dirs(rel_dir: str, partition_by: tuple[str, ...]) -> dict:
+    """Decode ``col=value/col2=value`` directory components (the layout
+    Spark's partitionBy writes) into {col: str_value_or_None}, validating
+    column order against the table's partition spec."""
+    import urllib.parse
+
+    if rel_dir in (".", ""):
+        if partition_by:
+            raise TxError(f"expected hive dirs for partition spec {partition_by}")
+        return {}
+    comps = rel_dir.split(os.sep)
+    if len(comps) != len(partition_by):
+        raise TxError(f"partition dirs {rel_dir!r} do not match spec {partition_by}")
+    vals: dict[str, str | None] = {}
+    for comp, col in zip(comps, partition_by):
+        name, eq, raw = comp.partition("=")
+        if not eq or name != col:
+            raise TxError(f"partition dir {comp!r} does not match column {col!r}")
+        vals[col] = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+    return vals
+
+
+def _typed_part_value(raw: str | None, dtype):
+    """Cast a hive-dir string value to the schema's type for pruning
+    comparisons; unknown types compare as strings (conservative)."""
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() == "true"
+    return raw
+
+
+class TxTable:
+    """One transactional parquet table rooted at ``path`` (see module doc).
+
+    ``partition_by`` declares hive-style partition columns (the reference's
+    own keyspace shape: S3 prefixes ``<root>/<JobNumber>/<date>/``,
+    S3Utils.kt:16-23). The spec is fixed by the table's FIRST commit and
+    recorded in every commit's metadata; data files land under
+    ``col=value/`` directories, each add-action carries its partition
+    values, and ``candidate_files`` eliminates whole directories EXACTLY on
+    partition predicates before footer stats are even consulted — at 100 TB
+    the `WHERE export_date = X` prune composes with stats and Z-order
+    instead of replacing them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_exclude: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._log_dir = os.path.join(self.path, _LOG_DIR)
@@ -256,6 +314,7 @@ class TxTable:
         # (content columns where even a 16-char prefix is sensitive); numeric
         # key/partition columns keep stats, so pruning still works
         self.stats_exclude = tuple(stats_exclude)
+        self.partition_by = tuple(partition_by)
 
     # -- log primitives ------------------------------------------------------
 
@@ -312,6 +371,7 @@ class TxTable:
                 "files": snap.files,
                 "txns": snap.txns,
                 "constraints": snap.constraints,
+                "partition_by": list(snap.partition_by),
             }
         )
         tmp = os.path.join(self._log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
@@ -335,6 +395,7 @@ class TxTable:
             files=d["files"],
             txns=d["txns"],
             constraints=d["constraints"],
+            partition_by=tuple(d.get("partition_by", ())),
         )
 
     def _maybe_checkpoint(self, committed_version: int) -> None:
@@ -372,6 +433,7 @@ class TxTable:
         schema_json = None
         txns: dict[str, int] = {}
         constraints: dict[str, str] = {}
+        partition_by: tuple[str, ...] = ()
         start_after = 0
         usable_ckpts = [c for c in self._list_checkpoints() if c <= version]
         if usable_ckpts:
@@ -384,6 +446,7 @@ class TxTable:
                 schema_json = base.schema_json
                 txns = dict(base.txns)
                 constraints = dict(base.constraints)
+                partition_by = base.partition_by
                 start_after = base.version
         for v in versions:
             if v <= start_after:
@@ -395,6 +458,8 @@ class TxTable:
                     meta = action["meta"]
                     if meta.get("schema") is not None:
                         schema_json = meta["schema"]
+                    if meta.get("partition_by"):  # fixed at the first commit
+                        partition_by = tuple(meta["partition_by"])
                     txn = meta.get("txn")
                     if meta.get("constraints") is not None:
                         constraints = dict(meta["constraints"])
@@ -418,7 +483,7 @@ class TxTable:
                         files[path] = ent
         return TxSnapshot(
             version=version, schema_json=schema_json, files=files,
-            txns=txns, constraints=constraints,
+            txns=txns, constraints=constraints, partition_by=partition_by,
         )
 
     # -- read path -----------------------------------------------------------
@@ -431,15 +496,35 @@ class TxTable:
     ) -> list[str]:
         """Live files of a snapshot, minus the ones whose footer stats prove
         no row can satisfy every ``(col, lo, hi)`` inclusive range (None =
-        unbounded side). Files lacking stats for a predicate column are KEPT
-        — pruning is an optimization, never a filter."""
+        unbounded side). Partition columns prune EXACTLY first (the value IS
+        the file's value — directory-level elimination, the cheapest prune);
+        footer stats then handle the rest. Files lacking stats for a
+        predicate column are KEPT — stats pruning is an optimization, never
+        a filter."""
         snap = snap or self.snapshot(version=version)
+        part_types: dict = {}
+        if prune and snap.partition_by and snap.schema_json is not None:
+            part_types = {
+                f.name: f.dataType
+                for f in snap.schema().fields
+                if f.name in snap.partition_by
+            }
         kept = []
         for rel in snap.live_paths():
             add = snap.files[rel]
             stats = add.get("stats") or {}
+            part = add.get("part") or {}
             keep = True
             for col, lo, hi in prune or []:
+                if col in part:
+                    # exact partition elimination: a NULL partition value can
+                    # never satisfy a range predicate; a typed mismatch drops
+                    # the whole directory's file
+                    val = _typed_part_value(part[col], part_types.get(col))
+                    if val is None or not _ranges_overlap(lo, hi, val, val):
+                        keep = False
+                        break
+                    continue
                 st = stats.get(col)
                 if st is None:
                     continue
@@ -466,7 +551,10 @@ class TxTable:
         NULL — and the file list is fixed at plan time: snapshot isolation."""
         snap = self.snapshot(version=version, timestamp=timestamp)
         schema = snap.schema()
-        rels = [os.path.basename(f) for f in self.candidate_files(prune=prune, snap=snap)]
+        rels = [
+            os.path.relpath(f, self.path)
+            for f in self.candidate_files(prune=prune, snap=snap)
+        ]
         return self.read_files(rels, schema, dv_map=snap.dv_map())
 
     def changes(self, from_version: int, to_version: int):
@@ -492,10 +580,13 @@ class TxTable:
 
     def _lineage_read(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
         """Files read under ``schema`` plus row lineage columns __f (file
-        basename) and __ri (parquet row index) — what deletion vectors and
-        copy-on-write hit-detection key on."""
-        df = self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.path, p) for p in rel_paths)
+        BASENAME — token-unique even under partition directories) and __ri
+        (parquet row index) — what deletion vectors and copy-on-write
+        hit-detection key on. basePath restores hive partition columns."""
+        df = (
+            self.spark.read.schema(schema)
+            .option("basePath", self.path)
+            .parquet(*(os.path.join(self.path, p) for p in rel_paths))
         )
         return df.select(
             "*",
@@ -513,7 +604,8 @@ class TxTable:
         deletion vectors: files with a DV are read with row lineage and the
         deleted (file, row_index) pairs are anti-joined away (broadcast — DVs
         are control-plane sized by the MOR cap). Files without a DV take the
-        plain JVM scan path."""
+        plain JVM scan path. basePath restores hive partition columns for
+        partitioned tables (harmless for flat ones)."""
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
         dv_map = {p: v for p, v in (dv_map or {}).items() if p in set(rel_paths) and v}
@@ -521,13 +613,18 @@ class TxTable:
         parts: list[DataFrame] = []
         if plain:
             parts.append(
-                self.spark.read.schema(schema).parquet(
-                    *(os.path.join(self.path, p) for p in plain)
-                )
+                self.spark.read.schema(schema)
+                .option("basePath", self.path)
+                .parquet(*(os.path.join(self.path, p) for p in plain))
             )
         if dv_map:
+            # lineage joins key on the token-unique BASENAME
             dels = self.spark.createDataFrame(
-                [(p, int(i)) for p, idxs in dv_map.items() for i in idxs],
+                [
+                    (os.path.basename(p), int(i))
+                    for p, idxs in dv_map.items()
+                    for i in idxs
+                ],
                 "__f string, __ri bigint",
             )
             kept = (
@@ -543,26 +640,58 @@ class TxTable:
 
     # -- write path ----------------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> list[dict]:
+    def _stage(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> list[dict]:
         """Write ``df`` with Spark (respecting its incoming partitioning — the
         caller chooses clustering, e.g. repartitionByRange for tight stats),
         then move every part file into the table root under a token-unique
-        name. Moved-but-uncommitted files are invisible (only the log makes a
-        file live) and are swept by vacuum()."""
+        name. With a partition spec the write is hive-layout
+        (``col=value/part-*.parquet``), the directory components are
+        preserved under the root, and each add-action records its partition
+        values for exact directory-level pruning. Moved-but-uncommitted
+        files are invisible (only the log makes a file live) and are swept
+        by vacuum()."""
         token = uuid.uuid4().hex
         staging = os.path.join(self.path, _STAGING_DIR, token)
-        df.write.parquet(staging)
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise TxError(f"partition columns {missing} not in DataFrame")
+            df.write.partitionBy(*partition_by).parquet(staging)
+            pattern = os.path.join(staging, "**", "part-*.parquet")
+        else:
+            df.write.parquet(staging)
+            pattern = os.path.join(staging, "part-*.parquet")
         adds = []
-        for i, src in enumerate(sorted(glob.glob(os.path.join(staging, "part-*.parquet")))):
-            rel = f"part-{token}-{i:05d}.parquet"
+        for i, src in enumerate(sorted(glob.glob(pattern, recursive=True))):
+            rel_dir = os.path.relpath(os.path.dirname(src), staging)
+            part_vals = _parse_hive_dirs(rel_dir, partition_by)
+            name = f"part-{token}-{i:05d}.parquet"
+            rel = name if rel_dir in (".", "") else os.path.join(rel_dir, name)
             dst = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
             rows, nbytes, stats = _footer_stats(dst)
             for col in self.stats_exclude:
                 stats.pop(col, None)
-            adds.append({"path": rel, "rows": rows, "bytes": nbytes, "stats": stats})
+            add = {"path": rel, "rows": rows, "bytes": nbytes, "stats": stats}
+            if partition_by:
+                add["part"] = part_vals
+            adds.append(add)
         shutil.rmtree(staging, ignore_errors=True)
         return adds
+
+    def _resolve_partition_by(self, snap: TxSnapshot | None) -> tuple[str, ...]:
+        """The table's partition spec: fixed by the first commit; a
+        constructor spec must match it once set."""
+        table_spec = snap.partition_by if snap is not None else ()
+        if table_spec:
+            if self.partition_by and self.partition_by != table_spec:
+                raise TxError(
+                    f"table is partitioned by {table_spec}, not {self.partition_by}; "
+                    "the spec is fixed at the first commit"
+                )
+            return table_spec
+        return self.partition_by
 
     @staticmethod
     def _merge_schema(old_json: str | None, new_schema: T.StructType) -> str:
@@ -596,6 +725,8 @@ class TxTable:
         max_retries: int = 20,
         txn: dict | None = None,
         constraints: dict | None = None,
+        partition_by: tuple[str, ...] | None = None,
+        dvs: dict[str, list[int]] | None = None,
     ) -> int:
         """Claim the next version with a hard link (atomic: claims the number
         AND publishes complete content — a torn log file cannot exist). On
@@ -613,12 +744,18 @@ class TxTable:
                 meta["txn"] = txn
             if constraints is not None:
                 meta["constraints"] = constraints
+            if partition_by:
+                meta["partition_by"] = list(partition_by)
             # removes precede adds so a commit may remove AND re-add one path
             # (restore's deletion-vector reset); replay applies actions in
             # file order, so the re-add's payload wins
             lines = [json.dumps({"meta": meta})]
             lines += [json.dumps({"remove": {"path": p}}) for p in attempt_removes]
             lines += [json.dumps({"add": a}) for a in adds]
+            lines += [  # deletion vectors alongside adds (merge-on-read MERGE)
+                json.dumps({"dv": {"path": p, "rows": sorted(r)}})
+                for p, r in sorted((dvs or {}).items())
+            ]
             tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(lines) + "\n")
@@ -679,7 +816,8 @@ class TxTable:
             if prior is not None:
                 return prior
         schema_json = self._merge_schema(snap.schema_json if snap else None, df.schema)
-        adds = self._stage(df)
+        spec = self._resolve_partition_by(snap)
+        adds = self._stage(df, spec)
         enforced = dict(snap.constraints) if snap else {}
         self._enforce_on_staged(adds, schema_json, enforced)
 
@@ -706,7 +844,8 @@ class TxTable:
 
         try:
             return self._commit(
-                "append", adds, [], schema_json, ts, base, revalidate, txn=txn
+                "append", adds, [], schema_json, ts, base, revalidate, txn=txn,
+                partition_by=spec,
             )
         except _AlreadyApplied as dup:
             for a in adds:  # our staged files lost the replay race: clean up now
@@ -716,44 +855,44 @@ class TxTable:
                     pass
             return dup.version
 
-    def merge(self, source: DataFrame, keys: list[str], ts: float | None = None) -> int:
-        """Copy-on-write MERGE (upsert): rows whose key matches a source row
-        are REPLACED by the source row; unmatched source rows are INSERTED.
-        Only files that contain a matched key are rewritten — the hit list
-        comes from a semi-join over the row-lineage scan (O(files) control
-        plane); everything else is untouched, so a merge touching 0.1% of
-        keys rewrites ~0.1% of files, not the table. MOR-deleted rows are
-        read through their deletion vectors, so they neither match keys nor
-        resurrect in the rewrite. Conflict rule follows delete_where: any
-        concurrent commit invalidates the key scan."""
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        ts: float | None = None,
+        mode: str = "cow",
+    ) -> int:
+        """MERGE (upsert): rows whose key matches a source row are REPLACED
+        by the source row; unmatched source rows are INSERTED. Two physical
+        strategies, identical answer:
+
+        * ``mode="cow"`` (copy-on-write): only files that contain a matched
+          key are rewritten — the hit list comes from a semi-join over the
+          row-lineage scan (O(files) control plane); everything else is
+          untouched, so a merge touching 0.1% of keys rewrites ~0.1% of
+          files, not the table.
+        * ``mode="mor"`` (merge-on-read): NO file is rewritten — the commit
+          records a deletion vector invalidating the matched old rows and
+          appends the source as new files, all in ONE atomic version. Write
+          cost is the source bytes plus one log entry regardless of how big
+          the hit files are — what a hot upsert stream needs at 100 TB
+          (compaction later materializes the vectors). Matched-row count is
+          capped at MOR_MAX_INLINE_DV; past that, rewriting beats carrying
+          the vector — use cow.
+
+        MOR-deleted rows are read through their deletion vectors, so they
+        neither match keys nor resurrect. The change feed stays row-exact in
+        both modes (old row out, new row in). Conflict rule follows
+        delete_where: any concurrent commit invalidates the key scan."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
         schema = snap.schema()
         schema_json = self._merge_schema(snap.schema_json, source.schema)
+        spec = self._resolve_partition_by(snap)
         dv_map = snap.dv_map()
+        b2r = {os.path.basename(p): p for p in snap.live_paths()}
         src_keys = source.select(*keys).distinct()
-        hit_rel: list[str] = []
-        if snap.live_paths():
-            lineage = self._lineage_read(snap.live_paths(), schema)
-            if dv_map:
-                dels = self.spark.createDataFrame(
-                    [(p, int(i)) for p, idxs in dv_map.items() for i in idxs],
-                    "__f string, __ri bigint",
-                )
-                lineage = lineage.join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
-            hit_rows = (
-                lineage.select(*keys, "__f")
-                .join(src_keys, on=keys, how="left_semi")
-                .select("__f")
-                .distinct()
-                .collect()
-            )
-            hit_rel = sorted(r["__f"] for r in hit_rows)
-        survivors = self.read_files(hit_rel, schema, dv_map=dv_map).join(
-            src_keys, on=keys, how="left_anti"
-        )
-        new_data = survivors.unionByName(source, allowMissingColumns=True)
-        adds = self._stage(new_data)
-        self._enforce_on_staged(adds, schema_json, snap.constraints)
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict(
@@ -761,7 +900,66 @@ class TxTable:
                 "(its key scan did not see the new table state)"
             )
 
-        return self._commit("merge", adds, hit_rel, schema_json, ts, snap.version, revalidate)
+        lineage = None
+        if snap.live_paths():
+            lineage = self._lineage_read(snap.live_paths(), schema)
+            if dv_map:
+                dels = self.spark.createDataFrame(
+                    [
+                        (os.path.basename(p), int(i))
+                        for p, idxs in dv_map.items()
+                        for i in idxs
+                    ],
+                    "__f string, __ri bigint",
+                )
+                lineage = lineage.join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
+
+        if mode == "mor":
+            by_file: dict[str, list[int]] = {}
+            if lineage is not None:
+                matched = (
+                    lineage.select(*keys, "__f", "__ri")
+                    .join(src_keys, on=keys, how="left_semi")
+                    .select("__f", "__ri")
+                    .limit(self.MOR_MAX_INLINE_DV + 1)
+                    .collect()
+                )
+                if len(matched) > self.MOR_MAX_INLINE_DV:
+                    raise TxError(
+                        f"merge-on-read merge matched more than "
+                        f"{self.MOR_MAX_INLINE_DV} rows; use mode='cow' "
+                        "(rewriting beats carrying a vector that large)"
+                    )
+                for r in matched:
+                    by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
+            adds = self._stage(source, spec)
+            self._enforce_on_staged(adds, schema_json, snap.constraints)
+            return self._commit(
+                "merge", adds, [], schema_json, ts, snap.version, revalidate,
+                partition_by=spec, dvs=by_file or None,
+            )
+
+        hit_rel: list[str] = []
+        if lineage is not None:
+            hit_rows = (
+                lineage.select(*keys, "__f")
+                .join(src_keys, on=keys, how="left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+            hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
+        survivors = self.read_files(hit_rel, schema, dv_map=dv_map).join(
+            src_keys, on=keys, how="left_anti"
+        )
+        new_data = survivors.unionByName(source, allowMissingColumns=True)
+        adds = self._stage(new_data, spec)
+        self._enforce_on_staged(adds, schema_json, snap.constraints)
+
+        return self._commit(
+            "merge", adds, hit_rel, schema_json, ts, snap.version, revalidate,
+            partition_by=spec,
+        )
 
     def overwrite(self, df: DataFrame, ts: float | None = None) -> int:
         """Replace the table contents. The remove-set is recomputed against
@@ -769,7 +967,8 @@ class TxTable:
         leak rows past the overwrite."""
         base, snap = self._current_base()
         schema_json = json.dumps(json.loads(df.schema.json()))  # overwrite resets schema
-        adds = self._stage(df)
+        spec = self._resolve_partition_by(snap)
+        adds = self._stage(df, spec)
         enforced = dict(snap.constraints) if snap else {}
         self._enforce_on_staged(adds, schema_json, enforced)
         removes = snap.live_paths() if snap else []
@@ -782,7 +981,10 @@ class TxTable:
                 enforced.update(new_snap.constraints)
             return new_snap.live_paths(), schema_json
 
-        return self._commit("overwrite", adds, removes, schema_json, ts, base, revalidate)
+        return self._commit(
+            "overwrite", adds, removes, schema_json, ts, base, revalidate,
+            partition_by=spec,
+        )
 
     MOR_MAX_INLINE_DV = 100_000  # deleted row indices one commit may inline
 
@@ -813,6 +1015,7 @@ class TxTable:
         snap = self.snapshot()
         schema = snap.schema()
         dv_map = snap.dv_map()
+        b2r = {os.path.basename(p): p for p in snap.live_paths()}
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict(
@@ -825,7 +1028,11 @@ class TxTable:
                 return snap.version
             hits = self._lineage_read(snap.live_paths(), schema)
             dels = self.spark.createDataFrame(
-                [(p, int(i)) for p, idxs in dv_map.items() for i in idxs],
+                [
+                    (os.path.basename(p), int(i))
+                    for p, idxs in dv_map.items()
+                    for i in idxs
+                ],
                 "__f string, __ri bigint",
             ) if dv_map else None
             matched = hits.where(F.coalesce(F.expr(predicate_sql), F.lit(False)))
@@ -842,7 +1049,7 @@ class TxTable:
                 return snap.version
             by_file: dict[str, list[int]] = {}
             for r in rows:
-                by_file.setdefault(r["__f"], []).append(int(r["__ri"]))
+                by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
             return self._commit_dv(by_file, snap, ts, revalidate)
 
         live = self._lineage_read(snap.live_paths(), schema) if snap.live_paths() else None
@@ -854,7 +1061,7 @@ class TxTable:
             .distinct()
             .collect()
         )
-        hit_rel = sorted(r["__f"] for r in hit_rows)
+        hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
         if not hit_rel:
             return snap.version  # nothing matched: no new version needed
         # SQL DELETE semantics: only rows where the predicate is TRUE go;
@@ -864,8 +1071,12 @@ class TxTable:
         survivors = self.read_files(hit_rel, schema, dv_map=dv_map).where(
             ~F.coalesce(F.expr(predicate_sql), F.lit(False))
         )
-        adds = self._stage(survivors) if survivors.take(1) else []
-        return self._commit("delete", adds, hit_rel, snap.schema_json, ts, snap.version, revalidate)
+        spec = self._resolve_partition_by(snap)
+        adds = self._stage(survivors, spec) if survivors.take(1) else []
+        return self._commit(
+            "delete", adds, hit_rel, snap.schema_json, ts, snap.version, revalidate,
+            partition_by=spec,
+        )
 
     def _commit_dv(self, by_file: dict[str, list[int]], snap, ts, revalidate) -> int:
         """Commit a deletion-vector-only delete: meta + one dv action per
@@ -925,7 +1136,10 @@ class TxTable:
             compacted = data.repartitionByRange(target_files, key).sortWithinPartitions(key)
         else:
             compacted = data.coalesce(target_files)
-        adds = self._stage(compacted)
+        # on a partitioned table, target_files bounds files PER partition
+        # value (the hive split happens inside the write)
+        spec = self._resolve_partition_by(snap)
+        adds = self._stage(compacted, spec)
 
         def revalidate(new_snap: TxSnapshot):
             gone = [p for p in inputs if p not in new_snap.files]
@@ -933,7 +1147,10 @@ class TxTable:
                 raise TxConflict(f"compaction inputs removed concurrently: {gone[:3]}")
             return inputs, snap.schema_json
 
-        return self._commit("compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate)
+        return self._commit(
+            "compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate,
+            partition_by=spec,
+        )
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit — (version, op, ts,
@@ -1105,12 +1322,15 @@ class TxTable:
                 )
             )
             if dv_by_version.get(v):  # merge-on-read deletes: row-exact by lineage
+                dv_paths = sorted({d["path"] for d in dv_by_version[v]})
                 pairs = [
-                    (d["path"], int(i)) for d in dv_by_version[v] for i in d["rows"]
+                    (os.path.basename(d["path"]), int(i))
+                    for d in dv_by_version[v]
+                    for i in d["rows"]
                 ]
                 dels_df = self.spark.createDataFrame(pairs, "__f string, __ri bigint")
                 dv_deleted = (
-                    self._lineage_read(sorted({p for p, _ in pairs}), schema)
+                    self._lineage_read(dv_paths, schema)
                     .join(F.broadcast(dels_df), on=["__f", "__ri"], how="left_semi")
                     .drop("__f", "__ri")
                 )
@@ -1238,17 +1458,33 @@ class TxTable:
             keep.update(self.snapshot(version=v).files)
         cutoff = time.time() - min_age_s
         removed = []
-        for name in sorted(os.listdir(self.path)):
-            if not name.endswith(".parquet") or name in keep:
+        for dirpath, dirnames, filenames in os.walk(self.path):
+            # the log and staging roots are never data-file space
+            dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, _STAGING_DIR)]
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if rel in keep:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight commit's file
+                    os.unlink(full)
+                except FileNotFoundError:
+                    continue
+                removed.append(rel)
+        removed.sort()
+        # partition directories emptied by the deletions above are pruned
+        # bottom-up (best-effort: a concurrent writer re-creating one wins)
+        for dirpath, _dirnames, _filenames in os.walk(self.path, topdown=False):
+            if dirpath == self.path or os.sep + _LOG_DIR in dirpath or os.sep + _STAGING_DIR in dirpath:
                 continue
-            full = os.path.join(self.path, name)
             try:
-                if os.path.getmtime(full) > cutoff:
-                    continue  # possibly an in-flight commit's file
-                os.unlink(full)
-            except FileNotFoundError:
-                continue
-            removed.append(name)
+                os.rmdir(dirpath)  # succeeds only when actually empty
+            except OSError:
+                pass
         staging_root = os.path.join(self.path, _STAGING_DIR)
         if os.path.isdir(staging_root):
             for sub in os.listdir(staging_root):

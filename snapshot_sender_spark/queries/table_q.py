@@ -808,3 +808,194 @@ def table_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     return spark.createDataFrame(
         out, "l_returnflag string, n_items bigint, sum_qty bigint"
     )
+
+
+# =============================================================================
+# hive partition columns: directory-level pruning composed with footer stats
+# =============================================================================
+
+
+@query(
+    "table_txlog_partition_pruning",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM events
+    WHERE event_type = 'click' AND user_id BETWEEN 3 AND 9
+    GROUP BY user_id
+    """,
+    category="table-format",
+)
+def table_txlog_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition columns on the txlog table (the reference's own
+    keyspace shape: S3 prefixes <root>/<JobNumber>/<date>/, S3Utils.kt:16-23):
+    events are partitioned by event_type into col=value directories — the
+    add-actions record each file's partition values — and range-clustered on
+    user_id within each partition. The read then composes the two prunes:
+    the event_type predicate eliminates whole DIRECTORIES exactly (no stats
+    consulted), footer min/max stats cut the surviving files on user_id.
+    Both prunes are asserted to have actually skipped files (loudly, not as
+    a silent no-op), and the pruned read still applies the filter, so layout
+    can never change the answer — which is exactly the oracle. At 100 TB
+    this is the `WHERE export_date = X` first-prune every lakehouse query
+    plan leads with."""
+    work = _workdir("txlog_part_q_")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    t = TxTable(spark, f"{work}/events_part_tx", partition_by=("event_type",))
+    t.append(ev.repartitionByRange(4, "user_id"), ts=1.0)
+    snap = t.snapshot()
+    prune = [("event_type", "click", "click"), ("user_id", 3, 9)]
+    kept = t.candidate_files(prune=prune, snap=snap)
+    part_only = t.candidate_files(prune=prune[:1], snap=snap)
+    if not all("event_type=click" in p for p in kept):
+        raise AssertionError("partition pruning leaked a non-click directory")
+    if not (len(kept) < len(part_only) < len(snap.live_paths())):
+        raise AssertionError(
+            f"expected both prunes to skip files: {len(kept)} < "
+            f"{len(part_only)} < {len(snap.live_paths())} must hold"
+        )
+    return (
+        t.read(prune=prune)
+        .where((F.col("event_type") == "click") & F.col("user_id").between(3, 9))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+    )
+
+
+@query(
+    "table_txlog_merge_mor",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acct_cents
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, c_mktsegment, acct_cents + 10000 AS acct_cents
+      FROM base WHERE c_custkey % 5 = 0
+    ), ins AS (
+      SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS c_mktsegment, acct_cents
+      FROM base WHERE c_custkey % 7 = 0
+    ), merged AS (
+      SELECT * FROM base WHERE c_custkey % 5 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(acct_cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY c_mktsegment
+    """,
+    category="table-format",
+)
+def table_txlog_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME upsert as table_txlog_merge_upsert under the MERGE-ON-READ
+    strategy: one atomic commit records a deletion vector invalidating every
+    matched old row and appends the source as new files — ZERO existing
+    files rewritten (asserted loudly), write cost = source bytes + one log
+    entry however large the hit files are. Physical strategy differs, answer
+    identical: both queries share one oracle, and the verdict-requested
+    equivalence (mor ≡ cow output) is therefore hash-checked cross-engine,
+    not just self-asserted. Vector mechanics (CDF exactness, cap, prior-DV
+    interaction, compaction materializing) are pinned in tests/test_txlog.py."""
+    work = _workdir("txlog_merge_mor_q_")
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("acct_cents"),
+    )
+    t = TxTable(spark, f"{work}/cust_tx")
+    t.append(base.repartitionByRange(4, "c_custkey"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    upd = base.where(F.col("c_custkey") % 5 == 0).withColumn(
+        "acct_cents", F.col("acct_cents") + 10000
+    )
+    ins = base.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        "acct_cents",
+    )
+    t.merge(upd.unionByName(ins), keys=["c_custkey"], ts=2.0, mode="mor")
+    if not before <= set(t.snapshot().live_paths()):
+        raise AssertionError("merge-on-read merge must not rewrite any file")
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("acct_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+# =============================================================================
+# the change feed as a STREAM: row-level CDC from the version-offset source
+# =============================================================================
+
+
+@query(
+    "stream_txlog_cdf",
+    oracle="""
+    WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         u AS (SELECT doc_id FROM a UNION ALL SELECT doc_id FROM b)
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+           COUNT(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM a
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM b
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM u WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'delete', CAST(4 AS BIGINT), COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+    FROM u WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+    """,
+    category="table-format",
+)
+def stream_txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change data feed as a STREAM (read_changes=true on the
+    version-offset source): two appends, a merge-on-read delete (row-exact
+    deletion-vector partition), a copy-on-write delete (multiset-diff
+    partition — only the rows that actually vanished stream, not the
+    rewrite's copies), and a final compaction that must contribute NOTHING.
+    The streamed feed is aggregated per (change_type, commit_version) and
+    equals the pure SQL derivation — downstream incremental pipelines stay
+    exact under deletes, which ignore_changes mode cannot offer (it skips
+    them). Restart/offset semantics are pinned in tests/test_txlog_stream.py."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_cdf_stream_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.where(F.col("doc_id") % 3 == 0).repartition(2), ts=1.0)
+    t.append(docs.where(F.col("doc_id") % 3 == 1).repartition(2), ts=2.0)
+    t.delete_where("doc_id % 7 = 0", ts=3.0, mode="mor")
+    t.delete_where("doc_id % 5 = 0", ts=4.0, mode="cow")
+    t.compact(target_files=1, ts=5.0)
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path)
+        .option("read_changes", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").cast("bigint").alias("commit_version"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+    )

@@ -18,6 +18,21 @@ streaming a COW rewrite would duplicate every copied row). With
 ``ignore_changes=true`` those commits are skipped entirely: downstream sees
 an append-only projection of the table and accepts the documented gap.
 
+``read_changes=true`` streams the CHANGE DATA FEED instead: every commit —
+append, MOR delete, MOR merge, COW rewrite, overwrite, compact, restore —
+becomes row-level (table columns + _change_type 'insert'|'delete' +
+_commit_version), with exactly the semantics of TxTable.row_changes:
+appends are per-file insert partitions (distributed), deletion-vector
+actions are row-exact delete partitions, and commits that REMOVE files get
+one multiset-diff partition per version (added rows EXCEPT ALL removed
+rows and the converse, removed files read through their pre-commit DV
+state), so a copy-on-write rewrite reports only the rows that actually
+changed and a pure compaction reports nothing. This is what makes
+downstream incremental pipelines exact under deletes. Scale note: the diff
+partition materializes one version's rewritten rows in a single task —
+right for CDC streams whose non-append commits are takedown/merge-sized;
+a full-table rewrite should be consumed via the batch row_changes API.
+
 Scale: the poll is one directory listing; each micro-batch's work is
 distributed per added file; the driver never touches row data. A JVM-native
 file-source would push the parquet scan into the engine — this Python decode
@@ -40,9 +55,12 @@ from ..operators.txlog import _LOG_DIR, _VERSION_DIGITS
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str, schema_json: str, part: dict | None = None):
         self.path = path
         self.schema_json = schema_json
+        # hive partition values from the add-action ({col: str_or_None});
+        # the data file itself does not contain these columns
+        self.part = part or {}
 
 
 class _TxlogStreamReader(DataSourceStreamReader):
@@ -126,7 +144,11 @@ class _TxlogStreamReader(DataSourceStreamReader):
                             "streaming readers, or start from a newer "
                             "starting_version"
                         )
-                    parts.append(_AddedFilePartition(full, self.schema_json))
+                    parts.append(
+                        _AddedFilePartition(
+                            full, self.schema_json, action["add"].get("part")
+                        )
+                    )
         return parts
 
     def read(self, part: _AddedFilePartition):
@@ -145,6 +167,18 @@ class _TxlogStreamReader(DataSourceStreamReader):
             for field in arrow_schema:
                 if field.name in present:
                     cols.append(batch.column(field.name).cast(field.type))
+                elif field.name in part.part:
+                    # hive partition column: constant per file, injected from
+                    # the add-action's recorded value (string → typed cast)
+                    raw = part.part[field.name]
+                    if raw is None:
+                        cols.append(pa.nulls(batch.num_rows, type=field.type))
+                    else:
+                        cols.append(
+                            pa.array([raw] * batch.num_rows, type=pa.string()).cast(
+                                field.type
+                            )
+                        )
                 else:  # evolution-missing column: NULL backfill
                     cols.append(pa.nulls(batch.num_rows, type=field.type))
             yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
@@ -156,25 +190,272 @@ class _TxlogStreamReader(DataSourceStreamReader):
         pass
 
 
+# ---------------------------------------------------------------------------
+# change-data-feed mode (read_changes=true)
+# ---------------------------------------------------------------------------
+
+CDF_COLS = ("_change_type", "_commit_version")
+
+
+def _freeze(v):
+    """Hashable form of a row value (arrays/maps become tuples) so multiset
+    diffs can run on a Counter; pa.array() accepts the tuples back."""
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
+
+
+class _CdfAddPartition(InputPartition):
+    """One added file → insert rows (read through the add payload's DV if a
+    restore re-add carries one)."""
+
+    def __init__(self, version, path, part, payload_dv, schema_json):
+        self.version = version
+        self.path = path
+        self.part = part or {}
+        self.payload_dv = sorted(payload_dv or [])
+        self.schema_json = schema_json
+
+
+class _CdfDvPartition(InputPartition):
+    """One deletion-vector action → the exact deleted rows."""
+
+    def __init__(self, version, path, part, rows, schema_json):
+        self.version = version
+        self.path = path
+        self.part = part or {}
+        self.rows = sorted(rows)
+        self.schema_json = schema_json
+
+
+class _CdfDiffPartition(InputPartition):
+    """One version that removes files → multiset diff of added vs removed
+    rows (removed files read through their PRE-commit deletion vectors,
+    added files through their payload vectors)."""
+
+    def __init__(self, version, adds, removes, prev_dv, schema_json):
+        # adds: [(full_path, part, payload_dv)], removes: [(full_path, part)]
+        self.version = version
+        self.adds = adds
+        self.removes = removes
+        self.prev_dv = prev_dv  # full_path -> sorted deleted row indices
+        self.schema_json = schema_json
+
+
+class _TxlogCdfStreamReader(_TxlogStreamReader):
+    """Offsets and log access are inherited; only planning and row decode
+    differ. ``schema_json`` here is the OUTPUT schema (table + CDF cols)."""
+
+    def _table_fields(self):
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        return [f for f in schema.fields if f.name not in CDF_COLS]
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[InputPartition] = []
+        # pre-interval replay tracks per-file DV state so a diff version can
+        # read removed files AS OF v-1 (control-plane: O(versions × dv rows))
+        dv_state: dict[str, set[int]] = {}
+        for v in self._versions():
+            if v > hi:
+                break
+            actions = self._actions(v)
+            adds = [a["add"] for a in actions if "add" in a]
+            removes = [a["remove"]["path"] for a in actions if "remove" in a]
+            dvs = [a["dv"] for a in actions if "dv" in a]
+            if v > lo:
+                needed = [a["path"] for a in adds] + removes + [d["path"] for d in dvs]
+                for rel in needed:
+                    if not os.path.exists(os.path.join(self.table_path, rel)):
+                        raise FileNotFoundError(
+                            f"txlog_stream CDF: v{v} file {rel!r} was already "
+                            "vacuumed — keep a longer retention for CDF readers"
+                        )
+                full = lambda rel: os.path.join(self.table_path, rel)  # noqa: E731
+                if removes:
+                    parts.append(
+                        _CdfDiffPartition(
+                            v,
+                            [(full(a["path"]), a.get("part"), a.get("dv")) for a in adds],
+                            [(full(p), None) for p in removes],
+                            {
+                                full(p): sorted(dv_state.get(p, ()))
+                                for p in removes
+                                if dv_state.get(p)
+                            },
+                            self.schema_json,
+                        )
+                    )
+                else:
+                    for a in adds:
+                        parts.append(
+                            _CdfAddPartition(
+                                v, full(a["path"]), a.get("part"), a.get("dv"),
+                                self.schema_json,
+                            )
+                        )
+                    for d in dvs:
+                        # report only rows not already deleted (defensive:
+                        # writers never re-delete, but the feed must not
+                        # double-report even on a hand-written log)
+                        fresh = sorted(set(d["rows"]) - dv_state.get(d["path"], set()))
+                        if fresh:
+                            parts.append(
+                                _CdfDvPartition(
+                                    v, full(d["path"]),
+                                    self._part_of(d["path"]),
+                                    fresh, self.schema_json,
+                                )
+                            )
+            # replay order mirrors the log: removes clear state, adds reset
+            # it to the payload's vector, dv actions union into it
+            for p in removes:
+                dv_state.pop(p, None)
+            for a in adds:
+                dv_state[a["path"]] = set(a.get("dv", ()))
+            for d in dvs:
+                dv_state.setdefault(d["path"], set()).update(d["rows"])
+        return parts
+
+    def _part_of(self, rel: str) -> dict | None:
+        """Partition values for a file, from its hive directory components
+        (cheap, no log scan; identical to the add-action's record)."""
+        vals = {}
+        for comp in os.path.dirname(rel).split(os.sep):
+            if "=" in comp:
+                import urllib.parse
+
+                name, _, raw = comp.partition("=")
+                vals[name] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(raw)
+                )
+        return vals or None
+
+    # -- row decode ----------------------------------------------------------
+
+    def _file_rows(self, path, part_vals, exclude):
+        """All rows of one file as frozen tuples in TABLE-column order,
+        partition values injected, ``exclude`` row indices dropped."""
+        import pyarrow.parquet as pq
+
+        fields = self._table_fields()
+        pf = pq.ParquetFile(path)
+        present = set(pf.schema_arrow.names)
+        exclude = set(exclude or ())
+        rows: list[tuple] = []
+        offset = 0
+        part_vals = part_vals or {}
+        for batch in pf.iter_batches(columns=[f.name for f in fields if f.name in present]):
+            cols = []
+            for f in fields:
+                if f.name in present:
+                    cols.append(batch.column(f.name).to_pylist())
+                elif f.name in part_vals:
+                    raw = part_vals[f.name]
+                    typed = self._typed_part(raw, f.dataType)
+                    cols.append([typed] * batch.num_rows)
+                else:
+                    cols.append([None] * batch.num_rows)
+            for i, row in enumerate(zip(*cols) if cols else []):
+                if offset + i not in exclude:
+                    rows.append(tuple(_freeze(v) for v in row))
+            offset += batch.num_rows
+        return rows
+
+    @staticmethod
+    def _typed_part(raw, dtype):
+        if raw is None:
+            return None
+        import datetime as _dt
+
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, T.DateType):
+            return _dt.date.fromisoformat(raw)
+        if isinstance(dtype, T.BooleanType):
+            return raw.lower() == "true"
+        return raw
+
+    def _emit(self, rows, change_type, version):
+        """One Arrow batch: table columns + _change_type + _commit_version."""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not rows:
+            return
+        out_schema = to_arrow_schema(T.StructType.fromJson(json.loads(self.schema_json)))
+        fields = self._table_fields()
+        cols = list(zip(*rows))
+        arrays = []
+        for f, values in zip(fields, cols):
+            arrays.append(pa.array(list(values), type=out_schema.field(f.name).type))
+        arrays.append(pa.array([change_type] * len(rows), type=pa.string()))
+        arrays.append(pa.array([version] * len(rows), type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    def read(self, part):
+        from collections import Counter
+
+        if isinstance(part, _CdfAddPartition):
+            rows = self._file_rows(part.path, part.part, part.payload_dv)
+            yield from self._emit(rows, "insert", part.version)
+        elif isinstance(part, _CdfDvPartition):
+            all_rows = self._file_rows(part.path, part.part, None)
+            rows = [all_rows[i] for i in part.rows if i < len(all_rows)]
+            yield from self._emit(rows, "delete", part.version)
+        else:  # _CdfDiffPartition: multiset difference, exactly row_changes
+            ca: Counter = Counter()
+            for path, pvals, payload_dv in part.adds:
+                ca.update(self._file_rows(path, pvals, payload_dv))
+            cr: Counter = Counter()
+            for path, pvals in part.removes:
+                cr.update(
+                    self._file_rows(
+                        path, pvals or self._part_of(os.path.relpath(path, self.table_path)),
+                        part.prev_dv.get(path),
+                    )
+                )
+            ins = ca - cr
+            dels = cr - ca
+            yield from self._emit(list(ins.elements()), "insert", part.version)
+            yield from self._emit(list(dels.elements()), "delete", part.version)
+
+
 class TxlogStreamDataSource(DataSource):
     """Registered as ``txlog_stream``; the stored table schema (latest
-    commit's, driver-side one log replay) is the source schema."""
+    commit's, driver-side one log replay) is the source schema. With
+    ``read_changes=true`` the schema gains _change_type/_commit_version and
+    every commit streams as row-level changes (see module doc)."""
 
     @classmethod
     def name(cls):
         return "txlog_stream"
 
+    @staticmethod
+    def _cdf(options) -> bool:
+        return str(options.get("read_changes", "false")).lower() == "true"
+
     def schema(self):
-        return T.StructType.fromJson(
+        base = T.StructType.fromJson(
             json.loads(_TxlogStreamReader(self.options).schema_json)
         )
+        if self._cdf(self.options):
+            base = base.add("_change_type", T.StringType()).add(
+                "_commit_version", T.LongType()
+            )
+        return base
 
     def streamReader(self, schema: T.StructType):
         # pass the ENGINE's schema through: batches must match the analyzed
         # plan even if a commit evolved the table after schema() was called
-        return _TxlogStreamReader(
-            self.options, schema_json=json.dumps(schema.jsonValue())
-        )
+        cls = _TxlogCdfStreamReader if self._cdf(self.options) else _TxlogStreamReader
+        return cls(self.options, schema_json=json.dumps(schema.jsonValue()))
 
 
 def register(spark) -> None:

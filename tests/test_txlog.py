@@ -990,3 +990,82 @@ def test_concurrent_set_constraint_gates_racing_append(spark, tmp_path):
     t.append(spark.range(20, 25).coalesce(1), ts=3.0)
     assert t.read().count() == 15
     assert set(t.constraints()) == {"small", "nonneg"}
+
+
+def test_mor_merge_zero_rewrites_and_equals_cow(spark, tmp_path):
+    """Merge-on-read MERGE: matched rows are DV-invalidated and the source
+    appended in ONE commit — zero files rewritten — and the result equals
+    the copy-on-write merge on the same inputs."""
+    src = spark.createDataFrame(
+        [(3, 99), (7, 77), (100, 1)], "id long, v int"
+    ).coalesce(1)
+    results = {}
+    for mode in ("cow", "mor"):
+        t = _mk(spark, tmp_path, f"t_merge_{mode}")
+        t.append(spark.range(0, 20).withColumn("v", F.lit(1)).coalesce(1), ts=1.0)
+        before = set(t.snapshot().live_paths())
+        t.merge(src, keys=["id"], ts=2.0, mode=mode)
+        after = set(t.snapshot().live_paths())
+        if mode == "mor":
+            assert before <= after  # nothing rewritten, only appends
+            assert t.snapshot().dv_map()  # the old matched rows are DV'd
+        else:
+            assert before - after  # cow rewrote the hit file
+        results[mode] = sorted(map(tuple, t.read().collect()))
+    assert results["cow"] == results["mor"]
+    assert dict(results["mor"])[3] == 99 and dict(results["mor"])[100] == 1
+    assert len(results["mor"]) == 21
+
+
+def test_mor_merge_cdf_row_exact_and_history_nets(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_merge_mor_cdf")
+    t.append(spark.range(0, 10).withColumn("v", F.lit(1)).coalesce(1), ts=1.0)
+    t.merge(
+        spark.createDataFrame([(4, 2), (40, 2)], "id long, v int").coalesce(1),
+        keys=["id"], ts=2.0, mode="mor",
+    )
+    cdf = t.row_changes(1, 2)
+    dels = sorted((r["id"], r["v"]) for r in cdf.where("_change_type='delete'").collect())
+    ins = sorted((r["id"], r["v"]) for r in cdf.where("_change_type='insert'").collect())
+    assert dels == [(4, 1)]           # the replaced OLD row, exactly once
+    assert ins == [(4, 2), (40, 2)]   # the update's new image + the insert
+    net = 0
+    for r in sorted(t.history().collect(), key=lambda r: r["version"]):
+        net += r["rows_added"] - r["rows_removed"]
+        assert net == t.read(version=r["version"]).count()
+    # a second MOR merge touching an already-DV'd file does not re-delete
+    t.merge(
+        spark.createDataFrame([(5, 3)], "id long, v int").coalesce(1),
+        keys=["id"], ts=3.0, mode="mor",
+    )
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[4] == 2 and got[5] == 3 and len(got) == 11
+    # compaction materializes all vectors away
+    t.compact(target_files=1, ts=4.0)
+    assert not t.snapshot().dv_map()
+    assert {r["id"]: r["v"] for r in t.read().collect()} == got
+
+
+def test_mor_merge_respects_prior_deletes_and_cap(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_merge_mor_prior")
+    t.append(spark.range(0, 20).withColumn("v", F.lit(1)).coalesce(1), ts=1.0)
+    t.delete_where("id = 7", ts=2.0, mode="mor")
+    # merging key 7 after its MOR delete INSERTS it (no match against a
+    # deleted row) and must not double-report or resurrect the old image
+    t.merge(
+        spark.createDataFrame([(7, 9)], "id long, v int").coalesce(1),
+        keys=["id"], ts=3.0, mode="mor",
+    )
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[7] == 9 and len(got) == 20
+    cdf = t.row_changes(2, 3)
+    assert cdf.where("_change_type='delete'").count() == 0  # nothing matched
+    # the inline cap routes huge merges to cow with a typed error
+    t2 = _mk(spark, tmp_path, "t_merge_mor_cap")
+    t2.MOR_MAX_INLINE_DV = 5
+    t2.append(spark.range(0, 20).withColumn("v", F.lit(1)).coalesce(1), ts=1.0)
+    with pytest.raises(TxError, match="cow"):
+        t2.merge(
+            spark.range(0, 10).withColumn("v", F.lit(2).cast("int")).coalesce(1),
+            keys=["id"], ts=2.0, mode="mor",
+        )

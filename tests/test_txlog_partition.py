@@ -1,0 +1,185 @@
+"""Hive-style partition columns for the txlog table (operators/txlog.py):
+spec fixed at first commit, directory layout, exact partition pruning
+composed with footer stats, full lifecycle (MOR/COW delete, merge, compact,
+restore, CDF), vacuum of partition dirs, and the stream source's partition
+value injection."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators.txlog import TxError, TxTable
+
+
+def _mk(spark, tmp_path, name, **kw):
+    return TxTable(spark, str(tmp_path / name), **kw)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumn("day", (F.col("id") % 3).cast("int"))
+        .withColumn("v", F.col("id") * 10)
+    )
+
+
+def test_partitioned_append_layout_and_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tp", partition_by=("day",))
+    t.append(_df(spark, 0, 30).repartition(2, "day"), ts=1.0)
+    # hive directory layout on disk; data files do NOT carry the column
+    dirs = {d for d in os.listdir(t.path) if d.startswith("day=")}
+    assert dirs == {"day=0", "day=1", "day=2"}
+    snap = t.snapshot()
+    assert snap.partition_by == ("day",)
+    for p, add in snap.files.items():
+        assert p.startswith("day=") and add["part"]["day"] in {"0", "1", "2"}
+        assert "day" not in add["stats"]  # not in the footer
+    # read restores the partition column, typed per the stored schema
+    got = {(r["id"], r["day"], r["v"]) for r in t.read().collect()}
+    want = {(i, i % 3, i * 10) for i in range(30)}
+    assert got == want
+    assert dict(t.read().dtypes)["day"] == "int"
+
+
+def test_partition_spec_is_sticky_and_validated(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tp2", partition_by=("day",))
+    t.append(_df(spark, 0, 9).coalesce(1), ts=1.0)
+    # a handle WITHOUT the spec adopts the table's
+    t2 = _mk(spark, tmp_path, "tp2")
+    t2.append(_df(spark, 9, 12).coalesce(1), ts=2.0)
+    assert all(p.startswith("day=") for p in t2.snapshot().live_paths())
+    # a CONFLICTING spec is refused
+    t3 = _mk(spark, tmp_path, "tp2", partition_by=("v",))
+    with pytest.raises(TxError, match="fixed at the first commit"):
+        t3.append(_df(spark, 12, 15).coalesce(1), ts=3.0)
+    # a missing partition column is refused at stage time
+    with pytest.raises(TxError, match="partition columns"):
+        t.append(spark.range(0, 3), ts=4.0)
+
+
+def test_partition_pruning_exact_and_composes_with_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tp3", partition_by=("day",))
+    # 2 files per day value (range-clustered on id within each day)
+    t.append(_df(spark, 0, 600).repartitionByRange(2, "id"), ts=1.0)
+    snap = t.snapshot()
+    n_files = len(snap.live_paths())
+    assert n_files == 6  # 3 day values x 2 id ranges
+    # partition prune alone: exactly the day=1 directory's files survive
+    kept = t.candidate_files(prune=[("day", 1, 1)], snap=snap)
+    assert len(kept) == 2
+    assert all("day=1" in p for p in kept)
+    # composed with a footer-stats prune on id: one file survives
+    kept2 = t.candidate_files(prune=[("day", 1, 1), ("id", 0, 100)], snap=snap)
+    assert len(kept2) == 1
+    # pruned read == unpruned filter (pruning never changes the answer)
+    a = sorted(
+        r["id"]
+        for r in t.read(prune=[("day", 1, 1), ("id", 0, 100)])
+        .where("day = 1 AND id BETWEEN 0 AND 100")
+        .collect()
+    )
+    b = sorted(
+        r["id"] for r in t.read().where("day = 1 AND id BETWEEN 0 AND 100").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_null_partition_value_roundtrip_and_pruned(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tpnull", partition_by=("day",))
+    df = spark.range(0, 10).withColumn(
+        "day", F.when(F.col("id") < 5, F.col("id") % 2).cast("int")
+    )
+    t.append(df.coalesce(1), ts=1.0)
+    snap = t.snapshot()
+    assert any(a["part"]["day"] is None for a in snap.files.values())
+    got = {(r["id"], r["day"]) for r in t.read().collect()}
+    assert got == {(i, i % 2 if i < 5 else None) for i in range(10)}
+    # a range predicate can never match NULL: the null dir is pruned exactly
+    kept = t.candidate_files(prune=[("day", 0, 5)], snap=snap)
+    assert all("__HIVE_DEFAULT_PARTITION__" not in p for p in kept)
+
+
+def test_partitioned_lifecycle_mor_cow_merge_compact_restore(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tplife", partition_by=("day",))
+    t.append(_df(spark, 0, 60).repartition(2, "day"), ts=1.0)
+    # MOR delete: no file rewritten, reads exclude
+    before = set(t.snapshot().live_paths())
+    t.delete_where("id % 10 = 0", ts=2.0, mode="mor")
+    assert set(t.snapshot().live_paths()) == before
+    assert t.read().count() == 54
+    # COW delete rewrites only hit files, stays hive-partitioned
+    t.delete_where("id >= 50", ts=3.0, mode="cow")
+    assert t.read().count() == 45
+    assert all(p.startswith("day=") for p in t.snapshot().live_paths())
+    # merge: update + insert, partition layout preserved
+    src = (
+        spark.range(0, 3)
+        .withColumn("day", (F.col("id") % 3).cast("int"))
+        .withColumn("v", F.lit(-1).cast("bigint"))
+    )
+    t.merge(src, keys=["id"], ts=4.0)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[1] == -1 and got[2] == -1 and len(got) == 46  # id=0 was deleted, re-inserted
+    # compact materializes the vectors and keeps the layout
+    t.compact(target_files=1, ts=5.0)
+    assert not t.snapshot().dv_map()
+    assert all(p.startswith("day=") for p in t.snapshot().live_paths())
+    n_after_compact = t.read().count()
+    assert n_after_compact == 46
+    # restore back before the merge
+    t.restore(3, ts=6.0)
+    assert t.read().count() == 45
+    # history nets to live rows throughout
+    net = 0
+    for r in sorted(t.history().collect(), key=lambda r: r["version"]):
+        net += r["rows_added"] - r["rows_removed"]
+        assert net == t.read(version=r["version"]).count()
+    # CDF across the partitioned lifecycle is row-exact for the MOR commit
+    dels = t.row_changes(1, 2).where("_change_type = 'delete'")
+    assert sorted(r["id"] for r in dels.collect()) == [0, 10, 20, 30, 40, 50]
+
+
+def test_partitioned_vacuum_removes_files_and_empty_dirs(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tpvac", partition_by=("day",))
+    t.append(_df(spark, 0, 30).coalesce(1), ts=1.0)
+    t.overwrite(
+        _df(spark, 0, 30).where("day < 2").coalesce(1), ts=2.0
+    )  # day=2 becomes garbage
+    removed = t.vacuum(retain_versions=1, min_age_s=0)
+    assert removed and all(r.startswith("day=") for r in removed)
+    assert not os.path.isdir(os.path.join(t.path, "day=2"))  # empty dir pruned
+    assert t.read().count() == 20  # live data intact
+
+
+def test_partition_by_survives_checkpoint(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tpckpt", partition_by=("day",))
+    t.append(_df(spark, 0, 9).coalesce(1), ts=1.0)
+    t._write_checkpoint(t.snapshot())
+    t.append(_df(spark, 9, 12).coalesce(1), ts=2.0)  # replays from the ckpt
+    snap = t.snapshot()
+    assert snap.partition_by == ("day",)
+    assert t.read().count() == 12
+
+
+def test_stream_source_injects_partition_values(spark, tmp_path):
+    from snapshot_sender_spark.sources.txlog_stream import register
+
+    register(spark)
+    t = _mk(spark, tmp_path, "tpstream", partition_by=("day",))
+    t.append(_df(spark, 0, 12).coalesce(1), ts=1.0)
+    t.append(_df(spark, 12, 21).coalesce(1), ts=2.0)
+    out = str(tmp_path / "tpstream_out")
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "tpstream_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(i, i % 3, i * 10) for i in range(21)}

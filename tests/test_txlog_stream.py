@@ -86,3 +86,86 @@ def test_starting_version_skips_history(spark, tmp_path, table):
     got = spark.read.parquet(str(out))
     assert got.count() == 15  # only v2's rows
     assert got.select(F.min("id")).collect()[0][0] == 10
+
+
+def test_cdf_stream_matches_batch_row_changes(spark, tmp_path):
+    """read_changes=true streams EXACTLY the batch row_changes feed across
+    appends, MOR deletes, COW rewrites, compaction (nothing), and MOR merge."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "cdf_tab"))
+    t.append(spark.range(0, 30).coalesce(1), ts=1.0)
+    t.delete_where("id % 10 = 0", ts=2.0, mode="mor")
+    t.delete_where("id >= 25", ts=3.0, mode="cow")
+    t.compact(target_files=1, ts=4.0)
+    t.merge(
+        spark.createDataFrame([(3,), (100,)], "id long").coalesce(1),
+        keys=["id"], ts=5.0, mode="mor",
+    )
+    out, ckpt = tmp_path / "cdf_out", tmp_path / "cdf_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    got = spark.read.parquet(str(out))
+    assert set(got.columns) == {"id", "_change_type", "_commit_version"}
+    batch = t.row_changes(0, t.latest_version()).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # compaction (v4) must contribute nothing
+    assert got.where("_commit_version = 4").count() == 0
+
+
+def test_cdf_stream_restart_streams_only_new_commits(spark, tmp_path):
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "cdf_restart"))
+    t.append(spark.range(0, 12).coalesce(1), ts=1.0)
+    t.delete_where("id < 3", ts=2.0, mode="mor")
+    out, ckpt = tmp_path / "r_out", tmp_path / "r_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    n_first = spark.read.parquet(str(out)).count()
+    assert n_first == 15  # 12 inserts + 3 deletes
+    # new commits while the stream is down: a COW delete and an append
+    t.delete_where("id >= 10", ts=3.0, mode="cow")
+    t.append(spark.range(20, 23).coalesce(1), ts=4.0)
+    _run(spark, t, out, ckpt, read_changes="true")  # SAME checkpoint: resume
+    got = spark.read.parquet(str(out))
+    assert got.count() == n_first + 2 + 3  # only the delta: 2 deletes + 3 inserts
+    delta = got.where("_commit_version >= 3")
+    dels = sorted(r["id"] for r in delta.where("_change_type='delete'").collect())
+    ins = sorted(r["id"] for r in delta.where("_change_type='insert'").collect())
+    assert dels == [10, 11] and ins == [20, 21, 22]
+
+
+def test_cdf_stream_partitioned_table_and_restore(spark, tmp_path):
+    """Partition values are injected into CDF rows, and a DV-resetting
+    restore streams the resurrected rows as inserts."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "cdf_part"), partition_by=("g",))
+    t.append(
+        spark.range(0, 12).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    t.delete_where("id IN (4, 5)", ts=2.0, mode="mor")
+    t.restore(1, ts=3.0)  # resurrect 4 and 5
+    out, ckpt = tmp_path / "p_out", tmp_path / "p_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    got = spark.read.parquet(str(out))
+    # every row carries its hive partition value, typed
+    assert got.where("g IS NULL").count() == 0
+    assert dict(got.dtypes)["g"] == "int"
+    batch = t.row_changes(0, t.latest_version()).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    v3 = got.where("_commit_version = 3")
+    assert sorted((r["id"], r["_change_type"]) for r in v3.collect()) == [
+        (4, "insert"), (5, "insert"),
+    ]
+
+
+def test_cdf_stream_vacuumed_file_raises(spark, tmp_path):
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "cdf_vac"))
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    t.overwrite(spark.range(50, 55).coalesce(1), ts=2.0)
+    t.vacuum(retain_versions=1, min_age_s=0)
+    out, ckpt = tmp_path / "v_out", tmp_path / "v_ckpt"
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        _run(spark, t, out, ckpt, read_changes="true")
+    assert "vacuumed" in str(ei.value) or "retention" in str(ei.value)
