@@ -52,6 +52,7 @@ import datetime as _dt
 import glob
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -229,6 +230,13 @@ class TxSnapshot:
     txns: dict[str, int] = field(default_factory=dict)  # txn key -> version
     constraints: dict[str, str] = field(default_factory=dict)
     partition_by: tuple[str, ...] = ()  # fixed at the first commit
+    # column mapping (non-additive schema evolution): logical name ->
+    # PHYSICAL parquet column name; identity entries are omitted. A
+    # physical name never changes once assigned — rename_column re-aliases
+    # it, drop_column retires it — so every historical file stays readable
+    # under the current logical schema without a rewrite.
+    mapping: dict[str, str] = field(default_factory=dict)
+    retired: tuple[str, ...] = ()  # physical names no longer mapped
 
     def schema(self) -> T.StructType:
         if self.schema_json is None:
@@ -269,6 +277,20 @@ def _parse_hive_dirs(rel_dir: str, partition_by: tuple[str, ...]) -> dict:
             raise TxError(f"partition dir {comp!r} does not match column {col!r}")
         vals[col] = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
     return vals
+
+
+def _physical_schema(schema: T.StructType, mapping: dict[str, str] | None) -> T.StructType:
+    """The schema a parquet scan must use under column mapping: same types,
+    physical names. Identity when no mapping exists (legacy tables take the
+    exact pre-mapping code path)."""
+    if not mapping:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+        ]
+    )
 
 
 def _typed_part_value(raw: str | None, dtype):
@@ -372,6 +394,8 @@ class TxTable:
                 "txns": snap.txns,
                 "constraints": snap.constraints,
                 "partition_by": list(snap.partition_by),
+                "mapping": snap.mapping,
+                "retired": list(snap.retired),
             }
         )
         tmp = os.path.join(self._log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
@@ -396,6 +420,8 @@ class TxTable:
             txns=d["txns"],
             constraints=d["constraints"],
             partition_by=tuple(d.get("partition_by", ())),
+            mapping=d.get("mapping", {}),
+            retired=tuple(d.get("retired", ())),
         )
 
     def _maybe_checkpoint(self, committed_version: int) -> None:
@@ -434,6 +460,8 @@ class TxTable:
         txns: dict[str, int] = {}
         constraints: dict[str, str] = {}
         partition_by: tuple[str, ...] = ()
+        mapping: dict[str, str] = {}
+        retired: tuple[str, ...] = ()
         start_after = 0
         usable_ckpts = [c for c in self._list_checkpoints() if c <= version]
         if usable_ckpts:
@@ -447,6 +475,8 @@ class TxTable:
                 txns = dict(base.txns)
                 constraints = dict(base.constraints)
                 partition_by = base.partition_by
+                mapping = dict(base.mapping)
+                retired = base.retired
                 start_after = base.version
         for v in versions:
             if v <= start_after:
@@ -460,6 +490,10 @@ class TxTable:
                         schema_json = meta["schema"]
                     if meta.get("partition_by"):  # fixed at the first commit
                         partition_by = tuple(meta["partition_by"])
+                    if meta.get("column_mapping") is not None:
+                        mapping = dict(meta["column_mapping"])
+                    if meta.get("retired_columns") is not None:
+                        retired = tuple(meta["retired_columns"])
                     txn = meta.get("txn")
                     if meta.get("constraints") is not None:
                         constraints = dict(meta["constraints"])
@@ -484,6 +518,7 @@ class TxTable:
         return TxSnapshot(
             version=version, schema_json=schema_json, files=files,
             txns=txns, constraints=constraints, partition_by=partition_by,
+            mapping=mapping, retired=retired,
         )
 
     # -- read path -----------------------------------------------------------
@@ -525,7 +560,7 @@ class TxTable:
                         keep = False
                         break
                     continue
-                st = stats.get(col)
+                st = stats.get(snap.mapping.get(col, col))  # stats key: physical
                 if st is None:
                     continue
                 # a file of only NULLs in this column can never satisfy a
@@ -555,7 +590,7 @@ class TxTable:
             os.path.relpath(f, self.path)
             for f in self.candidate_files(prune=prune, snap=snap)
         ]
-        return self.read_files(rels, schema, dv_map=snap.dv_map())
+        return self.read_files(rels, schema, dv_map=snap.dv_map(), mapping=snap.mapping)
 
     def changes(self, from_version: int, to_version: int):
         """Yield ``(version, op, added_paths, removed_paths)`` per committed
@@ -578,27 +613,39 @@ class TxTable:
                     removed.append(action["remove"]["path"])
             yield v, op, added, removed
 
-    def _lineage_read(self, rel_paths: list[str], schema: T.StructType) -> DataFrame:
+    def _lineage_read(
+        self,
+        rel_paths: list[str],
+        schema: T.StructType,
+        mapping: dict[str, str] | None = None,
+    ) -> DataFrame:
         """Files read under ``schema`` plus row lineage columns __f (file
         BASENAME — token-unique even under partition directories) and __ri
         (parquet row index) — what deletion vectors and copy-on-write
-        hit-detection key on. basePath restores hive partition columns."""
+        hit-detection key on. basePath restores hive partition columns;
+        under column mapping the scan uses physical names and re-aliases."""
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(_physical_schema(schema, mapping))
             .option("basePath", self.path)
             .parquet(*(os.path.join(self.path, p) for p in rel_paths))
         )
-        return df.select(
-            "*",
+        lineage = [
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__f"),
             F.col("_metadata.row_index").alias("__ri"),
-        )
+        ]
+        if mapping:
+            return df.select(
+                *(F.col(mapping.get(f.name, f.name)).alias(f.name) for f in schema.fields),
+                *lineage,
+            )
+        return df.select("*", *lineage)
 
     def read_files(
         self,
         rel_paths: list[str],
         schema: T.StructType,
         dv_map: dict[str, list[int]] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read files under the stored schema, applying any merge-on-read
         deletion vectors: files with a DV are read with row lineage and the
@@ -612,11 +659,19 @@ class TxTable:
         plain = [p for p in rel_paths if p not in dv_map]
         parts: list[DataFrame] = []
         if plain:
-            parts.append(
-                self.spark.read.schema(schema)
+            scan = (
+                self.spark.read.schema(_physical_schema(schema, mapping))
                 .option("basePath", self.path)
                 .parquet(*(os.path.join(self.path, p) for p in plain))
             )
+            if mapping:
+                scan = scan.select(
+                    *(
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    )
+                )
+            parts.append(scan)
         if dv_map:
             # lineage joins key on the token-unique BASENAME
             dels = self.spark.createDataFrame(
@@ -628,7 +683,7 @@ class TxTable:
                 "__f string, __ri bigint",
             )
             kept = (
-                self._lineage_read(sorted(dv_map), schema)
+                self._lineage_read(sorted(dv_map), schema, mapping=mapping)
                 .join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
                 .drop("__f", "__ri")
             )
@@ -640,7 +695,12 @@ class TxTable:
 
     # -- write path ----------------------------------------------------------
 
-    def _stage(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        mapping: dict[str, str] | None = None,
+    ) -> list[dict]:
         """Write ``df`` with Spark (respecting its incoming partitioning — the
         caller chooses clustering, e.g. repartitionByRange for tight stats),
         then move every part file into the table root under a token-unique
@@ -652,6 +712,12 @@ class TxTable:
         by vacuum()."""
         token = uuid.uuid4().hex
         staging = os.path.join(self.path, _STAGING_DIR, token)
+        if mapping:
+            # column mapping: files carry PHYSICAL names (partition columns
+            # are always identity-mapped, enforced by the alter ops)
+            df = df.select(
+                *(F.col(c).alias(mapping.get(c, c)) for c in df.columns)
+            )
         if partition_by:
             missing = [c for c in partition_by if c not in df.columns]
             if missing:
@@ -671,14 +737,40 @@ class TxTable:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
             rows, nbytes, stats = _footer_stats(dst)
-            for col in self.stats_exclude:
-                stats.pop(col, None)
+            for col in self.stats_exclude:  # stats are keyed by PHYSICAL name
+                stats.pop((mapping or {}).get(col, col), None)
             add = {"path": rel, "rows": rows, "bytes": nbytes, "stats": stats}
             if partition_by:
                 add["part"] = part_vals
             adds.append(add)
         shutil.rmtree(staging, ignore_errors=True)
         return adds
+
+    def _extend_mapping(
+        self, snap: TxSnapshot | None, df_schema: T.StructType
+    ) -> tuple[dict[str, str], bool]:
+        """Column mapping for a write introducing ``df_schema``'s columns:
+        a BRAND-NEW logical column whose name collides with a retired
+        physical (drop + re-add) or with another column's physical (rename
+        then re-add of the freed name) gets a fresh physical name — the old
+        files' bytes must never resurrect under the new logical column."""
+        if snap is None:
+            return {}, False
+        mapping = dict(snap.mapping)
+        old_names = (
+            {f.name for f in snap.schema().fields}
+            if snap.schema_json is not None
+            else set()
+        )
+        taken = {mapping.get(n, n) for n in old_names} | set(snap.retired)
+        changed = False
+        for f in df_schema.fields:
+            if f.name in old_names or f.name in mapping:
+                continue
+            if f.name in taken:
+                mapping[f.name] = f"{f.name}#{uuid.uuid4().hex[:8]}"
+                changed = True
+        return mapping, changed
 
     def _resolve_partition_by(self, snap: TxSnapshot | None) -> tuple[str, ...]:
         """The table's partition spec: fixed by the first commit; a
@@ -727,6 +819,8 @@ class TxTable:
         constraints: dict | None = None,
         partition_by: tuple[str, ...] | None = None,
         dvs: dict[str, list[int]] | None = None,
+        column_mapping: dict[str, str] | None = None,
+        retired: list[str] | None = None,
     ) -> int:
         """Claim the next version with a hard link (atomic: claims the number
         AND publishes complete content — a torn log file cannot exist). On
@@ -746,6 +840,10 @@ class TxTable:
                 meta["constraints"] = constraints
             if partition_by:
                 meta["partition_by"] = list(partition_by)
+            if column_mapping is not None:
+                meta["column_mapping"] = column_mapping
+            if retired is not None:
+                meta["retired_columns"] = list(retired)
             # removes precede adds so a commit may remove AND re-add one path
             # (restore's deletion-vector reset); replay applies actions in
             # file order, so the re-add's payload wins
@@ -817,9 +915,10 @@ class TxTable:
                 return prior
         schema_json = self._merge_schema(snap.schema_json if snap else None, df.schema)
         spec = self._resolve_partition_by(snap)
-        adds = self._stage(df, spec)
+        mapping, mapping_changed = self._extend_mapping(snap, df.schema)
+        adds = self._stage(df, spec, mapping=mapping)
         enforced = dict(snap.constraints) if snap else {}
-        self._enforce_on_staged(adds, schema_json, enforced)
+        self._enforce_on_staged(adds, schema_json, enforced, mapping=mapping)
 
         class _AlreadyApplied(Exception):
             def __init__(self, version: int):
@@ -837,15 +936,21 @@ class TxTable:
             # refuses the commit)
             merged = self._merge_schema(new_snap.schema_json, df.schema)
             if new_snap.constraints != enforced:
-                self._enforce_on_staged(adds, merged, new_snap.constraints)
+                self._enforce_on_staged(adds, merged, new_snap.constraints, mapping=mapping)
                 enforced.clear()
                 enforced.update(new_snap.constraints)
+            # a concurrent commit that changed the column mapping invalidates
+            # this batch's staged physical names (and our own mapping meta
+            # would clobber theirs on latest-wins replay): conflict, re-run
+            if dict(new_snap.mapping) != (dict(snap.mapping) if snap else {}):
+                raise TxConflict("concurrent commit changed the column mapping; re-run")
             return [], merged
 
         try:
             return self._commit(
                 "append", adds, [], schema_json, ts, base, revalidate, txn=txn,
                 partition_by=spec,
+                column_mapping=mapping if mapping_changed else None,
             )
         except _AlreadyApplied as dup:
             for a in adds:  # our staged files lost the replay race: clean up now
@@ -890,6 +995,7 @@ class TxTable:
         schema = snap.schema()
         schema_json = self._merge_schema(snap.schema_json, source.schema)
         spec = self._resolve_partition_by(snap)
+        mapping, mapping_changed = self._extend_mapping(snap, source.schema)
         dv_map = snap.dv_map()
         b2r = {os.path.basename(p): p for p in snap.live_paths()}
         src_keys = source.select(*keys).distinct()
@@ -902,7 +1008,7 @@ class TxTable:
 
         lineage = None
         if snap.live_paths():
-            lineage = self._lineage_read(snap.live_paths(), schema)
+            lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
             if dv_map:
                 dels = self.spark.createDataFrame(
                     [
@@ -932,11 +1038,12 @@ class TxTable:
                     )
                 for r in matched:
                     by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
-            adds = self._stage(source, spec)
-            self._enforce_on_staged(adds, schema_json, snap.constraints)
+            adds = self._stage(source, spec, mapping=mapping)
+            self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
             return self._commit(
                 "merge", adds, [], schema_json, ts, snap.version, revalidate,
                 partition_by=spec, dvs=by_file or None,
+                column_mapping=mapping if mapping_changed else None,
             )
 
         hit_rel: list[str] = []
@@ -949,16 +1056,17 @@ class TxTable:
                 .collect()
             )
             hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
-        survivors = self.read_files(hit_rel, schema, dv_map=dv_map).join(
+        survivors = self.read_files(hit_rel, schema, dv_map=dv_map, mapping=mapping).join(
             src_keys, on=keys, how="left_anti"
         )
         new_data = survivors.unionByName(source, allowMissingColumns=True)
-        adds = self._stage(new_data, spec)
-        self._enforce_on_staged(adds, schema_json, snap.constraints)
+        adds = self._stage(new_data, spec, mapping=mapping)
+        self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
 
         return self._commit(
             "merge", adds, hit_rel, schema_json, ts, snap.version, revalidate,
             partition_by=spec,
+            column_mapping=mapping if mapping_changed else None,
         )
 
     def overwrite(self, df: DataFrame, ts: float | None = None) -> int:
@@ -968,22 +1076,26 @@ class TxTable:
         base, snap = self._current_base()
         schema_json = json.dumps(json.loads(df.schema.json()))  # overwrite resets schema
         spec = self._resolve_partition_by(snap)
-        adds = self._stage(df, spec)
+        mapping, mapping_changed = self._extend_mapping(snap, df.schema)
+        adds = self._stage(df, spec, mapping=mapping)
         enforced = dict(snap.constraints) if snap else {}
-        self._enforce_on_staged(adds, schema_json, enforced)
+        self._enforce_on_staged(adds, schema_json, enforced, mapping=mapping)
         removes = snap.live_paths() if snap else []
 
         def revalidate(new_snap: TxSnapshot):
             # a concurrent set_constraint gates this batch too (see append)
             if new_snap.constraints != enforced:
-                self._enforce_on_staged(adds, schema_json, new_snap.constraints)
+                self._enforce_on_staged(adds, schema_json, new_snap.constraints, mapping=mapping)
                 enforced.clear()
                 enforced.update(new_snap.constraints)
+            if dict(new_snap.mapping) != (dict(snap.mapping) if snap else {}):
+                raise TxConflict("concurrent commit changed the column mapping; re-run")
             return new_snap.live_paths(), schema_json
 
         return self._commit(
             "overwrite", adds, removes, schema_json, ts, base, revalidate,
             partition_by=spec,
+            column_mapping=mapping if mapping_changed else None,
         )
 
     MOR_MAX_INLINE_DV = 100_000  # deleted row indices one commit may inline
@@ -1026,7 +1138,7 @@ class TxTable:
         if mode == "mor":
             if not snap.live_paths():
                 return snap.version
-            hits = self._lineage_read(snap.live_paths(), schema)
+            hits = self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
             dels = self.spark.createDataFrame(
                 [
                     (os.path.basename(p), int(i))
@@ -1052,7 +1164,11 @@ class TxTable:
                 by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
             return self._commit_dv(by_file, snap, ts, revalidate)
 
-        live = self._lineage_read(snap.live_paths(), schema) if snap.live_paths() else None
+        live = (
+            self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
+            if snap.live_paths()
+            else None
+        )
         if live is None:
             return snap.version
         hit_rows = (
@@ -1068,11 +1184,15 @@ class TxTable:
         # NULL-evaluating rows survive (plain ~expr would silently drop them).
         # read_files applies the files' deletion vectors, so MOR-deleted rows
         # cannot be resurrected by the rewrite.
-        survivors = self.read_files(hit_rel, schema, dv_map=dv_map).where(
-            ~F.coalesce(F.expr(predicate_sql), F.lit(False))
-        )
+        survivors = self.read_files(
+            hit_rel, schema, dv_map=dv_map, mapping=snap.mapping
+        ).where(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         spec = self._resolve_partition_by(snap)
-        adds = self._stage(survivors, spec) if survivors.take(1) else []
+        adds = (
+            self._stage(survivors, spec, mapping=snap.mapping)
+            if survivors.take(1)
+            else []
+        )
         return self._commit(
             "delete", adds, hit_rel, snap.schema_json, ts, snap.version, revalidate,
             partition_by=spec,
@@ -1130,7 +1250,9 @@ class TxTable:
             return snap.version
         # reading through the deletion vectors materializes them: the rewrite
         # holds only surviving rows and the new files carry no DV
-        data = self.read_files(inputs, snap.schema(), dv_map=snap.dv_map())
+        data = self.read_files(
+            inputs, snap.schema(), dv_map=snap.dv_map(), mapping=snap.mapping
+        )
         if cluster_expr is not None:
             key = F.expr(cluster_expr)
             compacted = data.repartitionByRange(target_files, key).sortWithinPartitions(key)
@@ -1139,7 +1261,7 @@ class TxTable:
         # on a partitioned table, target_files bounds files PER partition
         # value (the hive split happens inside the write)
         spec = self._resolve_partition_by(snap)
-        adds = self._stage(compacted, spec)
+        adds = self._stage(compacted, spec, mapping=snap.mapping)
 
         def revalidate(new_snap: TxSnapshot):
             gone = [p for p in inputs if p not in new_snap.files]
@@ -1257,6 +1379,9 @@ class TxTable:
         schema to read under — TxError)."""
         target_snap = self.snapshot(version=to_version)
         schema = target_snap.schema()
+        # physical names never change (rename re-aliases, drop retires), so
+        # the TARGET mapping reads every historical file correctly
+        t_map = target_snap.mapping
         target_types = {f.name: f.dataType for f in schema.fields}
 
         def _check_types(schema_json: str | None, at: str) -> None:
@@ -1306,9 +1431,11 @@ class TxTable:
             # above). Removed files are read through their deletion-vector
             # state AS OF v-1, so rows a MOR delete already reported are not
             # reported again when a COW rewrite later drops the file.
-            a_df = self.read_files(added, schema, dv_map=add_dv_by_version.get(v))
+            a_df = self.read_files(
+                added, schema, dv_map=add_dv_by_version.get(v), mapping=t_map
+            )
             prev_dv = self.snapshot(version=v - 1).dv_map() if removed else {}
-            r_df = self.read_files(removed, schema, dv_map=prev_dv)
+            r_df = self.read_files(removed, schema, dv_map=prev_dv, mapping=t_map)
             ins = a_df.exceptAll(r_df)
             del_ = r_df.exceptAll(a_df)
             parts.append(
@@ -1330,7 +1457,7 @@ class TxTable:
                 ]
                 dels_df = self.spark.createDataFrame(pairs, "__f string, __ri bigint")
                 dv_deleted = (
-                    self._lineage_read(dv_paths, schema)
+                    self._lineage_read(dv_paths, schema, mapping=t_map)
                     .join(F.broadcast(dels_df), on=["__f", "__ri"], how="left_semi")
                     .drop("__f", "__ri")
                 )
@@ -1391,8 +1518,90 @@ class TxTable:
             return {}
         return dict(self.snapshot().constraints)
 
+    # -- non-additive schema evolution (column mapping) ------------------------
+
+    def _check_not_referenced(self, snap: TxSnapshot, name: str, what: str) -> None:
+        if name in snap.partition_by:
+            raise TxError(f"cannot {what} partition column {name!r}")
+        for cname, sql in snap.constraints.items():
+            if re.search(rf"\b{re.escape(name)}\b", sql):
+                raise TxError(
+                    f"cannot {what} column {name!r}: constraint {cname!r} "
+                    f"references it ({sql!r}) — drop the constraint first"
+                )
+
+    def rename_column(self, old: str, new: str, ts: float | None = None) -> int:
+        """METADATA-ONLY column rename (Delta/Iceberg column mapping): the
+        logical name changes, the physical parquet name the data was written
+        under never does — zero files rewritten, every historical file stays
+        readable, footer stats stay valid (they key on the physical name).
+        Partition columns and constraint-referenced columns are refused
+        (their name is load-bearing elsewhere)."""
+        snap = self.snapshot()
+        schema = snap.schema()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise TxError(f"no column {old!r} to rename (have {names})")
+        if new in names:
+            raise TxError(f"column {new!r} already exists")
+        self._check_not_referenced(snap, old, "rename")
+        mapping = dict(snap.mapping)
+        phys = mapping.pop(old, old)
+        if phys != new:  # renaming BACK to the physical name restores identity
+            mapping[new] = phys
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        schema_json = json.dumps(json.loads(new_schema.json()))
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during rename_column; re-run")
+
+        return self._commit(
+            "rename_column", [], [], schema_json, ts, snap.version, revalidate,
+            column_mapping=mapping, retired=list(snap.retired),
+        )
+
+    def drop_column(self, name: str, ts: float | None = None) -> int:
+        """METADATA-ONLY column drop: the column leaves the logical schema
+        and its physical name is RETIRED — no file is rewritten, the bytes
+        age out with normal rewrites/vacuum, and a later re-add of the same
+        logical name maps to a FRESH physical so the old values can never
+        resurrect (pinned by test). Refused for partition columns,
+        constraint-referenced columns, and the last remaining column."""
+        snap = self.snapshot()
+        schema = snap.schema()
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise TxError(f"no column {name!r} to drop (have {names})")
+        if len(names) == 1:
+            raise TxError("cannot drop the last column")
+        self._check_not_referenced(snap, name, "drop")
+        mapping = dict(snap.mapping)
+        phys = mapping.pop(name, name)
+        retired = list(snap.retired)
+        if phys not in retired:
+            retired.append(phys)
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        schema_json = json.dumps(json.loads(new_schema.json()))
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during drop_column; re-run")
+
+        return self._commit(
+            "drop_column", [], [], schema_json, ts, snap.version, revalidate,
+            column_mapping=mapping, retired=retired,
+        )
+
     def _enforce_on_staged(
-        self, adds: list[dict], schema_json: str, cons: dict[str, str]
+        self,
+        adds: list[dict],
+        schema_json: str,
+        cons: dict[str, str],
+        mapping: dict[str, str] | None = None,
     ) -> None:
         """Check the snapshot's constraints against freshly STAGED files (so
         the input plan never recomputes) under the post-commit schema. SQL
@@ -1403,7 +1612,7 @@ class TxTable:
         if not cons or not adds:
             return
         schema = T.StructType.fromJson(json.loads(schema_json))
-        staged = self.read_files([a["path"] for a in adds], schema)
+        staged = self.read_files([a["path"] for a in adds], schema, mapping=mapping)
         whole = F.lit(True)
         for expr in cons.values():
             whole = whole & F.coalesce(F.expr(expr), F.lit(True))

@@ -999,3 +999,65 @@ def stream_txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
         )
     )
+
+
+# =============================================================================
+# non-additive schema evolution: metadata-only rename/drop via column mapping
+# =============================================================================
+
+
+@query(
+    "table_txlog_column_mapping",
+    oracle="""
+    WITH a AS (SELECT doc_id, source, n_chars AS char_count,
+                      CAST(NULL AS VARCHAR) AS lang
+               FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT doc_id, source, n_chars + 1000 AS char_count, lang
+               FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(char_count) AS BIGINT) AS sum_chars,
+           COUNT(lang) AS n_lang
+    FROM u GROUP BY source
+    """,
+    category="table-format",
+)
+def table_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive schema evolution without a rewrite (Delta/Iceberg column
+    mapping re-expressed for the txlog format): n_chars is RENAMED to
+    char_count (metadata-only — the physical parquet name never changes, so
+    historical files and their footer stats stay valid) and lang is DROPPED
+    (its physical name is retired). A later append re-introduces lang, which
+    maps to a FRESH physical column: the dropped values must NOT resurrect —
+    pre-drop rows read NULL, which is exactly what the oracle's CAST(NULL)
+    branch encodes. Zero-rewrite property, refusals (partition/constraint
+    columns), stream decode and checkpoint persistence are pinned in
+    tests/test_txlog_mapping.py."""
+    work = _workdir("txlog_map_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "lang")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.where(F.col("doc_id") % 2 == 0).repartition(2), ts=1.0)
+    files_before = set(t.snapshot().live_paths())
+    t.rename_column("n_chars", "char_count", ts=2.0)
+    t.drop_column("lang", ts=3.0)
+    if set(t.snapshot().live_paths()) != files_before:
+        raise AssertionError("rename/drop must be metadata-only (zero rewrites)")
+    t.append(
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id", "source",
+            (F.col("n_chars") + 1000).alias("char_count"),
+            "lang",
+        )
+        .repartition(2),
+        ts=4.0,
+    )
+    return (
+        t.read()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("char_count").cast("bigint").alias("sum_chars"),
+            F.count("lang").alias("n_lang"),
+        )
+    )

@@ -55,12 +55,20 @@ from ..operators.txlog import _LOG_DIR, _VERSION_DIGITS
 
 
 class _AddedFilePartition(InputPartition):
-    def __init__(self, path: str, schema_json: str, part: dict | None = None):
+    def __init__(
+        self,
+        path: str,
+        schema_json: str,
+        part: dict | None = None,
+        mapping: dict | None = None,
+    ):
         self.path = path
         self.schema_json = schema_json
         # hive partition values from the add-action ({col: str_or_None});
         # the data file itself does not contain these columns
         self.part = part or {}
+        # column mapping (logical -> physical parquet name) as of stream start
+        self.mapping = mapping or {}
 
 
 class _TxlogStreamReader(DataSourceStreamReader):
@@ -75,18 +83,23 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # the stream started surface only on restart — the Delta streaming
         # stance. streamReader() passes the ENGINE's schema through so batches
         # can never diverge from the analyzed plan, even when a commit lands
-        # between schema() and streamReader().
-        self.schema_json = schema_json or self._latest_schema_json()
+        # between schema() and streamReader(). The column mapping (logical ->
+        # physical, for tables evolved via rename/drop) is likewise fixed at
+        # reader construction.
+        latest_schema, self.mapping = self._latest_schema_and_mapping()
+        self.schema_json = schema_json or latest_schema
 
-    def _latest_schema_json(self) -> str:
-        schema_json = None
+    def _latest_schema_and_mapping(self) -> tuple[str, dict]:
+        schema_json, mapping = None, {}
         for v in self._versions():
             meta = self._actions(v)[0]["meta"]
             if meta.get("schema") is not None:
                 schema_json = meta["schema"]
+            if meta.get("column_mapping") is not None:
+                mapping = dict(meta["column_mapping"])
         if schema_json is None:
             raise ValueError(f"no committed schema in txlog table {self.table_path!r}")
-        return schema_json
+        return schema_json, mapping
 
     # -- log access (driver side; mirrors TxTable's layout contract) ---------
 
@@ -126,7 +139,10 @@ class _TxlogStreamReader(DataSourceStreamReader):
                 break
             actions = self._actions(v)
             meta = actions[0]["meta"]
-            if meta["op"] not in ("append", "set_constraint"):
+            # metadata-only commits move no rows and are always safe to pass
+            if meta["op"] not in (
+                "append", "set_constraint", "rename_column", "drop_column"
+            ):
                 if self.ignore_changes:
                     continue
                 raise ValueError(
@@ -146,7 +162,8 @@ class _TxlogStreamReader(DataSourceStreamReader):
                         )
                     parts.append(
                         _AddedFilePartition(
-                            full, self.schema_json, action["add"].get("part")
+                            full, self.schema_json, action["add"].get("part"),
+                            self.mapping,
                         )
                     )
         return parts
@@ -161,12 +178,14 @@ class _TxlogStreamReader(DataSourceStreamReader):
         arrow_schema = to_arrow_schema(schema)
         pf = pq.ParquetFile(part.path)
         present = set(pf.schema_arrow.names)
-        want = [f.name for f in schema.fields]
+        # column mapping: parquet stores PHYSICAL names; emit logical ones
+        phys = lambda name: part.mapping.get(name, name)  # noqa: E731
+        want = [phys(f.name) for f in schema.fields]
         for batch in pf.iter_batches(columns=[c for c in want if c in present]):
             cols = []
             for field in arrow_schema:
-                if field.name in present:
-                    cols.append(batch.column(field.name).cast(field.type))
+                if phys(field.name) in present:
+                    cols.append(batch.column(phys(field.name)).cast(field.type))
                 elif field.name in part.part:
                     # hive partition column: constant per file, injected from
                     # the add-action's recorded value (string → typed cast)
@@ -348,11 +367,14 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         rows: list[tuple] = []
         offset = 0
         part_vals = part_vals or {}
-        for batch in pf.iter_batches(columns=[f.name for f in fields if f.name in present]):
+        phys = lambda name: self.mapping.get(name, name)  # noqa: E731
+        for batch in pf.iter_batches(
+            columns=[phys(f.name) for f in fields if phys(f.name) in present]
+        ):
             cols = []
             for f in fields:
-                if f.name in present:
-                    cols.append(batch.column(f.name).to_pylist())
+                if phys(f.name) in present:
+                    cols.append(batch.column(phys(f.name)).to_pylist())
                 elif f.name in part_vals:
                     raw = part_vals[f.name]
                     typed = self._typed_part(raw, f.dataType)

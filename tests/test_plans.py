@@ -370,6 +370,7 @@ def test_declared_surface_plan_audit(spark, sf_dir):
     SKIP_CATEGORIES = {"streaming", "pipeline", "llm-pipeline"}
     EXPECTED_BATCH_PY = {"text_chunk_udtf", "udtf_table_arg_gaps"}
     EXPECTED_ARROW = {
+        "agg_kll_quantile_sketch",  # seeded KLL: one pandas group per event_type
         "curation_token_budget_bpe",  # BPE encode of DISTINCT words only
         "dedup_audio_near",
         "dedup_embedding_pairs", "dedup_image_incremental", "dedup_image_near",
