@@ -1358,7 +1358,12 @@ class TxTable:
             raise TxConflict("concurrent commit during restore; re-run")
 
         return self._commit(
-            "restore", adds, removes, target.schema_json, ts, snap.version, revalidate
+            "restore", adds, removes, target.schema_json, ts, snap.version, revalidate,
+            # the restored logical schema must read through the TARGET's
+            # column mapping too — restoring across a drop + re-add would
+            # otherwise resolve the old logical name to the re-add's fresh
+            # physical and read NULLs instead of the original values
+            column_mapping=dict(target.mapping), retired=list(target.retired),
         )
 
     def row_changes(self, from_version: int, to_version: int) -> DataFrame:

@@ -275,7 +275,10 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
         # pre-interval replay tracks per-file DV state so a diff version can
-        # read removed files AS OF v-1 (control-plane: O(versions × dv rows))
+        # read removed files AS OF v-1. Control-plane cost: O(full log ×
+        # inline-DV rows) per micro-batch — bounded by MOR_MAX_INLINE_DV per
+        # commit, and log checkpointing keeps version files small; a reader
+        # resuming far into a long log pays listdir + JSON parse only
         dv_state: dict[str, set[int]] = {}
         for v in self._versions():
             if v > hi:

@@ -189,3 +189,28 @@ def test_stream_source_after_rename_and_drop(spark, tmp_path):
     cdf = spark.read.parquet(str(out2))
     assert cdf.where("_change_type = 'insert'").count() == 9
     assert cdf.where("b IS NULL").count() == 0
+
+
+def test_restore_reverts_column_mapping(spark, tmp_path):
+    """RESTORE across a drop + re-add must bring back the TARGET's mapping:
+    the restored logical column reads the ORIGINAL physical values, not the
+    re-add's fresh physical (which would surface NULLs)."""
+    t = _mk(spark, tmp_path, "t_restore_map")
+    t.append(
+        spark.range(0, 4).withColumn("secret", F.lit("orig").cast("string")).coalesce(1),
+        ts=1.0,
+    )                                   # v1: physical 'secret'
+    t.drop_column("secret", ts=2.0)     # v2: retired
+    t.append(
+        spark.range(4, 6).withColumn("secret", F.lit("new").cast("string")).coalesce(1),
+        ts=3.0,
+    )                                   # v3: fresh physical secret#xxxx
+    t.restore(1, ts=4.0)                # back to the original mapping
+    got = {r["id"]: r["secret"] for r in t.read().collect()}
+    assert got == {i: "orig" for i in range(4)}
+    snap = t.snapshot()
+    assert snap.mapping == {} and snap.retired == ()
+    # and restoring FORWARD to v3 brings the fresh-physical mapping back
+    t.restore(3, ts=5.0)
+    got = {r["id"]: r["secret"] for r in t.read().collect()}
+    assert all(got[i] is None for i in range(4)) and got[4] == "new"
