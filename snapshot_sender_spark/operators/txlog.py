@@ -1069,6 +1069,102 @@ class TxTable:
             column_mapping=mapping if mapping_changed else None,
         )
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        ts: float | None = None,
+        order_col: str = "_commit_version",
+        txn: dict | None = None,
+    ) -> int:
+        """Apply a change-data-feed batch (table columns + _change_type
+        'insert'|'delete' + an ordering column) to THIS table — the
+        downstream half of the CDF stream source, the Delta Live Tables
+        APPLY CHANGES INTO shape:
+
+        1. per key, keep only the LATEST change (max order_col; an update
+           arrives as delete(old)+insert(new) at the same version, so the
+           insert wins ties);
+        2. one atomic merge-on-read commit DV-invalidates EVERY current row
+           whose key appears in the batch and appends only the surviving
+           insert images — updates and deletes in one version, zero files
+           rewritten.
+
+        With ``txn`` set the apply is idempotent on that identity (the
+        foreachBatch exactly-once contract: key it on (app, batch_id) and a
+        restarted stream can replay any batch safely). Conflict rule follows
+        merge: any concurrent commit invalidates the key scan."""
+        from pyspark.sql.window import Window
+
+        snap = self.snapshot()
+        if txn is not None:
+            prior = snap.txns.get(_txn_key(txn))
+            if prior is not None:
+                return prior
+        schema = snap.schema()
+        spec = self._resolve_partition_by(snap)
+        dv_map = snap.dv_map()
+        b2r = {os.path.basename(p): p for p in snap.live_paths()}
+
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(),
+            F.when(F.col("_change_type") == "insert", 0).otherwise(1),
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserts = latest.where(F.col("_change_type") == "insert").drop(
+            "_change_type", order_col
+        )
+        schema_json = self._merge_schema(snap.schema_json, upserts.schema)
+        mapping, mapping_changed = self._extend_mapping(snap, upserts.schema)
+        change_keys = changes.select(*keys).distinct()
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict(
+                "concurrent commit during apply_changes; re-run "
+                "(the key scan did not see the new table state)"
+            )
+
+        by_file: dict[str, list[int]] = {}
+        if snap.live_paths():
+            lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
+            if dv_map:
+                dels = self.spark.createDataFrame(
+                    [
+                        (os.path.basename(p), int(i))
+                        for p, idxs in dv_map.items()
+                        for i in idxs
+                    ],
+                    "__f string, __ri bigint",
+                )
+                lineage = lineage.join(
+                    F.broadcast(dels), on=["__f", "__ri"], how="left_anti"
+                )
+            matched = (
+                lineage.select(*keys, "__f", "__ri")
+                .join(change_keys, on=keys, how="left_semi")
+                .select("__f", "__ri")
+                .limit(self.MOR_MAX_INLINE_DV + 1)
+                .collect()
+            )
+            if len(matched) > self.MOR_MAX_INLINE_DV:
+                raise TxError(
+                    f"apply_changes matched more than {self.MOR_MAX_INLINE_DV} "
+                    "rows; split the batch or compact first"
+                )
+            for r in matched:
+                by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
+        adds = self._stage(upserts, spec, mapping=mapping)
+        self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
+        return self._commit(
+            "apply_changes", adds, [], schema_json, ts, snap.version, revalidate,
+            txn=txn, partition_by=spec, dvs=by_file or None,
+            column_mapping=mapping if mapping_changed else None,
+        )
+
     def overwrite(self, df: DataFrame, ts: float | None = None) -> int:
         """Replace the table contents. The remove-set is recomputed against
         the winner's snapshot on every race, so a concurrent append cannot

@@ -1061,3 +1061,75 @@ def table_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("lang").alias("n_lang"),
         )
     )
+
+
+@query(
+    "pipeline_cdf_apply_changes",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id, source,
+             n_chars + CASE WHEN doc_id % 7 = 0 THEN 10000 ELSE 0 END AS n_chars
+      FROM documents
+      WHERE doc_id % 3 < 2 AND doc_id % 5 <> 0
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM live GROUP BY source
+    """,
+    category="table-format",
+)
+def pipeline_cdf_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC loop, both halves of round 11's change-feed work composed:
+    a bronze txlog table goes through two appends, a MERGE-ON-READ upsert
+    (+10000 chars to every 7th doc — each update streams as delete(old) +
+    insert(new) at one version) and a MOR takedown delete; the CHANGE FEED
+    STREAM (read_changes=true) carries row-level changes into foreachBatch,
+    where ``apply_changes`` folds each batch into the silver table as ONE
+    atomic MOR commit per batch (latest change per key wins; txn identity
+    makes replays no-ops). Silver's final state equals the declarative
+    expectation over the source — which is the oracle — so the silver
+    pipeline is EXACT under updates and deletes, the property ignore_changes
+    streaming fundamentally cannot offer. At 100 TB this is the
+    bronze→silver hop priced at delta bytes, not table scans."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_cdc_apply_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bronze = TxTable(spark, f"{work}/bronze")
+    bronze.append(docs.where(F.col("doc_id") % 3 == 0).repartition(2), ts=1.0)
+    bronze.append(docs.where(F.col("doc_id") % 3 == 1).repartition(2), ts=2.0)
+    upd = docs.where((F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 7 == 0)).withColumn(
+        "n_chars", F.col("n_chars") + 10000
+    )
+    bronze.merge(upd, keys=["doc_id"], ts=3.0, mode="mor")
+    bronze.delete_where("doc_id % 5 = 0", ts=4.0, mode="mor")
+
+    silver = TxTable(spark, f"{work}/silver")
+    silver.append(docs.limit(0).coalesce(1), ts=0.0)  # schema-only v1
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        silver.apply_changes(
+            batch_df, keys=["doc_id"], ts=float(batch_id) + 1.0,
+            txn={"app": "cdc_silver", "batch": int(batch_id)},
+        )
+
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", bronze.path)
+        .option("read_changes", "true")
+        .load()
+        .writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        silver.read()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

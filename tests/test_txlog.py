@@ -1069,3 +1069,51 @@ def test_mor_merge_respects_prior_deletes_and_cap(spark, tmp_path):
             spark.range(0, 10).withColumn("v", F.lit(2).cast("int")).coalesce(1),
             keys=["id"], ts=2.0, mode="mor",
         )
+
+
+def test_apply_changes_updates_deletes_in_one_commit(spark, tmp_path):
+    """apply_changes: one atomic MOR commit applies a CDF batch — updates
+    (delete old + insert new at one version) take the NEW image, deletes
+    remove the row, fresh keys insert; zero files rewritten."""
+    t = _mk(spark, tmp_path, "t_apply")
+    t.append(
+        spark.range(0, 10).withColumn("v", F.lit(1).cast("int")).coalesce(1), ts=1.0
+    )
+    before = set(t.snapshot().live_paths())
+    changes = spark.createDataFrame(
+        [
+            (3, 1, "delete", 7),   # update: old image out...
+            (3, 9, "insert", 7),   # ...new image in (same version — insert wins)
+            (5, 1, "delete", 7),   # plain delete
+            (50, 2, "insert", 7),  # plain insert
+            (6, 1, "delete", 6),   # STALE delete superseded by...
+            (6, 4, "insert", 7),   # ...a later insert: the insert wins
+        ],
+        "id long, v int, _change_type string, _commit_version long",
+    ).coalesce(1)
+    v = t.apply_changes(changes, keys=["id"], ts=2.0)
+    assert v == 2
+    assert before <= set(t.snapshot().live_paths())  # nothing rewritten
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[3] == 9 and got[6] == 4 and got[50] == 2
+    assert 5 not in got and len(got) == 10  # 10 - 1 delete + 1 insert
+    # history still nets
+    net = 0
+    for r in sorted(t.history().collect(), key=lambda r: r["version"]):
+        net += r["rows_added"] - r["rows_removed"]
+        assert net == t.read(version=r["version"]).count()
+
+
+def test_apply_changes_idempotent_on_txn(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_apply_txn")
+    t.append(spark.range(0, 5).withColumn("v", F.lit(1).cast("int")).coalesce(1), ts=1.0)
+    changes = spark.createDataFrame(
+        [(2, 8, "insert", 3), (4, 1, "delete", 3)],
+        "id long, v int, _change_type string, _commit_version long",
+    ).coalesce(1)
+    txn = {"app": "cdc", "batch": 3}
+    v1 = t.apply_changes(changes, keys=["id"], ts=2.0, txn=txn)
+    v2 = t.apply_changes(changes, keys=["id"], ts=3.0, txn=txn)  # replay: no-op
+    assert v1 == v2 == t.latest_version()
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[2] == 8 and 4 not in got and len(got) == 4

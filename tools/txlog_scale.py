@@ -223,41 +223,50 @@ def merge_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
 
 
 def merge_mor_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
-    """Hot-upsert cost at 10M rows: the SAME one-shard update + 5 inserts as
-    merge_tier, merge-on-read (DV-invalidate + append, zero rewrites) vs
-    copy-on-write (hit-file rewrite) — write wall-clock, files rewritten, and
-    the post-merge full-scan read overhead; results asserted equal."""
+    """Hot-upsert cost at 10M rows, the two physical shapes × two key
+    distributions. CLUSTERED source keys (one user shard) hit ~1 file —
+    copy-on-write's rewrite is cheap and wins; SCATTERED keys (the realistic
+    CDC stream: updates land anywhere) hit most files — COW rewrites a large
+    fraction of the table for a handful of rows while merge-on-read's write
+    cost stays one DV log entry + the source bytes. The post-merge full-scan
+    read overhead (the DV anti-join toll) is reported alongside; results
+    asserted equal between modes."""
     ev = build_events(spark, sf_dir, mult)
     base = build_events(spark, sf_dir, 1)
-    updates = base.where(F.col("user_id") == 510).withColumn(
+    clustered = base.where(F.col("user_id") == 510).withColumn(
+        "value", F.lit(10**6).cast("double")
+    )
+    # ~70 keys spread uniformly across the REPLICATED id space -> most files
+    scattered = ev.where(F.col("event_id") % 142001 == 3).withColumn(
         "value", F.lit(10**6).cast("double")
     )
     inserts = base.where(F.col("event_id") < 5).withColumn(
         "event_id", F.col("event_id") + F.lit(9 * 10**14)
     )
-    src = updates.union(inserts)
-    n_src = src.count()
     work = tempfile.mkdtemp(prefix="txlog_merge_mor_scale_")
-    results = {}
-    for mode in ("mor", "cow"):
-        t = TxTable(spark, os.path.join(work, f"tab_{mode}"))
-        t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
-        before = set(t.snapshot().live_paths())
-        _, dt = timed(lambda: t.merge(src, keys=["event_id"], ts=2.0, mode=mode))
-        rewritten = len(before - set(t.snapshot().live_paths()))
-        agg, t_read = timed(
-            lambda: t.read().agg(
-                F.count("*").alias("n"), F.sum("event_id").alias("s")
-            ).collect()[0]
-        )
-        results[mode] = (agg["n"], agg["s"], dt, rewritten, t_read)
-    assert results["mor"][:2] == results["cow"][:2], results  # identical answer
-    for mode, (n, _s, dt, rewritten, t_read) in results.items():
-        print(
-            f"{mode}: merge {n_src} source rows into {n:,} in {dt:.2f}s "
-            f"({rewritten}/{n_files} files rewritten), "
-            f"full-scan agg after: {t_read:.2f}s"
-        )
+    for label, upd in (("clustered", clustered), ("scattered", scattered)):
+        src = upd.union(inserts)
+        n_src = src.count()
+        results = {}
+        for mode in ("mor", "cow"):
+            t = TxTable(spark, os.path.join(work, f"tab_{label}_{mode}"))
+            t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
+            before = set(t.snapshot().live_paths())
+            _, dt = timed(lambda: t.merge(src, keys=["event_id"], ts=2.0, mode=mode))
+            rewritten = len(before - set(t.snapshot().live_paths()))
+            agg, t_read = timed(
+                lambda: t.read().agg(
+                    F.count("*").alias("n"), F.sum("event_id").alias("s")
+                ).collect()[0]
+            )
+            results[mode] = (agg["n"], agg["s"], dt, rewritten, t_read)
+        assert results["mor"][:2] == results["cow"][:2], results  # identical answer
+        for mode, (n, _s, dt, rewritten, t_read) in results.items():
+            print(
+                f"{label}/{mode}: merge {n_src} source rows into {n:,} in "
+                f"{dt:.2f}s ({rewritten}/{n_files} files rewritten), "
+                f"full-scan agg after: {t_read:.2f}s"
+            )
     shutil.rmtree(work, ignore_errors=True)
 
 
