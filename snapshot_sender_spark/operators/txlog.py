@@ -1330,6 +1330,7 @@ class TxTable:
         target_files: int = 1,
         ts: float | None = None,
         cluster_expr: str | None = None,
+        only_smaller_than: int | None = None,
     ) -> int:
         """Data-equivalent rewrite of the live files into ``target_files``.
         Concurrent appends are tolerated on retry (their files are simply not
@@ -1339,9 +1340,23 @@ class TxTable:
         columns) turns this into OPTIMIZE-with-clustering: the rewrite
         range-partitions and sorts on the expression, so every output file's
         footer stats cover a tight slice of the clustering space and later
-        reads prune on it — Delta's OPTIMIZE ZORDER BY, as one commit."""
+        reads prune on it — Delta's OPTIMIZE ZORDER BY, as one commit.
+
+        ``only_smaller_than`` (bytes) makes it INCREMENTAL OPTIMIZE: only
+        files under the threshold are bin-packed; right-sized files are not
+        touched, their deletion vectors stay in place. A streaming table
+        accreting one small file per micro-batch compacts at a cost
+        proportional to the small-file backlog, never the table — the 100 TB
+        answer to "OPTIMIZE re-writes 100 TB nightly". Fewer than two
+        qualifying files is a no-op (no new version)."""
         snap = self.snapshot()
         inputs = snap.live_paths()
+        if only_smaller_than is not None:
+            inputs = [
+                p for p in inputs if snap.files[p]["bytes"] < only_smaller_than
+            ]
+            if len(inputs) < 2:
+                return snap.version  # nothing worth packing
         if not inputs:
             return snap.version
         # reading through the deletion vectors materializes them: the rewrite

@@ -1133,3 +1133,53 @@ def pipeline_cdf_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "table_txlog_optimize_small",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE (doc_id % 6 = 0 OR doc_id % 30 IN (1, 2, 3, 4, 5))
+      AND doc_id % 11 <> 0
+    GROUP BY lang
+    """,
+    category="table-format",
+)
+def table_txlog_optimize_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE: a simulated micro-batch dribble (5 small
+    appends) beside one right-sized file, a MOR takedown, then
+    ``compact(only_smaller_than=...)`` bin-packs ONLY the small-file backlog
+    — the large file and its deletion vector are untouched (asserted
+    loudly), so the maintenance cost tracks the backlog, never the table.
+    Data equivalence across the whole lifecycle is the oracle. At 100 TB
+    this is nightly OPTIMIZE priced at the day's small files instead of a
+    full rewrite."""
+    work = _workdir("txlog_opt_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.where(F.col("doc_id") % 6 == 0).coalesce(1), ts=1.0)  # the big file
+    for i in range(1, 6):  # the dribble
+        t.append(
+            docs.where((F.col("doc_id") % 6 == i) & (F.col("doc_id") % 30 < 6))
+            .coalesce(1),
+            ts=1.0 + i,
+        )
+    t.delete_where("doc_id % 11 = 0", ts=7.0, mode="mor")
+    snap = t.snapshot()
+    big = max(snap.live_paths(), key=lambda p: snap.files[p]["bytes"])
+    t.compact(target_files=1, ts=8.0, only_smaller_than=snap.files[big]["bytes"])
+    snap2 = t.snapshot()
+    if big not in snap2.files:
+        raise AssertionError("incremental optimize must not touch right-sized files")
+    if not (len(snap2.live_paths()) < len(snap.live_paths())):
+        raise AssertionError("incremental optimize packed nothing")
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -1117,3 +1117,31 @@ def test_apply_changes_idempotent_on_txn(spark, tmp_path):
     assert v1 == v2 == t.latest_version()
     got = {r["id"]: r["v"] for r in t.read().collect()}
     assert got[2] == 8 and 4 not in got and len(got) == 4
+
+
+def test_incremental_optimize_packs_only_small_files(spark, tmp_path):
+    """compact(only_smaller_than=...): bin-packs the small-file backlog a
+    streaming table accretes, leaves right-sized files (and their deletion
+    vectors) untouched — cost tracks the backlog, not the table."""
+    t = _mk(spark, tmp_path, "t_opt_small")
+    t.append(spark.range(0, 100_000).coalesce(1), ts=1.0)  # the big file
+    for i in range(4):  # micro-batch dribble: 4 small files
+        t.append(spark.range(200_000 + 10 * i, 200_000 + 10 * i + 10).coalesce(1),
+                 ts=2.0 + i)
+    t.delete_where("id = 5", ts=6.0, mode="mor")  # DV on the BIG file
+    snap = t.snapshot()
+    big = max(snap.live_paths(), key=lambda p: snap.files[p]["bytes"])
+    threshold = snap.files[big]["bytes"]  # strictly-below: excludes the big file
+    v = t.compact(target_files=1, ts=7.0, only_smaller_than=threshold)
+    snap2 = t.snapshot()
+    assert big in snap2.files                      # untouched
+    assert snap2.files[big].get("dv") == [5]       # its vector survives
+    assert len(snap2.live_paths()) == 2            # big + one packed file
+    assert t.read().count() == 100_000 + 40 - 1
+    # packing nothing is a no-op (all remaining files >= their own size)
+    assert t.compact(ts=8.0, only_smaller_than=1) == v
+    # history still nets to live rows
+    net = 0
+    for r in sorted(t.history().collect(), key=lambda r: r["version"]):
+        net += r["rows_added"] - r["rows_removed"]
+        assert net == t.read(version=r["version"]).count()
