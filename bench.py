@@ -90,7 +90,7 @@ HEADLINE = [
 WARM_LAPS = 5
 
 
-def format_line(medians: dict, best: dict, cold: dict, sf, load=None) -> str:
+def format_line(medians: dict, best: dict, cold: dict, sf, load=None, laps_max=WARM_LAPS) -> str:
     """The ONE printed JSON line. MUST stay well under the driver's ~2 KB
     tail-capture budget (round 5's oversized line made BENCH_r05.json record
     "parsed": null). If per-query numbers ever push it past 1.9 KB, they are
@@ -112,7 +112,10 @@ def format_line(medians: dict, best: dict, cold: dict, sf, load=None) -> str:
         # median-of-5-laps (r5-r6) to min-of-5-laps in r7 under the same
         # metric name; "stat" lets downstream parsers detect that
         # mechanically instead of misreading the change as a perf delta.
-        "stat": "min5",
+        # Round 11: quiet BONUS laps (load gate) can raise the lap count —
+        # the marker reports the ACTUAL count, so an extra-samples min is
+        # never mistaken for a same-methodology improvement.
+        "stat": f"min{laps_max}",
         "queries": best,
         "best_total_sec": round(sum(best.values()), 3),
         "median_total_sec": round(sum(medians.values()), 3),
@@ -314,7 +317,8 @@ def main():
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
     # ONE compact line (<1 KB) — the driver's tail capture is ~2 KB.
-    print(format_line(medians, best, cold, sf, load=load_samples))
+    laps_max = max(len(v) for v in raw.values())
+    print(format_line(medians, best, cold, sf, load=load_samples, laps_max=laps_max))
 
 
 if __name__ == "__main__":

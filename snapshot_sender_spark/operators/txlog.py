@@ -640,6 +640,58 @@ class TxTable:
             )
         return df.select("*", *lineage)
 
+    def _dels_df(self, dv_map: dict[str, list[int]]) -> DataFrame:
+        """Deletion vectors as a (basename, row_index) DataFrame — the
+        broadcast side of every DV anti/semi join (control-plane sized by
+        the MOR cap; basenames are token-unique under partition dirs)."""
+        return self.spark.createDataFrame(
+            [
+                (os.path.basename(p), int(i))
+                for p, idxs in dv_map.items()
+                for i in idxs
+            ],
+            "__f string, __ri bigint",
+        )
+
+    def _matched_dv(
+        self,
+        snap: TxSnapshot,
+        schema: T.StructType,
+        mapping: dict[str, str] | None,
+        select_matched,
+        op_name: str,
+    ) -> dict[str, list[int]]:
+        """(rel path -> row indices) of LIVE rows picked by
+        ``select_matched(lineage_df)`` — rows already deleted by existing
+        vectors are excluded, the result is capped at MOR_MAX_INLINE_DV with
+        a typed error naming ``op_name``. The shared matched-row scan behind
+        merge-on-read delete/merge/apply_changes."""
+        if not snap.live_paths():
+            return {}
+        lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
+        dv_map = snap.dv_map()
+        if dv_map:
+            lineage = lineage.join(
+                F.broadcast(self._dels_df(dv_map)), on=["__f", "__ri"], how="left_anti"
+            )
+        rows = (
+            select_matched(lineage)
+            .select("__f", "__ri")
+            .limit(self.MOR_MAX_INLINE_DV + 1)
+            .collect()
+        )
+        if len(rows) > self.MOR_MAX_INLINE_DV:
+            raise TxError(
+                f"merge-on-read {op_name} matched more than "
+                f"{self.MOR_MAX_INLINE_DV} rows; use mode='cow' (rewriting "
+                "beats carrying a vector that large)"
+            )
+        b2r = {os.path.basename(p): p for p in snap.live_paths()}
+        by_file: dict[str, list[int]] = {}
+        for r in rows:
+            by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
+        return by_file
+
     def read_files(
         self,
         rel_paths: list[str],
@@ -673,15 +725,7 @@ class TxTable:
                 )
             parts.append(scan)
         if dv_map:
-            # lineage joins key on the token-unique BASENAME
-            dels = self.spark.createDataFrame(
-                [
-                    (os.path.basename(p), int(i))
-                    for p, idxs in dv_map.items()
-                    for i in idxs
-                ],
-                "__f string, __ri bigint",
-            )
+            dels = self._dels_df(dv_map)
             kept = (
                 self._lineage_read(sorted(dv_map), schema, mapping=mapping)
                 .join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
@@ -783,6 +827,15 @@ class TxTable:
                     "the spec is fixed at the first commit"
                 )
             return table_spec
+        if self.partition_by and snap is not None and snap.files:
+            # retrofitting a spec onto an existing FLAT table would mix
+            # root-level and col=value/ files under one basePath — Spark's
+            # partition discovery rejects that at read time, long after the
+            # write silently succeeded; refuse up front instead
+            raise TxError(
+                "cannot add a partition spec to an existing unpartitioned "
+                "table with live files; rewrite it into a new partitioned table"
+            )
         return self.partition_by
 
     @staticmethod
@@ -1006,38 +1059,14 @@ class TxTable:
                 "(its key scan did not see the new table state)"
             )
 
-        lineage = None
-        if snap.live_paths():
-            lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
-            if dv_map:
-                dels = self.spark.createDataFrame(
-                    [
-                        (os.path.basename(p), int(i))
-                        for p, idxs in dv_map.items()
-                        for i in idxs
-                    ],
-                    "__f string, __ri bigint",
-                )
-                lineage = lineage.join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
-
         if mode == "mor":
-            by_file: dict[str, list[int]] = {}
-            if lineage is not None:
-                matched = (
-                    lineage.select(*keys, "__f", "__ri")
-                    .join(src_keys, on=keys, how="left_semi")
-                    .select("__f", "__ri")
-                    .limit(self.MOR_MAX_INLINE_DV + 1)
-                    .collect()
-                )
-                if len(matched) > self.MOR_MAX_INLINE_DV:
-                    raise TxError(
-                        f"merge-on-read merge matched more than "
-                        f"{self.MOR_MAX_INLINE_DV} rows; use mode='cow' "
-                        "(rewriting beats carrying a vector that large)"
-                    )
-                for r in matched:
-                    by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
+            by_file = self._matched_dv(
+                snap, schema, mapping,
+                lambda lin: lin.select(*keys, "__f", "__ri").join(
+                    src_keys, on=keys, how="left_semi"
+                ),
+                "merge",
+            )
             adds = self._stage(source, spec, mapping=mapping)
             self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
             return self._commit(
@@ -1047,7 +1076,12 @@ class TxTable:
             )
 
         hit_rel: list[str] = []
-        if lineage is not None:
+        if snap.live_paths():
+            lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
+            if dv_map:
+                lineage = lineage.join(
+                    F.broadcast(self._dels_df(dv_map)), on=["__f", "__ri"], how="left_anti"
+                )
             hit_rows = (
                 lineage.select(*keys, "__f")
                 .join(src_keys, on=keys, how="left_semi")
@@ -1103,8 +1137,6 @@ class TxTable:
                 return prior
         schema = snap.schema()
         spec = self._resolve_partition_by(snap)
-        dv_map = snap.dv_map()
-        b2r = {os.path.basename(p): p for p in snap.live_paths()}
 
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(),
@@ -1128,35 +1160,13 @@ class TxTable:
                 "(the key scan did not see the new table state)"
             )
 
-        by_file: dict[str, list[int]] = {}
-        if snap.live_paths():
-            lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
-            if dv_map:
-                dels = self.spark.createDataFrame(
-                    [
-                        (os.path.basename(p), int(i))
-                        for p, idxs in dv_map.items()
-                        for i in idxs
-                    ],
-                    "__f string, __ri bigint",
-                )
-                lineage = lineage.join(
-                    F.broadcast(dels), on=["__f", "__ri"], how="left_anti"
-                )
-            matched = (
-                lineage.select(*keys, "__f", "__ri")
-                .join(change_keys, on=keys, how="left_semi")
-                .select("__f", "__ri")
-                .limit(self.MOR_MAX_INLINE_DV + 1)
-                .collect()
-            )
-            if len(matched) > self.MOR_MAX_INLINE_DV:
-                raise TxError(
-                    f"apply_changes matched more than {self.MOR_MAX_INLINE_DV} "
-                    "rows; split the batch or compact first"
-                )
-            for r in matched:
-                by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
+        by_file = self._matched_dv(
+            snap, schema, mapping,
+            lambda lin: lin.select(*keys, "__f", "__ri").join(
+                change_keys, on=keys, how="left_semi"
+            ),
+            "apply_changes",
+        )
         adds = self._stage(upserts, spec, mapping=mapping)
         self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
         return self._commit(
@@ -1232,32 +1242,13 @@ class TxTable:
             )
 
         if mode == "mor":
-            if not snap.live_paths():
+            by_file = self._matched_dv(
+                snap, schema, snap.mapping,
+                lambda lin: lin.where(F.coalesce(F.expr(predicate_sql), F.lit(False))),
+                "delete",
+            )
+            if not by_file:
                 return snap.version
-            hits = self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
-            dels = self.spark.createDataFrame(
-                [
-                    (os.path.basename(p), int(i))
-                    for p, idxs in dv_map.items()
-                    for i in idxs
-                ],
-                "__f string, __ri bigint",
-            ) if dv_map else None
-            matched = hits.where(F.coalesce(F.expr(predicate_sql), F.lit(False)))
-            if dels is not None:  # rows already MOR-deleted are not re-deleted
-                matched = matched.join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
-            rows = matched.select("__f", "__ri").limit(self.MOR_MAX_INLINE_DV + 1).collect()
-            if len(rows) > self.MOR_MAX_INLINE_DV:
-                raise TxError(
-                    f"merge-on-read delete matched more than "
-                    f"{self.MOR_MAX_INLINE_DV} rows; use mode='cow' (rewriting "
-                    "beats carrying a vector that large)"
-                )
-            if not rows:
-                return snap.version
-            by_file: dict[str, list[int]] = {}
-            for r in rows:
-                by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
             return self._commit_dv(by_file, snap, ts, revalidate)
 
         live = (
@@ -1378,7 +1369,23 @@ class TxTable:
             gone = [p for p in inputs if p not in new_snap.files]
             if gone:
                 raise TxConflict(f"compaction inputs removed concurrently: {gone[:3]}")
-            return inputs, snap.schema_json
+            # a concurrent DELETION VECTOR on an input (MOR delete/merge/
+            # apply_changes) invalidates the staged rewrite: it was built
+            # from the pre-vector rows and would resurrect the deleted ones
+            dv_changed = [
+                p for p in inputs
+                if list(new_snap.files[p].get("dv", []))
+                != list(snap.files[p].get("dv", []))
+            ]
+            if dv_changed:
+                raise TxConflict(
+                    f"deletion vectors changed on compaction inputs: {dv_changed[:3]}"
+                )
+            # schema may have evolved additively under us (a concurrent
+            # append): commit the WINNER's schema — the staged files simply
+            # lack the new columns and read back NULL; committing the stale
+            # snapshot schema would roll the evolution back for everyone
+            return inputs, new_snap.schema_json
 
         return self._commit(
             "compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate,
@@ -1519,6 +1526,29 @@ class TxTable:
         if from_version > 0:
             _check_types(self.snapshot(version=from_version).schema_json, f"v{from_version}")
         feed = list(self.changes(from_version, to_version))
+        # one incremental forward pass recovers each removing version's
+        # PRE-commit deletion-vector state (what the removed files must be
+        # read through) — O(versions) total, not O(versions) snapshots
+        feed_versions = {v for v, _op, _a, _r in feed}
+        dv_state: dict[str, set[int]] = {}
+        prev_dv_by_version: dict[int, dict[str, list[int]]] = {}
+        for v in self._list_versions():
+            if v > to_version:
+                break
+            actions = self._read_version_actions(v)
+            removes = [a["remove"]["path"] for a in actions if "remove" in a]
+            adds_v = [a["add"] for a in actions if "add" in a]
+            dvs_v = [a["dv"] for a in actions if "dv" in a]
+            if v in feed_versions and removes:
+                prev_dv_by_version[v] = {
+                    p: sorted(dv_state[p]) for p in removes if dv_state.get(p)
+                }
+            for p in removes:
+                dv_state.pop(p, None)
+            for a in adds_v:
+                dv_state[a["path"]] = set(a.get("dv", ()))
+            for d in dvs_v:
+                dv_state.setdefault(d["path"], set()).update(d["rows"])
         dv_by_version: dict[int, list[dict]] = {}
         # add payloads carrying a deletion vector (restore re-adds resetting
         # MOR state): the added file's rows must be read THROUGH that vector,
@@ -1550,7 +1580,7 @@ class TxTable:
             a_df = self.read_files(
                 added, schema, dv_map=add_dv_by_version.get(v), mapping=t_map
             )
-            prev_dv = self.snapshot(version=v - 1).dv_map() if removed else {}
+            prev_dv = prev_dv_by_version.get(v, {})
             r_df = self.read_files(removed, schema, dv_map=prev_dv, mapping=t_map)
             ins = a_df.exceptAll(r_df)
             del_ = r_df.exceptAll(a_df)

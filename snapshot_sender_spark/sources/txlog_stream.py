@@ -51,7 +51,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql import types as T
 
-from ..operators.txlog import _LOG_DIR, _VERSION_DIGITS
+from ..operators.txlog import _HIVE_NULL, _LOG_DIR, _VERSION_DIGITS, _typed_part_value
 
 
 class _AddedFilePartition(InputPartition):
@@ -86,20 +86,36 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # between schema() and streamReader(). The column mapping (logical ->
         # physical, for tables evolved via rename/drop) is likewise fixed at
         # reader construction.
-        latest_schema, self.mapping = self._latest_schema_and_mapping()
+        latest_schema, self.mapping, self.frozen_version = (
+            self._latest_schema_and_mapping()
+        )
         self.schema_json = schema_json or latest_schema
 
-    def _latest_schema_and_mapping(self) -> tuple[str, dict]:
-        schema_json, mapping = None, {}
+    def _latest_schema_and_mapping(self) -> tuple[str, dict, int]:
+        schema_json, mapping, latest = None, {}, 0
         for v in self._versions():
             meta = self._actions(v)[0]["meta"]
             if meta.get("schema") is not None:
                 schema_json = meta["schema"]
             if meta.get("column_mapping") is not None:
                 mapping = dict(meta["column_mapping"])
+            latest = v
         if schema_json is None:
             raise ValueError(f"no committed schema in txlog table {self.table_path!r}")
-        return schema_json, mapping
+        return schema_json, mapping, latest
+
+    def _check_mapping_frozen(self, v: int, meta: dict) -> None:
+        """A column-mapping change committed AFTER this reader froze its
+        mapping (rename, or a drop + re-add assigning a fresh physical) would
+        make the frozen decode silently emit NULLs for real data — fail the
+        stream instead; a restart picks up the new mapping (the Delta stance
+        on non-additive schema changes under a running stream)."""
+        cm = meta.get("column_mapping")
+        if cm is not None and v > self.frozen_version and dict(cm) != dict(self.mapping):
+            raise ValueError(
+                f"txlog_stream: version {v} changed the column mapping under "
+                "a running stream — restart the stream to adopt it"
+            )
 
     # -- log access (driver side; mirrors TxTable's layout contract) ---------
 
@@ -139,6 +155,7 @@ class _TxlogStreamReader(DataSourceStreamReader):
                 break
             actions = self._actions(v)
             meta = actions[0]["meta"]
+            self._check_mapping_frozen(v, meta)
             # metadata-only commits move no rows and are always safe to pass
             if meta["op"] not in (
                 "append", "set_constraint", "rename_column", "drop_column"
@@ -216,13 +233,44 @@ class _TxlogStreamReader(DataSourceStreamReader):
 CDF_COLS = ("_change_type", "_commit_version")
 
 
+class _NanKey:
+    """Singleton stand-in for float NaN in frozen rows: NaN != NaN would make
+    every NaN-bearing row look changed to the Counter diff (phantom
+    insert+delete on a plain rewrite), while Spark's exceptAll — the batch
+    row_changes semantics this stream must match — treats NaNs as equal."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):  # pragma: no cover - debug only
+        return "<NaN>"
+
+
+_NAN = _NanKey()
+
+
 def _freeze(v):
-    """Hashable form of a row value (arrays/maps become tuples) so multiset
-    diffs can run on a Counter; pa.array() accepts the tuples back."""
+    """Hashable, equality-canonical form of a row value (arrays/maps become
+    tuples, NaN becomes a self-equal singleton) so multiset diffs can run on
+    a Counter; _thaw() restores the original values for emission."""
     if isinstance(v, list):
         return tuple(_freeze(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, float) and v != v:
+        return _NAN
+    return v
+
+
+def _thaw(v):
+    if v is _NAN:
+        return float("nan")
+    if isinstance(v, tuple):
+        return [_thaw(x) for x in v]
     return v
 
 
@@ -284,6 +332,7 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
             if v > hi:
                 break
             actions = self._actions(v)
+            self._check_mapping_frozen(v, actions[0]["meta"])
             adds = [a["add"] for a in actions if "add" in a]
             removes = [a["remove"]["path"] for a in actions if "remove" in a]
             dvs = [a["dv"] for a in actions if "dv" in a]
@@ -344,16 +393,13 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
     def _part_of(self, rel: str) -> dict | None:
         """Partition values for a file, from its hive directory components
         (cheap, no log scan; identical to the add-action's record)."""
+        import urllib.parse
+
         vals = {}
         for comp in os.path.dirname(rel).split(os.sep):
             if "=" in comp:
-                import urllib.parse
-
                 name, _, raw = comp.partition("=")
-                vals[name] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__"
-                    else urllib.parse.unquote(raw)
-                )
+                vals[name] = None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
         return vals or None
 
     # -- row decode ----------------------------------------------------------
@@ -380,7 +426,7 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
                     cols.append(batch.column(phys(f.name)).to_pylist())
                 elif f.name in part_vals:
                     raw = part_vals[f.name]
-                    typed = self._typed_part(raw, f.dataType)
+                    typed = _typed_part_value(raw, f.dataType)
                     cols.append([typed] * batch.num_rows)
                 else:
                     cols.append([None] * batch.num_rows)
@@ -389,22 +435,6 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
                     rows.append(tuple(_freeze(v) for v in row))
             offset += batch.num_rows
         return rows
-
-    @staticmethod
-    def _typed_part(raw, dtype):
-        if raw is None:
-            return None
-        import datetime as _dt
-
-        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            return int(raw)
-        if isinstance(dtype, (T.FloatType, T.DoubleType)):
-            return float(raw)
-        if isinstance(dtype, T.DateType):
-            return _dt.date.fromisoformat(raw)
-        if isinstance(dtype, T.BooleanType):
-            return raw.lower() == "true"
-        return raw
 
     def _emit(self, rows, change_type, version):
         """One Arrow batch: table columns + _change_type + _commit_version."""
@@ -419,7 +449,9 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         cols = list(zip(*rows))
         arrays = []
         for f, values in zip(fields, cols):
-            arrays.append(pa.array(list(values), type=out_schema.field(f.name).type))
+            arrays.append(
+                pa.array([_thaw(v) for v in values], type=out_schema.field(f.name).type)
+            )
         arrays.append(pa.array([change_type] * len(rows), type=pa.string()))
         arrays.append(pa.array([version] * len(rows), type=pa.int64()))
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)

@@ -107,3 +107,10 @@ def test_load_gate_waits_are_bounded_and_reported(monkeypatch):
     bench.wait_for_quiet("t2", samples)
     assert not slept
     bench._wait_budget[0] = bench.MAX_WAIT_S
+
+
+def test_stat_marker_reports_actual_lap_count():
+    """Bonus laps change min-of-N: the stat marker must say so."""
+    t = {"q": 1.0}
+    assert json.loads(bench.format_line(t, t, t, 0.1))["stat"] == "min5"
+    assert json.loads(bench.format_line(t, t, t, 0.1, laps_max=7))["stat"] == "min7"

@@ -1145,3 +1145,51 @@ def test_incremental_optimize_packs_only_small_files(spark, tmp_path):
     for r in sorted(t.history().collect(), key=lambda r: r["version"]):
         net += r["rows_added"] - r["rows_removed"]
         assert net == t.read(version=r["version"]).count()
+
+
+def test_compact_conflicts_on_concurrent_mor_delete(spark, tmp_path):
+    """A deletion vector committed on a compaction input AFTER the rewrite
+    was staged must abort the compaction — a retry would resurrect the
+    concurrently deleted rows (review finding, round 11)."""
+    t = _mk(spark, tmp_path, "t_cmp_dv_race")
+    t.append(spark.range(0, 30).coalesce(1), ts=1.0)
+    real_commit = t._commit
+    state = {"injected": False}
+
+    def racing_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw):
+        if op == "compact" and not state["injected"]:
+            state["injected"] = True
+            TxTable(spark, t.path).delete_where("id = 7", ts=1.5, mode="mor")
+        return real_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw)
+
+    t._commit = racing_commit
+    with pytest.raises(TxConflict, match="deletion vectors changed"):
+        t.compact(target_files=1, ts=2.0)
+    t._commit = real_commit
+    assert t.read().count() == 29  # the delete won; nothing resurrected
+
+
+def test_compact_race_adopts_evolved_schema(spark, tmp_path):
+    """An append that evolves the schema while a compaction is staging must
+    not be rolled back by the compaction's commit: the retry adopts the
+    winner's (additively evolved) schema."""
+    t = _mk(spark, tmp_path, "t_cmp_schema_race")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    real_commit = t._commit
+    state = {"injected": False}
+
+    def racing_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw):
+        if op == "compact" and not state["injected"]:
+            state["injected"] = True
+            TxTable(spark, t.path).append(
+                spark.range(100, 103).withColumn("tag", F.lit("n")).coalesce(1), ts=1.5
+            )
+        return real_commit(op, adds, removes, schema_json, ts, base_version, revalidate, **kw)
+
+    t._commit = racing_commit
+    t.compact(target_files=1, ts=2.0)
+    t._commit = real_commit
+    got = t.read()
+    assert got.columns == ["id", "tag"]  # the evolved column SURVIVED the compact
+    assert got.where("tag = 'n'").count() == 3
+    assert got.count() == 13

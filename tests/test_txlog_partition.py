@@ -183,3 +183,24 @@ def test_stream_source_injects_partition_values(spark, tmp_path):
     q.awaitTermination()
     got = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {(i, i % 3, i * 10) for i in range(21)}
+
+
+def test_partition_spec_cannot_retrofit_nonempty_flat_table(spark, tmp_path):
+    """Attaching a spec to an existing unpartitioned table with live files
+    would mix flat and hive layouts under one basePath — refused at write
+    time, not discovered at read time."""
+    t = _mk(spark, tmp_path, "t_retrofit")
+    t.append(_df(spark, 0, 6).coalesce(1), ts=1.0)
+    t2 = _mk(spark, tmp_path, "t_retrofit", partition_by=("day",))
+    with pytest.raises(TxError, match="existing unpartitioned"):
+        t2.append(_df(spark, 6, 9).coalesce(1), ts=2.0)
+    # a table whose live set is EMPTY (everything deleted) may adopt a spec:
+    # no flat file can mix with the new hive layout
+    t3 = _mk(spark, tmp_path, "t_retrofit_empty")
+    t3.append(_df(spark, 0, 6).coalesce(1), ts=1.0)
+    t3.delete_where("id >= 0", ts=2.0)
+    assert not t3.snapshot().files
+    t4 = _mk(spark, tmp_path, "t_retrofit_empty", partition_by=("day",))
+    t4.append(_df(spark, 0, 6).coalesce(1), ts=3.0)
+    assert t4.read().count() == 6
+    assert all(p.startswith("day=") for p in t4.snapshot().live_paths())

@@ -169,3 +169,55 @@ def test_cdf_stream_vacuumed_file_raises(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         _run(spark, t, out, ckpt, read_changes="true")
     assert "vacuumed" in str(ei.value) or "retention" in str(ei.value)
+
+
+def test_stream_fails_on_mid_stream_mapping_change(spark, tmp_path):
+    """A rename (or drop + re-add) committed while a reader is RUNNING would
+    make its frozen mapping decode NULLs for real data — partitions() fails
+    loudly instead (a restarted query re-freezes and works; the restart path
+    is exercised by the fresh-stream half below)."""
+    from snapshot_sender_spark.sources.txlog_stream import (
+        _TxlogCdfStreamReader,
+        _TxlogStreamReader,
+    )
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "map_race_tab"))
+    t.append(spark.range(0, 6).withColumn("a", F.col("id")).coalesce(1), ts=1.0)
+    reader = _TxlogStreamReader({"path": t.path})       # freezes mapping at v1
+    cdf_reader = _TxlogCdfStreamReader({"path": t.path})
+    t.rename_column("a", "b", ts=2.0)                   # lands mid-stream
+    t.append(spark.range(6, 9).withColumn("b", F.col("id")).coalesce(1), ts=3.0)
+    with pytest.raises(ValueError, match="column mapping"):
+        reader.partitions({"version": 1}, {"version": 3})
+    with pytest.raises(ValueError, match="column mapping"):
+        cdf_reader.partitions({"version": 1}, {"version": 3})
+    # a FRESH stream (new reader: mapping re-frozen) works and sees all rows
+    out2, ckpt2 = tmp_path / "mr_out2", tmp_path / "mr_ckpt2"
+    _run(spark, t, out2, ckpt2)
+    got = spark.read.parquet(str(out2))
+    assert got.count() == 9 and got.where("b IS NULL").count() == 0
+
+
+def test_cdf_stream_nan_rows_not_phantom_changed(spark, tmp_path):
+    """NaN-bearing rows copied by a rewrite must NOT stream as phantom
+    delete+insert pairs: the Counter diff canonicalizes NaN, matching
+    Spark exceptAll's NaN-equality in batch row_changes."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "nan_tab"))
+    df = spark.range(0, 10).withColumn(
+        "v",
+        F.when(F.col("id") % 2 == 0, F.lit(float("nan"))).otherwise(
+            F.col("id").cast("double")
+        ),
+    )
+    t.append(df.coalesce(1), ts=1.0)
+    t.compact(target_files=1, ts=2.0)          # pure rewrite: no change
+    t.delete_where("id = 3", ts=3.0, mode="cow")  # rewrites the NaN rows too
+    out, ckpt = tmp_path / "nan_out", tmp_path / "nan_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    got = spark.read.parquet(str(out))
+    assert got.where("_commit_version = 2").count() == 0      # compact: silent
+    v3 = got.where("_commit_version = 3").collect()
+    assert [(r["id"], r["_change_type"]) for r in v3] == [(3, "delete")]
+    assert got.count() == 11  # 10 inserts + 1 delete, zero phantoms
