@@ -237,6 +237,7 @@ class TxSnapshot:
     # under the current logical schema without a rewrite.
     mapping: dict[str, str] = field(default_factory=dict)
     retired: tuple[str, ...] = ()  # physical names no longer mapped
+    proto: tuple[int, int] = (1, 1)  # (min reader, min writer) protocol
 
     def schema(self) -> T.StructType:
         if self.schema_json is None:
@@ -247,11 +248,35 @@ class TxSnapshot:
         return sorted(self.files)
 
     def total_rows(self) -> int:
-        return sum(a["rows"] - len(a.get("dv", ())) for a in self.files.values())
+        return sum(
+            a["rows"]
+            - len(a.get("dv", ()))
+            - sum(n for _f, n in a.get("dvf", ()))
+            for a in self.files.values()
+        )
 
     def dv_map(self) -> dict[str, list[int]]:
-        """relative path -> sorted deleted row indices (merge-on-read)."""
+        """relative path -> sorted INLINE deleted row indices (merge-on-read).
+        Sidecar vectors are exposed by dvf_map(); every read path must apply
+        both."""
         return {p: a["dv"] for p, a in self.files.items() if a.get("dv")}
+
+    def dvf_map(self) -> dict[str, list[str]]:
+        """relative path -> SIDECAR deletion-vector parquet files (each holds
+        (__f, __ri) pairs, possibly for several data files of one commit)."""
+        return {
+            p: [f for f, _n in a["dvf"]] for p, a in self.files.items() if a.get("dvf")
+        }
+
+    def dvf_files(self) -> set[str]:
+        """Every sidecar file referenced by this snapshot (vacuum keep-set)."""
+        return {
+            f for a in self.files.values() for f, _n in a.get("dvf", ())
+        }
+
+    def has_dv(self, path: str) -> bool:
+        a = self.files[path]
+        return bool(a.get("dv")) or bool(a.get("dvf"))
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -321,6 +346,14 @@ class TxTable:
     partition predicates before footer stats are even consulted — at 100 TB
     the `WHERE export_date = X` prune composes with stats and Z-order
     instead of replacing them."""
+
+    # protocol versioning (the Delta protocol-action design): a commit that
+    # uses a feature older engines would MISREAD records the minimum
+    # (reader, writer) protocol in its meta; replay takes the max and
+    # snapshot() refuses beyond PROTO_READER instead of silently returning
+    # wrong rows. Level 2 = sidecar deletion-vector files.
+    PROTO_READER = 2
+    PROTO_WRITER = 2
 
     def __init__(
         self,
@@ -462,6 +495,7 @@ class TxTable:
         partition_by: tuple[str, ...] = ()
         mapping: dict[str, str] = {}
         retired: tuple[str, ...] = ()
+        proto_reader, proto_writer = 1, 1
         start_after = 0
         usable_ckpts = [c for c in self._list_checkpoints() if c <= version]
         if usable_ckpts:
@@ -477,6 +511,7 @@ class TxTable:
                 partition_by = base.partition_by
                 mapping = dict(base.mapping)
                 retired = base.retired
+                proto_reader, proto_writer = base.proto
                 start_after = base.version
         for v in versions:
             if v <= start_after:
@@ -486,6 +521,9 @@ class TxTable:
             for action in self._read_version_actions(v):
                 if "meta" in action:
                     meta = action["meta"]
+                    if meta.get("proto") is not None:
+                        proto_reader = max(proto_reader, int(meta["proto"][0]))
+                        proto_writer = max(proto_writer, int(meta["proto"][1]))
                     if meta.get("schema") is not None:
                         schema_json = meta["schema"]
                     if meta.get("partition_by"):  # fixed at the first commit
@@ -507,18 +545,31 @@ class TxTable:
                     files[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     files.pop(action["remove"]["path"], None)
-                elif "dv" in action:  # merge-on-read delete: union row indices
+                elif "dv" in action:  # merge-on-read delete
                     path = action["dv"]["path"]
                     if path in files:
                         ent = dict(files[path])  # never alias a cached payload
-                        ent["dv"] = sorted(
-                            set(ent.get("dv", ())) | set(action["dv"]["rows"])
-                        )
+                        if "file" in action["dv"]:
+                            # SIDECAR vector: rows live in a parquet file of
+                            # (__f, __ri) pairs; the action carries only the
+                            # per-data-file count (control-plane sized)
+                            ent["dvf"] = list(ent.get("dvf", ())) + [
+                                [action["dv"]["file"], action["dv"]["count"]]
+                            ]
+                        else:  # inline vector: union row indices
+                            ent["dv"] = sorted(
+                                set(ent.get("dv", ())) | set(action["dv"]["rows"])
+                            )
                         files[path] = ent
+        if proto_reader > self.PROTO_READER:
+            raise TxError(
+                f"table {self.path!r} requires reader protocol {proto_reader} "
+                f"but this engine supports {self.PROTO_READER} — upgrade to read"
+            )
         return TxSnapshot(
             version=version, schema_json=schema_json, files=files,
             txns=txns, constraints=constraints, partition_by=partition_by,
-            mapping=mapping, retired=retired,
+            mapping=mapping, retired=retired, proto=(proto_reader, proto_writer),
         )
 
     # -- read path -----------------------------------------------------------
@@ -590,7 +641,10 @@ class TxTable:
             os.path.relpath(f, self.path)
             for f in self.candidate_files(prune=prune, snap=snap)
         ]
-        return self.read_files(rels, schema, dv_map=snap.dv_map(), mapping=snap.mapping)
+        return self.read_files(
+            rels, schema, dv_map=snap.dv_map(), mapping=snap.mapping,
+            dvf_map=snap.dvf_map(),
+        )
 
     def changes(self, from_version: int, to_version: int):
         """Yield ``(version, op, added_paths, removed_paths)`` per committed
@@ -640,18 +694,49 @@ class TxTable:
             )
         return df.select("*", *lineage)
 
-    def _dels_df(self, dv_map: dict[str, list[int]]) -> DataFrame:
-        """Deletion vectors as a (basename, row_index) DataFrame — the
-        broadcast side of every DV anti/semi join (control-plane sized by
-        the MOR cap; basenames are token-unique under partition dirs)."""
-        return self.spark.createDataFrame(
-            [
-                (os.path.basename(p), int(i))
-                for p, idxs in dv_map.items()
-                for i in idxs
-            ],
-            "__f string, __ri bigint",
-        )
+    def _writer_gate(self, snap: TxSnapshot | None) -> None:
+        if snap is not None and snap.proto[1] > self.PROTO_WRITER:
+            raise TxError(
+                f"table {self.path!r} requires writer protocol {snap.proto[1]} "
+                f"but this engine supports {self.PROTO_WRITER} — upgrade to write"
+            )
+
+    def _dels_df(
+        self,
+        dv_map: dict[str, list[int]],
+        dvf_map: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
+        """Deletion vectors as a (basename, row_index) DataFrame: inline
+        indices from the driver plus any SIDECAR parquet files scanned
+        JVM-side (a sidecar may carry rows for other data files of its
+        commit — harmless, the join keys on __f). Inline-only frames are
+        broadcast-sized by the MOR cap; with sidecars the caller must let
+        the optimizer pick the join strategy."""
+        parts: list[DataFrame] = []
+        if dv_map:
+            parts.append(
+                self.spark.createDataFrame(
+                    [
+                        (os.path.basename(p), int(i))
+                        for p, idxs in dv_map.items()
+                        for i in idxs
+                    ],
+                    "__f string, __ri bigint",
+                )
+            )
+        sidecars = sorted({f for fs in (dvf_map or {}).values() for f in fs})
+        if sidecars:
+            parts.append(
+                self.spark.read.parquet(
+                    *(os.path.join(self.path, f) for f in sidecars)
+                ).select("__f", "__ri")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], "__f string, __ri bigint")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _matched_dv(
         self,
@@ -660,37 +745,58 @@ class TxTable:
         mapping: dict[str, str] | None,
         select_matched,
         op_name: str,
-    ) -> dict[str, list[int]]:
-        """(rel path -> row indices) of LIVE rows picked by
+    ) -> dict:
+        """Deletion-vector payloads for the LIVE rows picked by
         ``select_matched(lineage_df)`` — rows already deleted by existing
-        vectors are excluded, the result is capped at MOR_MAX_INLINE_DV with
-        a typed error naming ``op_name``. The shared matched-row scan behind
-        merge-on-read delete/merge/apply_changes."""
+        vectors (inline or sidecar) are excluded. Two regimes, chosen by
+        size: up to MOR_MAX_INLINE_DV matched rows inline their indices in
+        the log (rel path -> [row indices], broadcast-join sized); above it
+        the matched set is written DISTRIBUTED to one sidecar parquet of
+        (__f, __ri) pairs — never through the driver — and each data file's
+        payload references it with a count (rel path -> {"file", "count"}).
+        Sidecars are what keep a 10M-row takedown or CDC batch merge-on-read
+        at 100 TB; committing one bumps the table's protocol so pre-sidecar
+        readers refuse instead of resurrecting rows. The shared matched-row
+        scan behind merge-on-read delete/merge/apply_changes."""
         if not snap.live_paths():
             return {}
         lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
-        dv_map = snap.dv_map()
-        if dv_map:
+        dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
+        if dv_map or dvf_map:
+            dels = self._dels_df(dv_map, dvf_map)
             lineage = lineage.join(
-                F.broadcast(self._dels_df(dv_map)), on=["__f", "__ri"], how="left_anti"
+                dels if dvf_map else F.broadcast(dels),
+                on=["__f", "__ri"],
+                how="left_anti",
             )
-        rows = (
-            select_matched(lineage)
-            .select("__f", "__ri")
-            .limit(self.MOR_MAX_INLINE_DV + 1)
+        matched = select_matched(lineage).select("__f", "__ri")
+        rows = matched.limit(self.MOR_MAX_INLINE_DV + 1).collect()
+        b2r = {os.path.basename(p): p for p in snap.live_paths()}
+        if len(rows) <= self.MOR_MAX_INLINE_DV:
+            by_file: dict[str, list[int]] = {}
+            for r in rows:
+                by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
+            return by_file
+        # sidecar regime: one distributed write (single file — DV pairs are
+        # ~20 B/row, so even a 100M-row vector is a ~2 GB object; split into
+        # parts before that point if it ever matters)
+        token = uuid.uuid4().hex
+        staging = os.path.join(self.path, _STAGING_DIR, token)
+        matched.coalesce(1).write.parquet(staging)
+        src = glob.glob(os.path.join(staging, "part-*.parquet"))
+        assert len(src) == 1
+        rel = f"dvf-{token}.parquet"
+        os.rename(src[0], os.path.join(self.path, rel))
+        shutil.rmtree(staging, ignore_errors=True)
+        counts = (
+            self.spark.read.parquet(os.path.join(self.path, rel))
+            .groupBy("__f")
+            .count()
             .collect()
         )
-        if len(rows) > self.MOR_MAX_INLINE_DV:
-            raise TxError(
-                f"merge-on-read {op_name} matched more than "
-                f"{self.MOR_MAX_INLINE_DV} rows; use mode='cow' (rewriting "
-                "beats carrying a vector that large)"
-            )
-        b2r = {os.path.basename(p): p for p in snap.live_paths()}
-        by_file: dict[str, list[int]] = {}
-        for r in rows:
-            by_file.setdefault(b2r[r["__f"]], []).append(int(r["__ri"]))
-        return by_file
+        return {
+            b2r[r["__f"]]: {"file": rel, "count": int(r["count"])} for r in counts
+        }
 
     def read_files(
         self,
@@ -698,17 +804,23 @@ class TxTable:
         schema: T.StructType,
         dv_map: dict[str, list[int]] | None = None,
         mapping: dict[str, str] | None = None,
+        dvf_map: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Read files under the stored schema, applying any merge-on-read
         deletion vectors: files with a DV are read with row lineage and the
-        deleted (file, row_index) pairs are anti-joined away (broadcast — DVs
-        are control-plane sized by the MOR cap). Files without a DV take the
-        plain JVM scan path. basePath restores hive partition columns for
-        partitioned tables (harmless for flat ones)."""
+        deleted (file, row_index) pairs are anti-joined away — broadcast for
+        inline vectors (control-plane sized by the MOR cap), optimizer's
+        choice when SIDECAR vector files are involved (they scan JVM-side
+        and may be large). Files without a DV take the plain scan path.
+        basePath restores hive partition columns for partitioned tables
+        (harmless for flat ones)."""
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
-        dv_map = {p: v for p, v in (dv_map or {}).items() if p in set(rel_paths) and v}
-        plain = [p for p in rel_paths if p not in dv_map]
+        rel_set = set(rel_paths)
+        dv_map = {p: v for p, v in (dv_map or {}).items() if p in rel_set and v}
+        dvf_map = {p: v for p, v in (dvf_map or {}).items() if p in rel_set and v}
+        dvd = sorted(set(dv_map) | set(dvf_map))
+        plain = [p for p in rel_paths if p not in set(dvd)]
         parts: list[DataFrame] = []
         if plain:
             scan = (
@@ -724,11 +836,15 @@ class TxTable:
                     )
                 )
             parts.append(scan)
-        if dv_map:
-            dels = self._dels_df(dv_map)
+        if dvd:
+            dels = self._dels_df(dv_map, dvf_map)
             kept = (
-                self._lineage_read(sorted(dv_map), schema, mapping=mapping)
-                .join(F.broadcast(dels), on=["__f", "__ri"], how="left_anti")
+                self._lineage_read(dvd, schema, mapping=mapping)
+                .join(
+                    dels if dvf_map else F.broadcast(dels),
+                    on=["__f", "__ri"],
+                    how="left_anti",
+                )
                 .drop("__f", "__ri")
             )
             parts.append(kept)
@@ -897,16 +1013,21 @@ class TxTable:
                 meta["column_mapping"] = column_mapping
             if retired is not None:
                 meta["retired_columns"] = list(retired)
+            if any(isinstance(r, dict) for r in (dvs or {}).values()):
+                # sidecar deletion vectors: pre-sidecar readers would
+                # resurrect the deleted rows — record the protocol floor
+                meta["proto"] = [2, 2]
             # removes precede adds so a commit may remove AND re-add one path
             # (restore's deletion-vector reset); replay applies actions in
             # file order, so the re-add's payload wins
             lines = [json.dumps({"meta": meta})]
             lines += [json.dumps({"remove": {"path": p}}) for p in attempt_removes]
             lines += [json.dumps({"add": a}) for a in adds]
-            lines += [  # deletion vectors alongside adds (merge-on-read MERGE)
-                json.dumps({"dv": {"path": p, "rows": sorted(r)}})
-                for p, r in sorted((dvs or {}).items())
-            ]
+            for p, r in sorted((dvs or {}).items()):
+                # deletion vectors alongside adds (merge-on-read MERGE /
+                # apply_changes / delete): inline row lists or a sidecar ref
+                payload = dict(r) if isinstance(r, dict) else {"rows": sorted(r)}
+                lines.append(json.dumps({"dv": {"path": p, **payload}}))
             tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write("\n".join(lines) + "\n")
@@ -1049,7 +1170,7 @@ class TxTable:
         schema_json = self._merge_schema(snap.schema_json, source.schema)
         spec = self._resolve_partition_by(snap)
         mapping, mapping_changed = self._extend_mapping(snap, source.schema)
-        dv_map = snap.dv_map()
+        dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
         b2r = {os.path.basename(p): p for p in snap.live_paths()}
         src_keys = source.select(*keys).distinct()
 
@@ -1078,9 +1199,11 @@ class TxTable:
         hit_rel: list[str] = []
         if snap.live_paths():
             lineage = self._lineage_read(snap.live_paths(), schema, mapping=mapping)
-            if dv_map:
+            if dv_map or dvf_map:
+                dels = self._dels_df(dv_map, dvf_map)
                 lineage = lineage.join(
-                    F.broadcast(self._dels_df(dv_map)), on=["__f", "__ri"], how="left_anti"
+                    dels if dvf_map else F.broadcast(dels),
+                    on=["__f", "__ri"], how="left_anti",
                 )
             hit_rows = (
                 lineage.select(*keys, "__f")
@@ -1090,7 +1213,9 @@ class TxTable:
                 .collect()
             )
             hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
-        survivors = self.read_files(hit_rel, schema, dv_map=dv_map, mapping=mapping).join(
+        survivors = self.read_files(
+            hit_rel, schema, dv_map=dv_map, mapping=mapping, dvf_map=dvf_map
+        ).join(
             src_keys, on=keys, how="left_anti"
         )
         new_data = survivors.unionByName(source, allowMissingColumns=True)
@@ -1232,7 +1357,7 @@ class TxTable:
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
         schema = snap.schema()
-        dv_map = snap.dv_map()
+        dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
         b2r = {os.path.basename(p): p for p in snap.live_paths()}
 
         def revalidate(new_snap: TxSnapshot):
@@ -1249,7 +1374,10 @@ class TxTable:
             )
             if not by_file:
                 return snap.version
-            return self._commit_dv(by_file, snap, ts, revalidate)
+            return self._commit(
+                "delete", [], [], snap.schema_json, ts, snap.version, revalidate,
+                dvs=by_file,
+            )
 
         live = (
             self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
@@ -1272,7 +1400,7 @@ class TxTable:
         # read_files applies the files' deletion vectors, so MOR-deleted rows
         # cannot be resurrected by the rewrite.
         survivors = self.read_files(
-            hit_rel, schema, dv_map=dv_map, mapping=snap.mapping
+            hit_rel, schema, dv_map=dv_map, mapping=snap.mapping, dvf_map=dvf_map
         ).where(~F.coalesce(F.expr(predicate_sql), F.lit(False)))
         spec = self._resolve_partition_by(snap)
         adds = (
@@ -1284,37 +1412,6 @@ class TxTable:
             "delete", adds, hit_rel, snap.schema_json, ts, snap.version, revalidate,
             partition_by=spec,
         )
-
-    def _commit_dv(self, by_file: dict[str, list[int]], snap, ts, revalidate) -> int:
-        """Commit a deletion-vector-only delete: meta + one dv action per
-        touched file, no adds or removes."""
-        os.makedirs(self._log_dir, exist_ok=True)
-        if ts is None:
-            ts = time.time()
-        target = snap.version + 1
-        meta = {"version": target, "op": "delete", "ts": ts, "schema": snap.schema_json}
-        lines = [json.dumps({"meta": meta})]
-        lines += [
-            json.dumps({"dv": {"path": p, "rows": sorted(idxs)}})
-            for p, idxs in sorted(by_file.items())
-        ]
-        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(lines) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, self._version_file(target))
-            try:
-                self._maybe_checkpoint(target)
-            except Exception:
-                pass
-            return target
-        except FileExistsError:
-            revalidate(self.snapshot())
-            raise TxConflict("unreachable")  # pragma: no cover
-        finally:
-            os.unlink(tmp)
 
     def compact(
         self,
@@ -1353,7 +1450,8 @@ class TxTable:
         # reading through the deletion vectors materializes them: the rewrite
         # holds only surviving rows and the new files carry no DV
         data = self.read_files(
-            inputs, snap.schema(), dv_map=snap.dv_map(), mapping=snap.mapping
+            inputs, snap.schema(), dv_map=snap.dv_map(), mapping=snap.mapping,
+            dvf_map=snap.dvf_map(),
         )
         if cluster_expr is not None:
             key = F.expr(cluster_expr)
@@ -1374,8 +1472,14 @@ class TxTable:
             # from the pre-vector rows and would resurrect the deleted ones
             dv_changed = [
                 p for p in inputs
-                if list(new_snap.files[p].get("dv", []))
-                != list(snap.files[p].get("dv", []))
+                if (
+                    list(new_snap.files[p].get("dv", [])),
+                    list(new_snap.files[p].get("dvf", [])),
+                )
+                != (
+                    list(snap.files[p].get("dv", [])),
+                    list(snap.files[p].get("dvf", [])),
+                )
             ]
             if dv_changed:
                 raise TxConflict(
@@ -1405,6 +1509,7 @@ class TxTable:
         # (a MOR delete then a COW rewrite/compact must not double-count),
         # and cumulative rows_added − rows_removed always nets to live rows
         dv_reported: dict[str, set[int]] = {}
+        dvf_reported: dict[str, int] = {}  # per-file SIDECAR-deleted row counts
         rows = []
         for v in self._list_versions():
             op, ts = None, None
@@ -1415,20 +1520,35 @@ class TxTable:
                 elif "add" in action:
                     a = action["add"]
                     adds_by_path[a["path"]] = a["rows"]
-                    # a restore re-add may carry a deletion vector in its
+                    # a restore re-add may carry deletion vectors in its
                     # payload: only the LIVE rows (re-)enter the table
                     dv_reported[a["path"]] = set(a.get("dv", ()))
+                    dvf_reported[a["path"]] = sum(n for _f, n in a.get("dvf", ()))
                     n_add += 1
-                    rows_add += a["rows"] - len(dv_reported[a["path"]])
+                    rows_add += (
+                        a["rows"] - len(dv_reported[a["path"]]) - dvf_reported[a["path"]]
+                    )
                 elif "remove" in action:
                     p = action["remove"]["path"]
                     n_rem += 1
-                    rows_rem += adds_by_path.get(p, 0) - len(dv_reported.pop(p, ()))
+                    rows_rem += (
+                        adds_by_path.get(p, 0)
+                        - len(dv_reported.pop(p, ()))
+                        - dvf_reported.pop(p, 0)
+                    )
                 elif "dv" in action:  # merge-on-read: rows go, files stay
-                    seen = dv_reported.setdefault(action["dv"]["path"], set())
-                    fresh = set(action["dv"]["rows"]) - seen
-                    rows_rem += len(fresh)
-                    seen |= fresh
+                    p = action["dv"]["path"]
+                    if "file" in action["dv"]:
+                        # sidecar rows are disjoint from prior vectors by
+                        # writer construction (the matched scan reads through
+                        # them) — counts are additive
+                        dvf_reported[p] = dvf_reported.get(p, 0) + action["dv"]["count"]
+                        rows_rem += action["dv"]["count"]
+                    else:
+                        seen = dv_reported.setdefault(p, set())
+                        fresh = set(action["dv"]["rows"]) - seen
+                        rows_rem += len(fresh)
+                        seen |= fresh
             rows.append((v, op, float(ts) if ts is not None else None,
                          n_add, n_rem, rows_add, rows_rem))
         return self.spark.createDataFrame(
@@ -1452,18 +1572,27 @@ class TxTable:
         adds within a commit), and the change feed reports the resurrected
         rows as inserts — row-exact CDF across the restore."""
         target = self.snapshot(version=version)
-        missing = [p for p in target.live_paths()
-                   if not os.path.exists(os.path.join(self.path, p))]
+        missing = [
+            p
+            for p in [*target.live_paths(), *sorted(target.dvf_files())]
+            if not os.path.exists(os.path.join(self.path, p))
+        ]
         if missing:
             raise TxNotFound(
                 f"cannot restore v{version}: {len(missing)} file(s) already "
                 f"vacuumed (first: {missing[0]!r})"
             )
         snap = self.snapshot()
+
+        def _dv_state(files: dict, p: str):
+            return (
+                list(files[p].get("dv", [])),
+                list(files[p].get("dvf", [])),
+            )
+
         dv_differs = [
             p for p in target.live_paths()
-            if p in snap.files
-            and list(snap.files[p].get("dv", [])) != list(target.files[p].get("dv", []))
+            if p in snap.files and _dv_state(snap.files, p) != _dv_state(target.files, p)
         ]
         adds = [
             target.files[p]
@@ -1531,7 +1660,9 @@ class TxTable:
         # read through) — O(versions) total, not O(versions) snapshots
         feed_versions = {v for v, _op, _a, _r in feed}
         dv_state: dict[str, set[int]] = {}
+        dvf_state: dict[str, list[str]] = {}  # per-file sidecar vector refs
         prev_dv_by_version: dict[int, dict[str, list[int]]] = {}
+        prev_dvf_by_version: dict[int, dict[str, list[str]]] = {}
         for v in self._list_versions():
             if v > to_version:
                 break
@@ -1543,17 +1674,26 @@ class TxTable:
                 prev_dv_by_version[v] = {
                     p: sorted(dv_state[p]) for p in removes if dv_state.get(p)
                 }
+                prev_dvf_by_version[v] = {
+                    p: list(dvf_state[p]) for p in removes if dvf_state.get(p)
+                }
             for p in removes:
                 dv_state.pop(p, None)
+                dvf_state.pop(p, None)
             for a in adds_v:
                 dv_state[a["path"]] = set(a.get("dv", ()))
+                dvf_state[a["path"]] = [f for f, _n in a.get("dvf", ())]
             for d in dvs_v:
-                dv_state.setdefault(d["path"], set()).update(d["rows"])
+                if "file" in d:
+                    dvf_state.setdefault(d["path"], []).append(d["file"])
+                else:
+                    dv_state.setdefault(d["path"], set()).update(d["rows"])
         dv_by_version: dict[int, list[dict]] = {}
         # add payloads carrying a deletion vector (restore re-adds resetting
         # MOR state): the added file's rows must be read THROUGH that vector,
         # so only the target-live rows count as inserted
         add_dv_by_version: dict[int, dict[str, list[int]]] = {}
+        add_dvf_by_version: dict[int, dict[str, list[str]]] = {}
         for v, _op, added, removed in feed:
             actions = self._read_version_actions(v)
             _check_types(actions[0]["meta"].get("schema"), f"v{v}")
@@ -1563,8 +1703,14 @@ class TxTable:
                 for a in actions
                 if "add" in a and a["add"].get("dv")
             }
+            add_dvf_by_version[v] = {
+                a["add"]["path"]: [f for f, _n in a["add"]["dvf"]]
+                for a in actions
+                if "add" in a and a["add"].get("dvf")
+            }
             dv_rels = [d["path"] for d in dv_by_version[v]]
-            for rel in [*added, *removed, *dv_rels]:
+            dv_sidecars = [d["file"] for d in dv_by_version[v] if "file" in d]
+            for rel in [*added, *removed, *dv_rels, *dv_sidecars]:
                 if not os.path.exists(os.path.join(self.path, rel)):
                     raise TxNotFound(
                         f"row_changes needs {rel!r} (v{v}) but vacuum already "
@@ -1578,10 +1724,13 @@ class TxTable:
             # state AS OF v-1, so rows a MOR delete already reported are not
             # reported again when a COW rewrite later drops the file.
             a_df = self.read_files(
-                added, schema, dv_map=add_dv_by_version.get(v), mapping=t_map
+                added, schema, dv_map=add_dv_by_version.get(v), mapping=t_map,
+                dvf_map=add_dvf_by_version.get(v),
             )
-            prev_dv = prev_dv_by_version.get(v, {})
-            r_df = self.read_files(removed, schema, dv_map=prev_dv, mapping=t_map)
+            r_df = self.read_files(
+                removed, schema, dv_map=prev_dv_by_version.get(v, {}),
+                mapping=t_map, dvf_map=prev_dvf_by_version.get(v, {}),
+            )
             ins = a_df.exceptAll(r_df)
             del_ = r_df.exceptAll(a_df)
             parts.append(
@@ -1596,15 +1745,24 @@ class TxTable:
             )
             if dv_by_version.get(v):  # merge-on-read deletes: row-exact by lineage
                 dv_paths = sorted({d["path"] for d in dv_by_version[v]})
-                pairs = [
-                    (os.path.basename(d["path"]), int(i))
-                    for d in dv_by_version[v]
-                    for i in d["rows"]
-                ]
-                dels_df = self.spark.createDataFrame(pairs, "__f string, __ri bigint")
+                inline = {
+                    d["path"]: d["rows"] for d in dv_by_version[v] if "rows" in d
+                }
+                sidecar = {
+                    d["path"]: [d["file"]] for d in dv_by_version[v] if "file" in d
+                }
+                # a version's sidecar holds pairs only for files dv'd AT that
+                # version, all of which are in dv_paths — the semi join is
+                # exact without any extra filtering; fresh-by-construction
+                # (the writer's matched scan read through prior vectors)
+                dels_df = self._dels_df(inline, sidecar)
                 dv_deleted = (
                     self._lineage_read(dv_paths, schema, mapping=t_map)
-                    .join(F.broadcast(dels_df), on=["__f", "__ri"], how="left_semi")
+                    .join(
+                        dels_df if sidecar else F.broadcast(dels_df),
+                        on=["__f", "__ri"],
+                        how="left_semi",
+                    )
                     .drop("__f", "__ri")
                 )
                 parts.append(
@@ -1810,7 +1968,9 @@ class TxTable:
             return []
         keep: set[str] = set()
         for v in versions[-retain_versions:]:
-            keep.update(self.snapshot(version=v).files)
+            retained = self.snapshot(version=v)
+            keep.update(retained.files)
+            keep.update(retained.dvf_files())  # referenced sidecar vectors
         cutoff = time.time() - min_age_s
         removed = []
         for dirpath, dirnames, filenames in os.walk(self.path):

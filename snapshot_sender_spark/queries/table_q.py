@@ -1183,3 +1183,48 @@ def table_txlog_optimize_small(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "table_txlog_delete_mor_sidecar",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 <> 0
+    GROUP BY source
+    """,
+    category="table-format",
+)
+def table_txlog_delete_mor_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read delete above the INLINE cap: the deletion vector is
+    written DISTRIBUTED to a sidecar parquet of (file, row_index) pairs —
+    never through the driver — and the commit records per-file references
+    with counts, bumping the table's reader protocol so pre-sidecar engines
+    refuse instead of resurrecting rows. Zero files rewritten (asserted) and
+    the live snapshot still equals the plain filter, which is the oracle.
+    This is what keeps a 10M-row takedown or hot CDC batch merge-on-read at
+    100 TB; mechanics (second-delete exclusion, compaction materialization,
+    vacuum of unreferenced sidecars, restore both ways, CDF and stream
+    exactness) are pinned in tests/test_txlog*.py."""
+    work = _workdir("txlog_dvf_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.MOR_MAX_INLINE_DV = 50  # force the sidecar regime at every fixture tier
+    t.append(docs.repartitionByRange(4, "doc_id"), ts=1.0)
+    before = set(t.snapshot().live_paths())
+    t.delete_where("doc_id % 3 = 0", ts=2.0, mode="mor")
+    snap = t.snapshot()
+    if set(snap.live_paths()) != before:
+        raise AssertionError("sidecar merge-on-read delete must not rewrite files")
+    if not snap.dvf_map() or snap.dv_map():
+        raise AssertionError("expected a sidecar vector, not an inline one")
+    if snap.proto != (2, 2):
+        raise AssertionError(f"sidecar commit must bump the protocol: {snap.proto}")
+    return (
+        t.read()
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -275,25 +275,28 @@ def _thaw(v):
 
 
 class _CdfAddPartition(InputPartition):
-    """One added file → insert rows (read through the add payload's DV if a
-    restore re-add carries one)."""
+    """One added file → insert rows (read through the add payload's inline
+    and/or sidecar DVs if a restore re-add carries them)."""
 
-    def __init__(self, version, path, part, payload_dv, schema_json):
+    def __init__(self, version, path, part, payload_dv, schema_json, payload_dvf=None):
         self.version = version
         self.path = path
         self.part = part or {}
         self.payload_dv = sorted(payload_dv or [])
+        self.payload_dvf = list(payload_dvf or [])  # sidecar FULL paths
         self.schema_json = schema_json
 
 
 class _CdfDvPartition(InputPartition):
-    """One deletion-vector action → the exact deleted rows."""
+    """One deletion-vector action → the exact deleted rows (inline indices,
+    or a sidecar parquet filtered to this data file's basename)."""
 
-    def __init__(self, version, path, part, rows, schema_json):
+    def __init__(self, version, path, part, rows, schema_json, sidecar=None):
         self.version = version
         self.path = path
         self.part = part or {}
-        self.rows = sorted(rows)
+        self.rows = sorted(rows or [])
+        self.sidecar = sidecar  # sidecar FULL path (rows empty when set)
         self.schema_json = schema_json
 
 
@@ -302,12 +305,14 @@ class _CdfDiffPartition(InputPartition):
     rows (removed files read through their PRE-commit deletion vectors,
     added files through their payload vectors)."""
 
-    def __init__(self, version, adds, removes, prev_dv, schema_json):
-        # adds: [(full_path, part, payload_dv)], removes: [(full_path, part)]
+    def __init__(self, version, adds, removes, prev_dv, schema_json, prev_dvf=None):
+        # adds: [(full_path, part, payload_dv, payload_dvf_full_paths)],
+        # removes: [(full_path, part)]
         self.version = version
         self.adds = adds
         self.removes = removes
         self.prev_dv = prev_dv  # full_path -> sorted deleted row indices
+        self.prev_dvf = prev_dvf or {}  # full_path -> sidecar FULL paths
         self.schema_json = schema_json
 
 
@@ -328,6 +333,7 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         # commit, and log checkpointing keeps version files small; a reader
         # resuming far into a long log pays listdir + JSON parse only
         dv_state: dict[str, set[int]] = {}
+        dvf_state: dict[str, list[str]] = {}  # per-file sidecar vector rels
         for v in self._versions():
             if v > hi:
                 break
@@ -337,7 +343,12 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
             removes = [a["remove"]["path"] for a in actions if "remove" in a]
             dvs = [a["dv"] for a in actions if "dv" in a]
             if v > lo:
-                needed = [a["path"] for a in adds] + removes + [d["path"] for d in dvs]
+                needed = (
+                    [a["path"] for a in adds]
+                    + removes
+                    + [d["path"] for d in dvs]
+                    + [d["file"] for d in dvs if "file" in d]
+                )
                 for rel in needed:
                     if not os.path.exists(os.path.join(self.table_path, rel)):
                         raise FileNotFoundError(
@@ -349,7 +360,13 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
                     parts.append(
                         _CdfDiffPartition(
                             v,
-                            [(full(a["path"]), a.get("part"), a.get("dv")) for a in adds],
+                            [
+                                (
+                                    full(a["path"]), a.get("part"), a.get("dv"),
+                                    [full(f) for f, _n in a.get("dvf", ())],
+                                )
+                                for a in adds
+                            ],
                             [(full(p), None) for p in removes],
                             {
                                 full(p): sorted(dv_state.get(p, ()))
@@ -357,6 +374,11 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
                                 if dv_state.get(p)
                             },
                             self.schema_json,
+                            prev_dvf={
+                                full(p): [full(f) for f in dvf_state[p]]
+                                for p in removes
+                                if dvf_state.get(p)
+                            },
                         )
                     )
                 else:
@@ -365,9 +387,24 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
                             _CdfAddPartition(
                                 v, full(a["path"]), a.get("part"), a.get("dv"),
                                 self.schema_json,
+                                payload_dvf=[full(f) for f, _n in a.get("dvf", ())],
                             )
                         )
                     for d in dvs:
+                        if "file" in d:
+                            # sidecar vector: rows read executor-side from
+                            # the sidecar parquet, filtered to this data
+                            # file; fresh by writer construction (the
+                            # matched scan read through prior vectors)
+                            parts.append(
+                                _CdfDvPartition(
+                                    v, full(d["path"]),
+                                    self._part_of(d["path"]),
+                                    None, self.schema_json,
+                                    sidecar=full(d["file"]),
+                                )
+                            )
+                            continue
                         # report only rows not already deleted (defensive:
                         # writers never re-delete, but the feed must not
                         # double-report even on a hand-written log)
@@ -384,10 +421,15 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
             # it to the payload's vector, dv actions union into it
             for p in removes:
                 dv_state.pop(p, None)
+                dvf_state.pop(p, None)
             for a in adds:
                 dv_state[a["path"]] = set(a.get("dv", ()))
+                dvf_state[a["path"]] = [f for f, _n in a.get("dvf", ())]
             for d in dvs:
-                dv_state.setdefault(d["path"], set()).update(d["rows"])
+                if "file" in d:
+                    dvf_state.setdefault(d["path"], []).append(d["file"])
+                else:
+                    dv_state.setdefault(d["path"], set()).update(d["rows"])
         return parts
 
     def _part_of(self, rel: str) -> dict | None:
@@ -456,26 +498,50 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         arrays.append(pa.array([version] * len(rows), type=pa.int64()))
         yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
+    @staticmethod
+    def _sidecar_rows(sidecar_paths, basename) -> set:
+        """Deleted row indices for ONE data file out of sidecar parquet(s)
+        of (__f, __ri) pairs — predicate-pushed, executor-side."""
+        import pyarrow.parquet as pq
+
+        out: set = set()
+        for sp in sidecar_paths or ():
+            tbl = pq.read_table(sp, columns=["__f", "__ri"], filters=[("__f", "=", basename)])
+            out.update(tbl.column("__ri").to_pylist())
+        return out
+
     def read(self, part):
         from collections import Counter
 
         if isinstance(part, _CdfAddPartition):
-            rows = self._file_rows(part.path, part.part, part.payload_dv)
+            exclude = set(part.payload_dv) | self._sidecar_rows(
+                part.payload_dvf, os.path.basename(part.path)
+            )
+            rows = self._file_rows(part.path, part.part, exclude)
             yield from self._emit(rows, "insert", part.version)
         elif isinstance(part, _CdfDvPartition):
             all_rows = self._file_rows(part.path, part.part, None)
-            rows = [all_rows[i] for i in part.rows if i < len(all_rows)]
+            idxs = part.rows or sorted(
+                self._sidecar_rows([part.sidecar], os.path.basename(part.path))
+            )
+            rows = [all_rows[i] for i in idxs if i < len(all_rows)]
             yield from self._emit(rows, "delete", part.version)
         else:  # _CdfDiffPartition: multiset difference, exactly row_changes
             ca: Counter = Counter()
-            for path, pvals, payload_dv in part.adds:
-                ca.update(self._file_rows(path, pvals, payload_dv))
+            for path, pvals, payload_dv, payload_dvf in part.adds:
+                exclude = set(payload_dv or ()) | self._sidecar_rows(
+                    payload_dvf, os.path.basename(path)
+                )
+                ca.update(self._file_rows(path, pvals, exclude))
             cr: Counter = Counter()
             for path, pvals in part.removes:
+                exclude = set(part.prev_dv.get(path, ())) | self._sidecar_rows(
+                    part.prev_dvf.get(path), os.path.basename(path)
+                )
                 cr.update(
                     self._file_rows(
                         path, pvals or self._part_of(os.path.relpath(path, self.table_path)),
-                        part.prev_dv.get(path),
+                        exclude,
                     )
                 )
             ins = ca - cr

@@ -722,13 +722,34 @@ def test_mor_row_changes_exact_and_no_double_report(spark, tmp_path):
     assert dels == [(2, 2), (2, 4), (3, 8)]
 
 
-def test_mor_cap_raises_typed_error(spark, tmp_path):
+def test_mor_cap_routes_to_sidecar_vector(spark, tmp_path):
+    """Above MOR_MAX_INLINE_DV the vector goes to a SIDECAR parquet written
+    distributed (never through the driver) instead of failing: the commit
+    stays merge-on-read, bumps the reader protocol, and reads stay exact."""
     t = _mk(spark, tmp_path, "t_mor_cap")
     t.MOR_MAX_INLINE_DV = 5
     t.append(spark.range(0, 20).coalesce(1), ts=1.0)
-    with pytest.raises(TxError, match="cow"):
-        t.delete_where("id >= 0", ts=2.0, mode="mor")
-    assert t.read().count() == 20  # nothing committed
+    before = set(t.snapshot().live_paths())
+    t.delete_where("id >= 8", ts=2.0, mode="mor")  # 12 rows > cap -> sidecar
+    snap = t.snapshot()
+    assert set(snap.live_paths()) == before       # still zero rewrites
+    assert snap.dvf_map() and not snap.dv_map()   # sidecar, not inline
+    assert snap.proto == (2, 2)                   # protocol recorded
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(8))
+    assert snap.total_rows() == 8
+    # a second sidecar delete excludes the already-deleted rows exactly
+    t.delete_where("id >= 2", ts=3.0, mode="mor")
+    assert t.read().count() == 2
+    h = {r["version"]: r for r in t.history().collect()}
+    assert h[2]["rows_removed"] == 12 and h[3]["rows_removed"] == 6
+    # compaction materializes sidecar vectors away like inline ones
+    t.compact(target_files=1, ts=4.0)
+    assert not t.snapshot().dvf_map()
+    assert t.read().count() == 2
+    # vacuum sweeps the now-unreferenced sidecar files
+    removed = t.vacuum(retain_versions=1, min_age_s=0)
+    assert any(r.startswith("dvf-") for r in removed)
+    assert t.read().count() == 2
 
 
 def test_takedown_destroys_bytes_after_vacuum(spark, tmp_path):
@@ -1060,15 +1081,24 @@ def test_mor_merge_respects_prior_deletes_and_cap(spark, tmp_path):
     assert got[7] == 9 and len(got) == 20
     cdf = t.row_changes(2, 3)
     assert cdf.where("_change_type='delete'").count() == 0  # nothing matched
-    # the inline cap routes huge merges to cow with a typed error
+    # above the inline cap a MOR merge writes a SIDECAR vector in the same
+    # atomic commit as its appends — still zero rewrites, answer unchanged
     t2 = _mk(spark, tmp_path, "t_merge_mor_cap")
     t2.MOR_MAX_INLINE_DV = 5
     t2.append(spark.range(0, 20).withColumn("v", F.lit(1)).coalesce(1), ts=1.0)
-    with pytest.raises(TxError, match="cow"):
-        t2.merge(
-            spark.range(0, 10).withColumn("v", F.lit(2).cast("int")).coalesce(1),
-            keys=["id"], ts=2.0, mode="mor",
-        )
+    before2 = set(t2.snapshot().live_paths())
+    t2.merge(
+        spark.range(0, 10).withColumn("v", F.lit(2).cast("int")).coalesce(1),
+        keys=["id"], ts=2.0, mode="mor",
+    )
+    assert before2 <= set(t2.snapshot().live_paths())
+    assert t2.snapshot().dvf_map()
+    got2 = {r["id"]: r["v"] for r in t2.read().collect()}
+    assert len(got2) == 20 and all(got2[i] == 2 for i in range(10))
+    # CDF is row-exact through the sidecar
+    cdf2 = t2.row_changes(1, 2)
+    assert cdf2.where("_change_type='delete'").count() == 10
+    assert cdf2.where("_change_type='insert'").count() == 10
 
 
 def test_apply_changes_updates_deletes_in_one_commit(spark, tmp_path):
@@ -1193,3 +1223,66 @@ def test_compact_race_adopts_evolved_schema(spark, tmp_path):
     assert got.columns == ["id", "tag"]  # the evolved column SURVIVED the compact
     assert got.where("tag = 'n'").count() == 3
     assert got.count() == 13
+
+
+def test_protocol_gate_refuses_future_logs(spark, tmp_path):
+    """Protocol versioning: a commit from a future engine records a higher
+    (reader, writer) floor; this engine must refuse to read/write instead of
+    silently misinterpreting the log."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, "t_proto")
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    assert t.snapshot().proto == (1, 1)  # plain tables stay at level 1
+    # hand-write a future-protocol commit
+    with open(t._version_file(2), "w") as fh:
+        fh.write(_json.dumps({"meta": {
+            "version": 2, "op": "append", "ts": 2.0, "schema": None,
+            "proto": [99, 99],
+        }}) + "\n")
+    with pytest.raises(TxError, match="reader protocol 99"):
+        t.read()
+    with pytest.raises(TxError, match="reader protocol 99"):
+        t.append(spark.range(5, 6).coalesce(1), ts=3.0)
+
+
+def test_apply_changes_sidecar_and_exactly_once(spark, tmp_path):
+    """apply_changes above the inline cap commits its vector as a sidecar in
+    the same atomic version as its appends; txn replay stays a no-op."""
+    t = _mk(spark, tmp_path, "t_apply_dvf")
+    t.MOR_MAX_INLINE_DV = 4
+    t.append(spark.range(0, 20).withColumn("v", F.lit(1).cast("int")).coalesce(1), ts=1.0)
+    changes = (
+        spark.range(0, 10)
+        .withColumn("v", F.lit(2).cast("int"))
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(5).cast("long"))
+    ).coalesce(1)
+    txn = {"app": "cdc", "batch": 1}
+    v1 = t.apply_changes(changes, keys=["id"], ts=2.0, txn=txn)
+    assert t.snapshot().dvf_map()
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 20 and all(got[i] == 2 for i in range(10))
+    assert t.apply_changes(changes, keys=["id"], ts=3.0, txn=txn) == v1  # replay
+    assert t.latest_version() == v1
+    # history nets through the sidecar version
+    net = 0
+    for r in sorted(t.history().collect(), key=lambda r: r["version"]):
+        net += r["rows_added"] - r["rows_removed"]
+        assert net == t.read(version=r["version"]).count()
+
+
+def test_restore_resets_sidecar_vectors(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_restore_dvf")
+    t.MOR_MAX_INLINE_DV = 4
+    t.append(spark.range(0, 30).coalesce(1), ts=1.0)
+    t.delete_where("id % 2 = 0", ts=2.0, mode="mor")  # 15 rows -> sidecar
+    assert t.read().count() == 15
+    t.restore(1, ts=3.0)
+    assert t.read().count() == 30
+    assert not t.snapshot().dvf_map()
+    t.restore(2, ts=4.0)  # forward again: the sidecar reference returns
+    assert t.read().count() == 15
+    assert t.snapshot().dvf_map()
+    cdf = t.row_changes(2, 3)
+    assert cdf.where("_change_type='insert'").count() == 15

@@ -221,3 +221,25 @@ def test_cdf_stream_nan_rows_not_phantom_changed(spark, tmp_path):
     v3 = got.where("_commit_version = 3").collect()
     assert [(r["id"], r["_change_type"]) for r in v3] == [(3, "delete")]
     assert got.count() == 11  # 10 inserts + 1 delete, zero phantoms
+
+
+def test_cdf_stream_sidecar_vectors_match_batch(spark, tmp_path):
+    """Sidecar deletion vectors (above the inline cap) stream exactly:
+    sidecar MOR delete, inline MOR merge, then a COW rewrite of a
+    sidecar'd file — the feed equals batch row_changes row for row."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "dvf_tab"))
+    t.MOR_MAX_INLINE_DV = 20
+    t.append(spark.range(0, 200).repartitionByRange(2, "id"), ts=1.0)
+    t.delete_where("id % 3 = 0", ts=2.0, mode="mor")  # 67 rows -> sidecar
+    t.merge(
+        spark.createDataFrame([(5,), (500,)], "id long").coalesce(1),
+        keys=["id"], ts=3.0, mode="mor",
+    )
+    t.delete_where("id > 150", ts=4.0, mode="cow")  # rewrites sidecar'd files
+    out, ckpt = tmp_path / "dvf_out", tmp_path / "dvf_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    got = spark.read.parquet(str(out))
+    batch = t.row_changes(0, t.latest_version()).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    assert got.where("_commit_version = 2 AND _change_type = 'delete'").count() == 67

@@ -295,6 +295,44 @@ def mor_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def sidecar_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
+    """Takedown ABOVE the inline-vector cap at 10M rows: ~1.5M matched rows
+    go to a SIDECAR deletion-vector parquet (distributed write, never through
+    the driver) vs the copy-on-write rewrite — write cost, files rewritten,
+    sidecar bytes, and the post-delete full-scan read tax; results asserted
+    equal between modes."""
+    ev = build_events(spark, sf_dir, mult)
+    pred = "user_id % 100 < 15"  # ~15% of rows: far beyond MOR_MAX_INLINE_DV
+    work = tempfile.mkdtemp(prefix="txlog_dvf_scale_")
+    results = {}
+    for mode in ("mor", "cow"):
+        t = TxTable(spark, os.path.join(work, f"tab_{mode}"))
+        t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
+        before = set(t.snapshot().live_paths())
+        _, dt = timed(lambda: t.delete_where(pred, ts=2.0, mode=mode))
+        snap = t.snapshot()
+        rewritten = len(before - set(snap.live_paths()))
+        sidecars = sorted(snap.dvf_files())
+        side_bytes = sum(
+            os.path.getsize(os.path.join(t.path, f)) for f in sidecars
+        )
+        agg, t_read = timed(
+            lambda: t.read().agg(
+                F.count("*").alias("n"), F.sum("event_id").alias("s")
+            ).collect()[0]
+        )
+        results[mode] = (agg["n"], agg["s"], dt, rewritten, len(sidecars), side_bytes, t_read)
+    assert results["mor"][:2] == results["cow"][:2], results
+    for mode, (n, _s, dt, rewritten, n_side, side_bytes, t_read) in results.items():
+        print(
+            f"{mode}: delete ~15% of 10M rows in {dt:.2f}s "
+            f"({rewritten}/{n_files} files rewritten, {n_side} sidecar "
+            f"vector file(s) = {side_bytes/1e6:.1f} MB), {n:,} rows live, "
+            f"full-scan agg after: {t_read:.2f}s"
+        )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
@@ -311,6 +349,9 @@ def main():
         return
     if "--merge-mor" in sys.argv:
         merge_mor_tier(spark, sf_dir)
+        return
+    if "--sidecar" in sys.argv:
+        sidecar_tier(spark, sf_dir)
         return
     print(f"| mult | rows | files | write s | pruned files | full-scan s | pruned s | COW rewritten | delete s | fold-delta s | recompute s |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
