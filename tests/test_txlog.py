@@ -1286,3 +1286,34 @@ def test_restore_resets_sidecar_vectors(spark, tmp_path):
     assert t.snapshot().dvf_map()
     cdf = t.row_changes(2, 3)
     assert cdf.where("_change_type='insert'").count() == 15
+
+
+def test_incremental_optimize_composes_with_clustering(spark, tmp_path):
+    """compact(only_smaller_than=..., cluster_expr=...) is incremental
+    Z-order maintenance: the small-file backlog is re-clustered so its
+    output files get tight footer stats, while right-sized (already
+    clustered) files stay untouched."""
+    t = _mk(spark, tmp_path, "t_opt_cluster")
+    # the big, already-clustered file
+    t.append(spark.range(0, 50_000).repartitionByRange(1, "id"), ts=1.0)
+    for i in range(4):  # unclustered dribble: interleaved id ranges
+        t.append(
+            spark.range(100_000 + i, 100_400 + i, 4).coalesce(1), ts=2.0 + i
+        )
+    snap = t.snapshot()
+    big = max(snap.live_paths(), key=lambda p: snap.files[p]["bytes"])
+    t.compact(
+        target_files=2, ts=6.0,
+        cluster_expr="id", only_smaller_than=snap.files[big]["bytes"],
+    )
+    snap2 = t.snapshot()
+    assert big in snap2.files  # untouched
+    new_files = set(snap2.live_paths()) - set(snap.live_paths())
+    assert len(new_files) == 2
+    # the re-clustered outputs cover DISJOINT id ranges (tight stats)
+    ranges = sorted(
+        (snap2.files[p]["stats"]["id"]["min"], snap2.files[p]["stats"]["id"]["max"])
+        for p in new_files
+    )
+    assert ranges[0][1] < ranges[1][0]
+    assert t.read().count() == 50_000 + 400

@@ -333,6 +333,37 @@ def sidecar_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None
     shutil.rmtree(work, ignore_errors=True)
 
 
+def partition_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 8) -> None:
+    """Hive partition pruning at 10M rows: events partitioned by event_type
+    (5 dirs × 8 user_id-clustered files) — a type+user predicate composes
+    DIRECTORY elimination with footer stats; planned-file counts and the
+    pruned-vs-full wall-clock are reported, equal results asserted."""
+    ev = build_events(spark, sf_dir, mult)
+    work = tempfile.mkdtemp(prefix="txlog_part_scale_")
+    t = TxTable(spark, os.path.join(work, "tab"), partition_by=("event_type",))
+    _, t_write = timed(
+        lambda: t.append(ev.repartitionByRange(n_files, "user_id"), ts=1.0)
+    )
+    snap = t.snapshot()
+    total = len(snap.live_paths())
+    prune = [("event_type", "click", "click"), ("user_id", 500, 520)]
+    part_only = len(t.candidate_files(prune=prune[:1], snap=snap))
+    both = len(t.candidate_files(prune=prune, snap=snap))
+    flt = (F.col("event_type") == "click") & F.col("user_id").between(500, 520)
+    agg = lambda df: df.where(flt).agg(  # noqa: E731
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    full_res, t_full = timed(lambda: agg(t.read()))
+    pruned_res, t_pruned = timed(lambda: agg(t.read(prune=prune)))
+    assert (full_res["n"], full_res["s"]) == (pruned_res["n"], pruned_res["s"])
+    print(
+        f"partitioned write {t_write:.1f}s, {total} files in 5 event_type dirs; "
+        f"partition prune -> {part_only}/{total} files, + user stats -> "
+        f"{both}/{total}; full-scan filter {t_full:.2f}s vs pruned {t_pruned:.2f}s"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
@@ -352,6 +383,9 @@ def main():
         return
     if "--sidecar" in sys.argv:
         sidecar_tier(spark, sf_dir)
+        return
+    if "--partition" in sys.argv:
+        partition_tier(spark, sf_dir)
         return
     print(f"| mult | rows | files | write s | pruned files | full-scan s | pruned s | COW rewritten | delete s | fold-delta s | recompute s |")
     print("|---|---|---|---|---|---|---|---|---|---|---|")
