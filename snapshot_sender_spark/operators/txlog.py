@@ -1557,6 +1557,35 @@ class TxTable:
             "n_files_removed bigint, rows_added bigint, rows_removed bigint",
         )
 
+    def describe_detail(self) -> dict:
+        """DESCRIBE DETAIL: one control-plane dict summarizing the live
+        snapshot — version, row/file/byte counts, partition spec, protocol,
+        column mapping state, constraint names, deletion-vector footprint.
+        One log replay, no data I/O; the first thing an operator asks of an
+        unfamiliar table."""
+        snap = self.snapshot()
+        sidecars = snap.dvf_files()
+        return {
+            "path": self.path,
+            "version": snap.version,
+            "num_files": len(snap.files),
+            "num_rows": snap.total_rows(),
+            "size_bytes": sum(a["bytes"] for a in snap.files.values()),
+            "partition_by": list(snap.partition_by),
+            "protocol": {"min_reader": snap.proto[0], "min_writer": snap.proto[1]},
+            "column_mapping": dict(snap.mapping),
+            "retired_columns": list(snap.retired),
+            "constraints": sorted(snap.constraints),
+            "schema_fields": [f.name for f in snap.schema().fields]
+            if snap.schema_json is not None
+            else [],
+            "dv_inline_rows": sum(len(v) for v in snap.dv_map().values()),
+            "dv_sidecar_files": len(sidecars),
+            "dv_sidecar_rows": sum(
+                n for a in snap.files.values() for _f, n in a.get("dvf", ())
+            ),
+        }
+
     def restore(self, version: int, ts: float | None = None) -> int:
         """Metadata-only rollback: commit a new version whose live set IS the
         old snapshot's — no data movement (the old files still exist unless

@@ -1317,3 +1317,24 @@ def test_incremental_optimize_composes_with_clustering(spark, tmp_path):
     )
     assert ranges[0][1] < ranges[1][0]
     assert t.read().count() == 50_000 + 400
+
+
+def test_describe_detail_summarizes_the_live_snapshot(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t_detail"), partition_by=("g",))
+    t.MOR_MAX_INLINE_DV = 4
+    t.append(
+        spark.range(0, 20).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    t.set_constraint("nonneg", "id >= 0", ts=2.0)
+    t.delete_where("id IN (3, 5)", ts=3.0, mode="mor")       # inline DV
+    t.delete_where("id >= 10", ts=4.0, mode="mor")           # sidecar DV
+    d = t.describe_detail()
+    assert d["version"] == 4 and d["num_files"] == 2
+    assert d["num_rows"] == 8 and d["partition_by"] == ["g"]
+    assert d["protocol"] == {"min_reader": 2, "min_writer": 2}
+    assert d["constraints"] == ["nonneg"]
+    assert d["dv_inline_rows"] == 2
+    assert d["dv_sidecar_files"] == 1 and d["dv_sidecar_rows"] == 10
+    assert d["schema_fields"] == ["id", "g"]
+    assert d["size_bytes"] > 0 and d["column_mapping"] == {}
