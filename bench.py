@@ -163,7 +163,10 @@ def loadavg() -> list[float]:
 # loud, bonus laps run once quiet. min-of-laps then reflects the machine
 # limit, not the co-tenant. The total added delay is capped so the driver's
 # wall-clock stays bounded; if the box is never quiet, the recorded waits +
-# per-lap loads prove it.
+# per-lap loads prove it. Honest caveat: 1-min loadavg lags, so mid-run
+# samples include the bench's OWN 32-thread bursts (~3-4 observed on an
+# otherwise idle box) — a small waited_s on a quiet machine can be
+# self-triggered; the budget bounds that waste and every wait is recorded.
 LOAD1_QUIET = 4.0  # a lap starting above this is presumed co-tenant-polluted
 WAIT_SLICE_S = 15.0
 MAX_WAIT_S = 300.0  # total across the whole run
