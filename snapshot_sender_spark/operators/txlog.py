@@ -429,6 +429,12 @@ class TxTable:
                 "partition_by": list(snap.partition_by),
                 "mapping": snap.mapping,
                 "retired": list(snap.retired),
+                # the protocol floor MUST survive checkpointing: a replay
+                # seeded from a checkpoint that dropped it would report (1,1)
+                # and silently bypass the reader/writer gate — the exact
+                # mechanism meant to stop incompatible engines from
+                # resurrecting MOR-deleted rows (round-12 ADVICE fix)
+                "proto": list(snap.proto),
             }
         )
         tmp = os.path.join(self._log_dir, f".tmp-ckpt-{uuid.uuid4().hex}")
@@ -455,6 +461,7 @@ class TxTable:
             partition_by=tuple(d.get("partition_by", ())),
             mapping=d.get("mapping", {}),
             retired=tuple(d.get("retired", ())),
+            proto=tuple(d.get("proto", (1, 1))),
         )
 
     def _maybe_checkpoint(self, committed_version: int) -> None:
@@ -695,6 +702,10 @@ class TxTable:
         return df.select("*", *lineage)
 
     def _writer_gate(self, snap: TxSnapshot | None) -> None:
+        """Refuse to MUTATE a table whose protocol floor exceeds this
+        engine's writer level — writing to a future-protocol table without
+        understanding its invariants could corrupt it (the Delta minWriter
+        stance). Called at the top of every mutating operation."""
         if snap is not None and snap.proto[1] > self.PROTO_WRITER:
             raise TxError(
                 f"table {self.path!r} requires writer protocol {snap.proto[1]} "
@@ -1083,6 +1094,7 @@ class TxTable:
         key txn on (query id, batch id) and a restarted stream can re-run any
         batch safely (the same ladder Delta's txn action implements)."""
         base, snap = self._current_base()
+        self._writer_gate(snap)
         if txn is not None and snap is not None:
             prior = snap.txns.get(_txn_key(txn))
             if prior is not None:
@@ -1118,6 +1130,17 @@ class TxTable:
             # would clobber theirs on latest-wins replay): conflict, re-run
             if dict(new_snap.mapping) != (dict(snap.mapping) if snap else {}):
                 raise TxConflict("concurrent commit changed the column mapping; re-run")
+            # likewise the PARTITION SPEC: two racing first commits with
+            # different partition_by (or a concurrent repartition_table) would
+            # otherwise both land, mixing flat and col=value/ files under one
+            # basePath — which Spark's partition discovery rejects at read
+            # time, long after the write "succeeded" (round-12 ADVICE fix)
+            if new_snap.partition_by != spec:
+                raise TxConflict(
+                    f"concurrent commit set partition spec "
+                    f"{new_snap.partition_by} but this batch staged under "
+                    f"{spec}; re-run"
+                )
             return [], merged
 
         try:
@@ -1166,6 +1189,7 @@ class TxTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
+        self._writer_gate(snap)
         schema = snap.schema()
         schema_json = self._merge_schema(snap.schema_json, source.schema)
         spec = self._resolve_partition_by(snap)
@@ -1256,6 +1280,7 @@ class TxTable:
         from pyspark.sql.window import Window
 
         snap = self.snapshot()
+        self._writer_gate(snap)
         if txn is not None:
             prior = snap.txns.get(_txn_key(txn))
             if prior is not None:
@@ -1305,6 +1330,7 @@ class TxTable:
         the winner's snapshot on every race, so a concurrent append cannot
         leak rows past the overwrite."""
         base, snap = self._current_base()
+        self._writer_gate(snap)
         schema_json = json.dumps(json.loads(df.schema.json()))  # overwrite resets schema
         spec = self._resolve_partition_by(snap)
         mapping, mapping_changed = self._extend_mapping(snap, df.schema)
@@ -1321,6 +1347,12 @@ class TxTable:
                 enforced.update(new_snap.constraints)
             if dict(new_snap.mapping) != (dict(snap.mapping) if snap else {}):
                 raise TxConflict("concurrent commit changed the column mapping; re-run")
+            if new_snap.partition_by != spec:  # see append revalidate
+                raise TxConflict(
+                    f"concurrent commit set partition spec "
+                    f"{new_snap.partition_by} but this batch staged under "
+                    f"{spec}; re-run"
+                )
             return new_snap.live_paths(), schema_json
 
         return self._commit(
@@ -1356,6 +1388,7 @@ class TxTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
+        self._writer_gate(snap)
         schema = snap.schema()
         dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
         b2r = {os.path.basename(p): p for p in snap.live_paths()}
@@ -1438,6 +1471,7 @@ class TxTable:
         answer to "OPTIMIZE re-writes 100 TB nightly". Fewer than two
         qualifying files is a no-op (no new version)."""
         snap = self.snapshot()
+        self._writer_gate(snap)
         inputs = snap.live_paths()
         if only_smaller_than is not None:
             inputs = [
@@ -1612,6 +1646,7 @@ class TxTable:
                 f"vacuumed (first: {missing[0]!r})"
             )
         snap = self.snapshot()
+        self._writer_gate(snap)
 
         def _dv_state(files: dict, p: str):
             return (
@@ -1824,6 +1859,7 @@ class TxTable:
         everywhere: a constraint evaluating to UNKNOWN passes — write
         ``x IS NOT NULL AND x > 0`` to also forbid NULLs."""
         snap = self.snapshot()
+        self._writer_gate(snap)
         n_bad = (
             self.read(version=snap.version)
             .where(~F.coalesce(F.expr(check_sql), F.lit(True)))
@@ -1871,6 +1907,7 @@ class TxTable:
         Partition columns and constraint-referenced columns are refused
         (their name is load-bearing elsewhere)."""
         snap = self.snapshot()
+        self._writer_gate(snap)
         schema = snap.schema()
         names = [f.name for f in schema.fields]
         if old not in names:
@@ -1906,6 +1943,7 @@ class TxTable:
         resurrect (pinned by test). Refused for partition columns,
         constraint-referenced columns, and the last remaining column."""
         snap = self.snapshot()
+        self._writer_gate(snap)
         schema = snap.schema()
         names = [f.name for f in schema.fields]
         if name not in names:

@@ -1338,3 +1338,91 @@ def test_describe_detail_summarizes_the_live_snapshot(spark, tmp_path):
     assert d["dv_sidecar_files"] == 1 and d["dv_sidecar_rows"] == 10
     assert d["schema_fields"] == ["id", "g"]
     assert d["size_bytes"] > 0 and d["column_mapping"] == {}
+
+
+# -- round 12: writer gate, checkpoint proto persistence, partition-spec race
+
+
+def test_writer_gate_refuses_future_writer_protocol(spark, tmp_path):
+    """A table READABLE at this engine's level but whose WRITER floor is
+    higher must refuse every mutation (the Delta minWriter stance) — a
+    write that doesn't understand the table's invariants could corrupt it.
+    Round-12 ADVICE fix: _writer_gate is now invoked by every mutating op."""
+    t = _mk(spark, tmp_path, "t_wproto")
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    with open(t._version_file(2), "w") as fh:
+        fh.write(json.dumps({"meta": {
+            "version": 2, "op": "append", "ts": 2.0, "schema": None,
+            "proto": [1, 99],  # readable here, writable only by the future
+        }}) + "\n")
+    assert t.read().count() == 5  # reads stay fine
+    one = spark.range(5, 6).coalesce(1)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.append(one, ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.overwrite(one, ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.delete_where("id = 0", ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.merge(one, keys=["id"], ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.compact(ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.restore(1, ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.set_constraint("c", "id >= 0", ts=3.0)
+    with pytest.raises(TxError, match="writer protocol 99"):
+        t.rename_column("id", "id2", ts=3.0)
+    assert t.latest_version() == 2  # nothing slipped through
+
+
+def test_checkpoint_persists_protocol_floor(spark, tmp_path):
+    """Round-12 ADVICE fix: the protocol floor must survive checkpointing —
+    a checkpoint-seeded replay that reported (1,1) for a sidecar-DV table
+    would silently bypass the reader/writer gates."""
+    t = _mk(spark, tmp_path, "t_ckpt_proto")
+    t.MOR_MAX_INLINE_DV = 3
+    t.append(spark.range(0, 40).coalesce(1), ts=1.0)
+    t.delete_where("id % 2 = 0", ts=2.0, mode="mor")  # 20 rows -> sidecar, proto (2,2)
+    assert t.snapshot().proto == (2, 2)
+    t._write_checkpoint(t.snapshot())
+    assert t._list_checkpoints() == [2]
+    # checkpoint-seeded replay (no tail) must report the same protocol
+    seeded = t.snapshot()
+    assert seeded.proto == (2, 2)
+    # equivalence with the raw log replay, proto included
+    os.rename(t._checkpoint_file(2), t._checkpoint_file(2) + ".hidden")
+    raw = t.snapshot()
+    os.rename(t._checkpoint_file(2) + ".hidden", t._checkpoint_file(2))
+    assert raw.proto == seeded.proto
+    assert raw.files == seeded.files
+
+
+def test_racing_first_commits_with_different_partition_specs_conflict(spark, tmp_path):
+    """Round-12 ADVICE fix: two racing FIRST commits constructed with
+    different partition_by must not both land (last-meta-wins replay would
+    leave flat and col=value/ files mixed under one basePath, which Spark's
+    partition discovery rejects at read time). The loser now gets TxConflict
+    from revalidate instead of silently committing."""
+    path = str(tmp_path / "t_spec_race")
+    t_flat = TxTable(spark, path)                      # stages flat
+    t_part = TxTable(spark, path, partition_by=("g",))  # wins the race
+    df_flat = spark.range(0, 6).withColumn("g", (F.col("id") % 2).cast("int"))
+    orig_stage = TxTable._stage
+    raced = []
+
+    def racing_stage(self, df, partition_by=(), mapping=None):
+        adds = orig_stage(self, df, partition_by, mapping=mapping)
+        if not raced:  # the partitioned writer lands v1 while we're staged
+            raced.append(1)
+            t_part.append(df_flat.coalesce(1), ts=1.0)
+        return adds
+
+    t_flat._stage = racing_stage.__get__(t_flat, TxTable)
+    with pytest.raises(TxConflict, match="partition spec"):
+        t_flat.append(df_flat.coalesce(1), ts=2.0)
+    # the table is intact under the winner's spec, every file hive-laid-out
+    snap = TxTable(spark, path).snapshot()
+    assert snap.partition_by == ("g",)
+    assert all(p.startswith("g=") for p in snap.live_paths())
+    assert TxTable(spark, path).read().count() == 6

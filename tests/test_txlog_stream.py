@@ -243,3 +243,152 @@ def test_cdf_stream_sidecar_vectors_match_batch(spark, tmp_path):
     batch = t.row_changes(0, t.latest_version()).select(*got.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert got.where("_commit_version = 2 AND _change_type = 'delete'").count() == 67
+
+
+# -- round 12: vectorized CDF decode, bounded diff, checkpoint-seeded planning
+
+
+def test_cdf_stream_struct_array_columns_exact(spark, tmp_path):
+    """Complex-typed columns (struct, array) survive the CDF stream exactly —
+    the round-12 ADVICE fix: emission now goes through Arrow take/filter
+    (no Python thaw), so nested values can never come back as [k, v] lists.
+    Covers the insert path, the DV path AND the rewrite-diff path."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "cplx_tab"))
+    df = (
+        spark.range(0, 20)
+        .withColumn("s", F.struct(F.col("id").alias("a"), (F.col("id") * 2).alias("b")))
+        .withColumn("arr", F.array(F.col("id"), F.col("id") + 1))
+    )
+    t.append(df.coalesce(1), ts=1.0)
+    t.delete_where("id IN (2, 3)", ts=2.0, mode="mor")   # DV partition
+    t.delete_where("id >= 15", ts=3.0, mode="cow")       # diff partition
+    t.compact(target_files=1, ts=4.0)                    # silent
+    out, ckpt = tmp_path / "cplx_out", tmp_path / "cplx_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    got = spark.read.parquet(str(out))
+    batch = t.row_changes(0, t.latest_version()).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # struct fields survive with real values, not corrupted shapes
+    row = got.where("id = 2 AND _change_type = 'delete'").collect()[0]
+    assert row["s"]["a"] == 2 and row["s"]["b"] == 4 and row["arr"] == [2, 3]
+    assert got.where("_commit_version = 4").count() == 0
+
+
+def test_cdf_stream_map_column_exact(spark, tmp_path):
+    """Map-typed columns stream exactly through all three CDF partition
+    kinds (maps decode as pair-lists in Arrow; the digest freeze must treat
+    them consistently on both diff sides). NOTE: the batch row_changes API
+    cannot even express this table (Spark refuses set operations on MAP
+    columns) — the digest-based stream diff is strictly more capable, so
+    the expectation is derived by hand."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "map_tab"))
+    df = spark.range(0, 12).withColumn(
+        "m", F.create_map(F.lit("k"), F.col("id"), F.lit("j"), F.col("id") * 10)
+    )
+    t.append(df.coalesce(1), ts=1.0)
+    t.delete_where("id = 1", ts=2.0, mode="mor")    # DV partition
+    t.delete_where("id >= 10", ts=3.0, mode="cow")  # diff partition
+    out, ckpt = tmp_path / "map_out", tmp_path / "map_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true")
+    got = spark.read.parquet(str(out))
+    expected = sorted(
+        [(i, "insert", 1) for i in range(12)]
+        + [(1, "delete", 2)]
+        + [(i, "delete", 3) for i in (10, 11)]
+    )
+    assert (
+        sorted((r["id"], r["_change_type"], r["_commit_version"]) for r in got.collect())
+        == expected
+    )
+    # map VALUES survive intact on every partition kind, keys included
+    for r in got.collect():
+        assert r["m"] == {"k": r["id"], "j": r["id"] * 10}
+
+
+def test_cdf_diff_bucket_split_exact(spark, tmp_path):
+    """A rewrite diff forced into multiple hash buckets (diff_bucket_rows
+    option) plans >1 partition for the version and still equals the batch
+    row_changes feed exactly — the round-12 bounded-memory/parallel diff."""
+    from snapshot_sender_spark.sources.txlog_stream import (
+        _CdfDiffPartition,
+        _TxlogCdfStreamReader,
+    )
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "bucket_tab"))
+    t.append(spark.range(0, 100).withColumn("v", F.col("id") % 7).coalesce(2), ts=1.0)
+    t.overwrite(
+        spark.range(50, 140).withColumn("v", F.col("id") % 7).coalesce(2), ts=2.0
+    )
+    reader = _TxlogCdfStreamReader({"path": t.path, "diff_bucket_rows": "25"})
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    diff_parts = [p for p in parts if isinstance(p, _CdfDiffPartition)]
+    assert len(diff_parts) > 1  # the overwrite split into hash buckets
+    assert {p.bucket for p in diff_parts} == set(range(diff_parts[0].n_buckets))
+    out, ckpt = tmp_path / "b_out", tmp_path / "b_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true", diff_bucket_rows="25")
+    got = spark.read.parquet(str(out))
+    batch = t.row_changes(0, t.latest_version()).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    # the overwrite's net effect: inserts 100..139, deletes 0..49
+    v2 = got.where("_commit_version = 2")
+    assert v2.where("_change_type = 'insert'").count() == 40
+    assert v2.where("_change_type = 'delete'").count() == 50
+
+
+def test_cdf_planning_seeds_from_log_checkpoint(spark, tmp_path):
+    """Micro-batch planning replays only the log TAIL: per-file DV state,
+    schema and mapping seed from the newest checkpoint at or below the batch
+    start (round-12 verdict #3). Pinned by counting version-file opens AND
+    by a diff that needs pre-checkpoint DV state."""
+    from snapshot_sender_spark.sources.txlog_stream import _TxlogCdfStreamReader
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "ckpt_tab"))
+    t.CHECKPOINT_INTERVAL = 5
+    one = spark.range(0, 8).coalesce(1)
+    for i in range(1, 5):
+        t.append(one, ts=float(i))            # v1..v4
+    t.delete_where("id = 0", ts=5.0, mode="mor")  # v5 -> checkpoint at 5 (with DVs)
+    assert 5 in t._list_checkpoints()
+    t.delete_where("id >= 6", ts=6.0, mode="cow")  # v6: diff needs v5 DV state
+    t.append(one, ts=7.0)                          # v7
+
+    reader = _TxlogCdfStreamReader({"path": t.path})
+    reader._log_opens = 0
+    parts = reader.partitions({"version": 5}, {"version": 7})
+    # only the tail (v6, v7) may be parsed — the ckpt at 5 seeds everything
+    assert reader._log_opens == 2
+    assert parts  # and it planned real work
+    # stream from the checkpointed offset: the diff must read removed files
+    # through the CHECKPOINT-seeded DV state (id=0 rows already deleted at
+    # v5 must not re-report as deletes of v6)
+    out, ckpt = tmp_path / "ck_out", tmp_path / "ck_ckpt"
+    _run(spark, t, out, ckpt, read_changes="true", starting_version="5")
+    got = spark.read.parquet(str(out))
+    batch = t.row_changes(5, t.latest_version()).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    dels6 = sorted(r["id"] for r in got.where(
+        "_commit_version = 6 AND _change_type = 'delete'").collect())
+    assert dels6 == sorted([6, 7] * 4)  # four files' id>=6 rows; id=0 NOT re-reported
+
+
+def test_base_stream_reader_opens_only_tail(spark, tmp_path):
+    """The non-CDF reader's construction + planning cost is O(tail) on a
+    checkpointed log, never O(all versions)."""
+    from snapshot_sender_spark.sources.txlog_stream import _TxlogStreamReader
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "tail_tab"))
+    t.CHECKPOINT_INTERVAL = 5
+    one = spark.range(0, 3).coalesce(1)
+    for i in range(1, 13):
+        t.append(one, ts=float(i))  # v1..v12, ckpts at 5 and 10
+    reader = _TxlogStreamReader({"path": t.path})
+    # construction seeded from ckpt-10: opened only v11, v12
+    assert reader._log_opens == 2
+    reader._log_opens = 0
+    parts = reader.partitions({"version": 10}, {"version": 12})
+    assert reader._log_opens == 2 and len(parts) == 2
