@@ -190,6 +190,74 @@ def stream_source_throughput(spark, sf_dir: str, mult: int = 10) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def cdf_stream_throughput(spark, sf_dir: str, mult: int = 10) -> None:
+    """CDF-mode vs base-mode stream throughput on an APPEND-HEAVY log (the
+    round-12 vectorization check: insert partitions must decode at the base
+    reader's Arrow speed — the r11 per-row-Python path was ~10×+ slower),
+    plus one rewrite commit streamed through the bounded digest diff."""
+    from snapshot_sender_spark.sources.txlog_stream import register
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="txlog_cdf_scale_")
+    t = TxTable(spark, os.path.join(work, "tab"))
+    ev = build_events(spark, sf_dir, mult)
+    for i in range(4):  # append-heavy: 4 commits, 8 files each
+        t.append(ev.where(F.col("event_id") % 4 == i).repartition(8), ts=float(i + 1))
+    rows = t.snapshot().total_rows()
+
+    def drain(sub: str, **opts) -> float:
+        t0 = time.monotonic()
+        r = spark.readStream.format("txlog_stream").option("path", t.path)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", os.path.join(work, f"out_{sub}"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{sub}"))
+            .start()
+        )
+        q.awaitTermination()
+        return time.monotonic() - t0
+
+    t_base = drain("base")
+    t_cdf = drain("cdf", read_changes="true")
+    got_base = spark.read.parquet(os.path.join(work, "out_base")).count()
+    got_cdf = spark.read.parquet(os.path.join(work, "out_cdf")).count()
+    assert got_base == rows and got_cdf == rows, (got_base, got_cdf, rows)
+    print(
+        f"append-heavy log ({rows:,} rows, 4 commits x 8 files):\n"
+        f"  base stream  {t_base:.1f}s ({rows/t_base/1000:.0f}k rows/s)\n"
+        f"  CDF stream   {t_cdf:.1f}s ({rows/t_cdf/1000:.0f}k rows/s)"
+        f"  -> CDF/base = {t_cdf/t_base:.2f}x"
+    )
+    # one rewrite commit: COW-delete a slice, stream only the delta
+    t.delete_where("event_id % 1000 = 0", ts=10.0, mode="cow")
+    t0 = time.monotonic()
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path).option("read_changes", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(work, "out_cdf"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt_cdf"))
+        .start()
+    )
+    q.awaitTermination()
+    t_diff = time.monotonic() - t0
+    n_del = (
+        spark.read.parquet(os.path.join(work, "out_cdf"))
+        .where("_change_type = 'delete'").count()
+    )
+    print(
+        f"rewrite commit (digest diff over {rows:,}-row table): {t_diff:.1f}s, "
+        f"{n_del:,} deletes streamed"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def merge_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
     """COW MERGE cost at 10M rows: update one user shard (~0.03% of keys,
     clustered into few files) and insert five deterministic new keys —
@@ -371,6 +439,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     if "--stream" in sys.argv:
         stream_source_throughput(spark, sf_dir)
+        return
+    if "--cdf" in sys.argv:
+        cdf_stream_throughput(spark, sf_dir)
         return
     if "--merge" in sys.argv:
         merge_tier(spark, sf_dir)
