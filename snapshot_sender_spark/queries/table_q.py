@@ -1228,3 +1228,66 @@ def table_txlog_delete_mor_sidecar(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
         )
     )
+
+
+# =============================================================================
+# SQL front-end: spark.sql over txlog tables, with VERSION AS OF time travel
+# =============================================================================
+
+
+@query(
+    "sql_txlog_time_travel",
+    oracle=f"""
+    WITH hist AS (
+      SELECT * FROM orders
+      WHERE o_orderstatus IN ('F','O') AND o_orderkey % 10 = 0
+    ), cur AS (
+      SELECT * FROM orders
+      WHERE o_orderstatus = 'P' AND o_orderkey % 10 = 0
+    )
+    SELECT 'v2' AS as_of, o_orderpriority,
+           COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS revenue
+    FROM hist GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'latest' AS as_of, o_orderpriority,
+           COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS revenue
+    FROM cur GROUP BY o_orderpriority
+    """,
+    category="table-format",
+)
+def sql_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog table queried through PLAIN spark.sql (round-12 verdict #4:
+    every txlog capability was Python-API-only; a real user's first instinct
+    is ``SELECT ... FROM t VERSION AS OF 3``). The batch ``txlog`` Python
+    DataSource (sources/txlog_batch.py) registers the table as SQL views —
+    latest plus a version pin — and the ENTIRE statement below is SQL text:
+    time travel via the view's version option, aggregation over both pins in
+    one UNION. Same lifecycle as table_txlog_time_travel, so the oracle is
+    identical; WHERE-clause file pruning through pushFilters is pinned in
+    tests/test_txlog_sql.py."""
+    from ..sources.txlog_batch import register_sql_views
+
+    work = _workdir("txlog_sql_tt_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = TxTable(spark, f"{work}/orders_tx")
+
+    def subset(status: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderstatus") == status) & (F.col("o_orderkey") % 10 == 0)
+        ).drop("o_orderstatus")
+
+    t.append(subset("F").repartition(2), ts=1.0)
+    t.append(subset("O").repartition(2), ts=2.0)
+    t.overwrite(subset("P").repartition(2), ts=3.0)
+    register_sql_views(spark, "orders_tx_sql", t.path, pins={"v2": {"version": 2}})
+    return spark.sql(f"""
+        SELECT 'v2' AS as_of, o_orderpriority,
+               COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_tx_sql_v2 GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'latest' AS as_of, o_orderpriority,
+               COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_tx_sql GROUP BY o_orderpriority
+    """)

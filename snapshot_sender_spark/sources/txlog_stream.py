@@ -404,6 +404,74 @@ def _digest(frozen: tuple) -> bytes:
     return hashlib.blake2b(repr(frozen).encode(), digest_size=16).digest()
 
 
+# -- shared Arrow decode (used by the CDF reader AND the batch SQL source) --
+
+
+def decode_file_batches(path, part_vals, fields, mapping, arrow_schema):
+    """Yield ``(RecordBatch, start_row_offset)`` for one txlog data file:
+    columns in ``fields`` order cast to ``arrow_schema``'s types, hive
+    partition values injected as constants, evolution-missing columns
+    NULL-backfilled, column mapping (logical -> physical) applied — zero
+    per-row Python."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = set(pf.schema_arrow.names)
+    part_vals = part_vals or {}
+    mapping = mapping or {}
+    phys = lambda name: mapping.get(name, name)  # noqa: E731
+    offset = 0
+    for batch in pf.iter_batches(
+        columns=[phys(f.name) for f in fields if phys(f.name) in present]
+    ):
+        cols = []
+        for f in fields:
+            ftype = arrow_schema.field(f.name).type
+            if phys(f.name) in present:
+                cols.append(batch.column(phys(f.name)).cast(ftype))
+            elif f.name in part_vals:
+                raw = part_vals[f.name]
+                if raw is None:
+                    cols.append(pa.nulls(batch.num_rows, type=ftype))
+                else:
+                    cols.append(
+                        pa.array([raw] * batch.num_rows, type=pa.string()).cast(ftype)
+                    )
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=ftype))
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema), offset
+        offset += batch.num_rows
+
+
+def mask_exclude(batch, offset: int, exclude: set):
+    """Drop the rows whose GLOBAL index is in ``exclude`` — one boolean
+    mask per batch, no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not exclude:
+        return batch
+    local = [i - offset for i in exclude if offset <= i < offset + batch.num_rows]
+    if not local:
+        return batch
+    mask = np.ones(batch.num_rows, dtype=bool)
+    mask[local] = False
+    return batch.filter(pa.array(mask))
+
+
+def sidecar_rows(sidecar_paths, basename) -> set:
+    """Deleted row indices for ONE data file out of sidecar parquet(s)
+    of (__f, __ri) pairs — predicate-pushed, executor-side."""
+    import pyarrow.parquet as pq
+
+    out: set = set()
+    for sp in sidecar_paths or ():
+        tbl = pq.read_table(sp, columns=["__f", "__ri"], filters=[("__f", "=", basename)])
+        out.update(tbl.column("__ri").to_pylist())
+    return out
+
+
 class _CdfAddPartition(InputPartition):
     """One added file → insert rows (read through the add payload's inline
     and/or sidecar DVs if a restore re-add carries them)."""
@@ -619,41 +687,12 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         return to_arrow_schema(T.StructType(self._table_fields()))
 
     def _file_batches(self, path, part_vals):
-        """Yield ``(RecordBatch, start_row_offset)`` for one data file:
-        columns in TABLE order cast to the output Arrow types, hive
-        partition values injected as constants, evolution-missing columns
-        NULL-backfilled — the identical decode shape as the base reader,
-        zero per-row Python."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        fields = self._table_fields()
-        tbl_schema = self._table_arrow_schema()
-        pf = pq.ParquetFile(path)
-        present = set(pf.schema_arrow.names)
-        part_vals = part_vals or {}
-        phys = lambda name: self.mapping.get(name, name)  # noqa: E731
-        offset = 0
-        for batch in pf.iter_batches(
-            columns=[phys(f.name) for f in fields if phys(f.name) in present]
-        ):
-            cols = []
-            for f in fields:
-                ftype = tbl_schema.field(f.name).type
-                if phys(f.name) in present:
-                    cols.append(batch.column(phys(f.name)).cast(ftype))
-                elif f.name in part_vals:
-                    raw = part_vals[f.name]
-                    if raw is None:
-                        cols.append(pa.nulls(batch.num_rows, type=ftype))
-                    else:
-                        cols.append(
-                            pa.array([raw] * batch.num_rows, type=pa.string()).cast(ftype)
-                        )
-                else:
-                    cols.append(pa.nulls(batch.num_rows, type=ftype))
-            yield pa.RecordBatch.from_arrays(cols, schema=tbl_schema), offset
-            offset += batch.num_rows
+        """Table-schema batches for one data file — the shared vectorized
+        decode (see decode_file_batches), zero per-row Python."""
+        return decode_file_batches(
+            path, part_vals, self._table_fields(), self.mapping,
+            self._table_arrow_schema(),
+        )
 
     def _with_cdf(self, batch, change_type: str, version: int):
         """Append the two constant CDF columns to a table-schema batch."""
@@ -667,33 +706,8 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         arrays.append(pa.array([version] * batch.num_rows, type=pa.int64()))
         return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    @staticmethod
-    def _mask_exclude(batch, offset: int, exclude: set):
-        """Drop the rows whose GLOBAL index is in ``exclude`` — one boolean
-        mask per batch, no per-row Python."""
-        import numpy as np
-        import pyarrow as pa
-
-        if not exclude:
-            return batch
-        local = [i - offset for i in exclude if offset <= i < offset + batch.num_rows]
-        if not local:
-            return batch
-        mask = np.ones(batch.num_rows, dtype=bool)
-        mask[local] = False
-        return batch.filter(pa.array(mask))
-
-    @staticmethod
-    def _sidecar_rows(sidecar_paths, basename) -> set:
-        """Deleted row indices for ONE data file out of sidecar parquet(s)
-        of (__f, __ri) pairs — predicate-pushed, executor-side."""
-        import pyarrow.parquet as pq
-
-        out: set = set()
-        for sp in sidecar_paths or ():
-            tbl = pq.read_table(sp, columns=["__f", "__ri"], filters=[("__f", "=", basename)])
-            out.update(tbl.column("__ri").to_pylist())
-        return out
+    _mask_exclude = staticmethod(mask_exclude)
+    _sidecar_rows = staticmethod(sidecar_rows)
 
     def _batch_digests(self, batch, offset, exclude, bucket, n_buckets):
         """Per-row (local_index, digest) for the rows of ``batch`` that

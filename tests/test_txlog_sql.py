@@ -1,0 +1,134 @@
+"""SQL front-end for txlog tables (sources/txlog_batch.py): USING txlog
+views, time travel options, WHERE-driven file pruning, deletion vectors,
+column mapping — all through plain spark.sql."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators.txlog import TxTable
+from snapshot_sender_spark.sources.txlog_batch import (
+    TxlogBatchReader,
+    register_sql_views,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tab"), partition_by=("g",))
+    t.append(
+        spark.range(0, 40).withColumn("g", (F.col("id") % 4).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    return t
+
+
+def test_sql_view_reads_latest_and_pinned_versions(spark, tmp_path, table):
+    table.delete_where("id = 5", ts=2.0, mode="mor")
+    table.append(
+        spark.range(40, 50)
+        .withColumn("g", (F.col("id") % 4).cast("int"))
+        .withColumn("x", F.lit("new"))
+        .coalesce(1),
+        ts=3.0,
+    )
+    register_sql_views(
+        spark, "tsql", table.path, pins={"v1": {"version": 1}, "t2": {"timestamp": 2.5}}
+    )
+    # latest: 49 rows (40 + 10 - 1 MOR-deleted), evolution column backfills
+    got = spark.sql(
+        "SELECT count(*) n, sum(id) s, count(x) nx FROM tsql"
+    ).collect()[0]
+    assert (got["n"], got["nx"]) == (49, 10)
+    assert got["s"] == sum(range(50)) - 5
+    # pinned v1: pre-delete, pre-evolution
+    assert spark.sql("SELECT count(*) n FROM tsql_v1").collect()[0]["n"] == 40
+    # timestamp pin lands on v2 (the MOR delete): 39 rows, no x column
+    t2 = spark.sql("SELECT * FROM tsql_t2")
+    assert "x" not in t2.columns and t2.count() == 39
+    # the MOR-deleted row is invisible through SQL
+    assert spark.sql("SELECT * FROM tsql WHERE id = 5").count() == 0
+
+
+def test_sql_where_prunes_partition_directories(spark, table):
+    """A WHERE on the hive partition column reaches pushFilters and
+    eliminates whole directories at PLANNING: 4 files -> 1 planned input
+    partition, while results stay exact (Spark re-applies every filter)."""
+    register_sql_views(spark, "tprune", table.path)
+    assert len(table.snapshot().live_paths()) == 4
+    assert spark.sql("SELECT * FROM tprune").rdd.getNumPartitions() == 4
+    q = spark.sql("SELECT * FROM tprune WHERE g = 2")
+    assert q.rdd.getNumPartitions() == 1  # directory-level elimination
+    assert sorted(r["id"] for r in q.collect()) == [i for i in range(40) if i % 4 == 2]
+
+
+def test_sql_where_prunes_on_footer_stats(spark, tmp_path):
+    """Range predicates prune on parquet footer min/max: a range-clustered
+    table plans only the files whose stats overlap the WHERE interval."""
+    t = TxTable(spark, str(tmp_path / "stats_tab"))
+    t.append(spark.range(0, 1000).repartitionByRange(8, "id"), ts=1.0)
+    register_sql_views(spark, "tstats", t.path)
+    assert spark.sql("SELECT * FROM tstats").rdd.getNumPartitions() == 8
+    q = spark.sql("SELECT * FROM tstats WHERE id >= 950")
+    assert q.rdd.getNumPartitions() == 1
+    assert q.count() == 50
+    q2 = spark.sql("SELECT * FROM tstats WHERE id BETWEEN 200 AND 300")
+    assert q2.rdd.getNumPartitions() <= 2
+    assert q2.count() == 101
+
+
+def test_reader_pushfilter_unit_ladder(spark, tmp_path):
+    """pushFilters folds comparisons into prune ranges and RETURNS every
+    filter (Spark re-applies them all — pruning is planning-only)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThanOrEqual
+
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "unit_tab"))
+    t.append(spark.range(0, 100).repartitionByRange(4, "id"), ts=1.0)
+    schema_json = _json.dumps(t.snapshot().schema().jsonValue())
+    reader = TxlogBatchReader({"path": t.path}, schema_json)
+    filters = [
+        GreaterThan(("id",), 80),
+        LessThanOrEqual(("id",), 95),
+        EqualTo(("nope", "nested"), 1),  # nested: ignored for pruning
+    ]
+    assert reader.pushFilters(filters) == filters  # ALL returned
+    assert len(reader.partitions()) == 1
+    r2 = TxlogBatchReader({"path": t.path}, schema_json)
+    r2.pushFilters([In(("id",), (3, 7, 11))])
+    assert len(r2.partitions()) == 1  # closed hull [3, 11]
+
+
+def test_sql_view_applies_column_mapping_and_sidecar_dvs(spark, tmp_path):
+    """Renamed columns (column mapping) and sidecar deletion vectors both
+    apply through the SQL surface."""
+    t = TxTable(spark, str(tmp_path / "map_tab"))
+    t.MOR_MAX_INLINE_DV = 5
+    t.append(spark.range(0, 60).withColumn("v", F.col("id") * 2).coalesce(1), ts=1.0)
+    t.rename_column("v", "val", ts=2.0)
+    t.delete_where("id % 3 = 0", ts=3.0, mode="mor")  # 20 rows -> sidecar
+    register_sql_views(spark, "tmap", t.path)
+    got = spark.sql("SELECT count(*) n, sum(val) s FROM tmap").collect()[0]
+    live = [i for i in range(60) if i % 3 != 0]
+    assert got["n"] == len(live) and got["s"] == sum(2 * i for i in live)
+
+
+def test_sql_join_txlog_with_parquet_table(spark, tmp_path, table):
+    """The view participates in arbitrary SQL — here a join against a plain
+    parquet-backed view (the interop a SQL user expects)."""
+    dim = spark.createDataFrame(
+        [(0, "even0"), (1, "odd1"), (2, "even2"), (3, "odd3")], "g int, label string"
+    )
+    dim.createOrReplaceTempView("gdim")
+    register_sql_views(spark, "tjoin", table.path)
+    got = spark.sql(
+        """
+        SELECT label, count(*) AS n FROM tjoin JOIN gdim USING (g)
+        GROUP BY label ORDER BY label
+        """
+    ).collect()
+    assert [(r["label"], r["n"]) for r in got] == [
+        ("even0", 10), ("even2", 10), ("odd1", 10), ("odd3", 10),
+    ]
