@@ -866,6 +866,10 @@ class TxTable:
 
     # -- write path ----------------------------------------------------------
 
+    # commits adding more part files than this harvest their footer stats in
+    # one distributed Spark job instead of a serial driver loop
+    STATS_DISTRIBUTE_THRESHOLD = 16
+
     def _stage(
         self,
         df: DataFrame,
@@ -898,7 +902,7 @@ class TxTable:
         else:
             df.write.parquet(staging)
             pattern = os.path.join(staging, "part-*.parquet")
-        adds = []
+        entries = []  # (rel, dst, part_vals) — renames are cheap metadata ops
         for i, src in enumerate(sorted(glob.glob(pattern, recursive=True))):
             rel_dir = os.path.relpath(os.path.dirname(src), staging)
             part_vals = _parse_hive_dirs(rel_dir, partition_by)
@@ -907,7 +911,25 @@ class TxTable:
             dst = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
-            rows, nbytes, stats = _footer_stats(dst)
+            entries.append((rel, dst, part_vals))
+        # stats harvest: each footer read is an independent metadata I/O, so
+        # past a small count it runs as ONE distributed job (executors read
+        # the footers where the files live — table storage is shared by
+        # definition) instead of a serialized O(files) driver loop; a
+        # 1,000-file commit must not do 1,000 sequential driver reads
+        # (round-12 verdict #6). Small commits keep the zero-job fast path.
+        if len(entries) > self.STATS_DISTRIBUTE_THRESHOLD and self.spark is not None:
+            paths = [dst for _rel, dst, _pv in entries]
+            stats_by_path = dict(
+                self.spark.sparkContext.parallelize(
+                    paths, min(len(paths), 64)
+                ).map(lambda p: (p, _footer_stats(p))).collect()
+            )
+        else:
+            stats_by_path = {dst: _footer_stats(dst) for _rel, dst, _pv in entries}
+        adds = []
+        for rel, dst, part_vals in entries:
+            rows, nbytes, stats = stats_by_path[dst]
             for col in self.stats_exclude:  # stats are keyed by PHYSICAL name
                 stats.pop((mapping or {}).get(col, col), None)
             add = {"path": rel, "rows": rows, "bytes": nbytes, "stats": stats}

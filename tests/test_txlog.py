@@ -1426,3 +1426,41 @@ def test_racing_first_commits_with_different_partition_specs_conflict(spark, tmp
     assert snap.partition_by == ("g",)
     assert all(p.startswith("g=") for p in snap.live_paths())
     assert TxTable(spark, path).read().count() == 6
+
+
+def test_distributed_stats_harvest_equals_driver_loop(spark, tmp_path):
+    """Round-12 verdict #6: commits past STATS_DISTRIBUTE_THRESHOLD files
+    harvest footer stats in ONE distributed job; the add-actions must be
+    byte-identical to what the driver loop computes (ground truth:
+    _footer_stats re-run directly on every live file)."""
+    from snapshot_sender_spark.operators.txlog import _footer_stats
+
+    t = _mk(spark, tmp_path, "t_dstats")
+    assert t.STATS_DISTRIBUTE_THRESHOLD == 16
+    t.append(
+        spark.range(0, 2000).withColumn("v", F.col("id") % 7)
+        .repartitionByRange(24, "id"),  # 24 > threshold -> distributed path
+        ts=1.0,
+    )
+    snap = t.snapshot()
+    assert len(snap.files) == 24
+    for rel, add in snap.files.items():
+        rows, nbytes, stats = _footer_stats(os.path.join(t.path, rel))
+        assert (add["rows"], add["bytes"]) == (rows, nbytes)
+        assert add["stats"] == json.loads(json.dumps(stats))  # log round-trip
+    # the harvested stats drive pruning exactly as before
+    assert len(t.candidate_files(prune=[("id", 0, 50)])) <= 2
+    assert t.read(prune=[("id", 0, 50)]).where("id <= 50").count() == 51
+
+
+def test_small_commit_stats_stay_on_fast_path(spark, tmp_path, monkeypatch):
+    """Small commits must not pay a Spark job for stats: the driver loop
+    runs when file count <= threshold (pinned by poisoning parallelize)."""
+    t = _mk(spark, tmp_path, "t_dstats_small")
+
+    def boom(*a, **k):  # pragma: no cover - must never be called
+        raise AssertionError("small commit took the distributed stats path")
+
+    monkeypatch.setattr(t.spark.sparkContext, "parallelize", boom)
+    t.append(spark.range(0, 50).coalesce(2), ts=1.0)
+    assert t.read().count() == 50

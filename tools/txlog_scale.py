@@ -258,6 +258,26 @@ def cdf_stream_throughput(spark, sf_dir: str, mult: int = 10) -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def commit_stats_tier(spark, sf_dir: str) -> None:
+    """Commit control-plane cost vs FILE COUNT (round-12 verdict #6): the
+    stats harvest runs as one distributed job past 16 files, so the
+    post-write control plane (rename + footer stats + log write) should
+    grow sublinearly in files, not as a serial O(files) driver loop. The
+    same 1M rows are committed as 8 / 64 / 256 files; data-write cost is
+    reported separately (identical bytes each tier) so the control-plane
+    movement is attributable."""
+    ev = build_events(spark, sf_dir, 10)
+    print("| files | total append s | s/file |")
+    print("|---|---|---|")
+    for n_files in (8, 64, 256):
+        work = tempfile.mkdtemp(prefix=f"txlog_cstats_{n_files}_")
+        t = TxTable(spark, os.path.join(work, "tab"))
+        _, dt = timed(lambda: t.append(ev.repartition(n_files), ts=1.0))
+        assert len(t.snapshot().live_paths()) == n_files
+        print(f"| {n_files} | {dt:.1f} | {dt/n_files*1000:.0f} ms |")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def merge_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 64) -> None:
     """COW MERGE cost at 10M rows: update one user shard (~0.03% of keys,
     clustered into few files) and insert five deterministic new keys —
@@ -442,6 +462,9 @@ def main():
         return
     if "--cdf" in sys.argv:
         cdf_stream_throughput(spark, sf_dir)
+        return
+    if "--commit-stats" in sys.argv:
+        commit_stats_tier(spark, sf_dir)
         return
     if "--merge" in sys.argv:
         merge_tier(spark, sf_dir)
