@@ -533,7 +533,9 @@ class TxTable:
                         proto_writer = max(proto_writer, int(meta["proto"][1]))
                     if meta.get("schema") is not None:
                         schema_json = meta["schema"]
-                    if meta.get("partition_by"):  # fixed at the first commit
+                    # latest-wins: set at the first commit, changed only by
+                    # repartition_table (which records [] for a flat respec)
+                    if meta.get("partition_by") is not None:
                         partition_by = tuple(meta["partition_by"])
                     if meta.get("column_mapping") is not None:
                         mapping = dict(meta["column_mapping"])
@@ -699,7 +701,11 @@ class TxTable:
                 *(F.col(mapping.get(f.name, f.name)).alias(f.name) for f in schema.fields),
                 *lineage,
             )
-        return df.select("*", *lineage)
+        # explicit column order: the file source appends hive partition
+        # columns AFTER the data columns regardless of the declared schema
+        # order, and positional consumers (exceptAll in row_changes) would
+        # silently mis-align whenever a partition column isn't declared last
+        return df.select(*(F.col(f.name) for f in schema.fields), *lineage)
 
     def _writer_gate(self, snap: TxSnapshot | None) -> None:
         """Refuse to MUTATE a table whose protocol floor exceeds this
@@ -846,6 +852,10 @@ class TxTable:
                         for f in schema.fields
                     )
                 )
+            else:
+                # pin schema order (see _lineage_read: partition columns
+                # come back last from the scan, whatever the schema said)
+                scan = scan.select(*(F.col(f.name) for f in schema.fields))
             parts.append(scan)
         if dvd:
             dels = self._dels_df(dv_map, dvf_map)
@@ -1023,6 +1033,7 @@ class TxTable:
         dvs: dict[str, list[int]] | None = None,
         column_mapping: dict[str, str] | None = None,
         retired: list[str] | None = None,
+        force_spec_meta: bool = False,
     ) -> int:
         """Claim the next version with a hard link (atomic: claims the number
         AND publishes complete content — a torn log file cannot exist). On
@@ -1040,8 +1051,11 @@ class TxTable:
                 meta["txn"] = txn
             if constraints is not None:
                 meta["constraints"] = constraints
-            if partition_by:
-                meta["partition_by"] = list(partition_by)
+            if partition_by or force_spec_meta:
+                # force_spec_meta lets repartition_table record an EMPTY spec
+                # (repartition-to-flat); ordinary flat commits omit the key,
+                # keeping old logs byte-compatible
+                meta["partition_by"] = list(partition_by or ())
             if column_mapping is not None:
                 meta["column_mapping"] = column_mapping
             if retired is not None:
@@ -1550,6 +1564,68 @@ class TxTable:
         return self._commit(
             "compact", adds, inputs, snap.schema_json, ts, snap.version, revalidate,
             partition_by=spec,
+        )
+
+    def repartition_table(
+        self,
+        new_partition_by: tuple[str, ...] = (),
+        target_files: int = 4,
+        ts: float | None = None,
+    ) -> int:
+        """PARTITION-SPEC EVOLUTION (round-12 verdict #7): rewrite the live
+        data into a new hive partition spec — the sanctioned route when the
+        keyspace shifts (yesterday's by-source layout stops matching today's
+        by-language queries). One atomic commit: every live file is removed,
+        the data re-lands under ``col=value/`` directories of the NEW spec
+        (or flat, for ``()``), deletion vectors materialize away in the
+        rewrite, and the commit's metadata records the new spec so replay
+        flips over exactly at this version. Old snapshots still time-travel
+        readable under the OLD spec (their add-actions carry their own
+        partition values; data files are immutable until vacuum).
+
+        Priced honestly: this is a FULL REWRITE — the explicit opposite of
+        the metadata-only ops — because mixing flat and col=value/ files
+        under one basePath is rejected by Spark's partition discovery; there
+        is no cheaper correct respec. ``target_files`` bounds files per new
+        partition value. Conflict rule is the strictest (any concurrent
+        commit aborts): a racing append would land files in the OLD spec.
+        The change feed sees a data-equivalent rewrite and reports nothing
+        (pinned by test), like compaction."""
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        new_spec = tuple(new_partition_by)
+        if new_spec == snap.partition_by:
+            return snap.version  # already that spec: no-op, no new version
+        schema = snap.schema()
+        names = [f.name for f in schema.fields]
+        for c in new_spec:
+            if c not in names:
+                raise TxError(f"partition column {c!r} not in schema {names}")
+            if c in snap.mapping:
+                raise TxError(
+                    f"partition column {c!r} is column-mapped; partition "
+                    "columns must be identity-mapped (rename it back first)"
+                )
+        data = self.read_files(
+            snap.live_paths(), schema, dv_map=snap.dv_map(),
+            mapping=snap.mapping, dvf_map=snap.dvf_map(),
+        )
+        if new_spec:
+            data = data.repartition(target_files, *[F.col(c) for c in new_spec])
+        else:
+            data = data.coalesce(target_files)
+        adds = self._stage(data, new_spec, mapping=snap.mapping)
+        removes = snap.live_paths()
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict(
+                "concurrent commit during repartition_table; re-run "
+                "(racing writers would land files in the old spec)"
+            )
+
+        return self._commit(
+            "repartition", adds, removes, snap.schema_json, ts, snap.version,
+            revalidate, partition_by=new_spec, force_spec_meta=True,
         )
 
     def history(self) -> DataFrame:

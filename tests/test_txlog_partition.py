@@ -204,3 +204,150 @@ def test_partition_spec_cannot_retrofit_nonempty_flat_table(spark, tmp_path):
     t4.append(_df(spark, 0, 6).coalesce(1), ts=3.0)
     assert t4.read().count() == 6
     assert all(p.startswith("day=") for p in t4.snapshot().live_paths())
+
+
+# -- round 12: partition-spec evolution (repartition_table)
+
+
+def test_repartition_flat_to_partitioned_and_back(spark, tmp_path):
+    from snapshot_sender_spark.operators.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "respec"))
+    df = spark.range(0, 40).withColumn("g", (F.col("id") % 4).cast("int"))
+    t.append(df.coalesce(2), ts=1.0)
+    assert t.snapshot().partition_by == ()
+    v_flat = t.latest_version()
+    # flat -> by g
+    t.repartition_table(("g",), target_files=1, ts=2.0)
+    snap = t.snapshot()
+    assert snap.partition_by == ("g",)
+    assert all(p.startswith("g=") for p in snap.live_paths())
+    assert t.read().count() == 40
+    # pruning is directory-exact on the new spec
+    assert len(t.candidate_files(prune=[("g", 2, 2)])) == 1
+    # the old snapshot still reads under the OLD layout
+    assert t.read(version=v_flat).count() == 40
+    # partitioned -> flat again ([] recorded explicitly)
+    t.repartition_table((), target_files=2, ts=3.0)
+    snap2 = t.snapshot()
+    assert snap2.partition_by == ()
+    assert all("=" not in p for p in snap2.live_paths())
+    assert t.read().groupBy().sum("id").collect()[0][0] == sum(range(40))
+    # appends after the respec follow the CURRENT spec
+    t.append(df.limit(0).coalesce(1), ts=4.0)
+    assert t.snapshot().partition_by == ()
+
+
+def test_repartition_materializes_dvs_and_respec_spec_change(spark, tmp_path):
+    """MOR deletion vectors materialize away in the rewrite, and a
+    partitioned table can move to a DIFFERENT spec."""
+    from snapshot_sender_spark.operators.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "respec2"), partition_by=("a",))
+    df = (
+        spark.range(0, 30)
+        .withColumn("a", (F.col("id") % 2).cast("int"))
+        .withColumn("b", (F.col("id") % 3).cast("int"))
+    )
+    t.append(df.coalesce(1), ts=1.0)
+    t.delete_where("id < 6", ts=2.0, mode="mor")
+    t.repartition_table(("b",), target_files=1, ts=3.0)
+    snap = t.snapshot()
+    assert snap.partition_by == ("b",)
+    assert not snap.dv_map() and not snap.dvf_map()  # vectors materialized
+    assert t.read().count() == 24
+    assert len(t.candidate_files(prune=[("b", 1, 1)])) == 1
+    # row_changes across the respec reports NOTHING (data-equivalent rewrite)
+    assert t.row_changes(2, 3).count() == 0
+
+
+def test_repartition_refusals_and_conflict(spark, tmp_path):
+    from snapshot_sender_spark.operators.txlog import TxConflict, TxError, TxTable
+
+    t = TxTable(spark, str(tmp_path / "respec3"))
+    df = spark.range(0, 10).withColumn("g", (F.col("id") % 2).cast("int"))
+    t.append(df.coalesce(1), ts=1.0)
+    with pytest.raises(TxError, match="not in schema"):
+        t.repartition_table(("nope",), ts=2.0)
+    t.rename_column("g", "grp", ts=2.0)
+    with pytest.raises(TxError, match="identity-mapped"):
+        t.repartition_table(("grp",), ts=3.0)
+    # same-spec respec is a version-less no-op
+    v = t.latest_version()
+    assert t.repartition_table((), ts=4.0) == v
+    # any concurrent commit aborts the respec
+    orig_stage = TxTable._stage
+    raced = []
+
+    def racing_stage(self, dfx, partition_by=(), mapping=None):
+        adds = orig_stage(self, dfx, partition_by, mapping=mapping)
+        if not raced:
+            raced.append(1)
+            TxTable(spark, t.path).append(
+                spark.range(10, 12).withColumn("grp", F.lit(0).cast("int")).coalesce(1),
+                ts=5.0,
+            )
+        return adds
+
+    t._stage = racing_stage.__get__(t, TxTable)
+    with pytest.raises(TxConflict, match="repartition"):
+        t.repartition_table(("id",), ts=6.0)
+    assert TxTable(spark, t.path).read().count() == 12  # racer's rows intact
+
+
+def test_cdf_stream_across_repartition_is_silent(spark, tmp_path):
+    """The CDF stream treats a respec like compaction: a data-equivalent
+    rewrite streams zero changes; rows deleted IN the same interval still
+    stream exactly."""
+    from snapshot_sender_spark.operators.txlog import TxTable
+    from snapshot_sender_spark.sources.txlog_stream import register
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "respec_cdf"))
+    df = spark.range(0, 20).withColumn("g", (F.col("id") % 2).cast("int"))
+    t.append(df.coalesce(1), ts=1.0)
+    t.delete_where("id = 7", ts=2.0, mode="mor")
+    t.repartition_table(("g",), target_files=1, ts=3.0)
+    out, ckpt = tmp_path / "rs_out", tmp_path / "rs_ckpt"
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path).option("read_changes", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    assert got.where("_commit_version = 3").count() == 0  # respec: silent
+    assert got.count() == 21  # 20 inserts + 1 delete
+
+
+def test_row_changes_column_order_with_mid_schema_partition_col(spark, tmp_path):
+    """Regression (found by the round-12 respec work): the file source
+    returns hive partition columns LAST regardless of the declared schema
+    order, so positional consumers (exceptAll inside row_changes) silently
+    mis-aligned whenever the partition column wasn't the final schema field.
+    read_files/_lineage_read now pin schema order explicitly."""
+    from snapshot_sender_spark.operators.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "order_tab"), partition_by=("p",))
+    df = (
+        spark.range(0, 12)
+        .select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("p"),   # partition col MID-schema
+            (F.col("id") % 3).cast("int").alias("q"),
+        )
+    )
+    t.append(df.coalesce(1), ts=1.0)
+    assert [c for c, _t in t.read().dtypes] == ["id", "p", "q"]
+    t.compact(target_files=1, ts=2.0)  # pure rewrite: must report NOTHING
+    assert t.row_changes(1, 2).count() == 0
+    t.delete_where("id = 4", ts=3.0, mode="cow")
+    rc = t.row_changes(2, 3).collect()
+    assert [(r["id"], r["p"], r["q"], r["_change_type"]) for r in rc] == [
+        (4, 0, 1, "delete")
+    ]
