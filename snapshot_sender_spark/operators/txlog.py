@@ -1295,6 +1295,7 @@ class TxTable:
         ts: float | None = None,
         order_col: str = "_commit_version",
         txn: dict | None = None,
+        stored_as_scd2: bool = False,
     ) -> int:
         """Apply a change-data-feed batch (table columns + _change_type
         'insert'|'delete' + an ordering column) to THIS table — the
@@ -1312,9 +1313,15 @@ class TxTable:
         With ``txn`` set the apply is idempotent on that identity (the
         foreachBatch exactly-once contract: key it on (app, batch_id) and a
         restarted stream can replay any batch safely). Conflict rule follows
-        merge: any concurrent commit invalidates the key scan."""
+        merge: any concurrent commit invalidates the key scan.
+
+        ``stored_as_scd2=True`` stores FULL HISTORY instead of the latest
+        image (the Delta Live Tables APPLY CHANGES ... STORED AS SCD TYPE 2
+        shape): see _apply_changes_scd2."""
         from pyspark.sql.window import Window
 
+        if stored_as_scd2:
+            return self._apply_changes_scd2(changes, keys, ts, order_col, txn)
         snap = self.snapshot()
         self._writer_gate(snap)
         if txn is not None:
@@ -1354,6 +1361,107 @@ class TxTable:
             "apply_changes",
         )
         adds = self._stage(upserts, spec, mapping=mapping)
+        self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
+        return self._commit(
+            "apply_changes", adds, [], schema_json, ts, snap.version, revalidate,
+            txn=txn, partition_by=spec, dvs=by_file or None,
+            column_mapping=mapping if mapping_changed else None,
+        )
+
+    def _apply_changes_scd2(
+        self,
+        changes: DataFrame,
+        keys: list[str],
+        ts: float | None,
+        order_col: str,
+        txn: dict | None,
+    ) -> int:
+        """APPLY CHANGES ... STORED AS SCD TYPE 2 (round-12 verdict #8): the
+        table keeps one row per VERSION of each key with an effective-range
+        — ``__start_ver`` (the change's order) and ``__end_ver`` (the next
+        change's order; NULL = current). One atomic merge-on-read commit per
+        batch:
+
+        1. each batch insert opens a history row [order, next-event-order);
+           a delete closes without opening (within-batch ranges come from
+           one lead() window — an update's delete+insert at the same order
+           sorts delete-first, so the new image's range starts exactly
+           where the old one ends);
+        2. CURRENT rows (``__end_ver IS NULL``) of touched keys are closed
+           at the key's FIRST change in the batch: the old row is
+           DV-invalidated and re-appended with ``__end_ver`` set — zero
+           files rewritten, history rows never move again.
+
+        Same txn idempotence and conflict rules as the latest-image mode.
+        Cost shape at 100 TB: history rows are immutable once closed, so a
+        CDC batch touches only the OPEN fringe (DV + re-add of matched
+        current rows) plus its own inserts — never the accumulated past."""
+        from pyspark.sql.window import Window
+
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        if txn is not None:
+            prior = snap.txns.get(_txn_key(txn))
+            if prior is not None:
+                return prior
+        spec = self._resolve_partition_by(snap)
+        payload = [c for c in changes.columns if c not in ("_change_type", order_col)]
+
+        # within-batch ranges: delete sorts BEFORE insert at equal order
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).asc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0),
+        )
+        ev = changes.withColumn("__next", F.lead(F.col(order_col)).over(w))
+        new_rows = ev.where(F.col("_change_type") == "insert").select(
+            *payload,
+            F.col(order_col).cast("long").alias("__start_ver"),
+            F.col("__next").cast("long").alias("__end_ver"),
+        )
+        first_by_key = changes.groupBy(*keys).agg(
+            F.min(order_col).cast("long").alias("__close_at")
+        )
+        schema_json = self._merge_schema(snap.schema_json, new_rows.schema)
+        schema_merged = T.StructType.fromJson(json.loads(schema_json))
+        mapping, mapping_changed = self._extend_mapping(snap, new_rows.schema)
+        change_keys = changes.select(*keys).distinct()
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict(
+                "concurrent commit during apply_changes (scd2); re-run "
+                "(the key scan did not see the new table state)"
+            )
+
+        # the open fringe of touched keys: DV the current rows away ...
+        by_file = self._matched_dv(
+            snap, schema_merged, mapping,
+            lambda lin: lin.where(F.col("__end_ver").isNull()).join(
+                change_keys, on=keys, how="left_semi"
+            ),
+            "apply_changes_scd2",
+        )
+        # ... and re-append them CLOSED at the key's first change order
+        # (pre-SCD2 rows read __end_ver as NULL backfill, i.e. "current" —
+        # so retrofitting history onto a latest-image table closes its rows)
+        closed = (
+            self.read_files(
+                snap.live_paths(), schema_merged, dv_map=snap.dv_map(),
+                mapping=mapping, dvf_map=snap.dvf_map(),
+            )
+            .where(F.col("__end_ver").isNull())
+            .join(change_keys, on=keys, how="left_semi")
+            .join(first_by_key, on=keys, how="inner")
+            .withColumn("__end_ver", F.col("__close_at"))
+            .select(*(F.col(f.name) for f in schema_merged.fields))
+            if snap.live_paths()
+            else None
+        )
+        new_data = (
+            closed.unionByName(new_rows, allowMissingColumns=True)
+            if closed is not None
+            else new_rows
+        )
+        adds = self._stage(new_data, spec, mapping=mapping)
         self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
         return self._commit(
             "apply_changes", adds, [], schema_json, ts, snap.version, revalidate,

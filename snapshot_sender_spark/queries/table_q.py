@@ -1347,3 +1347,86 @@ def table_txlog_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataF
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "pipeline_cdf_apply_changes_scd2",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS v
+      FROM documents WHERE doc_id % 3 < 2
+    ), rows1 AS (                     -- original images
+      SELECT doc_id, source, n_chars, CAST(v AS BIGINT) AS start_ver,
+             CAST(CASE WHEN doc_id % 7 = 0 THEN 3
+                       WHEN doc_id % 5 = 0 THEN 4 END AS BIGINT) AS end_ver
+      FROM base
+    ), rows2 AS (                     -- updated images (the v3 upsert)
+      SELECT doc_id, source, n_chars + 10000 AS n_chars,
+             CAST(3 AS BIGINT) AS start_ver,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 4 END AS BIGINT) AS end_ver
+      FROM base WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, start_ver,
+           COALESCE(end_ver, -1) AS end_ver
+    FROM (SELECT * FROM rows1 UNION ALL SELECT * FROM rows2)
+    """,
+    category="table-format",
+)
+def pipeline_cdf_apply_changes_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop STORED AS SCD TYPE 2 (round-12 verdict #8): the same
+    bronze lifecycle as pipeline_cdf_apply_changes (two appends, a MOR
+    upsert, a MOR takedown delete) streamed through the change feed into a
+    silver table that keeps FULL HISTORY — one row per key-version with
+    [__start_ver, __end_ver) effective ranges, NULL end = current. The
+    stream drains TWICE against one checkpoint, so the second batch must
+    CLOSE rows opened by the first (DV + closed re-add — the open-fringe
+    path, zero files rewritten). The final history is a pure function of
+    documents: every doc's original image ranges from its insert version to
+    its first change (update at 3, delete at 4, or still open), updated
+    images range [3, 4) or open — exactly the oracle's derivation. This is
+    Delta Live Tables' APPLY CHANGES ... STORED AS SCD TYPE 2 re-expressed
+    on the txlog format."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_cdc_scd2_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bronze = TxTable(spark, f"{work}/bronze")
+    silver = TxTable(spark, f"{work}/silver")
+    silver.append(docs.limit(0).coalesce(1), ts=0.0)  # schema-only v1
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        silver.apply_changes(
+            batch_df, keys=["doc_id"], ts=float(batch_id) + 1.0,
+            txn={"app": "cdc_scd2", "batch": int(batch_id)},
+            stored_as_scd2=True,
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("txlog_stream")
+            .option("path", bronze.path)
+            .option("read_changes", "true")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+
+    bronze.append(docs.where(F.col("doc_id") % 3 == 0).repartition(2), ts=1.0)
+    bronze.append(docs.where(F.col("doc_id") % 3 == 1).repartition(2), ts=2.0)
+    drain()  # batch 0: inserts open history rows
+    upd = docs.where((F.col("doc_id") % 3 < 2) & (F.col("doc_id") % 7 == 0)).withColumn(
+        "n_chars", F.col("n_chars") + 10000
+    )
+    bronze.merge(upd, keys=["doc_id"], ts=3.0, mode="mor")
+    bronze.delete_where("doc_id % 5 = 0", ts=4.0, mode="mor")
+    drain()  # batch 1: closes open rows, opens updated images
+    return silver.read().select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("__start_ver").alias("start_ver"),
+        F.coalesce(F.col("__end_ver"), F.lit(-1)).alias("end_ver"),
+    )

@@ -1464,3 +1464,53 @@ def test_small_commit_stats_stay_on_fast_path(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(t.spark.sparkContext, "parallelize", boom)
     t.append(spark.range(0, 50).coalesce(2), ts=1.0)
     assert t.read().count() == 50
+
+
+def test_apply_changes_scd2_history_and_idempotence(spark, tmp_path):
+    """stored_as_scd2: inserts open effective ranges, later changes CLOSE
+    the open fringe (DV + closed re-add, zero rewrites of history files),
+    updates at one version produce back-to-back ranges, txn replay is a
+    no-op."""
+    t = _mk(spark, tmp_path, "t_scd2")
+    t.append(spark.range(0, 0).withColumn("v", F.lit(0).cast("int")).coalesce(1), ts=0.0)
+
+    def batch(rows, ts, bid):
+        df = spark.createDataFrame(
+            rows, "id long, v int, _change_type string, _commit_version long"
+        )
+        return t.apply_changes(
+            df.coalesce(1), keys=["id"], ts=ts, stored_as_scd2=True,
+            txn={"app": "scd2", "batch": bid},
+        )
+
+    # batch 0: two inserts
+    batch([(1, 10, "insert", 1), (2, 20, "insert", 1)], 1.0, 0)
+    got = {(r["id"], r["v"], r["__start_ver"], r["__end_ver"])
+           for r in t.read().collect()}
+    assert got == {(1, 10, 1, None), (2, 20, 1, None)}
+    files_after_b0 = set(t.snapshot().live_paths())
+    # batch 1: update id=1 (delete+insert at v2), delete id=2 at v3
+    v = batch(
+        [(1, 11, "delete", 2), (1, 12, "insert", 2), (2, 20, "delete", 3)],
+        2.0, 1,
+    )
+    got = {(r["id"], r["v"], r["__start_ver"], r["__end_ver"])
+           for r in t.read().collect()}
+    assert got == {
+        (1, 10, 1, 2),   # closed by the update
+        (1, 12, 2, None),  # new current image
+        (2, 20, 1, 3),   # closed by the delete, no new row
+    }
+    # history files were DV'd, never rewritten
+    assert files_after_b0 <= set(t.snapshot().live_paths())
+    # txn replay: same batch id is a no-op returning the committed version
+    assert batch([(9, 9, "insert", 9)], 3.0, 1) == v
+    assert t.read().where("id = 9").count() == 0
+    # within-ONE-batch multi-version key: ranges chain, delete closes
+    batch(
+        [(5, 1, "insert", 4), (5, 2, "insert", 5), (5, 2, "delete", 6)],
+        4.0, 2,
+    )
+    got5 = {(r["v"], r["__start_ver"], r["__end_ver"])
+            for r in t.read().where("id = 5").collect()}
+    assert got5 == {(1, 4, 5), (2, 5, 6)}
