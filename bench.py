@@ -38,6 +38,14 @@ machine is shared with other tenants and rounds 3/4 were judged through a
   data scale, so the warm numbers predict 100-TB throughput; the cold column
   keeps the one-time costs honest.
 
+LOAD GATE (revised round 12, see the block comment at LOAD1_QUIET): the
+threshold dropped 4.0 -> 1.5 and became SELF-LOAD-AWARE — the gate subtracts
+the exponential decay of the bench's own just-finished burst from the
+observed loadavg and waits only on the co-tenant EXCESS, so an idle box
+waits ~0s while sub-4.0 co-tenant load (which polluted rounds 9-11 under
+the old threshold) now actually gates. Warm-lap query order rotates by a
+coprime stride per lap, and bonus laps have a dedicated 180s reserve.
+
 LAP ORDER (revised round 6): headline COLD laps first (unchanged from
 rounds 1-5, so the cold column stays cross-round comparable — it must keep
 paying plan compile + codegen JIT + Python-worker boot), then the
@@ -155,32 +163,63 @@ def loadavg() -> list[float]:
         return []
 
 
-# Load-gating (round-10 verdict #2): the r10 driver lap started at load1
-# 2.0-2.4 and recorded 13.6s for code whose quiet-run best was 11.2s — the
-# graded number is the driver's, so the bench now ACTS on the load fields it
-# records instead of merely annotating them: laps whose start would land on a
-# busy machine wait (bounded) for quiet, and if the whole warm window was
-# loud, bonus laps run once quiet. min-of-laps then reflects the machine
-# limit, not the co-tenant. The total added delay is capped so the driver's
-# wall-clock stays bounded; if the box is never quiet, the recorded waits +
-# per-lap loads prove it. Honest caveat: 1-min loadavg lags, so mid-run
-# samples include the bench's OWN 32-thread bursts (~3-4 observed on an
-# otherwise idle box) — a small waited_s on a quiet machine can be
-# self-triggered; the budget bounds that waste and every wait is recorded.
-LOAD1_QUIET = 4.0  # a lap starting above this is presumed co-tenant-polluted
+# Load-gating (round-10 verdict #2; SELF-LOAD-AWARE since round 12): the
+# r9->r11 driver numbers degraded 0.94x -> 1.10x -> 1.20x under co-tenant
+# load1 2-4, all BELOW r11's 4.0 gate threshold — the gate waited without
+# ever excluding the pollution (r12 verdict #5). The threshold is now 1.5,
+# which a naive gate can't afford: the bench's OWN 32-thread laps push
+# 1-min loadavg to ~3-4 and exp(-t/60) decay back to 1.5 costs ~60s per
+# lap even on an idle box. So the gate separates the two load sources:
+# after every lap the bench anchors (timestamp, load1) of its own burst,
+# and a later gate waits only while OBSERVED load exceeds what the
+# anchored burst's exponential decay explains (+margin) — co-tenant load
+# shows up as exactly that excess. On an idle machine waits are ~0; under
+# real co-tenancy the budget drains and the recorded (observed, allowed)
+# pairs prove the box was never quiet. Query ORDER also rotates between
+# warm laps, so a noise burst can't tax the same query every lap, and
+# bonus laps get their own reserve when every lap-start showed excess.
+LOAD1_QUIET = 1.5   # co-tenant excess above self-decay that triggers a wait
 WAIT_SLICE_S = 15.0
-MAX_WAIT_S = 300.0  # total across the whole run
+MAX_WAIT_S = 300.0       # main-run budget
+BONUS_WAIT_S = 180.0     # separate reserve for the bonus-lap phase
+LOAD_DECAY_TAU = 60.0    # 1-min loadavg e-folding time
 
 _wait_budget = [MAX_WAIT_S]
+_self_anchor = [None]  # (monotonic_ts, load1) right after our last burst
+
+
+def mark_self_load(samples: dict | None = None, tag: str = "") -> None:
+    """Anchor the bench's own just-finished burst so later gates can
+    subtract its predicted decay from the observed loadavg."""
+    l1 = loadavg()
+    if l1:
+        _self_anchor[0] = (time.monotonic(), l1[0])
+    if samples is not None and tag:
+        samples.setdefault("self_anchors", []).append([tag, l1[0] if l1 else None])
+
+
+def _allowed_load() -> float:
+    """Highest load1 explainable right now: the quiet threshold plus our
+    own anchored burst decayed to the present moment (+0.4 margin for
+    sampling jitter)."""
+    import math
+
+    base = LOAD1_QUIET
+    if _self_anchor[0] is not None:
+        t0, l0 = _self_anchor[0]
+        base = max(base, l0 * math.exp(-(time.monotonic() - t0) / LOAD_DECAY_TAU) + 0.4)
+    return base
 
 
 def wait_for_quiet(tag: str, samples: dict) -> None:
-    """Sleep (bounded by the shared budget) until load1 <= LOAD1_QUIET,
-    recording [tag, seconds_waited, load1_after] so every wait is auditable."""
+    """Sleep (bounded by the shared budget) until load1 drops to what the
+    bench's own decaying burst explains, recording
+    [tag, seconds_waited, load1_after, allowed_after] — auditable, and a
+    zero-wait on an idle box costs nothing."""
     waited = 0.0
     while _wait_budget[0] > 0:
         l1 = loadavg()
-        if not l1 or l1[0] <= LOAD1_QUIET:
+        if not l1 or l1[0] <= _allowed_load():
             break
         s = min(WAIT_SLICE_S, _wait_budget[0])
         time.sleep(s)
@@ -189,7 +228,8 @@ def wait_for_quiet(tag: str, samples: dict) -> None:
     if waited:
         after = loadavg()
         samples.setdefault("waits", []).append(
-            [tag, round(waited, 1), after[0] if after else None]
+            [tag, round(waited, 1), after[0] if after else None,
+             round(_allowed_load(), 2)]
         )
 
 
@@ -218,6 +258,7 @@ def main():
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
+    mark_self_load(load_samples, "after_cold")
 
     # The reference's own integration workload (100 files × 1,000 records,
     # s3_files.py:25-26): full pipeline — scan ⋈ metadata → anti-join → key
@@ -254,7 +295,9 @@ def main():
             )
             n = dlv.parse_records(result.delivered).count()
             assert n == 100 * 1000, n
-            return round(time.perf_counter() - t0, 3)
+            dt = round(time.perf_counter() - t0, 3)
+            mark_self_load()
+            return dt
 
         # lap 1 = cold (first execution, worker-pool growth / cryptography
         # import ×32 workers / from_json codegen); lap 2 untimed warm-up —
@@ -266,32 +309,43 @@ def main():
         shutil.rmtree(status_dir, ignore_errors=True)
 
     # WARM: 5 timed laps per query; report the median (noise-robust) and keep
-    # the min + raw lap times for cross-round comparison and attribution
-    def warm_lap() -> None:
-        load_samples["laps"].append(loadavg())
-        for name in HEADLINE:
+    # the min + raw lap times for cross-round comparison and attribution.
+    # Query ORDER rotates by a stride coprime with len(HEADLINE) each lap so
+    # a co-tenant burst can't tax the same query every lap (r12 verdict #5).
+    def warm_lap(lap_idx: int) -> None:
+        start = loadavg()
+        load_samples["laps"].append(start)
+        # co-tenant EXCESS at lap start: observed minus what our own burst's
+        # decay explains — the bonus-lap trigger and the audit trail
+        load_samples.setdefault("lap_excess", []).append(
+            round(max(0.0, (start[0] if start else 0.0) - _allowed_load()), 2)
+        )
+        off = (lap_idx * 7) % len(HEADLINE)
+        for name in HEADLINE[off:] + HEADLINE[:off]:
             qd = registry[name]
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             raw[name].append(round(time.perf_counter() - t0, 3))
+        mark_self_load()
 
     for _lap in range(WARM_LAPS):
         wait_for_quiet(f"warm{_lap}", load_samples)
-        warm_lap()
+        warm_lap(_lap)
 
-    # if EVERY warm lap started loud, the min is still co-tenant-bound: spend
-    # the remaining wait budget on up to 2 bonus laps gated on quiet (extra
-    # laps can only lower the min, never distort it)
-    lap_load1 = [s[0] for s in load_samples["laps"] if s]
-    if lap_load1 and min(lap_load1) > LOAD1_QUIET:
-        for b in range(2):
+    # if EVERY warm lap started with co-tenant excess, the min is still
+    # co-tenant-bound: a DEDICATED reserve funds up to 3 bonus laps gated on
+    # quiet (extra laps can only lower the min, never distort it)
+    excess = load_samples.get("lap_excess", [])
+    if excess and min(excess) > 0:
+        _wait_budget[0] = max(_wait_budget[0], BONUS_WAIT_S)
+        for b in range(3):
             if _wait_budget[0] <= 0:
                 break
             wait_for_quiet(f"bonus{b}", load_samples)
             cur = loadavg()
-            if cur and cur[0] > LOAD1_QUIET:
-                break  # budget exhausted and still loud: the record shows it
-            warm_lap()
+            if cur and cur[0] > _allowed_load():
+                break  # reserve exhausted and still loud: the record shows it
+            warm_lap(WARM_LAPS + b)
 
     load_samples["end"] = loadavg()
     medians = {name: round(statistics.median(v), 3) for name, v in raw.items()}

@@ -114,3 +114,32 @@ def test_stat_marker_reports_actual_lap_count():
     t = {"q": 1.0}
     assert json.loads(bench.format_line(t, t, t, 0.1))["stat"] == "min5"
     assert json.loads(bench.format_line(t, t, t, 0.1, laps_max=7))["stat"] == "min7"
+
+
+def test_load_gate_is_self_load_aware(monkeypatch):
+    """Round-12 gate: the bench's OWN just-finished burst must not trigger
+    waits (its exponential decay is subtracted), while the same absolute
+    load WITHOUT a self-anchor (= co-tenant) does."""
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    # co-tenant load 3.0, no self anchor: above 1.5 -> waits until budget out
+    bench._self_anchor[0] = None
+    monkeypatch.setattr(bench, "loadavg", lambda: [3.0, 3, 3])
+    bench._wait_budget[0] = 30.0
+    bench.wait_for_quiet("noisy", s1 := {})
+    assert sum(slept) == 30.0 and s1["waits"]
+    # same load 3.0 but OUR burst just ended at 3.2: fully explained -> no wait
+    slept.clear()
+    bench._wait_budget[0] = 100.0
+    bench.mark_self_load()
+    monkeypatch.setattr(bench, "loadavg", lambda: [3.0, 3, 3])
+    bench._self_anchor[0] = (bench.time.monotonic(), 3.2)
+    bench.wait_for_quiet("self", s2 := {})
+    assert not slept and "waits" not in s2
+    # an OLD anchor (decayed away) no longer excuses the load
+    bench._self_anchor[0] = (bench.time.monotonic() - 600.0, 3.2)
+    bench._wait_budget[0] = 15.0
+    bench.wait_for_quiet("stale", s3 := {})
+    assert sum(slept) == 15.0
+    bench._self_anchor[0] = None
+    bench._wait_budget[0] = bench.MAX_WAIT_S
