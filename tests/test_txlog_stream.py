@@ -392,3 +392,34 @@ def test_base_stream_reader_opens_only_tail(spark, tmp_path):
     reader._log_opens = 0
     parts = reader.partitions({"version": 10}, {"version": 12})
     assert reader._log_opens == 2 and len(parts) == 2
+
+
+def test_cdf_insert_path_never_crosses_per_row_python(spark, tmp_path, monkeypatch):
+    """Throughput contract (round-12 verdict #1): insert and DV partitions
+    decode pure-Arrow — the per-row freeze/digest loop may run ONLY inside
+    rewrite-diff partitions. Pinned by poisoning the digest kernel and
+    reading insert + DV partitions directly."""
+    from snapshot_sender_spark.sources.txlog_stream import (
+        _CdfAddPartition,
+        _CdfDvPartition,
+        _TxlogCdfStreamReader,
+    )
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "contract_tab"))
+    t.append(spark.range(0, 50).withColumn("v", F.col("id") * 3).coalesce(1), ts=1.0)
+    t.delete_where("id IN (1, 2)", ts=2.0, mode="mor")
+    reader = _TxlogCdfStreamReader({"path": t.path})
+
+    def boom(*a, **k):  # pragma: no cover - must never fire
+        raise AssertionError("insert/DV partition crossed per-row Python")
+
+    monkeypatch.setattr(_TxlogCdfStreamReader, "_batch_digests", boom)
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    kinds = {type(p) for p in parts}
+    assert kinds == {_CdfAddPartition, _CdfDvPartition}
+    rows = 0
+    for p in parts:
+        for batch in reader.read(p):
+            rows += batch.num_rows
+    assert rows == 50 + 2  # 50 inserts + 2 deletes, all Arrow-side
