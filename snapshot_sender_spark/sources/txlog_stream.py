@@ -532,6 +532,15 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         self.diff_bucket_rows = max(
             1, int(options.get("diff_bucket_rows", DIFF_BUCKET_ROWS))
         )
+        # engine-constructed readers receive the analyzed schema (CDF cols
+        # included); a DIRECTLY-constructed reader starts from the stored
+        # table schema — normalize so both shapes emit identical batches
+        out = T.StructType.fromJson(json.loads(self.schema_json))
+        if CDF_COLS[0] not in out.fieldNames():
+            out = out.add("_change_type", T.StringType()).add(
+                "_commit_version", T.LongType()
+            )
+            self.schema_json = json.dumps(out.jsonValue())
 
     def _table_fields(self):
         schema = T.StructType.fromJson(json.loads(self.schema_json))
