@@ -1430,3 +1430,61 @@ def pipeline_cdf_apply_changes_scd2(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("__start_ver").alias("start_ver"),
         F.coalesce(F.col("__end_ver"), F.lit(-1)).alias("end_ver"),
     )
+
+
+@query(
+    "sql_txlog_insert_into",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM u GROUP BY o_orderpriority
+    """,
+    category="table-format",
+)
+def sql_txlog_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog table WRITTEN through plain SQL (the other half of the
+    round-12 SQL front-end): the F-orders land via the Python API, the
+    O-orders via ``INSERT INTO <view> SELECT ...`` — which routes through
+    the batch source's Arrow writer (sources/txlog_write.py): every Spark
+    task writes its batches to staged parquet and harvests footer stats
+    EXECUTOR-side, the driver commits one atomic log version with
+    TxTable.append's exact conflict/evolution/mapping semantics. The final
+    aggregate (read back through the same SQL view) equals the pure UNION —
+    proving the SQL write is a first-class commit, not a side door.
+    Overwrite/evolution/refusal edges are pinned in
+    tests/test_txlog_sql_write.py."""
+    from ..sources.txlog_batch import register_sql_views
+
+    work = _workdir("txlog_sql_ins_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = TxTable(spark, f"{work}/orders_tx")
+
+    def subset(status: str) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderstatus") == status) & (F.col("o_orderkey") % 10 == 0)
+        ).drop("o_orderstatus")
+
+    t.append(subset("F").repartition(2), ts=1.0)
+    register_sql_views(spark, "orders_tx_ins", t.path)
+    orders.createOrReplaceTempView("orders_src_r12")
+    spark.sql("""
+        INSERT INTO orders_tx_ins
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders_src_r12
+        WHERE o_orderstatus = 'O' AND o_orderkey % 10 = 0
+    """)
+    if TxTable(spark, t.path).latest_version() != 2:
+        raise AssertionError("INSERT INTO must commit exactly one version")
+    return spark.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_tx_ins GROUP BY o_orderpriority
+    """)

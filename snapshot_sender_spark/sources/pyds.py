@@ -70,10 +70,29 @@ class SnapshotListingReader(DataSourceReader):
     def __init__(self, options):
         self.files_per_topic = int(options.get("files_per_topic", "100"))
         self.topic_filter: set[str] | None = None
+        # per-query pushdown is OPT-IN: Spark 4.1's
+        # PythonDataSourceV2.getOrCreateReadInfo caches the LAST planned
+        # read (reader state included) on a shared relation and reuses it
+        # for later FILTERLESS queries — a filtered scan would leave its
+        # topic pruning behind and silently drop topics from the next
+        # unfiltered query on the same registered view/DataFrame. Same
+        # defense as sources/txlog_batch.py:TxlogBatchReader.
+        self._per_query = (
+            str(options.get("filter_pushdown", "false")).lower() == "true"
+        )
+        # cache-safe alternative: pruning as part of the VIEW definition
+        fixed = options.get("topics")
+        self._view_filter = set(fixed.split(",")) if fixed else None
 
     def pushFilters(self, filters: list[Filter]):
-        """Accept topic equality/membership filters; partition pruning happens
-        in partitions(). Everything else is returned → Spark re-applies it."""
+        """Accept topic equality/membership filters (under the
+        ``filter_pushdown 'true'`` opt-in — see __init__); partition pruning
+        happens in partitions(). Filters consumed here are NOT re-applied by
+        Spark, which is exact because a topic partition emits only its own
+        topic's rows. Everything else is returned → Spark re-applies it."""
+        self.topic_filter = None  # reset: never accumulate across plans
+        if not self._per_query:
+            return filters
         unsupported = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("topic",):
@@ -86,8 +105,14 @@ class SnapshotListingReader(DataSourceReader):
 
     def partitions(self):
         parts = []
+        selected = self.topic_filter
+        if self._view_filter is not None:
+            selected = (
+                self._view_filter if selected is None
+                else selected & self._view_filter
+            )
         for ti, (db, coll) in enumerate(TOPICS):
-            if self.topic_filter is not None and f"db.{db}.{coll}" not in self.topic_filter:
+            if selected is not None and f"db.{db}.{coll}" not in selected:
                 continue  # pruned at planning time — never listed
             parts.append(_TopicPartition(ti, db, coll, self.files_per_topic))
         return parts

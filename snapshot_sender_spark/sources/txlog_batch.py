@@ -18,12 +18,17 @@ Execution semantics are IDENTICAL to TxTable.read():
 * the snapshot (live file list + deletion vectors + column mapping +
   partition spec + protocol gate) is resolved at PLAN time by one log
   replay — snapshot isolation; the protocol gate raises on future logs;
-* ``pushFilters`` receives the query's predicates and prunes FILES at
-  planning: partition values eliminate directories exactly, parquet footer
-  stats (min/max/nulls) eliminate the rest — the same candidate_files
-  ladder as the Python API, now driven by the SQL WHERE clause. Every
+* file pruning runs the same candidate_files ladder as the Python API
+  (partition values eliminate directories exactly, parquet footer stats
+  eliminate the rest), driven from two places: the immutable per-view
+  ``prune`` option (always on, cache-safe), and the SQL WHERE clause via
+  ``pushFilters`` under the ``filter_pushdown 'true'`` opt-in — opt-in
+  because Spark 4.1's PythonDataSourceV2.getOrCreateReadInfo caches the
+  last planned read on the shared relation and REUSES it for later
+  filterless queries, reader filter-state included (an engine flaw this
+  module documents and defends against; see TxlogBatchReader). Every
   filter is RETURNED to Spark (re-applied after the scan), so pruning is
-  planning-only and can never change results;
+  planning-only and can never change results on the query that pushed it;
 * one InputPartition per surviving file; ``read`` emits Arrow batches via
   the shared vectorized decode (sources/txlog_stream.py:decode_file_batches)
   — deletion vectors apply as a boolean mask, hive partition values inject
@@ -97,19 +102,53 @@ def _snapshot(options):
 
 
 class TxlogBatchReader(DataSourceReader):
+    """Two pruning paths, one cache-safe by construction:
+
+    * ``prune`` option (JSON ``[[col, lo, hi], ...]``, null = unbounded):
+      part of the VIEW definition, immutable for the relation's lifetime —
+      ALWAYS applied. This is the safe spelling of a pre-filtered view
+      (``register_sql_views`` pins).
+    * per-query ``pushFilters`` pruning: OPT-IN via option
+      ``filter_pushdown 'true'`` because of an ENGINE-LEVEL staleness flaw
+      in Spark 4.1: ``PythonDataSourceV2.getOrCreateReadInfo`` caches the
+      LAST planned read — including the reader pickled WITH its pushed
+      filter state — on the relation shared by a registered view, and a
+      later FILTERLESS query reuses that cache without calling
+      pushFilters()/partitions() again (verified empirically; a WHERE g=3
+      count followed by an unfiltered count returns the g=3 rows). Filtered
+      queries always re-plan with a fresh reader, so filtered-after-filtered
+      is exact — the hazard is exactly filterless-after-filtered on one
+      shared relation. Until the engine re-plans filterless scans, the
+      default keeps per-query pruning OFF; results are correct either way
+      because EVERY filter is returned for Spark to re-apply — the opt-in
+      only changes which FILES are planned."""
+
     def __init__(self, options, schema_json: str):
         self.options = options
         self.schema_json = schema_json
         self._prune: list[tuple] = []
+        self._per_query = (
+            str(options.get("filter_pushdown", "false")).lower() == "true"
+        )
+        self._view_prune: list[tuple] = [
+            (c, lo, hi) for c, lo, hi in json.loads(options.get("prune", "[]"))
+        ]
 
     def pushFilters(self, filters: list[Filter]):
         """Fold single-column comparison predicates into inclusive prune
-        ranges for candidate_files. EVERY filter is returned as unsupported:
-        Spark re-applies them all after the scan, so the pruning is a pure
-        planning optimization — exact results regardless of what the stats
-        ladder can or cannot eliminate. (GreaterThan/LessThan use their
-        closed-interval relaxation: a boundary-only file survives pruning
-        and its rows are dropped by Spark's re-applied filter.)"""
+        ranges for candidate_files (only under ``filter_pushdown 'true'`` —
+        see the class docstring for the engine-staleness rationale). EVERY
+        filter is returned as unsupported: Spark re-applies them all after
+        the scan, so the pruning is a pure planning optimization — exact
+        results regardless of what the stats ladder can or cannot eliminate.
+        (GreaterThan/LessThan use their closed-interval relaxation: a
+        boundary-only file survives pruning and its rows are dropped by
+        Spark's re-applied filter.)
+
+        RESET-then-fold: pushed state must never accumulate across calls."""
+        self._prune = []
+        if not self._per_query:
+            return filters
         for f in filters:
             if isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
                               LessThan, LessThanOrEqual, In)) and len(f.attribute) == 1:
@@ -129,7 +168,8 @@ class TxlogBatchReader(DataSourceReader):
 
     def partitions(self):
         t, snap = _snapshot(self.options)
-        kept = t.candidate_files(prune=self._prune or None, snap=snap)
+        prune = self._view_prune + self._prune
+        kept = t.candidate_files(prune=prune or None, snap=snap)
         parts = []
         for full in kept:
             rel = os.path.relpath(full, t.path)
@@ -177,6 +217,14 @@ class TxlogBatchDataSource(DataSource):
     def reader(self, schema: T.StructType):
         return TxlogBatchReader(self.options, json.dumps(schema.jsonValue()))
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        # SQL WRITE path: INSERT INTO / INSERT OVERWRITE / df.write.format
+        # ("txlog") — executor-side parquet + footer stats, one atomic log
+        # commit in commit() (sources/txlog_write.py)
+        from .txlog_write import TxlogArrowWriter
+
+        return TxlogArrowWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(TxlogBatchDataSource)
@@ -185,18 +233,31 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
-def register_sql_views(spark, name: str, path: str, pins: dict | None = None) -> None:
+def register_sql_views(
+    spark,
+    name: str,
+    path: str,
+    pins: dict | None = None,
+    options: dict | None = None,
+) -> None:
     """Publish a txlog table to SQL: ``<name>`` = latest snapshot, plus one
-    view per pin — ``pins={"v3": {"version": 3}, "y2024": {"timestamp": ts}}``
-    creates ``<name>_v3`` and ``<name>_y2024``. Each view re-resolves its
-    snapshot at query-plan time (latest tracks the log; pinned views are
-    immutable), so SQL users get Delta's VERSION AS OF surface without
-    leaving spark.sql."""
+    view per pin — ``pins={"v3": {"version": 3}, "y2024": {"timestamp": ts},
+    "en": {"prune": '[["lang","en","en"]]'}}`` creates ``<name>_v3``,
+    ``<name>_y2024`` and ``<name>_en``. Each view re-resolves its snapshot
+    at query-plan time (latest tracks the log; pinned views are immutable),
+    so SQL users get Delta's VERSION AS OF surface without leaving
+    spark.sql. A ``prune`` pin is the CACHE-SAFE pre-filtered view (file
+    pruning as part of the view identity); ``options`` applies to every
+    view (e.g. ``{"filter_pushdown": "true"}`` to opt into per-query
+    pushFilters pruning — see TxlogBatchReader for the engine caveat).
+    After a schema evolution, re-register: a view resolves its schema at
+    CREATE time (this call is CREATE OR REPLACE, so one call refreshes)."""
     register(spark)
 
     def _mk(view: str, opts: dict) -> None:
+        merged = {**(options or {}), **opts}
         with_opts = ", ".join(
-            [f"path '{path}'"] + [f"{k} '{v}'" for k, v in opts.items()]
+            [f"path '{path}'"] + [f"{k} '{v}'" for k, v in merged.items()]
         )
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY VIEW {view} USING txlog "

@@ -1,0 +1,240 @@
+"""SQL WRITE path for txlog tables: the ``txlog`` batch DataSource's Arrow
+writer, so plain SQL can mutate a table —
+
+    INSERT INTO tt SELECT ...                        (append)
+    INSERT OVERWRITE TABLE tt SELECT ...             (overwrite)
+    df.write.format("txlog").option("path", ...).mode("append").save()
+
+— with EXACTLY the commit semantics of TxTable.append/overwrite: optimistic
+hard-link version claim, blind-append retries, overwrite's remove-set
+recomputed on every race, additive schema-evolution merge, column-mapping
+physical names, hive partition layout, protocol writer gate.
+
+Distribution shape (better than the RDD write even): each Spark task writes
+its Arrow batches straight to parquet under ``_staging/`` and harvests its
+own FOOTER STATS locally — the driver's ``commit()`` only moves files and
+writes one log entry, so the commit control plane is O(files) renames plus
+one atomic link, with zero driver data I/O and zero post-hoc stats pass.
+``abort()`` removes the staging directory; crashed writes are swept by
+vacuum like any orphan.
+
+Honest limits (typed errors, never silent):
+* CHECK constraints can't be enforced here — the DataSource sink runs in a
+  Python worker with no SparkSession to evaluate SQL expressions against
+  the staged batch. A table WITH constraints refuses the SQL write path and
+  points at TxTable.append (which enforces them); a constraint added
+  CONCURRENTLY aborts the commit with the same message.
+* Writes target the LIVE table: a view pinned with version/timestamp
+  refuses (you cannot insert into the past).
+* Partitioned writes go through pyarrow's hive partitioning; NULL partition
+  values use the same __HIVE_DEFAULT_PARTITION__ convention as the Spark
+  writer.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql import types as T
+
+from ..operators.txlog import (
+    _HIVE_NULL,
+    _STAGING_DIR,
+    TxConflict,
+    TxError,
+    TxNotFound,
+    TxSnapshot,
+    TxTable,
+    _footer_stats,
+)
+
+
+class _TxWriteMessage(WriterCommitMessage):
+    """One task's staged files: [(staging-relative path, rows, bytes,
+    stats, part_vals)] — control-plane sized, footer stats already
+    harvested EXECUTOR-side."""
+
+    def __init__(self, files):
+        self.files = files
+
+
+class TxlogArrowWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise TxError("txlog write requires option path=<table dir>")
+        if options.get("version") is not None or options.get("timestamp") is not None:
+            raise TxError(
+                "cannot write through a version/timestamp-pinned txlog view "
+                "— register the live view (no pin) to INSERT"
+            )
+        self.path = os.path.abspath(path)
+        self.overwrite = bool(overwrite)
+        self.schema = schema
+        self.ts = (
+            float(options["write_ts"]) if options.get("write_ts") is not None else None
+        )
+        t = TxTable(None, self.path)
+        try:
+            snap = t.snapshot()
+        except TxNotFound:
+            snap = None
+        t._writer_gate(snap)
+        if snap is not None and snap.constraints:
+            raise TxError(
+                "this table declares CHECK constraints; the SQL write sink "
+                "has no SparkSession to enforce them — write via "
+                "TxTable.append/overwrite instead"
+            )
+        self.spec = t._resolve_partition_by(snap)
+        missing = [c for c in self.spec if c not in schema.fieldNames()]
+        if missing:
+            raise TxError(f"partition columns {missing} not in the written schema")
+        self.base_mapping = dict(snap.mapping) if snap else {}
+        self.mapping, self.mapping_changed = t._extend_mapping(snap, schema)
+        if self.overwrite:
+            # overwrite RESETS the schema to the incoming one (TxTable parity)
+            import json as _json
+
+            self.schema_json = _json.dumps(_json.loads(schema.json()))
+        else:
+            self.schema_json = TxTable._merge_schema(
+                snap.schema_json if snap else None, schema
+            )
+        self.token = uuid.uuid4().hex
+        self.staging_rel = os.path.join(_STAGING_DIR, f"sql-{self.token}")
+
+    # -- executor side ---------------------------------------------------------
+
+    def write(self, batches) -> _TxWriteMessage:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        task_dir = os.path.join(self.path, self.staging_rel, uuid.uuid4().hex)
+        phys = lambda n: self.mapping.get(n, n)  # noqa: E731
+
+        def to_physical(batch: pa.RecordBatch) -> pa.RecordBatch:
+            if not self.mapping:
+                return batch
+            return batch.rename_columns([phys(n) for n in batch.schema.names])
+
+        files: list[tuple] = []
+        if self.spec:
+            # hive layout executor-side: pyarrow's dataset writer splits by
+            # partition value vectorized (partition columns leave the file)
+            collected = [to_physical(b) for b in batches]
+            if collected:
+                os.makedirs(task_dir, exist_ok=True)
+                tbl = pa.Table.from_batches(collected)
+                ds.write_dataset(
+                    tbl,
+                    task_dir,
+                    format="parquet",
+                    partitioning=ds.partitioning(
+                        pa.schema([tbl.schema.field(c) for c in self.spec]),
+                        flavor="hive",
+                    ),
+                    basename_template="w-{i}.parquet",
+                )
+        else:
+            writer = None
+            os.makedirs(task_dir, exist_ok=True)
+            target = os.path.join(task_dir, "w-0.parquet")
+            for b in batches:
+                b = to_physical(b)
+                if writer is None:
+                    writer = pq.ParquetWriter(target, b.schema)
+                writer.write_batch(b)
+            if writer is not None:
+                writer.close()
+        for full in sorted(
+            glob.glob(os.path.join(task_dir, "**", "*.parquet"), recursive=True)
+        ):
+            rel_dir = os.path.relpath(os.path.dirname(full), task_dir)
+            part_vals = {}
+            if rel_dir not in (".", ""):
+                for comp in rel_dir.split(os.sep):
+                    name, _eq, raw = comp.partition("=")
+                    part_vals[name] = (
+                        None if raw == _HIVE_NULL else urllib.parse.unquote(raw)
+                    )
+            rows, nbytes, stats = _footer_stats(full)  # executor-local harvest
+            files.append(
+                (os.path.relpath(full, self.path), rows, nbytes, stats, part_vals)
+            )
+        return _TxWriteMessage(files)
+
+    # -- driver side -----------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        t = TxTable(None, self.path)
+        try:
+            base_snap = t.snapshot()
+            base = base_snap.version
+        except TxNotFound:
+            base_snap, base = None, 0
+        adds = []
+        seq = 0
+        for msg in messages:
+            if msg is None:
+                continue
+            for rel_staged, rows, nbytes, stats, part_vals in msg.files:
+                name = f"part-{self.token}-{seq:05d}.parquet"
+                seq += 1
+                if part_vals:
+                    # rebuild the hive dirs with the SPARK-compatible quoting
+                    # _parse_hive_dirs expects (pyarrow's was parsed in write)
+                    comps = [
+                        f"{c}={_HIVE_NULL if part_vals[c] is None else urllib.parse.quote(str(part_vals[c]), safe='')}"
+                        for c in self.spec
+                    ]
+                    rel = os.path.join(*comps, name)
+                else:
+                    rel = name
+                dst = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(self.path, rel_staged), dst)
+                add = {"path": rel, "rows": rows, "bytes": nbytes, "stats": stats}
+                if part_vals:
+                    add["part"] = part_vals
+                adds.append(add)
+        removes = base_snap.live_paths() if (self.overwrite and base_snap) else []
+        op = "overwrite" if self.overwrite else "append"
+        schema_json = self.schema_json
+
+        def revalidate(new_snap: TxSnapshot):
+            if new_snap.constraints:
+                raise TxConflict(
+                    "a CHECK constraint was added concurrently; the SQL "
+                    "write sink cannot enforce it — re-run via TxTable"
+                )
+            if dict(new_snap.mapping) != self.base_mapping:
+                raise TxConflict("concurrent commit changed the column mapping; re-run")
+            if new_snap.partition_by != self.spec:
+                raise TxConflict(
+                    f"concurrent commit set partition spec {new_snap.partition_by} "
+                    f"but this write staged under {self.spec}; re-run"
+                )
+            if self.overwrite:
+                return new_snap.live_paths(), schema_json
+            return [], TxTable._merge_schema(new_snap.schema_json, self.schema)
+
+        try:
+            t._commit(
+                op, adds, removes, schema_json,
+                self.ts if self.ts is not None else time.time(),
+                base, revalidate, partition_by=self.spec,
+                column_mapping=self.mapping if self.mapping_changed else None,
+            )
+        finally:
+            shutil.rmtree(os.path.join(self.path, self.staging_rel), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(os.path.join(self.path, self.staging_rel), ignore_errors=True)

@@ -56,23 +56,45 @@ def test_python_datasource_topic_pushdown_prunes_partitions(spark):
     results stay correct either way — the unit check is what proves pruning)."""
     from pyspark.sql.datasource import EqualTo, GreaterThan, In
 
-    r = pyds.SnapshotListingReader({"files_per_topic": "4"})
+    PUSH = {"files_per_topic": "4", "filter_pushdown": "true"}
+    r = pyds.SnapshotListingReader(PUSH)
     assert len(r.partitions()) == len(pyds.TOPICS)
 
-    r = pyds.SnapshotListingReader({"files_per_topic": "4"})
+    r = pyds.SnapshotListingReader(PUSH)
     leftover = r.pushFilters([EqualTo(("topic",), "db.core.claimant")])
     assert list(leftover) == [] and len(r.partitions()) == 1
 
-    r = pyds.SnapshotListingReader({"files_per_topic": "4"})
+    r = pyds.SnapshotListingReader(PUSH)
     unsupported = GreaterThan(("file_no",), 1)
     leftover = r.pushFilters(
         [In(("topic",), ("db.core.claimant", "db.crypto.encryptedData")), unsupported]
     )
     assert list(leftover) == [unsupported]  # declined → Spark re-applies it
     assert len(r.partitions()) == 2
+    # a later push RESETS the pruning (state never accumulates across plans)
+    assert list(r.pushFilters([unsupported])) == [unsupported]
+    assert len(r.partitions()) == len(pyds.TOPICS)
+
+    # DEFAULT mode is SAFE: pushFilters consumes nothing (all filters back
+    # to Spark, no pruning state) because Spark 4.1 caches the last planned
+    # read on a shared relation and reuses it for filterless queries —
+    # see SnapshotListingReader.__init__; the cache-safe pruning spelling
+    # is the topics= VIEW option.
+    r0 = pyds.SnapshotListingReader({"files_per_topic": "4"})
+    back = r0.pushFilters([EqualTo(("topic",), "db.core.claimant")])
+    assert len(list(back)) == 1 and len(r0.partitions()) == len(pyds.TOPICS)
+    rv = pyds.SnapshotListingReader(
+        {"files_per_topic": "4", "topics": "db.core.claimant,db.core.contract"}
+    )
+    assert len(rv.partitions()) == 2
 
     pyds.register(spark)
-    df = spark.read.format("snapshot_listing").option("files_per_topic", "4").load()
+    df = (
+        spark.read.format("snapshot_listing")
+        .option("files_per_topic", "4")
+        .option("filter_pushdown", "true")
+        .load()
+    )
     assert df.count() == 4 * len(pyds.TOPICS)
     assert df.filter(F.col("topic") == "db.core.claimant").count() == 4
     assert (

@@ -52,10 +52,14 @@ def test_sql_view_reads_latest_and_pinned_versions(spark, tmp_path, table):
 
 
 def test_sql_where_prunes_partition_directories(spark, table):
-    """A WHERE on the hive partition column reaches pushFilters and
-    eliminates whole directories at PLANNING: 4 files -> 1 planned input
-    partition, while results stay exact (Spark re-applies every filter)."""
-    register_sql_views(spark, "tprune", table.path)
+    """A WHERE on the hive partition column reaches pushFilters (under the
+    filter_pushdown opt-in — see TxlogBatchReader for the Spark 4.1
+    getOrCreateReadInfo staleness this guards) and eliminates whole
+    directories at PLANNING: 4 files -> 1 planned input partition, while
+    results stay exact (Spark re-applies every filter)."""
+    register_sql_views(
+        spark, "tprune", table.path, options={"filter_pushdown": "true"}
+    )
     assert len(table.snapshot().live_paths()) == 4
     assert spark.sql("SELECT * FROM tprune").rdd.getNumPartitions() == 4
     q = spark.sql("SELECT * FROM tprune WHERE g = 2")
@@ -68,7 +72,7 @@ def test_sql_where_prunes_on_footer_stats(spark, tmp_path):
     table plans only the files whose stats overlap the WHERE interval."""
     t = TxTable(spark, str(tmp_path / "stats_tab"))
     t.append(spark.range(0, 1000).repartitionByRange(8, "id"), ts=1.0)
-    register_sql_views(spark, "tstats", t.path)
+    register_sql_views(spark, "tstats", t.path, options={"filter_pushdown": "true"})
     assert spark.sql("SELECT * FROM tstats").rdd.getNumPartitions() == 8
     q = spark.sql("SELECT * FROM tstats WHERE id >= 950")
     assert q.rdd.getNumPartitions() == 1
@@ -76,6 +80,21 @@ def test_sql_where_prunes_on_footer_stats(spark, tmp_path):
     q2 = spark.sql("SELECT * FROM tstats WHERE id BETWEEN 200 AND 300")
     assert q2.rdd.getNumPartitions() <= 2
     assert q2.count() == 101
+
+
+def test_sql_view_prune_option_is_cache_safe_pruning(spark, table):
+    """The ``prune`` pin: file pruning as part of the VIEW identity —
+    immutable per relation, so the Spark 4.1 read-info cache can never
+    serve a stale plan, no opt-in needed. NOTE: prune is an I/O bound
+    (files that cannot match are skipped), not a row filter — pair it with
+    the WHERE for row exactness."""
+    register_sql_views(
+        spark, "tpin", table.path, pins={"g2": {"prune": '[["g", 2, 2]]'}}
+    )
+    assert spark.sql("SELECT * FROM tpin_g2").rdd.getNumPartitions() == 1
+    assert spark.sql("SELECT * FROM tpin_g2 WHERE g = 2").count() == 10
+    # the unpinned view on the same table still reads everything
+    assert spark.sql("SELECT count(*) n FROM tpin").collect()[0]["n"] == 40
 
 
 def test_reader_pushfilter_unit_ladder(spark, tmp_path):
@@ -88,7 +107,7 @@ def test_reader_pushfilter_unit_ladder(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "unit_tab"))
     t.append(spark.range(0, 100).repartitionByRange(4, "id"), ts=1.0)
     schema_json = _json.dumps(t.snapshot().schema().jsonValue())
-    reader = TxlogBatchReader({"path": t.path}, schema_json)
+    reader = TxlogBatchReader({"path": t.path, "filter_pushdown": "true"}, schema_json)
     filters = [
         GreaterThan(("id",), 80),
         LessThanOrEqual(("id",), 95),
@@ -96,9 +115,16 @@ def test_reader_pushfilter_unit_ladder(spark, tmp_path):
     ]
     assert reader.pushFilters(filters) == filters  # ALL returned
     assert len(reader.partitions()) == 1
-    r2 = TxlogBatchReader({"path": t.path}, schema_json)
+    # a later push RESETS the fold (state never accumulates across plans)
+    assert reader.pushFilters([]) == []
+    assert len(reader.partitions()) == 4
+    r2 = TxlogBatchReader({"path": t.path, "filter_pushdown": "true"}, schema_json)
     r2.pushFilters([In(("id",), (3, 7, 11))])
     assert len(r2.partitions()) == 1  # closed hull [3, 11]
+    # DEFAULT (safe) mode: pushFilters records nothing, returns everything
+    r3 = TxlogBatchReader({"path": t.path}, schema_json)
+    assert r3.pushFilters(filters) == filters
+    assert len(r3.partitions()) == 4
 
 
 def test_sql_view_applies_column_mapping_and_sidecar_dvs(spark, tmp_path):

@@ -1,0 +1,152 @@
+"""SQL write path for txlog tables (sources/txlog_write.py): INSERT INTO /
+INSERT OVERWRITE / df.write.format("txlog"), with TxTable commit parity."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators.txlog import TxError, TxTable
+from snapshot_sender_spark.sources.txlog_batch import register_sql_views
+
+
+def test_insert_into_appends_atomically(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "w_tab"))
+    t.append(spark.range(0, 10).withColumn("v", F.col("id") * 2).coalesce(1), ts=1.0)
+    register_sql_views(spark, "w_tt", t.path)
+    spark.sql("INSERT INTO w_tt SELECT id, id * 2 AS v FROM range(10, 25)")
+    assert t.latest_version() == 2
+    got = spark.sql("SELECT count(*) n, sum(v) s FROM w_tt").collect()[0]
+    assert got["n"] == 25 and got["s"] == sum(2 * i for i in range(25))
+    # history records a plain append; stats were harvested executor-side
+    snap = t.snapshot()
+    assert all(a["stats"] for a in snap.files.values())
+    assert len(t.candidate_files(prune=[("id", 0, 5)])) < len(snap.files)
+
+
+def test_insert_overwrite_replaces_table(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "w_ovr"))
+    t.append(spark.range(0, 10).withColumn("v", F.col("id")).coalesce(1), ts=1.0)
+    register_sql_views(spark, "w_ovr_tt", t.path)
+    spark.sql("INSERT OVERWRITE TABLE w_ovr_tt SELECT id, id AS v FROM range(100, 105)")
+    assert spark.sql("SELECT count(*) n, min(id) m FROM w_ovr_tt").collect()[0][0:2] == (5, 100)
+    # the old snapshot still time-travels
+    assert t.read(version=1).count() == 10
+
+
+def test_dataframe_write_format_txlog(spark, tmp_path):
+    from snapshot_sender_spark.sources.txlog_batch import register
+
+    register(spark)
+    path = str(tmp_path / "w_df")
+    TxTable(spark, path).append(
+        spark.range(0, 3).withColumn("v", F.lit(1).cast("long")).coalesce(1), ts=1.0
+    )
+    (
+        spark.range(3, 8).withColumn("v", F.lit(2).cast("long"))
+        .write.format("txlog").option("path", path)
+        .option("write_ts", "2.0").mode("append").save()
+    )
+    t = TxTable(spark, path)
+    assert t.read().count() == 8
+    assert t.read(timestamp=1.5).count() == 3  # write_ts drove the commit ts
+
+
+def test_sql_write_partitioned_hive_layout(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "w_part"), partition_by=("g",))
+    t.append(
+        spark.range(0, 8).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    register_sql_views(spark, "w_part_tt", t.path)
+    spark.sql(
+        "INSERT INTO w_part_tt SELECT id, CAST(id % 4 AS INT) AS g FROM range(8, 24)"
+    )
+    snap = t.snapshot()
+    assert snap.partition_by == ("g",)
+    assert all(p.startswith("g=") for p in snap.live_paths())
+    got = spark.sql("SELECT g, count(*) n FROM w_part_tt GROUP BY g ORDER BY g").collect()
+    assert [(r["g"], r["n"]) for r in got] == [(0, 8), (1, 8), (2, 4), (3, 4)]
+    # read parity with the Python API
+    assert t.read().count() == 24
+    # partition pruning works on the SQL-written files too (dedicated
+    # opt-in view LAST — see the filter_pushdown caveat in txlog_batch.py)
+    register_sql_views(
+        spark, "w_part_push", t.path, options={"filter_pushdown": "true"}
+    )
+    q = spark.sql("SELECT * FROM w_part_push WHERE g = 3")
+    assert q.rdd.getNumPartitions() < len(snap.live_paths())
+    assert q.count() == 4
+
+
+def test_sql_write_schema_evolution_and_refusals(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "w_evo"))
+    t.append(spark.range(0, 4).coalesce(1), ts=1.0)
+    register_sql_views(spark, "w_evo_tt", t.path)
+    # additive evolution through the SQL path
+    (
+        spark.range(4, 6).withColumn("tag", F.lit("x"))
+        .write.format("txlog").option("path", t.path).mode("append").save()
+    )
+    got = t.read()
+    assert got.columns == ["id", "tag"] and got.where("tag IS NULL").count() == 4
+    # a view resolves its schema at CREATE time: re-register to INSERT the
+    # evolved shape (CREATE OR REPLACE — one call)
+    register_sql_views(spark, "w_evo_tt", t.path)
+    spark.sql("INSERT INTO w_evo_tt SELECT id, 'z' AS tag FROM range(6, 8)")
+    assert t.read().count() == 8
+    # a pinned view refuses writes
+    with pytest.raises(Exception, match="pinned"):
+        (
+            spark.range(0, 1)
+            .write.format("txlog").option("path", t.path)
+            .option("version", "1").mode("append").save()
+        )
+    # constrained tables refuse the SQL sink (no session to enforce CHECKs)
+    t.set_constraint("pos", "id >= 0", ts=3.0)
+    with pytest.raises(Exception, match="constraint"):
+        spark.sql("INSERT INTO w_evo_tt SELECT id, 'y' AS tag FROM range(8, 10)")
+    assert t.read().count() == 8  # nothing leaked
+
+
+def test_pushed_filters_never_leak_across_queries(spark, tmp_path):
+    """Regression: Spark reuses one reader instance across queries on a
+    registered view — a WHERE-pruned query must not leave its prune ranges
+    behind for the next (filterless or differently-filtered) query."""
+    t = TxTable(spark, str(tmp_path / "leak_tab"), partition_by=("g",))
+    t.append(
+        spark.range(0, 40).withColumn("g", (F.col("id") % 4).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    register_sql_views(spark, "leak_tt", t.path)
+    assert spark.sql("SELECT * FROM leak_tt WHERE g = 3").count() == 10
+    # the very next UNFILTERED query must see the whole table again
+    assert spark.sql("SELECT count(*) n FROM leak_tt").collect()[0]["n"] == 40
+    assert spark.sql("SELECT * FROM leak_tt WHERE g = 0").count() == 10
+    assert spark.sql("SELECT * FROM leak_tt").rdd.getNumPartitions() == 4
+
+
+def test_sql_write_then_cdf_stream_sees_the_append(spark, tmp_path):
+    """The SQL-written commit is a first-class append: the CDF stream and
+    the change feed report its rows as inserts."""
+    from snapshot_sender_spark.sources.txlog_stream import register as reg_stream
+
+    reg_stream(spark)
+    t = TxTable(spark, str(tmp_path / "w_cdf"))
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    register_sql_views(spark, "w_cdf_tt", t.path)
+    spark.sql("INSERT INTO w_cdf_tt SELECT id FROM range(5, 9)")
+    rc = t.row_changes(1, 2)
+    assert sorted(r["id"] for r in rc.collect()) == [5, 6, 7, 8]
+    out, ckpt = tmp_path / "w_out", tmp_path / "w_ckpt"
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path).option("read_changes", "true")
+        .load()
+        .writeStream.format("parquet").option("path", str(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == 9
