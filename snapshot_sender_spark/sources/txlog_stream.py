@@ -124,6 +124,17 @@ class _TxlogStreamReader(DataSourceStreamReader):
             raise ValueError("txlog_stream requires option path=<table dir>")
         self.ignore_changes = str(options.get("ignore_changes", "false")).lower() == "true"
         self.start_version = int(options.get("starting_version", "0"))
+        # ADMISSION CONTROL (maxFilesPerTrigger's version-offset analog): a
+        # stream resuming against a 100k-commit backlog must not plan one
+        # giant micro-batch — cap how many versions each trigger may
+        # advance. 0 = unbounded (default). The cap is enforced in
+        # latestOffset() against the highest offset floor this reader has
+        # OBSERVED (its own returned offsets, commits, and partition-plan
+        # starts) — after a restart the first trigger may briefly re-offer
+        # an already-committed range, which the engine ignores (it plans
+        # from its checkpoint), and the floor resyncs on that first plan.
+        self.max_versions = int(options.get("max_versions_per_trigger", "0"))
+        self._offset_floor = self.start_version
         # every version-file open goes through _actions(); the counter lets
         # tests pin the O(tail) planning contract (round-12 verdict #3)
         self._log_opens = 0
@@ -238,11 +249,22 @@ class _TxlogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         versions = self._versions()
-        latest = versions[-1] if versions else self.start_version
-        return {"version": max(latest, self.start_version)}
+        latest = max(versions[-1] if versions else self.start_version,
+                     self.start_version)
+        if self.max_versions:
+            capped = min(latest, self._offset_floor + self.max_versions)
+            self._offset_floor = max(self._offset_floor, capped)
+            return {"version": capped}
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:
+        # the engine's checkpoint owns progress; remember it as the
+        # admission-control floor so rate-limited offers always advance
+        self._offset_floor = max(self._offset_floor, int(end["version"]))
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        self._offset_floor = max(self._offset_floor, lo)
         parts: list[_AddedFilePartition] = []
         for v in self._versions():
             if v <= lo:  # before reading anything: a micro-batch costs O(tail)
@@ -314,9 +336,6 @@ class _TxlogStreamReader(DataSourceStreamReader):
                 else:  # evolution-missing column: NULL backfill
                     cols.append(pa.nulls(batch.num_rows, type=field.type))
             yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
-
-    def commit(self, end: dict) -> None:
-        pass  # the engine's checkpoint owns progress
 
     def stop(self) -> None:
         pass
@@ -548,6 +567,7 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        self._offset_floor = max(self._offset_floor, lo)
         parts: list[InputPartition] = []
         # pre-interval replay recovers per-file DV state so a diff version
         # can read removed files AS OF v-1 — seeded from the nearest LOG

@@ -423,3 +423,48 @@ def test_cdf_insert_path_never_crosses_per_row_python(spark, tmp_path, monkeypat
         for batch in reader.read(p):
             rows += batch.num_rows
     assert rows == 50 + 2  # 50 inserts + 2 deletes, all Arrow-side
+
+
+def test_max_versions_per_trigger_rate_limits_batches(spark, tmp_path):
+    """Admission control (maxFilesPerTrigger's version analog): a stream
+    resuming against a commit backlog advances at most N versions per
+    trigger instead of planning one giant batch. availableNow snapshots one
+    capped offer per RUN (engine behavior for Python sources) — repeated
+    runs against one checkpoint drain the backlog in N-version steps;
+    without the option, one run drains everything (pre-existing tests)."""
+    from snapshot_sender_spark.sources.txlog_stream import _TxlogStreamReader
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "rate_tab"))
+    for i in range(8):
+        t.append(spark.range(i * 10, (i + 1) * 10).coalesce(1), ts=float(i + 1))
+
+    seen = []
+
+    def sink(df, bid):
+        seen.append(df.count())
+
+    def drain_once():
+        q = (
+            spark.readStream.format("txlog_stream")
+            .option("path", t.path)
+            .option("max_versions_per_trigger", "3")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    drain_once()
+    drain_once()
+    assert seen == [30, 30, 20]  # 3 + 3 + 2 versions, exactly once each
+
+    # reader-level: offers advance by at most N and resync on commit
+    r = _TxlogStreamReader({"path": t.path, "max_versions_per_trigger": "3"})
+    assert r.latestOffset() == {"version": 3}
+    assert r.latestOffset() == {"version": 6}  # floor advanced by the offer
+    r.commit({"version": 6})
+    assert r.latestOffset() == {"version": 8}  # capped at the real latest
