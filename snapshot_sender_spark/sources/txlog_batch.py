@@ -225,6 +225,13 @@ class TxlogBatchDataSource(DataSource):
 
         return TxlogArrowWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        # native exactly-once streaming sink: writeStream.format("txlog") —
+        # each epoch commits atomically under txn identity (app_id, batchId)
+        from .txlog_write import TxlogStreamArrowWriter
+
+        return TxlogStreamArrowWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(TxlogBatchDataSource)

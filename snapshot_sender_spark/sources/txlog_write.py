@@ -4,6 +4,7 @@ writer, so plain SQL can mutate a table —
     INSERT INTO tt SELECT ...                        (append)
     INSERT OVERWRITE TABLE tt SELECT ...             (overwrite)
     df.write.format("txlog").option("path", ...).mode("append").save()
+    df.writeStream.format("txlog").option("path", ...)   (exactly-once sink)
 
 — with EXACTLY the commit semantics of TxTable.append/overwrite: optimistic
 hard-link version claim, blind-append retries, overwrite's remove-set
@@ -40,7 +41,11 @@ import time
 import urllib.parse
 import uuid
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql import types as T
 
 from ..operators.txlog import (
@@ -174,19 +179,41 @@ class TxlogArrowWriter(DataSourceArrowWriter):
     # -- driver side -----------------------------------------------------------
 
     def commit(self, messages) -> None:
+        self._commit_messages(messages, name_tag=self.token)
+
+    def _commit_messages(self, messages, name_tag: str, txn: dict | None = None,
+                         ts: float | None = None) -> None:
+        """Move the tasks' staged files into the table root and write ONE
+        atomic log version; shared by the batch writer (no txn) and the
+        stream writer (txn = (app, epoch) — exactly-once on replay)."""
         t = TxTable(None, self.path)
         try:
             base_snap = t.snapshot()
             base = base_snap.version
         except TxNotFound:
             base_snap, base = None, 0
+        staged = [
+            f for msg in messages if msg is not None for f in msg.files
+        ]
+        if txn is not None and base_snap is not None:
+            from ..operators.txlog import _txn_key
+
+            if _txn_key(txn) in base_snap.txns:
+                # epoch replay after restart: the commit already landed —
+                # drop the re-staged bytes, change nothing
+                for rel_staged, *_rest in staged:
+                    try:
+                        os.unlink(os.path.join(self.path, rel_staged))
+                    except FileNotFoundError:
+                        pass
+                return
         adds = []
         seq = 0
         for msg in messages:
             if msg is None:
                 continue
             for rel_staged, rows, nbytes, stats, part_vals in msg.files:
-                name = f"part-{self.token}-{seq:05d}.parquet"
+                name = f"part-{name_tag}-{seq:05d}.parquet"
                 seq += 1
                 if part_vals:
                     # rebuild the hive dirs with the SPARK-compatible quoting
@@ -209,7 +236,15 @@ class TxlogArrowWriter(DataSourceArrowWriter):
         op = "overwrite" if self.overwrite else "append"
         schema_json = self.schema_json
 
+        class _AlreadyApplied(Exception):
+            pass
+
         def revalidate(new_snap: TxSnapshot):
+            if txn is not None:
+                from ..operators.txlog import _txn_key
+
+                if _txn_key(txn) in new_snap.txns:
+                    raise _AlreadyApplied()  # a racing replay won: no-op
             if new_snap.constraints:
                 raise TxConflict(
                     "a CHECK constraint was added concurrently; the SQL "
@@ -226,15 +261,67 @@ class TxlogArrowWriter(DataSourceArrowWriter):
                 return new_snap.live_paths(), schema_json
             return [], TxTable._merge_schema(new_snap.schema_json, self.schema)
 
+        commit_ts = ts if ts is not None else (
+            self.ts if self.ts is not None else time.time()
+        )
         try:
             t._commit(
-                op, adds, removes, schema_json,
-                self.ts if self.ts is not None else time.time(),
-                base, revalidate, partition_by=self.spec,
+                op, adds, removes, schema_json, commit_ts,
+                base, revalidate, partition_by=self.spec, txn=txn,
                 column_mapping=self.mapping if self.mapping_changed else None,
             )
+        except _AlreadyApplied:
+            for a in adds:  # our files lost the replay race: clean up
+                try:
+                    os.unlink(os.path.join(self.path, a["path"]))
+                except FileNotFoundError:
+                    pass
         finally:
-            shutil.rmtree(os.path.join(self.path, self.staging_rel), ignore_errors=True)
+            if txn is None:  # the stream writer's staging serves many epochs
+                shutil.rmtree(
+                    os.path.join(self.path, self.staging_rel), ignore_errors=True
+                )
 
     def abort(self, messages) -> None:
         shutil.rmtree(os.path.join(self.path, self.staging_rel), ignore_errors=True)
+
+
+class TxlogStreamArrowWriter(TxlogArrowWriter, DataSourceStreamArrowWriter):
+    """Native STREAMING sink — ``writeStream.format("txlog")`` — with
+    exactly-once epochs: every micro-batch commits as one atomic log
+    version carrying txn identity ``(app_id, batchId)``, so a restarted
+    query replaying a batch whose commit already landed drops its re-staged
+    bytes and changes nothing (the same ladder as TxTable.stream_sink's
+    foreachBatch, now as a first-class sink). Commit ts = batchId —
+    deterministic, monotone per stream. Append output mode appends;
+    complete mode (overwrite=True) replaces the table each epoch. The
+    snapshot resolution (schema/mapping/partition spec/protocol gate) is
+    frozen at stream start, like the reader — restart to adopt evolution.
+
+    Engine wiring note: the stream writer object is created once per query
+    and pickled to executors per epoch; write() already isolates each task
+    under a fresh uuid subdir, and epoch commits tag final file names with
+    the batch id, so concurrent epochs can never collide. The shared
+    staging dir is removed at stop via abort()/vacuum's orphan sweep."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        self.app_id = options.get("app_id", "txlog_stream_sink")
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        self._commit_messages(
+            messages,
+            name_tag=f"{self.token}-b{int(batchId):06d}",
+            txn={"app": self.app_id, "batch": int(batchId)},
+            ts=float(batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        for msg in messages or ():
+            if msg is None:
+                continue
+            for rel_staged, *_rest in msg.files:
+                try:
+                    os.unlink(os.path.join(self.path, rel_staged))
+                except FileNotFoundError:
+                    pass

@@ -150,3 +150,94 @@ def test_sql_write_then_cdf_stream_sees_the_append(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(str(out)).count() == 9
+
+
+def test_writestream_format_txlog_exactly_once(spark, tmp_path):
+    """Native streaming sink: writeStream.format('txlog') commits one
+    atomic log version per micro-batch under txn identity (app_id,
+    batchId) — a re-run against the SAME table with a FRESH engine
+    checkpoint replays batch 0 and must be a no-op (bytes dropped, no new
+    version): end-to-end exactly-once without foreachBatch."""
+    from snapshot_sender_spark.sources.txlog_batch import register
+
+    register(spark)
+    path = str(tmp_path / "ws_tab")
+    src = str(tmp_path / "ws_src")
+    spark.range(0, 20).withColumn("v", F.col("id") * 2).coalesce(2).write.parquet(src)
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema("id long, v long").parquet(src)
+            .writeStream.format("txlog")
+            .option("path", path)
+            .option("app_id", "ws_test")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    t = TxTable(spark, path)
+    v1 = t.latest_version()
+    assert t.read().count() == 20
+    assert t.read().columns == ["id", "v"]
+    # FRESH engine checkpoint replays batch 0: the (app, batch) txn makes
+    # it a no-op — same version, same rows, no duplicates
+    run("ck2")
+    assert t.latest_version() == v1
+    assert t.read().count() == 20
+    # stats landed (executor-side harvest) and prune
+    assert all(a["stats"] for a in t.snapshot().files.values())
+    # a new micro-batch of new data appends exactly once
+    spark.range(20, 25).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run("ck1")  # resumes from the original checkpoint: only the delta
+    assert t.read().count() == 25
+    assert t.read().where("id >= 20").count() == 5
+
+
+def test_writestream_txlog_partitioned_and_readable_as_stream(spark, tmp_path):
+    """The streaming sink writes hive-partitioned tables, and the result is
+    itself a valid txlog STREAM SOURCE — a full streaming hop
+    (parquet stream -> txlog sink -> txlog stream source)."""
+    from snapshot_sender_spark.sources.txlog_batch import register
+    from snapshot_sender_spark.sources.txlog_stream import register as reg_stream
+
+    register(spark)
+    reg_stream(spark)
+    path = str(tmp_path / "wsp_tab")
+    TxTable(spark, path, partition_by=("g",)).append(
+        spark.range(0, 4).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    src = str(tmp_path / "wsp_src")
+    spark.range(4, 16).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(
+        1
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, g int").parquet(src)
+        .writeStream.format("txlog")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "wsp_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = TxTable(spark, path)
+    snap = t.snapshot()
+    assert all(p.startswith("g=") for p in snap.live_paths())
+    assert t.read().count() == 16
+    assert len(t.candidate_files(prune=[("g", 1, 1)])) < len(snap.live_paths())
+    # downstream: the sink's commits stream back out as appends
+    out, ckpt = tmp_path / "wsp_out", tmp_path / "wsp_ck2"
+    q2 = (
+        spark.readStream.format("txlog_stream").option("path", path).load()
+        .writeStream.format("parquet").option("path", str(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == 16
