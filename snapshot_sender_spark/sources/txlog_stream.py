@@ -123,7 +123,28 @@ class _TxlogStreamReader(DataSourceStreamReader):
         if not self.table_path:
             raise ValueError("txlog_stream requires option path=<table dir>")
         self.ignore_changes = str(options.get("ignore_changes", "false")).lower() == "true"
+        # every version-file open goes through _actions(); the counter lets
+        # tests pin the O(tail) planning contract (round-12 verdict #3)
+        self._log_opens = 0
         self.start_version = int(options.get("starting_version", "0"))
+        st = options.get("starting_timestamp")
+        if st is not None:
+            if options.get("starting_version") is not None:
+                raise ValueError(
+                    "pass starting_version OR starting_timestamp, not both"
+                )
+            # stream every commit whose ts >= T: the start offset is the
+            # last version committed strictly BEFORE T (ts-less commits
+            # never match timestamp queries — same stance as
+            # TxTable.snapshot(timestamp=...)). One-time meta walk at
+            # construction; offsets stay plain versions afterwards.
+            target = float(st)
+            start = 0
+            for v in self._versions():
+                meta = self._actions(v)[0]["meta"]
+                if meta.get("ts") is not None and float(meta["ts"]) < target:
+                    start = v
+            self.start_version = start
         # ADMISSION CONTROL (maxFilesPerTrigger's version-offset analog): a
         # stream resuming against a 100k-commit backlog must not plan one
         # giant micro-batch — cap how many versions each trigger may
@@ -135,9 +156,6 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # from its checkpoint), and the floor resyncs on that first plan.
         self.max_versions = int(options.get("max_versions_per_trigger", "0"))
         self._offset_floor = self.start_version
-        # every version-file open goes through _actions(); the counter lets
-        # tests pin the O(tail) planning contract (round-12 verdict #3)
-        self._log_opens = 0
         # the STREAM schema is fixed for the reader's lifetime: every emitted
         # batch uses it, older files backfill NULL, and columns evolved AFTER
         # the stream started surface only on restart — the Delta streaming

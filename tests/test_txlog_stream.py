@@ -468,3 +468,27 @@ def test_max_versions_per_trigger_rate_limits_batches(spark, tmp_path):
     assert r.latestOffset() == {"version": 6}  # floor advanced by the offer
     r.commit({"version": 6})
     assert r.latestOffset() == {"version": 8}  # capped at the real latest
+
+
+def test_starting_timestamp_skips_history(spark, tmp_path, table):
+    """starting_timestamp: stream every commit whose ts >= T (the Delta
+    startingTimestamp shape); ts-less commits never match; mutually
+    exclusive with starting_version."""
+    out, ckpt = tmp_path / "ts_out", tmp_path / "ts_ckpt"
+    # table fixture commits at ts 1.0 (v1: 10 rows) and 2.0 (v2: 15 rows)
+    _run(spark, table, out, ckpt, starting_timestamp="1.5")
+    got = spark.read.parquet(str(out))
+    assert got.count() == 15 and got.select(F.min("id")).collect()[0][0] == 10
+    # T before everything -> full history
+    _run(spark, table, tmp_path / "ts_out2", tmp_path / "ts_ckpt2",
+         starting_timestamp="0.5")
+    assert spark.read.parquet(str(tmp_path / "ts_out2")).count() == 25
+    # both options together refuse
+    import pytest as _pytest
+
+    from snapshot_sender_spark.sources.txlog_stream import _TxlogStreamReader
+
+    with _pytest.raises(ValueError, match="not both"):
+        _TxlogStreamReader(
+            {"path": table.path, "starting_version": "1", "starting_timestamp": "1.5"}
+        )
