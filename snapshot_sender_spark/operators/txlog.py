@@ -2220,7 +2220,12 @@ class TxTable:
 
     # -- retention -----------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 2, min_age_s: float = 3600.0) -> list[str]:
+    def vacuum(
+        self,
+        retain_versions: int = 2,
+        min_age_s: float = 3600.0,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Physically delete data files unreachable from the newest
         ``retain_versions`` snapshots — including orphans from crashed
         commits. This is the ONLY deleter of data bytes; until it runs, every
@@ -2233,7 +2238,12 @@ class TxTable:
         staged files into the root but not yet linked its log entry looks
         exactly like a crashed orphan, so only files (and staging dirs) older
         than the window are touched — the same grace Delta's VACUUM default
-        gives. Tests pass 0 on tables they know are quiescent."""
+        gives. Tests pass 0 on tables they know are quiescent.
+
+        ``dry_run=True`` returns the would-delete list WITHOUT deleting
+        anything (Delta's VACUUM DRY RUN) — what a retention review runs
+        before destroying bytes, and the honest preflight for CDF/streaming
+        readers pinned to old versions."""
         if retain_versions < 1:
             raise ValueError("retain_versions must be >= 1")
         versions = self._list_versions()
@@ -2259,11 +2269,14 @@ class TxTable:
                 try:
                     if os.path.getmtime(full) > cutoff:
                         continue  # possibly an in-flight commit's file
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                 except FileNotFoundError:
                     continue
                 removed.append(rel)
         removed.sort()
+        if dry_run:
+            return removed  # report only: no dirs pruned, no staging swept
         # partition directories emptied by the deletions above are pruned
         # bottom-up (best-effort: a concurrent writer re-creating one wins)
         for dirpath, _dirnames, _filenames in os.walk(self.path, topdown=False):

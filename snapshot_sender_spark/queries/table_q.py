@@ -1488,3 +1488,122 @@ def sql_txlog_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
                {SQL_DSUM('o_totalprice')} AS revenue
         FROM orders_tx_ins GROUP BY o_orderpriority
     """)
+
+
+@query(
+    "pipeline_stream_sink_txlog",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderpriority
+    """,
+    category="table-format",
+)
+def pipeline_stream_sink_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE exactly-once streaming sink (round-12 extra):
+    ``writeStream.format("txlog")`` — each micro-batch commits as one
+    atomic log version under txn identity (app_id, batchId), every task
+    stages parquet and harvests footer stats executor-side. The stream is
+    then RE-RUN against a FRESH engine checkpoint: the replayed batch's txn
+    makes it a no-op (version count asserted inline), so the final table —
+    read back and aggregated — equals the pure filter of the base table
+    with zero duplicates. The first-class spelling of the foreachBatch
+    exactly-once ladder (TxTable.stream_sink), sources/txlog_write.py."""
+    from ..operators.txlog import TxTable as _Tx
+    from ..sources.txlog_batch import register
+
+    register(spark)
+    work = _workdir("txlog_ws_sink_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).where(F.col("o_orderkey") % 7 == 0)
+    src = f"{work}/src"
+    orders.coalesce(2).write.parquet(src)
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(orders.schema).parquet(src)
+            .writeStream.format("txlog")
+            .option("path", f"{work}/tab")
+            .option("app_id", "q_ws_sink")
+            .option("checkpointLocation", f"{work}/{ckpt}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    t = _Tx(spark, f"{work}/tab")
+    v = t.latest_version()
+    run("ck2")  # fresh ENGINE checkpoint replays batch 0: txn makes it a no-op
+    if t.latest_version() != v:
+        raise AssertionError("replayed epoch must not commit a second version")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(12,2))"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "stream_txlog_rate_limited",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 4 < 3
+    GROUP BY source
+    """,
+    category="table-format",
+)
+def stream_txlog_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ADMISSION CONTROL (round-12 extra): a reader resuming against
+    a 3-commit backlog with ``max_versions_per_trigger=1`` drains it as
+    BOUNDED micro-batches — each availableNow run advances at most one
+    version (asserted inline by run count), no giant catch-up plan. The
+    union of the drained batches equals the table exactly (the oracle), so
+    rate limiting changes batch SHAPE, never content — the version-offset
+    analog of maxFilesPerTrigger."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_rate_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = TxTable(spark, f"{work}/tab")
+    for i in range(3):
+        t.append(docs.where(F.col("doc_id") % 4 == i).repartition(2), ts=float(i + 1))
+
+    runs = 0
+    while runs < 6:
+        q = (
+            spark.readStream.format("txlog_stream")
+            .option("path", t.path)
+            .option("max_versions_per_trigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        runs += 1
+        if spark.read.parquet(f"{work}/out").count() >= docs.where(
+            F.col("doc_id") % 4 < 3
+        ).count():
+            break
+    if runs != 3:  # one version per run, exactly three runs to drain
+        raise AssertionError(f"expected 3 rate-limited runs, took {runs}")
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

@@ -1514,3 +1514,16 @@ def test_apply_changes_scd2_history_and_idempotence(spark, tmp_path):
     got5 = {(r["v"], r["__start_ver"], r["__end_ver"])
             for r in t.read().where("id = 5").collect()}
     assert got5 == {(1, 4, 5), (2, 5, 6)}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    t = _mk(spark, tmp_path, "t_vac_dry")
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    t.overwrite(spark.range(50, 55).coalesce(1), ts=2.0)
+    would = t.vacuum(retain_versions=1, min_age_s=0, dry_run=True)
+    assert len(would) == 1  # v1's file is unreachable from the latest
+    assert all(os.path.exists(os.path.join(t.path, r)) for r in would)
+    assert t.read(version=1).count() == 10  # history intact after dry run
+    # the real vacuum removes exactly what the dry run reported
+    assert t.vacuum(retain_versions=1, min_age_s=0) == would
+    assert not os.path.exists(os.path.join(t.path, would[0]))
