@@ -1881,6 +1881,12 @@ class TxTable:
             # otherwise resolve the old logical name to the re-add's fresh
             # physical and read NULLs instead of the original values
             column_mapping=dict(target.mapping), retired=list(target.retired),
+            # ... and the TARGET's partition SPEC: restoring across a
+            # repartition_table would otherwise leave latest-wins replay on
+            # the new spec while the live files revert to the old layout —
+            # the next append would mix flat and hive files (round-12 fix;
+            # force_spec_meta records [] exactly when the target was flat)
+            partition_by=target.partition_by, force_spec_meta=True,
         )
 
     def row_changes(self, from_version: int, to_version: int) -> DataFrame:

@@ -36,6 +36,10 @@ _op = st.one_of(
     st.tuples(st.just("overwrite"), st.integers(0, 49), st.integers(1, 4)),
     st.tuples(st.just("compact"), st.just(0), st.just(0)),
     st.tuples(st.just("restore"), st.integers(1, 8), st.just(0)),
+    # partition-spec evolution (round 12): toggles flat <-> by-v; contents
+    # must be invariant, and every other op must keep working on whichever
+    # spec is current (including restore ACROSS a respec)
+    st.tuples(st.just("repartition"), st.just(0), st.just(0)),
 )
 
 
@@ -125,6 +129,11 @@ def test_txlog_matches_model_under_random_op_sequences(spark, tmp_path_factory, 
             t.restore(target, ts=ts)
             m.live = list(m.history[target])
             m.snap()
+        elif kind == "repartition":
+            new_spec = () if t.snapshot().partition_by else ("v",)
+            t.repartition_table(new_spec, target_files=1, ts=ts)
+            assert t.snapshot().partition_by == new_spec
+            m.snap()  # contents unchanged, layout evolved
         assert _rows(t.read()) == sorted(m.live), (kind, a, b)
 
     # time travel across the whole recorded history (no vacuum ran)

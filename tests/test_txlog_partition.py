@@ -351,3 +351,33 @@ def test_row_changes_column_order_with_mid_schema_partition_col(spark, tmp_path)
     assert [(r["id"], r["p"], r["q"], r["_change_type"]) for r in rc] == [
         (4, 0, 1, "delete")
     ]
+
+
+def test_restore_across_repartition_restores_the_spec(spark, tmp_path):
+    """Round-12 fix: RESTORE carries the target's partition SPEC (and
+    force-records [] for a flat target) — without it, latest-wins replay
+    would keep the post-respec spec while the live files revert to the old
+    layout, and the next append would mix flat and hive files."""
+    from snapshot_sender_spark.operators.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "respec_restore"))
+    df = spark.range(0, 12).withColumn("g", (F.col("id") % 3).cast("int"))
+    t.append(df.coalesce(1), ts=1.0)          # v1: flat
+    t.repartition_table(("g",), target_files=1, ts=2.0)  # v2: by g
+    t.restore(1, ts=3.0)                      # v3: back to the flat layout
+    snap = t.snapshot()
+    assert snap.partition_by == ()
+    assert all("=" not in p for p in snap.live_paths())
+    # the next append follows the RESTORED spec — no mixed layout
+    t.append(df.limit(2).coalesce(1), ts=4.0)
+    assert t.read().count() == 14
+    assert all("=" not in p for p in t.snapshot().live_paths())
+    # and restoring forward to the partitioned version restores THAT spec
+    t2 = TxTable(spark, str(tmp_path / "respec_restore2"), partition_by=("g",))
+    t2.append(df.coalesce(1), ts=1.0)
+    t2.repartition_table((), target_files=1, ts=2.0)
+    t2.restore(1, ts=3.0)
+    assert t2.snapshot().partition_by == ("g",)
+    t2.append(df.limit(3).coalesce(1), ts=4.0)
+    assert all(p.startswith("g=") for p in t2.snapshot().live_paths())
+    assert t2.read().count() == 15
