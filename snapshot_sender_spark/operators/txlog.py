@@ -1736,13 +1736,24 @@ class TxTable:
             revalidate, partition_by=new_spec, force_spec_meta=True,
         )
 
+    HISTORY_SCHEMA = (
+        "version bigint, op string, ts double, n_files_added bigint, "
+        "n_files_removed bigint, rows_added bigint, rows_removed bigint"
+    )
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit — (version, op, ts,
         n_files_added, n_files_removed, rows_added, rows_removed). Rows
         removed is exact because remove actions are resolved against the
         add payloads the log already carries; the whole thing is one log
         replay, no data I/O — the audit surface a takedown/compliance
-        review reads."""
+        review reads. SQL spelling: the ``txlog_history`` source /
+        ``<name>_history`` view (sources/txlog_batch.py)."""
+        return self.spark.createDataFrame(self.history_rows(), self.HISTORY_SCHEMA)
+
+    def history_rows(self) -> list[tuple]:
+        """history() as plain tuples — pure log replay, no SparkSession
+        needed (what the SQL txlog_history source calls driver-side)."""
         adds_by_path: dict[str, int] = {}
         # per-file rows already reported removed via deletion vectors, so a
         # later remove of the same file charges only its REMAINING live rows
@@ -1791,11 +1802,7 @@ class TxTable:
                         seen |= fresh
             rows.append((v, op, float(ts) if ts is not None else None,
                          n_add, n_rem, rows_add, rows_rem))
-        return self.spark.createDataFrame(
-            rows,
-            "version bigint, op string, ts double, n_files_added bigint, "
-            "n_files_removed bigint, rows_added bigint, rows_removed bigint",
-        )
+        return rows
 
     def describe_detail(self) -> dict:
         """DESCRIBE DETAIL: one control-plane dict summarizing the live

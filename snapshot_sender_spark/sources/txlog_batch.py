@@ -233,8 +233,48 @@ class TxlogBatchDataSource(DataSource):
         return TxlogStreamArrowWriter(self.options, schema, overwrite)
 
 
+class _HistoryPartition(InputPartition):
+    def __init__(self, rows):
+        self.rows = rows  # control-plane sized: one tuple per commit
+
+
+class TxlogHistoryReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("txlog_history requires option path=<table dir>")
+        self.path = path
+
+    def partitions(self):
+        # one log replay DRIVER-side (no data I/O); the rows ride in the
+        # partition — a table's commit count is control-plane sized
+        return [_HistoryPartition(TxTable(None, self.path).history_rows())]
+
+    def read(self, part: _HistoryPartition):
+        yield from part.rows
+
+
+class TxlogHistoryDataSource(DataSource):
+    """``DESCRIBE HISTORY`` through SQL: one row per commit —
+    ``SELECT * FROM <name>_history ORDER BY version`` after
+    register_sql_views; the audit surface a takedown/compliance review
+    reads, with exact rows_removed accounting across MOR + COW + restore
+    (operators/txlog.py:history_rows)."""
+
+    @classmethod
+    def name(cls):
+        return "txlog_history"
+
+    def schema(self):
+        return TxTable.HISTORY_SCHEMA
+
+    def reader(self, schema: T.StructType):
+        return TxlogHistoryReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(TxlogBatchDataSource)
+    spark.dataSource.register(TxlogHistoryDataSource)
     # DSv2 pushdown for Python sources is opt-in; without it a reader that
     # implements pushFilters fails analysis outright.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -274,3 +314,8 @@ def register_sql_views(
     _mk(name, {})
     for suffix, opts in (pins or {}).items():
         _mk(f"{name}_{suffix}", opts)
+    # DESCRIBE HISTORY as SQL: <name>_history (re-resolved per query plan)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name}_history "
+        f"USING txlog_history OPTIONS (path '{path}')"
+    )

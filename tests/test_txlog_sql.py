@@ -158,3 +158,32 @@ def test_sql_join_txlog_with_parquet_table(spark, tmp_path, table):
     assert [(r["label"], r["n"]) for r in got] == [
         ("even0", 10), ("even2", 10), ("odd1", 10), ("odd3", 10),
     ]
+
+
+def test_sql_describe_history_view(spark, tmp_path):
+    """DESCRIBE HISTORY through SQL: <name>_history is a queryable view of
+    the commit log with exact rows_removed accounting (same numbers as the
+    Python history() API)."""
+    t = TxTable(spark, str(tmp_path / "hist_tab"))
+    t.append(spark.range(0, 10).coalesce(1), ts=1.0)
+    t.delete_where("id < 4", ts=2.0, mode="mor")
+    t.compact(target_files=1, ts=3.0)
+    register_sql_views(spark, "thist", t.path)
+    got = spark.sql(
+        "SELECT version, op, rows_added, rows_removed FROM thist_history "
+        "ORDER BY version"
+    ).collect()
+    assert [(r["version"], r["op"], r["rows_added"], r["rows_removed"]) for r in got] == [
+        (1, "append", 10, 0),
+        (2, "delete", 0, 4),
+        (3, "compact", 6, 6),
+    ]
+    # SQL over the audit surface: the takedown review's one-liner
+    n = spark.sql(
+        "SELECT sum(rows_removed) s FROM thist_history WHERE op = 'delete'"
+    ).collect()[0]["s"]
+    assert n == 4
+    # parity with the Python API
+    assert sorted(map(tuple, t.history().collect())) == sorted(
+        map(tuple, spark.sql("SELECT * FROM thist_history").collect())
+    )
