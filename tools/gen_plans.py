@@ -141,9 +141,34 @@ def _bpe_tokenize_shuffle_plan(spark, sf):
     return B.bpe_tokenize(spark, docs, model, broadcast_max_words=10)
 
 
+def _txlog_sql_scan(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snapshot_sender_spark.operators.txlog import TxTable
+    from snapshot_sender_spark.sources.txlog_batch import register_sql_views
+
+    work = tempfile.mkdtemp(prefix="plans_txlog_sql_")
+    t = TxTable(spark, f"{work}/tab", partition_by=("g",))
+    t.append(
+        spark.range(0, 40).withColumn("g", (F.col("id") % 4).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    register_sql_views(
+        spark, "t_plans_txlog_sql", t.path, options={"filter_pushdown": "true"}
+    )
+    return spark.sql("SELECT id FROM t_plans_txlog_sql WHERE g = 2 AND id > 5")
+
+
 # Operator-level picks: (name, note, builder). Builders may create their own
 # t_plans_* tables (dropped on rerun) — the explain below never executes them.
 OPERATOR_PICKS = [
+    (
+        "txlog SQL front-end scan (round 12)",
+        "spark.sql over a txlog table registered USING txlog: the Filter node above the Python BatchScan is Spark RE-APPLYING every predicate (the reader returns all filters — pruning is planning-only, so results are exact no matter what the stats ladder eliminates), while pushFilters has already folded `g = 2` and `id > 5` into the candidate_files prune ladder, which eliminated 3 of 4 hive directories before any partition was planned (pinned: tests/test_txlog_sql.py, 4 dirs -> 1 planned partition). Pushdown is the filter_pushdown OPT-IN because Spark 4.1's PythonDataSourceV2.getOrCreateReadInfo reuses the LAST planned read for later filterless queries on a shared view relation — the cache-safe default prunes via the immutable view-level `prune` option instead (same ladder, no per-query state).",
+        _txlog_sql_scan,
+    ),
     (
         "incremental_span_stats_against_index (round 7 probe)",
         "Substring-index probe — the per-epoch service shape: every Exchange is BATCH-side — node 26 is the probe side of the anti join, partitioned on the 16-byte shingle_hash into exactly the index's 8 buckets; nodes 15/35 are batch-internal aggregations (within-batch dup counts, per-doc stats). The INDEX side (nodes 28-31) reaches the sort-merge join straight from the bucketed scan with NO Exchange (tests/test_hash_index.py pins Bucketed:true + the one-h-Exchange contract on the chunk sibling); the local Sort above the scan exists because Spark honors bucket sortedness only at one file per bucket and an epoch append leaves several — compaction's write_tasks=1 layout restores the one-file-per-bucket, sort-free scan. Corpus text is never re-read: the index stores only distinct 16-byte hashes.",
