@@ -195,17 +195,43 @@ class TxlogArrowWriter(DataSourceArrowWriter):
         staged = [
             f for msg in messages if msg is not None for f in msg.files
         ]
+
+        def _drop_staged() -> None:
+            for rel_staged, *_rest in staged:
+                try:
+                    os.unlink(os.path.join(self.path, rel_staged))
+                except FileNotFoundError:
+                    pass
+
+        # constraints were checked absent at WRITER construction; one may
+        # have landed while tasks were staging (even without a version-claim
+        # collision, since the new commit bumped our base) — re-check against
+        # the commit-time snapshot, not just inside revalidate
+        if base_snap is not None and base_snap.constraints:
+            _drop_staged()
+            raise TxConflict(
+                "a CHECK constraint was added while this write was staging; "
+                "the SQL write sink cannot enforce it — re-run via TxTable"
+            )
+        # same commit-time re-checks as revalidate, because a concurrent
+        # commit that did NOT collide on the version claim still bumped our
+        # base: stale physical names or a changed spec must conflict here too
+        if base_snap is not None and dict(base_snap.mapping) != self.base_mapping:
+            _drop_staged()
+            raise TxConflict("concurrent commit changed the column mapping; re-run")
+        if base_snap is not None and base_snap.partition_by != self.spec:
+            _drop_staged()
+            raise TxConflict(
+                f"concurrent commit set partition spec {base_snap.partition_by} "
+                f"but this write staged under {self.spec}; re-run"
+            )
         if txn is not None and base_snap is not None:
             from ..operators.txlog import _txn_key
 
             if _txn_key(txn) in base_snap.txns:
                 # epoch replay after restart: the commit already landed —
                 # drop the re-staged bytes, change nothing
-                for rel_staged, *_rest in staged:
-                    try:
-                        os.unlink(os.path.join(self.path, rel_staged))
-                    except FileNotFoundError:
-                        pass
+                _drop_staged()
                 return
         adds = []
         seq = 0

@@ -241,3 +241,64 @@ def test_writestream_txlog_partitioned_and_readable_as_stream(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(out)).count() == 16
+
+
+def test_sql_writer_commit_races_follow_txtable_rules(spark, tmp_path):
+    """The Arrow writer's driver-side commit obeys TxTable's conflict
+    ladder: a blind append retries past a racing commit; a constraint added
+    concurrently (which the SQL sink cannot enforce) aborts with TxConflict
+    instead of committing unchecked rows."""
+    import pyarrow as pa
+
+    from snapshot_sender_spark.operators.txlog import TxConflict
+    from snapshot_sender_spark.sources.txlog_write import TxlogArrowWriter
+
+    t = TxTable(spark, str(tmp_path / "race_tab"))
+    t.append(spark.range(0, 5).coalesce(1), ts=1.0)
+    schema = t.snapshot().schema()
+
+    def staged_writer():
+        w = TxlogArrowWriter({"path": t.path, "write_ts": "9.0"}, schema, False)
+        msg = w.write(iter([pa.RecordBatch.from_pylist([{"id": 100}, {"id": 101}])]))
+        return w, msg
+
+    # race 1: a competing append lands between stage and commit — the blind
+    # append revalidates and retries, both commits survive
+    w, msg = staged_writer()
+    t.append(spark.range(5, 8).coalesce(1), ts=2.0)
+    w.commit([msg])
+    assert t.read().count() == 10  # 5 + 3 + 2
+    assert sorted(r["id"] for r in t.read().where("id >= 100").collect()) == [100, 101]
+
+    # race 2: a constraint lands between stage and commit — refuse, clean
+    w2, msg2 = staged_writer()
+    t.set_constraint("small", "id < 1000", ts=3.0)
+    with pytest.raises(TxConflict, match="constraint"):
+        w2.commit([msg2])
+    assert t.read().count() == 10  # nothing leaked
+    # and no staged orphans survive a later vacuum
+    t.vacuum(retain_versions=1, min_age_s=0)
+    staging = os.path.join(t.path, "_staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_sql_writer_conflicts_on_concurrent_rename_without_collision(spark, tmp_path):
+    """A rename landing between stage and a collision-free commit would
+    leave the staged files under STALE physical names — the commit-time
+    mapping check conflicts instead."""
+    import pyarrow as pa
+
+    from snapshot_sender_spark.operators.txlog import TxConflict
+    from snapshot_sender_spark.sources.txlog_write import TxlogArrowWriter
+
+    t = TxTable(spark, str(tmp_path / "race_map"))
+    t.append(spark.range(0, 4).withColumn("v", F.col("id")).coalesce(1), ts=1.0)
+    schema = t.snapshot().schema()
+    w = TxlogArrowWriter({"path": t.path}, schema, False)
+    msg = w.write(iter([pa.RecordBatch.from_pylist([{"id": 9, "v": 9}])]))
+    t.rename_column("v", "val", ts=2.0)
+    t.rename_column("val", "v", ts=3.0)  # round trip: mapping back to identity...
+    t.rename_column("v", "w", ts=4.0)    # ...then genuinely changed
+    with pytest.raises(TxConflict, match="column mapping"):
+        w.commit([msg])
+    assert t.read().count() == 4
