@@ -190,7 +190,9 @@ class TxlogBatchReader(DataSourceReader):
         schema = T.StructType.fromJson(json.loads(part.schema_json))
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        exclude = set(part.dv) | sidecar_rows(part.dvf, os.path.basename(part.path))
+        exclude = sorted(
+            set(part.dv) | sidecar_rows(part.dvf, os.path.basename(part.path))
+        )
         for batch, offset in decode_file_batches(
             part.path, part.part, list(schema.fields), part.mapping,
             to_arrow_schema(schema),

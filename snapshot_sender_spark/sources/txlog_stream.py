@@ -481,15 +481,27 @@ def decode_file_batches(path, part_vals, fields, mapping, arrow_schema):
         offset += batch.num_rows
 
 
-def mask_exclude(batch, offset: int, exclude: set):
-    """Drop the rows whose GLOBAL index is in ``exclude`` — one boolean
-    mask per batch, no per-row Python."""
+def window_indices(sorted_idxs: list, offset: int, n: int) -> list:
+    """The slice of SORTED global row indices falling in [offset, offset+n),
+    re-based to the batch — bisect keeps per-batch cost O(log |idxs| + hits)
+    instead of O(|idxs|) (a 1M-row sidecar vector over a 1k-batch file would
+    otherwise pay a billion comparisons)."""
+    import bisect
+
+    lo = bisect.bisect_left(sorted_idxs, offset)
+    hi = bisect.bisect_left(sorted_idxs, offset + n)
+    return [i - offset for i in sorted_idxs[lo:hi]]
+
+
+def mask_exclude(batch, offset: int, exclude):
+    """Drop the rows whose GLOBAL index is in ``exclude`` (a SORTED list) —
+    one boolean mask per batch, no per-row Python."""
     import numpy as np
     import pyarrow as pa
 
     if not exclude:
         return batch
-    local = [i - offset for i in exclude if offset <= i < offset + batch.num_rows]
+    local = window_indices(exclude, offset, batch.num_rows)
     if not local:
         return batch
     mask = np.ones(batch.num_rows, dtype=bool)
@@ -820,8 +832,9 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
         if isinstance(part, _CdfAddPartition):
             # insert path: pure Arrow — mask the payload DVs, append the two
             # constant columns; identical data-plane shape to the base reader
-            exclude = set(part.payload_dv) | self._sidecar_rows(
-                part.payload_dvf, os.path.basename(part.path)
+            exclude = sorted(
+                set(part.payload_dv)
+                | self._sidecar_rows(part.payload_dvf, os.path.basename(part.path))
             )
             for batch, offset in self._file_batches(part.path, part.part):
                 kept = self._mask_exclude(batch, offset, exclude)
@@ -835,7 +848,7 @@ class _TxlogCdfStreamReader(_TxlogStreamReader):
                 self._sidecar_rows([part.sidecar], os.path.basename(part.path))
             )
             for batch, offset in self._file_batches(part.path, part.part):
-                local = [i - offset for i in idxs if offset <= i < offset + batch.num_rows]
+                local = window_indices(idxs, offset, batch.num_rows)
                 if local:
                     yield self._with_cdf(
                         batch.take(pa.array(local, type=pa.int64())),
