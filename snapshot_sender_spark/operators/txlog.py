@@ -1596,6 +1596,7 @@ class TxTable:
         ts: float | None = None,
         cluster_expr: str | None = None,
         only_smaller_than: int | None = None,
+        target_file_bytes: int | None = None,
     ) -> int:
         """Data-equivalent rewrite of the live files into ``target_files``.
         Concurrent appends are tolerated on retry (their files are simply not
@@ -1613,7 +1614,13 @@ class TxTable:
         accreting one small file per micro-batch compacts at a cost
         proportional to the small-file backlog, never the table — the 100 TB
         answer to "OPTIMIZE re-writes 100 TB nightly". Fewer than two
-        qualifying files is a no-op (no new version)."""
+        qualifying files is a no-op (no new version).
+
+        ``target_file_bytes`` derives ``target_files`` from the inputs'
+        TOTAL bytes instead of a fixed count (Delta's
+        optimize.targetFileSize shape): state the size the table should
+        converge to (e.g. 128 MiB) and the rewrite bin-packs toward it,
+        whatever the backlog happens to weigh."""
         snap = self.snapshot()
         self._writer_gate(snap)
         inputs = snap.live_paths()
@@ -1625,6 +1632,9 @@ class TxTable:
                 return snap.version  # nothing worth packing
         if not inputs:
             return snap.version
+        if target_file_bytes is not None:
+            total = sum(snap.files[p]["bytes"] for p in inputs)
+            target_files = max(1, -(-total // int(target_file_bytes)))  # ceil
         # reading through the deletion vectors materializes them: the rewrite
         # holds only surviving rows and the new files carry no DV
         data = self.read_files(

@@ -274,9 +274,60 @@ class TxlogHistoryDataSource(DataSource):
         return TxlogHistoryReader(self.options)
 
 
+class _DetailPartition(InputPartition):
+    def __init__(self, row):
+        self.row = row
+
+
+class TxlogDetailDataSource(DataSource):
+    """``DESCRIBE DETAIL`` through SQL: the one-row control-plane summary
+    (version, counts, spec, protocol, mapping/constraint/DV footprint) —
+    ``SELECT * FROM <name>_detail`` after register_sql_views."""
+
+    @classmethod
+    def name(cls):
+        return "txlog_detail"
+
+    def schema(self):
+        return (
+            "path string, version bigint, num_files bigint, num_rows bigint, "
+            "size_bytes bigint, partition_by array<string>, "
+            "min_reader int, min_writer int, n_mapped_columns int, "
+            "n_retired_columns int, constraints array<string>, "
+            "schema_fields array<string>, dv_inline_rows bigint, "
+            "dv_sidecar_files bigint, dv_sidecar_rows bigint"
+        )
+
+    def reader(self, schema: T.StructType):
+        options = self.options
+
+        class _R(DataSourceReader):
+            def partitions(self):
+                d = TxTable(None, options.get("path")).describe_detail()
+                return [
+                    _DetailPartition(
+                        (
+                            d["path"], d["version"], d["num_files"],
+                            d["num_rows"], d["size_bytes"], d["partition_by"],
+                            d["protocol"]["min_reader"], d["protocol"]["min_writer"],
+                            len(d["column_mapping"]), len(d["retired_columns"]),
+                            d["constraints"], d["schema_fields"],
+                            d["dv_inline_rows"], d["dv_sidecar_files"],
+                            d["dv_sidecar_rows"],
+                        )
+                    )
+                ]
+
+            def read(self, part):
+                yield part.row
+
+        return _R()
+
+
 def register(spark) -> None:
     spark.dataSource.register(TxlogBatchDataSource)
     spark.dataSource.register(TxlogHistoryDataSource)
+    spark.dataSource.register(TxlogDetailDataSource)
     # DSv2 pushdown for Python sources is opt-in; without it a reader that
     # implements pushFilters fails analysis outright.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -316,8 +367,12 @@ def register_sql_views(
     _mk(name, {})
     for suffix, opts in (pins or {}).items():
         _mk(f"{name}_{suffix}", opts)
-    # DESCRIBE HISTORY as SQL: <name>_history (re-resolved per query plan)
+    # DESCRIBE HISTORY / DETAIL as SQL (re-resolved per query plan)
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW {name}_history "
         f"USING txlog_history OPTIONS (path '{path}')"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name}_detail "
+        f"USING txlog_detail OPTIONS (path '{path}')"
     )

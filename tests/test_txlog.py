@@ -1527,3 +1527,22 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     # the real vacuum removes exactly what the dry run reported
     assert t.vacuum(retain_versions=1, min_age_s=0) == would
     assert not os.path.exists(os.path.join(t.path, would[0]))
+
+
+def test_compact_by_target_file_bytes(spark, tmp_path):
+    """OPTIMIZE toward a stated file SIZE: target_files derives from the
+    inputs' total bytes (ceil), so the table converges to the size policy
+    whatever the backlog weighs."""
+    t = _mk(spark, tmp_path, "t_target_bytes")
+    t.append(spark.range(0, 20000).repartition(16), ts=1.0)
+    snap = t.snapshot()
+    total = sum(a["bytes"] for a in snap.files.values())
+    target = total // 3  # expect ceil(total/target) = 3 (maybe 4) outputs
+    t.compact(ts=2.0, target_file_bytes=target)
+    out = t.snapshot()
+    assert 3 <= len(out.files) <= 4
+    assert t.read().count() == 20000
+    # a huge target size packs to ONE file
+    t.append(spark.range(20000, 20100).coalesce(1), ts=3.0)
+    t.compact(ts=4.0, target_file_bytes=10**12)
+    assert len(t.snapshot().files) == 1 and t.read().count() == 20100

@@ -187,3 +187,19 @@ def test_sql_describe_history_view(spark, tmp_path):
     assert sorted(map(tuple, t.history().collect())) == sorted(
         map(tuple, spark.sql("SELECT * FROM thist_history").collect())
     )
+
+
+def test_sql_describe_detail_view(spark, tmp_path):
+    """DESCRIBE DETAIL through SQL: the one-row control-plane summary."""
+    t = TxTable(spark, str(tmp_path / "det_tab"), partition_by=("g",))
+    t.MOR_MAX_INLINE_DV = 100
+    t.append(
+        spark.range(0, 30).withColumn("g", (F.col("id") % 3).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    t.delete_where("id < 5", ts=2.0, mode="mor")
+    register_sql_views(spark, "tdet", t.path)
+    r = spark.sql("SELECT * FROM tdet_detail").collect()[0]
+    assert r["version"] == 2 and r["num_rows"] == 25 and r["num_files"] == 3
+    assert r["partition_by"] == ["g"] and r["dv_inline_rows"] == 5
+    assert r["min_reader"] == 1 and r["schema_fields"] == ["id", "g"]

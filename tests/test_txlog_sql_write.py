@@ -302,3 +302,26 @@ def test_sql_writer_conflicts_on_concurrent_rename_without_collision(spark, tmp_
     with pytest.raises(TxConflict, match="column mapping"):
         w.commit([msg])
     assert t.read().count() == 4
+
+
+def test_sql_write_partition_values_with_special_chars(spark, tmp_path):
+    """Partition VALUES containing spaces and slashes survive the SQL write
+    path: pyarrow's hive dirs are parsed back to raw values, and the commit
+    rebuilds Spark-compatible percent-quoted directories — reads through
+    both the SQL view and the Python API see the original strings."""
+    t = TxTable(spark, str(tmp_path / "w_chars"), partition_by=("cat",))
+    t.append(
+        spark.createDataFrame([(0, "plain")], "id long, cat string").coalesce(1),
+        ts=1.0,
+    )
+    register_sql_views(spark, "w_chars_tt", t.path)
+    spark.createDataFrame(
+        [(1, "has space"), (2, "a/b"), (3, "eq=val")], "id long, cat string"
+    ).coalesce(1).write.format("txlog").option("path", t.path).mode("append").save()
+    got = sorted((r["id"], r["cat"]) for r in t.read().collect())
+    assert got == [(0, "plain"), (1, "has space"), (2, "a/b"), (3, "eq=val")]
+    register_sql_views(spark, "w_chars_tt", t.path)
+    got_sql = sorted(
+        (r["id"], r["cat"]) for r in spark.sql("SELECT * FROM w_chars_tt").collect()
+    )
+    assert got_sql == got
