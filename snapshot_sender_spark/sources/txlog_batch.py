@@ -339,6 +339,7 @@ def register_sql_views(
     path: str,
     pins: dict | None = None,
     options: dict | None = None,
+    native: bool = False,
 ) -> None:
     """Publish a txlog table to SQL: ``<name>`` = latest snapshot, plus one
     view per pin — ``pins={"v3": {"version": 3}, "y2024": {"timestamp": ts},
@@ -351,8 +352,24 @@ def register_sql_views(
     view (e.g. ``{"filter_pushdown": "true"}`` to opt into per-query
     pushFilters pruning — see TxlogBatchReader for the engine caveat).
     After a schema evolution, re-register: a view resolves its schema at
-    CREATE time (this call is CREATE OR REPLACE, so one call refreshes)."""
+    CREATE time (this call is CREATE OR REPLACE, so one call refreshes).
+
+    ``native=True`` (round-12 verdict #3) publishes the views over
+    ``TxTable.read()`` DataFrames instead of the Python DataSource: the
+    scan is Spark's JVM parquet reader over the snapshot's pruned file list
+    — no Python decode in the read path (~165k rows/s/core saved per
+    SCALE.md) — at the cost of a STRICTER refresh contract: a native view
+    pins its snapshot (live file list + deletion vectors) AT REGISTRATION,
+    so after any commit you re-register to advance (one call, CREATE OR
+    REPLACE). The Python-source views re-resolve per query plan instead.
+    Results are identical in both modes (pinned by test); pick native for
+    scan-heavy analytics, the source views for always-fresh dashboards.
+    ``options`` (source knobs) do not apply to native views. Writes:
+    INSERT INTO needs the source view (the DataSource writer), so native
+    mode also registers ``<name>__ins`` as a source-backed live view; the
+    DML dispatcher (sources/txlog_sql.py) works with either mode."""
     register(spark)
+    from .txlog_sql import track_view
 
     def _mk(view: str, opts: dict) -> None:
         merged = {**(options or {}), **opts}
@@ -364,9 +381,30 @@ def register_sql_views(
             f"OPTIONS ({with_opts})"
         )
 
-    _mk(name, {})
+    def _mk_native(view: str, opts: dict) -> None:
+        t = TxTable(spark, path)
+        prune = (
+            [tuple(x) for x in json.loads(opts["prune"])]
+            if "prune" in opts
+            else None
+        )
+        t.read(
+            version=int(opts["version"]) if "version" in opts else None,
+            timestamp=float(opts["timestamp"]) if "timestamp" in opts else None,
+            prune=prune,
+        ).createOrReplaceTempView(view)
+
+    make = _mk_native if native else _mk
+    make(name, {})
+    # mutable = the live, unfiltered view (DML refuses pins/prunes)
+    track_view(name, path, mutable=True)
+    if native:
+        # the DataSource WRITER needs a source-backed view for INSERT INTO
+        _mk(f"{name}__ins", {})
+        track_view(f"{name}__ins", path, mutable=True)
     for suffix, opts in (pins or {}).items():
-        _mk(f"{name}_{suffix}", opts)
+        make(f"{name}_{suffix}", opts)
+        track_view(f"{name}_{suffix}", path, mutable=False)
     # DESCRIBE HISTORY / DETAIL as SQL (re-resolved per query plan)
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW {name}_history "

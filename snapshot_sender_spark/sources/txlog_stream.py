@@ -136,14 +136,19 @@ class _TxlogStreamReader(DataSourceStreamReader):
             # stream every commit whose ts >= T: the start offset is the
             # last version committed strictly BEFORE T (ts-less commits
             # never match timestamp queries — same stance as
-            # TxTable.snapshot(timestamp=...)). One-time meta walk at
-            # construction; offsets stay plain versions afterwards.
+            # TxTable.snapshot(timestamp=...)). BACKWARD scan, stop at the
+            # first hit: the answer is the MAX version with ts < T, so a
+            # stream starting near the log head opens only the versions
+            # NEWER than it — O(tail), not O(full log) (round-12 verdict
+            # #4, which flagged this as the last full-log walk). Exact even
+            # under non-monotone explicit-ts commits, with zero extra state.
             target = float(st)
             start = 0
-            for v in self._versions():
+            for v in reversed(self._versions()):
                 meta = self._actions(v)[0]["meta"]
                 if meta.get("ts") is not None and float(meta["ts"]) < target:
                     start = v
+                    break
             self.start_version = start
         # ADMISSION CONTROL (maxFilesPerTrigger's version-offset analog): a
         # stream resuming against a 100k-commit backlog must not plan one
@@ -155,6 +160,14 @@ class _TxlogStreamReader(DataSourceStreamReader):
         # an already-committed range, which the engine ignores (it plans
         # from its checkpoint), and the floor resyncs on that first plan.
         self.max_versions = int(options.get("max_versions_per_trigger", "0"))
+        # BYTES-based admission control (round-12 verdict #7): a version can
+        # be arbitrarily large, so capping versions alone cannot bound a
+        # micro-batch. max_bytes_per_trigger caps the cumulative add-action
+        # bytes a trigger may admit (the sizes are already in the log — no
+        # data I/O), with the same floor-resync semantics; at least one
+        # version is always admitted so a fat commit still drains. Both caps
+        # compose: versions first, then bytes tighten.
+        self.max_bytes = int(options.get("max_bytes_per_trigger", "0"))
         self._offset_floor = self.start_version
         # the STREAM schema is fixed for the reader's lifetime: every emitted
         # batch uses it, older files backfill NULL, and columns evolved AFTER
@@ -247,7 +260,9 @@ class _TxlogStreamReader(DataSourceStreamReader):
     def _load_ckpt_at_or_before(self, version: int | None) -> dict | None:
         """Newest checkpoint payload at or below ``version`` (None = any),
         or None when the table has no usable checkpoint (a vacuumed-away
-        file degrades to a full log replay, never an error)."""
+        file degrades to a full log replay, never an error). Payloads
+        predating the ``proto`` key are UNTRUSTED — their implicit (1,1)
+        would bypass the reader protocol gate (round-12 ADVICE fix)."""
         usable = [
             c for c in self._ckpt_versions() if version is None or c <= version
         ]
@@ -255,7 +270,10 @@ class _TxlogStreamReader(DataSourceStreamReader):
             f = os.path.join(self._log_dir(), f"ckpt-v{c:0{_VERSION_DIGITS}d}.json")
             try:
                 with open(f, "r", encoding="utf-8") as fh:
-                    return json.load(fh)
+                    d = json.load(fh)
+                if "proto" not in d:
+                    continue  # stale pre-proto payload: full replay instead
+                return d
             except FileNotFoundError:
                 continue  # concurrent vacuum GC'd it; try an older one
         return None
@@ -269,11 +287,34 @@ class _TxlogStreamReader(DataSourceStreamReader):
         versions = self._versions()
         latest = max(versions[-1] if versions else self.start_version,
                      self.start_version)
+        if not (self.max_versions or self.max_bytes):
+            return {"version": latest}
+        capped = latest
         if self.max_versions:
-            capped = min(latest, self._offset_floor + self.max_versions)
-            self._offset_floor = max(self._offset_floor, capped)
-            return {"version": capped}
-        return {"version": latest}
+            capped = min(capped, self._offset_floor + self.max_versions)
+        if self.max_bytes and capped > self._offset_floor:
+            # admit whole versions until the byte budget is spent; the FIRST
+            # pending version is always admitted (progress guarantee — a
+            # single fat commit must still drain, as one bounded batch)
+            total, take = 0, self._offset_floor
+            for v in versions:
+                if v <= self._offset_floor:
+                    continue
+                if v > capped:
+                    break
+                vbytes = sum(
+                    a["add"].get("bytes", 0)
+                    for a in self._actions(v)
+                    if "add" in a
+                )
+                if take > self._offset_floor and total + vbytes > self.max_bytes:
+                    break
+                take, total = v, total + vbytes
+                if total >= self.max_bytes:
+                    break
+            capped = take
+        self._offset_floor = max(self._offset_floor, capped)
+        return {"version": capped}
 
     def commit(self, end: dict) -> None:
         # the engine's checkpoint owns progress; remember it as the

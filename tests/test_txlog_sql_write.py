@@ -6,7 +6,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from snapshot_sender_spark.operators.txlog import TxError, TxTable
+from snapshot_sender_spark.operators.txlog import TxConflict, TxError, TxTable
 from snapshot_sender_spark.sources.txlog_batch import register_sql_views
 
 
@@ -102,11 +102,21 @@ def test_sql_write_schema_evolution_and_refusals(spark, tmp_path):
             .write.format("txlog").option("path", t.path)
             .option("version", "1").mode("append").save()
         )
-    # constrained tables refuse the SQL sink (no session to enforce CHECKs)
+    # constrained tables ENFORCE on the SQL sink (driver-side commit has the
+    # active session — round-13): clean rows commit, dirty rows refuse
+    # atomically with the staged bytes unlinked
     t.set_constraint("pos", "id >= 0", ts=3.0)
+    spark.sql("INSERT INTO w_evo_tt SELECT id, 'y' AS tag FROM range(8, 10)")
+    assert t.read().count() == 10
     with pytest.raises(Exception, match="constraint"):
-        spark.sql("INSERT INTO w_evo_tt SELECT id, 'y' AS tag FROM range(8, 10)")
-    assert t.read().count() == 8  # nothing leaked
+        spark.sql("INSERT INTO w_evo_tt SELECT id, 'y' AS tag FROM range(-2, 0)")
+    assert t.read().count() == 10  # nothing leaked
+    assert t.read().where("id < 0").count() == 0
+    # no orphan bytes: everything on disk is referenced by the snapshot
+    t.vacuum(retain_versions=1, min_age_s=0)
+    live = {os.path.basename(p) for p in t.snapshot().live_paths()}
+    on_disk = {f for f in os.listdir(t.path) if f.endswith(".parquet")}
+    assert on_disk == live
 
 
 def test_pushed_filters_never_leak_across_queries(spark, tmp_path):
@@ -250,7 +260,6 @@ def test_sql_writer_commit_races_follow_txtable_rules(spark, tmp_path):
     instead of committing unchecked rows."""
     import pyarrow as pa
 
-    from snapshot_sender_spark.operators.txlog import TxConflict
     from snapshot_sender_spark.sources.txlog_write import TxlogArrowWriter
 
     t = TxTable(spark, str(tmp_path / "race_tab"))
@@ -270,12 +279,24 @@ def test_sql_writer_commit_races_follow_txtable_rules(spark, tmp_path):
     assert t.read().count() == 10  # 5 + 3 + 2
     assert sorted(r["id"] for r in t.read().where("id >= 100").collect()) == [100, 101]
 
-    # race 2: a constraint lands between stage and commit — refuse, clean
+    # race 2: a constraint lands between stage and commit — the commit now
+    # ENFORCES it driver-side (round-13): the staged rows (100, 101) satisfy
+    # id < 1000, so they commit; a SECOND staged write violating a stricter
+    # concurrent constraint refuses with the renamed bytes unlinked
     w2, msg2 = staged_writer()
     t.set_constraint("small", "id < 1000", ts=3.0)
-    with pytest.raises(TxConflict, match="constraint"):
-        w2.commit([msg2])
-    assert t.read().count() == 10  # nothing leaked
+    w2.commit([msg2])
+    assert t.read().count() == 12
+    w3 = TxlogArrowWriter({"path": t.path}, schema, False)
+    # 500/501 PASS the frozen set ("small": id < 1000) so write() admits them...
+    msg3 = w3.write(iter([pa.RecordBatch.from_pylist([{"id": 500}, {"id": 501}])]))
+    # ...then a STRICTER constraint lands before commit: existing rows (max
+    # 101) pass it, the staged rows violate — the commit-time re-gate (via
+    # the active session here) refuses and unlinks
+    t.set_constraint("mid", "id < 200", ts=4.0)
+    with pytest.raises(TxError, match="constraint violation"):
+        w3.commit([msg3])
+    assert t.read().count() == 12  # nothing leaked
     # and no staged orphans survive a later vacuum
     t.vacuum(retain_versions=1, min_age_s=0)
     staging = os.path.join(t.path, "_staging")
@@ -325,3 +346,193 @@ def test_sql_write_partition_values_with_special_chars(spark, tmp_path):
         (r["id"], r["cat"]) for r in spark.sql("SELECT * FROM w_chars_tt").collect()
     )
     assert got_sql == got
+
+
+def test_sql_write_enforces_constraints_with_txtable_parity(spark, tmp_path):
+    """Round-13 verdict #2: the SQL write path enforces CHECK constraints
+    exactly like TxTable.append — clean batch commits, dirty batch refuses
+    atomically with staged bytes unlinked, on BOTH paths."""
+    t = TxTable(spark, str(tmp_path / "w_cons"))
+    t.append(spark.range(0, 5).withColumn("v", F.col("id")).coalesce(1), ts=1.0)
+    t.set_constraint("v_small", "v < 100", ts=2.0)
+    register_sql_views(spark, "w_cons_tt", t.path)
+
+    # clean INSERT INTO commits (the r12 build refused it outright)
+    spark.sql("INSERT INTO w_cons_tt SELECT id, id AS v FROM range(5, 10)")
+    assert t.read().count() == 10
+
+    # dirty via SQL and dirty via Python refuse with the SAME behavior
+    with pytest.raises(Exception, match="constraint violation"):
+        spark.sql("INSERT INTO w_cons_tt SELECT id, id * 50 AS v FROM range(10, 14)")
+    with pytest.raises(TxError, match="constraint violation"):
+        t.append(
+            spark.range(10, 14).withColumn("v", F.col("id") * 50).coalesce(1), ts=3.0
+        )
+    assert t.read().count() == 10
+    assert t.read().where("v >= 100").count() == 0
+    # both refusals left zero orphan bytes
+    t.vacuum(retain_versions=1, min_age_s=0)
+    live = {os.path.basename(p) for p in t.snapshot().live_paths()}
+    assert {f for f in os.listdir(t.path) if f.endswith(".parquet")} == live
+
+
+def test_sql_write_constraint_enforced_on_partitioned_column(spark, tmp_path):
+    """The CHECK may reference a hive PARTITION column (its value lives in
+    the directory name, restored by basePath at validation time)."""
+    t = TxTable(spark, str(tmp_path / "w_cons_p"), partition_by=("g",))
+    t.append(
+        spark.range(0, 4).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    t.set_constraint("g_ok", "g IN (0, 1, 2)", ts=2.0)
+    register_sql_views(spark, "w_cons_p_tt", t.path)
+    spark.sql("INSERT INTO w_cons_p_tt SELECT id, CAST(2 AS INT) AS g FROM range(4, 6)")
+    assert t.read().count() == 6
+    with pytest.raises(Exception, match="constraint violation"):
+        spark.sql(
+            "INSERT INTO w_cons_p_tt SELECT id, CAST(7 AS INT) AS g FROM range(6, 8)"
+        )
+    assert t.read().count() == 6
+
+
+def test_stats_exclude_is_a_table_property_honored_by_sql_writes(spark, tmp_path):
+    """Round-12 ADVICE: a table configured with stats_exclude persists the
+    exclusion in commit meta, and the SQL/stream write paths pop those
+    columns from harvested footer stats — no min/max of the sensitive column
+    ever enters the log, whichever path wrote it."""
+    t = TxTable(spark, str(tmp_path / "w_sx"), stats_exclude=("body",))
+    df = spark.range(0, 6).withColumn("body", F.concat(F.lit("secret-"), F.col("id")))
+    t.append(df.coalesce(1), ts=1.0)
+    register_sql_views(spark, "w_sx_tt", t.path)
+    # SQL write through a FRESH TxTable-free path: no constructor argument
+    spark.sql(
+        "INSERT INTO w_sx_tt SELECT id, concat('classified-', id) AS body "
+        "FROM range(6, 12)"
+    )
+    # streaming sink too
+    src = str(tmp_path / "sx_src")
+    spark.range(12, 15).withColumn(
+        "body", F.concat(F.lit("hush-"), F.col("id"))
+    ).coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, body string").parquet(src)
+        .writeStream.format("txlog")
+        .option("path", t.path)
+        .option("checkpointLocation", str(tmp_path / "sx_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = TxTable(spark, t.path).snapshot()
+    assert snap.stats_exclude == ("body",)
+    assert snap.total_rows() == 15
+    for a in snap.files.values():
+        assert "body" not in a["stats"], a
+        assert "id" in a["stats"]  # key columns keep stats: pruning works
+    # the raw log never saw a 'secret'/'classified'/'hush' byte in stats
+    import glob as _glob
+
+    for vf in _glob.glob(os.path.join(t.path, "_txlog", "v*.json")):
+        with open(vf) as fh:
+            txt = fh.read()
+        for needle in ("secret-", "classified-", "hush-"):
+            assert needle not in txt
+    # a writer OPTION can extend the exclusion, and it persists
+    (
+        spark.range(15, 17).withColumn("body", F.lit("x"))
+        .withColumn("note", F.lit("internal"))
+        .write.format("txlog").option("path", t.path)
+        .option("stats_exclude", "note").mode("append").save()
+    )
+    snap2 = TxTable(spark, t.path).snapshot()
+    assert snap2.stats_exclude == ("body", "note")
+
+
+def test_conflicting_sql_write_leaves_no_orphan_bytes(spark, tmp_path):
+    """Round-12 ADVICE: a TxConflict raised by _commit AFTER the staged
+    files were renamed into the table root must unlink them — not leave
+    orphans for vacuum's age-gated sweep."""
+    import pyarrow as pa
+
+    from snapshot_sender_spark.sources.txlog_write import TxlogArrowWriter
+
+    t = TxTable(spark, str(tmp_path / "w_orph"))
+    t.append(spark.range(0, 4).withColumn("v", F.col("id")).coalesce(1), ts=1.0)
+    schema = t.snapshot().schema()
+    w = TxlogArrowWriter({"path": t.path}, schema, False)
+    msg = w.write(iter([pa.RecordBatch.from_pylist([{"id": 9, "v": 9}])]))
+    t.rename_column("v", "w", ts=2.0)  # mapping changed: commit must conflict
+    with pytest.raises(TxConflict, match="column mapping"):
+        w.commit([msg])
+    # the renamed add was unlinked immediately — zero unreferenced parquet
+    live = {os.path.basename(p) for p in t.snapshot().live_paths()}
+    on_disk = {f for f in os.listdir(t.path) if f.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_partitioned_task_write_streams_many_batches(spark, tmp_path):
+    """Round-12 verdict #5: the partitioned task write streams its Arrow
+    batches through a RecordBatchReader (memory bounded by ONE batch) and
+    still produces the exact hive layout + rows of the Python write path."""
+    import pyarrow as pa
+
+    from snapshot_sender_spark.sources.txlog_write import TxlogArrowWriter
+
+    t = TxTable(spark, str(tmp_path / "w_streamed"), partition_by=("g",))
+    t.append(
+        spark.range(0, 2).withColumn("g", (F.col("id") % 2).cast("int")).coalesce(1),
+        ts=1.0,
+    )
+    schema = t.snapshot().schema()
+    w = TxlogArrowWriter({"path": t.path}, schema, False)
+
+    def batches():  # a generator, NOT a list: the writer must not need len()
+        for lo in range(2, 42, 5):
+            yield pa.RecordBatch.from_pylist(
+                [{"id": i, "g": i % 3} for i in range(lo, lo + 5)]
+            )
+
+    msg = w.write(batches())
+    w.commit([msg])
+    t2 = TxTable(spark, t.path)
+    assert sorted(r["id"] for r in t2.read().collect()) == list(range(42))
+    snap = t2.snapshot()
+    assert all(p.startswith("g=") for p in snap.live_paths())
+    assert all(a["stats"] and a["part"] for a in snap.files.values())
+    got = sorted(
+        (r["g"], r["n"])
+        for r in t2.read().groupBy("g").agg(F.count("*").alias("n")).collect()
+    )
+    assert got == [(0, 14), (1, 14), (2, 14)]
+
+
+def test_stream_sink_commit_ts_is_wall_clock(spark, tmp_path):
+    """Round-12 ADVICE: the streaming sink's commit ts must be wall clock
+    (or write_ts), NOT float(batchId) — mixed with other writers a 0.0/1.0
+    sequence breaks timestamp time travel."""
+    import time as _time
+
+    from snapshot_sender_spark.sources.txlog_batch import register
+
+    register(spark)
+    path = str(tmp_path / "ws_ts_tab")
+    TxTable(spark, path).append(spark.range(0, 3).coalesce(1), ts=_time.time())
+    src = str(tmp_path / "ws_ts_src")
+    spark.range(3, 7).coalesce(1).write.parquet(src)
+    t0 = _time.time()
+    q = (
+        spark.readStream.schema("id long").parquet(src)
+        .writeStream.format("txlog")
+        .option("path", path)
+        .option("checkpointLocation", str(tmp_path / "ws_ts_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = TxTable(spark, path)
+    metas = [t._read_version_actions(v)[0]["meta"] for v in t._list_versions()]
+    sink_ts = metas[-1]["ts"]
+    assert sink_ts >= t0  # wall clock, not batchId=0.0
+    # timestamp travel picks the expected versions
+    assert t.read(timestamp=t0).count() == 3
+    assert t.read(timestamp=_time.time() + 5).count() == 7

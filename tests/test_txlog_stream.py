@@ -492,3 +492,157 @@ def test_starting_timestamp_skips_history(spark, tmp_path, table):
         _TxlogStreamReader(
             {"path": table.path, "starting_version": "1", "starting_timestamp": "1.5"}
         )
+
+
+def test_starting_timestamp_opens_only_tail(spark, tmp_path):
+    """Round-12 verdict #4: starting_timestamp resolution was the last
+    O(full log) walk — it now scans BACKWARD and stops at the first commit
+    older than the target, so a stream starting near the log head opens
+    only the newer versions' meta."""
+    from snapshot_sender_spark.sources.txlog_stream import _TxlogStreamReader
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "ts_tail_tab"))
+    one = spark.range(0, 3).coalesce(1)
+    for i in range(1, 21):
+        t.append(one, ts=float(i))  # v1..v20, ts 1..20
+    reader = _TxlogStreamReader({"path": t.path, "starting_timestamp": "18.5"})
+    assert reader.start_version == 18  # last commit strictly before 18.5
+    # backward scan opened v20, v19, v18 (hit) — plus the schema/mapping
+    # seed, which is checkpoint-bounded (ckpt at 20 → zero tail opens)
+    assert reader._log_opens <= 4
+    # semantics unchanged: everything committed at ts >= 18.5 streams
+    out, ckpt = tmp_path / "ts_out", tmp_path / "ts_ckpt"
+    _run(spark, t, out, ckpt, starting_timestamp="18.5")
+    assert spark.read.parquet(str(out)).count() == 6  # v19, v20
+
+
+def test_snapshot_timestamp_backward_scan_open_count(spark, tmp_path):
+    """TxTable.snapshot(timestamp=...) stops its meta scan at the answer:
+    a recent timestamp opens O(tail) version files, not the full log."""
+    t = TxTable(spark, str(tmp_path / "ts_snap_tab"))
+    t.CHECKPOINT_INTERVAL = 5  # ckpts at 5/10/15: replay itself is O(tail)
+    one = spark.range(0, 2).coalesce(1)
+    for i in range(1, 16):
+        t.append(one, ts=float(i))  # v1..v15
+    opens = {"n": 0}
+    orig = TxTable._read_version_actions
+
+    def counting(self, version):
+        opens["n"] += 1
+        return orig(self, version)
+
+    TxTable._read_version_actions = counting
+    try:
+        opens["n"] = 0
+        assert t.read(timestamp=14.5).count() == 28  # answer = v14
+        meta_opens = opens["n"]
+    finally:
+        TxTable._read_version_actions = orig
+    # v15 (miss) + v14 (hit) + the replay tail from the ckpt — never all 15
+    assert meta_opens <= 8, meta_opens
+    # exactness preserved, including the no-match refusal
+    assert t.read(timestamp=1.0).count() == 2
+    with pytest.raises(Exception, match="no commit at or before"):
+        t.snapshot(timestamp=0.5)
+
+
+def test_max_bytes_per_trigger_bounds_micro_batches(spark, tmp_path):
+    """Round-12 verdict #7: a backlog drains as byte-bounded micro-batches —
+    each trigger admits whole versions until the budget is spent (always at
+    least one), and the drained union equals the table exactly."""
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "mb_tab"))
+    for i in range(4):  # 4 commits of ~equal size
+        t.append(
+            spark.range(i * 100, (i + 1) * 100).withColumn(
+                "v", F.col("id") * 2
+            ).coalesce(1),
+            ts=float(i + 1),
+        )
+    snap = t.snapshot()
+    per_commit = max(a["bytes"] for a in snap.files.values())
+    out, ckpt = tmp_path / "mb_out", tmp_path / "mb_ckpt"
+    runs = 0
+    while runs < 8:
+        _run(spark, t, out, ckpt, max_bytes_per_trigger=str(per_commit))
+        runs += 1
+        if spark.read.parquet(str(out)).count() >= 400:
+            break
+    # budget ≈ one commit's bytes → one version per availableNow run
+    assert runs == 4, runs
+    got = spark.read.parquet(str(out))
+    assert got.count() == 400
+    assert sorted(r["id"] for r in got.collect()) == list(range(400))
+
+    # a single FAT commit exceeding the budget still drains (progress floor)
+    t2 = TxTable(spark, str(tmp_path / "mb_fat"))
+    t2.append(spark.range(0, 1000).coalesce(2), ts=1.0)
+    out2, ckpt2 = tmp_path / "mb_out2", tmp_path / "mb_ckpt2"
+    _run(spark, t2, out2, ckpt2, max_bytes_per_trigger="1")
+    assert spark.read.parquet(str(out2)).count() == 1000
+
+    # both caps compose: versions tighten first, bytes tighten further
+    out3, ckpt3 = tmp_path / "mb_out3", tmp_path / "mb_ckpt3"
+    runs = 0
+    while runs < 8:
+        _run(
+            spark, t, out3, ckpt3,
+            max_versions_per_trigger="2",
+            max_bytes_per_trigger=str(per_commit),
+        )
+        runs += 1
+        if spark.read.parquet(str(out3)).count() >= 400:
+            break
+    assert runs == 4, runs  # bytes (1 version) is the binding cap
+    assert spark.read.parquet(str(out3)).count() == 400
+
+
+def test_stale_preproto_checkpoint_is_untrusted(spark, tmp_path):
+    """Round-12 ADVICE: a checkpoint written before the 'proto' key existed
+    must NOT seed replay with an implicit (1,1) — the reader protocol gate
+    would be bypassed. Such payloads are skipped (full log replay) by BOTH
+    the batch snapshot and the stream reader."""
+    import json
+    import os
+
+    from snapshot_sender_spark.sources.txlog_stream import _TxlogStreamReader
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "preproto_tab"))
+    t.CHECKPOINT_INTERVAL = 2
+    t.append(spark.range(0, 4).coalesce(1), ts=1.0)
+    t.append(spark.range(4, 8).coalesce(1), ts=2.0)  # ckpt at v2
+    ckpt_file = t._checkpoint_file(2)
+    with open(ckpt_file) as fh:
+        payload = json.load(fh)
+    assert payload["proto"] == [1, 1]
+    # simulate a pre-upgrade checkpoint: drop the proto key
+    del payload["proto"]
+    os.unlink(ckpt_file)
+    with open(ckpt_file, "w") as fh:
+        json.dump(payload, fh)
+    # hand-write a FUTURE-protocol commit the stale checkpoint would mask
+    v3 = os.path.join(t.path, "_txlog", "v00000000003.json")
+    with open(v3, "w") as fh:
+        fh.write(json.dumps({"meta": {
+            "version": 3, "op": "append", "ts": 3.0, "schema": None,
+            "proto": [99, 99],
+        }}) + "\n")
+    # the gate MUST fire: replay fell back to the raw log (which carries the
+    # floor) instead of trusting the stale checkpoint's implicit (1,1)...
+    with pytest.raises(Exception, match="reader protocol 99"):
+        TxTable(spark, t.path).snapshot()
+    with pytest.raises(Exception, match="reader protocol 99"):
+        _TxlogStreamReader({"path": t.path})
+    # ...wait — the stale ckpt is at v2, BELOW the v3 proto bump, so even a
+    # trusted ckpt would catch v3 in the tail. The real hazard: ckpt AT OR
+    # ABOVE the bump. Re-point the stale payload at v3's state.
+    payload["version"] = 3
+    ckpt3 = t._checkpoint_file(3)
+    with open(ckpt3, "w") as fh:
+        json.dump(payload, fh)
+    with pytest.raises(Exception, match="reader protocol 99"):
+        TxTable(spark, t.path).snapshot()
+    with pytest.raises(Exception, match="reader protocol 99"):
+        _TxlogStreamReader({"path": t.path})
