@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QueryDef]:
         sql2_q,
         streamingq,
         table_q,
+        table2_q,
         tpch2_q,
         tpch_q,
     )

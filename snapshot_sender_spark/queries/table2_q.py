@@ -1,0 +1,396 @@
+"""Round-13 txlog surface as oracle-checked queries: SQL DML (DELETE FROM /
+UPDATE / MERGE INTO via the dispatcher, sources/txlog_sql.py), SQL
+maintenance (OPTIMIZE / VACUUM), constraint-enforced SQL INSERT, native-scan
+SQL views, and bytes-bounded stream admission.
+
+Same contract as table_q.py: each query materializes a txlog table in a
+fresh temp dir from the driver's parquet fixtures, runs the lifecycle under
+test (asserting format mechanics inline), and returns a result that is a
+PURE function of the base tables — DuckDB verifies it without knowing the
+format. Mechanics are pinned in tests/test_txlog_dml.py and
+tests/test_txlog_sql_write.py.
+
+Reference anchor: the reference's only mutations are the status table's
+keyed counter updates (DynamoDBExportStatusService.kt:143-177 — an
+UPDATE-shaped increment) and whole-prefix S3 lifecycle deletes; the SQL DML
+here is that control-plane surface generalized to the data plane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.txlog import TxTable
+from ..tables import load
+from . import query
+from .relational import SQL_DSUM
+from .table_q import _workdir
+
+
+@query(
+    "sql_txlog_delete_where",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND NOT o_orderkey % 30 = 0
+    GROUP BY o_orderpriority
+    """,
+    category="table-format",
+)
+def sql_txlog_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM <view> WHERE ...`` as PLAIN SQL TEXT (round-12 verdict
+    #1: the SQL surface stopped at SELECT+INSERT; mutation required the
+    Python API). The dispatcher (sources/txlog_sql.py) parses the statement
+    and routes to TxTable.delete_where — full copy-on-write semantics: only
+    files containing a matched row are rewritten, the pre-delete snapshot
+    still time-travels (asserted inline), NULL-predicate rows survive. The
+    readback through the same SQL view equals the pure filter."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_del_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).where(F.col("o_orderkey") % 10 == 0)
+    t = TxTable(spark, f"{work}/orders_tx")
+    t.append(orders.repartition(4), ts=1.0)
+    n0 = orders.count()
+    register_sql_views(spark, "orders_del_tt", t.path)
+    out = sql(spark, "DELETE FROM orders_del_tt WHERE o_orderkey % 30 = 0")
+    row = out.collect()[0]
+    if row["operation"] != "DELETE" or row["version"] != 2:
+        raise AssertionError(f"unexpected DML result: {row}")
+    if t.read(version=1).count() != n0:
+        raise AssertionError("pre-delete snapshot must still time-travel")
+    return spark.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_del_tt GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_txlog_merge_into",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 0
+    ), src AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 15 = 0
+    ), merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM merged GROUP BY o_orderpriority
+    """,
+    category="table-format",
+)
+def sql_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO ... USING ... ON ... WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *`` as plain SQL text, dispatched to
+    TxTable.merge (round-12 verdict #1). Matched keys (%30 — in both the
+    %10 base and the %15 source) are REPLACED by the doubled-price source
+    row, unmatched source keys (%15 but not %10) INSERT — both branches
+    nonempty by construction, asserted inline. Doubling a float is
+    exponent arithmetic (exact in both engines), so the oracle is a pure
+    anti-join + union over orders."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_mrg_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 10 == 0)
+    src = orders.where(F.col("o_orderkey") % 15 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    n_matched = base.join(src, "o_orderkey", "left_semi").count()
+    n_inserted = src.join(base, "o_orderkey", "left_anti").count()
+    if not (n_matched and n_inserted):
+        raise AssertionError("degenerate merge fixture: need both branches")
+    t = TxTable(spark, f"{work}/orders_tx")
+    t.append(base.repartition(4), ts=1.0)
+    register_sql_views(spark, "orders_mrg_tt", t.path)
+    src.createOrReplaceTempView("orders_mrg_src")
+    out = sql(spark, """
+        MERGE INTO orders_mrg_tt AS tg USING orders_mrg_src AS s
+        ON tg.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """).collect()[0]
+    if out["operation"] != "MERGE" or out["version"] != 2:
+        raise AssertionError(f"unexpected DML result: {out}")
+    if t.read().count() != base.count() + n_inserted:
+        raise AssertionError("merge row count drifted")
+    return spark.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_mrg_tt GROUP BY o_orderpriority
+    """)
+
+
+@query(
+    "sql_txlog_update_where",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 5 ELSE n_chars END)
+                AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+    category="table-format",
+)
+def sql_txlog_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE <view> SET ... WHERE ...`` as plain SQL text, dispatched to
+    TxTable.update_where in MERGE-ON-READ mode: no file is rewritten — one
+    atomic commit DV-invalidates the matched old rows and appends the
+    updated images (asserted inline: every original file is still live).
+    Every RHS sees the OLD row (standard UPDATE semantics) and assigned
+    expressions cast to the column's stored type, so the readback equals
+    the pure CASE projection — the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_upd_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.repartition(4), ts=1.0)
+    files_before = set(t.snapshot().files)
+    register_sql_views(spark, "docs_upd_tt", t.path)
+    out = sql(
+        spark,
+        "UPDATE docs_upd_tt SET n_chars = n_chars + 5 WHERE lang = 'en'",
+        mode="mor",
+    ).collect()[0]
+    if out["operation"] != "UPDATE":
+        raise AssertionError(f"unexpected DML result: {out}")
+    if not files_before <= set(t.snapshot().files):
+        raise AssertionError("mor update must not rewrite existing files")
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_upd_tt GROUP BY lang
+    """)
+
+
+@query(
+    "sql_txlog_maintenance",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 < 2
+    GROUP BY source
+    """,
+    category="table-format",
+)
+def sql_txlog_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE and VACUUM as SQL text (round-12 verdict #6): two small
+    commits' files bin-pack under ``OPTIMIZE <view>`` (file count drops, data
+    unchanged), ``VACUUM ... DRY RUN`` reports the now-unreachable
+    pre-compaction files WITHOUT deleting (asserted on disk), and the real
+    ``VACUUM`` deletes exactly the reported list. Maintenance is
+    data-equivalent by definition — the readback equals the pure filter,
+    which is the oracle."""
+    import os
+
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_mnt_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    for i in range(2):
+        t.append(docs.where(F.col("doc_id") % 3 == i).repartition(2), ts=float(i + 1))
+    register_sql_views(spark, "docs_mnt_tt", t.path)
+    opt = sql(spark, "OPTIMIZE docs_mnt_tt").collect()[0]
+    if not opt["files_after"] < opt["files_before"]:
+        raise AssertionError(f"OPTIMIZE did not bin-pack: {opt}")
+    dry = sorted(
+        r["path"]
+        for r in sql(
+            spark,
+            "VACUUM docs_mnt_tt RETAIN 1 VERSIONS OLDER THAN 0 SECONDS DRY RUN",
+        ).collect()
+    )
+    if not dry or not all(os.path.exists(os.path.join(t.path, p)) for p in dry):
+        raise AssertionError("DRY RUN must report unreachable files, delete none")
+    gone = sorted(
+        r["path"]
+        for r in sql(
+            spark, "VACUUM docs_mnt_tt RETAIN 1 VERSIONS OLDER THAN 0 SECONDS"
+        ).collect()
+    )
+    if gone != dry or any(os.path.exists(os.path.join(t.path, p)) for p in gone):
+        raise AssertionError("VACUUM must delete exactly the dry-run list")
+    return spark.sql("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_mnt_tt GROUP BY source
+    """)
+
+
+@query(
+    "sql_txlog_insert_constrained",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 AND n_chars >= 0
+    GROUP BY source
+    """,
+    category="table-format",
+)
+def sql_txlog_insert_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints ENFORCED on the SQL write path (round-12 verdict
+    #2: the r12 build refused constrained tables outright). A table with
+    ``CHECK (n_chars >= 0)`` accepts a clean ``INSERT INTO`` — each Arrow
+    batch is validated executor-side before any byte reaches the table —
+    and atomically rejects a dirty one (asserted inline: the refusal leaves
+    row count and disk state unchanged). The final readback equals the pure
+    filtered union, which is the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+
+    work = _workdir("txlog_sql_cons_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(even.where(F.col("doc_id") % 4 == 0).repartition(2), ts=1.0)
+    t.set_constraint("chars_nonneg", "n_chars >= 0", ts=2.0)
+    register_sql_views(spark, "docs_cons_tt", t.path)
+    docs.createOrReplaceTempView("docs_cons_src")
+    spark.sql("""
+        INSERT INTO docs_cons_tt
+        SELECT doc_id, source, n_chars FROM docs_cons_src
+        WHERE doc_id % 4 = 2
+    """)
+    n_clean = even.count()
+    if t.read().count() != n_clean:
+        raise AssertionError("clean constrained INSERT INTO must commit")
+    try:
+        spark.sql("""
+            INSERT INTO docs_cons_tt
+            SELECT doc_id, source, -n_chars - 1 AS n_chars FROM docs_cons_src
+            WHERE doc_id % 4 = 1
+        """)
+        raise AssertionError("dirty INSERT INTO must refuse")
+    except Exception as exc:  # Spark wraps the TxError in its job failure
+        if isinstance(exc, AssertionError):
+            raise
+        if "constraint violation" not in str(exc):
+            raise
+    if t.read().count() != n_clean or t.read().where("n_chars < 0").count():
+        raise AssertionError("dirty INSERT must leave the table unchanged")
+    return spark.sql("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_cons_tt GROUP BY source
+    """)
+
+
+@query(
+    "sql_txlog_native_scan",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 13 <> 0
+    GROUP BY lang
+    """,
+    category="table-format",
+)
+def sql_txlog_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE-SCAN SQL views (round-12 verdict #3): ``register_sql_views
+    (native=True)`` publishes the table over ``TxTable.read()`` — Spark's
+    JVM parquet scan over the snapshot's pinned file list, deletion vectors
+    applied as the anti-join — instead of the Python DataSource decode
+    (~165k rows/s/core, SCALE.md). Asserted inline: the executed plan scans
+    parquet with NO Python eval, and both view modes return identical rows.
+    The returned aggregate (from the NATIVE view, after a MOR delete) is a
+    pure filter of documents — the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+
+    work = _workdir("txlog_sql_nat_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.repartition(4), ts=1.0)
+    t.delete_where("doc_id % 13 = 0", ts=2.0, mode="mor")  # DVs apply natively
+    register_sql_views(spark, "docs_nat_src", t.path)
+    register_sql_views(spark, "docs_nat_jvm", t.path, native=True)
+    plan = (
+        spark.sql("SELECT * FROM docs_nat_jvm")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    if "Scan parquet" not in plan or "PythonDataSource" in plan:
+        raise AssertionError("native view must plan a JVM parquet scan")
+    q = """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM {v} GROUP BY lang
+    """
+    a = sorted(map(tuple, spark.sql(q.format(v="docs_nat_src")).collect()))
+    b = sorted(map(tuple, spark.sql(q.format(v="docs_nat_jvm")).collect()))
+    if a != b:
+        raise AssertionError("native and source views disagree")
+    return spark.sql(q.format(v="docs_nat_jvm"))
+
+
+@query(
+    "stream_txlog_bytes_limited",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 4 < 3
+    GROUP BY source
+    """,
+    category="table-format",
+)
+def stream_txlog_bytes_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTES-based stream admission control (round-12 verdict #7): a reader
+    resuming against a 3-commit backlog with ``max_bytes_per_trigger`` set
+    to one commit's size drains it as byte-bounded micro-batches — each
+    availableNow run admits whole versions until the budget is spent
+    (asserted inline: exactly three runs), the version-offset analog of
+    maxBytesPerTrigger. Rate limiting changes batch SHAPE, never content:
+    the drained union equals the table exactly — the oracle."""
+    from ..sources.txlog_stream import register
+
+    register(spark)
+    work = _workdir("txlog_bytes_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = TxTable(spark, f"{work}/tab")
+    for i in range(3):
+        t.append(docs.where(F.col("doc_id") % 4 == i).repartition(2), ts=float(i + 1))
+    budget = max(a["bytes"] for a in t.snapshot().files.values())
+
+    runs, target = 0, docs.where(F.col("doc_id") % 4 < 3).count()
+    while runs < 6:
+        q = (
+            spark.readStream.format("txlog_stream")
+            .option("path", t.path)
+            .option("max_bytes_per_trigger", str(budget))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        runs += 1
+        if spark.read.parquet(f"{work}/out").count() >= target:
+            break
+    if runs != 3:  # budget ≈ one commit: one version per run, three to drain
+        raise AssertionError(f"expected 3 byte-limited runs, took {runs}")
+    return (
+        spark.read.parquet(f"{work}/out")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
