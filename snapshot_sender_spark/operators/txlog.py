@@ -876,7 +876,17 @@ class TxTable:
         choice when SIDECAR vector files are involved (they scan JVM-side
         and may be large). Files without a DV take the plain scan path.
         basePath restores hive partition columns for partitioned tables
-        (harmless for flat ones)."""
+        (harmless for flat ones).
+
+        Alternative shapes were MEASURED and rejected (round 13, 10M rows ×
+        2k-row vector): one-scan codegen OR-chains of (file-suffix AND
+        row_index InSet) cost per-row string work on every file's rows;
+        per-DV'd-file scan branches fragment into ~32 splits per file (1024
+        tiny tasks, 2× slower than the join); a full-URI broadcast anti-join
+        ties the current plan within noise. The positional Arrow mask the
+        Python-source read path applies is the optimal algorithm for this
+        shape — the join here is the best JVM-native plan, and it amortizes
+        as vectors grow (sidecar regime) where expression filters cannot."""
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
         rel_set = set(rel_paths)

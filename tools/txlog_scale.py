@@ -452,11 +452,61 @@ def partition_tier(spark, sf_dir: str, mult: int = 100, n_files: int = 8) -> Non
     shutil.rmtree(work, ignore_errors=True)
 
 
+def sql_scan_tier(spark, sf_dir: str, mult: int = 100) -> None:
+    """Round-12 verdict #3 evidence: the ``USING txlog`` Python-source SQL
+    scan (Arrow decode in Python workers) vs the NATIVE-mode view
+    (``register_sql_views(native=True)`` → Spark's JVM parquet scan over
+    the pinned file list), same query, results asserted identical — once
+    on the clean table and once after a MOR delete (deletion vectors: the
+    native path anti-joins, the source path applies positional Arrow
+    masks). Run at ≥1M rows: ``python tools/txlog_scale.py --sql-scan``."""
+    from snapshot_sender_spark.sources.txlog_batch import register_sql_views
+
+    work = tempfile.mkdtemp(prefix="txlog_sqlscan_")
+    try:
+        ev = build_events(spark, sf_dir, mult)
+        t = TxTable(spark, os.path.join(work, "tab"))
+        t.append(ev.repartition(32), ts=1.0)
+        q = (
+            "SELECT event_type, COUNT(*) AS n, CAST(SUM(value * 100) AS BIGINT)"
+            " AS cents FROM {v} GROUP BY event_type"
+        )
+
+        def measure(label):
+            register_sql_views(spark, "scan_src", t.path)
+            register_sql_views(spark, "scan_jvm", t.path, native=True)
+
+            def run(view):
+                return sorted(map(tuple, spark.sql(q.format(v=view)).collect()))
+
+            run("scan_jvm")  # warm both paths (JVM scan JIT, Python workers)
+            run("scan_src")
+            a, t_src = timed(lambda: run("scan_src"))
+            b, t_jvm = timed(lambda: run("scan_jvm"))
+            assert a == b, "view modes disagree"
+            n = t.snapshot().total_rows()
+            print(
+                f"| {label} | {n:,} | {t_src:.2f} | {t_jvm:.2f} "
+                f"| {t_src / t_jvm:.1f}× |"
+            )
+
+        print("| scan | rows | python-source s | native s | native speedup |")
+        print("|---|---|---|---|---|")
+        measure("clean")
+        t.delete_where("event_id % 5000 = 0", ts=2.0, mode="mor")
+        measure("MOR-deleted")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
     spark = get_spark(app_name="txlog_scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--sql-scan" in sys.argv:
+        sql_scan_tier(spark, sf_dir)
+        return
     if "--stream" in sys.argv:
         stream_source_throughput(spark, sf_dir)
         return
