@@ -1651,6 +1651,43 @@ class TxTable:
             partition_by=spec,
         )
 
+    def delete_matching(
+        self, source: DataFrame, keys: list[str], ts: float | None = None
+    ) -> int:
+        """Merge-shaped DELETE (SQL ``MERGE ... WHEN MATCHED THEN DELETE``):
+        every live row whose key matches ANY source row is removed in ONE
+        merge-on-read commit — deletion vectors, zero files rewritten, the
+        bulk-takedown shape (a list of keys to purge arrives as a DataFrame;
+        write cost is one log entry + the matched-row scan). Rows already
+        MOR-deleted neither match nor double-report in the change feed.
+        Conflict rule follows merge: any concurrent commit invalidates the
+        key scan. Above the inline cap the vector goes to a distributed
+        sidecar, same as delete_where/merge."""
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        schema = snap.schema()
+        src_keys = source.select(*keys).distinct()
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict(
+                "concurrent commit during delete_matching; re-run "
+                "(the key scan did not see the new table state)"
+            )
+
+        by_file = self._matched_dv(
+            snap, schema, snap.mapping,
+            lambda lin: lin.select(*keys, "__f", "__ri").join(
+                src_keys, on=keys, how="left_semi"
+            ),
+            "delete",
+        )
+        if not by_file:
+            return snap.version  # nothing matched: no new version needed
+        return self._commit(
+            "delete", [], [], snap.schema_json, ts, snap.version, revalidate,
+            dvs=by_file,
+        )
+
     def update_where(
         self,
         assignments: dict[str, str],

@@ -40,14 +40,19 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     MERGE INTO <view> [AS t] USING (<subquery>)|<view2> [AS s]
         ON <equi-conjunction> WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
+    MERGE INTO <view> ... ON <equi-conjunction> WHEN MATCHED THEN DELETE
     OPTIMIZE <view> [FILE SIZE <bytes>] [CLUSTER BY <expr>]
     VACUUM <view> [RETAIN <n> VERSIONS] [OLDER THAN <s> SECONDS] [DRY RUN]
+    DESCRIBE HISTORY|DETAIL <view>
 
-MERGE supports the upsert form (UPDATE SET * / INSERT *) — exactly
-``TxTable.merge``'s contract; the ON clause must be an equi-conjunction on
-shared column names (``t.k = s.k AND ...``). Richer WHEN ladders route to
-``TxTable.apply_changes`` (the Python API) with a typed error saying so —
-refusing loudly beats mis-executing a clause this engine cannot honor.
+MERGE supports the upsert form (UPDATE SET * / INSERT * — exactly
+``TxTable.merge``'s contract) and the bulk-delete form (WHEN MATCHED THEN
+DELETE → ``TxTable.delete_matching``: one merge-on-read deletion-vector
+commit, zero rewrites — the takedown-list shape); the ON clause must be an
+equi-conjunction on shared column names (``t.k = s.k AND ...``). Richer
+WHEN ladders route to ``TxTable.apply_changes`` (the Python API) with a
+typed error saying so — refusing loudly beats mis-executing a clause this
+engine cannot honor.
 
 DML physical strategy: pass ``mode="mor"`` to run DELETE/UPDATE/MERGE
 merge-on-read (deletion vectors, zero rewrites) instead of the default
@@ -107,7 +112,17 @@ _MERGE_RE = re.compile(
     r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
     re.I | re.S,
 )
+_MERGE_DELETE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?"
+    r"\s+USING\s+(\(.*\)|\w+)(?:\s+AS\s+(\w+))?"
+    r"\s+ON\s+(.+?)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+DELETE\s*;?\s*$",
+    re.I | re.S,
+)
 _MERGE_HEAD_RE = re.compile(r"^\s*MERGE\s+INTO\s+(\w+)", re.I)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+(\w+)\s*;?\s*$", re.I
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)(?:\s+FILE\s+SIZE\s+(\d+))?"
     r"(?:\s+CLUSTER\s+BY\s+(.+?))?\s*;?\s*$",
@@ -223,8 +238,10 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             )
             return _one_row(spark, operation="UPDATE", version=v)
 
-    m = _MERGE_RE.match(statement)
-    if m:
+    for pattern, action in ((_MERGE_RE, "upsert"), (_MERGE_DELETE_RE, "delete")):
+        m = pattern.match(statement)
+        if not m:
+            continue
         name, tgt_alias, src, src_alias, cond = m.groups()
         t = TxTable(spark, _target(name))
         if src.startswith("("):
@@ -234,13 +251,17 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             source = spark.table(src)
             src_names = {src, src_alias} if src_alias else {src}
         keys = _equi_keys(cond, {name, tgt_alias} - {None}, src_names)
-        v = t.merge(source, keys, mode=mode)
+        if action == "upsert":
+            v = t.merge(source, keys, mode=mode)
+        else:  # WHEN MATCHED THEN DELETE: one merge-on-read DV commit
+            v = t.delete_matching(source, keys)
         return _one_row(spark, operation="MERGE", version=v)
     if _MERGE_HEAD_RE.match(statement):
         raise TxError(
             "unsupported MERGE form — this dispatcher implements the upsert "
             "ladder (WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
-            "INSERT *); richer WHEN clauses: TxTable.apply_changes"
+            "INSERT *) and the bulk delete (WHEN MATCHED THEN DELETE); "
+            "richer WHEN clauses: TxTable.apply_changes"
         )
 
     m = _OPTIMIZE_RE.match(statement)
@@ -255,6 +276,30 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         return _one_row(
             spark, operation="OPTIMIZE", version=v,
             files_before=before, files_after=len(t.snapshot().files),
+        )
+
+    m = _DESCRIBE_RE.match(statement)
+    if m:
+        what, name = m.groups()
+        ent = _VIEWS.get(name)
+        if ent is None:
+            raise TxError(
+                f"{name!r} is not a registered txlog view — call "
+                "register_sql_views(spark, name, path) first"
+            )
+        t = TxTable(spark, ent[0])  # DESCRIBE works on pinned views too
+        if what.upper() == "HISTORY":
+            return t.history()
+        d = t.describe_detail()
+        return spark.createDataFrame(
+            [(
+                d["path"], d["version"], d["num_files"], d["num_rows"],
+                d["size_bytes"], d["partition_by"],
+                d["protocol"]["min_reader"], d["protocol"]["min_writer"],
+            )],
+            "path string, version bigint, num_files bigint, num_rows bigint, "
+            "size_bytes bigint, partition_by array<string>, "
+            "min_reader int, min_writer int",
         )
 
     m = _VACUUM_RE.match(statement)

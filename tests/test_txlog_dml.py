@@ -112,12 +112,31 @@ def test_merge_into_sql(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in t.read().collect()}
     assert len(got) == 16 and got[13] == 13 and got[15] == 15
+    # WHEN MATCHED THEN DELETE: one merge-on-read DV commit removes the
+    # matched keys (the takedown-list shape), zero files rewritten
+    files_before = set(t.snapshot().files)
+    sql(
+        spark,
+        "MERGE INTO dml_mrg_tt USING (SELECT id FROM range(14, 99)) AS s "
+        "ON dml_mrg_tt.id = s.id WHEN MATCHED THEN DELETE",
+    )
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(14))
+    assert files_before <= set(t.snapshot().files)  # DV'd, not rewritten
+    # a no-match delete commits nothing
+    v = t.latest_version()
+    sql(
+        spark,
+        "MERGE INTO dml_mrg_tt USING (SELECT id FROM range(500, 510)) AS s "
+        "ON dml_mrg_tt.id = s.id WHEN MATCHED THEN DELETE",
+    )
+    assert t.latest_version() == v
     # unsupported ladders refuse loudly, never mis-execute
     with pytest.raises(TxError, match="unsupported MERGE"):
         sql(
             spark,
             "MERGE INTO dml_mrg_tt USING dml_mrg_src ON dml_mrg_tt.id = "
-            "dml_mrg_src.id WHEN MATCHED THEN DELETE",
+            "dml_mrg_src.id WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
         )
     with pytest.raises(TxError, match="equi-conjunction|differently-named"):
         sql(
@@ -215,3 +234,108 @@ def test_native_views_identical_results_and_refresh_contract(spark, tmp_path):
     )
     register_sql_views(spark, "nat_jvm", t.path, native=True)
     assert spark.sql("SELECT count(*) n FROM nat_jvm").collect()[0]["n"] == 27
+
+
+def test_update_where_moves_rows_across_partitions(spark, tmp_path):
+    """Assigning a PARTITION column relocates the updated rows' files under
+    the new hive directory — in both physical modes."""
+    for mode in ("cow", "mor"):
+        t = TxTable(spark, str(tmp_path / f"upd_part_{mode}"), partition_by=("g",))
+        t.append(
+            spark.range(0, 12)
+            .withColumn("g", (F.col("id") % 2).cast("int"))
+            .coalesce(1),
+            ts=1.0,
+        )
+        t.update_where({"g": "CAST(7 AS INT)"}, "id < 4", mode=mode)
+        got = {r["id"]: r["g"] for r in t.read().collect()}
+        assert all(got[i] == 7 for i in range(4))
+        assert all(got[i] == i % 2 for i in range(4, 12))
+        snap = t.snapshot()
+        assert any(p.startswith("g=7/") for p in snap.live_paths())
+        # partition pruning is exact on the moved rows
+        pruned = t.candidate_files(prune=[("g", 7, 7)])
+        assert 0 < len(pruned) < len(snap.live_paths())
+
+
+def test_update_where_on_column_mapped_table(spark, tmp_path):
+    """UPDATE through a rename: the logical name resolves via the column
+    mapping, physical files keep their stable names."""
+    t = TxTable(spark, str(tmp_path / "upd_map"))
+    t.append(spark.range(0, 6).withColumn("val", F.col("id")).coalesce(1), ts=1.0)
+    t.rename_column("val", "score", ts=2.0)
+    t.update_where({"score": "score * 100"}, "id >= 4", ts=3.0)
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got[3] == 3 and got[4] == 400 and got[5] == 500
+
+
+def test_update_where_null_predicate_and_type_cast(spark, tmp_path):
+    """Rows where the predicate is NULL stay untouched (SQL UPDATE
+    semantics), and the RHS casts to the column's STORED type so the schema
+    never drifts."""
+    t = TxTable(spark, str(tmp_path / "upd_null"))
+    t.append(
+        spark.createDataFrame(
+            [(0, 5), (1, None), (2, 20)], "id long, v int"
+        ).coalesce(1),
+        ts=1.0,
+    )
+    # v > 9 is NULL for the NULL row: only id=2 updates; RHS is a BIGINT
+    # expression cast back to the stored INT
+    t.update_where({"v": "id + 100"}, "v > 9", ts=2.0)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {0: 5, 1: None, 2: 102}
+    assert t.snapshot().schema()["v"].dataType.simpleString() == "int"
+    # no-match update commits NOTHING (no new version)
+    v = t.latest_version()
+    assert t.update_where({"v": "0"}, "id > 99", ts=3.0) == v
+
+
+def test_cdf_stream_reports_update_as_delete_plus_insert(spark, tmp_path):
+    """A MOR update commit streams through the CDF source as row-exact
+    delete(old)+insert(new) pairs — the same contract as merge/delete."""
+    from snapshot_sender_spark.sources.txlog_stream import register
+
+    register(spark)
+    t = TxTable(spark, str(tmp_path / "upd_cdf"))
+    t.append(spark.range(0, 8).withColumn("v", F.col("id")).coalesce(1), ts=1.0)
+    t.update_where({"v": "v + 1000"}, "id >= 6", ts=2.0, mode="mor")
+    out, ckpt = tmp_path / "cdf_out", tmp_path / "cdf_ckpt"
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t.path).option("read_changes", "true")
+        .option("starting_version", "1")
+        .load()
+        .writeStream.format("parquet").option("path", str(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out)).where("_commit_version = 2")
+    rows = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in got.collect()
+    )
+    assert rows == [
+        ("delete", 6, 6), ("delete", 7, 7),
+        ("insert", 6, 1006), ("insert", 7, 1007),
+    ]
+    # batch row_changes agrees
+    batch = sorted(
+        (r["_change_type"], r["id"], r["v"])
+        for r in t.row_changes(1, 2).collect()
+    )
+    assert batch == rows
+
+
+def test_describe_history_and_detail_sql(spark, tmp_path):
+    """DESCRIBE HISTORY / DETAIL as dispatcher statements — the audit
+    surface without pre-registered _history/_detail views."""
+    t = _mk(spark, tmp_path, "dml_desc")
+    register_sql_views(spark, "dml_desc_tt", t.path)
+    sql(spark, "DELETE FROM dml_desc_tt WHERE id = 0")
+    hist = sql(spark, "DESCRIBE HISTORY dml_desc_tt").collect()
+    assert [r["version"] for r in hist] == [1, 2]
+    assert hist[-1]["op"] == "delete"
+    det = sql(spark, "DESCRIBE DETAIL dml_desc_tt").collect()[0]
+    assert det["version"] == 2 and det["num_rows"] == 19
