@@ -439,8 +439,9 @@ class TxTable:
                 "mapping": snap.mapping,
                 "retired": list(snap.retired),
                 "stats_exclude": list(snap.stats_exclude),
-                # commit ts at the checkpointed version: lets timestamp
-                # addressing bound its backward scan (see snapshot())
+                # commit ts at the checkpointed version — audit/debug info
+                # (timestamp addressing needs no checkpoint state: its
+                # backward scan stops at the answer, see snapshot())
                 "ts": snap_ts,
                 # the protocol floor MUST survive checkpointing: a replay
                 # seeded from a checkpoint that dropped it would report (1,1)

@@ -360,14 +360,17 @@ def register_sql_views(
     — no Python decode in the read path (~165k rows/s/core saved per
     SCALE.md) — at the cost of a STRICTER refresh contract: a native view
     pins its snapshot (live file list + deletion vectors) AT REGISTRATION,
-    so after any commit you re-register to advance (one call, CREATE OR
-    REPLACE). The Python-source views re-resolve per query plan instead.
-    Results are identical in both modes (pinned by test); pick native for
-    scan-heavy analytics, the source views for always-fresh dashboards.
-    ``options`` (source knobs) do not apply to native views. Writes:
-    INSERT INTO needs the source view (the DataSource writer), so native
-    mode also registers ``<name>__ins`` as a source-backed live view; the
-    DML dispatcher (sources/txlog_sql.py) works with either mode."""
+    so after an OUTSIDE commit (Python API, another session) you
+    re-register to advance (one call, CREATE OR REPLACE). The Python-source
+    views re-resolve per query plan instead. Results are identical in both
+    modes (pinned by test); pick native for scan-heavy analytics, the
+    source views for always-fresh dashboards. ``options`` (source knobs) do
+    not apply to native views. The DML dispatcher (sources/txlog_sql.py)
+    makes MUTATION transparent in native mode: its DELETE/UPDATE/MERGE/
+    OPTIMIZE/VACUUM auto-refresh the live native view after committing, and
+    INSERT INTO on the native name reroutes through the source-backed
+    ``<name>__ins`` companion this call also registers (a plain DataFrame
+    temp view is not insertable)."""
     register(spark)
     from .txlog_sql import track_view
 
@@ -397,14 +400,15 @@ def register_sql_views(
     make = _mk_native if native else _mk
     make(name, {})
     # mutable = the live, unfiltered view (DML refuses pins/prunes)
-    track_view(name, path, mutable=True)
+    track_view(name, path, mutable=True, native=native)
     if native:
         # the DataSource WRITER needs a source-backed view for INSERT INTO
+        # (the dispatcher transparently reroutes INSERT on the native name)
         _mk(f"{name}__ins", {})
         track_view(f"{name}__ins", path, mutable=True)
     for suffix, opts in (pins or {}).items():
         make(f"{name}_{suffix}", opts)
-        track_view(f"{name}_{suffix}", path, mutable=False)
+        track_view(f"{name}_{suffix}", path, mutable=False, native=native)
     # DESCRIBE HISTORY / DETAIL as SQL (re-resolved per query plan)
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY VIEW {name}_history "

@@ -72,23 +72,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.txlog import TxError, TxTable
 
-# view name -> (table path, mutable) recorded by register_sql_views; pinned
-# and prune-filtered views register mutable=False
-_VIEWS: dict[str, tuple[str, bool]] = {}
+# view name -> (table path, mutable, native) recorded by register_sql_views;
+# pinned and prune-filtered views register mutable=False
+_VIEWS: dict[str, tuple[str, bool, bool]] = {}
 
 
-def track_view(name: str, path: str, mutable: bool) -> None:
-    _VIEWS[name] = (path, mutable)
+def track_view(name: str, path: str, mutable: bool, native: bool = False) -> None:
+    _VIEWS[name] = (path, mutable, native)
 
 
-def _target(name: str) -> TxTable:
+def _target(name: str) -> str:
     ent = _VIEWS.get(name)
     if ent is None:
         raise TxError(
             f"{name!r} is not a registered txlog view — call "
             "register_sql_views(spark, name, path) first"
         )
-    path, mutable = ent
+    path, mutable, _native = ent
     if not mutable:
         raise TxError(
             f"view {name!r} is pinned (version/timestamp) or prune-filtered "
@@ -97,6 +97,19 @@ def _target(name: str) -> TxTable:
     return path
 
 
+def _refresh_if_native(spark: SparkSession, name: str) -> None:
+    """A NATIVE view pins its snapshot at registration; a mutation the
+    dispatcher itself just committed is one the caller plainly wants to see,
+    so the live view is re-published over the new snapshot (pinned/pruned
+    companion views are left alone — they are immutable by definition)."""
+    ent = _VIEWS.get(name)
+    if ent and ent[2]:
+        TxTable(spark, ent[0]).read().createOrReplaceTempView(name)
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)", re.I
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", re.I | re.S
 )
@@ -216,6 +229,20 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     """Execute one statement: txlog DML/maintenance forms dispatch to the
     table operations (returning a small metrics DataFrame, Delta-style);
     anything else passes through to ``spark.sql`` verbatim."""
+    # INSERT targeting a NATIVE view: a plain DataFrame temp view is not
+    # insertable, so reroute to the source-backed __ins companion and then
+    # re-publish the native snapshot — INSERT is transparent in both modes
+    m = _INSERT_RE.match(statement)
+    if m:
+        name = m.group(1)
+        ent = _VIEWS.get(name)
+        if ent and ent[2]:
+            out = spark.sql(
+                re.sub(rf"\b{re.escape(name)}\b", f"{name}__ins", statement, count=1)
+            )
+            _refresh_if_native(spark, name)
+            return out
+
     m = _DELETE_RE.match(statement)
     if m:
         name, pred = m.groups()
@@ -223,6 +250,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         before = t.snapshot()
         v = t.delete_where(pred, mode=mode)
         rows = before.total_rows() - t.snapshot(version=v).total_rows()
+        _refresh_if_native(spark, name)
         return _one_row(
             spark, operation="DELETE", version=v, rows_deleted=rows
         )
@@ -236,6 +264,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             v = t.update_where(
                 _split_assignments(set_clause), pred or "TRUE", mode=mode
             )
+            _refresh_if_native(spark, name)
             return _one_row(spark, operation="UPDATE", version=v)
 
     for pattern, action in ((_MERGE_RE, "upsert"), (_MERGE_DELETE_RE, "delete")):
@@ -255,6 +284,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             v = t.merge(source, keys, mode=mode)
         else:  # WHEN MATCHED THEN DELETE: one merge-on-read DV commit
             v = t.delete_matching(source, keys)
+        _refresh_if_native(spark, name)
         return _one_row(spark, operation="MERGE", version=v)
     if _MERGE_HEAD_RE.match(statement):
         raise TxError(
@@ -273,6 +303,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             target_file_bytes=int(size) if size else _OPTIMIZE_DEFAULT_BYTES,
             cluster_expr=cluster.strip() if cluster else None,
         )
+        _refresh_if_native(spark, name)
         return _one_row(
             spark, operation="OPTIMIZE", version=v,
             files_before=before, files_after=len(t.snapshot().files),
@@ -311,6 +342,9 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             min_age_s=float(age) if age is not None else 3600.0,
             dry_run=bool(dry),
         )
+        if not dry:
+            # a native view may plan files vacuum just deleted
+            _refresh_if_native(spark, name)
         return spark.createDataFrame(
             [(p, bool(dry)) for p in removed] or [], "path string, dry_run boolean"
         )

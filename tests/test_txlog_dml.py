@@ -220,20 +220,24 @@ def test_native_views_identical_results_and_refresh_contract(spark, tmp_path):
     )
     assert "Scan parquet" in plan
     assert "PythonDataSource" not in plan and "BatchEvalPython" not in plan
-    # refresh contract: a native view pins its snapshot at registration
-    # (the MOR delete left 25 live rows: 30 minus ids 0,7,14,21,28)...
-    sql(spark, "DELETE FROM nat_jvm WHERE id = 1")  # DML works via the registry
+    # refresh contract: a native view pins its snapshot at registration —
+    # OUTSIDE mutations (Python API) stay invisible until re-register...
+    # (the MOR delete left 25 live rows: 30 minus ids 0,7,14,21,28)
+    t.delete_where("id = 2", ts=3.0)
     assert spark.sql("SELECT count(*) n FROM nat_jvm").collect()[0]["n"] == 25
-    # ...and one re-register call advances it past the delete
     register_sql_views(spark, "nat_jvm", t.path, native=True)
     assert spark.sql("SELECT count(*) n FROM nat_jvm").collect()[0]["n"] == 24
-    # INSERT in native mode goes through the source-backed __ins view
-    spark.sql(
-        "INSERT INTO nat_jvm__ins SELECT id, id * 3 AS v, CAST(id % 3 AS INT) g "
-        "FROM range(30, 33)"
+    # ...but DISPATCHER mutations auto-refresh the live native view
+    sql(spark, "DELETE FROM nat_jvm WHERE id = 1")
+    assert spark.sql("SELECT count(*) n FROM nat_jvm").collect()[0]["n"] == 23
+    # INSERT on the native name transparently reroutes through the
+    # source-backed __ins companion and refreshes
+    sql(
+        spark,
+        "INSERT INTO nat_jvm SELECT id, id * 3 AS v, CAST(id % 3 AS INT) g "
+        "FROM range(30, 33)",
     )
-    register_sql_views(spark, "nat_jvm", t.path, native=True)
-    assert spark.sql("SELECT count(*) n FROM nat_jvm").collect()[0]["n"] == 27
+    assert spark.sql("SELECT count(*) n FROM nat_jvm").collect()[0]["n"] == 26
 
 
 def test_update_where_moves_rows_across_partitions(spark, tmp_path):
