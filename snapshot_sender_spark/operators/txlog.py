@@ -1223,6 +1223,10 @@ class TxTable:
                 self._enforce_on_staged(adds, merged, new_snap.constraints, mapping=mapping)
                 enforced.clear()
                 enforced.update(new_snap.constraints)
+            # a concurrently DECLARED stats exclusion gates this batch too:
+            # the staged adds must not leak the newly-sensitive column's
+            # min/max into the log on retry
+            self._pop_excluded(adds, new_snap.stats_exclude, mapping)
             # a concurrent commit that changed the column mapping invalidates
             # this batch's staged physical names (and our own mapping meta
             # would clobber theirs on latest-wins replay): conflict, re-run
@@ -1551,6 +1555,8 @@ class TxTable:
                 self._enforce_on_staged(adds, schema_json, new_snap.constraints, mapping=mapping)
                 enforced.clear()
                 enforced.update(new_snap.constraints)
+            # so does a concurrently declared stats exclusion (see append)
+            self._pop_excluded(adds, new_snap.stats_exclude, mapping)
             if dict(new_snap.mapping) != (dict(snap.mapping) if snap else {}):
                 raise TxConflict("concurrent commit changed the column mapping; re-run")
             if new_snap.partition_by != spec:  # see append revalidate
@@ -1596,6 +1602,9 @@ class TxTable:
         snap = self.snapshot()
         self._writer_gate(snap)
         schema = snap.schema()
+        # the predicate runs in TWO scans (hit detection, then the rewrite /
+        # vector build) — non-determinism would silently lose rows
+        self._require_deterministic(schema, predicate_sql, "DELETE predicate")
         dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
         b2r = {os.path.basename(p): p for p in snap.live_paths()}
 
@@ -1652,18 +1661,91 @@ class TxTable:
             partition_by=spec,
         )
 
+    # SQL time context functions are FIXED PER QUERY EXECUTION, not per
+    # commit: a DML op runs its predicate in more than one Spark query (hit
+    # detection, then the rewrite/images scan), so these drift between the
+    # two evaluations exactly like rand() — refused by name since Spark's
+    # expression tree reports them deterministic
+    _TIME_CONTEXT_FNS = (
+        "current_timestamp", "current_date", "now()", "localtimestamp",
+        "current_timezone", "unix_timestamp()",
+    )
+
+    def _require_deterministic(self, schema: T.StructType, expr_sql: str,
+                               op: str) -> None:
+        """Refuse non-deterministic DML predicates/assignments. Every DML
+        operation here evaluates its SQL expressions in MORE THAN ONE scan
+        within a single commit (find the hit files / matched rows, then
+        read-and-rewrite or emit images) — a predicate like ``rand() < 0.5``
+        would mark one row set deleted and rewrite a DIFFERENT row set,
+        silently losing or duplicating rows in one committed version. The
+        Delta stance: refuse at the door. Determinism comes from the
+        ANALYZED expression tree (catches rand/uuid/shuffle however deeply
+        nested); per-query-fixed time functions are refused by name (the
+        tree calls them deterministic, but two scans are two queries)."""
+        low = expr_sql.lower()
+        for fn in self._TIME_CONTEXT_FNS:
+            if fn in low:
+                raise TxError(
+                    f"{op} expression {expr_sql!r} uses {fn!r}, which is "
+                    "fixed per query — this operation evaluates it in more "
+                    "than one query per commit; bind the value first "
+                    "(e.g. pass the literal timestamp)"
+                )
+        # a Project over the table schema analyzes ANY expression type
+        # (predicate or assignment RHS) without executing anything
+        probe = self.spark.createDataFrame([], schema).select(
+            F.expr(expr_sql).alias("__probe")
+        )
+        plan = probe._jdf.queryExecution().analyzed()
+        exprs = plan.expressions()
+        for i in range(exprs.size()):
+            if not exprs.apply(i).deterministic():
+                raise TxError(
+                    f"{op} expression {expr_sql!r} is non-deterministic — "
+                    "it is evaluated by more than one scan per commit, which "
+                    "would silently lose or duplicate rows; materialize the "
+                    "choice first (e.g. write a flag column, then match on it)"
+                )
+
+    @staticmethod
+    def _pop_excluded(adds: list[dict], exclude, mapping) -> None:
+        """Strip footer stats of excluded columns from already-built add
+        actions (stats are keyed by PHYSICAL name). Revalidate paths call
+        this when a concurrent commit ENLARGED the table's stats_exclude
+        property after the adds were staged — otherwise the retried commit
+        would leak the sensitive column's min/max into the log."""
+        for col in exclude:
+            phys = (mapping or {}).get(col, col)
+            for a in adds:
+                a["stats"].pop(phys, None)
+
     def delete_matching(
-        self, source: DataFrame, keys: list[str], ts: float | None = None
+        self,
+        source: DataFrame,
+        keys: list[str],
+        ts: float | None = None,
+        mode: str = "mor",
     ) -> int:
         """Merge-shaped DELETE (SQL ``MERGE ... WHEN MATCHED THEN DELETE``):
-        every live row whose key matches ANY source row is removed in ONE
-        merge-on-read commit — deletion vectors, zero files rewritten, the
-        bulk-takedown shape (a list of keys to purge arrives as a DataFrame;
-        write cost is one log entry + the matched-row scan). Rows already
-        MOR-deleted neither match nor double-report in the change feed.
-        Conflict rule follows merge: any concurrent commit invalidates the
-        key scan. Above the inline cap the vector goes to a distributed
-        sidecar, same as delete_where/merge."""
+        every live row whose key matches ANY source row is removed — the
+        bulk-takedown shape (a list of keys to purge arrives as a
+        DataFrame). Two physical strategies, the same pair as delete_where:
+
+        * ``mode="mor"`` (default — a takedown list is usually a tiny
+          fraction of huge files): ONE merge-on-read commit records
+          deletion vectors, zero files rewritten; write cost is one log
+          entry + the matched-row scan. Above the inline cap the vector
+          goes to a distributed sidecar (protocol floor 2).
+        * ``mode="cow"``: only files CONTAINING a matched key are rewritten
+          without the matched rows — no deletion vectors, no protocol bump,
+          the right shape when the matched fraction is large.
+
+        Rows already MOR-deleted neither match nor double-report in the
+        change feed. Conflict rule follows merge: any concurrent commit
+        invalidates the key scan."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         snap = self.snapshot()
         self._writer_gate(snap)
         schema = snap.schema()
@@ -1675,18 +1757,52 @@ class TxTable:
                 "(the key scan did not see the new table state)"
             )
 
-        by_file = self._matched_dv(
-            snap, schema, snap.mapping,
-            lambda lin: lin.select(*keys, "__f", "__ri").join(
-                src_keys, on=keys, how="left_semi"
-            ),
-            "delete",
+        if mode == "mor":
+            by_file = self._matched_dv(
+                snap, schema, snap.mapping,
+                lambda lin: lin.select(*keys, "__f", "__ri").join(
+                    src_keys, on=keys, how="left_semi"
+                ),
+                "delete",
+            )
+            if not by_file:
+                return snap.version  # nothing matched: no new version needed
+            return self._commit(
+                "delete", [], [], snap.schema_json, ts, snap.version,
+                revalidate, dvs=by_file,
+            )
+
+        dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
+        b2r = {os.path.basename(p): p for p in snap.live_paths()}
+        if not snap.live_paths():
+            return snap.version
+        lineage = self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
+        if dv_map or dvf_map:
+            dels = self._dels_df(dv_map, dvf_map)
+            lineage = lineage.join(
+                dels if dvf_map else F.broadcast(dels),
+                on=["__f", "__ri"], how="left_anti",
+            )
+        hit_rows = (
+            lineage.select(*keys, "__f")
+            .join(src_keys, on=keys, how="left_semi")
+            .select("__f").distinct().collect()
         )
-        if not by_file:
-            return snap.version  # nothing matched: no new version needed
+        hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
+        if not hit_rel:
+            return snap.version
+        survivors = self.read_files(
+            hit_rel, schema, dv_map=dv_map, mapping=snap.mapping, dvf_map=dvf_map
+        ).join(src_keys, on=keys, how="left_anti")
+        spec = self._resolve_partition_by(snap)
+        adds = (
+            self._stage(survivors, spec, mapping=snap.mapping)
+            if survivors.take(1)
+            else []
+        )
         return self._commit(
-            "delete", [], [], snap.schema_json, ts, snap.version, revalidate,
-            dvs=by_file,
+            "delete", adds, hit_rel, snap.schema_json, ts, snap.version,
+            revalidate, partition_by=spec,
         )
 
     def update_where(
@@ -1728,6 +1844,11 @@ class TxTable:
         unknown = sorted(set(assignments) - names)
         if unknown:
             raise TxError(f"UPDATE assigns unknown column(s) {unknown}")
+        # the predicate runs in TWO scans (hit/matched detection, then the
+        # image rewrite) — non-determinism would update one row set and
+        # DV-delete another; assignment RHS runs in exactly one scan and is
+        # deliberately unrestricted (like INSERTing a random value)
+        self._require_deterministic(schema, predicate_sql, "UPDATE predicate")
         pred = F.coalesce(F.expr(predicate_sql), F.lit(False))
 
         def updated_image(df: DataFrame) -> DataFrame:

@@ -72,17 +72,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.txlog import TxError, TxTable
 
-# view name -> (table path, mutable, native) recorded by register_sql_views;
-# pinned and prune-filtered views register mutable=False
+# view name (LOWERCASED — Spark SQL identifiers are case-insensitive) ->
+# (table path, mutable, native) recorded by register_sql_views; pinned and
+# prune-filtered views register mutable=False
 _VIEWS: dict[str, tuple[str, bool, bool]] = {}
 
 
 def track_view(name: str, path: str, mutable: bool, native: bool = False) -> None:
-    _VIEWS[name] = (path, mutable, native)
+    _VIEWS[name.lower()] = (path, mutable, native)
 
 
-def _target(name: str) -> str:
-    ent = _VIEWS.get(name)
+def _target(spark: SparkSession, name: str) -> str:
+    ent = _VIEWS.get(name.lower())
     if ent is None:
         raise TxError(
             f"{name!r} is not a registered txlog view — call "
@@ -94,6 +95,14 @@ def _target(name: str) -> str:
             f"view {name!r} is pinned (version/timestamp) or prune-filtered "
             "— DML targets the live view only"
         )
+    # the registry is process-global; the VIEW is session-scoped and
+    # droppable — never mutate a table whose SQL name no longer resolves in
+    # THIS session (a dropped view, or a different session's registration)
+    if not spark.catalog.tableExists(name):
+        raise TxError(
+            f"view {name!r} is registered but does not exist in this "
+            "session's catalog — re-run register_sql_views here"
+        )
     return path
 
 
@@ -102,7 +111,7 @@ def _refresh_if_native(spark: SparkSession, name: str) -> None:
     dispatcher itself just committed is one the caller plainly wants to see,
     so the live view is re-published over the new snapshot (pinned/pruned
     companion views are left alone — they are immutable by definition)."""
-    ent = _VIEWS.get(name)
+    ent = _VIEWS.get(name.lower())
     if ent and ent[2]:
         TxTable(spark, ent[0]).read().createOrReplaceTempView(name)
 
@@ -114,8 +123,7 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", re.I | re.S
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
-    re.I | re.S,
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s*;?\s*$", re.I | re.S
 )
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?"
@@ -150,6 +158,37 @@ _VACUUM_RE = re.compile(
 
 # default OPTIMIZE target: the 128 MiB sweet spot parquet scans want
 _OPTIMIZE_DEFAULT_BYTES = 128 * 1024 * 1024
+
+
+def _split_set_where(rest: str) -> tuple[str, str | None]:
+    """Split an UPDATE's ``SET ...`` remainder at the first TOP-LEVEL WHERE
+    keyword — outside single-quoted strings and parentheses — so a WHERE
+    inside a string literal (``SET note = 'x WHERE y'``) or a subquery
+    (``SET a = (SELECT max(v) FROM s WHERE g = 1)``) stays in the SET
+    clause. Returns (set_clause, predicate_or_None)."""
+    low = rest.lower()
+    depth, in_str, i, n = 0, False, 0, len(rest)
+    while i < n:
+        ch = rest[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith("where", i)
+            and i > 0
+            and low[i - 1].isspace()
+            and (i + 5 >= n or low[i + 5].isspace() or low[i + 5] == "(")
+        ):
+            return rest[:i], rest[i + 5:]
+        i += 1
+    return rest, None
 
 
 def _split_assignments(set_clause: str) -> dict[str, str]:
@@ -235,7 +274,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     m = _INSERT_RE.match(statement)
     if m:
         name = m.group(1)
-        ent = _VIEWS.get(name)
+        ent = _VIEWS.get(name.lower())
         if ent and ent[2]:
             out = spark.sql(
                 re.sub(rf"\b{re.escape(name)}\b", f"{name}__ins", statement, count=1)
@@ -246,7 +285,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     m = _DELETE_RE.match(statement)
     if m:
         name, pred = m.groups()
-        t = TxTable(spark, _target(name))
+        t = TxTable(spark, _target(spark, name))
         before = t.snapshot()
         v = t.delete_where(pred, mode=mode)
         rows = before.total_rows() - t.snapshot(version=v).total_rows()
@@ -259,8 +298,9 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     if not _MERGE_HEAD_RE.match(statement):
         m = _UPDATE_RE.match(statement)
         if m:
-            name, set_clause, pred = m.groups()
-            t = TxTable(spark, _target(name))
+            name, rest = m.groups()
+            set_clause, pred = _split_set_where(rest)
+            t = TxTable(spark, _target(spark, name))
             v = t.update_where(
                 _split_assignments(set_clause), pred or "TRUE", mode=mode
             )
@@ -272,7 +312,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         if not m:
             continue
         name, tgt_alias, src, src_alias, cond = m.groups()
-        t = TxTable(spark, _target(name))
+        t = TxTable(spark, _target(spark, name))
         if src.startswith("("):
             source = spark.sql(src[1:-1])
             src_names = {src_alias} if src_alias else set()
@@ -282,8 +322,8 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         keys = _equi_keys(cond, {name, tgt_alias} - {None}, src_names)
         if action == "upsert":
             v = t.merge(source, keys, mode=mode)
-        else:  # WHEN MATCHED THEN DELETE: one merge-on-read DV commit
-            v = t.delete_matching(source, keys)
+        else:  # WHEN MATCHED THEN DELETE: same cow/mor knob as DELETE FROM
+            v = t.delete_matching(source, keys, mode=mode)
         _refresh_if_native(spark, name)
         return _one_row(spark, operation="MERGE", version=v)
     if _MERGE_HEAD_RE.match(statement):
@@ -297,7 +337,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     m = _OPTIMIZE_RE.match(statement)
     if m:
         name, size, cluster = m.groups()
-        t = TxTable(spark, _target(name))
+        t = TxTable(spark, _target(spark, name))
         before = len(t.snapshot().files)
         v = t.compact(
             target_file_bytes=int(size) if size else _OPTIMIZE_DEFAULT_BYTES,
@@ -312,7 +352,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     m = _DESCRIBE_RE.match(statement)
     if m:
         what, name = m.groups()
-        ent = _VIEWS.get(name)
+        ent = _VIEWS.get(name.lower())
         if ent is None:
             raise TxError(
                 f"{name!r} is not a registered txlog view — call "
@@ -336,7 +376,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     m = _VACUUM_RE.match(statement)
     if m:
         name, retain, age, dry = m.groups()
-        t = TxTable(spark, _target(name))
+        t = TxTable(spark, _target(spark, name))
         removed = t.vacuum(
             retain_versions=int(retain) if retain else 2,
             min_age_s=float(age) if age is not None else 3600.0,

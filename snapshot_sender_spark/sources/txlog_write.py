@@ -74,6 +74,20 @@ from ..operators.txlog import (
 )
 
 
+_DUCK_CON = None
+
+
+def _duck_con():
+    """Per-process DuckDB connection for constraint checks (never pickled;
+    one connect per Python worker, not per Arrow batch)."""
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
+
+
 class _TxWriteMessage(WriterCommitMessage):
     """One task's staged files: [(staging-relative path, rows, bytes,
     stats, part_vals)] — control-plane sized, footer stats already
@@ -141,6 +155,20 @@ class TxlogArrowWriter(DataSourceArrowWriter):
 
         full_names = [f["name"] for f in _json.loads(self.schema_json)["fields"]]
         self.null_extend = [n for n in full_names if n not in schema.fieldNames()]
+        # constraint-check SQL is batch-invariant: built ONCE here, reused
+        # per batch against a per-process cached DuckDB connection (the hot
+        # write path must not pay connect + string-building per batch)
+        if self.constraints:
+            ext = "".join(f', NULL AS "{n}"' for n in self.null_extend)
+            whole = " AND ".join(
+                f"coalesce(({e}), TRUE)" for e in self.constraints.values()
+            )
+            self.check_sql = (
+                f"SELECT * FROM (SELECT __batch.*{ext} FROM __batch) "
+                f"WHERE NOT ({whole}) LIMIT 1"
+            )
+        else:
+            self.check_sql = None
         self.token = uuid.uuid4().hex
         self.staging_rel = os.path.join(_STAGING_DIR, f"sql-{self.token}")
 
@@ -149,41 +177,33 @@ class TxlogArrowWriter(DataSourceArrowWriter):
         the frozen constraint set: DuckDB evaluates the ANSI CHECK with SQL
         NULL semantics (UNKNOWN passes). Raises TxError on the first bad row
         — the task fails before any byte reaches the table root."""
-        if not self.constraints:
+        if not self.check_sql:
             return
         try:
-            import duckdb
             import pyarrow as pa
+
+            con = _duck_con()
         except ImportError as exc:  # pragma: no cover - env guard
             raise TxError(
                 "this table declares CHECK constraints and no SQL evaluator "
                 "is available executor-side — write via TxTable.append"
             ) from exc
-        con = duckdb.connect()
+        con.register("__batch", pa.Table.from_batches([batch]))
         try:
-            con.register("__batch", pa.Table.from_batches([batch]))
-            ext = "".join(f', NULL AS "{n}"' for n in self.null_extend)
-            whole = " AND ".join(
-                f"coalesce(({e}), TRUE)" for e in self.constraints.values()
-            )
-            try:
-                bad = con.execute(
-                    f"SELECT * FROM (SELECT __batch.*{ext} FROM __batch) "
-                    f"WHERE NOT ({whole}) LIMIT 1"
-                ).fetchall()
-            except Exception as exc:
-                raise TxError(
-                    f"CHECK constraint not evaluable executor-side "
-                    f"(constraints must be ANSI-portable expressions; "
-                    f"evaluator said: {exc}) — write via TxTable.append"
-                ) from exc
-            if bad:
-                raise TxError(
-                    f"constraint violation (checks: {sorted(self.constraints)}); "
-                    f"first bad row: {bad[0]}"
-                )
+            bad = con.execute(self.check_sql).fetchall()
+        except Exception as exc:
+            raise TxError(
+                f"CHECK constraint not evaluable executor-side "
+                f"(constraints must be ANSI-portable expressions; "
+                f"evaluator said: {exc}) — write via TxTable.append"
+            ) from exc
         finally:
-            con.close()
+            con.unregister("__batch")
+        if bad:
+            raise TxError(
+                f"constraint violation (checks: {sorted(self.constraints)}); "
+                f"first bad row: {bad[0]}"
+            )
 
     def _revalidate_constraints(
         self, adds: list, schema_json: str, new_cons: dict, enforced: dict
@@ -404,6 +424,10 @@ class TxlogArrowWriter(DataSourceArrowWriter):
             self._revalidate_constraints(
                 adds, schema_json, dict(new_snap.constraints), enforced
             )
+            # a concurrently DECLARED stats exclusion gates the retry too —
+            # the add actions must not leak the newly-sensitive column's
+            # min/max into the log (mirrors TxTable.append's revalidate)
+            TxTable._pop_excluded(adds, new_snap.stats_exclude, self.mapping)
             if dict(new_snap.mapping) != self.base_mapping:
                 raise TxConflict("concurrent commit changed the column mapping; re-run")
             if new_snap.partition_by != self.spec:

@@ -119,9 +119,19 @@ def test_merge_into_sql(spark, tmp_path):
         spark,
         "MERGE INTO dml_mrg_tt USING (SELECT id FROM range(14, 99)) AS s "
         "ON dml_mrg_tt.id = s.id WHEN MATCHED THEN DELETE",
+        mode="mor",
     )
     assert sorted(r["id"] for r in t.read().collect()) == list(range(14))
     assert files_before <= set(t.snapshot().files)  # DV'd, not rewritten
+    # default mode (cow) rewrites the hit files instead — no deletion
+    # vectors, no protocol bump
+    sql(
+        spark,
+        "MERGE INTO dml_mrg_tt USING (SELECT id FROM range(12, 14)) AS s "
+        "ON dml_mrg_tt.id = s.id WHEN MATCHED THEN DELETE",
+    )
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(12))
+    assert t.snapshot().proto == (1, 1)
     # a no-match delete commits nothing
     v = t.latest_version()
     sql(
@@ -343,3 +353,116 @@ def test_describe_history_and_detail_sql(spark, tmp_path):
     assert hist[-1]["op"] == "delete"
     det = sql(spark, "DESCRIBE DETAIL dml_desc_tt").collect()[0]
     assert det["version"] == 2 and det["num_rows"] == 19
+
+
+def test_nondeterministic_dml_predicates_refuse(spark, tmp_path):
+    """A DML predicate is evaluated by more than one scan per commit —
+    rand()/uuid() (however nested) and per-query time functions refuse
+    typed instead of silently losing/duplicating rows."""
+    t = _mk(spark, tmp_path, "dml_nondet")
+    for bad in (
+        "rand() < 0.5",
+        "CASE WHEN id > 1 THEN rand() ELSE 0 END < 0.5",
+        "uuid() = 'x'",
+        "current_timestamp() > timestamp'2020-01-01'",
+    ):
+        with pytest.raises(TxError, match="non-determin|fixed per query"):
+            t.delete_where(bad)
+        with pytest.raises(TxError, match="non-determin|fixed per query"):
+            t.update_where({"v": "0"}, bad, mode="mor")
+    assert t.read().count() == 20  # nothing committed
+    # deterministic predicates still pass, and assignment RHS is free
+    t.update_where({"v": "id"}, "id < 2", ts=2.0)
+    assert t.read().where("v = id").count() >= 2
+
+
+def test_update_where_in_string_literal_and_subquery(spark, tmp_path):
+    """The SET/WHERE split is quote- and paren-aware: WHERE inside a string
+    literal or a scalar subquery stays in the SET clause."""
+    t = TxTable(spark, str(tmp_path / "dml_wsplit"))
+    t.append(
+        spark.range(0, 4).withColumn("note", F.lit("orig")).coalesce(1), ts=1.0
+    )
+    register_sql_views(spark, "dml_wsplit_tt", t.path)
+    sql(spark, "UPDATE dml_wsplit_tt SET note = 'x WHERE y' WHERE id = 1")
+    got = {r["id"]: r["note"] for r in t.read().collect()}
+    assert got == {0: "orig", 1: "x WHERE y", 2: "orig", 3: "orig"}
+    # subquery RHS with its own WHERE
+    spark.range(90, 95).createOrReplaceTempView("dml_wsplit_src")
+    sql(
+        spark,
+        "UPDATE dml_wsplit_tt SET note = CAST((SELECT max(id) FROM "
+        "dml_wsplit_src WHERE id < 93) AS STRING) WHERE id = 0",
+    )
+    assert {r["id"]: r["note"] for r in t.read().collect()}[0] == "92"
+    # an UPDATE with no WHERE still hits every row
+    sql(spark, "UPDATE dml_wsplit_tt SET note = 'all'")
+    assert t.read().where("note = 'all'").count() == 4
+
+
+def test_registry_is_case_insensitive_and_session_checked(spark, tmp_path):
+    """Spark SQL identifiers are case-insensitive — so is the DML registry;
+    and a registered name whose temp view was DROPPED refuses instead of
+    mutating a table with no live SQL surface."""
+    t = _mk(spark, tmp_path, "dml_case")
+    register_sql_views(spark, "DML_Case_TT", t.path)
+    sql(spark, "DELETE FROM dml_case_tt WHERE id = 0")  # lower-case works
+    assert t.read().count() == 19
+    sql(spark, "DELETE FROM DML_CASE_TT WHERE id = 1")  # upper-case works
+    assert t.read().count() == 18
+    spark.catalog.dropTempView("dml_case_tt")
+    with pytest.raises(TxError, match="does not exist in this session"):
+        sql(spark, "DELETE FROM dml_case_tt WHERE id = 2")
+    assert t.read().count() == 18  # table untouched
+
+
+def test_concurrent_stats_exclude_gates_retrying_append(spark, tmp_path):
+    """A stats_exclude declared while an append is staging must strip the
+    newly-sensitive column's stats from the retried commit (the revalidate
+    re-pop; round-13 review finding)."""
+    import json as _json
+
+    path = str(tmp_path / "sx_race")
+    t1 = TxTable(spark, path)
+    t1.append(
+        spark.range(0, 3).withColumn("body", F.lit("seed")).coalesce(1), ts=1.0
+    )
+
+    # t2 stages with NO exclusion known, then t1 (exclusion-configured)
+    # commits first — t2's blind-append retry must re-pop
+    t2 = TxTable(spark, path)
+    orig_commit = TxTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if self is t2 and not raced["done"]:
+            raced["done"] = True
+            t_x = TxTable(spark, path, stats_exclude=("body",))
+            t_x.append(
+                spark.range(3, 5).withColumn("body", F.lit("sensitive-A"))
+                .coalesce(1),
+                ts=2.0,
+            )
+        return orig_commit(self, *args, **kwargs)
+
+    TxTable._commit = racing_commit
+    try:
+        t2.append(
+            spark.range(5, 8).withColumn("body", F.lit("sensitive-B")).coalesce(1),
+            ts=3.0,
+        )
+    finally:
+        TxTable._commit = orig_commit
+    snap = TxTable(spark, path).snapshot()
+    assert snap.stats_exclude == ("body",)
+    assert snap.total_rows() == 8
+    # v3's add actions (t2's retried commit) carry NO body stats
+    v3 = [a for a in t1._read_version_actions(3) if "add" in a]
+    assert v3 and all("body" not in a["add"]["stats"] for a in v3)
+    # and no version file leaks the sensitive strings via stats
+    import glob as _glob
+
+    for vf in _glob.glob(os.path.join(path, "_txlog", "v*.json")):
+        meta0 = _json.loads(open(vf).readline())
+        if meta0.get("meta", {}).get("ts") == 3.0:
+            assert "sensitive-B" not in open(vf).read()
