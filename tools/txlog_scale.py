@@ -499,11 +499,75 @@ def sql_scan_tier(spark, sf_dir: str, mult: int = 100) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def dml_tier(spark, sf_dir: str, mult: int = 100) -> None:
+    """Round-13 DML ops at scale: UPDATE (cow vs mor) touching ~0.1% of a
+    10M-row table, and a merge-shaped bulk DELETE from a 1k-key takedown
+    list (mor). Reports wall-clock and the files-touched fraction — the
+    scale claim is that DML cost tracks the MATCHED data, not the table.
+    ``python tools/txlog_scale.py --dml``."""
+    work = tempfile.mkdtemp(prefix="txlog_dml_")
+    try:
+        ev = build_events(spark, sf_dir, mult)
+        t = TxTable(spark, os.path.join(work, "tab"))
+        # cluster by event_id so a contiguous-key predicate hits few files
+        t.append(ev.repartitionByRange(64, "event_id"), ts=1.0)
+        n_files = len(t.snapshot().files)
+        n_rows = t.snapshot().total_rows()
+        print(f"table: {n_rows:,} rows, {n_files} files (range-clustered)")
+        print("| op | mode | files touched | wall s |")
+        print("|---|---|---|---|")
+
+        def touched(before, after):
+            """Files the op wrote or marked: new data files (cow rewrites /
+            mor image appends) plus files that GAINED a deletion vector
+            (mor's whole footprint is vectors, not rewrites)."""
+            new_files = set(after.files) - set(before.files)
+            new_dvs = (set(after.dv_map()) | set(after.dvf_map())) - (
+                set(before.dv_map()) | set(before.dvf_map())
+            )
+            return len(new_files | new_dvs)
+
+        # UPDATE ~0.1% (one contiguous key band; disjoint band per mode so
+        # the second mode's predicate still matches live rows)
+        lo = 5_000
+        for mode in ("cow", "mor"):
+            before = t.snapshot()
+            _, dt = timed(lambda: t.update_where(
+                {"value": "value + 1"},
+                f"event_id >= {lo} AND event_id < {lo + n_rows // 1000}",
+                mode=mode,
+            ))
+            after = t.snapshot()
+            print(f"| update 0.1% | {mode} | {touched(before, after)}/{n_files} "
+                  f"| {dt:.2f} |")
+            lo += 2 * (n_rows // 1000)
+        # merge-shaped bulk delete: ~1k-key takedown list sampled by hash
+        # from the table's REAL ids (event_id is base+copy*1e9, not dense).
+        # Distinct salt per mode so the second pass matches live rows.
+        for salt, mode in ((17, "mor"), (23, "cow")):
+            keys = (
+                t.read()
+                .select("event_id")
+                .where(F.pmod(F.xxhash64("event_id", F.lit(salt)),
+                              F.lit(n_rows // 1000)) == 0)
+            )
+            before = t.snapshot()
+            _, dt = timed(lambda: t.delete_matching(keys, ["event_id"], mode=mode))
+            after = t.snapshot()
+            print(f"| delete 1k keys | {mode} | {touched(before, after)}/{n_files} "
+                  f"| {dt:.2f} |")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
     spark = get_spark(app_name="txlog_scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--dml" in sys.argv:
+        dml_tier(spark, sf_dir)
+        return
     if "--sql-scan" in sys.argv:
         sql_scan_tier(spark, sf_dir)
         return
