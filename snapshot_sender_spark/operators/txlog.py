@@ -2531,6 +2531,86 @@ class TxTable:
             column_mapping=mapping, retired=retired,
         )
 
+    def add_column(self, name: str, type_ddl: str, ts: float | None = None) -> int:
+        """METADATA-ONLY additive column (Delta's ALTER TABLE ADD COLUMN):
+        the stored schema grows by one nullable column, zero files are
+        rewritten, and every existing file surfaces the new column as NULL —
+        exactly what append-driven evolution (_merge_schema) does, made
+        explicit so a column can exist BEFORE any write populates it. A name
+        that collides with a RETIRED physical (drop + re-add) or another
+        column's physical maps to a fresh physical name, so old bytes never
+        resurrect under the new logical column (same rule as _extend_mapping,
+        pinned by test)."""
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        schema = snap.schema()
+        names = [f.name for f in schema.fields]
+        if name in names:
+            raise TxError(f"column {name!r} already exists")
+        try:
+            dtype = T.StructType.fromDDL(f"__c {type_ddl}")[0].dataType
+        except Exception as exc:
+            raise TxError(f"cannot parse column type {type_ddl!r}: {exc}") from None
+        mapping = dict(snap.mapping)
+        taken = {mapping.get(n, n) for n in names} | set(snap.retired)
+        if name in taken:
+            mapping[name] = f"{name}#{uuid.uuid4().hex[:8]}"
+        new_schema = schema.add(name, dtype, nullable=True)
+        schema_json = json.dumps(json.loads(new_schema.json()))
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during add_column; re-run")
+
+        return self._commit(
+            "add_column", [], [], schema_json, ts, snap.version, revalidate,
+            column_mapping=mapping, retired=list(snap.retired),
+        )
+
+    def drop_constraint(self, name: str, ts: float | None = None) -> int:
+        """Remove a CHECK constraint by name (Delta's ALTER TABLE DROP
+        CONSTRAINT). Dropping frees any column the constraint referenced for
+        rename/drop; an unknown name is refused (a silent no-op would hide a
+        typo in an operation whose point is loosening enforcement)."""
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        cons = dict(snap.constraints)
+        if name not in cons:
+            raise TxError(
+                f"no constraint {name!r} to drop (have {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during drop_constraint; re-run")
+
+        return self._commit(
+            "drop_constraint", [], [], snap.schema_json, ts, snap.version,
+            revalidate, constraints=cons,
+        )
+
+    def set_stats_exclude(self, cols, ts: float | None = None) -> int:
+        """Declare columns whose parquet footer stats must NEVER enter the
+        immutable log (content columns where even a truncated min/max is
+        sensitive), as a persisted TABLE property — the SQL/stream write
+        paths learn it on open. UNION-ONLY by design: the log is immutable,
+        so past stats cannot be unpublished and shrinking the set would give
+        false comfort; the property only ever grows. The empty commit also
+        re-registers the full set so tables whose exclusion predated this
+        property (constructor-only) persist it."""
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        self.stats_exclude = tuple(sorted(set(self.stats_exclude) | set(cols)))
+        if not self.stats_exclude:
+            raise TxError("set_stats_exclude needs at least one column")
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during set_stats_exclude; re-run")
+
+        # _commit persists meta["stats_exclude"] whenever the set is nonempty
+        return self._commit(
+            "set_property", [], [], snap.schema_json, ts, snap.version, revalidate,
+        )
+
     def _enforce_on_staged(
         self,
         adds: list[dict],

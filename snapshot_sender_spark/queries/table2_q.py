@@ -340,6 +340,143 @@ def sql_txlog_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_txlog_ctas_ddl",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice > 100000 THEN 'hi' END AS tier,
+           COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY tier
+    """,
+    category="table-format",
+)
+def sql_txlog_ctas_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SQL lifecycle with zero Python-API calls (round-13): CREATE
+    TABLE ... USING TXLOG ... AS SELECT materializes and auto-registers the
+    table, ALTER TABLE ADD COLUMN is a metadata-only commit (zero files
+    written, NULL-extended everywhere — asserted inline), UPDATE populates
+    it, RENAME COLUMN re-aliases without touching data, DROP COLUMN retires
+    the physical. Every DDL re-publishes the live view (Spark caches a
+    Python DataSource view's planned reader on first use — the dispatcher's
+    freshness fix, pinned in tests/test_txlog_sql_ddl.py). The readback
+    equals a pure CASE projection of orders — the oracle."""
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_ctas_q_")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ctas_orders_src")
+    sql(spark, f"""
+        CREATE TABLE orders_ctas_tt USING TXLOG LOCATION '{work}/orders_tx'
+        AS SELECT o_orderkey, o_orderpriority, o_totalprice
+           FROM ctas_orders_src WHERE o_orderkey % 7 = 0
+    """)
+    t = TxTable(spark, f"{work}/orders_tx")
+    files_v1 = set(t.snapshot().files)
+    sql(spark, "ALTER TABLE orders_ctas_tt ADD COLUMN flag STRING")
+    if set(t.snapshot().files) != files_v1:
+        raise AssertionError("ADD COLUMN must be metadata-only")
+    if spark.sql(
+        "SELECT COUNT(*) AS c FROM orders_ctas_tt WHERE flag IS NOT NULL"
+    ).collect()[0]["c"]:
+        raise AssertionError("new column must be NULL for existing rows")
+    sql(spark, "UPDATE orders_ctas_tt SET flag = 'hi' WHERE o_totalprice > 100000")
+    sql(spark, "ALTER TABLE orders_ctas_tt RENAME COLUMN flag TO tier")
+    sql(spark, "ALTER TABLE orders_ctas_tt DROP COLUMN o_orderpriority")
+    if spark.table("orders_ctas_tt").columns != ["o_orderkey", "o_totalprice", "tier"]:
+        raise AssertionError("DDL must re-publish the live view's schema")
+    return spark.sql(f"""
+        SELECT tier, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_ctas_tt GROUP BY tier
+    """)
+
+
+@query(
+    "sql_txlog_restore",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+    category="table-format",
+)
+def sql_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE ... TO TIMESTAMP AS OF`` as SQL text: after a DELETE
+    and a MOR UPDATE, one metadata-only commit rolls the live set back to
+    the v1 snapshot (no data movement — asserted inline: zero new data
+    files) and the dispatcher re-publishes the view, so a SQL user's very
+    next query reads the restored state. History keeps moving FORWARD (the
+    bad interval stays auditable). The readback equals the untouched base
+    aggregate — the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_rst_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(docs.repartition(4), ts=100.0)
+    register_sql_views(spark, "docs_rst_tt", t.path)
+    # plan the view BEFORE mutating: restore must beat Spark's plan cache
+    n0 = spark.sql("SELECT COUNT(*) AS c FROM docs_rst_tt").collect()[0]["c"]
+    sql(spark, "DELETE FROM docs_rst_tt WHERE doc_id % 3 = 0")
+    sql(spark, "UPDATE docs_rst_tt SET n_chars = 0 WHERE lang = 'en'", mode="mor")
+    out = sql(spark, "RESTORE TABLE docs_rst_tt TO TIMESTAMP AS OF 100").collect()[0]
+    if out["operation"] != "RESTORE" or out["restored_version"] != 1:
+        raise AssertionError(f"unexpected RESTORE result: {out}")
+    if set(t.snapshot().files) != set(t.snapshot(version=1).files):
+        raise AssertionError("RESTORE must make the live set exactly v1's")
+    if spark.sql("SELECT COUNT(*) AS c FROM docs_rst_tt").collect()[0]["c"] != n0:
+        raise AssertionError("restored view must serve the v1 row count")
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_rst_tt GROUP BY lang
+    """)
+
+
+@query(
+    "sql_txlog_table_changes",
+    oracle="""
+    SELECT 'insert' AS _change_type, 2 AS _commit_version,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    SELECT 'delete' AS _change_type, 3 AS _commit_version,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 4 < 2 AND doc_id % 5 = 0
+    """,
+    category="table-format",
+)
+def sql_txlog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_changes('<view>', a, b)`` — Delta's CDF table-valued function
+    as plain SQL (versions a..b INCLUSIVE, rewritten to a temp view over
+    TxTable.row_changes because Spark cannot resolve a Python TVF inside
+    spark.sql). Version 2's appended rows surface as inserts, version 3's
+    copy-on-write DELETE surfaces exactly the matched rows as deletes (the
+    merely-rewritten rows of the hit files contribute NOTHING — multiset
+    file diff), and v1 stays outside the requested window. The aggregate is
+    a pure function of documents — the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_tc_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = TxTable(spark, f"{work}/docs_tx")
+    n_ins = docs.where(F.col("doc_id") % 4 == 1).count()
+    n_del = docs.where((F.col("doc_id") % 4 < 2) & (F.col("doc_id") % 5 == 0)).count()
+    if not (n_ins and n_del):
+        raise AssertionError("degenerate CDF fixture: need both change types")
+    t.append(docs.where(F.col("doc_id") % 4 == 0).repartition(2), ts=1.0)  # v1
+    t.append(docs.where(F.col("doc_id") % 4 == 1).repartition(2), ts=2.0)  # v2
+    register_sql_views(spark, "docs_tc_tt", t.path)
+    sql(spark, "DELETE FROM docs_tc_tt WHERE doc_id % 5 = 0")  # v3, cow
+    return sql(spark, """
+        SELECT _change_type, _commit_version,
+               COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM table_changes('docs_tc_tt', 2, 3)
+        GROUP BY _change_type, _commit_version
+    """)
+
+
+@query(
     "stream_txlog_bytes_limited",
     oracle="""
     SELECT source, COUNT(*) AS n_docs,

@@ -344,10 +344,19 @@ def register_sql_views(
     """Publish a txlog table to SQL: ``<name>`` = latest snapshot, plus one
     view per pin — ``pins={"v3": {"version": 3}, "y2024": {"timestamp": ts},
     "en": {"prune": '[["lang","en","en"]]'}}`` creates ``<name>_v3``,
-    ``<name>_y2024`` and ``<name>_en``. Each view re-resolves its snapshot
-    at query-plan time (latest tracks the log; pinned views are immutable),
-    so SQL users get Delta's VERSION AS OF surface without leaving
-    spark.sql. A ``prune`` pin is the CACHE-SAFE pre-filtered view (file
+    ``<name>_y2024`` and ``<name>_en``, so SQL users get Delta's VERSION AS
+    OF surface without leaving spark.sql.
+
+    FRESHNESS CONTRACT (both modes — measured, round-13): a live view
+    serves the snapshot current at its FIRST query plan; after that, Spark
+    4.1's ``PythonDataSourceV2.getOrCreateReadInfo`` caches the planned
+    reader (file list included) on the view relation and no
+    refreshTable/clearCache/REFRESH TABLE invalidates it — only CREATE OR
+    REPLACE of the view does. Mutations routed through the DML dispatcher
+    (``txlog_sql.sql``) re-publish the live view automatically after every
+    commit, so dispatcher users always read their own writes; after an
+    OUTSIDE commit (direct TxTable API, another session) re-register (one
+    call) to advance. Pinned views are immutable and never need refreshing. A ``prune`` pin is the CACHE-SAFE pre-filtered view (file
     pruning as part of the view identity); ``options`` applies to every
     view (e.g. ``{"filter_pushdown": "true"}`` to opt into per-query
     pushFilters pruning — see TxlogBatchReader for the engine caveat).
@@ -399,13 +408,15 @@ def register_sql_views(
 
     make = _mk_native if native else _mk
     make(name, {})
-    # mutable = the live, unfiltered view (DML refuses pins/prunes)
-    track_view(name, path, mutable=True, native=native)
+    # mutable = the live, unfiltered view (DML refuses pins/prunes); the
+    # live view's source options are recorded so dispatcher DDL can
+    # re-publish it after a schema evolution
+    track_view(name, path, mutable=True, native=native, options=options)
     if native:
         # the DataSource WRITER needs a source-backed view for INSERT INTO
         # (the dispatcher transparently reroutes INSERT on the native name)
         _mk(f"{name}__ins", {})
-        track_view(f"{name}__ins", path, mutable=True)
+        track_view(f"{name}__ins", path, mutable=True, options=options)
     for suffix, opts in (pins or {}).items():
         make(f"{name}_{suffix}", opts)
         track_view(f"{name}_{suffix}", path, mutable=False, native=native)

@@ -44,6 +44,24 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     OPTIMIZE <view> [FILE SIZE <bytes>] [CLUSTER BY <expr>]
     VACUUM <view> [RETAIN <n> VERSIONS] [OLDER THAN <s> SECONDS] [DRY RUN]
     DESCRIBE HISTORY|DETAIL <view>
+    ALTER TABLE <view> RENAME COLUMN <a> TO <b>
+    ALTER TABLE <view> ADD COLUMN <name> <type>      -- metadata-only, NULLs
+    ALTER TABLE <view> DROP COLUMN <name>            -- metadata-only, retires
+    ALTER TABLE <view> ADD CONSTRAINT <n> CHECK (<expr>)
+    ALTER TABLE <view> DROP CONSTRAINT <n>
+    ALTER TABLE <view> SET TBLPROPERTIES ('stats_exclude' = 'a,b')
+    SHOW TBLPROPERTIES <view>
+    RESTORE TABLE <view> TO VERSION|TIMESTAMP AS OF <n>
+    CREATE TABLE <name> USING TXLOG LOCATION '<path>'
+        [PARTITIONED BY (a, b)] AS <select>          -- CTAS + auto-register
+    SELECT ... FROM table_changes('<view>', a[, b])  -- CDF, a..b inclusive
+
+Schema-evolving DDL (rename/add/drop column) RE-PUBLISHES the live view —
+a temp view resolves its schema at CREATE time — preserving the source
+options it was registered with; pinned companions keep their created shape.
+``table_changes`` is rewritten textually to a temp view over
+``TxTable.row_changes`` because Spark cannot resolve a Python table-valued
+function inside spark.sql.
 
 MERGE supports the upsert form (UPDATE SET * / INSERT * — exactly
 ``TxTable.merge``'s contract) and the bulk-delete form (WHEN MATCHED THEN
@@ -73,13 +91,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.txlog import TxError, TxTable
 
 # view name (LOWERCASED — Spark SQL identifiers are case-insensitive) ->
-# (table path, mutable, native) recorded by register_sql_views; pinned and
-# prune-filtered views register mutable=False
-_VIEWS: dict[str, tuple[str, bool, bool]] = {}
+# (table path, mutable, native, source-view options) recorded by
+# register_sql_views; pinned and prune-filtered views register mutable=False.
+# The options are kept so a schema-evolving DDL can RE-PUBLISH the live view
+# (a view resolves its schema at CREATE time) without losing source knobs.
+_VIEWS: dict[str, tuple[str, bool, bool, dict]] = {}
 
 
-def track_view(name: str, path: str, mutable: bool, native: bool = False) -> None:
-    _VIEWS[name.lower()] = (path, mutable, native)
+def track_view(
+    name: str, path: str, mutable: bool, native: bool = False,
+    options: dict | None = None,
+) -> None:
+    _VIEWS[name.lower()] = (path, mutable, native, dict(options or {}))
 
 
 def _target(spark: SparkSession, name: str) -> str:
@@ -89,7 +112,7 @@ def _target(spark: SparkSession, name: str) -> str:
             f"{name!r} is not a registered txlog view — call "
             "register_sql_views(spark, name, path) first"
         )
-    path, mutable, _native = ent
+    path, mutable, _native, _opts = ent
     if not mutable:
         raise TxError(
             f"view {name!r} is pinned (version/timestamp) or prune-filtered "
@@ -106,14 +129,51 @@ def _target(spark: SparkSession, name: str) -> str:
     return path
 
 
-def _refresh_if_native(spark: SparkSession, name: str) -> None:
-    """A NATIVE view pins its snapshot at registration; a mutation the
-    dispatcher itself just committed is one the caller plainly wants to see,
-    so the live view is re-published over the new snapshot (pinned/pruned
-    companion views are left alone — they are immutable by definition)."""
+def _refresh_live(spark: SparkSession, name: str) -> None:
+    """Re-publish the LIVE view after a mutation or schema-evolving DDL the
+    dispatcher itself committed. This is a CORRECTNESS step for BOTH view
+    modes, not just native: a native view pins its snapshot at registration
+    by design, and a SOURCE view — despite resolving per query plan on its
+    FIRST use — is frozen by Spark 4.1's ``PythonDataSourceV2
+    .getOrCreateReadInfo``, which caches the planned reader (file list
+    included) on the view relation and reuses it for every later query
+    (measured: no refreshTable / clearCache / REFRESH TABLE invalidates it;
+    only CREATE OR REPLACE of the view does). Without this, a view that was
+    EVER queried would serve the pre-mutation file list forever after.
+    Native views also refresh their ``__ins`` source companion (the INSERT
+    path must accept an evolved schema), and the ``_history``/``_detail``
+    companions are re-created (same engine cache, same staleness).
+    Pinned/pruned companions stay as created — they are snapshots of the
+    past by definition. OUTSIDE commits (Python API, another session)
+    cannot be hooked: re-register (one call) to advance, either mode."""
     ent = _VIEWS.get(name.lower())
-    if ent and ent[2]:
-        TxTable(spark, ent[0]).read().createOrReplaceTempView(name)
+    if ent is None:
+        return
+    path, _mutable, native, opts = ent
+    if native:
+        TxTable(spark, path).read().createOrReplaceTempView(name)
+        ins = _VIEWS.get(f"{name.lower()}__ins")
+        if ins is not None:
+            _make_source_view(spark, f"{name}__ins", path, ins[3])
+    else:
+        _make_source_view(spark, name, path, opts)
+    for suffix, source in (("history", "txlog_history"), ("detail", "txlog_detail")):
+        view = f"{name}_{suffix}"
+        if spark.catalog.tableExists(view):
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {view} "
+                f"USING {source} OPTIONS (path '{path}')"
+            )
+
+
+def _make_source_view(spark: SparkSession, view: str, path: str, opts: dict) -> None:
+    with_opts = ", ".join(
+        [f"path '{path}'"] + [f"{k} '{v}'" for k, v in opts.items()]
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} USING txlog "
+        f"OPTIONS ({with_opts})"
+    )
 
 
 _INSERT_RE = re.compile(
@@ -154,6 +214,36 @@ _VACUUM_RE = re.compile(
     r"(?:\s+OLDER\s+THAN\s+(\d+(?:\.\d+)?)\s+SECONDS)?"
     r"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.I,
+)
+
+_ALTER_RE = re.compile(r"^\s*ALTER\s+TABLE\s+(\w+)\s+(.+?)\s*;?\s*$", re.I | re.S)
+_ALTER_RENAME_RE = re.compile(r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", re.I)
+_ALTER_DROP_COL_RE = re.compile(r"^DROP\s+COLUMN\s+(\w+)$", re.I)
+_ALTER_ADD_COL_RE = re.compile(r"^ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+(.+?)\)?$", re.I | re.S)
+_ALTER_ADD_CONS_RE = re.compile(
+    r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)$", re.I | re.S
+)
+_ALTER_DROP_CONS_RE = re.compile(r"^DROP\s+CONSTRAINT\s+(\w+)$", re.I)
+_ALTER_PROPS_RE = re.compile(r"^SET\s+TBLPROPERTIES\s*\((.+)\)$", re.I | re.S)
+_PROP_PAIR_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+_SHOW_PROPS_RE = re.compile(r"^\s*SHOW\s+TBLPROPERTIES\s+(\w+)\s*;?\s*$", re.I)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(\d+(?:\.\d+)?)\s*;?\s*$",
+    re.I,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s+USING\s+TXLOG\s+LOCATION\s+'([^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
+    r"\s+AS\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_CREATE_HEAD_RE = re.compile(r"^\s*CREATE\s+TABLE\s+\w+.*\bUSING\s+TXLOG\b", re.I | re.S)
+# table_changes('<view>', from[, to]) — Delta's CDF table-valued function,
+# rewritten textually to a temp view over TxTable.row_changes (Spark cannot
+# resolve a Python TVF inside spark.sql)
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.I
 )
 
 # default OPTIMIZE target: the 128 MiB sweet spot parquet scans want
@@ -270,7 +360,9 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     anything else passes through to ``spark.sql`` verbatim."""
     # INSERT targeting a NATIVE view: a plain DataFrame temp view is not
     # insertable, so reroute to the source-backed __ins companion and then
-    # re-publish the native snapshot — INSERT is transparent in both modes
+    # re-publish the native snapshot. A SOURCE view inserts directly, but
+    # still needs the post-commit re-publish: once planned, Spark's cached
+    # read info would keep serving the pre-insert file list (_refresh_live).
     m = _INSERT_RE.match(statement)
     if m:
         name = m.group(1)
@@ -279,7 +371,11 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             out = spark.sql(
                 re.sub(rf"\b{re.escape(name)}\b", f"{name}__ins", statement, count=1)
             )
-            _refresh_if_native(spark, name)
+            _refresh_live(spark, name)
+            return out
+        if ent is not None:
+            out = spark.sql(statement)
+            _refresh_live(spark, name)
             return out
 
     m = _DELETE_RE.match(statement)
@@ -289,7 +385,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         before = t.snapshot()
         v = t.delete_where(pred, mode=mode)
         rows = before.total_rows() - t.snapshot(version=v).total_rows()
-        _refresh_if_native(spark, name)
+        _refresh_live(spark, name)
         return _one_row(
             spark, operation="DELETE", version=v, rows_deleted=rows
         )
@@ -304,7 +400,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             v = t.update_where(
                 _split_assignments(set_clause), pred or "TRUE", mode=mode
             )
-            _refresh_if_native(spark, name)
+            _refresh_live(spark, name)
             return _one_row(spark, operation="UPDATE", version=v)
 
     for pattern, action in ((_MERGE_RE, "upsert"), (_MERGE_DELETE_RE, "delete")):
@@ -324,7 +420,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             v = t.merge(source, keys, mode=mode)
         else:  # WHEN MATCHED THEN DELETE: same cow/mor knob as DELETE FROM
             v = t.delete_matching(source, keys, mode=mode)
-        _refresh_if_native(spark, name)
+        _refresh_live(spark, name)
         return _one_row(spark, operation="MERGE", version=v)
     if _MERGE_HEAD_RE.match(statement):
         raise TxError(
@@ -343,7 +439,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             target_file_bytes=int(size) if size else _OPTIMIZE_DEFAULT_BYTES,
             cluster_expr=cluster.strip() if cluster else None,
         )
-        _refresh_if_native(spark, name)
+        _refresh_live(spark, name)
         return _one_row(
             spark, operation="OPTIMIZE", version=v,
             files_before=before, files_after=len(t.snapshot().files),
@@ -384,9 +480,159 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         )
         if not dry:
             # a native view may plan files vacuum just deleted
-            _refresh_if_native(spark, name)
+            _refresh_live(spark, name)
         return spark.createDataFrame(
             [(p, bool(dry)) for p in removed] or [], "path string, dry_run boolean"
         )
 
-    return spark.sql(statement)
+    m = _ALTER_RE.match(statement)
+    if m:
+        name, action = m.group(1), m.group(2).strip()
+        t = TxTable(spark, _target(spark, name))
+        am = _ALTER_RENAME_RE.match(action)
+        if am:
+            v = t.rename_column(am.group(1), am.group(2))
+            _refresh_live(spark, name)
+            return _one_row(spark, operation="RENAME COLUMN", version=v)
+        am = _ALTER_DROP_COL_RE.match(action)
+        if am:
+            v = t.drop_column(am.group(1))
+            _refresh_live(spark, name)
+            return _one_row(spark, operation="DROP COLUMN", version=v)
+        am = re.match(r"^ADD\s+COLUMNS?\s+(.+)$", action, re.I | re.S)
+        if am and not _ALTER_ADD_CONS_RE.match(action):
+            spec = am.group(1).strip()
+            if spec.startswith("(") and spec.endswith(")"):
+                spec = spec[1:-1].strip()
+            cm = re.match(r"^(\w+)\s+(.+)$", spec, re.S)
+            if not cm:
+                raise TxError(f"cannot parse ADD COLUMN spec {spec!r}")
+            v = t.add_column(cm.group(1), cm.group(2).strip())
+            _refresh_live(spark, name)
+            return _one_row(spark, operation="ADD COLUMN", version=v)
+        am = _ALTER_ADD_CONS_RE.match(action)
+        if am:
+            v = t.set_constraint(am.group(1), am.group(2).strip())
+            return _one_row(spark, operation="ADD CONSTRAINT", version=v)
+        am = _ALTER_DROP_CONS_RE.match(action)
+        if am:
+            v = t.drop_constraint(am.group(1))
+            return _one_row(spark, operation="DROP CONSTRAINT", version=v)
+        am = _ALTER_PROPS_RE.match(action)
+        if am:
+            pairs = _PROP_PAIR_RE.findall(am.group(1))
+            if not pairs:
+                raise TxError(
+                    f"cannot parse TBLPROPERTIES {am.group(1).strip()!r} — "
+                    "expected 'key' = 'value' pairs"
+                )
+            for key, _val in pairs:
+                if key != "stats_exclude":
+                    raise TxError(
+                        f"unsupported table property {key!r} — "
+                        "'stats_exclude' is the one settable property "
+                        "(a comma-separated column list; union-only)"
+                    )
+            cols = [
+                c.strip()
+                for _k, val in pairs
+                for c in val.split(",")
+                if c.strip()
+            ]
+            v = t.set_stats_exclude(cols)
+            return _one_row(spark, operation="SET TBLPROPERTIES", version=v)
+        raise TxError(
+            f"unsupported ALTER TABLE action {action!r} — this dispatcher "
+            "implements RENAME COLUMN, DROP COLUMN, ADD COLUMN, "
+            "ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, and "
+            "SET TBLPROPERTIES"
+        )
+
+    m = _SHOW_PROPS_RE.match(statement)
+    if m:
+        name = m.group(1)
+        ent = _VIEWS.get(name.lower())
+        if ent is None:
+            raise TxError(
+                f"{name!r} is not a registered txlog view — call "
+                "register_sql_views(spark, name, path) first"
+            )
+        snap = TxTable(spark, ent[0]).snapshot()  # read-only: pinned views ok
+        rows = [
+            ("partition_by", ",".join(snap.partition_by)),
+            ("stats_exclude", ",".join(snap.stats_exclude)),
+            ("min_reader", str(snap.proto[0])),
+            ("min_writer", str(snap.proto[1])),
+        ] + [(f"constraint.{k}", v) for k, v in sorted(snap.constraints.items())]
+        return spark.createDataFrame(rows, "key string, value string")
+
+    m = _RESTORE_RE.match(statement)
+    if m:
+        name, what, num = m.groups()
+        t = TxTable(spark, _target(spark, name))
+        target_v = (
+            int(num)
+            if what.upper() == "VERSION"
+            else t.snapshot(timestamp=float(num)).version
+        )
+        v = t.restore(target_v)
+        _refresh_live(spark, name)
+        return _one_row(
+            spark, operation="RESTORE", version=v, restored_version=target_v
+        )
+
+    m = _CTAS_RE.match(statement)
+    if m:
+        name, loc, parts, select = m.groups()
+        if _VIEWS.get(name.lower()) is not None:
+            raise TxError(f"{name!r} is already a registered txlog view")
+        part_by = (
+            tuple(p.strip() for p in parts.split(",")) if parts else ()
+        )
+        t = TxTable(spark, loc, partition_by=part_by)
+        if t._list_versions():
+            raise TxError(f"location {loc!r} already holds a txlog table")
+        v = t.append(spark.sql(select))
+        from .txlog_batch import register_sql_views
+
+        register_sql_views(spark, name, t.path)
+        return _one_row(
+            spark, operation="CREATE TABLE AS SELECT", version=v,
+            rows=t.snapshot().total_rows(),
+        )
+    if _CREATE_HEAD_RE.match(statement):
+        raise TxError(
+            "unsupported CREATE TABLE form — this dispatcher implements "
+            "CREATE TABLE <name> USING TXLOG LOCATION '<path>' "
+            "[PARTITIONED BY (...)] AS <select>; for an empty table use "
+            "the TxTable API"
+        )
+
+    return spark.sql(_rewrite_table_changes(spark, statement))
+
+
+def _rewrite_table_changes(spark: SparkSession, statement: str) -> str:
+    """Textually rewrite each ``table_changes('<view>', a[, b])`` call —
+    Delta's CDF table-valued function, versions a..b INCLUSIVE, b defaulting
+    to the latest — into a temp view over ``TxTable.row_changes`` (Spark
+    cannot resolve a Python table-valued function inside spark.sql, so the
+    dispatcher materializes the relation under a derived name and
+    substitutes it). The rewrite is the same front-end division of labor as
+    the DML grammar; the view name encodes (table, a, b) so repeated calls
+    are stable. Works on pinned views too — CDF reads are read-only."""
+
+    def _sub(m: re.Match) -> str:
+        name, lo = m.group(1), int(m.group(2))
+        ent = _VIEWS.get(name.lower())
+        if ent is None:
+            raise TxError(
+                f"table_changes: {name!r} is not a registered txlog view"
+            )
+        t = TxTable(spark, ent[0])
+        hi = int(m.group(3)) if m.group(3) is not None else t.latest_version()
+        view = f"{name}__changes_{lo}_{hi}"
+        # Delta's table_changes includes version a; row_changes is (from, to]
+        t.row_changes(lo - 1, hi).createOrReplaceTempView(view)
+        return view
+
+    return _TABLE_CHANGES_RE.sub(_sub, statement)

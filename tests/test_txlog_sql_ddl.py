@@ -1,0 +1,287 @@
+"""Round-13 SQL lifecycle completion (sources/txlog_sql.py): DDL (ALTER
+TABLE RENAME/ADD/DROP COLUMN, ADD/DROP CONSTRAINT, SET TBLPROPERTIES),
+SHOW TBLPROPERTIES, RESTORE TABLE, CREATE TABLE ... USING TXLOG ... AS
+SELECT (CTAS + auto-register), the ``table_changes()`` CDF rewrite, and the
+view-freshness fix: Spark 4.1 caches a Python DataSource view's planned
+reader (file list included) on the relation after its FIRST query plan, so
+every dispatcher mutation now RE-PUBLISHES the live view — source mode too,
+not just native."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from snapshot_sender_spark.operators.txlog import TxError, TxTable
+from snapshot_sender_spark.sources.txlog_batch import register_sql_views
+from snapshot_sender_spark.sources.txlog_sql import sql
+
+
+def _ctas(spark, tmp_path, name, n=20):
+    sql(
+        spark,
+        f"CREATE TABLE {name} USING TXLOG LOCATION '{tmp_path / name}' AS "
+        f"SELECT id AS k, id * 10 AS v, CAST(id % 4 AS INT) AS g "
+        f"FROM range({n})",
+    )
+    return TxTable(spark, str(tmp_path / name))
+
+
+# -- CTAS ---------------------------------------------------------------------
+
+
+def test_ctas_creates_and_registers(spark, tmp_path):
+    out = sql(
+        spark,
+        f"CREATE TABLE ddl_ctas USING TXLOG LOCATION '{tmp_path / 'c'}' AS "
+        "SELECT id AS k, id * 2 AS v FROM range(50)",
+    ).collect()[0]
+    assert out["operation"] == "CREATE TABLE AS SELECT"
+    assert out["version"] == 1 and out["rows"] == 50
+    # live view, history and detail companions all registered
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_ctas").collect()[0]["c"] == 50
+    assert spark.sql("SELECT * FROM ddl_ctas_history").count() == 1
+    # and the table is immediately mutable through the dispatcher
+    sql(spark, "DELETE FROM ddl_ctas WHERE k >= 40")
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_ctas").collect()[0]["c"] == 40
+
+
+def test_ctas_partitioned(spark, tmp_path):
+    sql(
+        spark,
+        f"CREATE TABLE ddl_ctas_p USING TXLOG LOCATION '{tmp_path / 'p'}' "
+        "PARTITIONED BY (g) AS "
+        "SELECT id AS k, CAST(id % 3 AS INT) AS g FROM range(30)",
+    )
+    t = TxTable(spark, str(tmp_path / "p"))
+    assert t.snapshot().partition_by == ("g",)
+    assert all("g=" in p for p in t.snapshot().live_paths())
+    got = {
+        (r["g"], r["n"])
+        for r in spark.sql(
+            "SELECT g, COUNT(*) AS n FROM ddl_ctas_p GROUP BY g"
+        ).collect()
+    }
+    assert got == {(0, 10), (1, 10), (2, 10)}
+
+
+def test_ctas_refuses_existing_table_and_name(spark, tmp_path):
+    _ctas(spark, tmp_path, "ddl_ctas_dup")
+    with pytest.raises(TxError, match="already a registered"):
+        sql(
+            spark,
+            f"CREATE TABLE ddl_ctas_dup USING TXLOG LOCATION "
+            f"'{tmp_path / 'other'}' AS SELECT 1 AS x",
+        )
+    with pytest.raises(TxError, match="already holds a txlog table"):
+        sql(
+            spark,
+            f"CREATE TABLE ddl_ctas_dup2 USING TXLOG LOCATION "
+            f"'{tmp_path / 'ddl_ctas_dup'}' AS SELECT 1 AS x",
+        )
+    # a non-CTAS CREATE ... USING TXLOG refuses typed instead of falling
+    # through to spark.sql's unhelpful analysis error
+    with pytest.raises(TxError, match="unsupported CREATE TABLE form"):
+        sql(
+            spark,
+            f"CREATE TABLE ddl_ctas_e (k BIGINT) USING TXLOG LOCATION "
+            f"'{tmp_path / 'e'}'",
+        )
+
+
+# -- ALTER TABLE column DDL ----------------------------------------------------
+
+
+def test_add_column_null_extends_everywhere(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_addc")
+    out = sql(spark, "ALTER TABLE ddl_addc ADD COLUMN note STRING").collect()[0]
+    assert out["operation"] == "ADD COLUMN"
+    # metadata-only: zero new files
+    assert len(t.snapshot().files) == len(t.snapshot(version=1).files)
+    # NULL-extended on the DataFrame path AND the (re-published) SQL view
+    assert t.read().where("note IS NULL").count() == 20
+    assert (
+        spark.sql("SELECT COUNT(*) AS c FROM ddl_addc WHERE note IS NULL")
+        .collect()[0]["c"]
+        == 20
+    )
+    # and the column is immediately writable through SQL
+    sql(spark, "UPDATE ddl_addc SET note = 'x' WHERE k < 5")
+    assert t.read().where("note = 'x'").count() == 5
+
+
+def test_add_column_parses_complex_types(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_addt")
+    sql(spark, "ALTER TABLE ddl_addt ADD COLUMN tags ARRAY<STRING>")
+    sql(spark, "ALTER TABLE ddl_addt ADD COLUMN price DECIMAL(10,2)")
+    kinds = {f.name: f.dataType.simpleString() for f in t.snapshot().schema().fields}
+    assert kinds["tags"] == "array<string>"
+    assert kinds["price"] == "decimal(10,2)"
+    with pytest.raises(TxError, match="already exists"):
+        sql(spark, "ALTER TABLE ddl_addt ADD COLUMN tags ARRAY<STRING>")
+    with pytest.raises(TxError, match="cannot parse column type"):
+        sql(spark, "ALTER TABLE ddl_addt ADD COLUMN bad NOT_A_TYPE")
+
+
+def test_add_column_after_drop_never_resurrects(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_readd")
+    sql(spark, "ALTER TABLE ddl_readd DROP COLUMN v")
+    sql(spark, "ALTER TABLE ddl_readd ADD COLUMN v BIGINT")
+    # the re-added logical 'v' maps to a FRESH physical: old bytes stay dead
+    assert t.read().where("v IS NOT NULL").count() == 0
+    assert t.snapshot().mapping["v"].startswith("v#")
+
+
+def test_rename_and_drop_column_republish_view(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_ren")
+    # PLAN the view first: the republish must beat Spark's read-info cache
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_ren").collect()[0]["c"] == 20
+    sql(spark, "ALTER TABLE ddl_ren RENAME COLUMN v TO val")
+    assert spark.table("ddl_ren").columns == ["k", "val", "g"]
+    assert (
+        spark.sql("SELECT CAST(SUM(val) AS BIGINT) AS s FROM ddl_ren")
+        .collect()[0]["s"]
+        == sum(i * 10 for i in range(20))
+    )
+    sql(spark, "ALTER TABLE ddl_ren DROP COLUMN g")
+    assert spark.table("ddl_ren").columns == ["k", "val"]
+    assert t.snapshot().retired == ("g",)
+    with pytest.raises(TxError, match="unsupported ALTER TABLE action"):
+        sql(spark, "ALTER TABLE ddl_ren CLUSTER BY (k)")
+
+
+# -- constraints + properties through SQL ---------------------------------------
+
+
+def test_add_drop_constraint_sql(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_cons")
+    out = sql(
+        spark, "ALTER TABLE ddl_cons ADD CONSTRAINT v_pos CHECK (v >= 0)"
+    ).collect()[0]
+    assert out["operation"] == "ADD CONSTRAINT"
+    assert t.constraints() == {"v_pos": "v >= 0"}
+    with pytest.raises(Exception, match="constraint"):
+        sql(spark, "UPDATE ddl_cons SET v = -1 WHERE k = 3")
+    # a constraint the EXISTING data violates is refused at ADD time
+    with pytest.raises(TxError, match="existing rows violate"):
+        sql(spark, "ALTER TABLE ddl_cons ADD CONSTRAINT v_big CHECK (v > 50)")
+    sql(spark, "ALTER TABLE ddl_cons DROP CONSTRAINT v_pos")
+    assert t.constraints() == {}
+    sql(spark, "UPDATE ddl_cons SET v = -1 WHERE k = 3")  # now allowed
+    with pytest.raises(TxError, match="no constraint"):
+        sql(spark, "ALTER TABLE ddl_cons DROP CONSTRAINT v_pos")
+
+
+def test_tblproperties_stats_exclude(spark, tmp_path):
+    import json
+    import os
+
+    t = _ctas(spark, tmp_path, "ddl_prop")
+    out = sql(
+        spark,
+        "ALTER TABLE ddl_prop SET TBLPROPERTIES ('stats_exclude' = 'v,g')",
+    ).collect()[0]
+    assert out["operation"] == "SET TBLPROPERTIES"
+    assert t.snapshot().stats_exclude == ("g", "v")
+    props = {
+        r["key"]: r["value"]
+        for r in sql(spark, "SHOW TBLPROPERTIES ddl_prop").collect()
+    }
+    assert props["stats_exclude"] == "g,v"
+    assert props["min_reader"] == "1"
+    # a subsequent SQL INSERT honors the persisted exclusion: no v/g stats
+    # land in the new add actions
+    spark.range(100, 105).selectExpr(
+        "id AS k", "id * 10 AS v", "CAST(id % 4 AS INT) AS g"
+    ).createOrReplaceTempView("ddl_prop_src")
+    sql(spark, "INSERT INTO ddl_prop SELECT * FROM ddl_prop_src")
+    log_dir = os.path.join(t.path, "_txlog")
+    latest = max(
+        f for f in os.listdir(log_dir) if f.startswith("v") and f.endswith(".json")
+    )
+    with open(os.path.join(log_dir, latest)) as fh:
+        adds = [
+            json.loads(line)["add"]
+            for line in fh
+            if '"add"' in line
+        ]
+    assert adds, "INSERT must add files"
+    for a in adds:
+        stats = a.get("stats", {})
+        assert "v" not in stats and "g" not in stats
+    with pytest.raises(TxError, match="unsupported table property"):
+        sql(spark, "ALTER TABLE ddl_prop SET TBLPROPERTIES ('owner' = 'me')")
+
+
+# -- RESTORE through SQL ---------------------------------------------------------
+
+
+def test_restore_sql_version_and_timestamp(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_rst")
+    # plan the view BEFORE mutating: restore must beat the read-info cache
+    s0 = spark.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM ddl_rst").collect()[0]["s"]
+    sql(spark, "DELETE FROM ddl_rst WHERE k % 2 = 0")
+    out = sql(spark, "RESTORE TABLE ddl_rst TO VERSION AS OF 1").collect()[0]
+    assert out["operation"] == "RESTORE" and out["restored_version"] == 1
+    assert (
+        spark.sql("SELECT CAST(SUM(v) AS BIGINT) AS s FROM ddl_rst").collect()[0]["s"]
+        == s0
+    )
+    # timestamp form: resolve the version whose commit ts <= the target
+    t2 = TxTable(spark, str(tmp_path / "rst2"))
+    t2.append(spark.range(10).withColumnRenamed("id", "k").coalesce(1), ts=100.0)
+    t2.delete_where("k < 5", ts=200.0)
+    register_sql_views(spark, "ddl_rst2", t2.path)
+    sql(spark, "RESTORE TABLE ddl_rst2 TO TIMESTAMP AS OF 150")
+    assert t2.read().count() == 10
+
+
+# -- table_changes() CDF rewrite --------------------------------------------------
+
+
+def test_table_changes_inclusive_bounds(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tc"))
+    t.append(spark.range(0, 4).withColumnRenamed("id", "k").coalesce(1), ts=1.0)  # v1
+    t.append(spark.range(4, 6).withColumnRenamed("id", "k").coalesce(1), ts=2.0)  # v2
+    t.delete_where("k = 0", ts=3.0)  # v3
+    register_sql_views(spark, "ddl_tc", t.path)
+    rows = sql(
+        spark,
+        "SELECT _change_type, k FROM table_changes('ddl_tc', 2, 3) "
+        "ORDER BY _change_type, k",
+    ).collect()
+    # versions 2..3 INCLUSIVE (Delta semantics): v2's inserts + v3's delete
+    assert [(r["_change_type"], r["k"]) for r in rows] == [
+        ("delete", 0), ("insert", 4), ("insert", 5),
+    ]
+    # default upper bound = latest version; composes inside a bigger SELECT
+    n = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('ddl_tc', 1) "
+        "WHERE _change_type = 'insert'",
+    ).collect()[0]["n"]
+    assert n == 6
+    with pytest.raises(TxError, match="not a registered txlog view"):
+        sql(spark, "SELECT * FROM table_changes('nope', 1)")
+
+
+# -- view freshness after dispatcher mutations -------------------------------------
+
+
+def test_planned_source_view_sees_dispatcher_writes(spark, tmp_path):
+    """The round-13 freshness fix: Spark caches a Python DataSource view's
+    planned reader on FIRST use; without the dispatcher's re-publish, every
+    later query would serve the pre-mutation file list."""
+    t = _ctas(spark, tmp_path, "ddl_fresh")
+    # plan the view (populates Spark's read-info cache)
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_fresh").collect()[0]["c"] == 20
+    sql(spark, "DELETE FROM ddl_fresh WHERE k >= 10")
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_fresh").collect()[0]["c"] == 10
+    # INSERT INTO a source view refreshes too
+    spark.range(100, 103).selectExpr(
+        "id AS k", "id AS v", "CAST(0 AS INT) AS g"
+    ).createOrReplaceTempView("ddl_fresh_src")
+    sql(spark, "INSERT INTO ddl_fresh SELECT * FROM ddl_fresh_src")
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_fresh").collect()[0]["c"] == 13
+    # the history companion refreshes with the live view
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_fresh_history").collect()[0][
+        "c"
+    ] == t.latest_version()
