@@ -2548,9 +2548,17 @@ class TxTable:
         if name in names:
             raise TxError(f"column {name!r} already exists")
         try:
-            dtype = T.StructType.fromDDL(f"__c {type_ddl}")[0].dataType
+            parsed = T.StructType.fromDDL(f"__c {type_ddl}")
         except Exception as exc:
             raise TxError(f"cannot parse column type {type_ddl!r}: {exc}") from None
+        if len(parsed.fields) != 1:
+            # "INT, b INT" parses as TWO fields — adding only the first
+            # would silently drop the rest of a multi-column attempt
+            raise TxError(
+                f"type {type_ddl!r} parses as {len(parsed.fields)} columns — "
+                "add_column takes one column; call it once per column"
+            )
+        dtype = parsed[0].dataType
         mapping = dict(snap.mapping)
         taken = {mapping.get(n, n) for n in names} | set(snap.retired)
         if name in taken:
@@ -2599,9 +2607,21 @@ class TxTable:
         property (constructor-only) persist it."""
         snap = self.snapshot()
         self._writer_gate(snap)
-        self.stats_exclude = tuple(sorted(set(self.stats_exclude) | set(cols)))
-        if not self.stats_exclude:
+        cols = tuple(cols)
+        if not cols:
             raise TxError("set_stats_exclude needs at least one column")
+        # a TYPO'd name would silently keep publishing the sensitive stats —
+        # the exact failure this property exists to prevent. Columns must
+        # exist (add_column first to pre-declare an exclusion).
+        known = {f.name for f in snap.schema().fields}
+        unknown = sorted(set(cols) - known)
+        if unknown:
+            raise TxError(
+                f"set_stats_exclude: no such column(s) {unknown} "
+                f"(have {sorted(known)}) — excluding a name the schema lacks "
+                "would silently protect nothing"
+            )
+        self.stats_exclude = tuple(sorted(set(self.stats_exclude) | set(cols)))
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict("concurrent commit during set_stats_exclude; re-run")

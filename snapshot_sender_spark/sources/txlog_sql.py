@@ -367,6 +367,15 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
     if m:
         name = m.group(1)
         ent = _VIEWS.get(name.lower())
+        if ent is not None and not ent[1]:
+            # a version/timestamp-pinned or prune-filtered view: the txlog
+            # writer would APPEND TO THE LIVE TABLE while the reader keeps
+            # serving the pin — a write that silently lands somewhere the
+            # view never shows. Same refusal as DML on pins.
+            raise TxError(
+                f"view {name!r} is pinned (version/timestamp) or "
+                "prune-filtered — INSERT targets the live view only"
+            )
         if ent and ent[2]:
             out = spark.sql(
                 re.sub(rf"\b{re.escape(name)}\b", f"{name}__ins", statement, count=1)
@@ -635,4 +644,17 @@ def _rewrite_table_changes(spark: SparkSession, statement: str) -> str:
         t.row_changes(lo - 1, hi).createOrReplaceTempView(view)
         return view
 
-    return _TABLE_CHANGES_RE.sub(_sub, statement)
+    # rewrite only call sites OUTSIDE single-quoted string literals: a
+    # literal that merely MENTIONS table_changes(...) (e.g. an INSERTed
+    # note) must pass through untouched, not raise on an unregistered name.
+    # A call site is outside a literal iff an even number of "'" precedes
+    # it ('' escapes count twice, preserving parity).
+    out, last = [], 0
+    for m in _TABLE_CHANGES_RE.finditer(statement):
+        if statement.count("'", 0, m.start()) % 2:
+            continue  # inside a string literal
+        out.append(statement[last:m.start()])
+        out.append(_sub(m))
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)

@@ -263,6 +263,60 @@ def test_table_changes_inclusive_bounds(spark, tmp_path):
         sql(spark, "SELECT * FROM table_changes('nope', 1)")
 
 
+# -- self-review hardening pins ----------------------------------------------------
+
+
+def test_add_column_refuses_multi_column_spec(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_multi")
+    # "INT, b INT" parses as TWO fields; adding only the first would
+    # silently drop the rest of a multi-column attempt
+    with pytest.raises(TxError, match="one column"):
+        sql(spark, "ALTER TABLE ddl_multi ADD COLUMN a INT, b INT")
+    assert [f.name for f in t.snapshot().schema().fields] == ["k", "v", "g"]
+
+
+def test_stats_exclude_refuses_unknown_column(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_typo")
+    # a TYPO'd exclusion would silently keep publishing the sensitive stats
+    with pytest.raises(TxError, match="no such column"):
+        sql(
+            spark,
+            "ALTER TABLE ddl_typo SET TBLPROPERTIES ('stats_exclude' = 'vv')",
+        )
+    assert t.snapshot().stats_exclude == ()
+
+
+def test_insert_into_pinned_view_refuses(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_pin")
+    register_sql_views(spark, "ddl_pin_t", t.path, pins={"v1": {"version": 1}})
+    # the writer would append to the LIVE table while the reader keeps
+    # serving the pin — a write the view never shows
+    with pytest.raises(TxError, match="pinned"):
+        sql(spark, "INSERT INTO ddl_pin_t_v1 VALUES (999, 999, 0)")
+    assert t.read().where("k = 999").count() == 0
+
+
+def test_table_changes_in_string_literal_passes_through(spark, tmp_path):
+    t = _ctas(spark, tmp_path, "ddl_lit")
+    sql(spark, "ALTER TABLE ddl_lit ADD COLUMN note STRING")
+    # a literal MENTION of table_changes(...) with an unregistered name
+    # must not be rewritten (and must not raise)
+    sql(
+        spark,
+        "UPDATE ddl_lit SET note = 'see table_changes(''nope'', 1) docs' "
+        "WHERE k = 0",
+    )
+    got = t.read().where("k = 0").collect()[0]["note"]
+    assert got == "see table_changes('nope', 1) docs"
+    # while a REAL call in the same statement still rewrites
+    n = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('ddl_lit', 1) "
+        "WHERE _change_type = 'insert'",
+    ).collect()[0]["n"]
+    assert n >= 20
+
+
 # -- view freshness after dispatcher mutations -------------------------------------
 
 
