@@ -223,6 +223,21 @@ def _txn_key(txn: dict) -> str:
 
 
 @dataclass(frozen=True)
+class MergeWhen:
+    """One WHEN clause of a generalized MERGE ladder (TxTable.merge_clauses).
+    ``when``: 'matched' | 'not_matched'; ``action``: 'update' | 'delete' |
+    'insert'; ``condition``: optional SQL over target columns (bare names)
+    and source columns (``__src_<name>``); ``assignments``: UPDATE SET map
+    (None = SET *); ``values``: INSERT column->expr map (None = INSERT *)."""
+
+    when: str
+    action: str
+    condition: str | None = None
+    assignments: dict[str, str] | None = None
+    values: dict[str, str] | None = None
+
+
+@dataclass(frozen=True)
 class TxSnapshot:
     version: int
     schema_json: str | None
@@ -1803,6 +1818,302 @@ class TxTable:
         return self._commit(
             "delete", adds, hit_rel, snap.schema_json, ts, snap.version,
             revalidate, partition_by=spec,
+        )
+
+    def merge_clauses(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        clauses: list["MergeWhen"],
+        ts: float | None = None,
+        mode: str = "cow",
+    ) -> int:
+        """Generalized MERGE with an ordered WHEN ladder (SQL ``MERGE INTO
+        ... WHEN MATCHED [AND c] THEN UPDATE SET .../DELETE WHEN NOT MATCHED
+        [AND c] THEN INSERT ...``) — the full Delta ladder, of which
+        ``merge`` (upsert) and ``delete_matching`` (bulk delete) are the two
+        common fast paths. Semantics, matching Delta/ANSI:
+
+        * A target row is MATCHED iff any source row shares its key. For
+          each matched pair, the FIRST matched clause whose condition is
+          TRUE applies (UNKNOWN falls through); no applicable clause leaves
+          the row untouched (it stays matched — it cannot also insert).
+        * A source row matching NO live target row takes the first
+          applicable NOT MATCHED clause's INSERT; otherwise it is dropped.
+        * A target row matched by MULTIPLE source rows with an applicable
+          clause is refused (nondeterministic result — Delta's
+          multiple-source-rows error).
+
+        Expression namespace: target columns by their bare name, source
+        columns as ``__src_<name>`` (the SQL dispatcher rewrites alias
+        qualifiers to this form). Update RHS sees the OLD target row plus
+        the source row; insert VALUES see the source row. All conditions
+        and expressions must be deterministic (evaluated by more than one
+        scan per commit — same rule as update_where/delete_where).
+
+        Physical strategies, the same pair as merge: ``cow`` rewrites only
+        files containing an ACTED-ON row; ``mor`` records deletion vectors
+        for acted-on rows and appends images/inserts in one atomic commit,
+        zero rewrites."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if not clauses:
+            raise TxError("merge_clauses needs at least one WHEN clause")
+        matched_cl = [c for c in clauses if c.when == "matched"]
+        nm_cl = [c for c in clauses if c.when == "not_matched"]
+        if len(matched_cl) + len(nm_cl) != len(clauses):
+            raise TxError("clause.when must be 'matched' or 'not_matched'")
+        for c in matched_cl:
+            if c.action not in ("update", "delete"):
+                raise TxError(f"WHEN MATCHED supports update/delete, not {c.action!r}")
+        for c in nm_cl:
+            if c.action != "insert":
+                raise TxError(f"WHEN NOT MATCHED supports insert, not {c.action!r}")
+
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        schema = snap.schema()
+        tgt_names = [f.name for f in schema.fields]
+        src_names = list(source.columns)
+        for k in keys:
+            if k not in tgt_names or k not in src_names:
+                raise TxError(f"merge key {k!r} must exist on both sides")
+        # determinism gate over the COMBINED namespace (old target + source)
+        combined = T.StructType(
+            list(schema.fields)
+            + [T.StructField(f"__src_{f.name}", f.dataType, True) for f in source.schema.fields]
+        )
+        exprs_to_check = []
+        for c in clauses:
+            if c.condition:
+                exprs_to_check.append(c.condition)
+            exprs_to_check += list((c.assignments or {}).values())
+            exprs_to_check += list((c.values or {}).values())
+        for e in exprs_to_check:
+            self._require_deterministic(combined, e, "MERGE")
+        # SET * / INSERT * expand over shared / source names
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def _image_cols(c: "MergeWhen"):
+            if c.assignments is None:  # SET *: every shared name from source
+                assigns = {n: f"__src_{n}" for n in src_names if n in types}
+            else:
+                assigns = c.assignments
+                for col in assigns:
+                    if col not in types:
+                        raise TxError(f"UPDATE SET targets unknown column {col!r}")
+            return [
+                F.expr(assigns[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in assigns
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+
+        def _insert_df(c: "MergeWhen", rows: DataFrame) -> DataFrame:
+            if c.values is None:  # INSERT *: the source row as-is
+                return rows.select(
+                    *(F.col(f"__src_{n}").alias(n) for n in src_names)
+                )
+            for col in c.values:
+                if col not in types:
+                    raise TxError(f"INSERT targets unknown column {col!r}")
+            return rows.select(
+                *(
+                    F.expr(c.values[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in c.values
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                )
+            )
+
+        # schema evolves only through INSERT/SET * carrying new source cols
+        evolves = any(c.values is None for c in nm_cl)
+        schema_json = (
+            self._merge_schema(snap.schema_json, source.schema)
+            if evolves
+            else snap.schema_json
+        )
+        mapping, mapping_changed = (
+            self._extend_mapping(snap, source.schema) if evolves else (dict(snap.mapping), False)
+        )
+        spec = self._resolve_partition_by(snap)
+        dv_map, dvf_map = snap.dv_map(), snap.dvf_map()
+        src_pref = source.select(
+            *(F.col(n).alias(f"__src_{n}") for n in src_names)
+        )
+        import functools
+
+        key_cond = functools.reduce(
+            lambda a, b: a & b, [F.col(k) == F.col(f"__src_{k}") for k in keys]
+        )
+
+        def _act():
+            # first applicable clause wins: CASE WHEN c1 THEN 1 WHEN c2 ...
+            out = None
+            for i, c in enumerate(matched_cl, start=1):
+                cond = F.expr(c.condition) if c.condition else F.lit(True)
+                out = F.when(cond, F.lit(i)) if out is None else out.when(cond, F.lit(i))
+            return out.otherwise(F.lit(0)) if out is not None else F.lit(0)
+
+        def _joined(lin: DataFrame) -> DataFrame:
+            return lin.join(src_pref, on=key_cond, how="inner").withColumn(
+                "__act", _act()
+            )
+
+        def _live_lineage() -> DataFrame:
+            lin = self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
+            if dv_map or dvf_map:
+                dels = self._dels_df(dv_map, dvf_map)
+                lin = lin.join(
+                    dels if dvf_map else F.broadcast(dels),
+                    on=["__f", "__ri"], how="left_anti",
+                )
+            return lin
+
+        def _check_unambiguous(ja: DataFrame) -> None:
+            dup = (
+                ja.where("__act > 0")
+                .groupBy("__f", "__ri")
+                .count()
+                .where("count > 1")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise TxError(
+                    "MERGE: a target row matches multiple source rows with "
+                    "an applicable WHEN MATCHED clause — the result would be "
+                    "nondeterministic; de-duplicate the source on the keys"
+                )
+
+        def _images(ja: DataFrame) -> DataFrame | None:
+            outs = [
+                ja.where(F.col("__act") == i).select(*_image_cols(c))
+                for i, c in enumerate(matched_cl, start=1)
+                if c.action == "update"
+            ]
+            if not outs:
+                return None
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o)
+            return df
+
+        def _inserts(lin: DataFrame | None) -> DataFrame | None:
+            if not nm_cl:
+                return None
+            if lin is not None:
+                tk = lin.select(
+                    *(F.col(k).alias(f"__src_{k}") for k in keys)
+                ).distinct()
+                remaining = src_pref.join(
+                    tk, on=[f"__src_{k}" for k in keys], how="left_anti"
+                )
+            else:
+                remaining = src_pref
+            outs = []
+            for c in nm_cl:
+                applicable = (
+                    F.coalesce(F.expr(c.condition), F.lit(False))
+                    if c.condition
+                    else F.lit(True)
+                )
+                outs.append(_insert_df(c, remaining.where(applicable)))
+                remaining = remaining.where(~applicable)
+                if c.condition is None:
+                    break  # unconditional clause consumes the rest
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
+            return df
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict(
+                "concurrent commit during merge_clauses; re-run "
+                "(the key scan did not see the new table state)"
+            )
+
+        have_rows = bool(snap.live_paths())
+        lin = _live_lineage() if have_rows else None
+
+        if mode == "mor":
+            by_file: dict = {}
+            images = None
+            if have_rows and matched_cl:
+                ja = _joined(lin)
+                _check_unambiguous(ja)
+                by_file = self._matched_dv(
+                    snap, schema, snap.mapping,
+                    lambda l2: _joined(l2).where("__act > 0").select("__f", "__ri"),
+                    "merge",
+                )
+                images = _images(ja)
+            new_rows = _inserts(lin)
+            if images is not None:
+                new_rows = (
+                    images
+                    if new_rows is None
+                    else images.unionByName(new_rows, allowMissingColumns=True)
+                )
+            adds = (
+                self._stage(new_rows, spec, mapping=mapping)
+                if new_rows is not None and new_rows.take(1)
+                else []
+            )
+            if not adds and not by_file:
+                return snap.version  # nothing matched, nothing inserted
+            self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
+            return self._commit(
+                "merge", adds, [], schema_json, ts, snap.version, revalidate,
+                partition_by=spec, dvs=by_file or None,
+                column_mapping=mapping if mapping_changed else None,
+            )
+
+        hit_rel: list[str] = []
+        images = None
+        survivors = None
+        if have_rows and matched_cl:
+            ja = _joined(lin)
+            _check_unambiguous(ja)
+            b2r = {os.path.basename(p): p for p in snap.live_paths()}
+            hit_rows = (
+                ja.where("__act > 0").select("__f").distinct().collect()
+            )
+            hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
+            if hit_rel:
+                acted = ja.where("__act > 0").select("__f", "__ri")
+                hit_lin = self._lineage_read(hit_rel, schema, mapping=snap.mapping)
+                if dv_map or dvf_map:
+                    dels = self._dels_df(dv_map, dvf_map)
+                    hit_lin = hit_lin.join(
+                        dels if dvf_map else F.broadcast(dels),
+                        on=["__f", "__ri"], how="left_anti",
+                    )
+                survivors = hit_lin.join(
+                    acted, on=["__f", "__ri"], how="left_anti"
+                ).select(*(F.col(f.name) for f in schema.fields))
+                images = _images(ja)
+        new_rows = _inserts(lin)
+        for extra in (images, new_rows):
+            if extra is None:
+                continue
+            survivors = (
+                extra
+                if survivors is None
+                else survivors.unionByName(extra, allowMissingColumns=True)
+            )
+        adds = (
+            self._stage(survivors, spec, mapping=mapping)
+            if survivors is not None and survivors.take(1)
+            else []
+        )
+        if not adds and not hit_rel:
+            return snap.version
+        self._enforce_on_staged(adds, schema_json, snap.constraints, mapping=mapping)
+        return self._commit(
+            "merge", adds, hit_rel, schema_json, ts, snap.version, revalidate,
+            partition_by=spec,
+            column_mapping=mapping if mapping_changed else None,
         )
 
     def update_where(

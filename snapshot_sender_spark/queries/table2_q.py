@@ -340,6 +340,86 @@ def sql_txlog_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_txlog_merge_ladder",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 0
+    ), src AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 15 = 0
+    ), final AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT b.o_orderkey, b.o_orderpriority, s.o_totalprice
+      FROM base b JOIN src s USING (o_orderkey)
+      WHERE b.o_orderpriority <> '1-URGENT'
+      UNION ALL
+      SELECT * FROM src
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+        AND o_totalprice > 300000
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {SQL_DSUM('o_totalprice')} AS revenue
+    FROM final GROUP BY o_orderpriority
+    """,
+    category="table-format",
+)
+def sql_txlog_merge_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Delta MERGE ladder as SQL text (round-13:
+    ``TxTable.merge_clauses``): ordered WHEN clauses, first-applicable-wins
+    — matched urgent orders DELETE, other matched orders take the doubled
+    source price (conditional UPDATE with explicit SET), unmatched source
+    rows above a threshold INSERT *, the rest drop. All four branches are
+    nonempty by construction (asserted inline) and deletion/update/insert
+    land in ONE atomic commit. Doubling a float is exponent arithmetic
+    (exact both engines), so the oracle is a pure anti-join/join/union over
+    orders."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_lad_q_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.where(F.col("o_orderkey") % 10 == 0)
+    src = orders.where(F.col("o_orderkey") % 15 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    matched = base.join(src.select("o_orderkey"), "o_orderkey", "left_semi")
+    n_del = matched.where("o_orderpriority = '1-URGENT'").count()
+    n_upd = matched.where("o_orderpriority <> '1-URGENT'").count()
+    unmatched_src = src.join(base, "o_orderkey", "left_anti")
+    n_ins = unmatched_src.where("o_totalprice > 300000").count()
+    n_drop = unmatched_src.where("o_totalprice <= 300000").count()
+    if not (n_del and n_upd and n_ins and n_drop):
+        raise AssertionError(
+            f"degenerate ladder fixture: {n_del}/{n_upd}/{n_ins}/{n_drop}"
+        )
+    t = TxTable(spark, f"{work}/orders_tx")
+    t.append(base.repartition(4), ts=1.0)
+    register_sql_views(spark, "orders_lad_tt", t.path)
+    src.createOrReplaceTempView("orders_lad_src")
+    out = sql(spark, """
+        MERGE INTO orders_lad_tt AS tg USING orders_lad_src AS s
+        ON tg.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND tg.o_orderpriority = '1-URGENT' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED AND s.o_totalprice > 300000 THEN INSERT *
+    """).collect()[0]
+    if out["operation"] != "MERGE" or out["version"] != 2:
+        raise AssertionError(f"unexpected MERGE result: {out}")
+    if t.read().count() != base.count() - n_del + n_ins:
+        raise AssertionError("ladder row count drifted")
+    return spark.sql(f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {SQL_DSUM('o_totalprice')} AS revenue
+        FROM orders_lad_tt GROUP BY o_orderpriority
+    """)
+
+
+@query(
     "sql_txlog_ctas_ddl",
     oracle=f"""
     SELECT CASE WHEN o_totalprice > 100000 THEN 'hi' END AS tier,

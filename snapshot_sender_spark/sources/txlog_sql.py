@@ -38,9 +38,11 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     DELETE FROM <view> WHERE <predicate>
     UPDATE <view> SET col = expr [, col = expr ...] [WHERE <predicate>]
     MERGE INTO <view> [AS t] USING (<subquery>)|<view2> [AS s]
-        ON <equi-conjunction> WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-    MERGE INTO <view> ... ON <equi-conjunction> WHEN MATCHED THEN DELETE
+        ON <equi-conjunction>
+        ( WHEN MATCHED [AND <cond>] THEN UPDATE SET (*|col = expr, ...)
+        | WHEN MATCHED [AND <cond>] THEN DELETE
+        | WHEN NOT MATCHED [AND <cond>] THEN
+              INSERT (*|(cols) VALUES (exprs)) )+
     OPTIMIZE <view> [FILE SIZE <bytes>] [CLUSTER BY <expr>]
     VACUUM <view> [RETAIN <n> VERSIONS] [OLDER THAN <s> SECONDS] [DRY RUN]
     DESCRIBE HISTORY|DETAIL <view>
@@ -63,14 +65,19 @@ options it was registered with; pinned companions keep their created shape.
 ``TxTable.row_changes`` because Spark cannot resolve a Python table-valued
 function inside spark.sql.
 
-MERGE supports the upsert form (UPDATE SET * / INSERT * — exactly
-``TxTable.merge``'s contract) and the bulk-delete form (WHEN MATCHED THEN
-DELETE → ``TxTable.delete_matching``: one merge-on-read deletion-vector
-commit, zero rewrites — the takedown-list shape); the ON clause must be an
-equi-conjunction on shared column names (``t.k = s.k AND ...``). Richer
-WHEN ladders route to ``TxTable.apply_changes`` (the Python API) with a
-typed error saying so — refusing loudly beats mis-executing a clause this
-engine cannot honor.
+MERGE routes three ways: the plain upsert (UPDATE SET * / INSERT *) to
+``TxTable.merge``, the single bulk delete (WHEN MATCHED THEN DELETE) to
+``TxTable.delete_matching`` (one merge-on-read deletion-vector commit —
+the takedown-list shape), and every richer ladder — conditional clauses,
+explicit SET assignments, INSERT column lists, mixed update/delete/insert
+— to ``TxTable.merge_clauses`` (ordered first-applicable-wins, Delta
+semantics, cow or mor). The ON clause must be an equi-conjunction on
+shared column names (``t.k = s.k AND ...``). Clause conditions and
+expressions may qualify columns with the declared aliases; bare names
+resolve to the TARGET in matched contexts and to the SOURCE in
+NOT-MATCHED contexts (standard SQL scoping). Parenthesize a bare CASE
+expression inside a clause condition — the ladder splitter keys on
+top-level WHEN keywords and will refuse (loudly) otherwise.
 
 DML physical strategy: pass ``mode="mor"`` to run DELETE/UPDATE/MERGE
 merge-on-read (deletion vectors, zero rewrites) instead of the default
@@ -201,6 +208,14 @@ _MERGE_DELETE_RE = re.compile(
     re.I | re.S,
 )
 _MERGE_HEAD_RE = re.compile(r"^\s*MERGE\s+INTO\s+(\w+)", re.I)
+# the general ladder: everything after ON is split at the first top-level
+# WHEN by the handler (regex alone cannot bound the ON condition safely)
+_MERGE_GEN_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?"
+    r"\s+USING\s+(\(.*\)|\w+)(?:\s+AS\s+(\w+))?"
+    r"\s+ON\s+(.+?);?\s*$",
+    re.I | re.S,
+)
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+(\w+)\s*;?\s*$", re.I
 )
@@ -346,6 +361,189 @@ def _equi_keys(cond: str, tgt_names: set[str], src_names: set[str]) -> list[str]
     return keys
 
 
+def _find_top_level(s: str, word: str, start: int = 0) -> int:
+    """Index of the first occurrence of ``word`` (case-insensitive, word-
+    bounded) at paren depth 0 and outside single-quoted strings, or -1."""
+    low, n, w = s.lower(), len(s), word.lower()
+    depth, in_str, i = 0, False, start
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith(w, i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (i + len(w) >= n or not (low[i + len(w)].isalnum() or low[i + len(w)] == "_"))
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _rewrite_refs(expr: str, tgt_quals: set, src_quals: set,
+                  src_cols: set, bare_to_src: bool) -> str:
+    """Rewrite alias-qualified references for merge_clauses' namespace:
+    ``<src_alias>.<col>`` -> ``__src_<col>``, ``<tgt_alias>.<col>`` ->
+    bare ``<col>``; unknown qualifiers refuse. With ``bare_to_src`` (NOT
+    MATCHED conditions and INSERT VALUES — source-scoped contexts per SQL),
+    bare identifiers naming source columns also map to ``__src_<col>``
+    (identifiers followed by ``(`` are function calls and identifiers after
+    ``.`` are already qualified — both skipped). Quoted strings pass
+    through untouched."""
+
+    def _qual(m: re.Match) -> str:
+        q, col = m.group(1), m.group(2)
+        if q.lower() in src_quals:
+            return f"__src_{col}"
+        if q.lower() in tgt_quals:
+            return col
+        raise TxError(f"unknown qualifier {q!r} in MERGE expression {expr!r}")
+
+    def _bare(m: re.Match) -> str:
+        name = m.group(1)
+        if name.lower() in src_cols and not name.startswith("__src_"):
+            return f"__src_{name}"
+        return name
+
+    parts = expr.split("'")
+    for i in range(0, len(parts), 2):
+        # identifier-shaped names only: "0.5" is a numeric literal, not a
+        # qualified reference
+        seg = re.sub(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)", _qual, parts[i])
+        if bare_to_src:
+            seg = re.sub(
+                r"(?<![.\w])([A-Za-z_]\w*)(?!\s*\()(?!\s*\.)", _bare, seg
+            )
+        parts[i] = seg
+    return "'".join(parts)
+
+
+_WHEN_CLAUSE_RE = re.compile(
+    r"^(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$", re.I | re.S
+)
+_INSERT_COLS_VALUES_RE = re.compile(
+    r"^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$", re.I | re.S
+)
+
+
+def _parse_when_ladder(
+    ladder: str, tgt_quals: set, src_quals: set, src_cols: set
+):
+    """Parse the WHEN ... ladder of a general MERGE into MergeWhen clauses
+    (ordered — first applicable wins, exactly SQL's contract)."""
+    from ..operators.txlog import MergeWhen
+
+    # split at top-level WHEN keywords
+    bounds = []
+    pos = 0
+    while True:
+        i = _find_top_level(ladder, "WHEN", pos)
+        if i < 0:
+            break
+        bounds.append(i)
+        pos = i + 4
+    if not bounds or ladder[: bounds[0]].strip():
+        raise TxError(f"cannot parse MERGE WHEN ladder near {ladder[:40]!r}")
+    chunks = [
+        ladder[bounds[i] + 4: bounds[i + 1] if i + 1 < len(bounds) else len(ladder)]
+        for i in range(len(bounds))
+    ]
+    clauses = []
+    for chunk in chunks:
+        m = _WHEN_CLAUSE_RE.match(chunk.strip().rstrip(";").strip())
+        if not m:
+            raise TxError(f"cannot parse MERGE clause near {chunk.strip()[:60]!r}")
+        is_nm, cond, action = bool(m.group(1)), m.group(2), m.group(3).strip()
+        bare_src = is_nm  # NOT MATCHED contexts are source-scoped
+        rcond = (
+            _rewrite_refs(cond.strip(), tgt_quals, src_quals, src_cols, bare_src)
+            if cond
+            else None
+        )
+        if not is_nm:
+            if re.fullmatch(r"DELETE", action, re.I):
+                clauses.append(MergeWhen("matched", "delete", condition=rcond))
+                continue
+            um = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
+            if not um:
+                raise TxError(
+                    f"WHEN MATCHED supports UPDATE SET ... or DELETE, "
+                    f"got {action[:40]!r}"
+                )
+            body = um.group(1).strip()
+            if body == "*":
+                clauses.append(MergeWhen("matched", "update", condition=rcond))
+                continue
+            assigns = {
+                col: _rewrite_refs(rhs, tgt_quals, src_quals, src_cols, False)
+                for col, rhs in _split_assignments(body).items()
+            }
+            clauses.append(
+                MergeWhen("matched", "update", condition=rcond, assignments=assigns)
+            )
+            continue
+        # NOT MATCHED
+        if re.fullmatch(r"INSERT\s*\*", action, re.I):
+            clauses.append(MergeWhen("not_matched", "insert", condition=rcond))
+            continue
+        im = _INSERT_COLS_VALUES_RE.match(action)
+        if not im:
+            raise TxError(
+                f"WHEN NOT MATCHED supports INSERT * or INSERT (cols) "
+                f"VALUES (exprs), got {action[:40]!r}"
+            )
+        cols = [c.strip() for c in im.group(1).split(",") if c.strip()]
+        exprs = [
+            _rewrite_refs(e, tgt_quals, src_quals, src_cols, True)
+            for e in _split_top_commas(im.group(2))
+        ]
+        if len(cols) != len(exprs):
+            raise TxError(
+                f"INSERT column list ({len(cols)}) and VALUES ({len(exprs)}) "
+                "lengths differ"
+            )
+        clauses.append(
+            MergeWhen(
+                "not_matched", "insert", condition=rcond,
+                values=dict(zip(cols, exprs)),
+            )
+        )
+    return clauses
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on depth-0 commas outside quotes (VALUES expression lists)."""
+    items, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if "".join(cur).strip():
+        items.append("".join(cur).strip())
+    return items
+
+
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
     schema = ", ".join(
         f"{k} {'string' if isinstance(v, str) else 'bigint'}"
@@ -432,12 +630,32 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         _refresh_live(spark, name)
         return _one_row(spark, operation="MERGE", version=v)
     if _MERGE_HEAD_RE.match(statement):
-        raise TxError(
-            "unsupported MERGE form — this dispatcher implements the upsert "
-            "ladder (WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
-            "INSERT *) and the bulk delete (WHEN MATCHED THEN DELETE); "
-            "richer WHEN clauses: TxTable.apply_changes"
-        )
+        # general WHEN ladder (conditional clauses, explicit SET/VALUES,
+        # mixed update/delete/insert) -> TxTable.merge_clauses
+        gm = _MERGE_GEN_HEAD_RE.match(statement)
+        if not gm:
+            raise TxError(
+                f"cannot parse MERGE statement near {statement.strip()[:60]!r}"
+            )
+        name, tgt_alias, src, src_alias, rest = gm.groups()
+        on_end = _find_top_level(rest, "WHEN")
+        if on_end < 0:
+            raise TxError("MERGE needs at least one WHEN clause")
+        cond, ladder = rest[:on_end], rest[on_end:]
+        t = TxTable(spark, _target(spark, name))
+        if src.startswith("("):
+            source = spark.sql(src[1:-1])
+            src_quals = {src_alias.lower()} if src_alias else set()
+        else:
+            source = spark.table(src)
+            src_quals = {src.lower(), src_alias.lower()} if src_alias else {src.lower()}
+        tgt_quals = {name.lower()} | ({tgt_alias.lower()} if tgt_alias else set())
+        keys = _equi_keys(cond, {name, tgt_alias} - {None}, src_quals)
+        src_cols = {c.lower() for c in source.columns}
+        clauses = _parse_when_ladder(ladder, tgt_quals, src_quals, src_cols)
+        v = t.merge_clauses(source, keys, clauses, mode=mode)
+        _refresh_live(spark, name)
+        return _one_row(spark, operation="MERGE", version=v)
 
     m = _OPTIMIZE_RE.match(statement)
     if m:

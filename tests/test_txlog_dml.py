@@ -140,13 +140,21 @@ def test_merge_into_sql(spark, tmp_path):
         "ON dml_mrg_tt.id = s.id WHEN MATCHED THEN DELETE",
     )
     assert t.latest_version() == v
-    # unsupported ladders refuse loudly, never mis-execute
-    with pytest.raises(TxError, match="unsupported MERGE"):
+    # richer ladders now route to merge_clauses (round-13); a qualifier
+    # that names no declared alias still refuses loudly
+    with pytest.raises(TxError, match="unknown qualifier"):
         sql(
             spark,
             "MERGE INTO dml_mrg_tt USING dml_mrg_src ON dml_mrg_tt.id = "
             "dml_mrg_src.id WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+        )
+    # genuinely unsupported clause shapes (NOT MATCHED BY SOURCE) refuse
+    with pytest.raises(TxError, match="cannot parse MERGE clause"):
+        sql(
+            spark,
+            "MERGE INTO dml_mrg_tt USING dml_mrg_src AS s ON dml_mrg_tt.id = "
+            "s.id WHEN NOT MATCHED BY SOURCE THEN DELETE",
         )
     with pytest.raises(TxError, match="equi-conjunction|differently-named"):
         sql(
@@ -466,3 +474,138 @@ def test_concurrent_stats_exclude_gates_retrying_append(spark, tmp_path):
         meta0 = _json.loads(open(vf).readline())
         if meta0.get("meta", {}).get("ts") == 3.0:
             assert "sensitive-B" not in open(vf).read()
+
+
+# -- generalized MERGE WHEN ladders (round-13: TxTable.merge_clauses) ----------
+
+
+def _ladder_fixture(spark, tmp_path, name):
+    t = TxTable(spark, str(tmp_path / name))
+    t.append(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v", "'old' AS tag")
+        .coalesce(2),
+        ts=1.0,
+    )
+    spark.range(5, 15).selectExpr("id AS k", "id * 100 AS nv")\
+        .createOrReplaceTempView(f"{name}_src")
+    return t
+
+
+_LADDER = """
+    MERGE INTO {t} AS tg USING {t}_src AS s
+    ON tg.k = s.k
+    WHEN MATCHED AND tg.k = 5 THEN DELETE
+    WHEN MATCHED AND s.nv > 700 THEN UPDATE SET v = s.nv, tag = 'upd'
+    WHEN NOT MATCHED AND nv >= 1200 THEN INSERT (k, v, tag) VALUES (k, nv, 'ins')
+"""
+
+_LADDER_EXPECT = sorted(
+    [(i, i * 10, "old") for i in range(5)]       # unmatched target rows
+    + [(6, 60, "old"), (7, 70, "old")]           # matched, no applicable clause
+    + [(8, 800, "upd"), (9, 900, "upd")]         # conditional update
+    + [(12, 1200, "ins"), (13, 1300, "ins"), (14, 1400, "ins")]  # cond insert
+)                                                 # 10,11: not matched, dropped
+
+
+def test_merge_ladder_cow(spark, tmp_path):
+    t = _ladder_fixture(spark, tmp_path, "lad_cow")
+    register_sql_views(spark, "lad_cow", t.path)
+    out = sql(spark, _LADDER.format(t="lad_cow")).collect()[0]
+    assert out["operation"] == "MERGE" and out["version"] == 2
+    assert sorted((r.k, r.v, r.tag) for r in t.read().collect()) == _LADDER_EXPECT
+    # the dispatcher re-published the view: SQL readback agrees
+    assert spark.sql("SELECT COUNT(*) AS c FROM lad_cow").collect()[0]["c"] == len(
+        _LADDER_EXPECT
+    )
+    # row-exact CDF: delete 5, update 8/9 (old out, new in), inserts 12-14
+    ch = sorted(
+        (r["_change_type"], r["k"]) for r in t.row_changes(1, 2).collect()
+    )
+    assert ch == [
+        ("delete", 5), ("delete", 8), ("delete", 9),
+        ("insert", 8), ("insert", 9), ("insert", 12), ("insert", 13),
+        ("insert", 14),
+    ]
+
+
+def test_merge_ladder_mor_zero_rewrites(spark, tmp_path):
+    t = _ladder_fixture(spark, tmp_path, "lad_mor")
+    register_sql_views(spark, "lad_mor", t.path)
+    files_v1 = set(t.snapshot().files)
+    sql(spark, _LADDER.format(t="lad_mor"), mode="mor")
+    # merge-on-read: every original file still live (DVs, not rewrites)
+    assert files_v1 <= set(t.snapshot().files)
+    assert sorted((r.k, r.v, r.tag) for r in t.read().collect()) == _LADDER_EXPECT
+    # and proto stays (1,1): the tiny vectors are inline
+    assert t.snapshot().proto == (1, 1)
+
+
+def test_merge_ladder_first_clause_wins(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "lad_ord"))
+    t.append(spark.range(4).selectExpr("id AS k", "id AS v").coalesce(1), ts=1.0)
+    spark.range(4).selectExpr("id AS k").createOrReplaceTempView("lad_ord_src")
+    register_sql_views(spark, "lad_ord", t.path)
+    # both clauses' conditions hold for k>=2; the FIRST must win
+    sql(spark, """
+        MERGE INTO lad_ord USING lad_ord_src AS s ON lad_ord.k = s.k
+        WHEN MATCHED AND k >= 2 THEN UPDATE SET v = 100
+        WHEN MATCHED AND k >= 0 THEN UPDATE SET v = 200
+    """)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {0: 200, 1: 200, 2: 100, 3: 100}
+
+
+def test_merge_ladder_ambiguous_match_refuses(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "lad_amb"))
+    t.append(spark.range(3).selectExpr("id AS k", "id AS v").coalesce(1), ts=1.0)
+    spark.createDataFrame([(1, 10), (1, 20)], "k long, nv long")\
+        .createOrReplaceTempView("lad_amb_src")
+    register_sql_views(spark, "lad_amb", t.path)
+    with pytest.raises(TxError, match="multiple source rows"):
+        sql(spark, """
+            MERGE INTO lad_amb USING lad_amb_src AS s ON lad_amb.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.nv
+        """)
+    # refusal is atomic: nothing committed
+    assert t.latest_version() == 1
+
+
+def test_merge_ladder_insert_missing_cols_null(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "lad_null"))
+    t.append(
+        spark.range(2).selectExpr("id AS k", "id AS v", "'x' AS tag").coalesce(1),
+        ts=1.0,
+    )
+    spark.range(5, 7).selectExpr("id AS k").createOrReplaceTempView("lad_null_src")
+    register_sql_views(spark, "lad_null", t.path)
+    sql(spark, """
+        MERGE INTO lad_null USING lad_null_src AS s ON lad_null.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k) VALUES (k)
+    """)
+    got = {r.k: (r.v, r.tag) for r in t.read().collect()}
+    assert got[5] == (None, None) and got[6] == (None, None)
+    assert got[0] == (0, "x")
+
+
+def test_merge_ladder_nondeterministic_condition_refuses(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "lad_rand"))
+    t.append(spark.range(3).selectExpr("id AS k", "id AS v").coalesce(1), ts=1.0)
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView("lad_rand_src")
+    register_sql_views(spark, "lad_rand", t.path)
+    with pytest.raises(TxError, match="non-deterministic"):
+        sql(spark, """
+            MERGE INTO lad_rand USING lad_rand_src AS s ON lad_rand.k = s.k
+            WHEN MATCHED AND rand() < 0.5 THEN DELETE
+        """)
+
+
+def test_merge_ladder_bad_qualifier_refuses(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "lad_qual"))
+    t.append(spark.range(3).selectExpr("id AS k", "id AS v").coalesce(1), ts=1.0)
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView("lad_qual_src")
+    register_sql_views(spark, "lad_qual", t.path)
+    with pytest.raises(TxError, match="unknown qualifier"):
+        sql(spark, """
+            MERGE INTO lad_qual USING lad_qual_src AS s ON lad_qual.k = s.k
+            WHEN MATCHED AND zz.k = 1 THEN DELETE
+        """)
