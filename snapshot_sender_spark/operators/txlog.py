@@ -225,9 +225,10 @@ def _txn_key(txn: dict) -> str:
 @dataclass(frozen=True)
 class MergeWhen:
     """One WHEN clause of a generalized MERGE ladder (TxTable.merge_clauses).
-    ``when``: 'matched' | 'not_matched'; ``action``: 'update' | 'delete' |
-    'insert'; ``condition``: optional SQL over target columns (bare names)
-    and source columns (``__src_<name>``); ``assignments``: UPDATE SET map
+    ``when``: 'matched' | 'not_matched' | 'not_matched_by_source';
+    ``action``: 'update' | 'delete' | 'insert'; ``condition``: optional SQL
+    over target columns (bare names) and source columns (``__src_<name>``;
+    target-only for the BY SOURCE ladder); ``assignments``: UPDATE SET map
     (None = SET *); ``values``: INSERT column->expr map (None = INSERT *)."""
 
     when: str
@@ -1840,6 +1841,10 @@ class TxTable:
           the row untouched (it stays matched — it cannot also insert).
         * A source row matching NO live target row takes the first
           applicable NOT MATCHED clause's INSERT; otherwise it is dropped.
+        * A live target row matching NO source row takes the first
+          applicable NOT MATCHED BY SOURCE clause (UPDATE with explicit
+          SET, or DELETE — the sync-to-source shape); none applicable
+          leaves it untouched.
         * A target row matched by MULTIPLE source rows with an applicable
           clause is refused (nondeterministic result — Delta's
           multiple-source-rows error).
@@ -1861,14 +1866,29 @@ class TxTable:
             raise TxError("merge_clauses needs at least one WHEN clause")
         matched_cl = [c for c in clauses if c.when == "matched"]
         nm_cl = [c for c in clauses if c.when == "not_matched"]
-        if len(matched_cl) + len(nm_cl) != len(clauses):
-            raise TxError("clause.when must be 'matched' or 'not_matched'")
+        nmbs_cl = [c for c in clauses if c.when == "not_matched_by_source"]
+        if len(matched_cl) + len(nm_cl) + len(nmbs_cl) != len(clauses):
+            raise TxError(
+                "clause.when must be 'matched', 'not_matched' or "
+                "'not_matched_by_source'"
+            )
         for c in matched_cl:
             if c.action not in ("update", "delete"):
                 raise TxError(f"WHEN MATCHED supports update/delete, not {c.action!r}")
         for c in nm_cl:
             if c.action != "insert":
                 raise TxError(f"WHEN NOT MATCHED supports insert, not {c.action!r}")
+        for c in nmbs_cl:
+            if c.action not in ("update", "delete"):
+                raise TxError(
+                    "WHEN NOT MATCHED BY SOURCE supports update/delete, "
+                    f"not {c.action!r}"
+                )
+            if c.action == "update" and c.assignments is None:
+                raise TxError(
+                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs explicit "
+                    "SET assignments — there is no source row to SET * from"
+                )
 
         snap = self.snapshot()
         self._writer_gate(snap)
@@ -1947,18 +1967,51 @@ class TxTable:
             lambda a, b: a & b, [F.col(k) == F.col(f"__src_{k}") for k in keys]
         )
 
-        def _act():
+        def _act(cl_list):
             # first applicable clause wins: CASE WHEN c1 THEN 1 WHEN c2 ...
             out = None
-            for i, c in enumerate(matched_cl, start=1):
+            for i, c in enumerate(cl_list, start=1):
                 cond = F.expr(c.condition) if c.condition else F.lit(True)
                 out = F.when(cond, F.lit(i)) if out is None else out.when(cond, F.lit(i))
             return out.otherwise(F.lit(0)) if out is not None else F.lit(0)
 
         def _joined(lin: DataFrame) -> DataFrame:
             return lin.join(src_pref, on=key_cond, how="inner").withColumn(
-                "__act", _act()
+                "__act", _act(matched_cl)
             )
+
+        def _nmbs(lin: DataFrame) -> DataFrame:
+            # live target rows with NO source key match (BY SOURCE ladder)
+            sk = src_pref.select(
+                *(F.col(f"__src_{k}").alias(k) for k in keys)
+            ).distinct()
+            return lin.join(sk, on=keys, how="left_anti").withColumn(
+                "__act", _act(nmbs_cl)
+            )
+
+        def _acted_pairs(lin: DataFrame) -> DataFrame:
+            parts = []
+            if matched_cl:
+                parts.append(_joined(lin).where("__act > 0").select("__f", "__ri"))
+            if nmbs_cl:
+                parts.append(_nmbs(lin).where("__act > 0").select("__f", "__ri"))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.union(p)
+            return df
+
+        def _nmbs_images(jn: DataFrame) -> DataFrame | None:
+            outs = [
+                jn.where(F.col("__act") == i).select(*_image_cols(c))
+                for i, c in enumerate(nmbs_cl, start=1)
+                if c.action == "update"
+            ]
+            if not outs:
+                return None
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o)
+            return df
 
         def _live_lineage() -> DataFrame:
             lin = self._lineage_read(snap.live_paths(), schema, mapping=snap.mapping)
@@ -2039,15 +2092,22 @@ class TxTable:
         if mode == "mor":
             by_file: dict = {}
             images = None
-            if have_rows and matched_cl:
-                ja = _joined(lin)
-                _check_unambiguous(ja)
+            if have_rows and (matched_cl or nmbs_cl):
+                if matched_cl:
+                    ja = _joined(lin)
+                    _check_unambiguous(ja)
+                    images = _images(ja)
                 by_file = self._matched_dv(
-                    snap, schema, snap.mapping,
-                    lambda l2: _joined(l2).where("__act > 0").select("__f", "__ri"),
-                    "merge",
+                    snap, schema, snap.mapping, _acted_pairs, "merge",
                 )
-                images = _images(ja)
+                if nmbs_cl:
+                    extra = _nmbs_images(_nmbs(lin))
+                    if extra is not None:
+                        images = (
+                            extra
+                            if images is None
+                            else images.unionByName(extra)
+                        )
             new_rows = _inserts(lin)
             if images is not None:
                 new_rows = (
@@ -2072,16 +2132,22 @@ class TxTable:
         hit_rel: list[str] = []
         images = None
         survivors = None
-        if have_rows and matched_cl:
-            ja = _joined(lin)
-            _check_unambiguous(ja)
+        if have_rows and (matched_cl or nmbs_cl):
+            if matched_cl:
+                ja = _joined(lin)
+                _check_unambiguous(ja)
+                images = _images(ja)
+            if nmbs_cl:
+                extra = _nmbs_images(_nmbs(lin))
+                if extra is not None:
+                    images = (
+                        extra if images is None else images.unionByName(extra)
+                    )
             b2r = {os.path.basename(p): p for p in snap.live_paths()}
-            hit_rows = (
-                ja.where("__act > 0").select("__f").distinct().collect()
-            )
+            acted = _acted_pairs(lin)
+            hit_rows = acted.select("__f").distinct().collect()
             hit_rel = sorted(b2r[r["__f"]] for r in hit_rows)
             if hit_rel:
-                acted = ja.where("__act > 0").select("__f", "__ri")
                 hit_lin = self._lineage_read(hit_rel, schema, mapping=snap.mapping)
                 if dv_map or dvf_map:
                     dels = self._dels_df(dv_map, dvf_map)
@@ -2092,7 +2158,6 @@ class TxTable:
                 survivors = hit_lin.join(
                     acted, on=["__f", "__ri"], how="left_anti"
                 ).select(*(F.col(f.name) for f in schema.fields))
-                images = _images(ja)
         new_rows = _inserts(lin)
         for extra in (images, new_rows):
             if extra is None:

@@ -420,6 +420,73 @@ def sql_txlog_merge_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_txlog_merge_sync",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    ), src AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0
+    ), final AS (
+      SELECT b.doc_id, b.lang, s.n_chars + 1 AS n_chars
+      FROM base b JOIN src s USING (doc_id)
+      UNION ALL
+      SELECT doc_id, lang, 0 AS n_chars FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        AND lang IS DISTINCT FROM 'en'
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM final GROUP BY lang
+    """,
+    category="table-format",
+)
+def sql_txlog_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHEN NOT MATCHED BY SOURCE`` — the sync-to-source MERGE shape
+    (round-13, ``TxTable.merge_clauses``): target rows the source no longer
+    carries are English-deleted / otherwise zeroed in the SAME atomic
+    commit as the matched update, first-applicable-wins within the BY
+    SOURCE ladder (an UNKNOWN condition falls through — NULL langs zero,
+    not delete). Conditions in BY SOURCE clauses are target-scoped (source
+    qualifiers refuse, pinned in tests). The readback is a pure
+    join/anti-join over documents — the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_sync_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    src = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "n_chars")
+    n_matched = base.join(src, "doc_id", "left_semi").count()
+    orphans = base.join(src, "doc_id", "left_anti")
+    n_en = orphans.where("lang = 'en'").count()
+    n_zero = orphans.where("lang IS DISTINCT FROM 'en'").count()
+    if not (n_matched and n_en and n_zero):
+        raise AssertionError(
+            f"degenerate sync fixture: {n_matched}/{n_en}/{n_zero}"
+        )
+    t = TxTable(spark, f"{work}/docs_tx")
+    t.append(base.repartition(4), ts=1.0)
+    register_sql_views(spark, "docs_sync_tt", t.path)
+    src.createOrReplaceTempView("docs_sync_src")
+    out = sql(spark, """
+        MERGE INTO docs_sync_tt AS tg USING docs_sync_src AS s
+        ON tg.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1
+        WHEN NOT MATCHED BY SOURCE AND lang = 'en' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_chars = 0
+    """).collect()[0]
+    if out["operation"] != "MERGE" or out["version"] != 2:
+        raise AssertionError(f"unexpected MERGE result: {out}")
+    if t.read().count() != base.count() - n_en:
+        raise AssertionError("sync row count drifted")
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_sync_tt GROUP BY lang
+    """)
+
+
+@query(
     "sql_txlog_ctas_ddl",
     oracle=f"""
     SELECT CASE WHEN o_totalprice > 100000 THEN 'hi' END AS tier,

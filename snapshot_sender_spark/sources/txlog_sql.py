@@ -42,7 +42,9 @@ Grammar (case-insensitive; a trailing ';' is allowed):
         ( WHEN MATCHED [AND <cond>] THEN UPDATE SET (*|col = expr, ...)
         | WHEN MATCHED [AND <cond>] THEN DELETE
         | WHEN NOT MATCHED [AND <cond>] THEN
-              INSERT (*|(cols) VALUES (exprs)) )+
+              INSERT (*|(cols) VALUES (exprs))
+        | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+              UPDATE SET col = expr, ... | DELETE )+
     OPTIMIZE <view> [FILE SIZE <bytes>] [CLUSTER BY <expr>]
     VACUUM <view> [RETAIN <n> VERSIONS] [OLDER THAN <s> SECONDS] [DRY RUN]
     DESCRIBE HISTORY|DETAIL <view>
@@ -427,7 +429,8 @@ def _rewrite_refs(expr: str, tgt_quals: set, src_quals: set,
 
 
 _WHEN_CLAUSE_RE = re.compile(
-    r"^(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$", re.I | re.S
+    r"^(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$",
+    re.I | re.S,
 )
 _INSERT_COLS_VALUES_RE = re.compile(
     r"^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$", re.I | re.S
@@ -461,33 +464,54 @@ def _parse_when_ladder(
         m = _WHEN_CLAUSE_RE.match(chunk.strip().rstrip(";").strip())
         if not m:
             raise TxError(f"cannot parse MERGE clause near {chunk.strip()[:60]!r}")
-        is_nm, cond, action = bool(m.group(1)), m.group(2), m.group(3).strip()
-        bare_src = is_nm  # NOT MATCHED contexts are source-scoped
+        is_nm, by_source, cond, action = (
+            bool(m.group(1)), bool(m.group(2)), m.group(3), m.group(4).strip()
+        )
+        if by_source and not is_nm:
+            raise TxError("MATCHED BY SOURCE is not a clause — drop BY SOURCE")
+        # NOT MATCHED contexts are source-scoped; BY SOURCE is target-scoped
+        # with NO source row in scope (source qualifiers refuse)
+        bare_src = is_nm and not by_source
         rcond = (
-            _rewrite_refs(cond.strip(), tgt_quals, src_quals, src_cols, bare_src)
+            _rewrite_refs(
+                cond.strip(), tgt_quals,
+                set() if by_source else src_quals,
+                src_cols, bare_src,
+            )
             if cond
             else None
         )
-        if not is_nm:
+        if not is_nm or by_source:
+            when = "not_matched_by_source" if by_source else "matched"
+            label = "WHEN NOT MATCHED BY SOURCE" if by_source else "WHEN MATCHED"
             if re.fullmatch(r"DELETE", action, re.I):
-                clauses.append(MergeWhen("matched", "delete", condition=rcond))
+                clauses.append(MergeWhen(when, "delete", condition=rcond))
                 continue
             um = re.match(r"^UPDATE\s+SET\s+(.+)$", action, re.I | re.S)
             if not um:
                 raise TxError(
-                    f"WHEN MATCHED supports UPDATE SET ... or DELETE, "
+                    f"{label} supports UPDATE SET ... or DELETE, "
                     f"got {action[:40]!r}"
                 )
             body = um.group(1).strip()
             if body == "*":
-                clauses.append(MergeWhen("matched", "update", condition=rcond))
+                if by_source:
+                    raise TxError(
+                        "WHEN NOT MATCHED BY SOURCE THEN UPDATE needs "
+                        "explicit SET — there is no source row to SET * from"
+                    )
+                clauses.append(MergeWhen(when, "update", condition=rcond))
                 continue
             assigns = {
-                col: _rewrite_refs(rhs, tgt_quals, src_quals, src_cols, False)
+                col: _rewrite_refs(
+                    rhs, tgt_quals,
+                    set() if by_source else src_quals,
+                    src_cols, False,
+                )
                 for col, rhs in _split_assignments(body).items()
             }
             clauses.append(
-                MergeWhen("matched", "update", condition=rcond, assignments=assigns)
+                MergeWhen(when, "update", condition=rcond, assignments=assigns)
             )
             continue
         # NOT MATCHED

@@ -149,12 +149,12 @@ def test_merge_into_sql(spark, tmp_path):
             "dml_mrg_src.id WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
         )
-    # genuinely unsupported clause shapes (NOT MATCHED BY SOURCE) refuse
-    with pytest.raises(TxError, match="cannot parse MERGE clause"):
+    # genuinely unsupported clause shapes still refuse loudly
+    with pytest.raises(TxError, match="supports UPDATE SET"):
         sql(
             spark,
             "MERGE INTO dml_mrg_tt USING dml_mrg_src AS s ON dml_mrg_tt.id = "
-            "s.id WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            "s.id WHEN MATCHED THEN UPSERT EVERYTHING",
         )
     with pytest.raises(TxError, match="equi-conjunction|differently-named"):
         sql(
@@ -608,4 +608,63 @@ def test_merge_ladder_bad_qualifier_refuses(spark, tmp_path):
         sql(spark, """
             MERGE INTO lad_qual USING lad_qual_src AS s ON lad_qual.k = s.k
             WHEN MATCHED AND zz.k = 1 THEN DELETE
+        """)
+
+
+def test_merge_not_matched_by_source(spark, tmp_path):
+    """The sync-to-source shape: target rows absent from the source get
+    flagged or deleted in the SAME atomic commit as the upsert."""
+    t = TxTable(spark, str(tmp_path / "lad_nmbs"))
+    t.append(
+        spark.range(10).selectExpr("id AS k", "id * 10 AS v", "'live' AS st")
+        .coalesce(2),
+        ts=1.0,
+    )
+    # source keeps keys 0-5; 6,7 should be tombstoned, 8,9 hard-deleted
+    spark.range(6).selectExpr("id AS k", "id * 10 AS nv")\
+        .createOrReplaceTempView("lad_nmbs_src")
+    register_sql_views(spark, "lad_nmbs", t.path)
+    sql(spark, """
+        MERGE INTO lad_nmbs AS tg USING lad_nmbs_src AS s ON tg.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv + 1
+        WHEN NOT MATCHED BY SOURCE AND k < 8 THEN UPDATE SET st = 'gone'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    got = {r.k: (r.v, r.st) for r in t.read().collect()}
+    assert set(got) == set(range(8))  # 8,9 deleted
+    for k in range(6):
+        assert got[k] == (k * 10 + 1, "live")   # matched update
+    for k in (6, 7):
+        assert got[k] == (k * 10, "gone")       # by-source tombstone
+    # one atomic commit for the whole ladder
+    assert t.latest_version() == 2
+    # row-exact CDF: updates as delete+insert, hard deletes as delete only
+    ch = sorted((r["_change_type"], r["k"]) for r in t.row_changes(1, 2).collect())
+    assert ch.count(("delete", 8)) == 1 and ("insert", 8) not in ch
+    assert ("delete", 6) in ch and ("insert", 6) in ch
+
+
+def test_merge_by_source_mor_and_refusals(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "lad_nmbs2"))
+    t.append(spark.range(6).selectExpr("id AS k", "id AS v").coalesce(1), ts=1.0)
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView("lad_nmbs2_src")
+    register_sql_views(spark, "lad_nmbs2", t.path)
+    files_v1 = set(t.snapshot().files)
+    sql(spark, """
+        MERGE INTO lad_nmbs2 USING lad_nmbs2_src AS s ON lad_nmbs2.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """, mode="mor")
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2]
+    assert files_v1 <= set(t.snapshot().files)  # DV'd, not rewritten
+    # SET * is meaningless without a source row
+    with pytest.raises(TxError, match="explicit SET"):
+        sql(spark, """
+            MERGE INTO lad_nmbs2 USING lad_nmbs2_src AS s ON lad_nmbs2.k = s.k
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *
+        """)
+    # source qualifiers are OUT OF SCOPE in a BY SOURCE clause
+    with pytest.raises(TxError, match="unknown qualifier"):
+        sql(spark, """
+            MERGE INTO lad_nmbs2 USING lad_nmbs2_src AS s ON lad_nmbs2.k = s.k
+            WHEN NOT MATCHED BY SOURCE AND s.k > 0 THEN DELETE
         """)
