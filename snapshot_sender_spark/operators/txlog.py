@@ -2866,6 +2866,14 @@ class TxTable:
             ]
         )
         schema_json = json.dumps(json.loads(new_schema.json()))
+        # stats_exclude tracks the LOGICAL name: follow the rename, or the
+        # exclusion would silently stop resolving to the column's physical
+        # name (a fresh-physical column would leak its stats on later
+        # writes) — the failure the property exists to prevent
+        if old in self.stats_exclude:
+            self.stats_exclude = tuple(
+                sorted((set(self.stats_exclude) - {old}) | {new})
+            )
 
         def revalidate(new_snap: TxSnapshot):
             raise TxConflict("concurrent commit during rename_column; re-run")

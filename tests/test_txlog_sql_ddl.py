@@ -339,3 +339,42 @@ def test_planned_source_view_sees_dispatcher_writes(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) AS c FROM ddl_fresh_history").collect()[0][
         "c"
     ] == t.latest_version()
+
+
+def test_stats_exclude_follows_rename(spark, tmp_path):
+    """The exclusion tracks the LOGICAL name through RENAME COLUMN: with a
+    fresh-physical column (drop + re-add), a stale logical name in the
+    property would resolve to nothing and the sensitive stats would leak
+    on the next write."""
+    import json
+    import os
+
+    t = _ctas(spark, tmp_path, "ddl_renx")
+    sql(spark, "ALTER TABLE ddl_renx DROP COLUMN v")
+    sql(spark, "ALTER TABLE ddl_renx ADD COLUMN v BIGINT")  # fresh physical v#
+    phys = t.snapshot().mapping["v"]
+    assert phys.startswith("v#")
+    sql(spark, "ALTER TABLE ddl_renx SET TBLPROPERTIES ('stats_exclude' = 'v')")
+    sql(spark, "ALTER TABLE ddl_renx RENAME COLUMN v TO w")
+    props = {
+        r["key"]: r["value"]
+        for r in sql(spark, "SHOW TBLPROPERTIES ddl_renx").collect()
+    }
+    assert props["stats_exclude"] == "w"
+    # a write through the SQL path must still suppress the physical's stats
+    spark.range(500, 505).selectExpr(
+        "id AS k", "CAST(0 AS INT) AS g", "id AS w"
+    ).createOrReplaceTempView("ddl_renx_src")
+    sql(spark, "INSERT INTO ddl_renx SELECT * FROM ddl_renx_src")
+    log_dir = os.path.join(t.path, "_txlog")
+    latest = max(
+        f for f in os.listdir(log_dir) if f.startswith("v") and f.endswith(".json")
+    )
+    adds = [
+        json.loads(line)["add"]
+        for line in open(os.path.join(log_dir, latest))
+        if '"add"' in line
+    ]
+    assert adds
+    for a in adds:
+        assert phys not in a.get("stats", {})
