@@ -2915,6 +2915,156 @@ class TxTable:
             column_mapping=mapping, retired=retired,
         )
 
+    def create(
+        self,
+        schema,
+        ts: float | None = None,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> int:
+        """Create an EMPTY table: commit version 1 carrying the schema (a
+        DDL string or StructType) and optional partition spec, zero data
+        files — SQL's plain CREATE TABLE. Subsequent appends must evolve
+        additively from this schema like any other write; a location that
+        already holds a table refuses (use append/overwrite there)."""
+        if self._list_versions():
+            raise TxError(f"{self.path!r} already holds a txlog table")
+        if isinstance(schema, str):
+            try:
+                schema = T.StructType.fromDDL(schema)
+            except Exception as exc:
+                raise TxError(f"cannot parse schema {schema!r}: {exc}") from None
+        if not schema.fields:
+            raise TxError("create needs at least one column")
+        spec = tuple(partition_by or self.partition_by or ())
+        names = {f.name for f in schema.fields}
+        missing = [c for c in spec if c not in names]
+        if missing:
+            raise TxError(f"partition column(s) {missing} not in the schema")
+        self.partition_by = spec
+        schema_json = json.dumps(json.loads(schema.json()))
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during create; re-run")
+
+        return self._commit(
+            "create", [], [], schema_json, ts, 0, revalidate, partition_by=spec,
+        )
+
+    def convert_from_parquet(
+        self,
+        ts: float | None = None,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> int:
+        """CONVERT TO TXLOG (Delta's CONVERT TO DELTA): adopt an existing
+        parquet directory IN PLACE — zero bytes rewritten (files are
+        RENAMED to the engine's token-unique naming, a same-inode metadata
+        operation, because row lineage keys on basenames and Spark's
+        partitionBy duplicates part names across partition directories).
+        Every ``*.parquet`` under the root (hive ``col=val/`` layouts
+        included; ``_``/``.``-prefixed directories skipped, Spark's own
+        convention) becomes an add action carrying its real footer stats,
+        so file pruning works from the first query; the schema comes from
+        Spark's parquet+partition discovery; the partition spec is inferred
+        from the directory names (or validated against an explicit one).
+        One commit makes the directory a table, and from then on the log is
+        the source of truth — files later dropped by DELETE stay on disk
+        (invisible) until vacuum, exactly like staged writes.
+
+        The footer harvest runs as one distributed job past the same
+        threshold as _stage — converting a million-file directory must not
+        serialize a million driver reads."""
+        if self._list_versions():
+            raise TxError(f"{self.path!r} already holds a txlog table")
+        all_parquet = sorted(
+            glob.glob(os.path.join(self.path, "**", "*.parquet"), recursive=True)
+        )
+        files = []
+        for f in all_parquet:
+            rel = os.path.relpath(f, self.path)
+            parts = rel.split(os.sep)
+            if any(p.startswith(("_", ".")) for p in parts):
+                continue
+            files.append((rel, f))
+        if not files:
+            raise TxError(f"no parquet files to convert under {self.path!r}")
+        # partition spec: infer column order from the directory names,
+        # validate every file agrees (a half-hive directory is corrupt)
+        specs = set()
+        for rel, _f in files:
+            segs = rel.split(os.sep)[:-1]
+            cols = []
+            for s in segs:
+                if "=" not in s:
+                    raise TxError(
+                        f"non-hive subdirectory {s!r} under {self.path!r} — "
+                        "convert expects flat or col=value layouts"
+                    )
+                cols.append(s.split("=", 1)[0])
+            specs.add(tuple(cols))
+        if len(specs) != 1:
+            raise TxError(
+                f"inconsistent partition layouts under {self.path!r}: "
+                f"{sorted(specs)}"
+            )
+        inferred = specs.pop()
+        if partition_by is not None and tuple(partition_by) != inferred:
+            raise TxError(
+                f"directory layout is partitioned by {list(inferred)}, "
+                f"not {list(partition_by)}"
+            )
+        spec = inferred
+        self.partition_by = spec
+        # the engine's row lineage keys on file BASENAMES (token-unique by
+        # construction in _stage) — but Spark's partitionBy writes the SAME
+        # part-file names into every partition directory, so adopted files
+        # must be renamed to the engine's naming. A rename is a metadata
+        # operation (same inode, zero bytes copied), so the conversion stays
+        # zero-rewrite; a crash mid-rename leaves a still-valid plain
+        # parquet directory (only names changed) — re-run to finish.
+        token = uuid.uuid4().hex
+        renamed = []
+        for i, (rel, f) in enumerate(files):
+            d = os.path.dirname(rel)
+            name = f"part-{token}-{i:05d}.parquet"
+            new_rel = name if d in ("", ".") else os.path.join(d, name)
+            dst = os.path.join(self.path, new_rel)
+            os.rename(f, dst)
+            renamed.append((new_rel, dst))
+        files = renamed
+        # schema via Spark's discovery: data columns + typed partition cols
+        schema = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(self.path)
+            .schema
+        )
+        schema_json = json.dumps(json.loads(schema.json()))
+        if len(files) > self.STATS_DISTRIBUTE_THRESHOLD:
+            paths = [f for _rel, f in files]
+            stats_by_path = dict(
+                self.spark.sparkContext.parallelize(
+                    paths, min(len(paths), 64)
+                ).map(lambda p: (p, _footer_stats(p))).collect()
+            )
+        else:
+            stats_by_path = {f: _footer_stats(f) for _rel, f in files}
+        adds = []
+        for rel, f in files:
+            rows, nbytes, stats = stats_by_path[f]
+            for col in self.stats_exclude:
+                stats.pop(col, None)
+            add = {"path": rel, "rows": rows, "bytes": nbytes, "stats": stats}
+            if spec:
+                add["part"] = _parse_hive_dirs(os.path.dirname(rel), spec)
+            adds.append(add)
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during convert; re-run")
+
+        return self._commit(
+            "convert", adds, [], schema_json, ts, 0, revalidate,
+            partition_by=spec,
+        )
+
     def add_column(self, name: str, type_ddl: str, ts: float | None = None) -> int:
         """METADATA-ONLY additive column (Delta's ALTER TABLE ADD COLUMN):
         the stored schema grows by one nullable column, zero files are

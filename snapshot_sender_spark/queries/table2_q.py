@@ -624,6 +624,170 @@ def sql_txlog_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_txlog_create_insert",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 3 = 1
+    GROUP BY lang
+    """,
+    category="table-format",
+)
+def sql_txlog_create_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain ``CREATE TABLE (schema) USING TXLOG`` — an EMPTY table whose
+    version-1 commit carries only the schema (round-13; previously only
+    CTAS existed). An empty table SELECTs as zero rows with the declared
+    shape (the Python source emits an empty-sentinel partition — Spark
+    hands read() None when partitions() returns []; pinned in tests), the
+    schema then governs the first ``INSERT INTO``, and the readback equals
+    a pure filter of documents — the oracle."""
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_crt_q_")
+    sql(spark, f"""
+        CREATE TABLE docs_crt_tt (doc_id BIGINT, lang STRING, n_chars BIGINT)
+        USING TXLOG LOCATION '{work}/docs_tx'
+    """)
+    if spark.sql("SELECT COUNT(*) AS c FROM docs_crt_tt").collect()[0]["c"]:
+        raise AssertionError("a freshly created table must be empty")
+    if spark.table("docs_crt_tt").columns != ["doc_id", "lang", "n_chars"]:
+        raise AssertionError("empty table must carry the declared schema")
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_crt_src")
+    sql(spark, """
+        INSERT INTO docs_crt_tt
+        SELECT doc_id, lang, n_chars FROM docs_crt_src WHERE doc_id % 3 = 1
+    """)
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_crt_tt GROUP BY lang
+    """)
+
+
+@query(
+    "sql_txlog_convert_adopt",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+    GROUP BY lang
+    """,
+    category="table-format",
+)
+def sql_txlog_convert_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO TXLOG`` (Delta's CONVERT TO DELTA): an existing
+    hive-partitioned parquet directory becomes a transactional table IN
+    PLACE — zero bytes rewritten (asserted inline: the adopted files ARE
+    the original part files), partition spec inferred from the layout,
+    footer stats adopted so pruning works from the first query. The very
+    next statement is a transactional DELETE and the pre-conversion rows
+    still time-travel. The readback equals a pure filter of documents —
+    the oracle."""
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_cvt_q_")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.where(F.col("doc_id") % 2 == 0).write.partitionBy("lang").parquet(
+        f"{work}/plain"
+    )
+    import os as _os
+
+    orig_inodes = {_os.stat(p).st_ino for p in _list_parquet(f"{work}/plain")}
+    out = sql(
+        spark, f"CONVERT TO TXLOG '{work}/plain' AS docs_cvt_tt"
+    ).collect()[0]
+    if out["operation"] != "CONVERT TO TXLOG" or out["version"] != 1:
+        raise AssertionError(f"unexpected CONVERT result: {out}")
+    t = TxTable(spark, f"{work}/plain")
+    if t.snapshot().partition_by != ("lang",):
+        raise AssertionError("partition spec must be inferred from the layout")
+    live_inodes = {
+        _os.stat(_os.path.join(t.path, p)).st_ino
+        for p in t.snapshot().live_paths()
+    }
+    if live_inodes != orig_inodes:  # renamed, never copied: same inodes
+        raise AssertionError("convert must adopt the ORIGINAL bytes in place")
+    n0 = t.read().count()
+    sql(spark, "DELETE FROM docs_cvt_tt WHERE doc_id % 3 = 0")
+    if t.read(version=1).count() != n0:
+        raise AssertionError("pre-conversion snapshot must time-travel")
+    return spark.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM docs_cvt_tt GROUP BY lang
+    """)
+
+
+def _list_parquet(root: str) -> set:
+    import glob as _glob
+    import os as _os
+
+    return {
+        f
+        for f in _glob.glob(_os.path.join(root, "**", "*.parquet"), recursive=True)
+        if not any(
+            s.startswith(("_", "."))
+            for s in _os.path.relpath(f, root).split(_os.sep)
+        )
+    }
+
+
+@query(
+    "sql_txlog_zorder_optimize",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    category="table-format",
+)
+def sql_txlog_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE ... ZORDER BY (a, b)`` — Delta's multi-dimensional
+    clustering as SQL text: the rewrite range-partitions and sorts on a
+    Morton interleave of the two columns (built from the table's current
+    min/max; same interleave as the oracle-checked layout_zorder_cluster),
+    so every output file's footer stats cover a tight box in BOTH
+    dimensions and a 2-D predicate prunes files on each (asserted inline).
+    OPTIMIZE is data-equivalent by definition — the readback equals the
+    plain aggregate, which is the oracle."""
+    from ..sources.txlog_batch import register_sql_views
+    from ..sources.txlog_sql import sql
+
+    work = _workdir("txlog_sql_zord_q_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = TxTable(spark, f"{work}/ev_tx")
+    t.append(ev.repartition(8), ts=1.0)
+    register_sql_views(spark, "ev_zord_tt", t.path)
+    lo_e, hi_e, lo_u, hi_u = ev.agg(
+        F.min("event_id"), F.max("event_id"), F.min("user_id"), F.max("user_id")
+    ).first()
+    out = sql(spark, "OPTIMIZE ev_zord_tt FILE SIZE 65536 "
+                     "ZORDER BY (event_id, user_id)").collect()[0]
+    if out["operation"] != "OPTIMIZE":
+        raise AssertionError(f"unexpected OPTIMIZE result: {out}")
+    snap = t.snapshot()
+
+    def overlaps(a, lo, hi, col):
+        s = a["stats"].get(col)
+        return s is None or not (int(s["max"]) < lo or int(s["min"]) > hi)
+
+    box = [
+        p for p, a in snap.files.items()
+        if overlaps(a, lo_e, lo_e + (hi_e - lo_e) // 4, "event_id")
+        and overlaps(a, lo_u, lo_u + (hi_u - lo_u) // 4, "user_id")
+    ]
+    if len(snap.files) > 2 and not len(box) < len(snap.files):
+        raise AssertionError("z-order must enable 2-D file pruning")
+    return spark.sql(f"""
+        SELECT event_type, COUNT(*) AS n_events,
+               {SQL_DSUM('value')} AS sum_value
+        FROM ev_zord_tt GROUP BY event_type
+    """)
+
+
+@query(
     "stream_txlog_bytes_limited",
     oracle="""
     SELECT source, COUNT(*) AS n_docs,

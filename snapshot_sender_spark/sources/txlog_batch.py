@@ -184,9 +184,18 @@ class TxlogBatchReader(DataSourceReader):
                     snap.mapping,
                 )
             )
+        if not parts:
+            # an EMPTY table (schema-only CREATE, or everything pruned):
+            # Spark hands read() None when partitions() returns [] — give it
+            # one sentinel partition that yields no batches instead
+            parts = [
+                _TxFilePartition(None, None, None, [], self.schema_json, {})
+            ]
         return parts
 
     def read(self, part: _TxFilePartition):
+        if part.path is None:  # empty-table sentinel
+            return
         schema = T.StructType.fromJson(json.loads(part.schema_json))
         from pyspark.sql.pandas.types import to_arrow_schema
 

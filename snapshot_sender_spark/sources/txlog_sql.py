@@ -58,6 +58,11 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     RESTORE TABLE <view> TO VERSION|TIMESTAMP AS OF <n>
     CREATE TABLE <name> USING TXLOG LOCATION '<path>'
         [PARTITIONED BY (a, b)] AS <select>          -- CTAS + auto-register
+    CREATE TABLE <name> (col type, ...) USING TXLOG LOCATION '<path>'
+        [PARTITIONED BY (a, b)]                      -- empty table
+    CONVERT TO TXLOG '<path>' [PARTITIONED BY (a, b)] [AS <name>]
+        -- adopt an existing parquet dir in place, zero rewrite
+    OPTIMIZE <view> [FILE SIZE n] [ZORDER BY (a, b)] -- Morton clustering
     SELECT ... FROM table_changes('<view>', a[, b])  -- CDF, a..b inclusive
 
 Schema-evolving DDL (rename/add/drop column) RE-PUBLISHES the live view —
@@ -223,6 +228,7 @@ _DESCRIBE_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)(?:\s+FILE\s+SIZE\s+(\d+))?"
+    r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?"
     r"(?:\s+CLUSTER\s+BY\s+(.+?))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -253,6 +259,18 @@ _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s+USING\s+TXLOG\s+LOCATION\s+'([^']+)'"
     r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
     r"\s+AS\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+TXLOG\s+'([^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
+    r"(?:\s+AS\s+(\w+))?\s*;?\s*$",
+    re.I,
+)
+_CREATE_EMPTY_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+?)\)\s+USING\s+TXLOG\s+"
+    r"LOCATION\s+'([^']+)'"
+    r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?\s*;?\s*$",
     re.I | re.S,
 )
 _CREATE_HEAD_RE = re.compile(r"^\s*CREATE\s+TABLE\s+\w+.*\bUSING\s+TXLOG\b", re.I | re.S)
@@ -568,6 +586,47 @@ def _split_top_commas(s: str) -> list[str]:
     return items
 
 
+def _zorder_expr_sql(t: TxTable, cols: list) -> str:
+    """Build the Morton (Z-order) interleave as ONE SQL expression over the
+    table's CURRENT min/max per clustering column — ``OPTIMIZE ... ZORDER
+    BY (a, b)`` compiles to ``compact(cluster_expr=<this>)``, the same
+    range-partition-and-sort machinery as CLUSTER BY (and the same
+    interleave as operators/layout.py's _morton_key). 2 columns get 16 bits
+    each, 3 get 10; 1 column is plain clustering (no interleave needed) and
+    more than 3 dilutes each dimension below usefulness — refused."""
+    if len(cols) == 1:
+        return cols[0]
+    if not 2 <= len(cols) <= 3:
+        raise TxError(
+            f"ZORDER BY takes 1-3 columns, got {len(cols)} — beyond 3 each "
+            "dimension gets too few bits to prune on"
+        )
+    from pyspark.sql import functions as F
+
+    df = t.read()
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
+    stats = df.agg(*aggs).first()
+    k, bits = len(cols), 16 if len(cols) == 2 else 10
+    terms = []
+    for j, c in enumerate(cols):
+        lo = stats[f"lo{j}"]
+        hi = stats[f"hi{j}"]
+        lo = 0 if lo is None else int(lo)
+        hi = lo + 1 if hi is None else int(hi)
+        span = max(1, hi - lo)
+        scaled = (
+            f"CAST((CAST({c} AS BIGINT) - {lo}) * {(1 << bits) - 1} "
+            f"DIV {span} AS BIGINT)"
+        )
+        for i in range(bits):
+            terms.append(
+                f"shiftleft(shiftright({scaled}, {i}) & 1, {i * k + j})"
+            )
+    return " + ".join(terms)
+
+
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
     schema = ", ".join(
         f"{k} {'string' if isinstance(v, str) else 'bigint'}"
@@ -683,8 +742,13 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
 
     m = _OPTIMIZE_RE.match(statement)
     if m:
-        name, size, cluster = m.groups()
+        name, size, zorder, cluster = m.groups()
         t = TxTable(spark, _target(spark, name))
+        if zorder and cluster:
+            raise TxError("pass ZORDER BY or CLUSTER BY, not both")
+        if zorder:
+            cols = [c.strip() for c in zorder.split(",") if c.strip()]
+            cluster = _zorder_expr_sql(t, cols)
         before = len(t.snapshot().files)
         v = t.compact(
             target_file_bytes=int(size) if size else _OPTIMIZE_DEFAULT_BYTES,
@@ -851,12 +915,48 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             spark, operation="CREATE TABLE AS SELECT", version=v,
             rows=t.snapshot().total_rows(),
         )
+    m = _CREATE_EMPTY_RE.match(statement)
+    if m:
+        name, defs, loc, parts = m.groups()
+        if _VIEWS.get(name.lower()) is not None:
+            raise TxError(f"{name!r} is already a registered txlog view")
+        part_by = (
+            tuple(p.strip() for p in parts.split(",")) if parts else ()
+        )
+        t = TxTable(spark, loc)
+        v = t.create(defs, partition_by=part_by)
+        from .txlog_batch import register_sql_views
+
+        register_sql_views(spark, name, t.path)
+        return _one_row(
+            spark, operation="CREATE TABLE", version=v, rows=0,
+        )
     if _CREATE_HEAD_RE.match(statement):
         raise TxError(
             "unsupported CREATE TABLE form — this dispatcher implements "
-            "CREATE TABLE <name> USING TXLOG LOCATION '<path>' "
-            "[PARTITIONED BY (...)] AS <select>; for an empty table use "
-            "the TxTable API"
+            "CREATE TABLE <name> [(col type, ...)] USING TXLOG LOCATION "
+            "'<path>' [PARTITIONED BY (...)] [AS <select>]"
+        )
+
+    m = _CONVERT_RE.match(statement)
+    if m:
+        loc, parts, name = m.groups()
+        if name and _VIEWS.get(name.lower()) is not None:
+            raise TxError(f"{name!r} is already a registered txlog view")
+        t = TxTable(spark, loc)
+        v = t.convert_from_parquet(
+            partition_by=(
+                tuple(p.strip() for p in parts.split(",")) if parts else None
+            ),
+        )
+        if name:
+            from .txlog_batch import register_sql_views
+
+            register_sql_views(spark, name, t.path)
+        snap = t.snapshot()
+        return _one_row(
+            spark, operation="CONVERT TO TXLOG", version=v,
+            files=len(snap.files), rows=snap.total_rows(),
         )
 
     return spark.sql(_rewrite_table_changes(spark, statement))

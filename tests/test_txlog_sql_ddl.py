@@ -77,14 +77,11 @@ def test_ctas_refuses_existing_table_and_name(spark, tmp_path):
             f"CREATE TABLE ddl_ctas_dup2 USING TXLOG LOCATION "
             f"'{tmp_path / 'ddl_ctas_dup'}' AS SELECT 1 AS x",
         )
-    # a non-CTAS CREATE ... USING TXLOG refuses typed instead of falling
-    # through to spark.sql's unhelpful analysis error
+    # a CREATE ... USING TXLOG the grammar cannot place (no LOCATION)
+    # refuses typed instead of falling through to spark.sql's unhelpful
+    # analysis error
     with pytest.raises(TxError, match="unsupported CREATE TABLE form"):
-        sql(
-            spark,
-            f"CREATE TABLE ddl_ctas_e (k BIGINT) USING TXLOG LOCATION "
-            f"'{tmp_path / 'e'}'",
-        )
+        sql(spark, "CREATE TABLE ddl_ctas_e (k BIGINT) USING TXLOG")
 
 
 # -- ALTER TABLE column DDL ----------------------------------------------------
@@ -378,3 +375,123 @@ def test_stats_exclude_follows_rename(spark, tmp_path):
     assert adds
     for a in adds:
         assert phys not in a.get("stats", {})
+
+
+# -- empty CREATE TABLE, CONVERT TO TXLOG, OPTIMIZE ZORDER BY -------------------
+
+
+def test_create_empty_table_sql(spark, tmp_path):
+    out = sql(
+        spark,
+        f"CREATE TABLE ddl_et (k BIGINT, v DOUBLE, g INT) USING TXLOG "
+        f"LOCATION '{tmp_path / 'et'}'",
+    ).collect()[0]
+    assert out["operation"] == "CREATE TABLE" and out["rows"] == 0
+    # an empty table SELECTs as zero rows with the declared schema (the
+    # source returns an empty-sentinel partition — Spark hands read() None
+    # when partitions() is [])
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_et").collect()[0]["c"] == 0
+    assert spark.table("ddl_et").columns == ["k", "v", "g"]
+    t = TxTable(spark, str(tmp_path / "et"))
+    assert t.read().count() == 0
+    # and the schema governs later writes
+    spark.range(5).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v", "CAST(id AS INT) AS g"
+    ).createOrReplaceTempView("ddl_et_src")
+    sql(spark, "INSERT INTO ddl_et SELECT * FROM ddl_et_src")
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_et").collect()[0]["c"] == 5
+    # partitioned empty create fixes the spec before any data exists
+    sql(
+        spark,
+        f"CREATE TABLE ddl_etp (k BIGINT, g INT) USING TXLOG "
+        f"LOCATION '{tmp_path / 'etp'}' PARTITIONED BY (g)",
+    )
+    assert TxTable(spark, str(tmp_path / "etp")).snapshot().partition_by == ("g",)
+    with pytest.raises(TxError, match="not in the schema"):
+        sql(
+            spark,
+            f"CREATE TABLE ddl_etz (k BIGINT) USING TXLOG "
+            f"LOCATION '{tmp_path / 'etz'}' PARTITIONED BY (zz)",
+        )
+
+
+def test_convert_flat_parquet(spark, tmp_path):
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(3)\
+        .write.parquet(str(tmp_path / "flat"))
+    out = sql(
+        spark, f"CONVERT TO TXLOG '{tmp_path / 'flat'}' AS ddl_cvt"
+    ).collect()[0]
+    assert out["operation"] == "CONVERT TO TXLOG"
+    assert out["rows"] == 100 and out["files"] == 3
+    t = TxTable(spark, str(tmp_path / "flat"))
+    # zero rewrite: the adopted files ARE the original part files
+    assert all(p.startswith("part-") for p in t.snapshot().live_paths())
+    # footer stats adopted -> pruning works from the first query
+    assert all(a["stats"] for a in t.snapshot().files.values())
+    # immediately transactional: DML, time travel
+    sql(spark, "DELETE FROM ddl_cvt WHERE k < 50")
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_cvt").collect()[0]["c"] == 50
+    assert t.read(version=1).count() == 100
+    with pytest.raises(TxError, match="already holds"):
+        sql(spark, f"CONVERT TO TXLOG '{tmp_path / 'flat'}'")
+
+
+def test_convert_hive_partitioned(spark, tmp_path):
+    import os
+
+    spark.range(60).selectExpr("id AS k", "CAST(id % 3 AS INT) AS g")\
+        .write.partitionBy("g").parquet(str(tmp_path / "hive"))
+    sql(spark, f"CONVERT TO TXLOG '{tmp_path / 'hive'}' AS ddl_cvh")
+    t = TxTable(spark, str(tmp_path / "hive"))
+    assert t.snapshot().partition_by == ("g",)  # inferred from the layout
+    got = {
+        (r["g"], r["n"])
+        for r in spark.sql(
+            "SELECT g, COUNT(*) AS n FROM ddl_cvh GROUP BY g"
+        ).collect()
+    }
+    assert got == {(0, 20), (1, 20), (2, 20)}
+    # partition pruning prunes adopted directories exactly
+    kept = t.candidate_files(prune=[("g", 1, 1)])
+    assert kept and all("g=1" in p for p in kept)
+    # an explicit spec that contradicts the layout refuses
+    spark.range(6).selectExpr("id AS k", "CAST(id AS INT) AS g")\
+        .write.partitionBy("g").parquet(str(tmp_path / "hive2"))
+    with pytest.raises(TxError, match="partitioned by"):
+        sql(spark, f"CONVERT TO TXLOG '{tmp_path / 'hive2'}' PARTITIONED BY (zz)")
+    # a non-hive subdirectory refuses (half-converted layouts are corrupt)
+    os.makedirs(tmp_path / "bad" / "sub", exist_ok=True)
+    spark.range(3).coalesce(1).write.parquet(str(tmp_path / "bad" / "sub" / "x"))
+    with pytest.raises(TxError, match="non-hive"):
+        sql(spark, f"CONVERT TO TXLOG '{tmp_path / 'bad'}'")
+
+
+def test_optimize_zorder_by(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "zt"))
+    t.append(
+        spark.range(10000).selectExpr(
+            "id AS x", "(id * 37) % 1000 AS y", "id AS payload"
+        ).repartition(8),
+        ts=1.0,
+    )
+    register_sql_views(spark, "ddl_zt", t.path)
+    out = sql(spark, "OPTIMIZE ddl_zt FILE SIZE 20000 ZORDER BY (x, y)").collect()[0]
+    assert out["operation"] == "OPTIMIZE"
+    snap = t.snapshot()
+
+    def overlaps(a, lo, hi, col):
+        s = a["stats"].get(col)
+        return s is None or not (int(s["max"]) < lo or int(s["min"]) > hi)
+
+    # a 2-D box predicate prunes files in BOTH dimensions after z-ordering
+    boxed = [
+        p for p, a in snap.files.items()
+        if overlaps(a, 0, 500, "x") and overlaps(a, 0, 100, "y")
+    ]
+    assert len(boxed) < len(snap.files)
+    # data-equivalent
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_zt").collect()[0]["c"] == 10000
+    with pytest.raises(TxError, match="not both"):
+        sql(spark, "OPTIMIZE ddl_zt ZORDER BY (x, y) CLUSTER BY x")
+    with pytest.raises(TxError, match="1-3 columns"):
+        sql(spark, "OPTIMIZE ddl_zt ZORDER BY (x, y, payload, x)")
