@@ -63,6 +63,8 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     CONVERT TO TXLOG '<path>' [PARTITIONED BY (a, b)] [AS <name>]
         -- adopt an existing parquet dir in place, zero rewrite
     OPTIMIZE <view> [FILE SIZE n] [ZORDER BY (a, b)] -- Morton clustering
+    DROP TABLE [IF EXISTS] <view> [PURGE]  -- unregister; PURGE deletes data
+    SHOW CREATE TABLE <view>
     SELECT ... FROM table_changes('<view>', a[, b])  -- CDF, a..b inclusive
 
 Schema-evolving DDL (rename/add/drop column) RE-PUBLISHES the live view —
@@ -261,6 +263,10 @@ _CTAS_RE = re.compile(
     r"\s+AS\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)(\s+PURGE)?\s*;?\s*$", re.I
+)
+_SHOW_CREATE_RE = re.compile(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I)
 _CONVERT_RE = re.compile(
     r"^\s*CONVERT\s+TO\s+TXLOG\s+'([^']+)'"
     r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
@@ -613,8 +619,15 @@ def _zorder_expr_sql(t: TxTable, cols: list) -> str:
     for j, c in enumerate(cols):
         lo = stats[f"lo{j}"]
         hi = stats[f"hi{j}"]
-        lo = 0 if lo is None else int(lo)
-        hi = lo + 1 if hi is None else int(hi)
+        try:
+            lo = 0 if lo is None else int(lo)
+            hi = lo + 1 if hi is None else int(hi)
+        except (TypeError, ValueError):
+            raise TxError(
+                f"ZORDER BY column {c!r} is not integer-valued — the Morton "
+                "interleave needs numeric domains; CLUSTER BY an expression "
+                "(e.g. a hash or dictionary code) instead"
+            ) from None
         span = max(1, hi - lo)
         scaled = (
             f"CAST((CAST({c} AS BIGINT) - {lo}) * {(1 << bits) - 1} "
@@ -937,6 +950,54 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
             "CREATE TABLE <name> [(col type, ...)] USING TXLOG LOCATION "
             "'<path>' [PARTITIONED BY (...)] [AS <select>]"
         )
+
+    m = _DROP_TABLE_RE.match(statement)
+    if m:
+        name, purge = m.group(1), bool(m.group(2))
+        ent = _VIEWS.get(name.lower())
+        if ent is None:
+            # not a txlog view: pass through — the funnel-all-SQL contract
+            # means plain Spark tables keep dropping normally
+            return spark.sql(statement)
+        path = ent[0]
+        # unregister the NAME FAMILY sharing this table's path: the live
+        # view, __ins/history/detail companions and pins — but never another
+        # name registered over the same path on purpose
+        family = [
+            k for k, v in _VIEWS.items()
+            if v[0] == path and (k == name.lower() or k.startswith(name.lower() + "_"))
+        ]
+        for k in family:
+            del _VIEWS[k]
+        for suffix in ("", "__ins", "_history", "_detail"):
+            spark.catalog.dropTempView(f"{name}{suffix}")
+        for k in family:  # pins registered under <name>_<suffix>
+            spark.catalog.dropTempView(k)
+        if purge:
+            # external-table semantics by default; PURGE deletes the data
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        return _one_row(
+            spark, operation="DROP TABLE" + (" PURGE" if purge else ""),
+            dropped=len(family),
+        )
+
+    m = _SHOW_CREATE_RE.match(statement)
+    if m:
+        name = m.group(1)
+        ent = _VIEWS.get(name.lower())
+        if ent is None:
+            return spark.sql(statement)  # plain Spark table: pass through
+        snap = TxTable(spark, ent[0]).snapshot()
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in snap.schema().fields
+        )
+        stmt = f"CREATE TABLE {name} ({cols}) USING TXLOG LOCATION '{ent[0]}'"
+        if snap.partition_by:
+            stmt += f" PARTITIONED BY ({', '.join(snap.partition_by)})"
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
     m = _CONVERT_RE.match(statement)
     if m:

@@ -495,3 +495,43 @@ def test_optimize_zorder_by(spark, tmp_path):
         sql(spark, "OPTIMIZE ddl_zt ZORDER BY (x, y) CLUSTER BY x")
     with pytest.raises(TxError, match="1-3 columns"):
         sql(spark, "OPTIMIZE ddl_zt ZORDER BY (x, y, payload, x)")
+
+
+def test_drop_table_and_show_create(spark, tmp_path):
+    import os
+
+    t = _ctas(spark, tmp_path, "ddl_drop")
+    # SHOW CREATE TABLE round-trips the schema + location + spec
+    stmt = sql(spark, "SHOW CREATE TABLE ddl_drop").collect()[0]["createtab_stmt"]
+    assert stmt.startswith("CREATE TABLE ddl_drop (k BIGINT, v BIGINT, g INT)")
+    assert f"LOCATION '{t.path}'" in stmt
+    # DROP TABLE unregisters the whole name family, keeps the data
+    out = sql(spark, "DROP TABLE ddl_drop").collect()[0]
+    assert out["operation"] == "DROP TABLE" and out["dropped"] >= 1
+    assert not spark.catalog.tableExists("ddl_drop")
+    assert not spark.catalog.tableExists("ddl_drop_history")
+    assert os.path.isdir(t.path)  # external-table semantics
+    with pytest.raises(TxError, match="not a registered"):
+        sql(spark, "DELETE FROM ddl_drop WHERE k = 1")
+    # ... and the table can be re-registered (data intact)
+    register_sql_views(spark, "ddl_drop", t.path)
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_drop").collect()[0]["c"] == 20
+    # PURGE deletes the data too
+    sql(spark, "DROP TABLE ddl_drop PURGE")
+    assert not os.path.exists(t.path)
+    # a NON-txlog DROP TABLE passes through to spark.sql untouched
+    spark.sql("CREATE TABLE ddl_plain_tbl (x INT) USING parquet")
+    sql(spark, "DROP TABLE IF EXISTS ddl_plain_tbl")
+    assert not spark.catalog.tableExists("ddl_plain_tbl")
+
+
+def test_zorder_refuses_non_numeric(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "znn"))
+    t.append(
+        spark.range(10).selectExpr("id AS k", "CONCAT('w', id) AS s")
+        .coalesce(1),
+        ts=1.0,
+    )
+    register_sql_views(spark, "ddl_znn", t.path)
+    with pytest.raises(TxError, match="not integer-valued"):
+        sql(spark, "OPTIMIZE ddl_znn ZORDER BY (k, s)")
