@@ -560,11 +560,50 @@ def dml_tier(spark, sf_dir: str, mult: int = 100) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def convert_tier(spark, sf_dir: str, mult: int = 100) -> None:
+    """Round-13 CONVERT TO TXLOG at scale: adopt a 10M-row parquet
+    directory (flat ×64 files, then hive ×(4 dirs × 16 files)) and report
+    adoption wall-clock vs a full rewrite (append of the same data). The
+    scale claim: conversion cost is O(files) footer reads + renames —
+    distributed past 16 files — never O(bytes).
+    ``python tools/txlog_scale.py --convert``."""
+    work = tempfile.mkdtemp(prefix="txlog_cvt_")
+    try:
+        ev = build_events(spark, sf_dir, mult)
+        print("| layout | files | adopt s | rewrite s |")
+        print("|---|---|---|---|")
+        for label, writer in (
+            ("flat", lambda d: ev.repartition(64).write.parquet(d)),
+            (
+                "hive",
+                lambda d: ev.withColumn("b", F.pmod("event_id", F.lit(4)))
+                .repartition(16)
+                .write.partitionBy("b")
+                .parquet(d),
+            ),
+        ):
+            src = os.path.join(work, f"src_{label}")
+            writer(src)
+            t = TxTable(spark, src)
+            _, adopt_s = timed(lambda: t.convert_from_parquet())
+            n_files = len(t.snapshot().files)
+            rw = TxTable(spark, os.path.join(work, f"rw_{label}"))
+            _, rewrite_s = timed(
+                lambda: rw.append(spark.read.option("basePath", src).parquet(src))
+            )
+            print(f"| {label} | {n_files} | {adopt_s:.2f} | {rewrite_s:.2f} |")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = positional[0] if positional else "/root/testdata/sf0.1"
     spark = get_spark(app_name="txlog_scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--convert" in sys.argv:
+        convert_tier(spark, sf_dir)
+        return
     if "--dml" in sys.argv:
         dml_tier(spark, sf_dir)
         return
