@@ -259,6 +259,9 @@ class TxSnapshot:
     # path (Python API, SQL INSERT, streaming sink) honors it, not just the
     # TxTable instance that was constructed with the argument
     stats_exclude: tuple[str, ...] = ()
+    # default clustering columns (liquid-clustering-style TABLE property,
+    # latest set_cluster_by wins): a bare OPTIMIZE clusters on these
+    cluster_by: tuple[str, ...] = ()
 
     def schema(self) -> T.StructType:
         if self.schema_json is None:
@@ -455,6 +458,7 @@ class TxTable:
                 "mapping": snap.mapping,
                 "retired": list(snap.retired),
                 "stats_exclude": list(snap.stats_exclude),
+                "cluster_by": list(snap.cluster_by),
                 # commit ts at the checkpointed version — audit/debug info
                 # (timestamp addressing needs no checkpoint state: its
                 # backward scan stops at the answer, see snapshot())
@@ -500,6 +504,7 @@ class TxTable:
             retired=tuple(d.get("retired", ())),
             proto=tuple(d["proto"]),
             stats_exclude=tuple(d.get("stats_exclude", ())),
+            cluster_by=tuple(d.get("cluster_by", ())),
         )
 
     def _maybe_checkpoint(self, committed_version: int) -> None:
@@ -547,6 +552,7 @@ class TxTable:
         mapping: dict[str, str] = {}
         retired: tuple[str, ...] = ()
         stats_exclude: tuple[str, ...] = ()
+        cluster_by: tuple[str, ...] = ()
         proto_reader, proto_writer = 1, 1
         start_after = 0
         usable_ckpts = [c for c in self._list_checkpoints() if c <= version]
@@ -570,6 +576,7 @@ class TxTable:
                 mapping = dict(base.mapping)
                 retired = base.retired
                 stats_exclude = base.stats_exclude
+                cluster_by = base.cluster_by
                 proto_reader, proto_writer = base.proto
                 start_after = base.version
         for v in versions:
@@ -595,6 +602,8 @@ class TxTable:
                         retired = tuple(meta["retired_columns"])
                     if meta.get("stats_exclude") is not None:
                         stats_exclude = tuple(meta["stats_exclude"])
+                    if meta.get("cluster_by") is not None:
+                        cluster_by = tuple(meta["cluster_by"])
                     txn = meta.get("txn")
                     if meta.get("constraints") is not None:
                         constraints = dict(meta["constraints"])
@@ -634,6 +643,7 @@ class TxTable:
             txns=txns, constraints=constraints, partition_by=partition_by,
             mapping=mapping, retired=retired, proto=(proto_reader, proto_writer),
             stats_exclude=stats_exclude,
+            cluster_by=cluster_by,
         )
         # the instance LEARNS the table's persisted exclusion on open (union
         # only grows: once a table declared a column stats-sensitive, every
@@ -1107,6 +1117,7 @@ class TxTable:
         column_mapping: dict[str, str] | None = None,
         retired: list[str] | None = None,
         force_spec_meta: bool = False,
+        cluster_by: tuple[str, ...] | None = None,
     ) -> int:
         """Claim the next version with a hard link (atomic: claims the number
         AND publishes complete content — a torn log file cannot exist). On
@@ -1133,6 +1144,8 @@ class TxTable:
                 meta["column_mapping"] = column_mapping
             if retired is not None:
                 meta["retired_columns"] = list(retired)
+            if cluster_by is not None:
+                meta["cluster_by"] = list(cluster_by)
             if self.stats_exclude:
                 # persist the exclusion as a TABLE property (latest wins on
                 # replay) so the SQL/stream write paths — which have no
@@ -3128,6 +3141,33 @@ class TxTable:
         return self._commit(
             "drop_constraint", [], [], snap.schema_json, ts, snap.version,
             revalidate, constraints=cons,
+        )
+
+    def set_cluster_by(self, cols, ts: float | None = None) -> int:
+        """Declare the table's DEFAULT clustering columns (the
+        liquid-clustering-style table property): a bare ``OPTIMIZE`` — SQL
+        or ``compact()`` callers that consult it — clusters on these
+        without the statement having to repeat them. Latest declaration
+        wins (pass ``[]`` to clear); columns must exist. A metadata-only
+        commit — clustering itself happens at the next OPTIMIZE, which is
+        the liquid model: declare once, maintain incrementally."""
+        snap = self.snapshot()
+        self._writer_gate(snap)
+        cols = tuple(cols)
+        known = {f.name for f in snap.schema().fields}
+        unknown = sorted(set(cols) - known)
+        if unknown:
+            raise TxError(
+                f"set_cluster_by: no such column(s) {unknown} "
+                f"(have {sorted(known)})"
+            )
+
+        def revalidate(new_snap: TxSnapshot):
+            raise TxConflict("concurrent commit during set_cluster_by; re-run")
+
+        return self._commit(
+            "set_property", [], [], snap.schema_json, ts, snap.version,
+            revalidate, cluster_by=cols,
         )
 
     def set_stats_exclude(self, cols, ts: float | None = None) -> int:

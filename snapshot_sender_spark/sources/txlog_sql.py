@@ -54,6 +54,7 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     ALTER TABLE <view> ADD CONSTRAINT <n> CHECK (<expr>)
     ALTER TABLE <view> DROP CONSTRAINT <n>
     ALTER TABLE <view> SET TBLPROPERTIES ('stats_exclude' = 'a,b')
+    ALTER TABLE <view> CLUSTER BY (a, b)            -- liquid-style default
     SHOW TBLPROPERTIES <view>
     RESTORE TABLE <view> TO VERSION|TIMESTAMP AS OF <n>
     CREATE TABLE <name> USING TXLOG LOCATION '<path>'
@@ -762,6 +763,16 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         if zorder:
             cols = [c.strip() for c in zorder.split(",") if c.strip()]
             cluster = _zorder_expr_sql(t, cols)
+        elif not cluster:
+            # liquid-style default: a bare OPTIMIZE clusters on the table's
+            # declared cluster_by property (multi-column -> Morton)
+            declared = t.snapshot().cluster_by
+            if declared:
+                cluster = (
+                    _zorder_expr_sql(t, list(declared))
+                    if len(declared) > 1
+                    else declared[0]
+                )
         before = len(t.snapshot().files)
         v = t.compact(
             target_file_bytes=int(size) if size else _OPTIMIZE_DEFAULT_BYTES,
@@ -846,6 +857,11 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         if am:
             v = t.drop_constraint(am.group(1))
             return _one_row(spark, operation="DROP CONSTRAINT", version=v)
+        am = re.match(r"^CLUSTER\s+BY\s+\(([^)]*)\)$", action, re.I)
+        if am:
+            cols = [c.strip() for c in am.group(1).split(",") if c.strip()]
+            v = t.set_cluster_by(cols)
+            return _one_row(spark, operation="CLUSTER BY", version=v)
         am = _ALTER_PROPS_RE.match(action)
         if am:
             pairs = _PROP_PAIR_RE.findall(am.group(1))
@@ -872,8 +888,8 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         raise TxError(
             f"unsupported ALTER TABLE action {action!r} — this dispatcher "
             "implements RENAME COLUMN, DROP COLUMN, ADD COLUMN, "
-            "ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, and "
-            "SET TBLPROPERTIES"
+            "ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, "
+            "CLUSTER BY (...), and SET TBLPROPERTIES"
         )
 
     m = _SHOW_PROPS_RE.match(statement)
@@ -889,6 +905,7 @@ def sql(spark: SparkSession, statement: str, mode: str = "cow") -> DataFrame:
         rows = [
             ("partition_by", ",".join(snap.partition_by)),
             ("stats_exclude", ",".join(snap.stats_exclude)),
+            ("cluster_by", ",".join(snap.cluster_by)),
             ("min_reader", str(snap.proto[0])),
             ("min_writer", str(snap.proto[1])),
         ] + [(f"constraint.{k}", v) for k, v in sorted(snap.constraints.items())]

@@ -668,3 +668,61 @@ def test_merge_by_source_mor_and_refusals(spark, tmp_path):
             MERGE INTO lad_nmbs2 USING lad_nmbs2_src AS s ON lad_nmbs2.k = s.k
             WHEN NOT MATCHED BY SOURCE AND s.k > 0 THEN DELETE
         """)
+
+
+def test_merge_ladder_partitioned_relocation(spark, tmp_path):
+    """Ladder MERGE on a hive-partitioned table: an UPDATE that reassigns
+    the PARTITION column relocates the image into the right directory, in
+    the same atomic commit as deletes and inserts."""
+    t = TxTable(spark, str(tmp_path / "lad_part"), partition_by=("g",))
+    t.append(
+        spark.range(12).selectExpr("id AS k", "CAST(id % 3 AS INT) AS g"),
+        ts=1.0,
+    )
+    spark.range(8, 16).selectExpr("id AS k").createOrReplaceTempView(
+        "lad_part_src"
+    )
+    register_sql_views(spark, "lad_part", t.path)
+    sql(spark, """
+        MERGE INTO lad_part USING lad_part_src AS s ON lad_part.k = s.k
+        WHEN MATCHED AND k = 8 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET g = CAST(9 AS INT)
+        WHEN NOT MATCHED THEN INSERT (k, g) VALUES (k, CAST(7 AS INT))
+    """)
+    got = {r.k: r.g for r in t.read().collect()}
+    assert 8 not in got
+    for k in (9, 10, 11):
+        assert got[k] == 9  # relocated into g=9
+    for k in (12, 13, 14, 15):
+        assert got[k] == 7  # inserted into g=7
+    for k in range(8):
+        assert got[k] == k % 3  # untouched
+    # the relocated/inserted rows live under the RIGHT hive directories
+    snap = t.snapshot()
+    dirs = {p.split("/")[0] for p in snap.live_paths() if "/" in p}
+    assert {"g=7", "g=9"} <= dirs
+    # partition pruning stays exact after the relocation
+    kept = t.candidate_files(prune=[("g", 9, 9)])
+    assert kept and all("g=9" in p for p in kept)
+
+
+def test_merge_ladder_under_column_mapping(spark, tmp_path):
+    """Ladder MERGE after RENAME COLUMN: logical names in clauses resolve
+    through the column mapping (files keep physical names; zero rewrites
+    beyond the hit files)."""
+    t = TxTable(spark, str(tmp_path / "lad_map"))
+    t.append(spark.range(6).selectExpr("id AS k", "id * 10 AS v").coalesce(1), ts=1.0)
+    t.rename_column("v", "val")
+    spark.range(3, 9).selectExpr("id AS k", "id * 100 AS nv")\
+        .createOrReplaceTempView("lad_map_src")
+    register_sql_views(spark, "lad_map", t.path)
+    sql(spark, """
+        MERGE INTO lad_map USING lad_map_src AS s ON lad_map.k = s.k
+        WHEN MATCHED THEN UPDATE SET val = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, val) VALUES (k, nv)
+    """)
+    got = {r.k: r.val for r in t.read().collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 300, 4: 400, 5: 500,
+                   6: 600, 7: 700, 8: 800}
+    # the mapping still routes the logical name to the original physical
+    assert t.snapshot().mapping.get("val") == "v"

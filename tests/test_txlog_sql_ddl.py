@@ -142,7 +142,7 @@ def test_rename_and_drop_column_republish_view(spark, tmp_path):
     assert spark.table("ddl_ren").columns == ["k", "val"]
     assert t.snapshot().retired == ("g",)
     with pytest.raises(TxError, match="unsupported ALTER TABLE action"):
-        sql(spark, "ALTER TABLE ddl_ren CLUSTER BY (k)")
+        sql(spark, "ALTER TABLE ddl_ren REORDER COLUMNS (k, val)")
 
 
 # -- constraints + properties through SQL ---------------------------------------
@@ -535,3 +535,48 @@ def test_zorder_refuses_non_numeric(spark, tmp_path):
     register_sql_views(spark, "ddl_znn", t.path)
     with pytest.raises(TxError, match="not integer-valued"):
         sql(spark, "OPTIMIZE ddl_znn ZORDER BY (k, s)")
+
+
+def test_cluster_by_property_and_bare_optimize(spark, tmp_path):
+    """Liquid-clustering-style default: ALTER TABLE ... CLUSTER BY declares
+    the clustering once as a TABLE property; a bare OPTIMIZE (no ZORDER/
+    CLUSTER clause) picks it up — multi-column declarations cluster on the
+    Morton interleave, so 2-D box pruning works without the statement
+    repeating the columns."""
+    t = TxTable(spark, str(tmp_path / "liq"))
+    t.append(
+        spark.range(10000).selectExpr(
+            "id AS x", "(id * 37) % 1000 AS y", "id AS payload"
+        ).repartition(8),
+        ts=1.0,
+    )
+    register_sql_views(spark, "ddl_liq", t.path)
+    out = sql(spark, "ALTER TABLE ddl_liq CLUSTER BY (x, y)").collect()[0]
+    assert out["operation"] == "CLUSTER BY"
+    props = {
+        r["key"]: r["value"]
+        for r in sql(spark, "SHOW TBLPROPERTIES ddl_liq").collect()
+    }
+    assert props["cluster_by"] == "x,y"
+    # the property survives checkpoint + fresh open
+    assert TxTable(spark, t.path).snapshot().cluster_by == ("x", "y")
+    sql(spark, "OPTIMIZE ddl_liq FILE SIZE 20000")  # bare: uses the property
+    snap = t.snapshot()
+
+    def overlaps(a, lo, hi, col):
+        s = a["stats"].get(col)
+        return s is None or not (int(s["max"]) < lo or int(s["min"]) > hi)
+
+    boxed = [
+        p for p, a in snap.files.items()
+        if overlaps(a, 0, 500, "x") and overlaps(a, 0, 100, "y")
+    ]
+    assert len(boxed) < len(snap.files)
+    assert spark.sql("SELECT COUNT(*) AS c FROM ddl_liq").collect()[0]["c"] == 10000
+    # latest declaration wins; unknown columns refuse
+    sql(spark, "ALTER TABLE ddl_liq CLUSTER BY (payload)")
+    assert t.snapshot().cluster_by == ("payload",)
+    sql(spark, "ALTER TABLE ddl_liq CLUSTER BY ()")  # clear
+    assert t.snapshot().cluster_by == ()
+    with pytest.raises(TxError, match="no such column"):
+        sql(spark, "ALTER TABLE ddl_liq CLUSTER BY (zz)")
