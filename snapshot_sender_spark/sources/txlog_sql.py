@@ -66,7 +66,9 @@ Grammar (case-insensitive; a trailing ';' is allowed):
     OPTIMIZE <view> [FILE SIZE n] [ZORDER BY (a, b)] -- Morton clustering
     DROP TABLE [IF EXISTS] <view> [PURGE]  -- unregister; PURGE deletes data
     SHOW CREATE TABLE <view>
-    SELECT ... FROM table_changes('<view>', a[, b])  -- CDF, a..b inclusive
+    SELECT ... FROM table_changes('<view>', a[, b])  -- CDF, a..b inclusive;
+        -- integers are versions, decimals are timestamps (start = first
+        -- commit at/after, end = last commit at/before)
 
 Schema-evolving DDL (rename/add/drop column) RE-PUBLISHES the live view —
 a temp view resolves its schema at CREATE time — preserving the source
@@ -283,9 +285,13 @@ _CREATE_EMPTY_RE = re.compile(
 _CREATE_HEAD_RE = re.compile(r"^\s*CREATE\s+TABLE\s+\w+.*\bUSING\s+TXLOG\b", re.I | re.S)
 # table_changes('<view>', from[, to]) — Delta's CDF table-valued function,
 # rewritten textually to a temp view over TxTable.row_changes (Spark cannot
-# resolve a Python TVF inside spark.sql)
+# resolve a Python TVF inside spark.sql). Integer bounds are VERSIONS;
+# bounds with a decimal point are TIMESTAMPS (resolved Delta-style: start =
+# first commit at/after, end = last commit at/before)
 _TABLE_CHANGES_RE = re.compile(
-    r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.I
+    r"table_changes\(\s*'(\w+)'\s*,\s*(\d+(?:\.\d+)?)\s*"
+    r"(?:,\s*(\d+(?:\.\d+)?)\s*)?\)",
+    re.I,
 )
 
 # default OPTIMIZE target: the 128 MiB sweet spot parquet scans want
@@ -1051,14 +1057,40 @@ def _rewrite_table_changes(spark: SparkSession, statement: str) -> str:
     are stable. Works on pinned views too — CDF reads are read-only."""
 
     def _sub(m: re.Match) -> str:
-        name, lo = m.group(1), int(m.group(2))
+        name = m.group(1)
         ent = _VIEWS.get(name.lower())
         if ent is None:
             raise TxError(
                 f"table_changes: {name!r} is not a registered txlog view"
             )
         t = TxTable(spark, ent[0])
-        hi = int(m.group(3)) if m.group(3) is not None else t.latest_version()
+
+        def _resolve(bound_txt: str, is_start: bool) -> int:
+            # integers are VERSIONS; a decimal point means TIMESTAMP —
+            # Delta's resolution: start = first commit at/after, end =
+            # last commit at/before
+            if "." not in bound_txt:
+                return int(bound_txt)
+            ts = float(bound_txt)
+            try:
+                w = t.snapshot(timestamp=ts).version
+            except Exception:
+                if is_start:  # every commit is after the start ts
+                    return 1
+                raise TxError(
+                    f"table_changes: no commit at or before timestamp {ts}"
+                ) from None
+            if not is_start:
+                return w
+            wts = t._read_version_actions(w)[0]["meta"].get("ts")
+            return w if wts == ts else w + 1
+
+        lo = _resolve(m.group(2), True)
+        hi = (
+            _resolve(m.group(3), False)
+            if m.group(3) is not None
+            else t.latest_version()
+        )
         view = f"{name}__changes_{lo}_{hi}"
         # Delta's table_changes includes version a; row_changes is (from, to]
         t.row_changes(lo - 1, hi).createOrReplaceTempView(view)

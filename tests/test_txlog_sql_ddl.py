@@ -580,3 +580,35 @@ def test_cluster_by_property_and_bare_optimize(spark, tmp_path):
     assert t.snapshot().cluster_by == ()
     with pytest.raises(TxError, match="no such column"):
         sql(spark, "ALTER TABLE ddl_liq CLUSTER BY (zz)")
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path):
+    """table_changes with TIMESTAMP bounds (decimal point = timestamp,
+    integer = version): start resolves to the first commit at/after, end
+    to the last commit at/before — Delta's resolution."""
+    t = TxTable(spark, str(tmp_path / "tcts"))
+    t.append(spark.range(0, 2).withColumnRenamed("id", "k").coalesce(1), ts=100.0)
+    t.append(spark.range(2, 5).withColumnRenamed("id", "k").coalesce(1), ts=200.0)
+    t.append(spark.range(5, 9).withColumnRenamed("id", "k").coalesce(1), ts=300.0)
+    register_sql_views(spark, "ddl_tcts", t.path)
+    # (150.0, 250.0) -> versions 2..2: only the middle commit
+    n = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('ddl_tcts', 150.0, 250.0)",
+    ).collect()[0]["n"]
+    assert n == 3
+    # exact start ts is INCLUSIVE; integer end is a version
+    n = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('ddl_tcts', 200.0, 3)",
+    ).collect()[0]["n"]
+    assert n == 7
+    # start before every commit covers the full history
+    n = sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM table_changes('ddl_tcts', 50.0)",
+    ).collect()[0]["n"]
+    assert n == 9
+    # an end ts before the first commit refuses
+    with pytest.raises(TxError, match="no commit at or before"):
+        sql(spark, "SELECT * FROM table_changes('ddl_tcts', 50.0, 60.0)")
