@@ -33,7 +33,8 @@ def cosine(a: Column, b: Column) -> Column:
 def dot_literal(a: Column, q: list[float]) -> Column:
     """Dot product against a query vector baked in as a literal array —
     constant-folded by Catalyst, broadcast-free."""
-    return dot(a, F.array(*[F.lit(float(x)) for x in q]))
+    # one array<double> literal — a single py4j call vs one per element
+    return dot(a, F.lit([float(x) for x in q]))
 
 
 def cosine_literal(a: Column, q: list[float]) -> Column:

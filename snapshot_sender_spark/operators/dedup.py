@@ -27,6 +27,36 @@ from pyspark.sql import types as T
 
 from . import index_lifecycle
 
+# semanticHash -> scan partition count (decision-only, see _fanout_narrow)
+_FANOUT_PROBE_CACHE: dict[int, int] = {}
+
+
+def _fanout_narrow(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out for CPU-heavy projections (guide §2: derive
+    partitioning from the input, don't hard-code either deployment): when the
+    source scan yields fewer partitions than the session's parallelism (the
+    single-row-group local fixtures → 1 scan task, so every per-doc transform
+    downstream would run on one core), round-robin repartition FIRST so the
+    compute runs wide; a production table with ≥cores splits passes through
+    untouched — no exchange added at scale. The partition-count probe is
+    memoized per logical plan (semanticHash), like the strategy-stats caches:
+    decision-only, results identical either way."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    key = None
+    try:
+        key = df.semanticHash()
+    except Exception:
+        pass
+    n = _FANOUT_PROBE_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            if len(_FANOUT_PROBE_CACHE) >= 256:
+                _FANOUT_PROBE_CACHE.clear()
+            _FANOUT_PROBE_CACHE[key] = n
+    return df.repartition(target) if n < target else df
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per distinct content hash (md5 over the raw text).
@@ -292,12 +322,18 @@ def _jaccard_gemm_broadcast(
     Bit-identical results: same 0/1 counts, same float64 division."""
     import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
 
-    rows = shingled.collect()  # guarded by the caller's size check
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    arrs = [np.asarray(r["shingles"], dtype=np.int64) for r in rows]
-    lens = np.array([len(a) for a in arrs], dtype=np.int64)
-    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    # Arrow collect (guarded by the caller's size check): one columnar
+    # transfer instead of per-row pickled Rows + a Python conversion loop —
+    # the flattened shingle values and per-doc lengths come straight out of
+    # the list array's buffers (r13 measurement: the row-collect path
+    # dominated this operator's per-run constant).
+    tbl = shingled.toArrow()
+    ids = tbl.column("id").to_numpy().astype(np.int64, copy=False)
+    sh_col = tbl.column("shingles").combine_chunks()
+    lens = pc.list_value_length(sh_col).to_numpy().astype(np.int64, copy=False)
+    flat = sh_col.flatten().to_numpy().astype(np.int64, copy=False)
     vocab, cols_flat = np.unique(flat, return_inverse=True)
     offsets = np.concatenate([[0], np.cumsum(lens)])
     # block assignment mirrors the shuffle path: id mod n_blocks
@@ -795,7 +831,12 @@ def ngram_jaccard_pairs_gemm(
     # posting-branch strategies below then consume its exploded form instead
     # of re-shingling the text.
     if shingled is None:
-        shingled = hashed_shingle_sets(df, text_col, id_col)
+        # project to the two needed columns, then fan the per-doc shingle
+        # compute across cores when the scan is narrower than the session
+        # parallelism (no-op at scale — see _fanout_narrow)
+        shingled = hashed_shingle_sets(
+            _fanout_narrow(df.select(id_col, text_col)), text_col, id_col
+        )
     # Two count-only stats passes decide the physical strategy — the same
     # role table statistics play in a cost-based optimizer's join selection.
     # Cheap at any corpus size (aggregates over the shingle column only), and

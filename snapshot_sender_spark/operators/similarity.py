@@ -25,6 +25,10 @@ from . import index_lifecycle
 
 QUANT = 1_000_000  # 1e6 quantization — see module docstring
 
+# semanticHash -> corpus elems count for cosine_pairs_gemm's kernel selection
+# (decision-only; mirrors dedup._JACCARD_STATS_CACHE)
+_COSINE_STATS_CACHE: dict[int, int] = {}
+
 
 def _quant_dot_literal(vec_col, q: list[float]):
     """Σ floor(a_i·1e6)·floor(q_i·1e6) as exact integers."""
@@ -32,7 +36,9 @@ def _quant_dot_literal(vec_col, q: list[float]):
     return F.aggregate(
         F.zip_with(
             vec_col,
-            F.array(*[F.lit(v) for v in qints]),
+            # one array<long> literal (single py4j call) — building it as
+            # F.array(64 × F.lit) cost ~65 driver round trips per query build
+            F.lit(qints),
             lambda a, qv: F.floor(a.cast("double") * QUANT).cast("long") * qv.cast("long"),
         ),
         F.lit(0).cast("long"),
@@ -114,10 +120,21 @@ def _cosine_gemm_broadcast(
     to the shuffle path — same integer grid, same float64 division."""
     import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
 
-    rows = quant.collect()  # guarded by the caller's size check
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([np.asarray(r["qv"], dtype=np.float64) for r in rows])
+    # Arrow collect (guarded by the caller's size check): columnar transfer +
+    # a single reshape instead of pickled Rows and a per-row np.asarray loop
+    # (r13: the row collect was the operator's largest per-run constant).
+    tbl = quant.toArrow()
+    ids = tbl.column("id").to_numpy().astype(np.int64, copy=False)
+    qv_col = tbl.column("qv").combine_chunks()
+    lens = pc.list_value_length(qv_col).to_numpy()
+    flat = qv_col.flatten().to_numpy().astype(np.float64, copy=False)
+    if len(lens) and lens.min() == lens.max():
+        mat = flat.reshape(len(lens), int(lens[0]))
+    else:  # ragged dims (not the testdata shape): split at list offsets
+        mat = np.array(np.split(flat, np.cumsum(lens)[:-1]), dtype=object)
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in mat]) if len(lens) else flat.reshape(0, 0)
     block_of = (ids % n_blocks).astype(np.int64)
     spark = quant.sparkSession
     bc = spark.sparkContext.broadcast(
@@ -196,8 +213,23 @@ def cosine_pairs_gemm(
             "qv"
         ),
     )
-    stats = quant.agg(F.sum(F.size("qv")).alias("elems")).first()
-    if (stats["elems"] or 0) <= broadcast_max_elems:
+    # Strategy-selection statistic, memoized per logical plan (semanticHash)
+    # exactly like dedup._JACCARD_STATS_CACHE: the role of cached table stats
+    # in a CBO — decision quality only, every strategy is result-identical.
+    cache_key = None
+    try:
+        cache_key = quant.semanticHash()
+    except Exception:
+        pass
+    if cache_key is not None and cache_key in _COSINE_STATS_CACHE:
+        elems = _COSINE_STATS_CACHE[cache_key]
+    else:
+        elems = quant.agg(F.sum(F.size("qv")).alias("elems")).first()["elems"] or 0
+        if cache_key is not None:
+            if len(_COSINE_STATS_CACHE) >= 256:
+                _COSINE_STATS_CACHE.clear()
+            _COSINE_STATS_CACHE[cache_key] = elems
+    if elems <= broadcast_max_elems:
         return _cosine_gemm_broadcast(quant, threshold, n_blocks)
     quant = quant.withColumn("block", F.pmod(F.col("id"), F.lit(n_blocks)).cast("int"))
     pair_rows = [

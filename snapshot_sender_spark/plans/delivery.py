@@ -131,7 +131,11 @@ def build_decrypted(
     key_lookup: Callable[[list[tuple[str, str]]], list[tuple[str, str, str]]] = key_lookup_local,
 ) -> DeliveryResult:
     """Declare the plan up to (and including) payload decryption."""
-    files = read_encrypted_files(spark, input_dir)
+    # one metadata DataFrame serves both the content join and the key-distinct
+    # source (it was read twice per call — two reader round trips for the
+    # same sidecar)
+    meta = read_encryption_meta(spark, input_dir)
+    files = read_encrypted_files(spark, input_dir, meta=meta)
 
     # 1. idempotent-restart filter (FinishedFilterProcessor.kt:17-27)
     if not cfg.reprocess_files:
@@ -174,7 +178,7 @@ def build_decrypted(
     #    order (finishedFilter → dataKey, JobConfiguration.kt:61-64 — name
     #    validation and topic blocking happen later, in the writer), and keeps
     #    the driver job O(metadata), not O(objects).
-    key_source = read_encryption_meta(spark, input_dir)
+    key_source = meta
     if not cfg.reprocess_files:
         key_source = key_source.join(
             F.broadcast(read_finished_markers(spark, status_dir)), "fileName", "left_anti"

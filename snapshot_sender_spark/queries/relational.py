@@ -33,12 +33,21 @@ def _factor(c):
 
 
 def _cents(c):
-    """Exact integer cents of a 2-decimal column: the decimal cast does the
-    HALF_UP shortest-repr rounding (same as _money), ×100 and the long cast
-    are then exact. Long arithmetic keeps the aggregate inside whole-stage
-    codegen — the DECIMAL(>18) sum falls off the fast path to BigDecimal,
-    which dominated the single-scan-task profile (~2× whole-query)."""
-    return (c.cast("decimal(12,2)") * 100).cast("long")
+    """Exact integer cents of a 2-decimal column, entirely in double/long
+    codegen (no per-value BigDecimal): for any column whose true values have
+    ≤2 decimals, the stored double is within ~1e-10 of cents/100, so
+    ``x*100 + 0.5`` always lands strictly inside ``(n, n+1)`` for the true
+    cents value ``n`` — ``floor`` recovers ``n`` exactly, for negative values
+    too (``floor(-846.69·100 + 0.5) = -84669``). Value-identical to the
+    previous ``CAST(c AS DECIMAL(12,2))*100 → LONG`` kernel (which is the
+    form the DuckDB oracles use) on every money column of the testdata at all
+    three SFs — pinned by tests/test_cents_kernel.py; the decimal form's
+    BigDecimal allocation per value made it ~1.7× slower on the single-task
+    scan stage (r13 measurement). Precondition (documented, not checked):
+    inputs are 2-decimal money values — an input at an exact half-cent
+    (x = k + 0.005) would round HALF_UP in the decimal form and to-nearest
+    here; no such value can exist in a 2-decimal column."""
+    return F.floor(c * 100 + F.lit(0.5))
 
 
 def _from_cents(sum_col, scale: int):
@@ -190,13 +199,18 @@ def filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
 )
 def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three-table inner equi-join chain (customer ⋈ orders ⋈ lineitem) — dims broadcast, fact never re-shuffles per join."""
+    """Three-table inner equi-join chain (customer ⋈ orders ⋈ lineitem) — dims
+    broadcast, fact never re-shuffles per join. Joins are written fact-first
+    (r13): ``c.join(o).join(l)`` made Catalyst's size estimate pick the
+    LINEITEM projection as the build side (600 k-row hash relation, and the
+    fact side broadcast — backwards at any scale); streaming the fact and
+    joining dims onto it keeps every build side a dimension."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(dsum(F.col("l_extendedprice")).alias("revenue"), F.count("*").alias("n_items"))
     )

@@ -49,9 +49,12 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # fact-first join order (r13): stream lineitem, build the filtered dims —
+    # written dim-first, the size estimate picked the lineitem projection as
+    # a build side (fact broadcast — backwards at scale, slower locally)
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_rev_col())
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -89,9 +92,12 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # fact-first join order (r13): lineitem streams through every join; the
+    # dim-first spelling made the size estimate broadcast the lineitem
+    # projection (600 k-row build side — backwards at scale, slower locally)
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
@@ -231,9 +237,10 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("q") > 150)
         .select("l_orderkey")
     )
+    # fact-first join order (r13) — see tpch_q3; lineitem streams, dims build
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(big.withColumnRenamed("l_orderkey", "big_key"), F.col("o_orderkey") == F.col("big_key"), "left_semi")
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum(_money(F.col("l_quantity"))).cast("double").alias("total_qty"))
@@ -350,9 +357,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
+    # fact-first join order (r13) — see tpch_q3; lineitem streams, dims build
     return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_rev_col())

@@ -40,15 +40,22 @@ def get_spark(
         # in the decrypt UDF). 1024 keeps scalar-UDF vectorization efficiency
         # while bounding batch memory at file-payload widths.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-        # Local testdata files are ≤ ~10 MB: the 128 MB default split puts an
-        # entire table in ONE scan task. 1 MB splits fan the scan across cores
-        # while staying well above row-group size. On a real cluster this is
-        # left at the 128 MB default (set SPARK_GRAFT_MAX_PARTITION_BYTES).
+        # Split sizing stays at the Spark defaults (128 MB / 4 MB), overridable
+        # via env for other deployments. Round 13 measurement: the previous
+        # local tuning (1 MB splits / 64 KB open cost) gave NO parallelism on
+        # the single-row-group testdata parquet (a task only reads row groups
+        # whose midpoint lands in its split → 1 real + ~30 empty tasks per
+        # scan) and it fragmented the binaryFile source into under-packed
+        # splits; at the defaults a lineitem scan-agg dropped 0.34s → 0.17s
+        # and the delivery binaryFile scan 0.42s → 0.22s (min-of-4, local[32]).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
-        .config("spark.sql.files.openCostInBytes", "64k")
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "4m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -43,10 +43,14 @@ def read_encryption_meta(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def read_encrypted_files(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_encrypted_files(
+    spark: SparkSession, input_dir: str, meta: DataFrame | None = None
+) -> DataFrame:
     """One row per encrypted object: (path, fileName, content, iv,
     dataKeyEncryptionKeyId, cipherText) — the EncryptedStream analog
-    (DomainClasses.kt:10-32)."""
+    (DomainClasses.kt:10-32). ``meta``: pass an already-built
+    ``read_encryption_meta`` DataFrame to avoid a second reader round trip
+    for the same sidecar (callers that also need the key-distinct source)."""
     objects = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.enc")
@@ -58,8 +62,10 @@ def read_encrypted_files(spark: SparkSession, input_dir: str) -> DataFrame:
             F.col("content"),
         )
     )
+    if meta is None:
+        meta = read_encryption_meta(spark, input_dir)
     # metadata side is tiny (one short row per object) → broadcast
-    return objects.join(F.broadcast(read_encryption_meta(spark, input_dir)), "fileName", "inner")
+    return objects.join(F.broadcast(meta), "fileName", "inner")
 
 
 def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:

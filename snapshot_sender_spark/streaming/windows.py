@@ -49,21 +49,33 @@ def _events_stream_dir(sf_dir: str) -> str:
     return d
 
 
+# (sf_dir) -> (session, raw events schema): the batch-side schema probe is a
+# footer read (~100-250 ms via spark.read.parquet); the schema of the
+# read-only fixture cannot change within a session, so memoize it the same
+# way tables._LOAD_CACHE memoizes plan handles (identity-checked session).
+_EVENTS_SCHEMA_CACHE: dict[str, tuple[SparkSession, object]] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanos→micros conversion as in tables.load (the conf is set there);
     # newer testdata generations store ts as TIMESTAMP(MICROS) directly.
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cached = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        schema = cached[1]
+    else:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = (spark, schema)
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(_events_stream_dir(sf_dir))
     )
-    if isinstance(batch.schema["ts"].dataType, T.LongType):
+    if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(batch.schema["ts"].dataType, T.TimestampNTZType):
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
@@ -74,7 +86,7 @@ ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateS
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
     state_store: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a memory
@@ -83,8 +95,10 @@ def run_to_memory(
     Stateful operators allocate one state store per shuffle partition; for
     file-replay micro-batches the store init dominates wall time, so the
     query runs with a reduced stateful shuffle width (results are partition-
-    count independent). The conf is restored afterwards — on a real cluster
-    state width is sized to the key space, not trimmed.
+    count independent; r13 sweep on local[32]: width 4 ≈ width 2 < width 8 <
+    width 16 on wall-clock — per-store init/commit dominates at this tier).
+    The conf is restored afterwards — on a real cluster state width is sized
+    to the key space, not trimmed.
 
     ``state_store='rocksdb'`` runs the query on the RocksDB state store
     provider — the 100 TB configuration: state lives off-heap/on-disk per
