@@ -73,6 +73,18 @@ def aes_ctr_decrypt(content: pd.Series, key_b64: pd.Series, iv_b64: pd.Series) -
 # encrypt is the same transform — exposed under its own name for fixture writers
 aes_ctr_encrypt = aes_ctr_decrypt
 
+# The payload codecs below are marked non-deterministic AFTER definition (they
+# are pure functions of their inputs — the flag is purely an optimizer fence):
+# when a filter references a column computed by one of these UDFs (the
+# `payload IS NOT NULL` guards in plans/delivery.parse_records and
+# corrupt_payloads), Catalyst pushes the filter down and re-evaluates the UDF
+# on both sides — the round-13 delivery count plan carried TWO ArrowEvalPython
+# nodes running aes_ctr_decrypt_gunzip_text on every file (measured ~2× the
+# decrypt stage cost). Non-determinism forbids the duplication, yielding one
+# evaluation (spark_optimization_guide §4.4). These UDFs are only ever used in
+# Project/Filter contexts (never join keys or aggregate args), where
+# non-deterministic expressions are legal.
+
 
 @F.pandas_udf(T.BinaryType())
 def gunzip(content: pd.Series) -> pd.Series:
@@ -114,6 +126,13 @@ def gunzip_or_null(content: pd.Series) -> pd.Series:
         except Exception:
             out.append(None)
     return pd.Series(out)
+
+
+aes_ctr_decrypt = aes_ctr_decrypt.asNondeterministic()
+aes_ctr_encrypt = aes_ctr_decrypt
+gunzip = gunzip.asNondeterministic()
+aes_ctr_decrypt_gunzip_text = aes_ctr_decrypt_gunzip_text.asNondeterministic()
+gunzip_or_null = gunzip_or_null.asNondeterministic()
 
 
 @F.pandas_udf(T.BinaryType())

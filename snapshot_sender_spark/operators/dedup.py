@@ -31,6 +31,19 @@ from . import index_lifecycle
 _FANOUT_PROBE_CACHE: dict[int, int] = {}
 
 
+def _pair_task_source(spark, n_tasks: int) -> DataFrame:
+    """JVM-only task-id source for the block-pair GEMM kernels: one row per
+    task id, spread over min(n_tasks, parallelism) partitions. ``spark.range``
+    is a pure JVM scan; the previous ``createDataFrame(local_pairs)`` built a
+    pickled-RDD-backed plan whose evaluation is itself a Python-runner stage
+    (~0.2 s per run on local[32]), plus a repartition exchange to spread the
+    rows. The (bi, bj) pair for an id is reconstructed inside the kernel from
+    the same enumeration order — partitioning of task ids cannot affect which
+    pairs are computed, so results are identical."""
+    ncores = spark.sparkContext.defaultParallelism
+    return spark.range(0, n_tasks, 1, min(max(n_tasks, 1), ncores))
+
+
 def _fanout_narrow(df: DataFrame) -> DataFrame:
     """Scale-adaptive fan-out for CPU-heavy projections (guide §2: derive
     partitioning from the input, don't hard-code either deployment): when the
@@ -321,7 +334,6 @@ def _jaccard_gemm_broadcast(
     Arrow array-of-array conversion that dominate the shuffle path locally.
     Bit-identical results: same 0/1 counts, same float64 division."""
     import numpy as np
-    import pandas as pd
     import pyarrow.compute as pc
 
     # Arrow collect (guarded by the caller's size check): one columnar
@@ -351,7 +363,11 @@ def _jaccard_gemm_broadcast(
         }
     )
 
+    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+
     def run_pairs(batches):
+        import pyarrow as pa
+
         d = bc.value
 
         def dense(rowsel):
@@ -363,9 +379,10 @@ def _jaccard_gemm_broadcast(
             m[rr, cc] = 1.0
             return m
 
-        for pdf in batches:
+        for batch in batches:
             outs = []
-            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+            for pid in batch.column(0).to_pylist():
+                bi, bj = pairs[pid]
                 ra_sel = d["by_block"].get(int(bi), np.empty(0, dtype=np.int64))
                 rb_sel = d["by_block"].get(int(bj), np.empty(0, dtype=np.int64))
                 if not len(ra_sel) or not len(rb_sel):
@@ -382,24 +399,23 @@ def _jaccard_gemm_broadcast(
                     mask = jac >= threshold
                 ra, cb = np.nonzero(mask)
                 if len(ra):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": np.minimum(ids_a[ra], ids_b[cb]),
-                                "id_b": np.maximum(ids_a[ra], ids_b[cb]),
-                                "jaccard": jac[ra, cb],
-                            }
-                        )
-                    )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "jaccard": pd.Series(dtype="float64")}
-            )
+                    outs.append((np.minimum(ids_a[ra], ids_b[cb]),
+                                 np.maximum(ids_a[ra], ids_b[cb]),
+                                 jac[ra, cb]))
+            if outs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate([o[0] for o in outs]), type=pa.int64()),
+                        pa.array(np.concatenate([o[1] for o in outs]), type=pa.int64()),
+                        pa.array(np.concatenate([o[2] for o in outs]), type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "jaccard"],
+                )
 
-    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
-    ncores = spark.sparkContext.defaultParallelism
-    pair_df = spark.createDataFrame(pairs, "bi int, bj int").repartition(min(len(pairs), ncores))
-    return pair_df.mapInPandas(run_pairs, schema="id_a long, id_b long, jaccard double")
+    # task source: JVM-only range of pair ids (see _pair_task_source); the
+    # kernel crosses to Python exactly once, via Arrow
+    pair_df = _pair_task_source(spark, len(pairs))
+    return pair_df.mapInArrow(run_pairs, schema="id_a long, id_b long, jaccard double")
 
 
 def incremental_jaccard_pairs(

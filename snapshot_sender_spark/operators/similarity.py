@@ -119,7 +119,6 @@ def _cosine_gemm_broadcast(
     once per executor, the shuffle carries only block-pair ids. Bit-identical
     to the shuffle path — same integer grid, same float64 division."""
     import numpy as np
-    import pandas as pd
     import pyarrow.compute as pc
 
     # Arrow collect (guarded by the caller's size check): columnar transfer +
@@ -148,11 +147,16 @@ def _cosine_gemm_broadcast(
         }
     )
 
+    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+
     def run_pairs(batches):
+        import pyarrow as pa
+
         d = bc.value
-        for pdf in batches:
+        for batch in batches:
             outs = []
-            for bi, bj in zip(pdf["bi"], pdf["bj"]):
+            for pid in batch.column(0).to_pylist():
+                bi, bj = pairs[pid]
                 sa = d["by_block"].get(int(bi), np.empty(0, dtype=np.int64))
                 sb = d["by_block"].get(int(bj), np.empty(0, dtype=np.int64))
                 if not len(sa) or not len(sb):
@@ -167,24 +171,25 @@ def _cosine_gemm_broadcast(
                     mask = cos >= threshold
                 ra, cb = np.nonzero(mask)
                 if len(ra):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": np.minimum(ids_a[ra], ids_b[cb]),
-                                "id_b": np.maximum(ids_a[ra], ids_b[cb]),
-                                "cosine": cos[ra, cb],
-                            }
-                        )
-                    )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
+                    outs.append((np.minimum(ids_a[ra], ids_b[cb]),
+                                 np.maximum(ids_a[ra], ids_b[cb]),
+                                 cos[ra, cb]))
+            if outs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate([o[0] for o in outs]), type=pa.int64()),
+                        pa.array(np.concatenate([o[1] for o in outs]), type=pa.int64()),
+                        pa.array(np.concatenate([o[2] for o in outs]), type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "cosine"],
+                )
 
-    pairs = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
-    ncores = spark.sparkContext.defaultParallelism
-    pair_df = spark.createDataFrame(pairs, "bi int, bj int").repartition(min(len(pairs), ncores))
-    return pair_df.mapInPandas(run_pairs, schema="id_a long, id_b long, cosine double")
+    # task source: JVM-only range of pair ids (dedup._pair_task_source); one
+    # Arrow crossing, no pickled-RDD scan stage, no repartition exchange
+    from .dedup import _pair_task_source
+
+    pair_df = _pair_task_source(spark, len(pairs))
+    return pair_df.mapInArrow(run_pairs, schema="id_a long, id_b long, cosine double")
 
 
 def cosine_pairs_gemm(

@@ -86,7 +86,7 @@ ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateS
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
-    state_partitions: int = 4,
+    state_partitions: int = 2,
     state_store: str | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a memory
@@ -95,8 +95,10 @@ def run_to_memory(
     Stateful operators allocate one state store per shuffle partition; for
     file-replay micro-batches the store init dominates wall time, so the
     query runs with a reduced stateful shuffle width (results are partition-
-    count independent; r13 sweep on local[32]: width 4 ≈ width 2 < width 8 <
-    width 16 on wall-clock — per-store init/commit dominates at this tier).
+    count independent; r13 sweeps on local[32], min-of-4 wall-clock:
+    width 1 0.59s ≤ width 2 0.62s < width 4 0.76s < width 8 < width 16 —
+    per-store init/commit dominates at this tier; 2 keeps multi-partition
+    state machinery exercised while shedding most of that overhead).
     The conf is restored afterwards — on a real cluster state width is sized
     to the key space, not trimmed.
 
