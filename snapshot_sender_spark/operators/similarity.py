@@ -56,14 +56,48 @@ def _quant_norm2(vec_col):
     )
 
 
-def cosine_scores(df: DataFrame, vec_col: str, query: list[float]) -> DataFrame:
-    """All rows scored: cosine = qdot / (sqrt(qnorm2)·sqrt(norm2)) on the
-    quantized grid — deterministic to the bit."""
+def _cosine_scores_reference(df: DataFrame, vec_col: str, query: list[float]) -> DataFrame:
+    """Column-method construction of ``cosine_scores`` — kept as the tests'
+    reference implementation (tests/test_operators.py pins exact result
+    equality against the SQL-text build below)."""
     qn2 = sum(int(math.floor(float(x) * QUANT)) ** 2 for x in query)
     return df.withColumn(
         "cosine",
         _quant_dot_literal(F.col(vec_col), query).cast("double")
         / (F.sqrt(_quant_norm2(F.col(vec_col)).cast("double")) * F.lit(math.sqrt(qn2))),
+    )
+
+
+def cosine_scores(df: DataFrame, vec_col: str, query: list[float]) -> DataFrame:
+    """All rows scored: cosine = qdot / (sqrt(qnorm2)·sqrt(norm2)) on the
+    quantized grid — deterministic to the bit.
+
+    Built as ONE SQL expression string (r13): the Column/lambda construction
+    of the two higher-order aggregates cost ~45 py4j round trips per build
+    (~0.12 s on local[32], re-paid by every probe query and ANN re-rank);
+    the text form is a single round trip. The arithmetic is identical op for
+    op — all-integer until the final double division, with the query-side
+    constants (quantized ints, √qnorm2) embedded via exact repr — so scores
+    are bit-equal to the reference construction (pinned by
+    tests/test_operators.py::test_cosine_scores_expr_matches_reference)."""
+    qints = [int(math.floor(float(x) * QUANT)) for x in query]
+    qn2 = sum(v * v for v in qints)
+    arr = "array(" + ",".join(f"{v}L" for v in qints) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_col}, {arr}, "
+        f"(x_1, y_2) -> CAST(FLOOR(CAST(x_1 AS DOUBLE) * {QUANT}) AS BIGINT) * CAST(y_2 AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (x_3, y_4) -> x_3 + y_4)"
+    )
+    n2 = (
+        f"aggregate({vec_col}, CAST(0 AS BIGINT), "
+        f"(x_5, y_6) -> x_5 + CAST(FLOOR(CAST(y_6 AS DOUBLE) * {QUANT}) AS BIGINT)"
+        f" * CAST(FLOOR(CAST(y_6 AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+    return df.withColumn(
+        "cosine",
+        F.expr(
+            f"CAST({dot} AS DOUBLE) / (SQRT(CAST({n2} AS DOUBLE)) * {math.sqrt(qn2)!r}D)"
+        ),
     )
 
 

@@ -54,3 +54,46 @@ def test_cents_kernel_negative_and_edge_values(spark):
 
     # output type must stay LONG (the downstream _from_cents contract)
     assert dict(df.select(_cents(F.col("x")).alias("c")).dtypes)["c"] == "bigint"
+
+
+def test_q1_expr_build_plan_identity(spark):
+    """q1_pricing_summary builds its aggregates as SQL expression text (one
+    py4j round trip each) — this pins that the text analyzes to the EXACT
+    same plan as the reference Column-method construction (semanticHash over
+    the analyzed plan), so a parser-typing drift (e.g. a decimal literal
+    where a double is meant) fails loudly instead of silently changing
+    results."""
+    from snapshot_sender_spark.queries.relational import (
+        _cents,
+        _from_cents,
+        dsum,
+        q1_pricing_summary,
+    )
+    from snapshot_sender_spark.tables import load
+
+    sf_dir = SF_DIRS[0]
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_comp_c = 100 - _cents(F.col("l_discount"))
+    tax_comp_c = 100 + _cents(F.col("l_tax"))
+    reference = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _from_cents(F.sum(price_c * disc_comp_c), 4).alias("sum_disc_price"),
+            _from_cents(F.sum(price_c * disc_comp_c * tax_comp_c), 6).alias("sum_charge"),
+            (_from_cents(F.sum(_cents(F.col("l_quantity"))), 2) / F.count("l_quantity")).alias(
+                "avg_qty"
+            ),
+            (_from_cents(F.sum(price_c), 2) / F.count("l_extendedprice")).alias("avg_price"),
+            (_from_cents(F.sum(_cents(F.col("l_discount"))), 2) / F.count("l_discount")).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+    built = q1_pricing_summary(spark, sf_dir)
+    assert built.schema == reference.schema
+    assert built.semanticHash() == reference.semanticHash()

@@ -431,6 +431,25 @@ def test_cosine_topk_self_similarity(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_cosine_scores_expr_matches_reference(spark, sf_dir):
+    """cosine_scores builds its scoring column as SQL expression text (one
+    py4j round trip); this pins EXACT (bit-level, ==) score equality against
+    the Column-method reference construction on the real embeddings — any
+    parser-typing or arithmetic drift in the text form fails here before it
+    can reach the oracle or the golden-pinned ANN re-rank paths."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.cosine_scores(emb, "embedding", q).select("vec_id", "cosine").collect()
+    want = (
+        similarity._cosine_scores_reference(emb, "embedding", q)
+        .select("vec_id", "cosine")
+        .collect()
+    )
+    assert {r["vec_id"]: r["cosine"] for r in got} == {
+        r["vec_id"]: r["cosine"] for r in want
+    }
+
+
 def test_lsh_ann_overlaps_exact(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
