@@ -292,11 +292,13 @@ def parse_records(decrypted: DataFrame, tolerant: bool = False) -> DataFrame:
         .select(
             "fileName",
             "topic",
-            F.explode(
-                F.filter(
-                    F.split(F.col("payload"), "\n"),
-                    lambda x: F.length(F.trim(x)) > 0,
-                )
+            # one F.expr round trip instead of the Column/lambda chain
+            # (~0.1 s of py4j per build); analyzed-plan-identical to
+            # explode(filter(split(payload,'\n'), x -> len(trim(x))>0)) —
+            # pinned by tests/test_delivery.py::test_parse_records_expr_plan
+            F.expr(
+                "explode(filter(split(payload, '\\n', -1), "
+                "x_1 -> length(trim(x_1)) > 0))"
             ).alias("line"),
         )
     )

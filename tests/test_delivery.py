@@ -267,3 +267,43 @@ def test_collection_status_truth_table(spark):
         else:
             want = orig
         assert got[cid] == want, (cid, got[cid], want)
+
+
+def test_parse_records_expr_plan(spark, fixture):
+    """parse_records builds its line-explode as SQL expression text (one py4j
+    round trip); pin that the text analyzes to the EXACT plan the Column/
+    lambda construction produces (semanticHash over the analyzed plan), so a
+    split-limit or lambda drift fails loudly."""
+    cfg = delivery.RunConfig(correlation_id="p", topic_name=fixture.topic,
+                             reprocess_files=True)
+    dec = delivery.build_decrypted(
+        spark, fixture.input_dir, fixture.status_dir, cfg
+    ).delivered
+    from snapshot_sender_spark.functions import crypto
+
+    payload = crypto.aes_ctr_decrypt_gunzip_text(
+        F.col("content"), F.col("plaintextKey"), F.col("iv")
+    )
+    reference = (
+        dec.select("fileName", "topic", payload.alias("payload"))
+        .filter(F.col("payload").isNotNull())
+        .select(
+            "fileName",
+            "topic",
+            F.explode(
+                F.filter(
+                    F.split(F.col("payload"), "\n"),
+                    lambda x: F.length(F.trim(x)) > 0,
+                )
+            ).alias("line"),
+        )
+        .select(
+            "fileName",
+            "topic",
+            F.from_json(F.col("line"), delivery.RECORD_SCHEMA).alias("record"),
+            F.col("line"),
+        )
+    )
+    built = delivery.parse_records(dec)
+    assert built.schema == reference.schema
+    assert built.semanticHash() == reference.semanticHash()
