@@ -18,3 +18,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Worker-side fixed-cost guard (see pyboundary.py): importing the package —
+# which every Spark Python worker does while unpickling the first task that
+# references one of our UDFs/kernels — caps the per-task
+# importlib.invalidate_caches() zip re-parse at one stat() per archive.
+from .pyboundary import install_zipimport_guard as _install_zipimport_guard
+
+_install_zipimport_guard()

@@ -368,6 +368,16 @@ def _jaccard_gemm_broadcast(
     def run_pairs(batches):
         import pyarrow as pa
 
+        # this closure references no package global, so unpickling it does not
+        # import the package — install the per-task boundary guard explicitly
+        # (idempotent, soft: never fail the kernel for an optimization;
+        # see pyboundary.py)
+        try:
+            from snapshot_sender_spark.pyboundary import install_zipimport_guard
+
+            install_zipimport_guard()
+        except Exception:
+            pass
         d = bc.value
 
         def dense(rowsel):

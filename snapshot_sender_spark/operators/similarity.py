@@ -186,6 +186,16 @@ def _cosine_gemm_broadcast(
     def run_pairs(batches):
         import pyarrow as pa
 
+        # this closure references no package global, so unpickling it does not
+        # import the package — install the per-task boundary guard explicitly
+        # (idempotent, soft: never fail the kernel for an optimization;
+        # see pyboundary.py)
+        try:
+            from snapshot_sender_spark.pyboundary import install_zipimport_guard
+
+            install_zipimport_guard()
+        except Exception:
+            pass
         d = bc.value
         for batch in batches:
             outs = []

@@ -307,3 +307,41 @@ def test_parse_records_expr_plan(spark, fixture):
     built = delivery.parse_records(dec)
     assert built.schema == reference.schema
     assert built.semanticHash() == reference.semanticHash()
+
+
+def test_listing_memo_revalidates_on_change(spark, tmp_path):
+    """The reader-handle memos (sources/listing.py, r13) must hit only while
+    the input files are byte-identical on disk: same dir unchanged -> same
+    plan handle (no reader rebuild); any mutation -> fresh reader whose scan
+    sees the new bytes."""
+    from snapshot_sender_spark.sources import listing
+
+    root = str(tmp_path / "memo_fixture")
+    f = fx.generate(root, n_files=2, records_per_file=3, seed=11)
+
+    m1 = listing.read_encryption_meta(spark, f.input_dir)
+    m2 = listing.read_encryption_meta(spark, f.input_dir)
+    assert m1 is m2  # unchanged sidecar -> memo hit
+
+    df1 = listing.read_encrypted_files(spark, f.input_dir)
+    n_before = df1.count()
+    assert n_before == 2
+
+    # mutate the dir: drop one object AND its sidecar row
+    victim = sorted(os.listdir(f.input_dir))[0]
+    assert victim.endswith(".enc")
+    os.unlink(os.path.join(f.input_dir, victim))
+    sidecar = os.path.join(f.input_dir, "metadata.sidecar.jsonl")
+    kept = [
+        line
+        for line in open(sidecar).read().splitlines()
+        if json.loads(line)["fileName"] != victim
+    ]
+    with open(sidecar, "w") as fh:
+        fh.write("\n".join(kept) + "\n")
+
+    m3 = listing.read_encryption_meta(spark, f.input_dir)
+    assert m3 is not m1  # sidecar changed -> fresh reader
+    df2 = listing.read_encrypted_files(spark, f.input_dir)
+    assert df2.count() == 1  # fresh listing sees the deletion
+    assert m3.count() == 1
