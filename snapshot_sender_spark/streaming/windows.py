@@ -112,10 +112,20 @@ def run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key, None)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         if state_store == "rocksdb":
             spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+        if output_mode == "complete":
+            # the trailing NO-DATA micro-batch exists to advance the watermark
+            # so append/update sinks can flush expired state; a complete-mode
+            # drive re-emits the whole (unchanged) result table from identical
+            # state — same rows, one extra planning+WAL+commit cycle (~0.1 s
+            # measured, r13). Scoped strictly to complete mode: append/update
+            # drives keep the extra batch (their final windows NEED it).
+            spark.conf.set(nodata_key, "false")
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
@@ -131,6 +141,11 @@ def run_to_memory(
                 spark.conf.set(provider_key, prev_provider)
             else:
                 spark.conf.unset(provider_key)
+        if output_mode == "complete":
+            if prev_nodata is not None:
+                spark.conf.set(nodata_key, prev_nodata)
+            else:
+                spark.conf.unset(nodata_key)
     return spark.table(name)
 
 
