@@ -135,6 +135,85 @@ aes_ctr_decrypt_gunzip_text = aes_ctr_decrypt_gunzip_text.asNondeterministic()
 gunzip_or_null = gunzip_or_null.asNondeterministic()
 
 
+def decrypt_explode_lines_kernel(batches):
+    """``mapInArrow`` kernel for the delivery parse path: input batches of
+    (fileName, topic, content, plaintextKey, iv), output batches of
+    (fileName, topic, line) — decrypt → gunzip → split lines → drop blank
+    lines, all in one Python crossing with the per-line work in C
+    (spark_optimization_guide §4.2: hand whole batches to vectorized native
+    kernels instead of building per-row Python objects).
+
+    Semantics are EXACTLY the fused-UDF + JVM explode path it replaces
+    (pinned by tests/test_delivery.py::test_parse_records_kernel_matches_expr):
+
+    * rows with a NULL content/key/iv produce no lines (the old
+      ``payload IS NOT NULL`` filter);
+    * payload text = utf-8 decode with errors='replace' (split-then-decode ==
+      decode-then-split for '\\n': 0x0A is never a continuation byte, so a
+      replacement run can never absorb a newline);
+    * lines = split on '\\n' keeping trailing empties (split(payload,'\\n',-1)),
+      then keep only lines where length(trim(line)) > 0 — Spark's ``trim``
+      strips U+0020 only, which pc.utf8_trim(line, ' ') reproduces;
+    * undecodable gzip raises, failing the task (the non-tolerant contract —
+      the tolerant path routes through gunzip_or_null instead).
+
+    Why not zero-copy offsets over the decompressed buffer: an Arrow string
+    array's single offsets vector makes consecutive strings adjacent in the
+    values buffer, and dropping the '\\n' separator bytes breaks adjacency —
+    so the C-level ``split_pattern`` (one re-pack of the payload bytes) is the
+    floor. The win over the old path is removing: per-payload Python ``str``
+    construction, the pandas Series hop, the Arrow re-encode of 1 MB cells,
+    and the JVM regex split + Generate explode of megabyte strings.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pyboundary import install_worker_boundary_guards
+
+    install_worker_boundary_guards()
+
+    for batch in batches:
+        n = batch.num_rows
+        fn, tp, content, key, iv = (batch.column(i) for i in range(5))
+        texts: list = []
+        rows: list = []
+        for i in range(n):
+            c, k, v = content[i], key[i], iv[i]
+            if not (c.is_valid and k.is_valid and v.is_valid):
+                continue
+            # cryptography's rust binding accepts only `bytes` (a memoryview
+            # over the Arrow buffer is rejected) — one copy per payload, noise
+            # next to the AES work itself
+            plain = _ctr_transform(
+                c.as_py(), base64.b64decode(k.as_py()), base64.b64decode(v.as_py())
+            )
+            texts.append(gzip.decompress(plain))
+            rows.append(i)
+        if not texts:
+            continue
+        bin_arr = pa.array(texts, type=pa.large_binary())
+        try:
+            str_arr = bin_arr.cast(pa.large_utf8())
+        except pa.ArrowInvalid:
+            # invalid utf-8 somewhere: fall back to Python decode with the
+            # errors='replace' policy of the old fused UDF (rare path)
+            str_arr = pa.array(
+                [t.decode("utf-8", errors="replace") for t in texts],
+                type=pa.large_utf8(),
+            )
+        del bin_arr, texts
+        splits = pc.split_pattern(str_arr, "\n")
+        flat = pc.list_flatten(splits)
+        parents = pc.list_parent_indices(splits)
+        keep = pc.not_equal(pc.utf8_trim(flat, " "), "")
+        lines = pc.filter(flat, keep).cast(pa.string())
+        sel = pc.take(pa.array(rows, type=pa.int64()), pc.filter(parents, keep))
+        yield pa.RecordBatch.from_arrays(
+            [pc.take(fn, sel), pc.take(tp, sel), lines],
+            names=["fileName", "topic", "line"],
+        )
+
+
 @F.pandas_udf(T.BinaryType())
 def gzip_bytes(content: pd.Series) -> pd.Series:
     out = []

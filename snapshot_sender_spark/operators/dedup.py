@@ -373,9 +373,9 @@ def _jaccard_gemm_broadcast(
         # (idempotent, soft: never fail the kernel for an optimization;
         # see pyboundary.py)
         try:
-            from snapshot_sender_spark.pyboundary import install_zipimport_guard
+            from snapshot_sender_spark.pyboundary import install_worker_boundary_guards
 
-            install_zipimport_guard()
+            install_worker_boundary_guards()
         except Exception:
             pass
         d = bc.value

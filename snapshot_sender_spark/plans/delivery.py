@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from ..functions import crypto, text
 from ..sources import fixtures as fx
+from ..util import local_strings_df
 from ..sources.listing import (
     read_encrypted_files,
     read_encryption_meta,
@@ -188,12 +189,14 @@ def build_decrypted(
         for r in key_source.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
     ]
     resolved = key_lookup(pairs)
-    keys_df = spark.createDataFrame(
-        resolved or [("", "", "")],
-        "dataKeyEncryptionKeyId string, cipherText string, plaintextKey string",
+    # VALUES LocalRelation, not createDataFrame: the pickled-RDD scan the
+    # latter plans re-runs a Python-worker stage on EVERY broadcast build —
+    # one per lap here (util.local_strings_df docstring has the numbers)
+    keys_df = local_strings_df(
+        spark,
+        [tuple(r) for r in resolved],
+        ["dataKeyEncryptionKeyId", "cipherText", "plaintextKey"],
     )
-    if not resolved:
-        keys_df = keys_df.limit(0)
     valid = valid.join(F.broadcast(keys_df), ["dataKeyEncryptionKeyId", "cipherText"], "inner")
 
     # 6. AES-CTR decrypt (vectorized) + rename (DecryptionProcessor.kt:26-41)
@@ -274,34 +277,41 @@ def parse_records(decrypted: DataFrame, tolerant: bool = False) -> DataFrame:
     _corrupt_record policy."""
     cols = set(decrypted.columns)
     if not tolerant and {"content", "plaintextKey", "iv"} <= cols:
-        # fused path: decrypt+gunzip+decode in one Arrow crossing; the
-        # intermediate `decrypted` column is pruned away by Catalyst
-        payload = crypto.aes_ctr_decrypt_gunzip_text(
-            F.col("content"), F.col("plaintextKey"), F.col("iv")
+        # fused kernel path (r13): decrypt → gunzip → line-split → blank-drop
+        # in ONE mapInArrow crossing with the per-line work in pyarrow C
+        # kernels (guide §4.2). Replaces the pandas-UDF payload + JVM regex
+        # split + Generate explode of megabyte strings: plan is
+        # Project → MapInArrow instead of ArrowEvalPython → Filter → Generate.
+        # Result equality with the expression path is pinned by
+        # tests/test_delivery.py::test_parse_records_kernel_matches_expr.
+        lines = decrypted.select(
+            "fileName", "topic", "content", "plaintextKey", "iv"
+        ).mapInArrow(
+            crypto.decrypt_explode_lines_kernel,
+            "fileName string, topic string, line string",
         )
     else:
         gunzip_fn = crypto.gunzip_or_null if tolerant else crypto.gunzip
         payload = gunzip_fn(F.col("decrypted")).cast("string")
-    lines = (
-        decrypted.select(
-            "fileName",
-            "topic",
-            payload.alias("payload"),
+        lines = (
+            decrypted.select(
+                "fileName",
+                "topic",
+                payload.alias("payload"),
+            )
+            .filter(F.col("payload").isNotNull())
+            .select(
+                "fileName",
+                "topic",
+                # one F.expr round trip instead of the Column/lambda chain
+                # (~0.1 s of py4j per build); analyzed-plan-identical to
+                # explode(filter(split(payload,'\n'), x -> len(trim(x))>0))
+                F.expr(
+                    "explode(filter(split(payload, '\\n', -1), "
+                    "x_1 -> length(trim(x_1)) > 0))"
+                ).alias("line"),
+            )
         )
-        .filter(F.col("payload").isNotNull())
-        .select(
-            "fileName",
-            "topic",
-            # one F.expr round trip instead of the Column/lambda chain
-            # (~0.1 s of py4j per build); analyzed-plan-identical to
-            # explode(filter(split(payload,'\n'), x -> len(trim(x))>0)) —
-            # pinned by tests/test_delivery.py::test_parse_records_expr_plan
-            F.expr(
-                "explode(filter(split(payload, '\\n', -1), "
-                "x_1 -> length(trim(x_1)) > 0))"
-            ).alias("line"),
-        )
-    )
     return lines.select(
         "fileName",
         "topic",

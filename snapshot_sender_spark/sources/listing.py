@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import local_strings_df
+
 ENCRYPTION_META_SCHEMA = T.StructType(
     [
         T.StructField("fileName", T.StringType(), False),
@@ -130,7 +132,7 @@ def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:
     # permission error must propagate — silently returning the empty set would
     # defeat the idempotent-restart filter and re-deliver everything.
     if not os.path.isdir(status_dir):
-        return spark.createDataFrame([], "fileName string")
+        return local_strings_df(spark, [], ["fileName"])
     try:
         markers = (
             spark.read.format("binaryFile")
@@ -139,7 +141,7 @@ def read_finished_markers(spark: SparkSession, status_dir: str) -> DataFrame:
             .select(F.element_at(F.split(F.col("path"), "/"), -1).alias("marker"))
         )
     except AnalysisException:  # dir exists but matches no files → empty set
-        return spark.createDataFrame([], "fileName string")
+        return local_strings_df(spark, [], ["fileName"])
     return markers.select(
         F.regexp_replace(F.col("marker"), r"\.finished$", "").alias("fileName")
     )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import crypto, text
 from ..plans import delivery
 from ..sources.listing import ENCRYPTION_META_SCHEMA
+from ..util import local_strings_df
 
 
 def read_encrypted_stream(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -217,7 +218,17 @@ def run_streaming_delivery(
             # bytes are read — O(batch) I/O regardless of how large the
             # standing prefix has grown (see read_batch_objects)
             objects = read_batch_objects(spark, input_dir, names)
-            meta = spark.createDataFrame(rows, ENCRYPTION_META_SCHEMA)
+            # VALUES LocalRelation (util.local_strings_df): createDataFrame's
+            # pickled-RDD scan would run a Python-worker stage on every
+            # broadcast build of every micro-batch
+            meta = local_strings_df(
+                spark,
+                [
+                    (r["fileName"], r["iv"], r["dataKeyEncryptionKeyId"], r["cipherText"])
+                    for r in rows
+                ],
+                [f.name for f in ENCRYPTION_META_SCHEMA.fields],
+            )
             files = objects.join(F.broadcast(meta), "fileName")
             files = files.withColumn(
                 "decryptedFileName", text.strip_enc_suffix(F.col("fileName"))
@@ -243,8 +254,10 @@ def run_streaming_delivery(
                 for r in files.select("dataKeyEncryptionKeyId", "cipherText").distinct().collect()
             ]
             resolved = key_lookup(pairs)
-            keys_df = spark.createDataFrame(
-                resolved, "dataKeyEncryptionKeyId string, cipherText string, plaintextKey string"
+            keys_df = local_strings_df(
+                spark,
+                [tuple(r) for r in resolved],
+                ["dataKeyEncryptionKeyId", "cipherText", "plaintextKey"],
             )
             decrypted = (
                 files.join(F.broadcast(keys_df), ["dataKeyEncryptionKeyId", "cipherText"])

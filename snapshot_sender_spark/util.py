@@ -33,3 +33,35 @@ def write_once(final_dir: str, write_fn: Callable[[str], None], probe: str | Non
                 raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def local_strings_df(spark, rows, colnames):
+    """Small driver-side string table as a SQL VALUES LocalRelation.
+
+    ``spark.createDataFrame(list_of_tuples)`` plans a *pickled-RDD scan* whose
+    every materialization (e.g. each broadcast-hash build in a re-executed
+    plan) runs a Python-worker deserialization stage — measured ~0.1-0.3 s of
+    pure overhead per execution (r13 §6 floor numbers). A VALUES clause
+    analyzes to a LocalTableScan: rows live in the plan, the broadcast builds
+    JVM-side, no Python stage exists. Intended for control-plane tables (a
+    handful of rows), not data.
+
+    ``rows`` is a list of tuples of ``str | None``. An EMPTY rows list yields
+    an empty relation with the right column names (string type). Values are
+    embedded as escaped literals — backslash-escape of ``\\`` and ``'`` covers
+    Spark's default literal parsing (round-trip pinned by
+    tests/test_delivery.py::test_local_strings_df_roundtrip).
+    """
+    cols = ", ".join(colnames)
+    if not rows:
+        # one dummy row, folded away by LIMIT 0 (empty VALUES is a parse error)
+        dummy = ", ".join("''" for _ in colnames)
+        return spark.sql(f"SELECT * FROM VALUES ({dummy}) AS t({cols}) LIMIT 0")
+
+    def esc(v):
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    values = ", ".join("(" + ", ".join(esc(c) for c in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")

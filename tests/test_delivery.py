@@ -269,11 +269,12 @@ def test_collection_status_truth_table(spark):
         assert got[cid] == want, (cid, got[cid], want)
 
 
-def test_parse_records_expr_plan(spark, fixture):
-    """parse_records builds its line-explode as SQL expression text (one py4j
-    round trip); pin that the text analyzes to the EXACT plan the Column/
-    lambda construction produces (semanticHash over the analyzed plan), so a
-    split-limit or lambda drift fails loudly."""
+def test_parse_records_kernel_matches_expr(spark, fixture):
+    """parse_records' fused path is a single mapInArrow kernel (r13:
+    decrypt → gunzip → split → blank-drop in one crossing); pin EXACT result
+    equality (sorted row multiset, record compared as canonical JSON) against
+    the retained fused-UDF + JVM explode expression path it replaced, so any
+    drift in split/trim/null semantics fails loudly."""
     cfg = delivery.RunConfig(correlation_id="p", topic_name=fixture.topic,
                              reprocess_files=True)
     dec = delivery.build_decrypted(
@@ -305,8 +306,83 @@ def test_parse_records_expr_plan(spark, fixture):
         )
     )
     built = delivery.parse_records(dec)
-    assert built.schema == reference.schema
-    assert built.semanticHash() == reference.semanticHash()
+    # names+types equal; nullability differs by construction (explode proves
+    # line non-null, mapInArrow output is always nullable) — value-irrelevant
+    assert [(f.name, f.dataType) for f in built.schema.fields] == [
+        (f.name, f.dataType) for f in reference.schema.fields
+    ]
+    # plan shape: one MapInArrow, no ArrowEvalPython / Generate explode
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    assert "ArrowEvalPython" not in plan and "Generate" not in plan
+
+    def rows(df):
+        out = df.select(
+            "fileName", "topic", F.to_json(F.col("record")).alias("rec"), "line"
+        ).collect()
+        return sorted((r["fileName"], r["topic"], r["rec"], r["line"]) for r in out)
+
+    got, want = rows(built), rows(reference)
+    assert len(got) == len(want) and got == want
+
+
+def test_parse_records_kernel_blank_and_null_semantics(spark, tmp_path):
+    """Direct kernel-semantics pin for the edge rows the fixture may not
+    exercise: NULL inputs drop, all-space lines drop, tab/\\r lines survive
+    (Spark trim strips U+0020 only), trailing-newline empties drop, and
+    invalid utf-8 follows the errors='replace' policy."""
+    import base64 as b64
+    import gzip as gz
+    import pyarrow as pa
+
+    from snapshot_sender_spark.functions import crypto
+
+    key = b"0" * 16
+    iv = b"1" * 16
+    kb, ivb = b64.b64encode(key).decode(), b64.b64encode(iv).decode()
+
+    def enc(payload: bytes) -> bytes:
+        return crypto._ctr_transform(gz.compress(payload), key, iv)
+
+    body = b"a\n   \n\tx\n\rb\nbad\xff\xfeline\n\n"
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["f1", "f2"]),
+            pa.array(["t", "t"]),
+            pa.array([enc(body), None], type=pa.binary()),
+            pa.array([kb, kb]),
+            pa.array([ivb, ivb]),
+        ],
+        names=["fileName", "topic", "content", "plaintextKey", "iv"],
+    )
+    out = list(crypto.decrypt_explode_lines_kernel(iter([batch])))
+    lines = [v.as_py() for b in out for v in b.column(2)]
+    files = {v.as_py() for b in out for v in b.column(0)}
+    assert files == {"f1"}  # the NULL-content row produced nothing
+    assert lines == ["a", "\tx", "\rb", "bad��line"]
+
+
+def test_local_strings_df_roundtrip(spark):
+    """The VALUES LocalRelation builder (util.local_strings_df, r13: replaces
+    createDataFrame's pickled-RDD scan in the key-join build) must round-trip
+    arbitrary strings (quotes, backslashes, control chars), honor NULLs, plan
+    as LocalTableScan (no RDD / Python stage), and produce a correctly-named
+    empty relation for zero rows."""
+    from snapshot_sender_spark.util import local_strings_df
+
+    rows = [
+        ("kid'1", "ct\\x", "pt"),
+        ("k\"2", "c\tt\n2", None),
+        ("", "a%s?{}$b", "p'\\'q"),
+    ]
+    df = local_strings_df(spark, rows, ["a", "b", "c"])
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    got = sorted((r["a"], r["b"], r["c"]) for r in df.collect())
+    assert got == sorted(rows)
+
+    empty = local_strings_df(spark, [], ["fileName"])
+    assert empty.columns == ["fileName"]
+    assert empty.count() == 0
 
 
 def test_listing_memo_revalidates_on_change(spark, tmp_path):

@@ -63,3 +63,49 @@ def test_missing_archive_degrades_to_original(tmp_path):
     os.unlink(zp)
     zi.invalidate_caches()  # stat fails -> falls through to the original path
     assert zi._files == {}
+
+
+def test_gc_freeze_guard_worker_scope_and_semantics():
+    """install_worker_gc_freeze: refuses outside worker processes, installs
+    once when pyspark.worker is in sys.modules, first wrapped collect
+    freezes the survivors exactly once, later collects still collect."""
+    import gc
+
+    from snapshot_sender_spark.pyboundary import install_worker_gc_freeze
+
+    # this test process is not a worker (pyspark.daemon/worker not imported
+    # unless another test pulled them in) — simulate both sides explicitly
+    had_worker = "pyspark.worker" in sys.modules or "pyspark.daemon" in sys.modules
+    if not had_worker:
+        assert install_worker_gc_freeze() is False  # driver scope: refused
+        sys.modules["pyspark.worker"] = sys  # sentinel module object
+    orig_collect = gc.collect
+    try:
+        assert install_worker_gc_freeze() is True
+        assert install_worker_gc_freeze() is False  # idempotent
+        before = gc.get_freeze_count()
+
+        class _Cycle:
+            pass
+
+        a, b = _Cycle(), _Cycle()
+        a.other, b.other = b, a
+        del a, b
+        n = gc.collect()  # first wrapped call: collects task garbage...
+        assert isinstance(n, int) and n >= 2  # ...including the fresh cycle
+        assert gc.get_freeze_count() > before  # ...then freezes survivors
+        frozen_at = gc.get_freeze_count()
+
+        c, d = _Cycle(), _Cycle()
+        c.other, d.other = d, c
+        del c, d
+        n2 = gc.collect()  # later calls: still collect NEW cyclic garbage
+        assert n2 >= 2
+        assert gc.get_freeze_count() == frozen_at  # no second freeze
+    finally:
+        gc.collect = orig_collect
+        if getattr(gc, "_ssp_freeze_wrapper", False):
+            del gc._ssp_freeze_wrapper
+        gc.unfreeze()
+        if not had_worker and sys.modules.get("pyspark.worker") is sys:
+            del sys.modules["pyspark.worker"]
