@@ -98,7 +98,9 @@ HEADLINE = [
 WARM_LAPS = 5
 
 
-def format_line(medians: dict, best: dict, cold: dict, sf, load=None, laps_max=WARM_LAPS) -> str:
+def format_line(
+    medians: dict, best: dict, cold: dict, sf, load=None, laps_max=WARM_LAPS, cpus=None
+) -> str:
     """The ONE printed JSON line. MUST stay well under the driver's ~2 KB
     tail-capture budget (round 5's oversized line made BENCH_r05.json record
     "parsed": null). If per-query numbers ever push it past 1.9 KB, they are
@@ -153,6 +155,8 @@ def format_line(medians: dict, best: dict, cold: dict, sf, load=None, laps_max=W
         steals = [s for s in load.get("lap_steal_pct", []) if s is not None]
         if steals:
             payload["steal_warm_max_pct"] = max(steals)
+    if cpus is not None:  # run provenance on the line itself (r14, addition)
+        payload["cpus"] = cpus
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         del payload["queries"]
@@ -266,6 +270,13 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # run provenance (r14, VERDICT item 3): a control run at another core
+    # count silently overwrote the 32-core run-of-record's BENCH_DETAIL.json
+    # twice in r13. Every run now stamps cpus/sf/run_id in the detail header
+    # AND writes an immutable per-run copy under bench_runs/; the canonical
+    # BENCH_DETAIL.json pointer in the printed line is unchanged.
+    run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -404,9 +415,19 @@ def main():
         "warm_laps": WARM_LAPS,
         "sf": sf,
         "sf_dir": sf_dir,
+        "cpus": cpus,
+        "run_id": run_id,
     }
+    runs_dir = os.path.join(os.path.dirname(detail_path), "bench_runs")
+    per_run_path = os.path.join(
+        runs_dir, f"BENCH_DETAIL_c{cpus}_sf{sf}_{run_id}.json"
+    )
     try:
         with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        os.makedirs(runs_dir, exist_ok=True)
+        with open(per_run_path, "w") as fh:  # never overwritten by later runs
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError as exc:  # read-only checkout must not kill the bench line
@@ -414,7 +435,11 @@ def main():
 
     # ONE compact line (<1 KB) — the driver's tail capture is ~2 KB.
     laps_max = max(len(v) for v in raw.values())
-    print(format_line(medians, best, cold, sf, load=load_samples, laps_max=laps_max))
+    print(
+        format_line(
+            medians, best, cold, sf, load=load_samples, laps_max=laps_max, cpus=cpus
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -132,6 +132,13 @@ aes_ctr_decrypt = aes_ctr_decrypt.asNondeterministic()
 aes_ctr_encrypt = aes_ctr_decrypt
 gunzip = gunzip.asNondeterministic()
 aes_ctr_decrypt_gunzip_text = aes_ctr_decrypt_gunzip_text.asNondeterministic()
+
+# decrypt_explode_lines_kernel flushes its decompressed-payload group at this
+# many bytes so no per-array total approaches pa.string()'s 2 GiB int32-offset
+# ceiling (residual: one SINGLE payload inflating past ~1.5 GiB still hits the
+# cast — realistic gzip ratios on ≤32 MB compressed payloads stay far below).
+# Module-level so tests can force the chunked path with a tiny value.
+_EMIT_GROUP_BYTES = 512 * 1024 * 1024
 gunzip_or_null = gunzip_or_null.asNondeterministic()
 
 
@@ -172,25 +179,7 @@ def decrypt_explode_lines_kernel(batches):
 
     install_worker_boundary_guards()
 
-    for batch in batches:
-        n = batch.num_rows
-        fn, tp, content, key, iv = (batch.column(i) for i in range(5))
-        texts: list = []
-        rows: list = []
-        for i in range(n):
-            c, k, v = content[i], key[i], iv[i]
-            if not (c.is_valid and k.is_valid and v.is_valid):
-                continue
-            # cryptography's rust binding accepts only `bytes` (a memoryview
-            # over the Arrow buffer is rejected) — one copy per payload, noise
-            # next to the AES work itself
-            plain = _ctr_transform(
-                c.as_py(), base64.b64decode(k.as_py()), base64.b64decode(v.as_py())
-            )
-            texts.append(gzip.decompress(plain))
-            rows.append(i)
-        if not texts:
-            continue
+    def emit(fn, tp, texts, rows):
         bin_arr = pa.array(texts, type=pa.large_binary())
         try:
             str_arr = bin_arr.cast(pa.large_utf8())
@@ -201,7 +190,7 @@ def decrypt_explode_lines_kernel(batches):
                 [t.decode("utf-8", errors="replace") for t in texts],
                 type=pa.large_utf8(),
             )
-        del bin_arr, texts
+        del bin_arr
         splits = pc.split_pattern(str_arr, "\n")
         flat = pc.list_flatten(splits)
         parents = pc.list_parent_indices(splits)
@@ -212,6 +201,40 @@ def decrypt_explode_lines_kernel(batches):
             [pc.take(fn, sel), pc.take(tp, sel), lines],
             names=["fileName", "topic", "line"],
         )
+
+    for batch in batches:
+        n = batch.num_rows
+        fn, tp, content, key, iv = (batch.column(i) for i in range(5))
+        texts: list = []
+        rows: list = []
+        pending = 0
+        for i in range(n):
+            c, k, v = content[i], key[i], iv[i]
+            if not (c.is_valid and k.is_valid and v.is_valid):
+                continue
+            # cryptography's rust binding accepts only `bytes` (a memoryview
+            # over the Arrow buffer is rejected) — one copy per payload, noise
+            # next to the AES work itself
+            plain = _ctr_transform(
+                c.as_py(), base64.b64decode(k.as_py()), base64.b64decode(v.as_py())
+            )
+            t = gzip.decompress(plain)
+            texts.append(t)
+            rows.append(i)
+            pending += len(t)
+            # flush before the group's decompressed bytes approach the int32
+            # offset ceiling of pa.string(): the final `.cast(pa.string())`
+            # raises ArrowInvalid past 2 GiB of line bytes per array, a cliff
+            # the pre-kernel pandas path did not have. (Line bytes ≤ payload
+            # bytes, so capping the payload group caps every downstream
+            # array.) Also bounds peak worker memory — at the default 32 MB
+            # Arrow batch of compressed payloads a high gzip ratio could
+            # otherwise pin multiple GiB of plaintext at once.
+            if pending >= _EMIT_GROUP_BYTES:
+                yield from emit(fn, tp, texts, rows)
+                texts, rows, pending = [], [], 0
+        if texts:
+            yield from emit(fn, tp, texts, rows)
 
 
 @F.pandas_udf(T.BinaryType())

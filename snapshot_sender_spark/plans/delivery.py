@@ -194,7 +194,9 @@ def build_decrypted(
     # one per lap here (util.local_strings_df docstring has the numbers)
     keys_df = local_strings_df(
         spark,
-        [tuple(r) for r in resolved],
+        # `or []`: a custom key_lookup returning None for "no keys" must get
+        # the empty-relation path, as the pre-r13 code tolerated
+        [tuple(r) for r in (resolved or [])],
         ["dataKeyEncryptionKeyId", "cipherText", "plaintextKey"],
     )
     valid = valid.join(F.broadcast(keys_df), ["dataKeyEncryptionKeyId", "cipherText"], "inner")

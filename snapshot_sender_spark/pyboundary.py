@@ -93,6 +93,14 @@ def install_worker_gc_freeze() -> bool:
     true during task unpickling, never in the driver). The driver's
     automatic generational GC is untouched (CPython's auto-collections do
     not call the Python-level ``gc.collect`` wrapper).
+
+    Trigger guard: the freeze fires only when the wrapped collect is
+    invoked FROM the daemon's worker-reuse loop (caller frame in
+    ``pyspark/daemon.py``) — i.e. strictly between tasks. A mid-task
+    ``gc.collect()`` from user code or a library under memory pressure
+    runs the plain collect and must NOT freeze, or the task's in-flight
+    data would be pinned in the permanent generation for the worker's
+    lifetime.
     """
     import sys
 
@@ -104,12 +112,18 @@ def install_worker_gc_freeze() -> bool:
         return False
     orig = gc.collect
     state = {"frozen": False}
+    daemon_py = os.path.join("pyspark", "daemon.py")
 
     def collect(generation: int = 2) -> int:
         n = orig(generation)
         if not state["frozen"]:
-            gc.freeze()
-            state["frozen"] = True
+            try:
+                caller = sys._getframe(1).f_code.co_filename
+            except ValueError:
+                caller = ""
+            if caller.endswith(daemon_py):
+                gc.freeze()
+                state["frozen"] = True
         return n
 
     gc.collect = collect

@@ -510,6 +510,10 @@ def sql_txlog_ctas_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _workdir("txlog_sql_ctas_q_")
     load(spark, sf_dir, "orders").createOrReplaceTempView("ctas_orders_src")
+    # re-run hygiene (r14): a previous run in THIS session left the name
+    # registered (CREATE on an existing name correctly errors, like Spark's);
+    # IF EXISTS is a no-op on a fresh session
+    sql(spark, "DROP TABLE IF EXISTS orders_ctas_tt")
     sql(spark, f"""
         CREATE TABLE orders_ctas_tt USING TXLOG LOCATION '{work}/orders_tx'
         AS SELECT o_orderkey, o_orderpriority, o_totalprice
@@ -644,6 +648,7 @@ def sql_txlog_create_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txlog_sql import sql
 
     work = _workdir("txlog_sql_crt_q_")
+    sql(spark, "DROP TABLE IF EXISTS docs_crt_tt")  # re-run hygiene (r14)
     sql(spark, f"""
         CREATE TABLE docs_crt_tt (doc_id BIGINT, lang STRING, n_chars BIGINT)
         USING TXLOG LOCATION '{work}/docs_tx'
@@ -686,6 +691,7 @@ def sql_txlog_convert_adopt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.txlog_sql import sql
 
     work = _workdir("txlog_sql_cvt_q_")
+    sql(spark, "DROP TABLE IF EXISTS docs_cvt_tt")  # re-run hygiene (r14)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.where(F.col("doc_id") % 2 == 0).write.partitionBy("lang").parquet(
         f"{work}/plain"

@@ -52,6 +52,18 @@ def local_strings_df(spark, rows, colnames):
     Spark's default literal parsing (round-trip pinned by
     tests/test_delivery.py::test_local_strings_df_roundtrip).
     """
+    # the backslash-escape below is only correct under the default parser
+    # mode; with the legacy spark.sql.parser.escapedStringLiterals=true a
+    # value containing a quote would terminate the literal early (SQL-text
+    # injection into the VALUES clause) — refuse loudly instead.
+    # (parameterized SQL is not an option: positional `?` binding inside a
+    # multi-row VALUES returns TRANSPOSED rows on Spark 4.1 — r13 finding)
+    legacy = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    if str(legacy).lower() == "true":
+        raise ValueError(
+            "local_strings_df requires spark.sql.parser.escapedStringLiterals=false "
+            "(default): its literal escaping is unsound under the legacy parser mode"
+        )
     cols = ", ".join(colnames)
     if not rows:
         # one dummy row, folded away by LIMIT 0 (empty VALUES is a parse error)

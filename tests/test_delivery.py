@@ -362,6 +362,54 @@ def test_parse_records_kernel_blank_and_null_semantics(spark, tmp_path):
     assert lines == ["a", "\tx", "\rb", "bad��line"]
 
 
+def test_parse_records_kernel_group_flush_identical(monkeypatch):
+    """The 2 GiB-cliff guard (r14): when the decompressed-payload group hits
+    _EMIT_GROUP_BYTES the kernel flushes mid-batch. Force the chunked path
+    with a tiny threshold and pin that the concatenated output is row-for-row
+    identical to the single-group output (including an invalid-utf8 payload
+    landing in a flushed group, exercising the replace-decode fallback)."""
+    import base64 as b64
+    import gzip as gz
+    import pyarrow as pa
+
+    from snapshot_sender_spark.functions import crypto
+
+    key = b"0" * 16
+    iv = b"1" * 16
+    kb, ivb = b64.b64encode(key).decode(), b64.b64encode(iv).decode()
+
+    def enc(payload: bytes) -> bytes:
+        return crypto._ctr_transform(gz.compress(payload), key, iv)
+
+    payloads = [b"a1\na2\n", None, b"b1\n \nb2", b"c-bad\xff\xfe\nc2\n\n", b"d1"]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"f{i}" for i in range(len(payloads))]),
+            pa.array(["t"] * len(payloads)),
+            pa.array([enc(p) if p is not None else None for p in payloads], type=pa.binary()),
+            pa.array([kb] * len(payloads)),
+            pa.array([ivb] * len(payloads)),
+        ],
+        names=["fileName", "topic", "content", "plaintextKey", "iv"],
+    )
+
+    def rows(batches):
+        return [
+            (b.column(0)[i].as_py(), b.column(1)[i].as_py(), b.column(2)[i].as_py())
+            for b in batches
+            for i in range(b.num_rows)
+        ]
+
+    want = rows(crypto.decrypt_explode_lines_kernel(iter([batch])))
+    monkeypatch.setattr(crypto, "_EMIT_GROUP_BYTES", 1)  # flush after every payload
+    chunked = list(crypto.decrypt_explode_lines_kernel(iter([batch])))
+    assert len(chunked) == 4  # one flushed group per non-null payload
+    assert rows(chunked) == want
+    for b in chunked:  # schema (incl. plain string, not large_string) intact
+        assert b.schema.names == ["fileName", "topic", "line"]
+        assert b.schema.types == [pa.string(), pa.string(), pa.string()]
+
+
 def test_local_strings_df_roundtrip(spark):
     """The VALUES LocalRelation builder (util.local_strings_df, r13: replaces
     createDataFrame's pickled-RDD scan in the key-join build) must round-trip

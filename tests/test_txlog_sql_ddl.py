@@ -612,3 +612,18 @@ def test_table_changes_timestamp_bounds(spark, tmp_path):
     # an end ts before the first commit refuses
     with pytest.raises(TxError, match="no commit at or before"):
         sql(spark, "SELECT * FROM table_changes('ddl_tcts', 50.0, 60.0)")
+
+
+def test_ddl_queries_rerun_in_one_session(spark):
+    """r14 audit fix: the three DDL lifecycle queries must be re-runnable in
+    ONE session (they now DROP IF EXISTS their leftover registration before
+    CREATE; CREATE on a still-registered name keeps erroring, like Spark's).
+    The audit/oracle harnesses run once per process, but tools/audit_queries.py
+    re-runs warm laps — this pins the cheapest of the three, twice."""
+    from snapshot_sender_spark.queries import all_queries
+
+    fn = all_queries()["sql_txlog_create_insert"].fn
+    for _ in range(2):
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
