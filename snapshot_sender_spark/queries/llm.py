@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import dedup, multimodal, similarity
-from ..tables import load
+from ..tables import load, view
 from . import query
 from .goldens import golden_oracle
 
@@ -39,8 +39,16 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
     category="llm-dedup",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one shuffle on a 128-bit content hash; text never shuffles."""
-    return dedup.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+    """Exact dedup: one shuffle on a 128-bit content hash; text never
+    shuffles. Built as one SQL text over the memoized view (r14, mirroring
+    operators/dedup.exact_dedup) — optimized-plan-identical to the operator
+    form, pinned by tests/test_sqltext_builders.py."""
+    dv = view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT content_hash, MIN(id) AS keeper_id, COUNT(*) AS n_copies
+        FROM (SELECT md5(text) AS content_hash, doc_id AS id FROM {dv})
+        GROUP BY content_hash
+    """)
 
 
 @query(
@@ -1062,21 +1070,22 @@ def sim_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm-text",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring feature columns (length / word / stopword ratios)."""
-    d = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
-    return d.select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("n_chars"),
-        F.size(words).alias("n_words"),
-        (
-            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / F.size(words)
-        ).alias("avg_word_len"),
-        n_stop.alias("n_stopwords"),
-        (n_stop.cast("double") / F.size(words)).alias("stopword_ratio"),
-    )
+    """Quality-scoring feature columns (length / word / stopword ratios).
+    Built as one SQL text over the memoized view (r14; 514 py4j round trips
+    in the Column chain) — pinned by tests/test_sqltext_builders.py."""
+    dv = view(spark, sf_dir, "documents")
+    words = "split(text, ' ')"
+    n_stop = f"size(filter({words}, w -> w IN ({_SW})))"
+    return spark.sql(f"""
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               size({words}) AS n_words,
+               CAST(length(regexp_replace(text, ' ', '')) AS DOUBLE)
+                 / size({words}) AS avg_word_len,
+               {n_stop} AS n_stopwords,
+               CAST({n_stop} AS DOUBLE) / size({words}) AS stopword_ratio
+        FROM {dv}
+    """)
 
 
 @query(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, view
 from . import query
 from .goldens import golden_oracle
 
@@ -125,43 +125,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial/map-side agg + final agg — Catalyst does the two-phase split).
     Motivated by the reference's per-collection counters
     (MetricsConfiguration.kt:20-93) generalized to full grouped aggregation."""
-    l = load(spark, sf_dir, "lineitem")
     # integer-cents kernel: products/sums in long (codegen fast path), the
-    # exact-decimal division at the end — bit-equal to the DECIMAL-sum oracle.
-    # Built as SQL expression text (one py4j round trip per aggregate, see
-    # _CENTS_SQL) — analyzed-plan-identical to the Column construction,
-    # pinned by tests/test_cents_kernel.py::test_q1_expr_build_plan_identity.
+    # exact-decimal division at the end — bit-equal to the DECIMAL-sum oracle
+    # (see _CENTS_SQL). Built as ONE spark.sql text over the memoized view
+    # (r14): the groupBy/agg Column chain still cost ~360 py4j round trips
+    # per build — optimized-plan identity with the Column form pinned by
+    # tests/test_cents_kernel.py::test_q1_expr_build_plan_identity and
+    # tests/test_sqltext_builders.py.
     price_c = _CENTS_SQL("l_extendedprice")
     qty_c = _CENTS_SQL("l_quantity")
     disc_c = _CENTS_SQL("l_discount")
     disc_comp_c = f"100 - {disc_c}"  # ≡ cents(1 - d) for a 2-decimal d
     tax_comp_c = f"100 + {_CENTS_SQL('l_tax')}"
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(_DSUM_SQL("l_quantity")).alias("sum_qty"),
-            F.expr(_DSUM_SQL("l_extendedprice")).alias("sum_base_price"),
-            F.expr(
-                _FROM_CENTS_SQL(f"SUM(({price_c}) * ({disc_comp_c}))", 4)
-            ).alias("sum_disc_price"),
-            F.expr(
-                _FROM_CENTS_SQL(
-                    f"SUM(({price_c}) * ({disc_comp_c}) * ({tax_comp_c}))", 6
-                )
-            ).alias("sum_charge"),
-            F.expr(
-                _FROM_CENTS_SQL(f"SUM({qty_c})", 2) + " / COUNT(l_quantity)"
-            ).alias("avg_qty"),
-            F.expr(
-                _FROM_CENTS_SQL(f"SUM({price_c})", 2) + " / COUNT(l_extendedprice)"
-            ).alias("avg_price"),
-            F.expr(
-                _FROM_CENTS_SQL(f"SUM({disc_c})", 2) + " / COUNT(l_discount)"
-            ).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
+    lv = view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DSUM_SQL('l_quantity')} AS sum_qty,
+               {_DSUM_SQL('l_extendedprice')} AS sum_base_price,
+               {_FROM_CENTS_SQL(f"SUM(({price_c}) * ({disc_comp_c}))", 4)} AS sum_disc_price,
+               {_FROM_CENTS_SQL(f"SUM(({price_c}) * ({disc_comp_c}) * ({tax_comp_c}))", 6)} AS sum_charge,
+               {_FROM_CENTS_SQL(f"SUM({qty_c})", 2)} / COUNT(l_quantity) AS avg_qty,
+               {_FROM_CENTS_SQL(f"SUM({price_c})", 2)} / COUNT(l_extendedprice) AS avg_price,
+               {_FROM_CENTS_SQL(f"SUM({disc_c})", 2)} / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM {lv}
+        WHERE l_shipdate <= CAST('2000-09-02' AS TIMESTAMP)
+        GROUP BY l_returnflag, l_linestatus
+    """)
 
 
 @query(
@@ -236,15 +226,19 @@ def join_inner_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     LINEITEM projection as the build side (600 k-row hash relation, and the
     fact side broadcast — backwards at any scale); streaming the fact and
     joining dims onto it keeps every build side a dimension."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(dsum(F.col("l_extendedprice")).alias("revenue"), F.count("*").alias("n_items"))
-    )
+    # one SQL text over memoized views (r14) — optimized-plan-identical to
+    # the Column chain, pinned by tests/test_sqltext_builders.py
+    lv = view(spark, sf_dir, "lineitem")
+    ov = view(spark, sf_dir, "orders")
+    cv = view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT c_mktsegment, {_DSUM_SQL('l_extendedprice')} AS revenue,
+               COUNT(*) AS n_items
+        FROM {lv} l
+        JOIN {ov} o ON l.l_orderkey = o.o_orderkey
+        JOIN {cv} c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    """)
 
 
 @query(
@@ -390,20 +384,19 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range (theta) join: BETWEEN band on top of the key join.
     At scale the equi key carries the shuffle; the band predicate is a
     post-join filter — no nested-loop blowup."""
-    p = load(spark, sf_dir, "part")
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        p.join(
-            l,
-            (l.l_partkey == p.p_partkey)
-            & l.l_quantity.between(p.p_size - 2, p.p_size + 2),
-        )
-        .groupBy("p_size")
-        .agg(
-            F.count("*").alias("n_matches"),
-            F.sum(_money(F.col("l_quantity"))).cast("double").alias("total_qty"),
-        )
-    )
+    # one SQL text over memoized views (r14) — optimized-plan-identical to
+    # the Column chain, pinned by tests/test_sqltext_builders.py
+    pv = view(spark, sf_dir, "part")
+    lv = view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT p_size, COUNT(*) AS n_matches,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        FROM {pv} p
+        JOIN {lv} l
+          ON l.l_partkey = p.p_partkey
+         AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+        GROUP BY p_size
+    """)
 
 
 @query(
@@ -425,21 +418,21 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join + aggregate. The scale path (sort-merge per key via
     applyInPandas merge_asof) lives in operators/asof.py; this declarative form
     is the oracle-checkable semantics."""
-    e = load(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
-    )
-    return (
-        p.join(c, (p.user_id == F.col("c_user_id")) & (F.col("c_ts") <= p.ts), "left")
-        .groupBy("event_id", "user_id", "ts")
-        .agg(
-            F.max("c_ts").alias("last_click_ts"),
-            F.count("c_ts").alias("n_clicks_before"),
-        )
-    )
+    # one SQL text over the memoized view (r14; this was the single most
+    # py4j-expensive headline builder at 814 round trips) — optimized-plan-
+    # identical to the Column chain, pinned by tests/test_sqltext_builders.py
+    ev = view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT event_id, user_id, ts,
+               MAX(c_ts) AS last_click_ts,
+               COUNT(c_ts) AS n_clicks_before
+        FROM (SELECT event_id, user_id, ts FROM {ev}
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS c_user_id, ts AS c_ts FROM {ev}
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.c_user_id AND c.c_ts <= p.ts
+        GROUP BY event_id, user_id, ts
+    """)
 
 
 # =============================================================================
@@ -512,15 +505,21 @@ def agg_sent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (group → subtotal → grand total) in one aggregation pass."""
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(dsum(F.col("c_acctbal")).alias("total_bal"), F.count("*").alias("n"))
-    )
+    # one SQL text over memoized views (r14) — optimized-plan-identical to
+    # the Column chain, pinned by tests/test_sqltext_builders.py (which also
+    # pins the broadcast physical shape carried by the hints)
+    cv = view(spark, sf_dir, "customer")
+    nv = view(spark, sf_dir, "nation")
+    rv = view(spark, sf_dir, "region")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */
+               r_name, n_name, {_DSUM_SQL('c_acctbal')} AS total_bal,
+               COUNT(*) AS n
+        FROM {cv} c
+        JOIN {nv} n ON n.n_nationkey = c.c_nationkey
+        JOIN {rv} r ON r.r_regionkey = n.n_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """)
 
 
 @query(
@@ -671,12 +670,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group — file-sequence selection per topic generalized
     (reference orders files within a topic, S3DirectoryReader.kt:51-80)."""
-    o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 3)
-    )
+    # one SQL text over the memoized view (r14) — optimized-plan-identical
+    # to the Column chain, pinned by tests/test_sqltext_builders.py
+    ov = view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM {ov}) t
+        WHERE rn <= 3
+    """)
 
 
 @query(
@@ -746,18 +750,20 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running progress-over-run — the reference's cumulative FilesSent
     semantics (DynamoDBExportStatusService.kt:113-132) as a window aggregate."""
-    o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(_money(F.col("o_totalprice")))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("double")
-        .alias("running_total"),
-        F.first("o_orderkey").over(w).alias("first_order"),
-    )
+    # one SQL text over the memoized view (r14; 726 py4j round trips in the
+    # Column chain) — optimized-plan-identical, pinned by
+    # tests/test_sqltext_builders.py
+    ov = view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total,
+               FIRST(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS first_order
+        FROM {ov}
+    """)
 
 
 @query(
@@ -802,12 +808,15 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps +
     driver merge, no total sort at 100 TB."""
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
-    )
+    # one SQL text over the memoized view (r14) — optimized-plan-identical,
+    # pinned by tests/test_sqltext_builders.py
+    ov = view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM {ov}
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """)
 
 
 @query(
@@ -1139,14 +1148,18 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family — the engine's schema-on-read surface for the reference's
     JSON-Lines payloads (s3_files.py:40-75; from_json parse in
     plans/delivery.py)."""
-    e = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(k).cast("bigint").alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
-    )
+    # one SQL text over the memoized view (r14) — optimized-plan-identical,
+    # pinned by tests/test_sqltext_builders.py
+    ev = view(spark, sf_dir, "events")
+    k = "CAST(get_json_object(props, '$.k') AS INT)"
+    return spark.sql(f"""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM({k}) AS BIGINT) AS sum_k,
+               MIN({k}) AS min_k,
+               MAX({k}) AS max_k
+        FROM {ev}
+        GROUP BY event_type
+    """)
 
 
 @query(

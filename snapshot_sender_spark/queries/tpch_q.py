@@ -8,9 +8,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, view
 from . import query
-from .relational import _cents, _factor, _from_cents, _money
+from .relational import (
+    _CENTS_SQL,
+    _FROM_CENTS_SQL,
+    _cents,
+    _factor,
+    _from_cents,
+    _money,
+)
 
 REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)"
 
@@ -21,6 +28,17 @@ def _rev_col():
     return _from_cents(
         F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))), 4
     ).alias("revenue")
+
+
+# SQL-text twin of _rev_col (r14): the headline TPC-H builders are assembled
+# as ONE spark.sql() text over memoized temp views instead of a Column-method
+# chain — the chain costs one synchronous py4j round trip per helper call
+# (measured: q5 896 trips ≈ 0.1 s of pure socket latency per build, every
+# lap). Optimized-plan identity with the Column form is pinned per query by
+# tests/test_sqltext_builders.py (optimizedPlan().sameResult both ways).
+REV_CENTS_SQL = _FROM_CENTS_SQL(
+    f"SUM({_CENTS_SQL('l_extendedprice')} * (100 - {_CENTS_SQL('l_discount')}))", 4
+)
 
 
 @query(
@@ -41,26 +59,27 @@ def _rev_col():
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3: top unshipped BUILDING-segment orders by revenue — selective dim
-    filters broadcast into the lineitem scan; decimal-exact revenue sum."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    l = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    # fact-first join order (r13): stream lineitem, build the filtered dims —
-    # written dim-first, the size estimate picked the lineitem projection as
-    # a build side (fact broadcast — backwards at scale, slower locally)
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_rev_col())
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
-        .limit(10)
-    )
+    filters broadcast into the lineitem scan; decimal-exact revenue sum.
+    Fact-first join order (r13): stream lineitem, build the filtered dims —
+    written dim-first, the size estimate picked the lineitem projection as a
+    build side (fact broadcast — backwards at scale, slower locally). Built
+    as one SQL text (r14, see REV_CENTS_SQL) — optimized-plan-identical to
+    the Column chain, pinned by tests/test_sqltext_builders.py."""
+    lv = view(spark, sf_dir, "lineitem")
+    ov = view(spark, sf_dir, "orders")
+    cv = view(spark, sf_dir, "customer")
+    return spark.sql(f"""
+        SELECT l_orderkey, {REV_CENTS_SQL} AS revenue, o_orderdate, o_orderpriority
+        FROM {lv} l
+        JOIN {ov} o ON l.l_orderkey = o.o_orderkey
+        JOIN {cv} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < CAST('1998-03-15' AS TIMESTAMP)
+          AND l.l_shipdate > CAST('1998-03-15' AS TIMESTAMP)
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """)
 
 
 @query(
@@ -82,28 +101,33 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: revenue from orders whose customer and supplier share an ASIA
-    nation — the 6-table join; every dimension side broadcasts."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    l = load(spark, sf_dir, "lineitem")
-    s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    # fact-first join order (r13): lineitem streams through every join; the
-    # dim-first spelling made the size estimate broadcast the lineitem
-    # projection (600 k-row build side — backwards at scale, slower locally)
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .groupBy("n_name")
-        .agg(_rev_col())
-    )
+    nation — the 6-table join; every dimension side broadcasts. Fact-first
+    join order (r13): lineitem streams through every join; the dim-first
+    spelling made the size estimate broadcast the lineitem projection
+    (600 k-row build side — backwards at any scale). Built as one SQL text
+    (r14) — optimized-plan-identical to the Column chain (pinned by
+    tests/test_sqltext_builders.py, which also pins the all-broadcast
+    physical shape the BROADCAST hints carry)."""
+    lv = view(spark, sf_dir, "lineitem")
+    ov = view(spark, sf_dir, "orders")
+    cv = view(spark, sf_dir, "customer")
+    sv = view(spark, sf_dir, "supplier")
+    nv = view(spark, sf_dir, "nation")
+    rv = view(spark, sf_dir, "region")
+    return spark.sql(f"""
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */
+               n_name, {REV_CENTS_SQL} AS revenue
+        FROM {lv} l
+        JOIN {ov} o ON l.l_orderkey = o.o_orderkey
+        JOIN {cv} c ON o.o_custkey = c.c_custkey
+        JOIN {sv} s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN {nv} n ON n.n_nationkey = s.s_nationkey
+        JOIN {rv} r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+          AND o.o_orderdate < CAST('1998-01-01' AS TIMESTAMP)
+        GROUP BY n_name
+    """)
 
 
 @query(
@@ -122,22 +146,21 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: one-pass filtered global aggregate — every predicate reaches the
-    parquet scan (PushedFilters), no shuffle beyond the 1-row final agg."""
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.03, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(_money(F.col("l_extendedprice")) * _factor(F.col("l_discount")))
-            .cast("double")
-            .alias("revenue"),
-            F.count("*").alias("n"),
-        )
-    )
+    parquet scan (PushedFilters), no shuffle beyond the 1-row final agg.
+    Built as one SQL text (r14; the 0.03D/0.07D suffixes keep the literals
+    DOUBLE, matching the Python floats — bare SQL decimals would parse as
+    DECIMAL and change the comparison type)."""
+    lv = view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM {lv}
+        WHERE l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+          AND l_shipdate < CAST('1998-01-01' AS TIMESTAMP)
+          AND l_discount BETWEEN 0.03D AND 0.07D
+          AND l_quantity < 24
+    """)
 
 
 @query(
