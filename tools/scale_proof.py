@@ -34,9 +34,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEFAULT_OUT = "/tmp/scale_proof_tier_v1"
-# lineitem-only scan+aggregate queries: the pure test of scan parallelism
-DEFAULT_QUERIES = "q1_pricing_summary,tpch_q6_forecast_revenue"
+DEFAULT_OUT = "/tmp/scale_proof_tier_v2"
+# scan+aggregate (lineitem, decode-bound) plus a compute-bound string query
+# (documents): together they separate "does the plan parallelize" from
+# "where does this box's scan path saturate"
+DEFAULT_QUERIES = "q1_pricing_summary,tpch_q6_forecast_revenue,text_stats"
+SCALED_TABLES = ("lineitem", "documents")
 SRC_SF = "/root/testdata/sf0.1"
 
 
@@ -52,23 +55,27 @@ def cmd_build(out: str, factor: int, files: int) -> None:
     spark = get_spark(app_name="scale_proof_build")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
-    src = spark.read.parquet(os.path.join(SRC_SF, "lineitem.parquet"))
-    big = (
-        src.crossJoin(F.broadcast(spark.range(factor).withColumnRenamed("id", "_rep")))
-        .drop("_rep")
-        .repartition(files)
-    )
-    big.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
-    # the other tables are not scaled (the proof queries are lineitem-only;
-    # symlinks keep the dir a complete sf-tier for any table a query touches)
+    for table in SCALED_TABLES:
+        src = spark.read.parquet(os.path.join(SRC_SF, f"{table}.parquet"))
+        big = (
+            src.crossJoin(
+                F.broadcast(spark.range(factor).withColumnRenamed("id", "_rep"))
+            )
+            .drop("_rep")
+            .repartition(files)
+        )
+        big.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    # the other tables are not scaled; symlinks keep the dir a complete
+    # sf-tier for any table a query touches
     for name in os.listdir(SRC_SF):
         dst = os.path.join(out, name)
-        if name != "lineitem.parquet" and not os.path.exists(dst):
+        if name not in [f"{t}.parquet" for t in SCALED_TABLES] and not os.path.exists(dst):
             os.symlink(os.path.join(SRC_SF, name), dst)
     with open(done, "w") as fh:
-        fh.write(f"factor={factor} files={files}\n")
-    n = spark.read.parquet(os.path.join(out, "lineitem.parquet")).count()
-    print(f"built {out}: lineitem rows={n}, files={files}, factor={factor}")
+        fh.write(f"factor={factor} files={files} tables={','.join(SCALED_TABLES)}\n")
+    for table in SCALED_TABLES:
+        n = spark.read.parquet(os.path.join(out, f"{table}.parquet")).count()
+        print(f"built {out}: {table} rows={n}, files={files}, factor={factor}")
 
 
 def cmd_time(sf_dir: str, queries: list[str], laps: int) -> None:
@@ -96,8 +103,9 @@ def cmd_time(sf_dir: str, queries: list[str], laps: int) -> None:
             best = min(best, time.perf_counter() - t0)
         out["queries"][q] = round(best, 3)
     # scan-task count at this core count (the mechanism being proven)
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    out["scan_tasks"]["lineitem"] = df.rdd.getNumPartitions()
+    for table in SCALED_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        out["scan_tasks"][table] = df.rdd.getNumPartitions()
     print("SCALEPROOF " + json.dumps(out, separators=(",", ":")))
 
 
