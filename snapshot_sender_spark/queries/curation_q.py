@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, view
+from ..util import session_exprs
 from . import query
 
 # =============================================================================
@@ -310,69 +311,57 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j²)⁴ ≈ .50 at j=.4). Scale shape: shuffles carry (doc_id, gram) and
     fixed-width signatures only; band self-join keys on (band, sig) —
     identical to the posting-list pattern, hot buckets bounded by band width."""
-    d = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    trigrams = F.zip_with(
-        F.slice(words, 1, n - 2),
-        F.zip_with(
-            F.slice(words, 2, n - 2), F.slice(words, 3, n - 2),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+    # one SQL text over the memoized view (r14): the 10-stage Column pipeline
+    # cost ~3,900 py4j round trips per build with zero actions — construction
+    # was almost pure socket latency. Result equality vs the retained Column
+    # form is pinned by tests/test_sqltext_builders.py (sorted-row identity;
+    # the cross-engine DuckDB oracle additionally pins every value).
+    dv = view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   explode(zip_with(
+                     slice(ws, 1, size(ws) - 2),
+                     zip_with(slice(ws, 2, size(ws) - 2), slice(ws, 3, size(ws) - 2),
+                              (a, b) -> concat(a, ' ', b)),
+                     (a, bc) -> concat(a, ' ', bc))) AS gram
+            FROM (SELECT doc_id, split(text, ' ') AS ws FROM {dv})
+          )
         ),
-        lambda a, bc: F.concat(a, F.lit(" "), bc),
-    )
-    g = d.select("doc_id", F.explode(trigrams).alias("gram")).distinct()
-    h = (
-        g.select("doc_id", "gram", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
-        .select(
-            "doc_id",
-            "j",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long").alias("hv"),
+        h AS (
+          SELECT doc_id, j,
+                 MIN(CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', gram)),
+                                         1, 15), 16, 10) AS BIGINT)) AS mh
+          FROM (SELECT doc_id, gram, explode(sequence(0, 7)) AS j FROM g)
+          GROUP BY doc_id, j
+        ),
+        b AS (
+          SELECT doc_id, j div 2 AS band,
+                 concat(CAST(MIN(CASE WHEN j % 2 = 0 THEN mh END) AS STRING), ':',
+                        CAST(MIN(CASE WHEN j % 2 = 1 THEN mh END) AS STRING)) AS sig
+          FROM h GROUP BY doc_id, j div 2
+        ),
+        cand AS (
+          SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+          FROM b ba JOIN b bb ON ba.band = bb.band AND ba.sig = bb.sig
+          WHERE ba.doc_id < bb.doc_id
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+          SELECT id_a, id_b, COUNT(*) AS ni
+          FROM cand
+          JOIN g ga ON ga.doc_id = cand.id_a
+          JOIN g gb ON gb.doc_id = cand.id_b AND gb.gram = ga.gram
+          GROUP BY id_a, id_b
         )
-        .groupBy("doc_id", "j")
-        .agg(F.min("hv").alias("mh"))
-    )
-    b = (
-        h.groupBy("doc_id", F.expr("j div 2").alias("band"))
-        .agg(
-            F.concat(
-                F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))).cast("string"),
-                F.lit(":"),
-                F.min(F.when(F.col("j") % 2 == 1, F.col("mh"))).cast("string"),
-            ).alias("sig")
-        )
-    )
-    b2 = b.select(F.col("doc_id").alias("id_b"), "band", "sig")
-    cand = (
-        b.select(F.col("doc_id").alias("id_a"), "band", "sig")
-        .join(b2, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ga = g.select(F.col("doc_id").alias("id_a"), "gram")
-    gb = g.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        cand.join(ga, "id_a").join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("ni"))
-    )
-    jac = F.col("ni").cast("double") / (
-        F.col("sa_n") + F.col("sb_n") - F.col("ni")
-    ).cast("double")
-    return (
-        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("sa_n")), "id_a")
-        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("sb_n")), "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.4)
-    )
+        SELECT id_a, id_b,
+               CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = inter.id_a
+        JOIN sz sb ON sb.doc_id = inter.id_b
+        WHERE CAST(ni AS DOUBLE) / CAST(sa.n + sb.n - ni AS DOUBLE) >= 0.4
+    """)
 
 
 # =============================================================================
@@ -651,19 +640,29 @@ def _canonical_parts(url):
 
 
 def _canonical_url_cols(docs: DataFrame) -> DataFrame:
-    url = _messy_url()
-    scheme, host, port, path, query = _canonical_parts(F.col("url"))
-    base = docs.withColumn("url", url)
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        port,
-        F.col("_path"),
-        F.when(F.col("_q") != "", F.concat(F.lit("?"), F.col("_q"))).otherwise(""),
+    # the Column trees below are DataFrame-independent (unresolved
+    # expressions over column NAMES) and cost ~2k py4j round trips to build
+    # — built once per JVM and reused across laps/queries (util.session_exprs,
+    # r14). Identical Column objects ⇒ identical plans by construction.
+    def build() -> tuple:
+        url = _messy_url()
+        scheme, host, port, path, query = _canonical_parts(F.col("url"))
+        canon = F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port,
+            F.col("_path"),
+            F.when(F.col("_q") != "", F.concat(F.lit("?"), F.col("_q"))).otherwise(""),
+        )
+        return url, path, query, host, canon
+
+    url, path, query, host, canon = session_exprs(
+        docs.sparkSession, "curation_canonical_url_cols", build
     )
     return (
-        base.withColumn("_path", path)
+        docs.withColumn("url", url)
+        .withColumn("_path", path)
         .withColumn("_q", query)
         .withColumn("host", host)
         .withColumn("url_canonical", canon)

@@ -77,3 +77,27 @@ def local_strings_df(spark, rows, colnames):
 
     values = ", ".join("(" + ", ".join(esc(c) for c in r) + ")" for r in rows)
     return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+
+
+# DataFrame-independent Column expression trees, memoized per JVM gateway
+# (r14, guide §1.2 driver-side constants): a Column is an immutable handle on
+# an UNRESOLVED expression — it binds to whatever DataFrame it is later used
+# with — but BUILDING one pays a synchronous py4j round trip per helper call
+# (F.when/F.concat/...). Builders that assemble large expression trees every
+# lap (the URL-canonicalization family spends ~2-4k trips per build) can
+# build them once per JVM and reuse. Keyed on the py4j gateway object
+# (identity-checked), so a restarted JVM can never see stale handles.
+_EXPR_CACHE: dict = {}
+
+
+def session_exprs(spark, key: str, build: Callable[[], tuple]):
+    """Return ``build()``'s tuple of Columns, memoized per (JVM gateway, key)."""
+    gw = spark.sparkContext._gateway
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
+    cols = build()
+    if len(_EXPR_CACHE) >= 256:
+        _EXPR_CACHE.clear()
+    _EXPR_CACHE[key] = (gw, cols)
+    return cols

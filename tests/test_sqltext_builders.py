@@ -289,3 +289,92 @@ def test_sqltext_hinted_broadcast_shape(spark, name):
     expected = 5 if name == "tpch_q5_local_supplier_volume" else 2
     assert phys.count("BroadcastHashJoin") == expected, phys
     assert "SortMergeJoin" not in phys and "ShuffledHashJoin" not in phys, phys
+
+
+def test_minhash_banded_sql_matches_column_form(spark):
+    """dedup_minhash_banded's SQL-CTE form (r14) vs the retained Column
+    pipeline: optimized plans differ cosmetically (USING-join coalescing),
+    so the pin is exact sorted-row equality — and the cross-engine DuckDB
+    oracle pins every value independently."""
+    d = load(spark, SF, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    trigrams = F.zip_with(
+        F.slice(words, 1, n - 2),
+        F.zip_with(
+            F.slice(words, 2, n - 2), F.slice(words, 3, n - 2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    g = d.select("doc_id", F.explode(trigrams).alias("gram")).distinct()
+    h = (
+        g.select("doc_id", "gram", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"))
+        .select(
+            "doc_id",
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("hv"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("hv").alias("mh"))
+    )
+    b = h.groupBy("doc_id", F.expr("j div 2").alias("band")).agg(
+        F.concat(
+            F.min(F.when(F.col("j") % 2 == 0, F.col("mh"))).cast("string"),
+            F.lit(":"),
+            F.min(F.when(F.col("j") % 2 == 1, F.col("mh"))).cast("string"),
+        ).alias("sig")
+    )
+    b2 = b.select(F.col("doc_id").alias("id_b"), "band", "sig")
+    cand = (
+        b.select(F.col("doc_id").alias("id_a"), "band", "sig")
+        .join(b2, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    jac = F.col("ni").cast("double") / (
+        F.col("sa_n") + F.col("sb_n") - F.col("ni")
+    ).cast("double")
+    ref = (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("sa_n")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("sb_n")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+    new = all_queries()["dedup_minhash_banded"].fn(spark, SF)
+    assert new.schema == ref.schema
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, ref.collect()))
+
+
+@pytest.mark.parametrize(
+    "name", ["curation_url_canonicalize", "curation_host_cap", "curation_host_dedup"]
+)
+def test_curation_expr_memo_plan_identity(spark, name):
+    """The session_exprs memo (r14) hands back the SAME Column objects each
+    lap — a memo-hit build must produce the same optimized plan as a
+    cold-cache build (no drift can hide in the cache)."""
+    from snapshot_sender_spark import util
+
+    fn = all_queries()[name].fn
+    util._EXPR_CACHE.clear()
+    cold = fn(spark, SF)  # rebuilds the expression trees
+    warm = fn(spark, SF)  # memo hit
+    co = cold._jdf.queryExecution().optimizedPlan()
+    wo = warm._jdf.queryExecution().optimizedPlan()
+    assert co.sameResult(wo) and wo.sameResult(co)
+    assert cold.schema == warm.schema
