@@ -149,13 +149,27 @@ def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Jaccard strategy; callers that run several dedup stages over one batch
     (the streaming ingestion service) compute this ONCE, localCheckpoint it,
     and pass it (or its exploded posting form) into each stage instead of
-    re-shingling the text per stage."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(word_bigrams(F.col(text_col))), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
+    re-shingling the text per stage.
+
+    The two Columns are DataFrame-independent (unresolved expressions over
+    the given column NAMES) and cost a few hundred py4j round trips to
+    build — memoized per (JVM, text_col, id_col) via util.session_exprs
+    (r14): a memo hit returns the identical Column objects, so the plan is
+    unchanged by construction."""
+    from ..util import session_exprs
+
+    def build() -> tuple:
+        return (
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(word_bigrams(F.col(text_col))), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+
+    id_c, sh_c = session_exprs(
+        df.sparkSession, f"dedup_shingle_cols:{text_col}:{id_col}", build
     )
+    return df.select(id_c, sh_c)
 
 
 def ngram_jaccard_pairs_shuffle(

@@ -378,3 +378,19 @@ def test_curation_expr_memo_plan_identity(spark, name):
     wo = warm._jdf.queryExecution().optimizedPlan()
     assert co.sameResult(wo) and wo.sameResult(co)
     assert cold.schema == warm.schema
+
+
+def test_shingle_expr_memo_plan_identity(spark):
+    """hashed_shingle_sets' session_exprs memo (r14): a memo-hit build must
+    produce the same optimized plan as a cold-cache build."""
+    from snapshot_sender_spark import util
+    from snapshot_sender_spark.operators import dedup
+
+    d = load(spark, SF, "documents")
+    util._EXPR_CACHE.clear()
+    cold = dedup.hashed_shingle_sets(d, "text", "doc_id")
+    warm = dedup.hashed_shingle_sets(d, "text", "doc_id")
+    co = cold._jdf.queryExecution().optimizedPlan()
+    wo = warm._jdf.queryExecution().optimizedPlan()
+    assert co.sameResult(wo) and wo.sameResult(co)
+    assert cold.schema == warm.schema
